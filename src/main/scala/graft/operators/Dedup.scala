@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines, Spark-first.
+  *
+  * Exact dedup is a hash groupBy (one shuffle on the content hash — the
+  * only partitioning that can see all copies of a document together).
+  * Near-dup goes MinHash -> LSH banding -> band-bucket join, which turns the
+  * O(n^2) all-pairs problem into a per-bucket join: at 100 TB the band join
+  * shuffles only (doc_id, band_key) pairs — tens of bytes per document —
+  * and AQE's skew-join handles hot buckets. SimHash gives a 1-word sketch
+  * for Hamming-distance near-dup. All hashes are engine-portable
+  * (md5-derived, see [[TextAnalysis.portableHash32]]) so every stage is
+  * DuckDB-oracle-checkable.
+  */
+object Dedup {
+
+  /** Prime modulus < 2^31 for the minhash permutation family
+    * `h_i(x) = (a_i * x + b_i) mod P` (Broder's min-wise hashing; a_i odd
+    * so the map is a bijection mod 2^32 inputs spread over [0, P)).
+    */
+  val MinhashPrime: Long = 2038074743L
+  def minhashA(i: Int): Long = 2L * i + 1L
+  def minhashB(i: Int): Long = 101L * i + 17L
+
+  /** Exact dedup: group by full-content hash, keep the smallest id.
+    * `sha2(..., 256)` collisions are cryptographically negligible, so the
+    * 32-byte hash stands in for the full text in the shuffle — the content
+    * itself never moves.
+    */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol).cast("binary"), 256).as("text_sha"))
+      .agg(
+        min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures over the distinct word set of each document:
+    * one explode + one groupBy (single shuffle on doc id); the k minimums
+    * are computed as k parallel `min` aggregates with map-side partial
+    * aggregation, so shuffled data is k longs per (doc, distinct-word)
+    * partial — not the word stream.
+    */
+  def minhashSignatures(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 16): DataFrame = {
+    val words = df.select(
+      col(idCol),
+      explode(array_distinct(TextAnalysis.wsTokens(col(textCol)))).as("w"))
+    val hashed = words.select(col(idCol), TextAnalysis.portableHash32(col("w")).as("h"))
+    val aggs = (0 until numHashes).map { i =>
+      min((col("h") * lit(minhashA(i)) + lit(minhashB(i))) % lit(MinhashPrime)).as(s"mh$i")
+    }
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over a minhash signature: each document emits `bands`
+    * (band_idx, md5-of-band-rows) keys; documents sharing any band key are
+    * near-dup candidates. Returns (doc_a, doc_b, shared_bands) with
+    * doc_a < doc_b. The self-join shuffles on (band, key) — bucket-local —
+    * and never materializes the full cross product.
+    */
+  def lshCandidatePairs(
+      signatures: DataFrame,
+      idCol: String,
+      numHashes: Int = 16,
+      bands: Int = 2): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandStructs = (0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(
+        lit(b).as("band"),
+        md5(concat_ws("_", rows: _*).cast("binary")).as("key"))
+    }
+    val exploded = signatures
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.key") === col("b.key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("shared_bands"))
+  }
+
+  /** 16-bit SimHash over the (multiset of) words: per bit j, sign of the
+    * sum of ±1 votes from each word's hash bit j. One explode + one groupBy;
+    * the 16 votes aggregate map-side. Near-dups differ in few bits.
+    */
+  def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val words = df.select(col(idCol), explode(TextAnalysis.wsTokens(col(textCol))).as("w"))
+    val hashed = words.select(col(idCol), TextAnalysis.portableHash32(col("w")).as("h"))
+    val votes = (0 until 16).map { j =>
+      sum(expr(s"shiftright(h, $j) % 2 * 2 - 1")).as(s"s$j")
+    }
+    val combined = (0 until 16)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    hashed
+      .groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), expr(s"CAST($combined AS BIGINT)").as("simhash"))
+  }
+
+  /** Character n-gram Jaccard similarity for all pairs within the given
+    * subset: documents explode to distinct n-grams, pairs form via an
+    * n-gram-keyed self-join (shuffle on the n-gram — never on the pair),
+    * Jaccard = |A∩B| / (|A|+|B|-|A∩B|). Use on bounded candidate sets
+    * (e.g. LSH output); the all-pairs form here is for verification scale.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val grams = df.select(
+      col(idCol),
+      explode(array_distinct(
+        transform(
+          sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
+          i => col(textCol).substr(i, lit(n))))).as("g"))
+    val counts = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val a = grams.as("ga").join(counts.withColumnRenamed("n_grams", "na").as("ca"), idCol)
+    val g2 = grams.as("gb").join(counts.withColumnRenamed("n_grams", "nb").as("cb"), idCol)
+    val pairs = a
+      .select(col(idCol).as("doc_a"), col("g"), col("na"))
+      .join(
+        g2.select(col(idCol).as("doc_b"), col("g"), col("nb")),
+        Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .select(
+        col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media record: opaque payload + typed metadata. In production the
+  * payload is image/audio/video bytes read from parquet `binary` columns;
+  * here it is synthesized from text so the pipeline is runnable in-harness.
+  */
+final case class MediaRecord(doc_id: Long, payload: Array[Byte], mime: String)
+
+/** Decoded/extracted media metadata (the output schema of the decode stage). */
+final case class MediaMeta(
+    doc_id: Long,
+    n_bytes: Int,
+    content_md5: String,
+    width: Int,
+    height: Int,
+    format: String)
+
+/** Multimodal-column plumbing: treat media as opaque `BinaryType` payloads
+  * with typed metadata, and run decode / feature-extraction as a typed
+  * `mapPartitions` stage — the Scala analogue of a `mapInPandas` batch UDF:
+  * the executor streams batches of records through a per-partition decoder
+  * without ever materializing the partition, and the output is a first-class
+  * Dataset that joins/filters like any other table.
+  *
+  * THE DECODE ITSELF IS A STUB (this container has no image/audio codecs):
+  * [[decodeStub]] derives deterministic fake dimensions from the payload's
+  * md5. Everything around it — binary schema, batch iteration, partition
+  * sizing, output encoders — is real and tested. Swap [[decodeStub]] for a
+  * JNI/codec call to productionize.
+  *
+  * Scale: decode is CPU-heavy and embarrassingly parallel; `repartition(n)`
+  * upstream sets decode parallelism independent of the file layout, and no
+  * shuffle follows (metadata extraction is narrow).
+  */
+object Multimodal {
+
+  /** Build the media table: payload = utf-8 bytes of the text column.
+    * (In production this column arrives as parquet `binary` directly.)
+    */
+  def payloadFromText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("doc_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      lit("application/octet-stream").as("mime"))
+
+  /** STUB decode — deterministic fake: dimensions/format derived from the
+    * payload md5. A real implementation decodes the actual media here.
+    */
+  def decodeStub(payload: Array[Byte]): (Int, Int, String) = {
+    val hex = md5Hex(payload)
+    val width = 160 + (java.lang.Long.parseLong(hex.substring(0, 4), 16) % 1280L).toInt
+    val height = 120 + (java.lang.Long.parseLong(hex.substring(4, 8), 16) % 720L).toInt
+    val format = (java.lang.Long.parseLong(hex.substring(8, 10), 16) % 3L) match {
+      case 0 => "jpeg"
+      case 1 => "png"
+      case _ => "webp"
+    }
+    (width, height, format)
+  }
+
+  def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map(b => f"${b & 0xff}%02x").mkString
+
+  /** The decode stage: batched per-partition iteration (batch shape mirrors
+    * an Arrow-batch UDF boundary — records are processed `batchSize` at a
+    * time so a codec with per-call setup cost amortizes).
+    */
+  def extractMeta(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { rec =>
+          val (w, h, fmt) = decodeStub(rec.payload)
+          MediaMeta(rec.doc_id, rec.payload.length, md5Hex(rec.payload), w, h, fmt)
+        }
+      }
+    }
+  }
+
+  /** End-to-end: documents -> payload table -> decode -> metadata table. */
+  def metaFromDocuments(spark: SparkSession, df: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    extractMeta(payloadFromText(df, "doc_id", "text").as[MediaRecord])
+  }
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `ArrayType(FloatType)` column.
+  *
+  * Numeric contract: every dot product is an explicitly sequential fold in
+  * DOUBLE over the float elements (`aggregate(zip_with(...))`), which is
+  * bit-identical to DuckDB's `list_sum(list_transform(list_zip(...)))` —
+  * verified — so cosine scores oracle-compare exactly. Do NOT swap in a
+  * tree-reduction or SIMD path without re-deriving the oracle.
+  *
+  * Scale: brute-force top-k is a broadcast nested loop — queries broadcast,
+  * corpus streams, per-partition top-k via window. That is the right
+  * baseline at any corpus size when the query set is small. The LSH variant
+  * buckets on random-hyperplane sign bits so the join only compares
+  * bucket-colocated vectors: the shuffle carries (bucket, vector) once,
+  * and bucket fan-out is the recall/cost knob.
+  */
+object Similarity {
+
+  /** Sequential-in-DOUBLE dot product of two float-array columns. */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** L2 norm, same fold discipline. */
+  def normD(a: Column): Column =
+    sqrt(aggregate(
+      transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v))
+
+  /** Brute-force cosine top-k: for each query vector (small set — gets
+    * broadcast), the k nearest corpus vectors. Deterministic tiebreak on
+    * neighbor id.
+    */
+  def cosineTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(embCol).as("c_emb"),
+      normD(col(embCol)).as("c_norm"))
+    val q = queries.select(
+      col(idCol).as("q_id"),
+      col(embCol).as("q_emb"),
+      normD(col(embCol)).as("q_norm"))
+    val scored = c
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .select(
+        col("q_id"), col("neighbor_id"),
+        (dotD(col("c_emb"), col("q_emb")) / (col("c_norm") * col("q_norm"))).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic random-hyperplane family for sign-bit LSH: plane weights
+    * in [-1, 1] derived from an md5-seeded integer grid, materialized as
+    * literals on both the Spark and oracle sides (same constants, exact
+    * float semantics).
+    */
+  def hyperplanes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(numPlanes, dim) { (j, d) =>
+      val hex = md.digest(s"$j:$d".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+    }
+  }
+
+  /** Sign-bit LSH bucket id for an embedding column: bit j set iff
+    * dot(plane_j, v) > 0. `numPlanes` bits -> 2^numPlanes buckets.
+    */
+  def lshBucket(embCol: Column, planes: Array[Array[Double]]): Column = {
+    val terms = planes.zipWithIndex.map { case (p, j) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dotD(embCol, planeCol) > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }
+    terms.reduce(_ + _).as("bucket")
+  }
+
+  /** LSH-bucketed approximate top-k: compare only bucket-colocated
+    * (query, corpus) pairs. Recall < 1 by construction; rank/tiebreak
+    * deterministic. At scale, corpus buckets are the shuffle key and each
+    * bucket joins locally.
+    */
+  def cosineTopKLsh(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      numPlanes: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(embCol).as("c_emb"),
+      normD(col(embCol)).as("c_norm"),
+      lshBucket(col(embCol), planes).as("bucket"))
+    val q = queries.select(
+      col(idCol).as("q_id"),
+      col(embCol).as("q_emb"),
+      normD(col(embCol)).as("q_norm"),
+      lshBucket(col(embCol), planes).as("bucket"))
+    val scored = c
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .select(
+        col("q_id"), col("neighbor_id"),
+        (dotD(col("c_emb"), col("q_emb")) / (col("c_norm") * col("q_norm"))).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-dup pairs above a similarity threshold within a
+    * bounded id range (verification scale; production pairs come from LSH
+    * buckets instead of the cross join).
+    */
+  def cosineDupPairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      maxId: Long): DataFrame = {
+    val e = df
+      .filter(col(idCol) < maxId)
+      .select(col(idCol), col(embCol), normD(col(embCol)).as("norm"))
+    val a = e.select(col(idCol).as("vec_a"), col(embCol).as("ea"), col("norm").as("na"))
+    val b = e.select(col(idCol).as("vec_b"), col(embCol).as("eb"), col("norm").as("nb"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .select(
+        col("vec_a"), col("vec_b"),
+        (dotD(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM training-data pipeline, built purely
+  * from codegen'd `org.apache.spark.sql.functions` (no UDFs — every one of
+  * these stays inside whole-stage codegen and scales linearly per row with
+  * zero shuffle; they compose with groupBy/joins downstream).
+  *
+  * All operators are deterministic and engine-portable (verified against a
+  * DuckDB oracle): portable 32-bit hashes derive from md5 hex prefixes, not
+  * JVM-specific hash functions.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text. */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(wsTokens(text))
+
+  /** BPE-ish subword proxy: runs of letters, runs of digits, or single
+    * non-alphanumeric marks — the standard pre-tokenizer regex shape.
+    */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(bpeTokenPattern))
+
+  /** Portable 32-bit hash: first 8 hex digits of md5, as a non-negative
+    * long. Identical in any engine with md5 + hex parsing (DuckDB:
+    * `CAST('0x' || substr(md5(x),1,8) AS BIGINT)`).
+    */
+  def portableHash32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Normalized text for fingerprinting: lowercase, whitespace collapsed. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Exact-content fingerprint over normalized text. */
+  def contentFingerprint(text: Column): Column = md5(normalized(text).cast("binary"))
+
+  /** Winnowing-style document fingerprint: minimum portable hash over all
+    * 5-word shingle windows (rolling across the token stream). Documents
+    * sharing long runs of text collide with high probability; robust to
+    * small edits outside the matched window.
+    */
+  def rollingFingerprint(text: Column, window: Int = 5): Column = {
+    val toks = wsTokens(text)
+    val starts = sequence(lit(1), greatest(size(toks) - (window - 1), lit(1)))
+    val hashes = transform(starts, i =>
+      portableHash32(concat_ws(" ", slice(toks, i, lit(window)))))
+    array_min(hashes)
+  }
+
+  /** English stopword count (heuristic language-ID signal). */
+  private val enStopwords = Seq("the", "and", "of", "to", "in", "is", "a")
+
+  def stopwordCount(text: Column): Column = {
+    val pattern = s"\\b(${enStopwords.mkString("|")})\\b"
+    regexp_count(lower(text), lit(pattern))
+  }
+
+  /** Punctuation-mark count. */
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[.!?,;:]"))
+
+  /** Heuristic language ID: stopword density over the token stream.
+    * >= 1 stopword per 12 tokens -> 'en', any letters -> 'und', else 'zxx'
+    * (no linguistic content). A real system plugs an n-gram profile model
+    * into the same column-in/column-out seam.
+    */
+  def langIdHeuristic(text: Column): Column = {
+    val toks = tokenCount(text).cast("double")
+    val stops = stopwordCount(text).cast("double")
+    when(toks > 0 && stops / toks >= 1.0 / 12.0, lit("en"))
+      .when(regexp_count(text, lit("[A-Za-z]")) > 0, lit("und"))
+      .otherwise(lit("zxx"))
+  }
+
+  /** Composite quality score in [0,1]: mean-word-length sanity band,
+    * punctuation density band, stopword presence — the standard cheap
+    * pre-filter stack (Gopher/C4-style rules) as one codegen'd expression.
+    * All arithmetic is int-derived doubles, so it is bit-reproducible.
+    */
+  def qualityScore(text: Column): Column = {
+    val chars = length(text).cast("double")
+    val toks = tokenCount(text).cast("double")
+    val meanWord = chars / greatest(toks, lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(toks, lit(1.0))
+    val stopRatio = stopwordCount(text).cast("double") / greatest(toks, lit(1.0))
+    val wordLenOk = when(meanWord >= 3.0 && meanWord <= 10.0, 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio <= 0.3, 1.0).otherwise(0.0)
+    val stopOk = when(stopRatio >= 0.05, 1.0).otherwise(0.0)
+    val lenOk = when(chars >= 50.0 && chars <= 100000.0, 1.0).otherwise(0.0)
+    (wordLenOk + punctOk + stopOk + lenOk) / lit(4.0)
+  }
+}

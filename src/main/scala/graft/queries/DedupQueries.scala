@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Similarity}
+
+/** Dedup queries over `documents` / `embeddings` (north-star extension).
+  * The minhash/simhash oracle SQL is generated from the same loops as the
+  * Spark plans so the two sides cannot drift.
+  */
+object DedupQueries {
+
+  private val NumHashes = 16
+
+  /** DuckDB CTE producing (doc_id, h) = portable 32-bit word hashes of the
+    * distinct (`distinctWords`=true) or full multiset of words.
+    */
+  private def duckWordHashes(distinctWords: Boolean): String = {
+    val inner = raw"string_split_regex(trim(text), '\s+')"
+    val lst = if (distinctWords) s"list_distinct($inner)" else inner
+    s"""SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h
+       |FROM (SELECT doc_id, unnest($lst) AS w FROM documents)""".stripMargin
+  }
+
+  private def duckMinhashAggs: String =
+    (0 until NumHashes).map { i =>
+      s"MIN((h * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % ${Dedup.MinhashPrime}) AS mh$i"
+    }.mkString(",\n       ")
+
+  private val duckSignatureCte =
+    s"""WITH wh AS (
+       |${duckWordHashes(distinctWords = true)}
+       |), sig AS (
+       |  SELECT doc_id,
+       |       $duckMinhashAggs
+       |  FROM wh GROUP BY doc_id
+       |)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q30_dedup_exact",
+      "Exact dedup by content hash: group on sha256(text), keep min id. " +
+        "The 32-byte hash is the shuffle key — document bodies never move.",
+      Some("""
+        |SELECT sha256(text) AS text_sha, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1
+        |""".stripMargin.trim),
+      (spark, dir) => Dedup.exactGroups(Tables.documents(spark, dir), "text", "doc_id")
+    ),
+    Q(
+      "q31_minhash_signatures",
+      s"MinHash signatures ($NumHashes permutations of portable 32-bit word " +
+        "hashes) over each document's distinct word set — the sketch stage " +
+        "of MinHash-LSH near-dup.",
+      Some(
+        s"""$duckSignatureCte
+           |SELECT * FROM sig""".stripMargin),
+      (spark, dir) =>
+        Dedup.minhashSignatures(Tables.documents(spark, dir), "text", "doc_id", NumHashes)
+    ),
+    Q(
+      "q32_minhash_lsh_pairs",
+      "LSH banding over the minhash signatures (2 bands x 8 rows): " +
+        "candidate near-dup pairs = documents sharing any band key. " +
+        "Turns O(n^2) all-pairs into a bucket-local self-join.",
+      Some(
+        s"""$duckSignatureCte, bands AS (
+           |  SELECT doc_id, 0 AS band,
+           |         md5(concat_ws('_', ${(0 until 8).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band,
+           |         md5(concat_ws('_', ${(8 until 16).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
+           |FROM bands a JOIN bands b
+           |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2""".stripMargin),
+      (spark, dir) => {
+        val sig = Dedup.minhashSignatures(Tables.documents(spark, dir), "text", "doc_id", NumHashes)
+        Dedup.lshCandidatePairs(sig, "doc_id", NumHashes, bands = 2)
+      }
+    ),
+    Q(
+      "q33_simhash",
+      "16-bit SimHash sketch: per-bit majority vote over word-hash bits — " +
+        "near-dups land within small Hamming distance.",
+      Some {
+        val votes = (0 until 16)
+          .map(j => s"CAST(SUM(((h >> $j) & 1) * 2 - 1) AS BIGINT) AS s$j")
+          .mkString(",\n         ")
+        val combined = (0 until 16)
+          .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH wh AS (
+           |${duckWordHashes(distinctWords = false)}
+           |), v AS (
+           |  SELECT doc_id,
+           |         $votes
+           |  FROM wh GROUP BY doc_id
+           |)
+           |SELECT doc_id, CAST($combined AS BIGINT) AS simhash FROM v""".stripMargin
+      },
+      (spark, dir) => Dedup.simhash16(Tables.documents(spark, dir), "text", "doc_id")
+    ),
+    Q(
+      "q34_ngram_jaccard",
+      "Character-trigram Jaccard near-dup pairs (bounded subset, ngram-" +
+        "keyed self-join; intersection counted per pair, never a cross " +
+        "product).",
+      Some("""
+        |WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(length(text) - 2, 1) + 1),
+        |    i -> substr(text, i, 3)))) AS g
+        |  FROM d
+        |),
+        |c AS (SELECT doc_id, COUNT(*) AS n_g FROM g GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b,
+        |       CAST(inter AS DOUBLE) / (ca.n_g + cb.n_g - inter) AS jaccard
+        |FROM inter
+        |JOIN c ca ON ca.doc_id = doc_a
+        |JOIN c cb ON cb.doc_id = doc_b
+        |WHERE CAST(inter AS DOUBLE) / (ca.n_g + cb.n_g - inter) >= 0.5
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Dedup.ngramJaccardPairs(
+          Tables.documents(spark, dir).filter(col("doc_id") < 200),
+          "text", "doc_id", n = 3, threshold = 0.5)
+    ),
+    Q(
+      "q35_embedding_dup_pairs",
+      "Embedding-cosine near-dup pairs (exact double-fold cosine, bounded " +
+        "id range; production path feeds LSH buckets instead of the cross " +
+        "join).",
+      Some("""
+        |WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |  FROM embeddings WHERE vec_id < 1000
+        |)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.norm * b.norm) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.norm * b.norm) >= 0.4
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Similarity.cosineDupPairs(
+          Tables.embeddings(spark, dir), "vec_id", "embedding",
+          threshold = 0.4, maxId = 1000L)
+    )
+  )
+}

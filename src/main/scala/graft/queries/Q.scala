@@ -1,0 +1,22 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registry entry: a named Spark query plus (when SQL-expressible) the
+  * equivalent ANSI SQL the driver runs in DuckDB as a differential oracle.
+  *
+  * Contract notes (see the driver spec):
+  *  - result column NAMES and TYPES must match the oracle exactly (the
+  *    compare sorts columns by name and checks schema), so every computed
+  *    column is aliased identically on both sides;
+  *  - results must be deterministic — no `uuid()`, no floating-point
+  *    accumulation orders that differ between engines. Double aggregates go
+  *    through exact DECIMAL accumulation then one cast to DOUBLE; embedding
+  *    math uses an explicitly sequential double fold that both engines
+  *    reproduce bit-for-bit.
+  */
+final case class Q(
+    name: String,
+    doc: String,
+    oracle: Option[String],
+    run: (SparkSession, String) => DataFrame)

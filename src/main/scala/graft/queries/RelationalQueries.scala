@@ -1,0 +1,294 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core relational operators over the TPC-H-ish star schema — the standard
+  * query-engine surface the reference lacks entirely (SURVEY.md §2 checklist:
+  * joins/aggregations/windows/sorts/set-ops ABSENT in the reference) but
+  * that a complete engine must provide, designed Spark-first for scale:
+  * dimension joins broadcast, fact-fact joins shuffle on join keys with AQE,
+  * aggregates use partial (map-side) combine automatically.
+  *
+  * Determinism policy for the DuckDB oracle: double aggregates accumulate in
+  * exact DECIMAL and cast to DOUBLE once at the end; int-returning builtins
+  * that differ in width between engines (length/year/row_number...) are cast
+  * to a common type on the wider side.
+  */
+object RelationalQueries {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q10_tpch1_agg",
+      "TPC-H Q1-shaped grouped aggregate: hash partial+final agg over " +
+        "lineitem; one shuffle on the (returnflag, linestatus) grouping key.",
+      Some("""
+        |SELECT l_returnflag, l_linestatus,
+        |       COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |       MIN(l_quantity) AS min_qty,
+        |       MAX(l_extendedprice) AS max_price
+        |FROM lineitem
+        |GROUP BY 1, 2
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_price"),
+            min("l_quantity").as("min_qty"),
+            max("l_extendedprice").as("max_price"))
+    ),
+    Q(
+      "q11_join_broadcast_dims",
+      "Star join through two dimension tables — both broadcast (nation 25 " +
+        "rows, region 5): zero shuffle on the probe side until the final agg.",
+      Some("""
+        |SELECT r_name, n_name,
+        |       COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.customer(spark, dir)
+          .join(broadcast(Tables.nation(spark, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(spark, dir)),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("c_acctbal").cast("decimal(18,4)")).cast("double").as("sum_bal"))
+    ),
+    Q(
+      "q12_join_fact_agg",
+      "Fact-fact equi-join (orders x lineitem) with derived-measure " +
+        "aggregation; shuffles hash-partitioned on the order key, decimal-" +
+        "exact revenue. At 100 TB this is the AQE/skew-join path.",
+      Some("""
+        |SELECT o_orderpriority,
+        |       COUNT(DISTINCT o_orderkey) AS n_orders,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS revenue
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.orders(spark, dir)
+          .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(
+            countDistinct("o_orderkey").as("n_orders"),
+            sum(expr(
+              "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"))
+              .cast("double").as("revenue"))
+    ),
+    Q(
+      "q13_window_rank",
+      "Ranking window: top-3 orders per customer (row_number over a " +
+        "deterministic total order). One shuffle on the partition key.",
+      Some("""
+        |SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                                 ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.orders(spark, dir)
+          .select("o_custkey", "o_orderkey", "o_totalprice")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("o_custkey")
+              .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+          .filter(col("rn") <= 3)
+    ),
+    Q(
+      "q14_sort_limit",
+      "Global top-k (sort + limit): Spark executes as TakeOrderedAndProject " +
+        "— per-partition top-k then a k-row merge on the driver; no full sort " +
+        "at any scale.",
+      Some("""
+        |SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)
+    ),
+    Q(
+      "q15_anti_join",
+      "Left-anti join (NOT EXISTS): customers with no orders. Broadcast or " +
+        "shuffled hash anti-join chosen by Catalyst/AQE.",
+      Some("""
+        |SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.customer(spark, dir)
+          .join(Tables.orders(spark, dir),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+    ),
+    Q(
+      "q16_semi_join",
+      "Left-semi join (EXISTS): customers holding at least one 'F' order — " +
+        "the filter pushes into the build side before the join.",
+      Some("""
+        |SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.customer(spark, dir)
+          .join(
+            Tables.orders(spark, dir).filter(col("o_orderstatus") === "F"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+    ),
+    Q(
+      "q17_intersect",
+      "Set intersection (distinct semantics): nation keys present in both " +
+        "customer and supplier.",
+      Some("""
+        |SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+          .intersect(Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
+    ),
+    Q(
+      "q18_except",
+      "Set difference (distinct semantics): nations with no customers.",
+      Some("""
+        |SELECT n_nationkey AS nationkey FROM nation
+        |EXCEPT
+        |SELECT c_nationkey AS nationkey FROM customer
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.nation(spark, dir).select(col("n_nationkey").as("nationkey"))
+          .except(Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey")))
+    ),
+    Q(
+      "q19_scalar_string_funcs",
+      "Scalar string-function surface (upper/substring/length/concat/" +
+        "replace) — all codegen'd builtins, no UDFs.",
+      Some("""
+        |SELECT p_partkey,
+        |       UPPER(p_brand) AS brand_u,
+        |       SUBSTRING(p_name, 1, 8) AS name8,
+        |       CAST(LENGTH(p_type) AS INTEGER) AS type_len,
+        |       CONCAT(p_brand, '#', p_type) AS brand_type,
+        |       REPLACE(p_name, ' ', '_') AS name_r
+        |FROM part
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.part(spark, dir).selectExpr(
+          "p_partkey",
+          "UPPER(p_brand) AS brand_u",
+          "SUBSTRING(p_name, 1, 8) AS name8",
+          "LENGTH(p_type) AS type_len",
+          "CONCAT(p_brand, '#', p_type) AS brand_type",
+          "REPLACE(p_name, ' ', '_') AS name_r")
+    ),
+    Q(
+      "q20_date_parts",
+      "Timestamp component extraction + grouped counts (year/month from a " +
+        "ms-precision timestamp).",
+      Some("""
+        |SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+        |       CAST(MONTH(o_orderdate) AS INTEGER) AS mo,
+        |       COUNT(*) AS cnt
+        |FROM orders GROUP BY 1, 2
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.orders(spark, dir)
+          .groupBy(
+            year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mo"))
+          .agg(count(lit(1)).as("cnt"))
+    ),
+    Q(
+      "q21_case_bucket",
+      "CASE WHEN bucketing + grouped min/max — constant-folded, codegen'd " +
+        "conditional projection.",
+      Some("""
+        |SELECT CASE WHEN o_totalprice < 20000 THEN 'low'
+        |            WHEN o_totalprice < 50000 THEN 'mid'
+        |            ELSE 'high' END AS bucket,
+        |       COUNT(*) AS cnt,
+        |       MIN(o_totalprice) AS min_price,
+        |       MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.orders(spark, dir)
+          .withColumn("bucket",
+            when(col("o_totalprice") < 20000, "low")
+              .when(col("o_totalprice") < 50000, "mid")
+              .otherwise("high"))
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("cnt"),
+            min("o_totalprice").as("min_price"),
+            max("o_totalprice").as("max_price"))
+    ),
+    Q(
+      "q22_rollup",
+      "Grouping-sets surface: ROLLUP over (returnflag, linestatus) with " +
+        "NULL subtotal rows.",
+      Some("""
+        |SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"))
+    ),
+    Q(
+      "q23_having",
+      "Post-aggregation predicate (HAVING): customers with >= 3 orders.",
+      Some("""
+        |SELECT o_custkey, COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 HAVING COUNT(*) >= 3
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.orders(spark, dir)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders") >= 3)
+    ),
+    Q(
+      "q24_count_distinct",
+      "Exact distinct-count aggregates (expand + two-phase agg in Spark).",
+      Some("""
+        |SELECT l_returnflag,
+        |       COUNT(DISTINCT l_suppkey) AS n_supp,
+        |       COUNT(DISTINCT l_partkey) AS n_part
+        |FROM lineitem GROUP BY 1
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct("l_suppkey").as("n_supp"),
+            countDistinct("l_partkey").as("n_part"))
+    )
+  )
+}

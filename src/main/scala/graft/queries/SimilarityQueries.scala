@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Similarity
+
+/** Similarity-search queries over `embeddings` (north-star extension).
+  * Cosine scores use the sequential-double-fold contract (see
+  * [[graft.operators.Similarity]]) so they oracle-compare bit-exactly.
+  */
+object SimilarityQueries {
+
+  private val NumPlanes = 8
+  private val Dim = 64
+
+  /** DuckDB literal for plane j — the exact same constants the Spark plan
+    * embeds, generated from one source of truth.
+    */
+  private def duckPlane(p: Array[Double]): String =
+    p.mkString("[", ", ", "]::DOUBLE[]")
+
+  private lazy val planes = Similarity.hyperplanes(NumPlanes, Dim)
+
+  private val duckDot =
+    "list_sum(list_transform(list_zip(%s, %s), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
+  private def duckBucket(embExpr: String): String =
+    planes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN ${duckDot.format(embExpr, duckPlane(p))} > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q40_ann_bruteforce",
+      "Brute-force cosine top-5 for 8 query vectors: broadcast nested loop " +
+        "(queries broadcast, corpus streams), per-query top-k via window. " +
+        "The exact baseline ANN variants are measured against.",
+      Some("""
+        |WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |  FROM embeddings
+        |),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+        |         list_sum(list_transform(list_zip(c.embedding, q.embedding),
+        |                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (c.norm * q.norm) AS sim
+        |  FROM e c JOIN e q ON q.vec_id < 8 AND c.vec_id != q.vec_id
+        |)
+        |SELECT q_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rn
+        |      FROM scored)
+        |WHERE rn <= 5
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        Similarity.cosineTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+      }
+    ),
+    Q(
+      "q41_ann_lsh",
+      s"LSH-bucketed approximate top-5: $NumPlanes random-hyperplane sign " +
+        "bits -> 2^8 buckets; only bucket-colocated pairs are scored. The " +
+        "plane constants are literals shared with the oracle.",
+      Some {
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding,
+           |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm,
+           |         ${duckBucket("embedding")} AS bucket
+           |  FROM embeddings
+           |),
+           |scored AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+           |         ${duckDot.format("c.embedding", "q.embedding")} / (c.norm * q.norm) AS sim
+           |  FROM e c JOIN e q ON c.bucket = q.bucket AND q.vec_id < 8 AND c.vec_id != q.vec_id
+           |)
+           |SELECT q_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank
+           |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rn
+           |      FROM scored)
+           |WHERE rn <= 5""".stripMargin
+      },
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        Similarity.cosineTopKLsh(
+          e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, numPlanes = NumPlanes, dim = Dim)
+      }
+    )
+  )
+}

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.TextAnalysis
+
+/** Text-analysis queries over `documents` (north-star extension: language
+  * ID, quality scoring, token counting, document fingerprinting — the cheap
+  * per-row pass every LLM data pipeline runs before dedup/filtering).
+  * All pure narrow transforms: no shuffle, full whole-stage codegen.
+  */
+object TextQueries {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q50_token_count",
+      "Token counting: whitespace tokens + a BPE-ish pre-tokenizer regex " +
+        "(letter runs / digit runs / single marks).",
+      Some("""
+        |SELECT doc_id,
+        |       CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens,
+        |       CAST(LENGTH(text) AS INTEGER) AS n_chars_m
+        |FROM documents
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.documents(spark, dir).select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"),
+          length(col("text")).as("n_chars_m"))
+    ),
+    Q(
+      "q51_quality_score",
+      "Gopher/C4-style quality pre-filter: mean word length, punctuation " +
+        "density, stopword density, length band -> composite score in [0,1].",
+      Some("""
+        |SELECT doc_id,
+        |       CAST(punct AS DOUBLE) / greatest(toks, 1.0) AS punct_ratio,
+        |       CAST(stops AS DOUBLE) / greatest(toks, 1.0) AS stop_ratio,
+        |       ((CASE WHEN chars / greatest(toks, 1.0) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+        |        + (CASE WHEN CAST(punct AS DOUBLE) / greatest(toks, 1.0) <= 0.3 THEN 1.0 ELSE 0.0 END)
+        |        + (CASE WHEN CAST(stops AS DOUBLE) / greatest(toks, 1.0) >= 0.05 THEN 1.0 ELSE 0.0 END)
+        |        + (CASE WHEN chars BETWEEN 50.0 AND 100000.0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |         CAST(LENGTH(text) AS DOUBLE) AS chars,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS toks,
+        |         len(regexp_extract_all(text, '[.!?,;:]')) AS punct,
+        |         len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS stops
+        |  FROM documents
+        |)
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.documents(spark, dir).select(
+          col("doc_id"),
+          (TextAnalysis.punctCount(col("text")).cast("double") /
+            greatest(TextAnalysis.tokenCount(col("text")).cast("double"), lit(1.0)))
+            .as("punct_ratio"),
+          (TextAnalysis.stopwordCount(col("text")).cast("double") /
+            greatest(TextAnalysis.tokenCount(col("text")).cast("double"), lit(1.0)))
+            .as("stop_ratio"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+    ),
+    Q(
+      "q52_langid",
+      "Heuristic language ID from stopword density (n-gram-profile seam).",
+      Some("""
+        |SELECT doc_id, lang AS lang_declared,
+        |       CASE WHEN toks > 0 AND stops / toks >= 1.0/12.0 THEN 'en'
+        |            WHEN letters > 0 THEN 'und'
+        |            ELSE 'zxx' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS toks,
+        |         CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS DOUBLE) AS stops,
+        |         len(regexp_extract_all(text, '[A-Za-z]')) AS letters
+        |  FROM documents
+        |)
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.documents(spark, dir).select(
+          col("doc_id"),
+          col("lang").as("lang_declared"),
+          TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"))
+    ),
+    Q(
+      "q53_fingerprint",
+      "Document fingerprinting: exact content fingerprint (md5 of " +
+        "normalized text) + winnowing-style rolling min-hash over 5-word " +
+        "shingle windows.",
+      Some("""
+        |SELECT doc_id,
+        |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_fp,
+        |       list_min(list_transform(
+        |         range(1, greatest(len(toks) - 4, 1) + 1),
+        |         i -> CAST('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 4), ' ')), 1, 8) AS BIGINT)
+        |       )) AS rolling_fp
+        |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.documents(spark, dir).select(
+          col("doc_id"),
+          TextAnalysis.contentFingerprint(col("text")).as("content_fp"),
+          TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))
+    )
+  )
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.pipeline.{TraceConfig, TracePipeline}
+
+/** Reference-parity queries (SURVEY.md §2 O1-O16) expressed over the
+  * `events` table, whose int64-ns `ts` plays the role of the reference's
+  * `start_time` (`/root/reference/main.js:158-162`). `end_time` is
+  * synthesized deterministically from `event_id`/`user_id` so durations
+  * straddle both reference thresholds (2000 ms keep-filter, 2650 ms long
+  * slice — main.js:48-49) including per-operand-truncation corners.
+  */
+object TraceQueries {
+
+  /** Synthetic end_ns giving duration_ms ≈ event_id % 4000 (+ sub-ms noise
+    * from user_id that exercises the per-operand truncation corner).
+    */
+  private val endNsSql =
+    "(start_ns + (event_id % 4000) * 1000000 + user_id * 333667)"
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q01_trace_pipeline",
+      "Flagship reference pipeline: scan -> derive duration_ms (per-operand " +
+        "div, O4) -> keep-filter >= 2000 (O5) -> reorder duration first (O6) " +
+        "-> value-distinct (O7 intent, SURVEY §2.10 B1).",
+      Some(s"""
+        |WITH t AS (
+        |  SELECT epoch_ns(ts) AS start_ns,
+        |         epoch_ns(ts) + (event_id % 4000) * 1000000 + user_id * 333667 AS end_ns,
+        |         event_id, event_type
+        |  FROM events
+        |)
+        |SELECT DISTINCT
+        |  end_ns // 1000000 - start_ns // 1000000 AS duration_ms,
+        |  event_id, event_type
+        |FROM t
+        |WHERE end_ns // 1000000 - start_ns // 1000000 >= 2000
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        val cfg = TraceConfig(inputGlob = Tables.path(dir, "events"),
+          startCol = "start_ns", endCol = "end_ns")
+        val base = Tables.eventsTsNs(spark, dir)
+          .withColumn("start_ns", expr("ts div 1000 * 1000"))
+          .withColumn("end_ns", expr(endNsSql))
+          .select("start_ns", "end_ns", "event_id", "event_type")
+        TracePipeline
+          .transform(base, cfg)
+          .drop("start_ns", "end_ns")
+          .dropDuplicates()
+      }
+    ),
+    Q(
+      "q02_derive_div",
+      "O4 in isolation: ns->ms with BigInt-style per-operand truncation " +
+        "(end div 1e6 - start div 1e6), plus the naive variant to pin the " +
+        "off-by-one divergence (main.js:158-162).",
+      Some("""
+        |SELECT event_id,
+        |       end_ns // 1000000 - start_ns // 1000000 AS duration_ms,
+        |       (end_ns - start_ns) // 1000000 AS duration_ms_naive
+        |FROM (
+        |  SELECT event_id, epoch_ns(ts) AS start_ns,
+        |         epoch_ns(ts) + (event_id % 4000) * 1000000 + user_id * 333667 AS end_ns
+        |  FROM events
+        |)
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.eventsTsNs(spark, dir)
+          .withColumn("start_ns", expr("ts div 1000 * 1000"))
+          .withColumn("end_ns", expr(endNsSql))
+          .selectExpr(
+            "event_id",
+            "end_ns div 1000000 - start_ns div 1000000 AS duration_ms",
+            "(end_ns - start_ns) div 1000000 AS duration_ms_naive")
+    ),
+    Q(
+      "q03_filter_slices",
+      "O5 + O13: keep-filter at 2000 ms and the 'long records' slice at " +
+        "2650 ms as a label over one pass (main.js:48-49,164-167,244-255).",
+      Some("""
+        |SELECT event_id, duration_ms,
+        |       CASE WHEN duration_ms >= 2650 THEN 'long' ELSE 'normal' END AS slice
+        |FROM (
+        |  SELECT event_id,
+        |         (epoch_ns(ts) + (event_id % 4000) * 1000000 + user_id * 333667) // 1000000
+        |           - epoch_ns(ts) // 1000000 AS duration_ms
+        |  FROM events
+        |)
+        |WHERE duration_ms >= 2000
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.eventsTsNs(spark, dir)
+          .withColumn("start_ns", expr("ts div 1000 * 1000"))
+          .withColumn("end_ns", expr(endNsSql))
+          .selectExpr(
+            "event_id",
+            "end_ns div 1000000 - start_ns div 1000000 AS duration_ms")
+          .filter(col("duration_ms") >= 2000)
+          .withColumn("slice",
+            when(col("duration_ms") >= 2650, lit("long")).otherwise(lit("normal")))
+    ),
+    Q(
+      "q04_union_by_name",
+      "O8: schema union with null padding across heterogeneous inputs " +
+        "(src/notFoundKeys.js:3-20) — unionByName(allowMissingColumns).",
+      Some("""
+        |SELECT c_name AS name, c_acctbal AS acctbal, c_mktsegment AS segment,
+        |       'customer' AS src
+        |FROM customer
+        |UNION ALL BY NAME
+        |SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS src
+        |FROM supplier
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        val c = Tables.customer(spark, dir).selectExpr(
+          "c_name AS name", "c_acctbal AS acctbal",
+          "c_mktsegment AS segment", "'customer' AS src")
+        val s = Tables.supplier(spark, dir).selectExpr(
+          "s_name AS name", "s_acctbal AS acctbal", "'supplier' AS src")
+        c.unionByName(s, allowMissingColumns = true)
+      }
+    ),
+    Q(
+      "q05_distinct",
+      "O7 intent: value-based distinct (the reference's Set-of-references " +
+        "is a literal no-op — SURVEY §2.10 B1; we implement the intent).",
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"),
+      (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .select("l_returnflag", "l_linestatus")
+          .dropDuplicates()
+    ),
+    Q(
+      "q06_cast_typemodel",
+      "O16 intent: the two-class sink type model — numberKeys -> INTEGER, " +
+        "rest -> TEXT, real NULLs preserved (main.js:287-294,331-341; B4 " +
+        "fixed by design).",
+      Some("""
+        |SELECT CAST(event_id AS VARCHAR) AS event_id_text,
+        |       CAST(user_id AS BIGINT) AS user_id_num,
+        |       CAST(event_type AS VARCHAR) AS event_type_text,
+        |       epoch_ns(ts) AS ts_num
+        |FROM events
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.eventsTsNs(spark, dir).selectExpr(
+          "CAST(event_id AS STRING) AS event_id_text",
+          "CAST(user_id AS BIGINT) AS user_id_num",
+          "CAST(event_type AS STRING) AS event_type_text",
+          "ts div 1000 * 1000 AS ts_num")
+    ),
+    Q(
+      "q07_json_extract",
+      "JSON-in-string handling (the cache layer's JSON semantics, O9/O10 " +
+        "main.js:95-99,117): extract a typed field from the events props.",
+      Some("""
+        |SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.eventsTsNs(spark, dir).selectExpr(
+          "event_id",
+          "CAST(get_json_object(props, '$.k') AS BIGINT) AS k_val")
+    ),
+    Q(
+      "q08_window_tumbling",
+      "Streaming-shaped batch query: 1-hour tumbling-window counts/sums over " +
+        "the int64-ns event time (the batch equivalent of the Structured " +
+        "Streaming path in graft.streaming).",
+      Some("""
+        |SELECT epoch_us(ts) // 3600000000 AS hour_idx, event_type,
+        |       COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.eventsTsNs(spark, dir)
+          .groupBy(
+            expr("ts div 1000 div 3600000000").as("hour_idx"),
+            col("event_type"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+    )
+  )
+}

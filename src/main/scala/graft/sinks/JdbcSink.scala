@@ -1,0 +1,97 @@
+package graft.sinks
+
+import java.sql.DriverManager
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational sink with the reference's generated-DDL + two-class type model
+  * (SURVEY.md §2 O14-O17).
+  *
+  * The reference targets SQLite: dynamic `CREATE TABLE IF NOT EXISTS trace`
+  * built from the runtime key set, columns typed INTEGER when listed in
+  * `numberKeys = {_timestamp, duration, duration_ms, end_time, start_time}`
+  * else TEXT (main.js:287-313), a per-row prepared INSERT (main.js:329-352),
+  * and a VACUUM every 1000 rows (main.js:316-328 — an anti-pattern with no
+  * distributed analogue). Here: schema-driven DDL + Spark's batched JDBC
+  * writer. Intent semantics per §2.10 B4: real SQL NULLs, `0` stays `0`
+  * (the reference coerces every falsy cell to the string `"NULL"`).
+  *
+  * Scale note: `df.write.jdbc` issues batched inserts from every partition in
+  * parallel; `batchsize` bounds round-trips. For single-writer targets like
+  * SQLite, `coalesce(1)` before the write — a deliberate sink-side, not
+  * plan-side, constraint.
+  */
+object JdbcSink {
+
+  /** The reference's numeric-column allowlist (main.js:287-294; `""` omitted
+    * — an empty column name cannot exist in a parquet schema).
+    */
+  val defaultNumberKeys: Set[String] =
+    Set("_timestamp", "duration", "duration_ms", "end_time", "start_time")
+
+  /** O16 intent: cast allowlisted columns to INTEGER (LongType), everything
+    * else to TEXT (StringType), preserving NULLs.
+    */
+  def coerceTypes(df: DataFrame, numberKeys: Set[String] = defaultNumberKeys): DataFrame = {
+    val cols = df.columns.toIndexedSeq.map { c =>
+      if (numberKeys.contains(c)) col(c).cast(LongType).as(c)
+      else col(c).cast(StringType).as(c)
+    }
+    df.select(cols: _*)
+  }
+
+  /** O14: dynamic DDL from the (coerced) schema — `UID TEXT PRIMARY KEY`
+    * first, then one column per key (main.js:296-313).
+    */
+  def createTableDdl(
+      df: DataFrame,
+      table: String,
+      numberKeys: Set[String] = defaultNumberKeys): String = {
+    val cols = df.columns.filterNot(_ == "UID").map { c =>
+      val t = if (numberKeys.contains(c)) "INTEGER" else "TEXT"
+      s""""$c" $t"""
+    }
+    s"""CREATE TABLE $table ("UID" VARCHAR(64) PRIMARY KEY, ${cols.mkString(", ")})"""
+  }
+
+  /** O14+O15+O16+O17: ensure table exists (via a direct JDBC connection —
+    * Spark's writer cannot express PRIMARY KEY), generate the UID surrogate
+    * key, coerce types, append with batched inserts.
+    */
+  def write(
+      df: DataFrame,
+      url: String,
+      table: String,
+      properties: Properties = new Properties(),
+      numberKeys: Set[String] = defaultNumberKeys,
+      batchSize: Int = 1000,
+      singleWriter: Boolean = false): Unit = {
+    val withUid =
+      if (df.columns.contains("UID")) df
+      else df.withColumn("UID", expr("uuid()"))
+    val keyed = withUid.select(("UID" +: withUid.columns.filterNot(_ == "UID").toIndexedSeq).map(col): _*)
+    val coerced = coerceTypes(keyed, numberKeys ++ Set.empty)
+      .withColumn("UID", col("UID").cast(StringType))
+
+    val conn = DriverManager.getConnection(url, properties)
+    try {
+      val tables = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
+      val exists = tables.next()
+      if (!exists) {
+        val st = conn.createStatement()
+        try st.executeUpdate(createTableDdl(coerced, table, numberKeys))
+        finally st.close()
+      }
+    } finally conn.close()
+
+    val out = if (singleWriter) coerced.coalesce(1) else coerced
+    out.write
+      .mode(SaveMode.Append)
+      .option("batchsize", batchSize.toString)
+      .option("truncate", "false")
+      .jdbc(url, table, properties)
+  }
+}
