@@ -17,7 +17,7 @@ object TraceQueries {
     * from user_id that exercises the per-operand truncation corner).
     */
   private val endNsSql =
-    "(start_ns + (event_id % 4000) * 1000000 + user_id * 333667)"
+    "(start_ns + (event_id * 7 % 4000) * 1000000 + user_id * 333667)"
 
   val all: Seq[Q] = Seq(
     Q(
@@ -28,7 +28,7 @@ object TraceQueries {
       Some(s"""
         |WITH t AS (
         |  SELECT epoch_ns(ts) AS start_ns,
-        |         epoch_ns(ts) + (event_id % 4000) * 1000000 + user_id * 333667 AS end_ns,
+        |         epoch_ns(ts) + (event_id * 7 % 4000) * 1000000 + user_id * 333667 AS end_ns,
         |         event_id, event_type
         |  FROM events
         |)
@@ -62,7 +62,7 @@ object TraceQueries {
         |       (end_ns - start_ns) // 1000000 AS duration_ms_naive
         |FROM (
         |  SELECT event_id, epoch_ns(ts) AS start_ns,
-        |         epoch_ns(ts) + (event_id % 4000) * 1000000 + user_id * 333667 AS end_ns
+        |         epoch_ns(ts) + (event_id * 7 % 4000) * 1000000 + user_id * 333667 AS end_ns
         |  FROM events
         |)
         |""".stripMargin.trim),
@@ -84,7 +84,7 @@ object TraceQueries {
         |       CASE WHEN duration_ms >= 2650 THEN 'long' ELSE 'normal' END AS slice
         |FROM (
         |  SELECT event_id,
-        |         (epoch_ns(ts) + (event_id % 4000) * 1000000 + user_id * 333667) // 1000000
+        |         (epoch_ns(ts) + (event_id * 7 % 4000) * 1000000 + user_id * 333667) // 1000000
         |           - epoch_ns(ts) // 1000000 AS duration_ms
         |  FROM events
         |)

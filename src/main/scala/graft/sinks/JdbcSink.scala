@@ -49,9 +49,11 @@ object JdbcSink {
   def createTableDdl(
       df: DataFrame,
       table: String,
-      numberKeys: Set[String] = defaultNumberKeys): String = {
+      numberKeys: Set[String] = defaultNumberKeys,
+      integerType: String = "INTEGER",
+      textType: String = "TEXT"): String = {
     val cols = df.columns.filterNot(_ == "UID").map { c =>
-      val t = if (numberKeys.contains(c)) "INTEGER" else "TEXT"
+      val t = if (numberKeys.contains(c)) integerType else textType
       s""""$c" $t"""
     }
     s"""CREATE TABLE $table ("UID" VARCHAR(64) PRIMARY KEY, ${cols.mkString(", ")})"""
@@ -68,7 +70,9 @@ object JdbcSink {
       properties: Properties = new Properties(),
       numberKeys: Set[String] = defaultNumberKeys,
       batchSize: Int = 1000,
-      singleWriter: Boolean = false): Unit = {
+      singleWriter: Boolean = false,
+      integerType: String = "INTEGER",
+      textType: String = "TEXT"): Unit = {
     val withUid =
       if (df.columns.contains("UID")) df
       else df.withColumn("UID", expr("uuid()"))
@@ -82,7 +86,7 @@ object JdbcSink {
       val exists = tables.next()
       if (!exists) {
         val st = conn.createStatement()
-        try st.executeUpdate(createTableDdl(coerced, table, numberKeys))
+        try st.executeUpdate(createTableDdl(coerced, table, numberKeys, integerType, textType))
         finally st.close()
       }
     } finally conn.close()

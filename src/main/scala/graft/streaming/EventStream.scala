@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+import graft.Tables
+
+/** Structured Streaming surface (north-star extension; the reference is
+  * batch-only — SURVEY.md §2 'Streaming ABSENT').
+  *
+  * The file source replays the same parquet the batch path reads, so each
+  * streaming query has an exact batch twin (see q08_window_tumbling) and the
+  * spec asserts streaming == batch. `Trigger.AvailableNow`-style draining via
+  * `processAllAvailable` makes the tests synchronous.
+  *
+  * Scale notes: the tumbling agg is keyed on (hour, event_type) — state per
+  * open window only; with a watermark the state store evicts closed windows,
+  * so memory is bounded by window width x key cardinality, not stream
+  * length. The sessionizer keeps one small state row per user.
+  */
+object EventStream {
+
+  final case class UserActivity(user_id: Long, n_events: Long, total_value: Double)
+
+  /** File-source stream over a DIRECTORY of events parquet files (the file
+    * source watches directories; int64-ns ts, same nanosAsLong contract as
+    * the batch reader). `schemaFrom` points at any existing events table.
+    */
+  def readEvents(spark: SparkSession, watchDir: String, schemaFrom: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.eventsTsNs(spark, schemaFrom).schema
+    spark.readStream.schema(schema).parquet(watchDir)
+  }
+
+  /** Streaming twin of q08_window_tumbling: 1-hour tumbling counts/sums. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(expr("ts div 1000 div 3600000000").as("hour_idx"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+
+  /** Stateful per-user accumulation via mapGroupsWithState (the custom-state
+    * seam: sessionization, dedup-within-key, CDC fold all plug in here).
+    */
+  def userActivity(spark: SparkSession, events: DataFrame): Dataset[UserActivity] = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserActivity]) =>
+          val prev = state.getOption.getOrElse(UserActivity(user, 0L, 0.0))
+          val (n, v) = rows.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), (_, value)) => (cn + 1, cv + value)
+          }
+          val next = UserActivity(user, n, v)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Drain a streaming DataFrame synchronously into an in-memory table. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

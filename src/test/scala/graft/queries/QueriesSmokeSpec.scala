@@ -1,0 +1,35 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestSession}
+
+/** Every registry query runs at sf0.001 and produces a sane result; the
+  * exact-value gate is the DuckDB differential (tools/check_oracle.py /
+  * driver t2) — this spec catches plan-breaking regressions fast.
+  */
+class QueriesSmokeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // Queries whose correct result can legitimately be empty at tiny SF.
+  private val mayBeEmpty = Set("q15_anti_join", "q18_except")
+
+  SparkEntry.registry.foreach { q =>
+    test(s"${q.name} runs and returns rows") {
+      val df = q.run(spark, SparkTestSession.sf0001)
+      val n = df.count()
+      if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned no rows")
+      assert(df.columns.nonEmpty)
+      assert(df.columns.forall(c => c == c.toLowerCase || c == "UID"),
+        s"${q.name} has non-lowercase columns: ${df.columns.mkString(",")}")
+    }
+  }
+
+  test("entry() flagship returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key exists in queries") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}

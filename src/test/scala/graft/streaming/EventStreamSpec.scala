@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+
+/** Streaming == batch equivalence on the replayed events file source. */
+class EventStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** The file source watches a directory: stage the events file into one. */
+  lazy val watchDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(SparkTestSession.sf0001, "events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streaming tumbling-window agg equals its batch twin (q08)") {
+    val stream = EventStream.readEvents(spark, watchDir, SparkTestSession.sf0001)
+    val q = EventStream.runToMemory(
+      EventStream.hourlyCounts(stream), "hourly", OutputMode.Complete())
+    try {
+      val streamed = spark.sql("SELECT * FROM hourly ORDER BY hour_idx, event_type").collect()
+      val batch = EventStream.hourlyCounts(
+        Tables.eventsTsNs(spark, SparkTestSession.sf0001))
+        .orderBy("hour_idx", "event_type").collect()
+      assert(streamed.sameElements(batch))
+    } finally q.stop()
+  }
+
+  test("stateful mapGroupsWithState accumulates per-user state") {
+    val stream = EventStream.readEvents(spark, watchDir, SparkTestSession.sf0001)
+    val q = EventStream.runToMemory(
+      EventStream.userActivity(spark, stream).toDF(), "peruser", OutputMode.Update())
+    try {
+      val got = spark.sql("SELECT user_id, n_events FROM peruser").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Tables.eventsTsNs(spark, SparkTestSession.sf0001)
+        .groupBy("user_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+}
