@@ -21,19 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-in-DOUBLE dot product of two float-array columns. */
+  /** Sequential-in-DOUBLE dot product of two float-array columns —
+    * a codegen'd Catalyst expression (see [[graft.functions.DotProductFF]]);
+    * bit-identical to the `aggregate(zip_with(...))` fold it replaced.
+    */
   def dotD(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    graft.functions.DotProductFF.dotFF(a, b)
 
   /** L2 norm, same fold discipline. */
-  def normD(a: Column): Column =
-    sqrt(aggregate(
-      transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v))
+  def normD(a: Column): Column = sqrt(dotD(a, a))
 
   /** Brute-force cosine top-k: for each query vector (small set — gets
     * broadcast), the k nearest corpus vectors. Deterministic tiebreak on
@@ -45,6 +41,7 @@ object Similarity {
       idCol: String,
       embCol: String,
       k: Int): DataFrame = {
+    graft.functions.DotProductFF.register(corpus.sparkSession)
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
       col(embCol).as("c_emb"),
@@ -103,6 +100,7 @@ object Similarity {
       k: Int,
       numPlanes: Int = 8,
       dim: Int = 64): DataFrame = {
+    graft.functions.DotProductFF.register(corpus.sparkSession)
     val planes = hyperplanes(numPlanes, dim)
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
@@ -136,6 +134,7 @@ object Similarity {
       embCol: String,
       threshold: Double,
       maxId: Long): DataFrame = {
+    graft.functions.DotProductFF.register(df.sparkSession)
     val e = df
       .filter(col(idCol) < maxId)
       .select(col(idCol), col(embCol), normD(col(embCol)).as("norm"))
