@@ -289,6 +289,68 @@ object RelationalQueries {
           .agg(
             countDistinct("l_suppkey").as("n_supp"),
             countDistinct("l_partkey").as("n_part"))
+    ),
+    Q(
+      "q25_sql_interface",
+      "Raw SQL surface: the exact same ANSI text runs through spark.sql " +
+        "over registered views and through the DuckDB oracle — Catalyst " +
+        "provides the full query language the reference lacks entirely.",
+      Some(SqlInterface.sql),
+      (spark, dir) => {
+        graft.GraftCatalog.registerTables(spark, dir)
+        spark.sql(SqlInterface.sql)
+      }
+    ),
+    Q(
+      "q26_window_analytics",
+      "Analytic windows: lag/lead navigation + decimal-exact running total " +
+        "per customer over order time.",
+      Some("""
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |       LAG(o_totalprice) OVER w AS prev_price,
+        |       LEAD(o_totalprice) OVER w AS next_price,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS run_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(spark, dir).select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+            .cast("double").as("run_total"))
+      }
+    ),
+    Q(
+      "q27_cube",
+      "Full grouping-sets surface: CUBE over (returnflag, linestatus) — " +
+        "all four grouping combinations in one pass.",
+      Some("""
+        |SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .cube("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
     )
   )
+}
+
+/** The shared SQL text for q25 (one source of truth for both engines). */
+private object SqlInterface {
+  val sql: String = """
+    |SELECT n_name, COUNT(*) AS n_cust,
+    |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+    |FROM customer JOIN nation ON c_nationkey = n_nationkey
+    |WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    |GROUP BY n_name
+    |""".stripMargin.trim
 }
