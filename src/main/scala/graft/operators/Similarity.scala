@@ -124,6 +124,56 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse quantizer assigns each
+    * corpus vector to its nearest of `nlist` centroid cells; each query
+    * probes its `nprobe` nearest cells and scores only vectors there.
+    *
+    * The quantizer here is deterministic — the first `nlist` corpus vectors
+    * stand in for trained k-means centroids (swap in real centroids in
+    * production; the plan shape is identical). Cell assignment is one
+    * corpus×nlist broadcast pass; the probe join shuffles on the cell id,
+    * so at 100 TB each cell's candidates colocate and the cross product
+    * never materializes. Recall/cost knob: nprobe.
+    */
+  def cosineTopKIvf(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 2): DataFrame = {
+    graft.functions.DotProductFF.register(corpus.sparkSession)
+    val cents = corpus
+      .filter(col(idCol) < nlist)
+      .select(col(idCol).as("cell"), col(embCol).as("cent_emb"),
+        normD(col(embCol)).as("cent_norm"))
+
+    def assign(df: DataFrame, outId: String, keep: Int): DataFrame = {
+      val scored = df
+        .select(col(idCol).as(outId), col(embCol).as("emb"), normD(col(embCol)).as("nrm"))
+        .crossJoin(broadcast(cents))
+        .select(col(outId), col("emb"), col("nrm"), col("cell"),
+          (dotD(col("emb"), col("cent_emb")) / (col("nrm") * col("cent_norm"))).as("csim"))
+      val w = Window.partitionBy(outId).orderBy(col("csim").desc, col("cell"))
+      scored.withColumn("cr", row_number().over(w)).filter(col("cr") <= keep)
+        .select(col(outId), col("emb"), col("nrm"), col("cell"))
+    }
+
+    val corpusCells = assign(corpus, "neighbor_id", 1)
+    val queryCells = assign(queries, "q_id", nprobe)
+      .withColumnRenamed("emb", "q_emb").withColumnRenamed("nrm", "q_nrm")
+
+    val scored = corpusCells
+      .join(queryCells, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        (dotD(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("sim"))
+      .dropDuplicates("q_id", "neighbor_id") // a pair can meet in >1 probed cell
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-dup pairs above a similarity threshold within a
     * bounded id range (verification scale; production pairs come from LSH
     * buckets instead of the cross join).

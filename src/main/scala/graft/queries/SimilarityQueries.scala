@@ -85,6 +85,21 @@ object SimilarityQueries {
           e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
           k = 5, numPlanes = NumPlanes, dim = Dim)
       }
+    ),
+    Q(
+      "q42_ann_ivf",
+      "IVF-bucketed approximate top-5: deterministic coarse quantizer " +
+        "(first-16 vectors as centroid cells), nprobe=2 cells per query. " +
+        "No SQL oracle (argmax cell assignment is not tractably expressible " +
+        "in one portable query); driver records the rows-only check, and " +
+        "OperatorsSpec pins recall against the brute-force baseline.",
+      None,
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        Similarity.cosineTopKIvf(
+          e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 2)
+      }
     )
   )
 }

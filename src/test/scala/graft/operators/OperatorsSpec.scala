@@ -88,6 +88,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh.forall { case (qid, n) => n != qid })
   }
 
+  test("IVF ANN: deterministic, no self-matches, positive recall vs brute force") {
+    val e = graft.Tables.embeddings(spark, SparkTestSession.sf0001)
+    val q = e.filter(col("vec_id") < 8)
+    val brute = Similarity.cosineTopK(e, q, "vec_id", "embedding", 5)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.cosineTopKIvf(e, q, "vec_id", "embedding", 5)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    assert(ivf.forall { case (qid, n) => n != qid })
+    // approximate: some overlap with exact top-5 expected (recall > 0)
+    assert((ivf intersect brute).nonEmpty)
+    val ivf2 = Similarity.cosineTopKIvf(e, q, "vec_id", "embedding", 5)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf == ivf2) // deterministic
+  }
+
   test("text analysis: counts and ratios on a known sentence") {
     val df = docs((1L, "The cat, and the dog. In a box!"))
     val r = df.select(
