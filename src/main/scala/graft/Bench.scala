@@ -23,7 +23,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.functions.DotProductFF.register(spark)
+    graft.functions.GraftFunctions.register(spark)
 
     // Warmup: exercise scan + shuffle + codegen paths once.
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count()

@@ -37,7 +37,7 @@ object GraftSession {
   def get(appName: String = "graft", cores: Int = 32): SparkSession = {
     val spark = builder(appName, cores).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.functions.DotProductFF.register(spark)
+    graft.functions.GraftFunctions.register(spark)
     spark
   }
 }

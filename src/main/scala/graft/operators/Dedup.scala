@@ -47,6 +47,7 @@ object Dedup {
       textCol: String,
       idCol: String,
       numHashes: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val words = df.select(
       col(idCol),
       explode(array_distinct(TextAnalysis.wsTokens(col(textCol)))).as("w"))
@@ -93,6 +94,7 @@ object Dedup {
     * the 16 votes aggregate map-side. Near-dups differ in few bits.
     */
   def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val words = df.select(col(idCol), explode(TextAnalysis.wsTokens(col(textCol))).as("w"))
     val hashed = words.select(col(idCol), TextAnalysis.portableHash32(col("w")).as("h"))
     val votes = (0 until 16).map { j =>

@@ -30,10 +30,12 @@ object TextAnalysis {
 
   /** Portable 32-bit hash: first 8 hex digits of md5, as a non-negative
     * long. Identical in any engine with md5 + hex parsing (DuckDB:
-    * `CAST('0x' || substr(md5(x),1,8) AS BIGINT)`).
+    * `CAST('0x' || substr(md5(x),1,8) AS BIGINT)`). Backed by the codegen'd
+    * [[graft.functions.PortableHash32Expr]] — value-identical to
+    * `conv(substring(md5(x),1,8),16,10)` without the hex-string round trip.
     */
   def portableHash32(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+    graft.functions.PortableHash32.portableHash32(c)
 
   /** Normalized text for fingerprinting: lowercase, whitespace collapsed. */
   def normalized(text: Column): Column =
@@ -47,13 +49,8 @@ object TextAnalysis {
     * sharing long runs of text collide with high probability; robust to
     * small edits outside the matched window.
     */
-  def rollingFingerprint(text: Column, window: Int = 5): Column = {
-    val toks = wsTokens(text)
-    val starts = sequence(lit(1), greatest(size(toks) - (window - 1), lit(1)))
-    val hashes = transform(starts, i =>
-      portableHash32(concat_ws(" ", slice(toks, i, lit(window)))))
-    array_min(hashes)
-  }
+  def rollingFingerprint(text: Column, window: Int = 5): Column =
+    graft.functions.RollingFingerprint.rollingFingerprint(wsTokens(text), window)
 
   /** English stopword count (heuristic language-ID signal). */
   private val enStopwords = Seq("the", "and", "of", "to", "in", "is", "a")
