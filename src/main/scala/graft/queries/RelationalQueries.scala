@@ -340,6 +340,42 @@ object RelationalQueries {
           .agg(
             count(lit(1)).as("cnt"),
             sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+    ),
+    Q(
+      "q28_asof_join",
+      "As-of (point-in-time) join — an operator Spark lacks natively: each " +
+        "event gets the most recent order of its customer at or before its " +
+        "(synthesized, deterministic) event time; union+window formulation, " +
+        "one shuffle, no pair explosion (graft.operators.AsOfJoin).",
+      Some("""
+        |SELECT e.event_id,
+        |       (SELECT o.o_orderkey FROM orders o
+        |        WHERE o.o_custkey = e.user_id + 1
+        |          AND epoch_us(o.o_orderdate) <= e.synth_us
+        |        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS o_orderkey,
+        |       (SELECT o.o_totalprice FROM orders o
+        |        WHERE o.o_custkey = e.user_id + 1
+        |          AND epoch_us(o.o_orderdate) <= e.synth_us
+        |        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS o_totalprice
+        |FROM (SELECT event_id, user_id,
+        |             788918400000000 + (event_id * 97 % 2400) * 86400000000 AS synth_us
+        |      FROM events) e
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        val e = Tables.eventsTsNs(spark, dir).selectExpr(
+          "event_id",
+          "user_id + 1 AS ukey",
+          "788918400000000L + (event_id * 97 % 2400) * 86400000000L AS synth_us")
+        val o = Tables.orders(spark, dir).selectExpr(
+          // o_orderdate reads as TIMESTAMP_NTZ; the session is pinned UTC so
+          // the LTZ cast is identity and unix_micros == DuckDB's epoch_us.
+          "o_custkey", "unix_micros(CAST(o_orderdate AS TIMESTAMP_LTZ)) AS o_us",
+          "o_orderkey", "o_totalprice")
+        graft.operators.AsOfJoin
+          .joinAsOf(e, o, "ukey", "o_custkey", "synth_us", "o_us",
+            "o_orderkey", Seq("o_orderkey", "o_totalprice"))
+          .select("event_id", "o_orderkey", "o_totalprice")
+      }
     )
   )
 }
