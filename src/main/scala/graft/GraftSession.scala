@@ -33,6 +33,9 @@ object GraftSession {
       // (main.js:122-127 skips unreadable files); see SURVEY.md §2 O3.
       // Set per-read in TracePipeline as well so it holds on foreign sessions.
       .config("spark.sql.files.ignoreCorruptFiles", "true")
+      // Catalog tables (bucketing etc.) land in tmp, not the repo cwd.
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
 
   def get(appName: String = "graft", cores: Int = 32): SparkSession = {
     val spark = builder(appName, cores).getOrCreate()

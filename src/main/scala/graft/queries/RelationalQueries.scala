@@ -342,6 +342,43 @@ object RelationalQueries {
             sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
     ),
     Q(
+      "q29_tpch5_multijoin",
+      "TPC-H Q5-shaped six-table join (customer-orders-lineitem-supplier-" +
+        "nation-region): Catalyst reorders; dims broadcast; the two fact " +
+        "shuffles hash on the order key.",
+      Some("""
+        |SELECT n_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA', 'AMERICA')
+        |GROUP BY 1
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.customer(spark, dir)
+          .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.supplier(spark, dir)),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name").isin("ASIA", "AMERICA"))
+          .groupBy("n_name")
+          .agg(
+            sum(expr(
+              "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+    ),
+    Q(
       "q28_asof_join",
       "As-of (point-in-time) join — an operator Spark lacks natively: each " +
         "event gets the most recent order of its customer at or before its " +
