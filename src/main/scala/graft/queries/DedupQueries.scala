@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Components, Dedup, Similarity}
 
 /** Dedup queries over `documents` / `embeddings` (north-star extension).
   * The minhash/simhash oracle SQL is generated from the same loops as the
@@ -134,6 +134,22 @@ object DedupQueries {
         Dedup.ngramJaccardPairs(
           Tables.documents(spark, dir).filter(col("doc_id") < 200),
           "text", "doc_id", n = 3, threshold = 0.5)
+    ),
+    Q(
+      "q36_dedup_groups",
+      "Near-dup GROUPS: MinHash-LSH candidate pairs -> distributed " +
+        "connected components (min-label propagation) -> (doc_id, comp) " +
+        "cluster map. Deterministic (unique fixpoint) but not SQL-" +
+        "expressible without recursive transitive closure, so rows-only; " +
+        "ComponentsSpec pins the semantics on known graphs.",
+      None,
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
+        val sig = Dedup.minhashSignatures(docs, "text", "doc_id", NumHashes)
+        val pairs = Dedup.lshCandidatePairs(sig, "doc_id", NumHashes, bands = 2)
+        Components.connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("comp"))
+      }
     ),
     Q(
       "q35_embedding_dup_pairs",

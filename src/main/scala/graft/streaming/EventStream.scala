@@ -41,6 +41,20 @@ object EventStream {
         count(lit(1)).as("cnt"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
 
+  /** Watermarked append-mode tumbling windows over real event-time: the
+    * production shape — state for open windows only, closed windows emit
+    * exactly once, data later than the 2-hour watermark is dropped. Memory
+    * stays bounded by (window width + lateness) x key cardinality no matter
+    * how long the stream runs.
+    */
+  def hourlyCountsWatermarked(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
+
   /** Stateful per-user accumulation via mapGroupsWithState (the custom-state
     * seam: sessionization, dedup-within-key, CDC fold all plug in here).
     */

@@ -31,6 +31,36 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked append mode emits closed windows exactly once, drops late data") {
+    import org.apache.spark.sql.functions._
+    val wDir = java.nio.file.Files.createTempDirectory("events_wm")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(SparkTestSession.sf0001, "events.parquet"),
+      wDir.resolve("f1.parquet"))
+    val stream = EventStream.readEvents(spark, wDir.toString, SparkTestSession.sf0001)
+    val q = EventStream.runToMemory(
+      EventStream.hourlyCountsWatermarked(stream), "wm",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      // batch 1 sets the watermark; a second (fully late, duplicate) file
+      // advances processing -> windows older than the watermark emit, and
+      // the duplicates in them are dropped as late.
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(SparkTestSession.sf0001, "events.parquet"),
+        wDir.resolve("f2.parquet"))
+      q.processAllAvailable()
+      val emitted = spark.sql("SELECT * FROM wm").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(emitted.nonEmpty)
+      // every emitted window matches the single-file batch count (the f2
+      // copy was late beyond the 2h watermark for any CLOSED window)
+      val batch = EventStream.hourlyCountsWatermarked(
+        Tables.eventsTsNs(spark, SparkTestSession.sf0001))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      emitted.foreach { case (k, cnt) => assert(batch(k) == cnt, s"window $k") }
+    } finally q.stop()
+  }
+
   test("stateful mapGroupsWithState accumulates per-user state") {
     val stream = EventStream.readEvents(spark, watchDir, SparkTestSession.sf0001)
     val q = EventStream.runToMemory(
