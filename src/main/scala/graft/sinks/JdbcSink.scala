@@ -43,6 +43,26 @@ object JdbcSink {
     df.select(cols: _*)
   }
 
+  /** O16 LITERAL parity (SURVEY §2.10 B4) — deliberately divergent mode for
+    * byte-compatible migration: the reference coerces every falsy cell
+    * (null, 0, "", false) to the 4-char string `"NULL"`, including in
+    * INTEGER-typed columns (SQLite type affinity permits mixed storage).
+    * Spark columns are monotyped, so literal mode renders EVERY column as
+    * TEXT with the falsy->"NULL" rule — matching what the reference's
+    * SQLite file reads back as for affected cells. Default OFF: intent mode
+    * ([[coerceTypes]]) keeps real NULLs and real zeros.
+    */
+  def coerceTypesLiteral(df: DataFrame): DataFrame = {
+    val cols = df.columns.toIndexedSeq.map { c =>
+      val s = col(c).cast(StringType)
+      when(col(c).isNull, lit("NULL"))
+        .when(s.isin("0", "0.0", "", "false"), lit("NULL"))
+        .otherwise(s)
+        .as(c)
+    }
+    df.select(cols: _*)
+  }
+
   /** O14: dynamic DDL from the (coerced) schema — `UID TEXT PRIMARY KEY`
     * first, then one column per key (main.js:296-313).
     */

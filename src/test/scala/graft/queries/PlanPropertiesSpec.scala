@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestSession}
+
+/** Regression guard for the plan properties PLANS.md claims: these are the
+  * load-bearing scale characteristics — if a refactor silently loses a
+  * broadcast, a pushdown, or the window-group-limit optimization, this
+  * fails even though results stay correct.
+  */
+class PlanPropertiesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, SparkTestSession.sf0001)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q11: both dimension joins broadcast") {
+    assert(plan("q11_join_broadcast_dims")
+      .sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2)
+  }
+
+  test("q35: the vec_id bound is pushed into the parquet scan") {
+    val p = plan("q35_embedding_dup_pairs")
+    assert(p.contains("LessThan(vec_id,1000)"), p.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("q13/q40: rank-filter becomes WindowGroupLimit (no full-partition sort retention)") {
+    assert(plan("q13_window_rank").contains("WindowGroupLimit"))
+    assert(plan("q40_ann_bruteforce").contains("WindowGroupLimit"))
+  }
+
+  test("q32: the band self-join is an equi-join, never a cartesian/nested-loop") {
+    val p = plan("q32_minhash_lsh_pairs")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoop"))
+  }
+
+  test("q14: global top-k runs as TakeOrderedAndProject, not a full sort") {
+    assert(plan("q14_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("q01: exactly one shuffle exchange (the value-distinct)") {
+    val p = plan("q01_trace_pipeline")
+    val exchanges = p.sliding("Exchange (".length).count(_ == "Exchange (")
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges")
+  }
+}

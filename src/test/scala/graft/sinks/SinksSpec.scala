@@ -55,6 +55,18 @@ class SinksSpec extends AnyFunSuite {
     assert(ddl.contains(""""zero_col" TEXT""")) // dynamic keys default to TEXT
   }
 
+  test("literal-parity mode (B4): falsy cells become the string 'NULL', everything TEXT") {
+    val lit = JdbcSink.coerceTypesLiteral(df)
+    assert(lit.schema.fields.forall(_.dataType.typeName == "string"))
+    val rows = lit.orderBy("duration_ms").collect()
+    assert(rows(0).getString(2) == "NULL") // zero_col 0 -> "NULL" (literal B4)
+    assert(rows(2).getString(3) == "NULL") // null tag -> "NULL" string
+    assert(rows(0).getString(0) == "2500") // truthy numbers render as text
+    // and the default intent mode keeps real values (contrast pin)
+    val intent = JdbcSink.coerceTypes(df)
+    assert(intent.filter(col("zero_col") === "0").count() == 1)
+  }
+
   test("JDBC sink writes through Derby: table created, rows appended, types coerced, NULLs real (O15-O17)") {
     // Text columns are CLOB because Spark's Derby dialect binds string NULLs
     // as setNull(Types.CLOB); a VARCHAR column rejects that (ERROR 22005).
