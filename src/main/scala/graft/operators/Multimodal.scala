@@ -86,4 +86,48 @@ object Multimodal {
     import spark.implicits._
     extractMeta(payloadFromText(df, "doc_id", "text").as[MediaRecord])
   }
+
+  /** STUB resize — a real implementation re-encodes pixels; the stub keeps
+    * the plumbing contract honest: output is a new payload whose size
+    * shrinks with the target box, plus the recomputed metadata. Payload
+    * bytes = deterministic truncation (stand-in for re-encoded bytes).
+    */
+  def resizeStub(payload: Array[Byte], maxW: Int, maxH: Int): Array[Byte] = {
+    val (w, h, _) = decodeStub(payload)
+    val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+    val newLen = math.max(1, (payload.length * scale * scale).toInt)
+    java.util.Arrays.copyOf(payload, newLen)
+  }
+
+  /** Batched resize stage: same mapPartitions shape as [[extractMeta]]. */
+  def resize(ds: Dataset[MediaRecord], maxW: Int, maxH: Int,
+      batchSize: Int = 64): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.map { rec =>
+      rec.copy(payload = resizeStub(rec.payload, maxW, maxH))
+    }))
+  }
+
+  /** One sampled "frame" per media record: a deterministic slice of the
+    * payload at a hash-chosen offset (STUB for video frame extraction —
+    * the schema (doc_id, frame_idx, frame bytes) and the one-to-many
+    * explode shape are the real contract).
+    */
+  def sampleFrames(ds: Dataset[MediaRecord], framesPerRecord: Int,
+      batchSize: Int = 64): Dataset[(Long, Int, Array[Byte])] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { rec =>
+      val n = rec.payload.length
+      (0 until framesPerRecord).map { i =>
+        val off = if (n == 0) 0 else (PortableOffset.offset(rec.payload, i) % n).toInt
+        val len = math.min(16, n - off)
+        (rec.doc_id, i, java.util.Arrays.copyOfRange(rec.payload, off, off + len))
+      }
+    }))
+  }
+
+  private object PortableOffset {
+    def offset(payload: Array[Byte], i: Int): Long =
+      graft.functions.PortableHash32.hash32(payload :+ i.toByte)
+  }
 }

@@ -76,6 +76,14 @@ object EventStream {
       }
   }
 
+  /** Stream-static enrichment join: each micro-batch of events joins the
+    * (small, broadcast) static dimension — the standard streaming lookup
+    * pattern; the static side re-resolves per batch, so slowly-changing
+    * dims refresh on re-read without restarting the query.
+    */
+  def enrichedWithUsers(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left")
+
   /** Drain a streaming DataFrame synchronously into an in-memory table. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {
     val q = df.writeStream

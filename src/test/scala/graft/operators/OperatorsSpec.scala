@@ -152,4 +152,19 @@ class OperatorsSpec extends AnyFunSuite {
     val many = docs((0L until 200L).map(i => (i, s"payload $i")): _*)
     assert(Multimodal.metaFromDocuments(spark, many).count() == 200)
   }
+
+  test("multimodal resize + frame sampling: deterministic stubs, real one-to-many shape") {
+    val media = Multimodal.payloadFromText(
+      docs((1L, "a fairly long media payload body for resize testing purposes")),
+      "doc_id", "text").as[MediaRecord]
+    val resized = Multimodal.resize(media, 160, 120).collect().head
+    val original = media.collect().head
+    assert(resized.payload.length <= original.payload.length)
+    assert(resized.payload.sameElements(
+      Multimodal.resizeStub(original.payload, 160, 120))) // deterministic
+    val frames = Multimodal.sampleFrames(media, framesPerRecord = 3).collect()
+    assert(frames.length == 3)
+    assert(frames.map(_._2).sorted.sameElements(Array(0, 1, 2)))
+    assert(frames.forall(f => f._3.nonEmpty && f._3.length <= 16))
+  }
 }

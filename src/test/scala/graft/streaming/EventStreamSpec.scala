@@ -61,6 +61,22 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches each micro-batch") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStream.readEvents(spark, watchDir, SparkTestSession.sf0001)
+    val users = Tables.eventsTsNs(spark, SparkTestSession.sf0001)
+      .select("user_id").distinct()
+      .withColumn("user_tier", when(col("user_id") % 2 === 0, "even").otherwise("odd"))
+    val q = EventStream.runToMemory(
+      EventStream.enrichedWithUsers(stream, users), "enriched",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val n = spark.sql("SELECT count(*) FROM enriched WHERE user_tier IS NOT NULL")
+        .head.getLong(0)
+      assert(n == 1000) // every event matched its user tier
+    } finally q.stop()
+  }
+
   test("stateful mapGroupsWithState accumulates per-user state") {
     val stream = EventStream.readEvents(spark, watchDir, SparkTestSession.sf0001)
     val q = EventStream.runToMemory(
