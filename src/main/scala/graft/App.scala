@@ -76,7 +76,8 @@ object App {
     spark.sparkContext.addSparkListener(listener)
     try {
       val raw = TracePipeline.read(spark, cfg.trace)
-      val input = if (cfg.useManifest) Manifest.unprocessedOnly(raw, s"$outDir/_manifest") else raw
+      val manifestDir = s"${cfg.outputRoot}/_manifest" // shared ACROSS runs (O10)
+      val input = if (cfg.useManifest) Manifest.unprocessedOnly(raw, manifestDir) else raw
       val transformed = TracePipeline.transform(input, cfg.trace).persist()
       try {
         if (cfg.writeCsv) // O12 + O13
@@ -84,7 +85,7 @@ object App {
         if (cfg.writeJdbc) // O14-O17
           JdbcSink.write(transformed, cfg.jdbcUrl, cfg.jdbcTable,
             integerType = "BIGINT", textType = "CLOB", singleWriter = true)
-        if (cfg.useManifest) Manifest.markProcessed(raw, s"$outDir/_manifest")
+        if (cfg.useManifest) Manifest.markProcessed(raw, manifestDir)
       } finally transformed.unpersist()
       outDir
     } finally spark.sparkContext.removeSparkListener(listener)

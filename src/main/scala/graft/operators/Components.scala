@@ -68,6 +68,7 @@ object Components {
         // constant (lazy checkpointing let plans grow superlinearly)
         .localCheckpoint(true)
       changed = updated.filter(col("comp") =!= col("prev")).count()
+      labels.unpersist() // release the previous round's checkpoint blocks
       labels = updated.select("id", "comp")
       iter += 1
     }

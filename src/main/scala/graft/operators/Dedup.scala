@@ -69,6 +69,9 @@ object Dedup {
       idCol: String,
       numHashes: Int = 16,
       bands: Int = 2): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide evenly into bands ($bands) — " +
+        "a remainder would silently drop signature rows and change recall")
     val rowsPerBand = numHashes / bands
     val bandStructs = (0 until bands).map { b =>
       val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))

@@ -47,12 +47,17 @@ object CsvSinks {
   def writeLongSlice(df: DataFrame, cfg: TraceConfig, outDir: String): Unit =
     writeFull(TracePipeline.longSlice(df, cfg), outDir)
 
-  /** Both sinks over one persisted plan (replaces the reference's barrier). */
+  /** Both sinks over one persisted plan (replaces the reference's barrier).
+    * If the caller already persisted `df`, that cache is left untouched
+    * (persist() on a cached DF returns the same instance — unpersisting
+    * here would silently evict the caller's cache before its later sinks).
+    */
   def fanOut(df: DataFrame, cfg: TraceConfig, fullDir: String, longDir: String): Unit = {
-    val cached = df.persist()
+    val callerCached = df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cached = if (callerCached) df else df.persist()
     try {
       writeFull(cached, fullDir)
       writeLongSlice(cached, cfg, longDir)
-    } finally cached.unpersist()
+    } finally if (!callerCached) cached.unpersist()
   }
 }

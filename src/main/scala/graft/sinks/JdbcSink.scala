@@ -102,8 +102,10 @@ object JdbcSink {
 
     val conn = DriverManager.getConnection(url, properties)
     try {
-      val tables = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
-      val exists = tables.next()
+      // identifier folding differs per engine (Derby/H2 upper-fold,
+      // PostgreSQL lower-folds, SQLite is case-insensitive): probe all three
+      val exists = Seq(table, table.toUpperCase, table.toLowerCase).distinct
+        .exists(t => conn.getMetaData.getTables(null, null, t, null).next())
       if (!exists) {
         val st = conn.createStatement()
         try st.executeUpdate(createTableDdl(coerced, table, numberKeys, integerType, textType))

@@ -21,8 +21,9 @@ object Manifest {
 
   /** Paths already recorded as processed (empty on first run). */
   def processedPaths(spark: SparkSession, manifestDir: String): DataFrame = {
-    val p = new java.io.File(manifestPath(manifestDir))
-    if (p.exists())
+    val hPath = new org.apache.hadoop.fs.Path(manifestPath(manifestDir))
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(hPath))
       spark.read.parquet(manifestPath(manifestDir)).select("path").distinct()
     else
       spark.createDataFrame(
