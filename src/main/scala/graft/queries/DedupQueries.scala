@@ -138,11 +138,35 @@ object DedupQueries {
     Q(
       "q36_dedup_groups",
       "Near-dup GROUPS: MinHash-LSH candidate pairs -> distributed " +
-        "connected components (min-label propagation) -> (doc_id, comp) " +
-        "cluster map. Deterministic (unique fixpoint) but not SQL-" +
-        "expressible without recursive transitive closure, so rows-only; " +
-        "ComponentsSpec pins the semantics on known graphs.",
-      None,
+        "connected components (min-label propagation, pointer jumping) -> " +
+        "(doc_id, comp) cluster map. Oracle: recursive-CTE label flooding " +
+        "over the same pair graph (tractable at oracle scale; the Spark " +
+        "path is the one that scales).",
+      Some(
+        s"""${duckSignatureCte.replace("FROM documents", "FROM documents WHERE doc_id < 1000")}, bands AS (
+           |  SELECT doc_id, 0 AS band,
+           |         md5(concat_ws('_', ${(0 until 8).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band,
+           |         md5(concat_ws('_', ${(8 until 16).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |), pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |), edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION SELECT doc_b, doc_a FROM pairs
+           |), labels AS (
+           |  WITH RECURSIVE reach(id, lab) AS (
+           |    SELECT DISTINCT src, src FROM edges
+           |    UNION
+           |    SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+           |  )
+           |  SELECT id, MIN(lab) AS comp FROM reach GROUP BY id
+           |)
+           |SELECT id AS doc_id, comp FROM labels""".stripMargin),
       (spark, dir) => {
         val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
         val sig = Dedup.minhashSignatures(docs, "text", "doc_id", NumHashes)

@@ -89,11 +89,40 @@ object SimilarityQueries {
     Q(
       "q42_ann_ivf",
       "IVF-bucketed approximate top-5: deterministic coarse quantizer " +
-        "(first-16 vectors as centroid cells), nprobe=2 cells per query. " +
-        "No SQL oracle (argmax cell assignment is not tractably expressible " +
-        "in one portable query); driver records the rows-only check, and " +
-        "OperatorsSpec pins recall against the brute-force baseline.",
-      None,
+        "(first-16 vectors as centroid cells), nprobe=2 cells per query; " +
+        "oracle expresses the same argmax assignment with window functions.",
+      Some {
+        val dotEC = duckDot.format("e.embedding", "c.cent_emb")
+        val dotCQ = duckDot.format("c.emb", "q.q_emb")
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding,
+           |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+           |  FROM embeddings
+           |), cents AS (
+           |  SELECT vec_id AS cell, embedding AS cent_emb, norm AS cent_norm FROM e WHERE vec_id < 16
+           |), scored_all AS (
+           |  SELECT e.vec_id, e.embedding, e.norm, c.cell,
+           |         $dotEC / (e.norm * c.cent_norm) AS csim
+           |  FROM e, cents c
+           |), corpus_cells AS (
+           |  SELECT vec_id AS neighbor_id, embedding AS emb, norm AS nrm, cell FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+           |    FROM scored_all) WHERE cr = 1
+           |), query_cells AS (
+           |  SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_nrm, cell FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+           |    FROM scored_all WHERE vec_id < 8) WHERE cr <= 2
+           |), cand AS (
+           |  SELECT DISTINCT q.q_id, c.neighbor_id,
+           |         $dotCQ / (c.nrm * q.q_nrm) AS sim
+           |  FROM corpus_cells c JOIN query_cells q
+           |    ON c.cell = q.cell AND c.neighbor_id != q.q_id
+           |)
+           |SELECT q_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank
+           |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rn
+           |      FROM cand)
+           |WHERE rn <= 5""".stripMargin
+      },
       (spark, dir) => {
         val e = Tables.embeddings(spark, dir)
         Similarity.cosineTopKIvf(
