@@ -342,6 +342,47 @@ object RelationalQueries {
             sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
     ),
     Q(
+      "q44_pivot_agg",
+      "Pivot-style conditional aggregation (FILTER/when per target column) " +
+        "— one pass, no pivot shuffle beyond the group-by.",
+      Some("""
+        |SELECT l_returnflag,
+        |       COUNT(*) FILTER (WHERE l_linestatus = 'F') AS cnt_f,
+        |       COUNT(*) FILTER (WHERE l_linestatus = 'O') AS cnt_o,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY 1
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.lineitem(spark, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            count(when(col("l_linestatus") === "F", 1)).as("cnt_f"),
+            count(when(col("l_linestatus") === "O", 1)).as("cnt_o"),
+            sum(when(col("l_linestatus") === "F", col("l_quantity").cast("decimal(18,4)")))
+              .cast("double").as("qty_f"),
+            sum(when(col("l_linestatus") === "O", col("l_quantity").cast("decimal(18,4)")))
+              .cast("double").as("qty_o"))
+    ),
+    Q(
+      "q45_percentiles",
+      "Exact interpolated percentiles (median / p90) per group — Spark's " +
+        "exact `percentile` vs DuckDB's `quantile_cont`, identical " +
+        "linear-interpolation semantics.",
+      Some("""
+        |SELECT o_orderpriority,
+        |       quantile_cont(o_totalprice, 0.5) AS p50,
+        |       quantile_cont(o_totalprice, 0.9) AS p90
+        |FROM orders GROUP BY 1
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.orders(spark, dir)
+          .groupBy("o_orderpriority")
+          .agg(
+            expr("percentile(o_totalprice, 0.5)").as("p50"),
+            expr("percentile(o_totalprice, 0.9)").as("p90"))
+    ),
+    Q(
       "q29_tpch5_multijoin",
       "TPC-H Q5-shaped six-table join (customer-orders-lineitem-supplier-" +
         "nation-region): Catalyst reorders; dims broadcast; the two fact " +
