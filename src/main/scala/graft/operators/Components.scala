@@ -27,12 +27,17 @@ object Components {
       pairs: DataFrame,
       aCol: String = "doc_a",
       bCol: String = "doc_b",
-      maxIter: Int = 25): DataFrame = {
-    val edges = pairs
+      maxIter: Int = 25,
+      numPartitions: Option[Int] = None): DataFrame = {
+    // numPartitions: per-iteration join cost is dominated by task overhead
+    // when the graph is small relative to the session's shuffle partitions;
+    // callers that know the graph is modest can shrink it (scale runs leave
+    // it None and inherit the session parallelism).
+    val edgesRaw = pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .persist()
+    val edges = numPartitions.map(edgesRaw.repartition(_)).getOrElse(edgesRaw).persist()
 
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))

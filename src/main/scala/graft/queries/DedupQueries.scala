@@ -171,7 +171,7 @@ object DedupQueries {
         val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
         val sig = Dedup.minhashSignatures(docs, "text", "doc_id", NumHashes)
         val pairs = Dedup.lshCandidatePairs(sig, "doc_id", NumHashes, bands = 2)
-        Components.connectedComponents(pairs)
+        Components.connectedComponents(pairs, numPartitions = Some(8))
           .select(col("id").as("doc_id"), col("comp"))
       }
     ),
