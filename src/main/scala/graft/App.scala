@@ -75,7 +75,17 @@ object App {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      val raw = TracePipeline.read(spark, cfg.trace)
+      // Reference parity: a glob matching zero files is a clean no-op run
+      // (the reference's file loop simply runs zero times, main.js:202-209);
+      // Spark raises PATH_NOT_FOUND instead, so probe first.
+      val raw =
+        try TracePipeline.read(spark, cfg.trace)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getErrorClass == "PATH_NOT_FOUND" =>
+            println(s"[graft] no input files match ${cfg.inputGlob}; nothing to do")
+            return outDir
+        }
       val manifestDir = s"${cfg.outputRoot}/_manifest" // shared ACROSS runs (O10)
       val input = if (cfg.useManifest) Manifest.unprocessedOnly(raw, manifestDir) else raw
       val transformed = TracePipeline.transform(input, cfg.trace).persist()

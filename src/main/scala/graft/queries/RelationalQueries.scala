@@ -365,6 +365,23 @@ object RelationalQueries {
               .cast("double").as("qty_o"))
     ),
     Q(
+      "q46_collect_agg",
+      "Collection aggregates: per-customer sorted distinct priority list " +
+        "(rendered as a joined string so the compare is list-order-exact).",
+      Some("""
+        |SELECT o_custkey,
+        |       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+        |       COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.orders(spark, dir)
+          .groupBy("o_custkey")
+          .agg(
+            array_join(sort_array(collect_set("o_orderpriority")), ",").as("priorities"),
+            count(lit(1)).as("n_orders"))
+    ),
+    Q(
       "q45_percentiles",
       "Exact interpolated percentiles (median / p90) per group — Spark's " +
         "exact `percentile` vs DuckDB's `quantile_cont`, identical " +

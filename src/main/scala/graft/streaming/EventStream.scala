@@ -84,6 +84,30 @@ object EventStream {
   def enrichedWithUsers(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left")
 
+  /** Stream-stream interval join: purchases matched to the signups they
+    * follow within one hour, per user — both sides watermarked so the state
+    * store evicts rows once they can no longer match (state is bounded by
+    * watermark + interval width, not stream length).
+    */
+  def purchasesWithinHourOfSignup(signups: DataFrame, purchases: DataFrame): DataFrame = {
+    val s = signups
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("signup_time"),
+        col("event_id").as("signup_id"))
+      .withWatermark("signup_time", "2 hours")
+    val p = purchases
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("purchase_time"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_time", "2 hours")
+    s.join(p,
+      s("user_id") === p("user_id") &&
+        col("purchase_time") >= col("signup_time") &&
+        col("purchase_time") <= col("signup_time") + expr("INTERVAL 1 HOUR"))
+      .select(s("user_id"), col("signup_id"), col("purchase_id"),
+        col("signup_time"), col("purchase_time"), col("value"))
+  }
+
   /** Drain a streaming DataFrame synchronously into an in-memory table. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {
     val q = df.writeStream

@@ -19,6 +19,16 @@ class AppSpec extends AnyFunSuite {
     assert(e.getMessage.contains("No sink selected"))
   }
 
+  test("zero matching input files is a clean no-op run, not a crash (reference parity)") {
+    val out = Files.createTempDirectory("app_empty").toString
+    val cfg = App.configFromEnv(
+      Map("WRITE_CSV" -> "1", "GRAFT_RUN_ID" -> "empty-run"),
+      "/tmp/definitely_not_here_graft/*.parquet", out)
+    val outDir = App.run(spark, cfg) // must not throw
+    assert(outDir == s"$out/empty-run")
+    assert(!new java.io.File(s"$outDir/full").exists()) // no sinks ran
+  }
+
   test("full pipeline: heterogeneous input -> versioned CSV fan-out with thresholds honored") {
     val in = Files.createTempDirectory("app_in").toString
     val out = Files.createTempDirectory("app_out").toString

@@ -77,6 +77,24 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals its batch twin") {
+    val s1 = EventStream.readEvents(spark, watchDir, SparkTestSession.sf0001)
+    val s2 = EventStream.readEvents(spark, watchDir, SparkTestSession.sf0001)
+    val q = EventStream.runToMemory(
+      EventStream.purchasesWithinHourOfSignup(s1, s2), "ssjoin",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val streamed = spark.sql(
+        "SELECT signup_id, purchase_id FROM ssjoin ORDER BY 1, 2").collect()
+      val batchEvents = Tables.eventsTsNs(spark, SparkTestSession.sf0001)
+      val batch = EventStream.purchasesWithinHourOfSignup(batchEvents, batchEvents)
+        .orderBy("signup_id", "purchase_id")
+        .select("signup_id", "purchase_id").collect()
+      assert(streamed.nonEmpty)
+      assert(streamed.sameElements(batch))
+    } finally q.stop()
+  }
+
   test("stateful mapGroupsWithState accumulates per-user state") {
     val stream = EventStream.readEvents(spark, watchDir, SparkTestSession.sf0001)
     val q = EventStream.runToMemory(
