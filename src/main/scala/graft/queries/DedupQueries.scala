@@ -176,6 +176,47 @@ object DedupQueries {
       }
     ),
     Q(
+      "q37_dedup_canonical",
+      "End-to-end near-dup dedup: LSH pairs -> components -> keep only each " +
+        "cluster's canonical (min-id) document; singletons survive. The " +
+        "full pipeline a training corpus actually runs.",
+      Some(
+        s"""${duckSignatureCte.replace("FROM documents", "FROM documents WHERE doc_id < 1000")}, bands AS (
+           |  SELECT doc_id, 0 AS band,
+           |         md5(concat_ws('_', ${(0 until 8).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band,
+           |         md5(concat_ws('_', ${(8 until 16).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |), prs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |), edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM prs
+           |  UNION SELECT doc_b, doc_a FROM prs
+           |), labels AS (
+           |  WITH RECURSIVE reach(id, lab) AS (
+           |    SELECT DISTINCT src, src FROM edges
+           |    UNION
+           |    SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+           |  )
+           |  SELECT id, MIN(lab) AS comp FROM reach GROUP BY id
+           |)
+           |SELECT doc_id, n_chars FROM documents
+           |WHERE doc_id < 1000
+           |  AND doc_id NOT IN (SELECT id FROM labels WHERE id != comp)""".stripMargin),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
+        val sig = Dedup.minhashSignatures(docs, "text", "doc_id", NumHashes)
+        val pairs = Dedup.lshCandidatePairs(sig, "doc_id", NumHashes, bands = 2)
+          .select("doc_a", "doc_b")
+        Components.keepCanonical(docs, pairs, "doc_id")
+          .select("doc_id", "n_chars")
+      }
+    ),
+    Q(
       "q35_embedding_dup_pairs",
       "Embedding-cosine near-dup pairs (exact double-fold cosine, bounded " +
         "id range; production path feeds LSH buckets instead of the cross " +

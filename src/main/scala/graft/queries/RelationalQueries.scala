@@ -365,6 +365,26 @@ object RelationalQueries {
               .cast("double").as("qty_o"))
     ),
     Q(
+      "q47_regex_null_funcs",
+      "Regex extraction + null-handling scalar surface: regexp_extract " +
+        "(group capture, '' on no match in both engines), nullif/coalesce.",
+      Some("""
+        |SELECT p_partkey,
+        |       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        |       regexp_extract(p_name, '([0-9]+)', 1) AS first_num,
+        |       nullif(p_size, 10) AS size_not10,
+        |       coalesce(nullif(p_brand, p_brand), 'self') AS coalesced
+        |FROM part
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.part(spark, dir).selectExpr(
+          "p_partkey",
+          "regexp_extract(p_name, '([a-z]+)', 1) AS first_word",
+          "regexp_extract(p_name, '([0-9]+)', 1) AS first_num",
+          "nullif(p_size, 10) AS size_not10",
+          "coalesce(nullif(p_brand, p_brand), 'self') AS coalesced")
+    ),
+    Q(
       "q46_collect_agg",
       "Collection aggregates: per-customer sorted distinct priority list " +
         "(rendered as a joined string so the compare is list-order-exact).",
