@@ -86,13 +86,16 @@ case class DotProductFF(left: Expression, right: Expression)
 object DotProductFF {
   val name = "dot_ff"
 
+  /** Shared SQL builder (used by both registration paths). */
+  val builder: Seq[Expression] => Expression = exprs => DotProductFF(exprs(0), exprs(1))
+
   /** Register into a session's function registry (idempotent). Sessions
     * built via [[graft.GraftSession]] call this automatically; foreign
     * sessions must call it before analyzing a plan that uses [[dotFF]].
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => DotProductFF(exprs(0), exprs(1)), "scala_udf")
+      name, builder, "scala_udf")
 
   /** Column-level API: dot product in double of two ArrayType(FloatType).
     * Resolves against the session registry at analysis time.

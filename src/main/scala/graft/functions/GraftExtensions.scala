@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** SparkSessionExtensions integration: injects the engine's custom
   * expressions into a session's function registry AT BUILD TIME —
@@ -31,22 +31,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(DotProductFF.name),
       info(DotProductFF.name,
         "dot_ff(a, b) - dot product of two float/double arrays, sequential double accumulation"),
-      (exprs: Seq[Expression]) => DotProductFF(exprs(0), exprs(1))))
+      DotProductFF.builder))
     e.injectFunction((
       FunctionIdentifier(PortableHash32.name),
       info(PortableHash32.name,
         "portable_hash32(x) - first 4 md5 bytes of x as a non-negative long"),
-      (exprs: Seq[Expression]) => PortableHash32Expr(exprs.head)))
+      PortableHash32.builder))
     e.injectFunction((
       FunctionIdentifier(RollingFingerprint.name),
       info(RollingFingerprint.name,
         "rolling_fingerprint(tokens[, window]) - min portable hash over token shingle windows"),
-      (exprs: Seq[Expression]) => {
-        val w = exprs.lift(1) match {
-          case Some(Literal(v: Int, _)) => v
-          case _ => 5
-        }
-        RollingFingerprintExpr(exprs.head, w)
-      }))
+      RollingFingerprint.builder))
   }
 }

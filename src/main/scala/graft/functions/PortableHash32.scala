@@ -68,9 +68,12 @@ object PortableHash32 {
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** Shared SQL builder (used by both registration paths). */
+  val builder: Seq[Expression] => Expression = exprs => PortableHash32Expr(exprs.head)
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => PortableHash32Expr(exprs.head), "scala_udf")
+      name, builder, "scala_udf")
 
   def portableHash32(c: Column): Column = call_function(name, c)
 }

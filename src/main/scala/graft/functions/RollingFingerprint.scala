@@ -73,17 +73,33 @@ object RollingFingerprint {
     if (n == 0) PortableHash32.hash32(Array.emptyByteArray) else minHash
   }
 
+  /** Shared SQL builder (used by both registration paths): the optional
+    * second argument must be a foldable integer expression (a literal or
+    * something constant-reducible like CAST(5 AS BIGINT) — folding runs
+    * AFTER function resolution, so plain Literal matching is not enough) —
+    * anything non-constant fails analysis loudly instead of silently
+    * falling back to the default.
+    */
+  val builder: Seq[Expression] => Expression = exprs => {
+    val w = exprs.lift(1) match {
+      case None => 5
+      case Some(e) if e.foldable =>
+        e.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case s: Short => s.toInt
+          case other => throw new IllegalArgumentException(
+            s"rolling_fingerprint window must be an integer constant, got $other")
+        }
+      case Some(other) => throw new IllegalArgumentException(
+        s"rolling_fingerprint window must be a constant integer expression, got $other")
+    }
+    RollingFingerprintExpr(exprs.head, w)
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name,
-      exprs => {
-        val w = exprs.lift(1) match {
-          case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
-          case _ => 5
-        }
-        RollingFingerprintExpr(exprs.head, w)
-      },
-      "scala_udf")
+      name, builder, "scala_udf")
 
   def rollingFingerprint(tokens: Column, window: Int = 5): Column =
     call_function(name, tokens, org.apache.spark.sql.functions.lit(window))

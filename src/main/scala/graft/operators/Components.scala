@@ -73,7 +73,10 @@ object Components {
         // constant (lazy checkpointing let plans grow superlinearly)
         .localCheckpoint(true)
       changed = updated.filter(col("comp") =!= col("prev")).count()
-      labels.unpersist() // release the previous round's checkpoint blocks
+      // The previous round's checkpoint blocks are NOT freed by
+      // Dataset.unpersist (localCheckpoint persists at the RDD level,
+      // outside the CacheManager); dropping the reference here lets the
+      // ContextCleaner reclaim them asynchronously once GC'd.
       labels = updated.select("id", "comp")
       iter += 1
     }

@@ -70,7 +70,7 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 2): DataFrame = {
     require(numHashes % bands == 0,
-      s"numHashes ($numHashes) must divide evenly into bands ($bands) — " +
+      s"bands ($bands) must divide numHashes ($numHashes) evenly — " +
         "a remainder would silently drop signature rows and change recall")
     val rowsPerBand = numHashes / bands
     val bandStructs = (0 until bands).map { b =>

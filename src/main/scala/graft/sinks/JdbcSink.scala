@@ -103,9 +103,17 @@ object JdbcSink {
     val conn = DriverManager.getConnection(url, properties)
     try {
       // identifier folding differs per engine (Derby/H2 upper-fold,
-      // PostgreSQL lower-folds, SQLite is case-insensitive): probe all three
-      val exists = Seq(table, table.toUpperCase, table.toLowerCase).distinct
-        .exists(t => conn.getMetaData.getTables(null, null, t, null).next())
+      // PostgreSQL lower-folds, SQLite is case-insensitive): probe all
+      // three. getTables treats the name as a LIKE pattern, so escape
+      // '_'/'%' with the driver's escape string or "my_table" would match
+      // an unrelated "myXtable" and silently skip the PK-bearing CREATE.
+      val esc = conn.getMetaData.getSearchStringEscape
+      def escape(t: String): String =
+        t.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+      val exists = Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
+        val rs = conn.getMetaData.getTables(null, null, escape(t), null)
+        try rs.next() finally rs.close()
+      }
       if (!exists) {
         val st = conn.createStatement()
         try st.executeUpdate(createTableDdl(coerced, table, numberKeys, integerType, textType))
