@@ -93,8 +93,9 @@ object Components {
       pairs: DataFrame,
       idCol: String,
       aCol: String = "doc_a",
-      bCol: String = "doc_b"): DataFrame = {
-    val comps = connectedComponents(pairs, aCol, bCol)
+      bCol: String = "doc_b",
+      numPartitions: Option[Int] = None): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol, numPartitions = numPartitions)
     val losers = comps.filter(col("id") =!= col("comp")).select(col("id"))
     // anti-join strategy left to Catalyst/AQE: the loser set can be tiny
     // (broadcast) or a large fraction of the corpus (shuffled hash).

@@ -212,7 +212,7 @@ object DedupQueries {
         val sig = Dedup.minhashSignatures(docs, "text", "doc_id", NumHashes)
         val pairs = Dedup.lshCandidatePairs(sig, "doc_id", NumHashes, bands = 2)
           .select("doc_a", "doc_b")
-        Components.keepCanonical(docs, pairs, "doc_id")
+        Components.keepCanonical(docs, pairs, "doc_id", numPartitions = Some(8))
           .select("doc_id", "n_chars")
       }
     ),
