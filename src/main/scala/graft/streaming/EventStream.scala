@@ -84,6 +84,19 @@ object EventStream {
   def enrichedWithUsers(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left")
 
+  /** Streaming exactly-once dedup: drop replayed/duplicate events by id
+    * within the watermark horizon — the streaming face of the engine's
+    * dedup story. State holds one entry per event id seen within the last
+    * 2 hours of event time; older duplicates are dropped by the watermark
+    * before they reach the state store, so state is bounded regardless of
+    * replay volume.
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "2 hours")
+      .dropDuplicates("event_id")
+
   /** Stream-stream interval join: purchases matched to the signups they
     * follow within one hour, per user — both sides watermarked so the state
     * store evicts rows once they can no longer match (state is bounded by

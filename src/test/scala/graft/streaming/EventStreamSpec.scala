@@ -77,6 +77,27 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: a fully replayed file contributes zero new events") {
+    val wd = java.nio.file.Files.createTempDirectory("events_dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(SparkTestSession.sf0001, "events.parquet"),
+      wd.resolve("f1.parquet"))
+    val stream = EventStream.readEvents(spark, wd.toString, SparkTestSession.sf0001)
+    val q = EventStream.runToMemory(
+      EventStream.dedupedEvents(stream), "dedup_stream",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      assert(spark.sql("SELECT count(*) FROM dedup_stream").head.getLong(0) == 1000)
+      // replay the identical file -> every event id already seen/late
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(SparkTestSession.sf0001, "events.parquet"),
+        wd.resolve("f2.parquet"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM dedup_stream").head.getLong(0) == 1000)
+      assert(spark.sql("SELECT count(DISTINCT event_id) FROM dedup_stream").head.getLong(0) == 1000)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals its batch twin") {
     val s1 = EventStream.readEvents(spark, watchDir, SparkTestSession.sf0001)
     val s2 = EventStream.readEvents(spark, watchDir, SparkTestSession.sf0001)
