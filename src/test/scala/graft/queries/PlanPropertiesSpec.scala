@@ -47,4 +47,11 @@ class PlanPropertiesSpec extends AnyFunSuite {
     val exchanges = p.sliding("Exchange (".length).count(_ == "Exchange (")
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges")
   }
+
+  test("q28: as-of join runs with exactly one shuffle (union+window, no pair explosion)") {
+    val p = plan("q28_asof_join")
+    val exchanges = p.sliding("Exchange (".length).count(_ == "Exchange (")
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges")
+    assert(!p.contains("Join"), "as-of must not plan as a join") // no theta-join fallback
+  }
 }
