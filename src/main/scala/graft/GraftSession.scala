@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.SparkConf
 import org.apache.spark.sql.SparkSession
 
 /** Session factory with the engine's standard tuning.
@@ -16,12 +17,15 @@ object GraftSession {
 
   /** Defaults appropriate for the local[32] harness; every setting here is
     * also sane on a multi-executor cluster except parallelism sizing, which
-    * deployments override.
+    * deployments override. `local[cores]` is only a FALLBACK: when
+    * spark-submit (or any caller) already supplies a master — it lands in
+    * the `spark.master` system property, which `new SparkConf()` reads —
+    * that master wins, so `GraftSession.get` is safe to call unchanged in
+    * cluster deployments.
     */
-  def builder(appName: String = "graft", cores: Int = 32): SparkSession.Builder =
-    SparkSession
+  def builder(appName: String = "graft", cores: Int = 32): SparkSession.Builder = {
+    val base = SparkSession
       .builder()
-      .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
@@ -36,6 +40,9 @@ object GraftSession {
       // Catalog tables (bucketing etc.) land in tmp, not the repo cwd.
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+    if (new SparkConf(true).contains("spark.master")) base
+    else base.master(s"local[$cores]")
+  }
 
   def get(appName: String = "graft", cores: Int = 32): SparkSession = {
     val spark = builder(appName, cores).getOrCreate()

@@ -21,6 +21,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * left-to-right in double — bit-identical to the DuckDB oracle's
   * `list_sum(list_transform(list_zip(a,b), ...))` and to the previous
   * fold-based implementation (see graft.operators.Similarity).
+  *
+  * NULL CONTRACT: a NULL array on either side gives NULL (null-intolerant
+  * binary expression), and a NULL ELEMENT at any consumed index also gives
+  * NULL — strict propagation, never a silent read-as-zero. Note the DuckDB
+  * oracle form above is laxer (SUM skips NULL products), so oracle-checked
+  * queries must only apply dot_ff to null-free embeddings — true of every
+  * registry query; the element-null path exists so foreign data fails
+  * loudly-as-NULL instead of corrupting similarity scores.
   */
 case class DotProductFF(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -43,6 +51,17 @@ case class DotProductFF(left: Expression, right: Expression)
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  private def mayHoldNullElems(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true // unresolved — be conservative
+  }
+
+  // Nullable not just when an INPUT can be null but also when either
+  // array type admits null ELEMENTS (strict propagation; see class doc).
+  override def nullable: Boolean =
+    left.nullable || right.nullable ||
+      mayHoldNullElems(left) || mayHoldNullElems(right)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -51,6 +70,7 @@ case class DotProductFF(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
@@ -66,13 +86,23 @@ case class DotProductFF(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       def get(arr: String, float: Boolean) =
         if (float) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      // Element null checks only emitted for sides whose type admits null
+      // elements — containsNull=false arrays keep the branch-free loop.
+      val nullChecks = Seq(
+        if (mayHoldNullElems(left)) Some(s"$x.isNullAt($i)") else None,
+        if (mayHoldNullElems(right)) Some(s"$y.isNullAt($i)") else None
+      ).flatten
+      val guard =
+        if (nullChecks.isEmpty) ""
+        else s"if (${nullChecks.mkString(" || ")}) { ${ev.isNull} = true; break; }"
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $guard
          |  $s += ${get(x, isFloat(left))} * ${get(y, isFloat(right))};
          |}
-         |${ev.value} = $s;
+         |if (!${ev.isNull}) { ${ev.value} = $s; }
        """.stripMargin
     })
 

@@ -30,8 +30,13 @@ object AsOfJoin {
     * @param rightKey   join key column on the right
     * @param leftTime   event-time column on the left (orderable type)
     * @param rightTime  event-time column on the right (same type)
-    * @param rightTieBreak right column breaking equal-time ties (max wins)
-    * @param payload    right columns to attach
+    * @param rightTieBreak right column breaking equal-time ties (largest
+    *                   non-null wins; a NULL tiebreak loses to every
+    *                   non-null one)
+    * @param payload    right columns to attach. A payload column whose name
+    *                   collides with a left column is attached with a
+    *                   `_right` suffix (repeated until unique), so the
+    *                   output never carries duplicate names.
     */
   def joinAsOf(
       left: DataFrame,
@@ -45,33 +50,53 @@ object AsOfJoin {
     val leftCols = left.columns.toIndexedSeq
     val payloadType = StructType(payload.map(c => right.schema(c)))
 
+    // Internal column names must not shadow user columns on either side:
+    // extend with underscores until unique (deterministic, no RNG).
+    val taken = (left.columns ++ right.columns).toSet
+    def fresh(base: String): String =
+      Iterator.iterate(base)(_ + "_").dropWhile(taken.contains).next()
+    val (kC, tC, sideC, tieC, pC, carC) =
+      (fresh("__key"), fresh("__t"), fresh("__side"), fresh("__tie"),
+        fresh("__p"), fresh("__carried"))
+
+    // Attached payload names: suffix past any collision with left columns
+    // (and with each other, e.g. payload Seq("v", "v_right")).
+    val outNames = payload.foldLeft((Vector.empty[String], leftCols.toSet)) {
+      case ((acc, used), c) =>
+        val n = Iterator.iterate(c)(_ + "_right").dropWhile(used.contains).next()
+        (acc :+ n, used + n)
+    }._1
+
     val l = left
-      .withColumn("__key", col(leftKey))
-      .withColumn("__t", col(leftTime))
-      .withColumn("__side", lit(1)) // left sorts after right at equal time
-      .withColumn("__tie", lit(null).cast(right.schema(rightTieBreak).dataType))
-      .withColumn("__p", lit(null).cast(payloadType))
-      .select((leftCols ++ Seq("__key", "__t", "__side", "__tie", "__p")).map(col): _*)
+      .withColumn(kC, col(leftKey))
+      .withColumn(tC, col(leftTime))
+      .withColumn(sideC, lit(1)) // left sorts after right at equal time
+      .withColumn(tieC, lit(null).cast(right.schema(rightTieBreak).dataType))
+      .withColumn(pC, lit(null).cast(payloadType))
+      .select((leftCols ++ Seq(kC, tC, sideC, tieC, pC)).map(col): _*)
 
     val r = right
-      .withColumn("__key", col(rightKey))
-      .withColumn("__t", col(rightTime))
-      .withColumn("__side", lit(0))
-      .withColumn("__tie", col(rightTieBreak))
-      .withColumn("__p", struct(payload.map(col): _*))
-      .select(Seq("__key", "__t", "__side", "__tie", "__p").map(col): _*)
+      .withColumn(kC, col(rightKey))
+      .withColumn(tC, col(rightTime))
+      .withColumn(sideC, lit(0))
+      .withColumn(tieC, col(rightTieBreak))
+      .withColumn(pC, struct(payload.map(col): _*))
+      .select(Seq(kC, tC, sideC, tieC, pC).map(col): _*)
 
     // Right rows sort before left rows at the same timestamp (inclusive
     // "at or before"); among equal-time right rows, the larger tiebreak
-    // sorts later, so the running last() keeps it.
+    // sorts later, so the running last() keeps it. nulls_first: a NULL
+    // tiebreak sorts before every non-null value and therefore LOSES the
+    // tie ("largest tiebreak wins" stays true when some rows carry NULL).
     val w = Window
-      .partitionBy("__key")
-      .orderBy(col("__t"), col("__side"), col("__tie").asc_nulls_last)
+      .partitionBy(kC)
+      .orderBy(col(tC), col(sideC), col(tieC).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r, allowMissingColumns = true)
-      .withColumn("__carried", last(col("__p"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payload.map(c => col(s"__carried.$c").as(c)): _*)
+      .withColumn(carC, last(col(pC), ignoreNulls = true).over(w))
+      .filter(col(sideC) === 1)
+      .select(leftCols.map(col) ++
+        payload.zip(outNames).map { case (c, n) => col(s"$carC.$c").as(n) }: _*)
   }
 }

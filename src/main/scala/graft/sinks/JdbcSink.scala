@@ -51,14 +51,26 @@ object JdbcSink {
     * TEXT with the falsy->"NULL" rule — matching what the reference's
     * SQLite file reads back as for affected cells. Default OFF: intent mode
     * ([[coerceTypes]]) keeps real NULLs and real zeros.
+    *
+    * Falsiness is decided on the TYPED value, never its string rendering
+    * (a string render check misses DECIMAL zeros like "0.0000", scientific
+    * notation, and NaN): numerics are falsy iff == 0 or NaN, booleans iff
+    * false, strings iff empty. JS treats every non-null object (dates,
+    * arrays, ...) as truthy, so other types only null-check.
     */
   def coerceTypesLiteral(df: DataFrame): DataFrame = {
-    val cols = df.columns.toIndexedSeq.map { c =>
-      val s = col(c).cast(StringType)
-      when(col(c).isNull, lit("NULL"))
-        .when(s.isin("0", "0.0", "", "false"), lit("NULL"))
-        .otherwise(s)
-        .as(c)
+    val cols = df.schema.fields.toIndexedSeq.map { f =>
+      val c = col(f.name)
+      val falsy = f.dataType match {
+        case DoubleType | FloatType => (c === 0) || isnan(c)
+        case _: NumericType => c === 0
+        case BooleanType => !c
+        case StringType => c === ""
+        case _ => lit(false)
+      }
+      when(c.isNull || falsy, lit("NULL"))
+        .otherwise(c.cast(StringType))
+        .as(f.name)
     }
     df.select(cols: _*)
   }

@@ -49,4 +49,31 @@ class AsOfJoinSpec extends AnyFunSuite {
       "qid", Seq("price", "qid")).select("price", "qid").head
     assert(r.getDouble(0) == 7.0 && r.getLong(1) == 105L)
   }
+
+  test("a NULL tiebreak loses to any non-null tiebreak at the same time") {
+    val quotes = Seq(
+      ("A", 10L, Some(100L), 1.0),
+      ("A", 10L, None: Option[Long], 9.0) // null qid must NOT win
+    ).toDF("sym", "qt", "qid", "price")
+    val trades = Seq(("A", 10L, "t")).toDF("sym", "tt", "trade")
+    val r = AsOfJoin.joinAsOf(trades, quotes, "sym", "sym", "tt", "qt",
+      "qid", Seq("price")).select("price").head
+    assert(r.getDouble(0) == 1.0)
+  }
+
+  test("user columns named like internals and colliding payload names survive") {
+    // left already owns __key/__t/__side/__tie/__p/__carried AND a column
+    // named like the payload -> internals must rename around all of them.
+    val quotes = Seq(("A", 10L, 1.5, 100L)).toDF("sym", "qt", "price", "qid")
+    val trades = Seq(("A", 20L, "t", "x", "y", "z", "w", "v", "u", 9.9))
+      .toDF("sym", "tt", "trade", "__key", "__t", "__side", "__tie", "__p",
+        "__carried", "price")
+    val out = AsOfJoin.joinAsOf(trades, quotes, "sym", "sym", "tt", "qt",
+      "qid", Seq("price", "qid"))
+    assert(out.columns.count(_ == "price") == 1) // left's own price kept
+    assert(out.columns.contains("price_right")) // payload renamed
+    val r = out.select("price", "price_right", "qid", "__key").head
+    assert(r.getDouble(0) == 9.9 && r.getDouble(1) == 1.5 && r.getLong(2) == 100L)
+    assert(r.getString(3) == "x") // user's __key column untouched
+  }
 }

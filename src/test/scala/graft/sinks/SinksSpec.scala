@@ -67,6 +67,22 @@ class SinksSpec extends AnyFunSuite {
     assert(intent.filter(col("zero_col") === "0").count() == 1)
   }
 
+  test("literal-parity falsiness is typed: DECIMAL 0.0000 and NaN are falsy, string '0' is not") {
+    val odd = Seq(
+      (1, new java.math.BigDecimal("0.0000"), Double.NaN, "0", false),
+      (2, new java.math.BigDecimal("12.0000"), 1.5, "", true)
+    ).toDF("id", "dec", "dbl", "str", "bool")
+    // post-coercion every column is TEXT, so order by the (truthy) id
+    val rows = JdbcSink.coerceTypesLiteral(odd).orderBy("id").collect()
+    assert(rows(0).getString(1) == "NULL") // decimal zero renders "0.0000..." — still falsy
+    assert(rows(0).getString(2) == "NULL") // NaN is falsy in JS
+    assert(rows(0).getString(3) == "0") // the STRING "0" is truthy in JS
+    assert(rows(0).getString(4) == "NULL") // false
+    assert(rows(1).getString(1).toDouble == 12.0 && rows(1).getString(2) == "1.5")
+    assert(rows(1).getString(3) == "NULL") // empty string is falsy
+    assert(rows(1).getString(4) == "true")
+  }
+
   test("JDBC sink writes through Derby: table created, rows appended, types coerced, NULLs real (O15-O17)") {
     // Text columns are CLOB because Spark's Derby dialect binds string NULLs
     // as setNull(Types.CLOB); a VARCHAR column rejects that (ERROR 22005).

@@ -95,6 +95,12 @@ class EventStreamSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(spark.sql("SELECT count(*) FROM dedup_stream").head.getLong(0) == 1000)
       assert(spark.sql("SELECT count(DISTINCT event_id) FROM dedup_stream").head.getLong(0) == 1000)
+      // State must be the watermark-evicting dedup operator: plain
+      // dropDuplicates(event_id) never evicts (id alone isn't event-time
+      // keyed) and would grow state forever on a long-running stream.
+      assert(q.lastProgress.stateOperators.exists(_.operatorName == "dedupeWithinWatermark"),
+        s"expected dedupeWithinWatermark state operator, got " +
+          q.lastProgress.stateOperators.map(_.operatorName).mkString(","))
     } finally q.stop()
   }
 
