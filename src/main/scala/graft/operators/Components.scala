@@ -7,20 +7,41 @@ import org.apache.spark.sql.functions._
   * the stage that turns pairwise LSH/cosine matches into dedup GROUPS
   * (each document keeps/drops by its cluster's canonical representative).
   *
-  * Algorithm: iterative minimum-label propagation — every node adopts the
-  * smallest component id among itself and its neighbors until fixpoint.
-  * Each iteration is one join + one groupBy (both shuffle on node id);
-  * iterations needed = graph diameter, which for near-dup clusters is tiny
-  * (clusters are dense cliques from banding). The fixpoint is unique, so
-  * the result is deterministic regardless of execution order. Lineage is
-  * truncated with localCheckpoint every few rounds so long runs don't build
-  * unbounded plans. The driver loop iterates CONTROL, never data — all data
-  * movement stays distributed (this is the standard Spark shape for
-  * iterative graph algorithms; GraphX/graphframes do the same underneath).
+  * Algorithm: iterative minimum-label propagation with pointer jumping —
+  * every node adopts the smallest component id among itself, its
+  * neighbors, and its current component's component
+  * (`comp(comp(u))` — halves the remaining diameter each round, O(log d)
+  * rounds on chains instead of O(d)). On the broadcast path the
+  * pointer-jump term is folded in as extra edges `u -> comp(u)` over the
+  * SAME propagate-min pass, so one iteration is ONE join + ONE
+  * partial-aggregated groupBy. The fixpoint
+  * (`comp` = smallest id in the component) is unique, so the result is
+  * deterministic regardless of execution order. The driver loop iterates
+  * CONTROL, never data (the standard Spark shape for iterative graph
+  * algorithms; GraphX does the same underneath).
+  *
+  * Scale strategy, chosen from a one-time node count:
+  *  - node count <= `broadcastNodeLimit`: the label map broadcasts, so
+  *    each iteration scans the persisted edges IN PLACE (broadcast hash
+  *    join, no edge-sized shuffle); the min-aggregation map-side combines
+  *    down to node-sized before its (tiny) shuffle.
+  *  - larger graphs: edges are hash-partitioned ONCE on the probe key and
+  *    persisted; the per-iteration sort-merge join reuses that layout, so
+  *    only the node-sized label frame shuffles each round, plus the
+  *    map-side-combined aggregation. Label state is node-sized — far
+  *    smaller than the edge set LSH banding emits — so the broadcast path
+  *    covers corpora into the tens of millions of documents before the
+  *    shuffle path has to take over.
+  * Lineage is truncated with an eager localCheckpoint per round so
+  * per-iteration cost stays constant (lazy checkpointing let plans grow
+  * superlinearly).
   */
 object Components {
 
   /** @param pairs edge list (two id columns, undirected)
+    * @param broadcastNodeLimit max node count for the broadcast-label
+    *        strategy (node rows are two longs; the default ~1M keeps the
+    *        broadcast tens of MB)
     * @return (id, comp) — comp = smallest node id in the component
     */
   def connectedComponents(
@@ -28,7 +49,8 @@ object Components {
       aCol: String = "doc_a",
       bCol: String = "doc_b",
       maxIter: Int = 25,
-      numPartitions: Option[Int] = None): DataFrame = {
+      numPartitions: Option[Int] = None,
+      broadcastNodeLimit: Long = 1000000L): DataFrame = {
     // numPartitions: per-iteration join cost is dominated by task overhead
     // when the graph is small relative to the session's shuffle partitions;
     // callers that know the graph is modest can shrink it (scale runs leave
@@ -37,40 +59,62 @@ object Components {
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-    val edges = numPartitions.map(edgesRaw.repartition(_)).getOrElse(edgesRaw).persist()
+    val edges = numPartitions
+      .map(n => edgesRaw.repartition(n, col("dst")))
+      .getOrElse(edgesRaw.repartition(col("dst")))
+      .persist()
 
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
+    val nodeCount = labels.count()
+    val small = nodeCount <= broadcastNodeLimit
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      // neighbor propagation: min component among direct neighbors
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst2"),
-          col("dst") === col("dst2"))
-        .groupBy(col("src"))
-        .agg(min("comp").as("ncomp"))
-        .withColumnRenamed("src", "nid")
-      // pointer jumping: also adopt the component of one's component
-      // (halves the remaining diameter each round -> O(log d) rounds on
-      // chains instead of O(d))
-      val hop = labels
-        .join(
-          labels.select(col("id").as("cid"), col("comp").as("ccomp")),
-          col("comp") === col("cid"))
-        .select(col("id").as("hid"), col("ccomp"))
-      val updated = labels
-        .join(neighborMin, col("id") === col("nid"), "left")
-        .join(hop, col("id") === col("hid"), "left")
-        .select(col("id"),
-          least(
-            col("comp"),
-            coalesce(col("ncomp"), col("comp")),
-            coalesce(col("ccomp"), col("comp"))).as("comp"),
-          col("comp").as("prev"))
-        // eager checkpoint: truncate lineage NOW so per-iteration cost stays
-        // constant (lazy checkpointing let plans grow superlinearly)
+      val labelMap = labels.select(col("id").as("nid"), col("comp").as("lcomp"))
+      val updated = (if (small) {
+        // Fused single pass: real edges PLUS pointer edges u -> comp(u).
+        // For a pointer edge the joined label is comp(comp(u)) — exactly
+        // the pointer-jump term (comp values are always live node ids, so
+        // the join never drops them). One broadcast hash join over the
+        // in-place edge scan, one map-side-combined min.
+        val allEdges = edges.unionByName(
+          labels.select(col("id").as("src"), col("comp").as("dst")))
+        val neighborMin = allEdges
+          .join(hinted(labelMap), col("dst") === col("nid"))
+          .groupBy(col("src"))
+          .agg(min("lcomp").as("ncomp"))
+        labels
+          .join(hinted(neighborMin), col("id") === col("src"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+            col("comp").as("prev"))
+      } else {
+        // Shuffle path: the edge join keys on dst, matching the persisted
+        // hash layout, so only the node-sized label frame shuffles per
+        // round; the pointer jump is a separate node-sized self-join
+        // (unioning it onto the edges would discard their partitioning).
+        val neighborMin = edges
+          .join(labelMap, col("dst") === col("nid"))
+          .groupBy(col("src"))
+          .agg(min("lcomp").as("ncomp"))
+        val hop = labels
+          .join(labelMap, col("comp") === col("nid"))
+          .select(col("id").as("hid"), col("lcomp").as("hcomp"))
+        labels
+          .join(neighborMin, col("id") === col("src"), "left")
+          .join(hop, col("id") === col("hid"), "left")
+          .select(col("id"),
+            least(col("comp"),
+              coalesce(col("ncomp"), col("comp")),
+              coalesce(col("hcomp"), col("comp"))).as("comp"),
+            col("comp").as("prev"))
+      })
+        // eager checkpoint: truncate lineage NOW; the convergence count then
+        // reads checkpointed blocks, not a recomputation
         .localCheckpoint(true)
       changed = updated.filter(col("comp") =!= col("prev")).count()
       // The previous round's checkpoint blocks are NOT freed by

@@ -38,4 +38,17 @@ class ComponentsSpec extends AnyFunSuite {
     val comps = Components.connectedComponents(chain, maxIter = 20).collect()
     assert(comps.forall(_.getLong(1) == 0L)) // all flood to min label 0
   }
+
+  test("shuffle path (broadcastNodeLimit = 0) agrees with the broadcast path") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (7L, 8L)
+    ).toDF("doc_a", "doc_b")
+    val viaBroadcast = Components.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaShuffle = Components.connectedComponents(pairs, broadcastNodeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaShuffle == viaBroadcast)
+    assert(viaShuffle(4L) == 1L && viaShuffle(8L) == 7L)
+  }
 }
