@@ -18,6 +18,7 @@ object SparkEntry {
     TraceQueries.all ++
       RelationalQueries.all ++
       DedupQueries.all ++
+      SamplingQueries.all ++
       SimilarityQueries.all ++
       TextQueries.all ++
       MultimodalQueries.all

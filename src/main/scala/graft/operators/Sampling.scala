@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Everything here is a PURE NARROW FILTER over a portable content hash
+  * ([[TextAnalysis.portableHash32]]): no shuffle, no RNG state, full
+  * whole-stage codegen — so a split is (1) reproducible across runs,
+  * engines and cluster sizes, (2) stable under repartitioning (unlike
+  * `df.sample`, whose per-partition RNG changes with the partition
+  * layout), and (3) consistent across tables: any table keyed by the same
+  * id lands on the same side of the split, which is exactly what
+  * train/eval hygiene needs at 100 TB (join-free leakage prevention).
+  *
+  * The reference has no sampling surface (SURVEY.md §2 — ABSENT); these
+  * are north-star pipeline operators.
+  */
+object Sampling {
+
+  /** Bucket in [0, buckets) from the portable hash of `key` (salted so
+    * different decisions draw independent buckets from the same key).
+    */
+  def hashBucket(key: Column, buckets: Int, salt: String = ""): Column =
+    TextAnalysis.portableHash32(concat(lit(salt), key.cast("string"))) % buckets
+
+  /** Deterministic train/val/test split label from percent bands:
+    * [0,trainPct) -> train, [trainPct,trainPct+valPct) -> val, rest test.
+    */
+  def splitLabel(key: Column, trainPct: Int = 80, valPct: Int = 10,
+      salt: String = ""): Column = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"split bands must fit in 100: train=$trainPct val=$valPct")
+    val b = hashBucket(key, 100, salt)
+    when(b < trainPct, lit("train"))
+      .when(b < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Keep a deterministic `percent`% of rows by key hash. */
+  def hashSample(df: DataFrame, key: Column, percent: Int,
+      salt: String = ""): DataFrame = {
+    require(percent >= 0 && percent <= 100, s"percent out of range: $percent")
+    df.filter(hashBucket(key, 100, salt) < percent)
+  }
+
+  /** Stratified deterministic sample: per-stratum keep-percentages, strata
+    * not listed keep `defaultPercent`. The rate lookup compiles to a
+    * literal CASE chain — no join, no shuffle; rates stay exact however
+    * skewed the strata are (unlike `sampleBy`, which is RNG-based).
+    */
+  def stratifiedHashSample(
+      df: DataFrame,
+      strataCol: Column,
+      key: Column,
+      rates: Map[String, Int],
+      defaultPercent: Int = 0,
+      salt: String = ""): DataFrame = {
+    require((defaultPercent +: rates.values.toSeq).forall(p => p >= 0 && p <= 100),
+      s"percentages out of range: $rates default=$defaultPercent")
+    val pct = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPercent)) {
+      case (acc, (stratum, p)) => when(strataCol === stratum, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(key, 100, salt) < pct)
+  }
+}

@@ -77,6 +77,50 @@ object TextAnalysis {
       .otherwise(lit("zxx"))
   }
 
+  /** URL pattern (http/https schemes, through the next whitespace). */
+  val urlPattern = "https?://\\S+"
+
+  /** Email pattern (pragmatic C4-style, not RFC-exhaustive). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  def urlCount(text: Column): Column = regexp_count(text, lit(urlPattern))
+
+  /** C4-style cleaning pass: URLs and emails replaced by a space, then
+    * whitespace collapsed and trimmed. Pure codegen'd regex chain — the
+    * standard pre-training scrub applied before quality scoring/dedup (a
+    * PII pass plugs additional patterns into the same chain).
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(text, urlPattern, " "),
+        emailPattern, " "),
+      "\\s+", " "))
+
+  /** Duplicate-fraction of adjacent word bigrams: 1 - distinct/total, 0
+    * for docs with fewer than 2 tokens. The Gopher-style repetition signal
+    * (high ratio = boilerplate/spam); int-derived doubles, bit-exact cross
+    * engine. NOTE: guarded so no null bigram is ever built — engines
+    * disagree on whether distinct() drops nulls.
+    */
+  def bigramRepetitionRatio(text: Column): Column = {
+    val toks = wsTokens(text)
+    val nb = (size(toks) - 1).cast("double")
+    val bigrams = transform(
+      sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    val nd = size(array_distinct(bigrams)).cast("double")
+    when(nb > 0, (nb - nd) / nb).otherwise(lit(0.0))
+  }
+
+  /** Duplicate-fraction of whole words: 1 - distinct/total tokens. */
+  def wordRepetitionRatio(text: Column): Column = {
+    val toks = wsTokens(text)
+    val n = size(toks).cast("double")
+    val nd = size(array_distinct(toks)).cast("double")
+    when(n > 0, (n - nd) / n).otherwise(lit(0.0))
+  }
+
   /** Composite quality score in [0,1]: mean-word-length sanity band,
     * punctuation density band, stopword presence — the standard cheap
     * pre-filter stack (Gopher/C4-style rules) as one codegen'd expression.

@@ -103,6 +103,51 @@ object TextQueries {
           col("doc_id"),
           TextAnalysis.contentFingerprint(col("text")).as("content_fp"),
           TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))
+    ),
+    Q(
+      "q48_text_clean",
+      "C4-style cleaning pass: URLs and emails scrubbed to spaces, " +
+        "whitespace collapsed, trimmed — plus the URL count as a quality " +
+        "signal. Pure codegen'd regex chain (no UDF, no shuffle).",
+      Some(s"""
+        |SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(regexp_replace(text,
+        |         'https?://\\S+', ' ', 'g'),
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', ' ', 'g'),
+        |         '\\s+', ' ', 'g')) AS clean_text,
+        |       CAST(len(regexp_extract_all(text, 'https?://\\S+')) AS INTEGER) AS n_urls
+        |FROM documents
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.documents(spark, dir).select(
+          col("doc_id"),
+          TextAnalysis.cleanText(col("text")).as("clean_text"),
+          TextAnalysis.urlCount(col("text")).as("n_urls"))
+    ),
+    Q(
+      "q49_repetition",
+      "Gopher-style repetition signals: duplicate fraction of adjacent " +
+        "word bigrams and of whole words (boilerplate/spam indicator). " +
+        "Int-derived double ratios — bit-exact cross-engine.",
+      Some("""
+        |SELECT doc_id,
+        |       CASE WHEN nb > 0 THEN CAST(nb - nd AS DOUBLE) / nb ELSE 0.0 END AS bigram_rep,
+        |       CASE WHEN nt > 0 THEN CAST(nt - ntd AS DOUBLE) / nt ELSE 0.0 END AS word_rep
+        |FROM (
+        |  SELECT doc_id,
+        |         len(toks) - 1 AS nb,
+        |         len(list_distinct(list_transform(range(1, len(toks)),
+        |           i -> toks[i] || ' ' || toks[i+1]))) AS nd,
+        |         len(toks) AS nt,
+        |         len(list_distinct(toks)) AS ntd
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |)
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.documents(spark, dir).select(
+          col("doc_id"),
+          TextAnalysis.bigramRepetitionRatio(col("text")).as("bigram_rep"),
+          TextAnalysis.wordRepetitionRatio(col("text")).as("word_rep"))
     )
   )
 }

@@ -184,6 +184,45 @@ object TraceQueries {
           .agg(
             count(lit(1)).as("cnt"),
             sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+    ),
+    Q(
+      "q09_session_window",
+      "Sessionization via Spark's native session_window (30-min inactivity " +
+        "gap) per user — the same operator runs unchanged under Structured " +
+        "Streaming with a watermark (see graft.streaming.EventStream." +
+        "sessionized + its streaming==batch spec). Oracle: classic " +
+        "gaps-and-islands (lag + running sum) over epoch-us event time.",
+      Some("""
+        |WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |m AS (SELECT user_id, us, value,
+        |        CASE WHEN lag(us) OVER w IS NULL
+        |               OR us - lag(us) OVER w >= 1800000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (SELECT user_id, us, value,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id,
+        |       MIN(us) AS session_start_us,
+        |       MAX(us) + 1800000000 AS session_end_us,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.eventsTsNs(spark, dir)
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+          .select(
+            col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start_us"),
+            unix_micros(col("session_window.end")).as("session_end_us"),
+            col("n_events"),
+            col("sum_value"))
     )
   )
 }

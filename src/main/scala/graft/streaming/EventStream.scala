@@ -103,6 +103,23 @@ object EventStream {
       .withWatermark("event_time", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming sessionization: the SAME session_window operator as the
+    * batch twin (q09_session_window), watermarked so closed sessions emit
+    * once and state holds open sessions only — per-key memory is bounded
+    * by (gap + lateness) x active users, not stream length.
+    */
+  def sessionized(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "2 hours")
+      .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"))
+
   /** Stream-stream interval join: purchases matched to the signups they
     * follow within one hour, per user — both sides watermarked so the state
     * store evicts rows once they can no longer match (state is bounded by

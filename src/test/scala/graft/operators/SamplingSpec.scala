@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Deterministic sampling/splitting + text-cleaning/repetition operators. */
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val keys = (1L to 2000L).toDF("id")
+
+  test("splitLabel covers every row with bands near 80/10/10") {
+    val counts = keys
+      .select(Sampling.splitLabel(col("id")).as("split"))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    assert(math.abs(counts("train") - 1600L) < 100)
+    assert(math.abs(counts("val") - 200L) < 60)
+    assert(math.abs(counts("test") - 200L) < 60)
+  }
+
+  test("split and sample are stable under repartitioning (unlike df.sample)") {
+    val a = Sampling.hashSample(keys, col("id"), 30).as[Long].collect().sorted
+    val b = Sampling.hashSample(keys.repartition(17), col("id"), 30)
+      .as[Long].collect().sorted
+    assert(a.sameElements(b))
+    assert(a.nonEmpty && a.length < 2000)
+  }
+
+  test("same key lands on the same side of the split in any table (leakage guard)") {
+    val docs = keys.withColumn("text", concat(lit("doc"), col("id")))
+    val labels = keys.withColumn("y", col("id") % 2)
+    val sd = docs.select(col("id"), Sampling.splitLabel(col("id")).as("s"))
+    val sl = labels.select(col("id"), Sampling.splitLabel(col("id")).as("s"))
+    assert(sd.join(sl, "id").filter(sd("s") =!= sl("s")).count() == 0)
+  }
+
+  test("stratified sample applies per-stratum rates and the default") {
+    val df = (1L to 3000L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "fr"))
+      .toDF("id", "lang")
+    val kept = Sampling.stratifiedHashSample(
+      df, col("lang"), col("id"), Map("en" -> 50, "zh" -> 20), defaultPercent = 0)
+    val counts = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("fr")) // default 0% drops the whole stratum
+    assert(math.abs(counts("en") - 500L) < 80) // 50% of 1000
+    assert(math.abs(counts("zh") - 200L) < 60) // 20% of 1000
+  }
+
+  test("cleanText scrubs URLs and emails and collapses whitespace") {
+    val df = Seq(
+      "see https://ex.com/a?b=1 and   mail me@ex.org  now",
+      "  no links   here  ",
+      "http://x.y end").toDF("text")
+    val got = df.select(TextAnalysis.cleanText(col("text"))).as[String].collect()
+    assert(got(0) == "see and mail now")
+    assert(got(1) == "no links here")
+    assert(got(2) == "end")
+    val urls = df.select(TextAnalysis.urlCount(col("text"))).as[Int].collect()
+    assert(urls.toSeq == Seq(1, 0, 1))
+  }
+
+  test("repetition ratios: repeated tokens score high, unique text scores 0") {
+    val df = Seq(
+      (1L, "a a a a"), // words: 4 total 1 distinct; bigrams: 3 total 1 distinct
+      (2L, "a b c d"), // all unique
+      (3L, "solo"), // single token -> both 0 by definition
+      (4L, "")).toDF("id", "text")
+    val got = df.select(col("id"),
+      TextAnalysis.bigramRepetitionRatio(col("text")).as("b"),
+      TextAnalysis.wordRepetitionRatio(col("text")).as("w"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((2.0 / 3.0, 0.75)))
+    assert(got(2L) == ((0.0, 0.0)))
+    assert(got(3L) == ((0.0, 0.0)))
+    assert(got(4L) == ((0.0, 0.0)))
+  }
+}

@@ -61,6 +61,33 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionization matches the batch twin on closed sessions") {
+    val wd = java.nio.file.Files.createTempDirectory("events_sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(SparkTestSession.sf0001, "events.parquet"),
+      wd.resolve("f1.parquet"))
+    val stream = EventStream.readEvents(spark, wd.toString, SparkTestSession.sf0001)
+    val q = EventStream.runToMemory(
+      EventStream.sessionized(stream), "sess",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      // batch 1 sets the watermark; the duplicate file advances processing
+      // so sessions closed below the watermark emit exactly once.
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(SparkTestSession.sf0001, "events.parquet"),
+        wd.resolve("f2.parquet"))
+      q.processAllAvailable()
+      val emitted = spark.sql("SELECT * FROM sess").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+      assert(emitted.nonEmpty)
+      val batch = EventStream.sessionized(
+        Tables.eventsTsNs(spark, SparkTestSession.sf0001))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+      emitted.foreach { case (k, n) => assert(batch(k) == n, s"session $k") }
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join enriches each micro-batch") {
     import org.apache.spark.sql.functions._
     val stream = EventStream.readEvents(spark, watchDir, SparkTestSession.sf0001)
