@@ -54,4 +54,38 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges")
     assert(!p.contains("Join"), "as-of must not plan as a join") // no theta-join fallback
   }
+
+  test("q38/q39: deterministic split/sample plan with ZERO exchanges (narrow filters)") {
+    Seq("q38_hash_split", "q39_stratified_sample").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange ("), s"$q must not shuffle:\n$p")
+    }
+  }
+
+  test("q09: sessionization is one shuffle keyed on user_id") {
+    val p = plan("q09_session_window")
+    val exchanges = p.sliding("Exchange (".length).count(_ == "Exchange (")
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges")
+  }
+
+  test("q48/q49: text cleaning and repetition stay inside whole-stage codegen, no shuffle") {
+    Seq("q48_text_clean", "q49_repetition").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange ("), s"$q must not shuffle")
+      assert(p.contains("[codegen id :"), s"$q must be inside a codegen span")
+    }
+  }
+
+  test("components small-graph path: per-iteration label joins broadcast (no edge shuffle)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // Mirror one iteration's join shape: persisted edges x broadcast labels.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 2L)).toDF("nid", "lcomp")
+    val joined = edges
+      .join(org.apache.spark.sql.functions.broadcast(labels), col("dst") === col("nid"))
+      .groupBy(col("src")).agg(org.apache.spark.sql.functions.min("lcomp").as("ncomp"))
+    val p = joined.queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
