@@ -105,10 +105,16 @@ object TextAnalysis {
     */
   def bigramRepetitionRatio(text: Column): Column = {
     val toks = wsTokens(text)
-    val nb = (size(toks) - 1).cast("double")
-    val bigrams = transform(
-      sequence(lit(1), greatest(size(toks) - 1, lit(1))),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    // zip_with over two slices, NOT transform(sequence, i -> element_at):
+    // an index lambda re-evaluates the token-split per element (the array
+    // expression sits under the lambda), turning one split per row into
+    // one per bigram; the slice pair evaluates it a constant # of times.
+    val bigrams = zip_with(
+      slice(toks, lit(1), n1),
+      slice(toks, lit(2), n1),
+      (a, b) => concat_ws(" ", a, b))
+    val nb = n1.cast("double")
     val nd = size(array_distinct(bigrams)).cast("double")
     when(nb > 0, (nb - nd) / nb).otherwise(lit(0.0))
   }
