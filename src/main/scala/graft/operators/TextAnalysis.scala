@@ -52,29 +52,66 @@ object TextAnalysis {
   def rollingFingerprint(text: Column, window: Int = 5): Column =
     graft.functions.RollingFingerprint.rollingFingerprint(wsTokens(text), window)
 
-  /** English stopword count (heuristic language-ID signal). */
-  private val enStopwords = Seq("the", "and", "of", "to", "in", "is", "a")
+  /** Per-language stopword profiles (tiny n-gram-profile stand-ins: the
+    * highest-frequency function words of each language). Order matters —
+    * it is the deterministic tie-break of [[langIdHeuristic]].
+    */
+  val stopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "des", "une"),
+    "es" -> Seq("el", "los", "las", "y", "es", "que", "un"))
 
-  def stopwordCount(text: Column): Column = {
-    val pattern = s"\\b(${enStopwords.mkString("|")})\\b"
-    regexp_count(lower(text), lit(pattern))
-  }
+  private def profilePattern(words: Seq[String]): String =
+    s"\\b(${words.mkString("|")})\\b"
+
+  def stopwordCountFor(text: Column, words: Seq[String]): Column =
+    regexp_count(lower(text), lit(profilePattern(words)))
+
+  /** English stopword count (quality-score signal). */
+  def stopwordCount(text: Column): Column =
+    stopwordCountFor(text, stopwordProfiles.head._2)
+
+  /** CJK ideograph count (Han unified block) — script-based zh signal. */
+  def cjkCount(text: Column): Column =
+    regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]"))
 
   /** Punctuation-mark count. */
   def punctCount(text: Column): Column =
     regexp_count(text, lit("[.!?,;:]"))
 
-  /** Heuristic language ID: stopword density over the token stream.
-    * >= 1 stopword per 12 tokens -> 'en', any letters -> 'und', else 'zxx'
-    * (no linguistic content). A real system plugs an n-gram profile model
-    * into the same column-in/column-out seam.
+  /** Profile-based language ID: script check first (>=5% CJK ideographs ->
+    * 'zh'), then argmax over per-language stopword counts with a >=1-per-12
+    * -tokens density floor (ties break in [[stopwordProfiles]] order —
+    * fully deterministic); letters but no profile hit -> 'und', no letters
+    * -> 'zxx'. A trained n-gram model plugs into this same
+    * column-in/column-out seam; everything here stays codegen'd regex
+    * counting — no shuffle, engine-portable (DuckDB oracle mirrors the
+    * cascade literally).
     */
   def langIdHeuristic(text: Column): Column = {
+    val chars = length(text).cast("double")
     val toks = tokenCount(text).cast("double")
-    val stops = stopwordCount(text).cast("double")
-    when(toks > 0 && stops / toks >= 1.0 / 12.0, lit("en"))
-      .when(regexp_count(text, lit("[A-Za-z]")) > 0, lit("und"))
+    val counts = stopwordProfiles.map { case (l, ws) =>
+      l -> stopwordCountFor(text, ws).cast("double")
+    }
+    val floor = 1.0 / 12.0
+    // Cascade = argmax with deterministic preference order: branch k wins
+    // iff it meets the density floor and is >= every later profile.
+    val profileCases = counts.zipWithIndex.map { case ((l, c), i) =>
+      val later = counts.drop(i + 1).map(_._2)
+      val cond = later.foldLeft(toks > 0 && c / toks >= floor) {
+        (acc, o) => acc && c >= o
+      }
+      (cond, l)
+    }
+    val base = when(regexp_count(text, lit("[A-Za-z]")) > 0, lit("und"))
       .otherwise(lit("zxx"))
+    val viaProfiles = profileCases.foldRight(base) {
+      case ((cond, l), acc) => when(cond, lit(l)).otherwise(acc)
+    }
+    when(chars > 0 && cjkCount(text).cast("double") / chars >= 0.05, lit("zh"))
+      .otherwise(viaProfiles)
   }
 
   /** URL pattern (http/https schemes, through the next whitespace). */

@@ -64,16 +64,27 @@ object TextQueries {
     ),
     Q(
       "q52_langid",
-      "Heuristic language ID from stopword density (n-gram-profile seam).",
+      "Profile-based language ID: CJK-script check, then argmax over " +
+        "en/de/fr/es stopword profiles with a density floor and " +
+        "deterministic tie order (the n-gram-profile seam, filled).",
       Some("""
         |SELECT doc_id, lang AS lang_declared,
-        |       CASE WHEN toks > 0 AND stops / toks >= 1.0/12.0 THEN 'en'
+        |       CASE WHEN chars > 0 AND cjk / chars >= 0.05 THEN 'zh'
+        |            WHEN toks > 0 AND s_en / toks >= 1.0/12.0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |            WHEN toks > 0 AND s_de / toks >= 1.0/12.0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |            WHEN toks > 0 AND s_fr / toks >= 1.0/12.0 AND s_fr >= s_es THEN 'fr'
+        |            WHEN toks > 0 AND s_es / toks >= 1.0/12.0 THEN 'es'
         |            WHEN letters > 0 THEN 'und'
         |            ELSE 'zxx' END AS lang_pred
         |FROM (
         |  SELECT doc_id, lang,
+        |         CAST(LENGTH(text) AS DOUBLE) AS chars,
         |         CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS toks,
-        |         CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS DOUBLE) AS stops,
+        |         CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS DOUBLE) AS cjk,
+        |         CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS DOUBLE) AS s_en,
+        |         CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|zu)\b')) AS DOUBLE) AS s_de,
+        |         CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|des|une)\b')) AS DOUBLE) AS s_fr,
+        |         CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|que|un)\b')) AS DOUBLE) AS s_es,
         |         len(regexp_extract_all(text, '[A-Za-z]')) AS letters
         |  FROM documents
         |)

@@ -223,6 +223,39 @@ object TraceQueries {
             unix_micros(col("session_window.end")).as("session_end_us"),
             col("n_events"),
             col("sum_value"))
+    ),
+    Q(
+      "q43_window_sliding",
+      "Sliding (hopping) windows: 1-hour windows every 30 minutes — each " +
+        "event lands in exactly 2 windows (Spark expands via its window " +
+        "generator pre-aggregation). Oracle: explicit 2-offset expansion " +
+        "from the epoch-aligned window-start arithmetic.",
+      Some("""
+        |WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+        |w AS (
+        |  SELECT (us // 1800000000) * 1800000000 - off AS window_start_us,
+        |         event_type, value
+        |  FROM e, (SELECT unnest([0, 1800000000]) AS off) o
+        |)
+        |SELECT window_start_us, event_type,
+        |       COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.eventsTsNs(spark, dir)
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .groupBy(
+            window(col("event_time"), "1 hour", "30 minutes"),
+            col("event_type"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+          .select(
+            unix_micros(col("window.start")).as("window_start_us"),
+            col("event_type"),
+            col("cnt"),
+            col("sum_value"))
     )
   )
 }

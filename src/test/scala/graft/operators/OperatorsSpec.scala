@@ -119,6 +119,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getAs[String]("lang") == "en")
   }
 
+  test("profile langid distinguishes en/de/fr/es/zh with deterministic fallbacks") {
+    val df = docs(
+      (1L, "The cat and the dog of a house in the yard"),
+      (2L, "Der Hund ist nicht zu der die das Haus und"),
+      (3L, "Le chat est la les et des une maison le"),
+      (4L, "El perro es que los las y un casa el"),
+      (5L, "中文文本处理很好"), // pure CJK -> zh
+      (6L, "xyzzy qwerty asdf plugh"), // letters, no profile hit -> und
+      (7L, "12345 678 ---")) // no letters at all -> zxx
+    val got = df.select($"doc_id", TextAnalysis.langIdHeuristic($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es",
+      5L -> "zh", 6L -> "und", 7L -> "zxx"))
+  }
+
   test("fingerprints: whitespace/case normalization collapses; rolling fp survives suffix edits") {
     val df = docs(
       (1L, "Hello   World   Foo"),
