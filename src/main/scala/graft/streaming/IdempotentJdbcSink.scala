@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.sql.DriverManager
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Exactly-once streaming delivery into a JDBC table via `foreachBatch` +
+  * batch-id idempotence — the production pattern for relational sinks
+  * (Spark's JDBC sink alone is at-least-once: a failed micro-batch
+  * replays and re-appends).
+  *
+  * Each delivered row carries its micro-batch id in a `batch_id` column;
+  * applying a batch first DELETEs any rows of that batch id, then appends
+  * — so a replay after a mid-write crash converges to exactly-once
+  * output no matter how many times the batch retries. The delete is a
+  * single indexed predicate (one round-trip), not a row diff.
+  *
+  * Scale note: per batch this costs one DELETE + Spark's batched
+  * parallel INSERTs; the idempotence key is the batch id, so no
+  * per-row dedup state exists anywhere — the state is the sink table
+  * itself, which is what makes the pattern restart-safe across driver
+  * loss (checkpoint replays the batch, the DELETE makes it harmless).
+  */
+object IdempotentJdbcSink {
+
+  /** Apply one micro-batch idempotently (public + deterministic so specs
+    * can call it twice with the same id to prove replay safety).
+    */
+  def applyBatch(
+      batch: DataFrame,
+      batchId: Long,
+      url: String,
+      table: String,
+      properties: Properties = new Properties()): Unit = {
+    val withId = batch.withColumn("batch_id", lit(batchId))
+    val conn = DriverManager.getConnection(url, properties)
+    try {
+      val exists = {
+        val rs = conn.getMetaData.getTables(null, null, "%", null)
+        try Iterator.continually(rs).takeWhile(_.next())
+          .exists(_.getString("TABLE_NAME").equalsIgnoreCase(table))
+        finally rs.close()
+      }
+      if (exists) {
+        // Spark's JDBC writer creates case-preserving QUOTED column names,
+        // so the predicate must quote too (ANSI double quotes).
+        val st = conn.prepareStatement(s"""DELETE FROM $table WHERE "batch_id" = ?""")
+        try { st.setLong(1, batchId); st.executeUpdate() } finally st.close()
+      }
+    } finally conn.close()
+    withId.write.mode(SaveMode.Append).jdbc(url, table, properties)
+  }
+
+  /** Start the stream: every micro-batch lands exactly once in `table`. */
+  def start(
+      df: DataFrame,
+      url: String,
+      table: String,
+      checkpointDir: String,
+      properties: Properties = new Properties()): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyBatch(batch, id, url, table, properties)
+      }
+      .start()
+}
