@@ -61,8 +61,18 @@ object Dedup {
   /** LSH banding over a minhash signature: each document emits `bands`
     * (band_idx, md5-of-band-rows) keys; documents sharing any band key are
     * near-dup candidates. Returns (doc_a, doc_b, shared_bands) with
-    * doc_a < doc_b. The self-join shuffles on (band, key) — bucket-local —
-    * and never materializes the full cross product.
+    * doc_a < doc_b.
+    *
+    * Pair formation is a bucket-key self-join and never materializes the
+    * cross product. Strategy by scale (AQE decides): small corpora
+    * broadcast one side (zero shuffle on the probe — measured faster here
+    * than a bucket collect_list aggregation, which pays an extra
+    * shuffle); at corpus scale both sides plan identical shuffles on
+    * (band, key) and Spark's exchange reuse executes the signature
+    * pipeline ONCE, feeding both join sides from the same shuffle files.
+    * Degenerate buckets (a million near-identical boilerplate docs) are
+    * quadratic in any formulation — banding width controls bucket size,
+    * and AQE skew-join splits hot buckets across tasks.
     */
   def lshCandidatePairs(
       signatures: DataFrame,
