@@ -65,6 +65,36 @@ class SamplingSpec extends AnyFunSuite {
     assert(urls.toSeq == Seq(1, 0, 1))
   }
 
+  test("splitLabel matches the scalar md5 model on every key") {
+    val got = keys.select(col("id"),
+      Sampling.splitLabel(col("id"), salt = "s:").as("sp")).collect()
+    got.foreach { r =>
+      val b = graft.functions.PortableHash32.hash32(
+        ("s:" + r.getLong(0)).getBytes("UTF-8")) % 100
+      val expect = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(r.getString(1) == expect, s"key ${r.getLong(0)} bucket $b")
+    }
+  }
+
+  test("hash samples nest: the 30% sample is a subset of the 60% sample") {
+    val s30 = Sampling.hashSample(keys, col("id"), 30).as[Long].collect().toSet
+    val s60 = Sampling.hashSample(keys, col("id"), 60).as[Long].collect().toSet
+    assert(s30.subsetOf(s60))
+    assert(s30.size < s60.size && s60.size < 2000)
+  }
+
+  test("cleanText is idempotent over random-ish inputs") {
+    val gen = new scala.util.Random(42)
+    val frag = Seq("http://a.b/c?d=1", "x@y.zz", "word", "  ", "\tht tp", "a.b",
+      "https://long.example/path#frag", "e%f", "@", "end.")
+    val texts = (1 to 200).map(_ =>
+      (1 to 1 + gen.nextInt(12)).map(_ => frag(gen.nextInt(frag.length))).mkString(" "))
+    val df = texts.toDF("text")
+    val once = df.select(TextAnalysis.cleanText(col("text")).as("c"))
+    val twice = once.select(TextAnalysis.cleanText(col("c")).as("c"))
+    assert(once.as[String].collect().toSeq == twice.as[String].collect().toSeq)
+  }
+
   test("repetition ratios: repeated tokens score high, unique text scores 0") {
     val df = Seq(
       (1L, "a a a a"), // words: 4 total 1 distinct; bigrams: 3 total 1 distinct
