@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** K-minimum-values sketch as a typed `Aggregator` — the engine's
+  * UDAF-surface exemplar (SURVEY.md §7 anticipated exactly one custom
+  * aggregator for corpus-level stats).
+  *
+  * Keeps the k smallest DISTINCT values of a (portable-hash) column per
+  * group: the classic KMV distinct-count/Jaccard sketch (Bar-Yossef et
+  * al.) — `(k-1) * 2^32 / kth_min` estimates distinct hashes, and
+  * |kmin(A) ∩ kmin(B)| / k estimates resemblance between groups.
+  * Crucially the result is a pure set-min: ORDER-INSENSITIVE and
+  * duplicate-insensitive, so it is deterministic under any partitioning /
+  * merge order — which is what makes it DuckDB-oracle-checkable
+  * (`list_slice(list_sort(list(DISTINCT h)), 1, k)`), unlike
+  * RNG-reservoir or insertion-ordered sketches.
+  *
+  * Scale: the buffer is <= k longs; partial aggregation combines sketches
+  * map-side, so the shuffle carries one <= k-long array per (partition,
+  * group) — corpus-size-independent, the same contract as built-in
+  * partial aggs.
+  */
+case class KMinSketch(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  require(k > 0, s"k must be positive: $k")
+
+  // buffer invariant: sorted ascending, distinct, size <= k
+  override def zero: Seq[Long] = Nil
+
+  override def reduce(b: Seq[Long], v: Long): Seq[Long] =
+    if (b.length == k && v >= b.last) b // fast path: can't enter the sketch
+    else if (b.contains(v)) b
+    else ((b :+ v).sorted: Seq[Long]).take(k)
+
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    (a ++ b).distinct.sorted.take(k)
+
+  override def finish(b: Seq[Long]): Seq[Long] = b
+
+  override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+}
+
+object KMinSketch {
+  /** Aggregation column: k smallest distinct values of `c` (LongType). */
+  def kmin(c: Column, k: Int): Column = udaf(KMinSketch(k)).apply(c)
+}

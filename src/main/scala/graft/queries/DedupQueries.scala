@@ -238,6 +238,34 @@ object DedupQueries {
         Similarity.cosineDupPairs(
           Tables.embeddings(spark, dir), "vec_id", "embedding",
           threshold = 0.4, maxId = 1000L)
+    ),
+    Q(
+      "q54_kmin_sketch",
+      "Per-source KMV sketch via the custom typed Aggregator " +
+        "(graft.functions.KMinSketch): 8 smallest distinct portable " +
+        "content hashes — order/duplicate-insensitive, so deterministic " +
+        "under any partitioning and exactly reproducible by the oracle " +
+        "(rendered as a joined string like q46).",
+      Some("""
+        |SELECT source,
+        |       array_to_string(list_slice(list_sort(list(DISTINCT h)), 1, 8), ',') AS kmin,
+        |       COUNT(*) AS n_docs
+        |FROM (
+        |  SELECT source, CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS h
+        |  FROM documents
+        |)
+        |GROUP BY source
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .select(col("source"),
+            graft.operators.TextAnalysis.portableHash32(col("text")).as("h"))
+          .groupBy("source")
+          .agg(
+            array_join(
+              graft.functions.KMinSketch.kmin(col("h"), 8).cast("array<string>"),
+              ",").as("kmin"),
+            count(lit(1)).as("n_docs"))
     )
   )
 }

@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** KMV sketch aggregator: matches the scalar model, ignores duplicates,
+  * and is invariant to partitioning (merge order).
+  */
+class KMinSketchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("kmin keeps the k smallest distinct values, any partitioning") {
+    val vals = Seq(9L, 3L, 7L, 3L, 1L, 8L, 1L, 5L, 4L, 6L, 2L, 9L)
+    val expect = vals.distinct.sorted.take(4)
+    Seq(1, 3, 7).foreach { parts =>
+      val got = vals.toDF("v").repartition(parts)
+        .agg(KMinSketch.kmin(col("v"), 4).as("s"))
+        .head.getSeq[Long](0)
+      assert(got == expect, s"parts=$parts")
+    }
+  }
+
+  test("buffer stays capped at k and handles fewer-than-k groups") {
+    val df = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("g", "v")
+    val got = df.groupBy("g").agg(KMinSketch.kmin(col("v"), 8).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L) == Seq(10L, 20L))
+    assert(got(2L) == Seq(5L))
+  }
+}
