@@ -491,8 +491,54 @@ object RelationalQueries {
             "o_orderkey", Seq("o_orderkey", "o_totalprice"))
           .select("event_id", "o_orderkey", "o_totalprice")
       }
+    ),
+    Q(
+      "q55_scalar_subquery",
+      "Correlated scalar subquery (per-priority maxima): Catalyst " +
+        "decorrelates it into an aggregate + join — the subquery " +
+        "machinery the reference has no analogue for. The identical SQL " +
+        "text runs through spark.sql and the oracle.",
+      Some(ScalarSubquerySql.sql),
+      (spark, dir) => {
+        graft.GraftCatalog.registerTables(spark, dir)
+        spark.sql(ScalarSubquerySql.sql)
+      }
+    ),
+    Q(
+      "q56_range_frame",
+      "RANGE window frame over event time: decimal-exact 30-day trailing " +
+        "revenue per customer — value-based frames are deterministic under " +
+        "peer-row ties where ROWS frames are not. Identical SQL text in " +
+        "both engines.",
+      Some(RangeFrameSql.sql),
+      (spark, dir) => {
+        graft.GraftCatalog.registerTables(spark, dir)
+        spark.sql(RangeFrameSql.sql)
+      }
     )
   )
+}
+
+/** Shared SQL for q55 (one source of truth for both engines). */
+private object ScalarSubquerySql {
+  val sql: String = """
+    |SELECT o_orderkey, o_orderpriority, o_totalprice
+    |FROM orders o
+    |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+    |                      WHERE o2.o_orderpriority = o.o_orderpriority)
+    |""".stripMargin.trim
+}
+
+/** Shared SQL for q56 (one source of truth for both engines). */
+private object RangeFrameSql {
+  val sql: String = """
+    |SELECT o_custkey, o_orderkey,
+    |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+    |         PARTITION BY o_custkey ORDER BY o_orderdate
+    |         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+    |       ) AS DOUBLE) AS trailing_30d
+    |FROM orders
+    |""".stripMargin.trim
 }
 
 /** The shared SQL text for q25 (one source of truth for both engines). */
