@@ -92,18 +92,28 @@ case class DotProductFF(left: Expression, right: Expression)
         if (mayHoldNullElems(left)) Some(s"$x.isNullAt($i)") else None,
         if (mayHoldNullElems(right)) Some(s"$y.isNullAt($i)") else None
       ).flatten
-      val guard =
-        if (nullChecks.isEmpty) ""
-        else s"if (${nullChecks.mkString(" || ")}) { ${ev.isNull} = true; break; }"
-      s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $guard
-         |  $s += ${get(x, isFloat(left))} * ${get(y, isFloat(right))};
-         |}
-         |if (!${ev.isNull}) { ${ev.value} = $s; }
-       """.stripMargin
+      // With no possible null elements the expression may be NON-nullable,
+      // in which case nullSafeCodeGen never declares the ev.isNull variable
+      // — the branch-free template must not reference it at all.
+      if (nullChecks.isEmpty)
+        s"""
+           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += ${get(x, isFloat(left))} * ${get(y, isFloat(right))};
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      else
+        s"""
+           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if (${nullChecks.mkString(" || ")}) { ${ev.isNull} = true; break; }
+           |  $s += ${get(x, isFloat(left))} * ${get(y, isFloat(right))};
+           |}
+           |if (!${ev.isNull}) { ${ev.value} = $s; }
+         """.stripMargin
     })
 
   override protected def withNewChildrenInternal(

@@ -24,16 +24,23 @@ import org.apache.spark.sql.functions.udaf
   * group) — corpus-size-independent, the same contract as built-in
   * partial aggs.
   */
-case class KMinSketch(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+case class KMinSketch(k: Int) extends Aggregator[java.lang.Long, Seq[Long], Seq[Long]] {
   require(k > 0, s"k must be positive: $k")
 
   // buffer invariant: sorted ascending, distinct, size <= k
   override def zero: Seq[Long] = Nil
 
-  override def reduce(b: Seq[Long], v: Long): Seq[Long] =
+  // Boxed input so NULL arrives as null, not 0 (a primitive Long encoder
+  // reads a NULL slot as 0L — the smallest plausible hash — silently
+  // poisoning the sketch); NULLs are skipped like built-in aggregates and
+  // like the oracle's list(DISTINCT h).
+  override def reduce(b: Seq[Long], boxed: java.lang.Long): Seq[Long] = {
+    if (boxed == null) return b
+    val v = boxed.longValue()
     if (b.length == k && v >= b.last) b // fast path: can't enter the sketch
     else if (b.contains(v)) b
     else ((b :+ v).sorted: Seq[Long]).take(k)
+  }
 
   override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
     (a ++ b).distinct.sorted.take(k)

@@ -59,63 +59,36 @@ object Components {
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-    val edges = numPartitions
-      .map(n => edgesRaw.repartition(n, col("dst")))
-      .getOrElse(edgesRaw.repartition(col("dst")))
-      .persist()
+    // Persist WITHOUT a layout first: the broadcast path scans edges in
+    // place and would never use a hash layout, so repartitioning before
+    // knowing the strategy would be a wasted full-edge shuffle.
+    val edgesBase =
+      numPartitions.map(edgesRaw.coalesce).getOrElse(edgesRaw).persist()
 
-    var labels = edges.select(col("src").as("id")).distinct()
+    var labels = edgesBase.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
     val nodeCount = labels.count()
     val small = nodeCount <= broadcastNodeLimit
-    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val edges = if (small) edgesBase else {
+      // Shuffle path: lay edges out by the probe key ONCE (from the cached
+      // base, not a recompute) so every iteration's sort-merge join reuses
+      // the partitioning; then drop the layout-less copy.
+      val rep = numPartitions
+        .map(n => edgesBase.repartition(n, col("dst")))
+        .getOrElse(edgesBase.repartition(col("dst")))
+        .persist()
+      rep.count()
+      edgesBase.unpersist()
+      rep
+    }
 
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      val labelMap = labels.select(col("id").as("nid"), col("comp").as("lcomp"))
-      val updated = (if (small) {
-        // Fused single pass: real edges PLUS pointer edges u -> comp(u).
-        // For a pointer edge the joined label is comp(comp(u)) — exactly
-        // the pointer-jump term (comp values are always live node ids, so
-        // the join never drops them). One broadcast hash join over the
-        // in-place edge scan, one map-side-combined min.
-        val allEdges = edges.unionByName(
-          labels.select(col("id").as("src"), col("comp").as("dst")))
-        val neighborMin = allEdges
-          .join(hinted(labelMap), col("dst") === col("nid"))
-          .groupBy(col("src"))
-          .agg(min("lcomp").as("ncomp"))
-        labels
-          .join(hinted(neighborMin), col("id") === col("src"), "left")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-            col("comp").as("prev"))
-      } else {
-        // Shuffle path: the edge join keys on dst, matching the persisted
-        // hash layout, so only the node-sized label frame shuffles per
-        // round; the pointer jump is a separate node-sized self-join
-        // (unioning it onto the edges would discard their partitioning).
-        val neighborMin = edges
-          .join(labelMap, col("dst") === col("nid"))
-          .groupBy(col("src"))
-          .agg(min("lcomp").as("ncomp"))
-        val hop = labels
-          .join(labelMap, col("comp") === col("nid"))
-          .select(col("id").as("hid"), col("lcomp").as("hcomp"))
-        labels
-          .join(neighborMin, col("id") === col("src"), "left")
-          .join(hop, col("id") === col("hid"), "left")
-          .select(col("id"),
-            least(col("comp"),
-              coalesce(col("ncomp"), col("comp")),
-              coalesce(col("hcomp"), col("comp"))).as("comp"),
-            col("comp").as("prev"))
-      })
-        // eager checkpoint: truncate lineage NOW; the convergence count then
-        // reads checkpointed blocks, not a recomputation
-        .localCheckpoint(true)
+      // eager checkpoint: truncate lineage NOW; the convergence count then
+      // reads checkpointed blocks, not a recomputation
+      val updated = propagateMin(edges, labels, small).localCheckpoint(true)
       changed = updated.filter(col("comp") =!= col("prev")).count()
       // The previous round's checkpoint blocks are NOT freed by
       // Dataset.unpersist (localCheckpoint persists at the RDD level,
@@ -126,6 +99,53 @@ object Components {
     }
     edges.unpersist()
     labels
+  }
+
+  /** One min-propagation round: (id, comp, prev) from (edges, labels).
+    * Package-visible so plan specs pin the REAL iteration's strategy.
+    */
+  private[graft] def propagateMin(
+      edges: DataFrame, labels: DataFrame, small: Boolean): DataFrame = {
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val labelMap = labels.select(col("id").as("nid"), col("comp").as("lcomp"))
+    if (small) {
+      // Fused single pass: real edges PLUS pointer edges u -> comp(u).
+      // For a pointer edge the joined label is comp(comp(u)) — exactly
+      // the pointer-jump term (comp values are always live node ids, so
+      // the join never drops them). One broadcast hash join over the
+      // in-place edge scan, one map-side-combined min.
+      val allEdges = edges.unionByName(
+        labels.select(col("id").as("src"), col("comp").as("dst")))
+      val neighborMin = allEdges
+        .join(hinted(labelMap), col("dst") === col("nid"))
+        .groupBy(col("src"))
+        .agg(min("lcomp").as("ncomp"))
+      labels
+        .join(hinted(neighborMin), col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
+    } else {
+      // Shuffle path: the edge join keys on dst, matching the persisted
+      // hash layout, so only the node-sized label frame shuffles per
+      // round; the pointer jump is a separate node-sized self-join
+      // (unioning it onto the edges would discard their partitioning).
+      val neighborMin = edges
+        .join(labelMap, col("dst") === col("nid"))
+        .groupBy(col("src"))
+        .agg(min("lcomp").as("ncomp"))
+      val hop = labels
+        .join(labelMap, col("comp") === col("nid"))
+        .select(col("id").as("hid"), col("lcomp").as("hcomp"))
+      labels
+        .join(neighborMin, col("id") === col("src"), "left")
+        .join(hop, col("id") === col("hid"), "left")
+        .select(col("id"),
+          least(col("comp"),
+            coalesce(col("ncomp"), col("comp")),
+            coalesce(col("hcomp"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
+    }
   }
 
   /** Dedup by components: drop every document that is not its cluster's

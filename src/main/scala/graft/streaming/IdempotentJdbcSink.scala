@@ -38,11 +38,28 @@ object IdempotentJdbcSink {
     val withId = batch.withColumn("batch_id", lit(batchId))
     val conn = DriverManager.getConnection(url, properties)
     try {
-      val exists = {
-        val rs = conn.getMetaData.getTables(null, null, "%", null)
-        try Iterator.continually(rs).takeWhile(_.next())
-          .exists(_.getString("TABLE_NAME").equalsIgnoreCase(table))
-        finally rs.close()
+      // Probe the SPECIFIC (schema, table): a bare all-schema name scan
+      // would report a same-named table from an unrelated schema and then
+      // DELETE against the (absent) default-schema one. Identifier folding
+      // varies per engine, so upper/lower variants are tried, with LIKE
+      // metacharacters escaped (same contract as JdbcSink.write). For
+      // multi-schema targets pass a schema-qualified `table`.
+      val meta = conn.getMetaData
+      val esc = meta.getSearchStringEscape
+      def escape(s: String): String =
+        s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+      def variants(s: String): Seq[String] =
+        Seq(s, s.toUpperCase, s.toLowerCase).distinct
+      val (schemaPart, tablePart) = table.split("\\.", 2) match {
+        case Array(s, t) => (Some(s), t)
+        case _ => (None, table)
+      }
+      val exists = variants(tablePart).exists { t =>
+        val schemaPatterns = schemaPart.map(variants(_).map(escape)).getOrElse(Seq(null))
+        schemaPatterns.exists { sp =>
+          val rs = meta.getTables(null, sp, escape(t), null)
+          try rs.next() finally rs.close()
+        }
       }
       if (exists) {
         // Spark's JDBC writer creates case-preserving QUOTED column names,

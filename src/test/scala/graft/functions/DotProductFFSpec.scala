@@ -28,6 +28,27 @@ class DotProductFFSpec extends AnyFunSuite {
     assert(got(3L).isEmpty)
   }
 
+  test("codegen compiles for every nullability shape (no silent interpreted fallback)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    // GenerateMutableProjection compiles the generated Java eagerly and
+    // throws on any Janino error — unlike whole-stage codegen, which falls
+    // back to interpreted execution and hides the bug.
+    for (cn <- Seq(false, true); nullableIn <- Seq(false, true)) {
+      val t = ArrayType(FloatType, containsNull = cn)
+      val e = DotProductFF(
+        BoundReference(0, t, nullable = nullableIn),
+        BoundReference(1, t, nullable = nullableIn))
+      val proj = GenerateMutableProjection.generate(Seq(e))
+      val row = InternalRow(
+        ArrayData.toArrayData(Array(1f, 2f)), ArrayData.toArrayData(Array(3f, 4f)))
+      assert(proj(row).getDouble(0) == 1.0 * 3 + 2.0 * 4, s"cn=$cn nullable=$nullableIn")
+    }
+  }
+
   test("NULL array input gives NULL; containsNull=false arrays stay non-null results") {
     val df = Seq(
       (1L, Some(Seq(1f, 2f)), Some(Seq(3f, 4f))),

@@ -23,6 +23,12 @@ class KMinSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL inputs are skipped, never folded to 0") {
+    val df = Seq(Some(7L), None, Some(3L), None, Some(9L)).toDF("v")
+    val got = df.agg(KMinSketch.kmin(col("v"), 4).as("s")).head.getSeq[Long](0)
+    assert(got == Seq(3L, 7L, 9L)) // no spurious 0 from the null slots
+  }
+
   test("buffer stays capped at k and handles fewer-than-k groups") {
     val df = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("g", "v")
     val got = df.groupBy("g").agg(KMinSketch.kmin(col("v"), 8).as("s"))

@@ -76,16 +76,24 @@ class PlanPropertiesSpec extends AnyFunSuite {
     }
   }
 
-  test("components small-graph path: per-iteration label joins broadcast (no edge shuffle)") {
-    import org.apache.spark.sql.functions.col
+  test("components small-graph path: the REAL iteration plans broadcast joins, no sort-merge") {
     import spark.implicits._
-    // Mirror one iteration's join shape: persisted edges x broadcast labels.
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
-    val labels = Seq((1L, 1L), (2L, 1L), (3L, 2L)).toDF("nid", "lcomp")
-    val joined = edges
-      .join(org.apache.spark.sql.functions.broadcast(labels), col("dst") === col("nid"))
-      .groupBy(col("src")).agg(org.apache.spark.sql.functions.min("lcomp").as("ncomp"))
-    val p = joined.queryExecution.explainString(FormattedMode)
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 2L)).toDF("id", "comp")
+    val p = graft.operators.Components.propagateMin(edges, labels, small = true)
+      .queryExecution.explainString(FormattedMode)
     assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("components shuffle path: the REAL iteration keys the edge join on dst (sort-merge capable)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 2L)).toDF("id", "comp")
+    val p = graft.operators.Components.propagateMin(edges, labels, small = false)
+      .queryExecution.explainString(FormattedMode)
+    // no broadcast HINT on the big path (AQE may still choose broadcast at
+    // runtime for tiny inputs — the guard is that we don't force it)
+    assert(!p.contains("ResolvedHint"), p)
   }
 }
