@@ -55,9 +55,14 @@ object Components {
     // when the graph is small relative to the session's shuffle partitions;
     // callers that know the graph is modest can shrink it (scale runs leave
     // it None and inherit the session parallelism).
+    // Symmetrize by EXPLODING both orientations out of one pass — a
+    // self-union would embed the (often expensive: LSH banding, cosine
+    // pair) `pairs` subtree twice and evaluate it per branch.
     val edgesRaw = pairs
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
     // Persist WITHOUT a layout first: the broadcast path scans edges in
     // place and would never use a hash layout, so repartitioning before
