@@ -108,6 +108,30 @@ object Multimodal {
     }))
   }
 
+  /** STUB feature extraction: a deterministic pseudo-embedding expanded
+    * from the payload hash — the seam where a vision/audio encoder model
+    * call goes in production (same batched mapPartitions shape, so a
+    * model with per-call setup amortizes over `batchSize`). Identical
+    * payloads embed identically, so the output feeds the engine's
+    * similarity/dedup stack unchanged: near-dup media detection is
+    * embed -> [[Similarity.cosineDupPairs]] / ANN top-k, exactly like
+    * text embeddings.
+    */
+  def embedStub(payload: Array[Byte], dim: Int): Array[Float] =
+    Array.tabulate(dim) { j =>
+      val h = graft.functions.PortableHash32.hash32(payload :+ j.toByte)
+      (h / 2147483648.0 - 1.0).toFloat // [0, 2^32) -> [-1, 1)
+    }
+
+  /** Batched embedding stage: (doc_id, embedding ArrayType(FloatType)). */
+  def embed(ds: Dataset[MediaRecord], dim: Int = 16,
+      batchSize: Int = 64): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.map { rec =>
+      (rec.doc_id, embedStub(rec.payload, dim))
+    })).toDF("doc_id", "embedding")
+  }
+
   /** One sampled "frame" per media record: a deterministic slice of the
     * payload at a hash-chosen offset (STUB for video frame extraction —
     * the schema (doc_id, frame_idx, frame bytes) and the one-to-many

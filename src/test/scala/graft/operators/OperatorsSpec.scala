@@ -182,4 +182,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frames.map(_._2).sorted.sameElements(Array(0, 1, 2)))
     assert(frames.forall(f => f._3.nonEmpty && f._3.length <= 16))
   }
+
+  test("multimodal embed feeds the similarity stack: byte-identical media are exact dups") {
+    // three media records, two with identical payloads
+    val media = Multimodal.payloadFromText(
+      docs((1L, "same bytes"), (2L, "same bytes"), (3L, "different content")),
+      "doc_id", "text").as[MediaRecord]
+    val emb = Multimodal.embed(media, dim = 16)
+    assert(emb.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false))
+    // identical payloads -> identical embeddings -> cosine 1.0 pair out of
+    // the SAME near-dup operator the text/embedding path uses
+    val dups = Similarity.cosineDupPairs(emb, "doc_id", "embedding",
+      threshold = 0.999, maxId = 100L)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(dups.contains((1L, 2L)))
+    assert(!dups.exists(p => p._1 == 3L || p._2 == 3L))
+    // deterministic across evaluations
+    val again = Multimodal.embed(media, dim = 16).collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val first = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(again == first)
+  }
 }
