@@ -54,4 +54,13 @@ case class KMinSketch(k: Int) extends Aggregator[java.lang.Long, Seq[Long], Seq[
 object KMinSketch {
   /** Aggregation column: k smallest distinct values of `c` (LongType). */
   def kmin(c: Column, k: Int): Column = udaf(KMinSketch(k)).apply(c)
+
+  /** SQL name for the fixed-k=8 variant (UDAFs take constructor params,
+    * not SQL args, so the SQL surface pins one k).
+    */
+  val sqlName8 = "kmin_sketch8"
+
+  /** Session registration so `kmin_sketch8(col)` works from plain SQL. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.udf.register(sqlName8, udaf(KMinSketch(8)))
 }

@@ -84,5 +84,6 @@ object GraftFunctions {
     DotProductFF.register(spark)
     PortableHash32.register(spark)
     RollingFingerprint.register(spark)
+    KMinSketch.register(spark)
   }
 }

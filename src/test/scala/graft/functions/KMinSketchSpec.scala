@@ -29,6 +29,15 @@ class KMinSketchSpec extends AnyFunSuite {
     assert(got == Seq(3L, 7L, 9L)) // no spurious 0 from the null slots
   }
 
+  test("SQL surface: kmin_sketch8 callable from plain SQL after registration") {
+    GraftFunctions.register(spark)
+    Seq((1L, 9L), (1L, 2L), (1L, 2L), (1L, 5L)).toDF("g", "v")
+      .createOrReplaceTempView("kmin_in")
+    val got = spark.sql("SELECT kmin_sketch8(v) AS s FROM kmin_in GROUP BY g")
+      .head.getSeq[Long](0)
+    assert(got == Seq(2L, 5L, 9L))
+  }
+
   test("buffer stays capped at k and handles fewer-than-k groups") {
     val df = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("g", "v")
     val got = df.groupBy("g").agg(KMinSketch.kmin(col("v"), 8).as("s"))
