@@ -11,6 +11,24 @@ import graft.operators.TextAnalysis
   */
 object TextQueries {
 
+  /** DuckDB rendering of [[TextAnalysis.cleanText]] over `src` (single
+    * source of truth for q48 and the q57 curation pipeline).
+    */
+  private def cleanSql(src: String): String =
+    s"""trim(regexp_replace(regexp_replace(regexp_replace($src,
+       |         'https?://\\S+', ' ', 'g'),
+       |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', ' ', 'g'),
+       |         '\\s+', ' ', 'g'))""".stripMargin
+
+  /** DuckDB rendering of [[TextAnalysis.qualityScore]] given precomputed
+    * DOUBLE columns chars/toks/punct/stops in scope.
+    */
+  private val qualitySql: String =
+    """((CASE WHEN chars / greatest(toks, 1.0) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+      |        + (CASE WHEN punct / greatest(toks, 1.0) <= 0.3 THEN 1.0 ELSE 0.0 END)
+      |        + (CASE WHEN stops / greatest(toks, 1.0) >= 0.05 THEN 1.0 ELSE 0.0 END)
+      |        + (CASE WHEN chars BETWEEN 50.0 AND 100000.0 THEN 1.0 ELSE 0.0 END)) / 4.0""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q(
       "q50_token_count",
@@ -122,10 +140,7 @@ object TextQueries {
         "signal. Pure codegen'd regex chain (no UDF, no shuffle).",
       Some(s"""
         |SELECT doc_id,
-        |       trim(regexp_replace(regexp_replace(regexp_replace(text,
-        |         'https?://\\S+', ' ', 'g'),
-        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', ' ', 'g'),
-        |         '\\s+', ' ', 'g')) AS clean_text,
+        |       ${cleanSql("text")} AS clean_text,
         |       CAST(len(regexp_extract_all(text, 'https?://\\S+')) AS INTEGER) AS n_urls
         |FROM documents
         |""".stripMargin.trim),
@@ -159,6 +174,54 @@ object TextQueries {
           col("doc_id"),
           TextAnalysis.bigramRepetitionRatio(col("text")).as("bigram_rep"),
           TextAnalysis.wordRepetitionRatio(col("text")).as("word_rep"))
+    ),
+    Q(
+      "q57_curation_pipeline",
+      "The capstone composition every training corpus runs: clean (q48) -> " +
+        "quality floor (q51) -> exact dedup on the cleaned fingerprint, " +
+        "keep min-id (q30) -> deterministic split (q38) — one lazy plan, " +
+        "one shuffle (the dedup groupBy; cleaning/scoring/splitting are " +
+        "narrow).",
+      Some(s"""
+        |WITH cleaned AS (
+        |  SELECT doc_id, ${cleanSql("text")} AS clean FROM documents
+        |), scored AS (
+        |  SELECT doc_id, clean FROM (
+        |    SELECT doc_id, clean,
+        |           CAST(LENGTH(clean) AS DOUBLE) AS chars,
+        |           CAST(len(string_split_regex(trim(clean), '\\s+')) AS DOUBLE) AS toks,
+        |           CAST(len(regexp_extract_all(clean, '[.!?,;:]')) AS DOUBLE) AS punct,
+        |           CAST(len(regexp_extract_all(lower(clean), '\\b(the|and|of|to|in|is|a)\\b')) AS DOUBLE) AS stops
+        |    FROM cleaned
+        |  ) WHERE $qualitySql >= 0.5
+        |), keep AS (
+        |  SELECT md5(clean) AS fp, min(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |  FROM scored GROUP BY 1
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN b < 80 THEN 'train'
+        |            WHEN b < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       n_copies
+        |FROM (
+        |  SELECT doc_id, n_copies,
+        |         CAST('0x' || substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+        |  FROM keep
+        |)
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        val cleaned = Tables.documents(spark, dir)
+          .select(col("doc_id"), TextAnalysis.cleanText(col("text")).as("clean"))
+        val scored = cleaned
+          .filter(TextAnalysis.qualityScore(col("clean")) >= 0.5)
+        val keep = scored
+          .groupBy(md5(col("clean").cast("binary")).as("fp"))
+          .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        keep.select(
+          col("doc_id"),
+          graft.operators.Sampling.splitLabel(col("doc_id"), salt = "cur:").as("split"),
+          col("n_copies"))
+      }
     )
   )
 }

@@ -76,6 +76,12 @@ class PlanPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("q57: the whole curation pipeline costs exactly one shuffle (the dedup groupBy)") {
+    val p = plan("q57_curation_pipeline")
+    val exchanges = p.sliding("Exchange (".length).count(_ == "Exchange (")
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+  }
+
   test("components small-graph path: the REAL iteration plans broadcast joins, no sort-merge") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
