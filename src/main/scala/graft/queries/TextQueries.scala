@@ -177,26 +177,29 @@ object TextQueries {
     ),
     Q(
       "q57_curation_pipeline",
-      "The capstone composition every training corpus runs: clean (q48) -> " +
-        "quality floor (q51) -> exact dedup on the cleaned fingerprint, " +
-        "keep min-id (q30) -> deterministic split (q38) — one lazy plan, " +
-        "one shuffle (the dedup groupBy; cleaning/scoring/splitting are " +
-        "narrow).",
+      "The capstone composition every training corpus runs: quality floor " +
+        "(q51) FIRST on the raw column — a filter over plain attribute " +
+        "references pushes to the scan; scoring the cleaned alias instead " +
+        "would inline the regex chain into every one of the predicate's " +
+        "~6 references — then clean (q48) only the survivors, exact-dedup " +
+        "on the cleaned fingerprint keeping min-id (q30), and " +
+        "deterministically split (q38). One lazy plan, ONE shuffle (the " +
+        "dedup groupBy); everything else is narrow.",
       Some(s"""
-        |WITH cleaned AS (
-        |  SELECT doc_id, ${cleanSql("text")} AS clean FROM documents
-        |), scored AS (
-        |  SELECT doc_id, clean FROM (
-        |    SELECT doc_id, clean,
-        |           CAST(LENGTH(clean) AS DOUBLE) AS chars,
-        |           CAST(len(string_split_regex(trim(clean), '\\s+')) AS DOUBLE) AS toks,
-        |           CAST(len(regexp_extract_all(clean, '[.!?,;:]')) AS DOUBLE) AS punct,
-        |           CAST(len(regexp_extract_all(lower(clean), '\\b(the|and|of|to|in|is|a)\\b')) AS DOUBLE) AS stops
-        |    FROM cleaned
+        |WITH scored AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |           CAST(LENGTH(text) AS DOUBLE) AS chars,
+        |           CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS toks,
+        |           CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) AS punct,
+        |           CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a)\\b')) AS DOUBLE) AS stops
+        |    FROM documents
         |  ) WHERE $qualitySql >= 0.5
+        |), cleaned AS (
+        |  SELECT doc_id, ${cleanSql("text")} AS clean FROM scored
         |), keep AS (
         |  SELECT md5(clean) AS fp, min(doc_id) AS doc_id, COUNT(*) AS n_copies
-        |  FROM scored GROUP BY 1
+        |  FROM cleaned GROUP BY 1
         |)
         |SELECT doc_id,
         |       CASE WHEN b < 80 THEN 'train'
@@ -210,11 +213,11 @@ object TextQueries {
         |)
         |""".stripMargin.trim),
       (spark, dir) => {
-        val cleaned = Tables.documents(spark, dir)
+        val scored = Tables.documents(spark, dir)
+          .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+        val cleaned = scored
           .select(col("doc_id"), TextAnalysis.cleanText(col("text")).as("clean"))
-        val scored = cleaned
-          .filter(TextAnalysis.qualityScore(col("clean")) >= 0.5)
-        val keep = scored
+        val keep = cleaned
           .groupBy(md5(col("clean").cast("binary")).as("fp"))
           .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
         keep.select(
