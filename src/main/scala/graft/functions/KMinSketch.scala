@@ -60,7 +60,11 @@ object KMinSketch {
     */
   val sqlName8 = "kmin_sketch8"
 
+  // Built once: udaf() derives encoders reflectively — per-call rebuilding
+  // would pay that on every operator invocation that re-registers.
+  private lazy val udaf8 = udaf(KMinSketch(8))
+
   /** Session registration so `kmin_sketch8(col)` works from plain SQL. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.udf.register(sqlName8, udaf(KMinSketch(8)))
+    spark.udf.register(sqlName8, udaf8)
 }

@@ -117,11 +117,22 @@ object Multimodal {
     * embed -> [[Similarity.cosineDupPairs]] / ANN top-k, exactly like
     * text embeddings.
     */
-  def embedStub(payload: Array[Byte], dim: Int): Array[Float] =
+  def embedStub(payload: Array[Byte], dim: Int): Array[Float] = {
+    // Digest the payload ONCE, then expand per-dimension from the 16-byte
+    // digest + a FULL 4-byte index: O(payload + dim) per record instead of
+    // O(dim x payload), and no j.toByte truncation (which would alias
+    // dimensions 256 apart and silently halve effective dimensionality).
+    val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
     Array.tabulate(dim) { j =>
-      val h = graft.functions.PortableHash32.hash32(payload :+ j.toByte)
+      val withIdx = java.util.Arrays.copyOf(d, d.length + 4)
+      withIdx(d.length) = (j >>> 24).toByte
+      withIdx(d.length + 1) = (j >>> 16).toByte
+      withIdx(d.length + 2) = (j >>> 8).toByte
+      withIdx(d.length + 3) = j.toByte
+      val h = graft.functions.PortableHash32.hash32(withIdx)
       (h / 2147483648.0 - 1.0).toFloat // [0, 2^32) -> [-1, 1)
     }
+  }
 
   /** Batched embedding stage: (doc_id, embedding ArrayType(FloatType)). */
   def embed(ds: Dataset[MediaRecord], dim: Int = 16,

@@ -202,5 +202,9 @@ class OperatorsSpec extends AnyFunSuite {
     val again = Multimodal.embed(media, dim = 16).collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     val first = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(again == first)
+    // wide embeddings: dimension j and j+256 must NOT alias (full 4-byte
+    // index in the expansion, not a truncated byte)
+    val wide = Multimodal.embedStub("payload".getBytes("UTF-8"), 300)
+    assert(!(0 until 44).forall(j => wide(j) == wide(j + 256)))
   }
 }
