@@ -122,6 +122,52 @@ object Dedup {
       .select(col(idCol), expr(s"CAST($combined AS BIGINT)").as("simhash"))
   }
 
+  /** SimHash near-dup PAIRS within Hamming radius `radius`, via the
+    * pigeonhole block join: the 16-bit sketch splits into `radius + 1`
+    * blocks, and any two sketches within Hamming `radius` must agree
+    * EXACTLY on at least one block (at most `radius` bits differ, so they
+    * cannot touch all blocks) — candidates join on (block_idx,
+    * block_value), never all-pairs, then the exact
+    * `bit_count(xor) <= radius` check verifies. The same
+    * banding-to-equality trick MinHash-LSH uses, applied to Hamming
+    * space; at corpus scale the join shuffles (block_key, id, sketch)
+    * rows — a few dozen bytes per doc per block.
+    */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      radius: Int = 2): DataFrame = {
+    require(radius >= 0 && radius < 16, s"radius out of range: $radius")
+    val blocks = radius + 1
+    val bitsPer = 16 / blocks
+    val sims = simhash16(df, textCol, idCol)
+    val blockStructs = (0 until blocks).map { b =>
+      val lo = b * bitsPer
+      val width = if (b == blocks - 1) 16 - lo else bitsPer
+      val mask = (1L << width) - 1L
+      struct(
+        lit(b).as("bidx"),
+        (shiftright(col("simhash"), lo).bitwiseAND(lit(mask))).as("bval"))
+    }
+    val exploded = sims.select(
+      col(idCol), col("simhash"), explode(array(blockStructs: _*)).as("blk"))
+      .select(col(idCol), col("simhash"),
+        col("blk.bidx").as("bidx"), col("blk.bval").as("bval"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b,
+        col("a.bidx") === col("b.bidx") &&
+          col("a.bval") === col("b.bval") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("doc_a"),
+        col(s"b.$idCol").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= radius)
+      .distinct() // a pair can agree on several blocks
+  }
+
   /** Character n-gram Jaccard similarity for all pairs within the given
     * subset: documents explode to distinct n-grams, pairs form via an
     * n-gram-keyed self-join (shuffle on the n-gram — never on the pair),

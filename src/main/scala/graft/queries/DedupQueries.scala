@@ -36,6 +36,26 @@ object DedupQueries {
        |  FROM wh GROUP BY doc_id
        |)""".stripMargin
 
+  /** Full (doc_id, simhash) query text — q33's oracle, reused as a
+    * subquery by q58's pair oracle.
+    */
+  private val duckSimhashSql: String = {
+    val votes = (0 until 16)
+      .map(j => s"CAST(SUM(((h >> $j) & 1) * 2 - 1) AS BIGINT) AS s$j")
+      .mkString(",\n         ")
+    val combined = (0 until 16)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH wh AS (
+       |${duckWordHashes(distinctWords = false)}
+       |), v AS (
+       |  SELECT doc_id,
+       |         $votes
+       |  FROM wh GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST($combined AS BIGINT) AS simhash FROM v""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "q30_dedup_exact",
@@ -86,23 +106,30 @@ object DedupQueries {
       "q33_simhash",
       "16-bit SimHash sketch: per-bit majority vote over word-hash bits — " +
         "near-dups land within small Hamming distance.",
-      Some {
-        val votes = (0 until 16)
-          .map(j => s"CAST(SUM(((h >> $j) & 1) * 2 - 1) AS BIGINT) AS s$j")
-          .mkString(",\n         ")
-        val combined = (0 until 16)
-          .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
-          .mkString(" + ")
-        s"""WITH wh AS (
-           |${duckWordHashes(distinctWords = false)}
-           |), v AS (
-           |  SELECT doc_id,
-           |         $votes
-           |  FROM wh GROUP BY doc_id
-           |)
-           |SELECT doc_id, CAST($combined AS BIGINT) AS simhash FROM v""".stripMargin
-      },
+      Some(duckSimhashSql),
       (spark, dir) => Dedup.simhash16(Tables.documents(spark, dir), "text", "doc_id")
+    ),
+    Q(
+      "q58_simhash_pairs",
+      "SimHash near-dup PAIRS within Hamming radius 2 via the pigeonhole " +
+        "block join (3 blocks: <= 2 differing bits must leave one block " +
+        "identical) — banding-to-equality in Hamming space; the exact " +
+        "bit_count(xor) check verifies candidates. Oracle: all-pairs " +
+        "Hamming filter (tractable at oracle scale; the block join is " +
+        "what scales).",
+      Some(s"""
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM (
+        |$duckSimhashSql
+        |) a JOIN (
+        |$duckSimhashSql
+        |) b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Dedup.simhashNearDupPairs(
+          Tables.documents(spark, dir), "text", "doc_id", radius = 2)
     ),
     Q(
       "q34_ngram_jaccard",

@@ -53,6 +53,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s.values.forall(v => v >= 0 && v < 65536))
   }
 
+  test("simhash block join finds exactly the brute-force Hamming<=r pair set") {
+    val gen = new scala.util.Random(7)
+    val vocab = Seq("spark", "query", "join", "table", "row", "fast", "slow",
+      "data", "hash", "sort", "agg", "window", "batch", "stream")
+    val df = docs((1L to 40L).map(i =>
+      (i, Seq.fill(8)(vocab(gen.nextInt(vocab.length))).mkString(" "))): _*)
+    val sims = Dedup.simhash16(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sims.keys; b <- sims.keys if a < b
+      h = java.lang.Long.bitCount(sims(a) ^ sims(b)) if h <= 2
+    } yield (a, b, h)).toSet
+    val got = Dedup.simhashNearDupPairs(df, "text", "doc_id", radius = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute)
+  }
+
   test("ngram jaccard: identical docs = 1.0; disjoint docs absent") {
     val df = docs((1L, "abcdefgh"), (2L, "abcdefgh"), (3L, "zzzzyyyy"))
     val pairs = Dedup.ngramJaccardPairs(df, "text", "doc_id", 3, 0.5).collect()
