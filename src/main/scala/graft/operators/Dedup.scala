@@ -132,6 +132,12 @@ object Dedup {
     * banding-to-equality trick MinHash-LSH uses, applied to Hamming
     * space; at corpus scale the join shuffles (block_key, id, sketch)
     * rows — a few dozen bytes per doc per block.
+    *
+    * Width note: 16-bit sketches saturate around 10^4 documents (random
+    * Hamming-2 balls start colliding); a production corpus widens the
+    * sketch (64-bit votes over 64-bit word hashes) through this same
+    * vote/block machinery — the block count and the pigeonhole argument
+    * are width-independent.
     */
   def simhashNearDupPairs(
       df: DataFrame,

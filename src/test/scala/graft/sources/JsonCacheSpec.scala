@@ -54,4 +54,20 @@ class JsonCacheSpec extends AnyFunSuite {
     assert(back.filter(col("start_time") === 1700000000123456789L).count() == 1)
     assert(back.filter(col("duration_ms").isNull).count() == 1)
   }
+
+  test("a malformed cache chunk degrades to null rows; good chunks survive") {
+    // mirrors the reference's O3 tolerance posture: one bad file must not
+    // kill the run (its empty-file GC exists because crashes left bad
+    // chunks behind). Spark's PERMISSIVE JSON mode nulls the bad record.
+    val dir = Files.createTempDirectory("badcache")
+    Files.writeString(dir.resolve("good.0.json"),
+      """[{"start_time":"1","tag":"ok"}]""")
+    Files.writeString(dir.resolve("bad.0.json"), """[{"start_time": TRUNC""")
+    val target = StructType(Seq(
+      StructField("start_time", LongType),
+      StructField("tag", StringType)))
+    val back = JsonCache.read(spark, dir.toString, target, arrayPerFile = true).collect()
+    assert(back.exists(r => !r.isNullAt(0) && r.getLong(0) == 1L && r.getString(1) == "ok"))
+    assert(back.forall(r => r.isNullAt(0) || r.getLong(0) == 1L)) // bad file -> nulls only
+  }
 }
