@@ -40,7 +40,12 @@ object Tables {
     * `LongType` — which is also the reference's own representation
     * (int64 ns operated on as BigInt, `/root/reference/main.js:158-162`).
     * The conf only affects NANOS-precision parquet columns, so leaving it
-    * set is harmless for every other table.
+    * set is harmless for every other table. It IS session-sticky by
+    * design (the flag must be live whenever this DataFrame plans/executes,
+    * so restoring it here would be a use-after-free): in a session shared
+    * with foreign code that reads ns-precision parquet and expects the
+    * PARQUET_TYPE_ILLEGAL error or µs semantics, isolate with
+    * `spark.newSession()`.
     */
   def eventsTsNs(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -29,6 +29,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * queries must only apply dot_ff to null-free embeddings — true of every
   * registry query; the element-null path exists so foreign data fails
   * loudly-as-NULL instead of corrupting similarity scores.
+  *
+  * LENGTH CONTRACT: arrays of different lengths consume the common prefix
+  * — deliberately identical to the oracle form (DuckDB `list_zip` pads the
+  * shorter list with NULLs, the NULL products drop out of `list_sum`).
+  * Mixed-dimensionality embedding tables therefore produce prefix dot
+  * products in BOTH engines, not an error; validate dimensions upstream
+  * when that matters.
   */
 case class DotProductFF(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -69,41 +69,49 @@ object Components {
     // knowing the strategy would be a wasted full-edge shuffle.
     val edgesBase =
       numPartitions.map(edgesRaw.coalesce).getOrElse(edgesRaw).persist()
+    var edgesRep: Option[DataFrame] = None
+    // guarded: a failure anywhere past the persist must not leak the
+    // (largest) cached intermediate into a long-lived session; unpersist
+    // on an already-dropped handle is a no-op, so both are always released
+    try {
+      var labels = edgesBase.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id"))
+        .localCheckpoint(true)
+      val nodeCount = labels.count()
+      val small = nodeCount <= broadcastNodeLimit
+      val edges = if (small) edgesBase else {
+        // Shuffle path: lay edges out by the probe key ONCE (from the
+        // cached base, not a recompute) so every iteration's sort-merge
+        // join reuses the partitioning; then drop the layout-less copy.
+        val rep = numPartitions
+          .map(n => edgesBase.repartition(n, col("dst")))
+          .getOrElse(edgesBase.repartition(col("dst")))
+          .persist()
+        edgesRep = Some(rep)
+        rep.count()
+        edgesBase.unpersist()
+        rep
+      }
 
-    var labels = edgesBase.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
-    val nodeCount = labels.count()
-    val small = nodeCount <= broadcastNodeLimit
-    val edges = if (small) edgesBase else {
-      // Shuffle path: lay edges out by the probe key ONCE (from the cached
-      // base, not a recompute) so every iteration's sort-merge join reuses
-      // the partitioning; then drop the layout-less copy.
-      val rep = numPartitions
-        .map(n => edgesBase.repartition(n, col("dst")))
-        .getOrElse(edgesBase.repartition(col("dst")))
-        .persist()
-      rep.count()
+      var iter = 0
+      var changed = 1L
+      while (changed > 0 && iter < maxIter) {
+        // eager checkpoint: truncate lineage NOW; the convergence count
+        // then reads checkpointed blocks, not a recomputation
+        val updated = propagateMin(edges, labels, small).localCheckpoint(true)
+        changed = updated.filter(col("comp") =!= col("prev")).count()
+        // The previous round's checkpoint blocks are NOT freed by
+        // Dataset.unpersist (localCheckpoint persists at the RDD level,
+        // outside the CacheManager); dropping the reference here lets the
+        // ContextCleaner reclaim them asynchronously once GC'd.
+        labels = updated.select("id", "comp")
+        iter += 1
+      }
+      labels
+    } finally {
       edgesBase.unpersist()
-      rep
+      edgesRep.foreach(_.unpersist())
     }
-
-    var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      // eager checkpoint: truncate lineage NOW; the convergence count then
-      // reads checkpointed blocks, not a recomputation
-      val updated = propagateMin(edges, labels, small).localCheckpoint(true)
-      changed = updated.filter(col("comp") =!= col("prev")).count()
-      // The previous round's checkpoint blocks are NOT freed by
-      // Dataset.unpersist (localCheckpoint persists at the RDD level,
-      // outside the CacheManager); dropping the reference here lets the
-      // ContextCleaner reclaim them asynchronously once GC'd.
-      labels = updated.select("id", "comp")
-      iter += 1
-    }
-    edges.unpersist()
-    labels
   }
 
   /** One min-propagation round: (id, comp, prev) from (edges, labels).

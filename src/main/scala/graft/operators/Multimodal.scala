@@ -61,9 +61,18 @@ object Multimodal {
     (width, height, format)
   }
 
+  // Reused per thread: a fresh getInstance per record is a JCA provider
+  // lookup + allocation in the per-row hot path (same pattern as
+  // PortableHash32's digest).
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  private def md5Digest(bytes: Array[Byte]): Array[Byte] = {
+    val md = md5.get(); md.reset(); md.digest(bytes)
+  }
+
   def md5Hex(bytes: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(bytes).map(b => f"${b & 0xff}%02x").mkString
+    md5Digest(bytes).map(b => f"${b & 0xff}%02x").mkString
 
   /** The decode stage: batched per-partition iteration (batch shape mirrors
     * an Arrow-batch UDF boundary — records are processed `batchSize` at a
@@ -122,7 +131,7 @@ object Multimodal {
     // digest + a FULL 4-byte index: O(payload + dim) per record instead of
     // O(dim x payload), and no j.toByte truncation (which would alias
     // dimensions 256 apart and silently halve effective dimensionality).
-    val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    val d = md5Digest(payload)
     Array.tabulate(dim) { j =>
       val withIdx = java.util.Arrays.copyOf(d, d.length + 4)
       withIdx(d.length) = (j >>> 24).toByte

@@ -94,6 +94,15 @@ object JdbcSink {
   /** O14+O15+O16+O17: ensure table exists (via a direct JDBC connection —
     * Spark's writer cannot express PRIMARY KEY), generate the UID surrogate
     * key, coerce types, append with batched inserts.
+    *
+    * Rerun semantics: the default `uuid()` UID mirrors the reference
+    * (O15, a fresh v4 per insert) and therefore CANNOT make reruns
+    * idempotent — after a partial failure, re-running appends committed
+    * partitions again under new UIDs. For rerun-safe appends pass a df
+    * that already carries a content-derived `UID` column (it is kept
+    * verbatim — see `TracePipeline.withDeterministicUid`), so the PRIMARY
+    * KEY rejects re-inserted rows; for streaming, use
+    * [[graft.streaming.IdempotentJdbcSink]].
     */
   def write(
       df: DataFrame,
@@ -119,12 +128,25 @@ object JdbcSink {
       // three. getTables treats the name as a LIKE pattern, so escape
       // '_'/'%' with the driver's escape string or "my_table" would match
       // an unrelated "myXtable" and silently skip the PK-bearing CREATE.
+      // Probe the SPECIFIC schema when `table` is qualified — a null
+      // schema pattern matches same-named tables in unrelated schemas and
+      // would silently skip the CREATE (see IdempotentJdbcSink).
       val esc = conn.getMetaData.getSearchStringEscape
       def escape(t: String): String =
         t.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
-      val exists = Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
-        val rs = conn.getMetaData.getTables(null, null, escape(t), null)
-        try rs.next() finally rs.close()
+      def variants(s: String): Seq[String] =
+        Seq(s, s.toUpperCase, s.toLowerCase).distinct
+      val (schemaPart, tablePart) = table.split("\\.", 2) match {
+        case Array(s, t) => (Some(s), t)
+        case _ => (None, table)
+      }
+      val schemaPatterns =
+        schemaPart.map(variants(_).map(escape)).getOrElse(Seq(null))
+      val exists = variants(tablePart).exists { t =>
+        schemaPatterns.exists { sp =>
+          val rs = conn.getMetaData.getTables(null, sp, escape(t), null)
+          try rs.next() finally rs.close()
+        }
       }
       if (!exists) {
         val st = conn.createStatement()

@@ -44,10 +44,15 @@ object JsonCache {
       .json(dir)
   }
 
-  /** Read cache chunks back into `target`'s shape: parse every field as a
-    * string first (never through double — that's the precision trap the
-    * reference's BigInt-as-string convention exists to dodge), then cast
-    * each column to its target type.
+  /** Read cache chunks back into `target`'s shape. Top-level LongType
+    * fields parse as STRINGS first and cast back (matching [[write]]'s
+    * stringification — the reference's BigInt-as-string convention; this
+    * also accepts raw JSON numbers, which coerce to string then cast
+    * losslessly via Jackson's integer lexing). Every other field keeps
+    * its target type in the parse schema, so nested arrays/structs read
+    * natively — flattening THEM to string would make the cast back fail
+    * at analysis. Exactness is guaranteed for top-level integral
+    * columns; a Long nested inside a struct rides as a JSON number.
     *
     * @param arrayPerFile true for the reference's one-JSON-array-per-file
     *        chunks; false (default) for NDJSON as [[write]] produces.
@@ -57,10 +62,12 @@ object JsonCache {
       dir: String,
       target: StructType,
       arrayPerFile: Boolean = false): DataFrame = {
-    val stringy = StructType(target.fields.map(_.copy(dataType = StringType)))
+    val parseSchema = StructType(target.fields.map { f =>
+      if (f.dataType == LongType) f.copy(dataType = StringType) else f
+    })
     val raw = spark.read
       .option("multiLine", arrayPerFile.toString)
-      .schema(stringy)
+      .schema(parseSchema)
       .json(s"$dir/*.json")
     raw.select(target.fields.toIndexedSeq.map { f =>
       col(f.name).cast(f.dataType).as(f.name)

@@ -47,10 +47,18 @@ object Manifest {
 
   /** Record the distinct source files of `df` as processed (append-only;
     * parquet commit is atomic, so a crashed run never records partially).
+    * Already-recorded paths are subtracted first, so marking the full
+    * input every run keeps the manifest O(#distinct files), not
+    * O(runs x files) — and a run that processed nothing new appends
+    * nothing.
     */
-  def markProcessed(df: DataFrame, manifestDir: String): Unit =
+  def markProcessed(df: DataFrame, manifestDir: String): Unit = {
+    val done = processedPaths(df.sparkSession, manifestDir)
+      .withColumnRenamed("path", "__done_path")
     df.select(input_file_name().as("path")).distinct()
+      .join(broadcast(done), col("path") === col("__done_path"), "left_anti")
       .coalesce(1)
       .write.mode(SaveMode.Append)
       .parquet(manifestPath(manifestDir))
+  }
 }

@@ -33,7 +33,12 @@ object EventStream {
     spark.readStream.schema(schema).parquet(watchDir)
   }
 
-  /** Streaming twin of q08_window_tumbling: 1-hour tumbling counts/sums. */
+  /** Streaming twin of q08_window_tumbling: 1-hour tumbling counts/sums.
+    * NO watermark — state retains every (hour, type) group for the life
+    * of the query, which is fine for the bounded complete-mode test twin
+    * this is; a long-running deployment uses
+    * [[hourlyCountsWatermarked]], whose watermark evicts closed windows.
+    */
   def hourlyCounts(events: DataFrame): DataFrame =
     events
       .groupBy(expr("ts div 1000 div 3600000000").as("hour_idx"), col("event_type"))
@@ -57,6 +62,12 @@ object EventStream {
 
   /** Stateful per-user accumulation via mapGroupsWithState (the custom-state
     * seam: sessionization, dedup-within-key, CDC fold all plug in here).
+    * State is ONE row per distinct user for the life of the query —
+    * bounded by key cardinality, not stream length, which is the contract
+    * a lifetime-running-total needs. For unbounded key cardinality, swap
+    * `NoTimeout` for `ProcessingTimeTimeout`/`EventTimeTimeout` and evict
+    * idle keys in the handler (`state.setTimeoutDuration` +
+    * `state.hasTimedOut`) — the seam is this same function.
     */
   def userActivity(spark: SparkSession, events: DataFrame): Dataset[UserActivity] = {
     import spark.implicits._

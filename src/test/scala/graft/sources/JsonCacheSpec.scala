@@ -55,6 +55,20 @@ class JsonCacheSpec extends AnyFunSuite {
     assert(back.filter(col("duration_ms").isNull).count() == 1)
   }
 
+  test("nested array columns round-trip (only top-level longs stringify)") {
+    val df = Seq(
+      (1L, Seq("a", "b"), 2.5),
+      (9007199254740993L, Seq.empty[String], -0.5)
+    ).toDF("id", "tags", "score")
+    val dir = Files.createTempDirectory("nestedcache").toString
+    JsonCache.write(df, dir)
+    val back = JsonCache.read(spark, dir, df.schema)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getDouble(2))).toSet
+    assert(back == Set(
+      (1L, Seq("a", "b"), 2.5),
+      (9007199254740993L, Seq.empty[String], -0.5)))
+  }
+
   test("a malformed cache chunk degrades to null rows; good chunks survive") {
     // mirrors the reference's O3 tolerance posture: one bad file must not
     // kill the run (its empty-file GC exists because crashes left bad
