@@ -493,6 +493,35 @@ object RelationalQueries {
       }
     ),
     Q(
+      "q59_skew_salted_join",
+      "Skew-salted fact-dim join: the big side salts on a deterministic " +
+        "hash shard, the dim replicates saltBuckets times, the join keys " +
+        "on (key, salt) — each hot supplier spreads over 8 tasks. The " +
+        "oracle is the PLAIN join: salting must only respread the " +
+        "shuffle, never change a row (graft.operators.Skew).",
+      Some("""
+        |SELECT s_name,
+        |       COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        val big = Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+            col("l_quantity"))
+        val dim = Tables.supplier(spark, dir)
+          .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+        graft.operators.Skew
+          .saltedJoin(big, dim, "l_suppkey", saltBuckets = 8,
+            saltSource = Seq("l_orderkey", "l_linenumber"))
+          .groupBy("s_name")
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("qty"))
+      }
+    ),
+    Q(
       "q55_scalar_subquery",
       "Correlated scalar subquery (per-priority maxima): Catalyst " +
         "decorrelates it into an aggregate + join — the subquery " +
