@@ -164,6 +164,39 @@ object TextAnalysis {
     when(n > 0, (n - nd) / n).otherwise(lit(0.0))
   }
 
+  /** Sliding context-window chunking: split each document's token stream
+    * into windows of `chunkTokens` advancing by `chunkTokens - overlap`
+    * (the pre-tokenization chunking every training pipeline runs). The
+    * chunk COUNT is computed closed-form — `max(1, ceil((n - overlap) /
+    * step))` — so the expansion is a deterministic generator, and every
+    * chunk start stays < n (the last window simply clips). Narrow: one
+    * generate per row, no shuffle.
+    *
+    * Returns (idCol, chunk_idx, chunk_text).
+    */
+  def chunkByTokens(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      chunkTokens: Int,
+      overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got chunk=$chunkTokens overlap=$overlap")
+    val step = chunkTokens - overlap
+    val toks = wsTokens(col(textCol))
+    val n = size(toks)
+    // integer ceil((n - overlap) / step); exact through double for any
+    // plausible token count, min 1 so empty/short docs emit one chunk
+    val nChunks = greatest(lit(1),
+      ((n - lit(overlap) + lit(step - 1)) / lit(step)).cast("int"))
+    df.select(
+      col(idCol),
+      posexplode(transform(
+        sequence(lit(0), nChunks - 1),
+        k => array_join(slice(toks, k * step + 1, lit(chunkTokens)), " ")))
+        .as(Seq("chunk_idx", "chunk_text")))
+  }
+
   /** Composite quality score in [0,1]: mean-word-length sanity band,
     * punctuation density band, stopword presence — the standard cheap
     * pre-filter stack (Gopher/C4-style rules) as one codegen'd expression.

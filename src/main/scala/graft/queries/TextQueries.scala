@@ -176,6 +176,30 @@ object TextQueries {
           TextAnalysis.wordRepetitionRatio(col("text")).as("word_rep"))
     ),
     Q(
+      "q61_chunking",
+      "Sliding context-window chunking: 50-token windows advancing by 40 " +
+        "(10-token overlap) — the pre-tokenization split every training " +
+        "pipeline runs. Chunk count is closed-form, the expansion is a " +
+        "generator, the pass is narrow (no shuffle).",
+      Some("""
+        |WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), k AS (
+        |  SELECT doc_id, toks,
+        |         greatest(1, (len(toks) - 10 + 39) // 40) AS nch
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |       CAST(i AS INTEGER) AS chunk_idx,
+        |       array_to_string(list_slice(toks, i * 40 + 1, i * 40 + 50), ' ') AS chunk_text
+        |FROM (SELECT doc_id, toks, unnest(range(0, nch)) AS i FROM k)
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        TextAnalysis.chunkByTokens(
+          Tables.documents(spark, dir), "text", "doc_id",
+          chunkTokens = 50, overlap = 10)
+    ),
+    Q(
       "q57_curation_pipeline",
       "The capstone composition every training corpus runs: quality floor " +
         "(q51) FIRST on the raw column — a filter over plain attribute " +

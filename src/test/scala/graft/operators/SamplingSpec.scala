@@ -95,6 +95,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(once.as[String].collect().toSeq == twice.as[String].collect().toSeq)
   }
 
+  test("chunking: stride windows cover every token; short docs emit one chunk") {
+    val df = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens
+      (2L, "a b c"), // < chunk -> single chunk
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkByTokens(df, "text", "doc_id", chunkTokens = 50, overlap = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    // doc 1: ceil((100-10)/40)=3 chunks at starts 0/40/80
+    assert(got.keys.count(_._1 == 1L) == 3)
+    assert(got((1L, 0)) == (1 to 50).map(i => s"t$i").mkString(" "))
+    assert(got((1L, 1)) == (41 to 90).map(i => s"t$i").mkString(" "))
+    assert(got((1L, 2)) == (81 to 100).map(i => s"t$i").mkString(" ")) // clipped
+    // overlap property: consecutive chunks share exactly 10 tokens
+    assert(got((1L, 0)).split(" ").takeRight(10).sameElements(
+      got((1L, 1)).split(" ").take(10)))
+    assert(got.keys.count(_._1 == 2L) == 1 && got((2L, 0)) == "a b c")
+    assert(got.keys.count(_._1 == 3L) == 1 && got((3L, 0)) == "")
+  }
+
   test("repetition ratios: repeated tokens score high, unique text scores 0") {
     val df = Seq(
       (1L, "a a a a"), // words: 4 total 1 distinct; bigrams: 3 total 1 distinct
