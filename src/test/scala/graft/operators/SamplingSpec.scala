@@ -114,6 +114,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(got.keys.count(_._1 == 3L) == 1 && got((3L, 0)) == "")
   }
 
+  test("chunking equals the scalar model for every token count 1..120") {
+    def model(toks: IndexedSeq[String], chunk: Int, overlap: Int): Seq[String] = {
+      val step = chunk - overlap
+      val k = math.max(1, (toks.length - overlap + step - 1) / step)
+      (0 until k).map(i => toks.slice(i * step, i * step + chunk).mkString(" "))
+    }
+    val df = (1 to 120).map(n => (n.toLong, (1 to n).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkByTokens(df, "text", "doc_id", chunkTokens = 50, overlap = 10)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.sortBy(_.getInt(1)).map(_.getString(2)).toSeq }
+    (1 to 120).foreach { n =>
+      val expect = model((1 to n).map(i => s"w$i"), 50, 10)
+      assert(got(n.toLong) == expect, s"n=$n")
+    }
+  }
+
   test("repetition ratios: repeated tokens score high, unique text scores 0") {
     val df = Seq(
       (1L, "a a a a"), // words: 4 total 1 distinct; bigrams: 3 total 1 distinct
