@@ -134,6 +134,46 @@ object TextAnalysis {
         emailPattern, " "),
       "\\s+", " "))
 
+  /** IPv4 literal (dot-quad). Deliberately permissive on octet range — a
+    * redactor over-matching `999.0.0.1` is safer than under-matching.
+    */
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** International-prefixed phone number: `+` then >= 9 digits allowing
+    * space/dash separators. Anchored on the `+` so bare numeric runs (ids,
+    * quantities) never match.
+    */
+  val phonePattern = "\\+\\d[\\d\\- ]{7,}\\d"
+
+  /** PII redaction cascade: emails, then IPv4 literals, then phone numbers,
+    * each replaced by a typed placeholder token. Order matters and is part
+    * of the contract — an email's digit-bearing local part must be gone
+    * before the phone pattern runs. Pure codegen'd regex chain (no UDF, no
+    * shuffle); the same cascade shape as [[cleanText]], so additional
+    * patterns (SSNs, IBANs, credit cards) chain on without plan changes.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
+  /** Adjacent token n-grams as strings, WITHOUT the index-lambda trap: a
+    * `transform(sequence(...), i -> slice(toks, i, n))` re-evaluates the
+    * token split once per ELEMENT (the array expression sits under the
+    * lambda — see the q49 note); this builds the same n-grams from n
+    * shifted slices folded with `zip_with`, so the split evaluates a
+    * CONSTANT n times per row regardless of document length.
+    */
+  def tokenNgrams(toks: Column, n: Int): Column = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val m = greatest(size(toks) - (n - 1), lit(0))
+    (2 to n).foldLeft(slice(toks, lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k), m), (a, b) => concat_ws(" ", a, b))
+    }
+  }
+
   /** Duplicate-fraction of adjacent word bigrams: 1 - distinct/total, 0
     * for docs with fewer than 2 tokens. The Gopher-style repetition signal
     * (high ratio = boilerplate/spam); int-derived doubles, bit-exact cross

@@ -544,6 +544,85 @@ object RelationalQueries {
         graft.GraftCatalog.registerTables(spark, dir)
         spark.sql(RangeFrameSql.sql)
       }
+    ),
+    Q(
+      "q64_bucketed_join",
+      "Co-located join over bucketed tables: both fact tables written " +
+        "bucketed (and sorted) on the order key, then joined and " +
+        "aggregated. Bucketing costs one shuffle at WRITE time and every " +
+        "later same-key join runs exchange-free (BucketedJoinSpec proves " +
+        "the no-Exchange plan) — the amortization pattern for 100 TB fact " +
+        "tables queried repeatedly. Results are join-identical to the " +
+        "plain parquet join, which is exactly what the oracle checks.",
+      Some("""
+        |SELECT o_orderpriority,
+        |       COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS revenue
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        val (li, ord) = graft.operators.Bucketing.colocate(
+          spark,
+          Tables.lineitem(spark, dir), "l_orderkey", "graft_li_bucketed",
+          Tables.orders(spark, dir), "o_orderkey", "graft_ord_bucketed",
+          buckets = 16)
+        ord.join(li, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(expr(
+              "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"))
+              .cast("double").as("revenue"))
+      }
+    ),
+    Q(
+      "q65_explode_pos",
+      "Generator / lateral surface: posexplode of the token array into " +
+        "(doc_id, pos, token) rows with a post-explode filter. Narrow " +
+        "one-to-many expansion — no shuffle; the filter lands after the " +
+        "generate, pruning the fan-out before anything downstream.",
+      Some("""
+        |SELECT doc_id, CAST(i AS INTEGER) AS pos, toks[i + 1] AS token
+        |FROM (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks))) AS i
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |)
+        |WHERE length(toks[i + 1]) >= 8
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .select(
+            col("doc_id"),
+            posexplode(graft.operators.TextAnalysis.wsTokens(col("text")))
+              .as(Seq("pos", "token")))
+          .filter(length(col("token")) >= 8)
+    ),
+    Q(
+      "q66_unpivot",
+      "Unpivot/melt: the four lineitem measures rotated into long form " +
+        "(key, measure-name, value) — the inverse of q44's pivot. Narrow " +
+        "constant-fan-out expansion (4 rows per input), no shuffle; raw " +
+        "values pass through untouched so the oracle is exact.",
+      Some("""
+        |SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.lineitem(spark, dir).unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(
+            col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          variableColumnName = "measure",
+          valueColumnName = "value")
     )
   )
 }

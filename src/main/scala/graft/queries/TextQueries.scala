@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.TextAnalysis
+import graft.operators.{Decontaminate, TextAnalysis}
 
 /** Text-analysis queries over `documents` (north-star extension: language
   * ID, quality scoring, token counting, document fingerprinting — the cheap
@@ -198,6 +198,98 @@ object TextQueries {
         TextAnalysis.chunkByTokens(
           Tables.documents(spark, dir), "text", "doc_id",
           chunkTokens = 50, overlap = 10)
+    ),
+    Q(
+      "q62_pii_redact",
+      "PII redaction cascade (emails -> IPv4 -> intl phone numbers, each " +
+        "to a typed placeholder). The fixture corpus carries no PII, so " +
+        "the query deterministically enriches each row with synthetic " +
+        "doc_id-derived PII first — both engines build the identical " +
+        "input, so the oracle exercises the actual redaction logic. " +
+        "Counts are taken per cascade stage (emails on raw, IPs after " +
+        "email removal, phones after both) — that staging IS the " +
+        "contract, since an email's digits could otherwise double-count " +
+        "as a phone.",
+      Some("""
+        |WITH p AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        |              || ' call +1 555-010' || CAST(doc_id % 10 AS VARCHAR)
+        |              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |              || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS pii_text
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |         regexp_replace(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM p
+        |), s2 AS (
+        |  SELECT doc_id, n_emails,
+        |         CAST(len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+        |         regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+        |  FROM s1
+        |)
+        |SELECT doc_id,
+        |       regexp_replace(t2, '\+\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS redacted,
+        |       n_emails, n_ips,
+        |       CAST(len(regexp_extract_all(t2, '\+\d[\d\- ]{7,}\d')) AS INTEGER) AS n_phones
+        |FROM s2
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        val pii = concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com"),
+          lit(" call +1 555-010"), (col("doc_id") % 10).cast("string"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), ((col("doc_id") * 7) % 256).cast("string"))
+        val t1 = regexp_replace(pii, TextAnalysis.emailPattern, "<EMAIL>")
+        val t2 = regexp_replace(t1, TextAnalysis.ipv4Pattern, "<IP>")
+        Tables.documents(spark, dir).select(
+          col("doc_id"),
+          TextAnalysis.redactPii(pii).as("redacted"),
+          regexp_count(pii, lit(TextAnalysis.emailPattern)).as("n_emails"),
+          regexp_count(t1, lit(TextAnalysis.ipv4Pattern)).as("n_ips"),
+          regexp_count(t2, lit(TextAnalysis.phonePattern)).as("n_phones"))
+      }
+    ),
+    Q(
+      "q63_decontaminate",
+      "Benchmark decontamination: every corpus doc (doc_id % 10 <> 0) is " +
+        "screened for exact 8-token-gram overlap against the benchmark " +
+        "slice (doc_id % 10 = 0). The benchmark n-gram set is broadcast — " +
+        "eval suites stay small while the corpus scales to 100 TB — so " +
+        "corpus n-grams are never shuffled; the only exchange is the " +
+        "per-doc hit count. Every corpus doc is reported (zero hits " +
+        "included).",
+      Some("""
+        |WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 7, 0) + 1),
+        |    i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS g
+        |  FROM t
+        |), bench AS (
+        |  SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0
+        |), hits AS (
+        |  SELECT c.doc_id, COUNT(*) AS hits
+        |  FROM (SELECT doc_id, g FROM g WHERE doc_id % 10 <> 0) c
+        |  JOIN bench b ON c.g = b.g
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(h.hits, 0) AS BIGINT) AS n_hits,
+        |       COALESCE(h.hits, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+        |LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        Decontaminate.report(
+          corpus = docs.filter(col("doc_id") % 10 =!= 0),
+          benchmark = docs.filter(col("doc_id") % 10 === 0),
+          textCol = "text", idCol = "doc_id", n = 8)
+      }
     ),
     Q(
       "q57_curation_pipeline",

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** PII redaction cascade + benchmark decontamination unit specs. */
+class PiiDecontaminateSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def redact(s: String): String =
+    Seq(s).toDF("t").select(TextAnalysis.redactPii(col("t"))).head().getString(0)
+
+  test("redacts email, IPv4, and international phone to typed placeholders") {
+    assert(redact("mail bob.smith+x@corp.example.org now")
+      == "mail <EMAIL> now")
+    assert(redact("host 192.168.001.254 down") == "host <IP> down")
+    assert(redact("call +49 170 555-0123 today") == "call <PHONE> today")
+    assert(redact("a@b.co 10.0.0.1 +1 202 555 0100")
+      == "<EMAIL> <IP> <PHONE>")
+  }
+
+  test("cascade order: email digits never double-count as a phone; bare digit runs survive") {
+    // The email local part carries a phone-shaped digit run — the email
+    // pass must consume it before the phone pattern can see it.
+    assert(redact("x+12025550100@ex.com") == "<EMAIL>")
+    // No '+' prefix -> not a phone; ids/quantities pass through.
+    assert(redact("order 123456789012") == "order 123456789012")
+    // Dot-quad consumed as IP, not as phone fodder.
+    assert(redact("+1 555-010-9999 at 8.8.8.8") == "<PHONE> at <IP>")
+  }
+
+  test("tokenNgrams builds exactly the adjacent n-grams; short docs yield none") {
+    def grams(s: String, n: Int): Seq[String] =
+      Seq(s).toDF("t")
+        .select(TextAnalysis.tokenNgrams(TextAnalysis.wsTokens(col("t")), n))
+        .head().getSeq[String](0)
+    assert(grams("a b c d", 2) == Seq("a b", "b c", "c d"))
+    assert(grams("a b c d", 3) == Seq("a b c", "b c d"))
+    assert(grams("a b c d", 4) == Seq("a b c d"))
+    assert(grams("a b c", 4) == Seq.empty)
+    assert(grams("a b c", 1) == Seq("a", "b", "c"))
+  }
+
+  test("decontamination flags n-gram overlap with the benchmark, reports zero-hit docs") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares the benchmark 3-grams "alpha beta gamma" and "beta gamma delta"
+      (1L, "intro alpha beta gamma delta outro"),
+      (2L, "completely unrelated words entirely")).toDF("doc_id", "text")
+    val r = Decontaminate.report(corpus, bench, "text", "doc_id", n = 3)
+      .orderBy("doc_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2))).toSeq
+      == Seq((1L, 2L, true), (2L, 0L, false)))
+  }
+
+  test("decontamination broadcasts the benchmark n-gram set (no corpus-side shuffle join)") {
+    val bench = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val plan = Decontaminate.report(corpus, bench, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+}
