@@ -127,18 +127,16 @@ object Multimodal {
     * text embeddings.
     */
   def embedStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    // Digest the payload ONCE, then expand per-dimension from the 16-byte
-    // digest + a FULL 4-byte index: O(payload + dim) per record instead of
-    // O(dim x payload), and no j.toByte truncation (which would alias
-    // dimensions 256 apart and silently halve effective dimensionality).
-    val d = md5Digest(payload)
+    // Digest the payload ONCE into its md5 hex string, then derive each
+    // dimension from the fixed-length "<hex>#<j>" seed: O(payload + dim)
+    // per record instead of O(dim x payload), the full index (no byte
+    // truncation aliasing dimensions 256 apart), and the whole derivation
+    // lives in the hex-STRING domain — so an engine whose md5 only takes
+    // VARCHAR (the DuckDB oracle) reproduces it bit-for-bit (q69).
+    val hex = md5Hex(payload)
     Array.tabulate(dim) { j =>
-      val withIdx = java.util.Arrays.copyOf(d, d.length + 4)
-      withIdx(d.length) = (j >>> 24).toByte
-      withIdx(d.length + 1) = (j >>> 16).toByte
-      withIdx(d.length + 2) = (j >>> 8).toByte
-      withIdx(d.length + 3) = j.toByte
-      val h = graft.functions.PortableHash32.hash32(withIdx)
+      val h = graft.functions.PortableHash32.hash32(
+        (hex + "#" + j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       (h / 2147483648.0 - 1.0).toFloat // [0, 2^32) -> [-1, 1)
     }
   }
@@ -162,8 +160,12 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { rec =>
       val n = rec.payload.length
+      // One digest per record (not per frame); offsets derive from the
+      // fixed-length "<hex>#<i>" seed — same hex-string-domain discipline
+      // as [[embedStub]], so frame offsets are oracle-reproducible.
+      val hex = md5Hex(rec.payload)
       (0 until framesPerRecord).map { i =>
-        val off = if (n == 0) 0 else (PortableOffset.offset(rec.payload, i) % n).toInt
+        val off = if (n == 0) 0 else (PortableOffset.offset(hex, i) % n).toInt
         val len = math.min(16, n - off)
         (rec.doc_id, i, java.util.Arrays.copyOfRange(rec.payload, off, off + len))
       }
@@ -171,7 +173,8 @@ object Multimodal {
   }
 
   private object PortableOffset {
-    def offset(payload: Array[Byte], i: Int): Long =
-      graft.functions.PortableHash32.hash32(payload :+ i.toByte)
+    def offset(payloadHex: String, i: Int): Long =
+      graft.functions.PortableHash32.hash32(
+        (payloadHex + "#" + i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }

@@ -292,6 +292,55 @@ object TextQueries {
       }
     ),
     Q(
+      "q70_tfidf",
+      "TF-IDF term scoring, integer-exact: per-(doc, term) tf, corpus df, " +
+        "and score = tf * (N_docs * 1e6 div df) — a scaled-rational idf " +
+        "proxy instead of log(N/df), so the oracle compares exact BIGINTs " +
+        "(cross-engine log() bit-equality is not a contract worth " +
+        "betting on). Top-3 terms per doc, ties broken lexically. " +
+        "Shuffle plan: explode is narrow; tf aggregates on (doc, term); " +
+        "the df table is vocabulary-sized and broadcast back, so the " +
+        "corpus never reshuffles on term.",
+      Some("""
+        |WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         tf.tf * ((n.n_docs * 1000000) // df.df) AS score
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        |)
+        |SELECT doc_id, term, tf, df, score, CAST(rn AS INTEGER) AS rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |      FROM scored)
+        |WHERE rn <= 3
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(spark, dir)
+        val toks = docs.select(
+          col("doc_id"),
+          explode(TextAnalysis.wsTokens(col("text"))).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf
+          .join(broadcast(dfT), "term")
+          .crossJoin(broadcast(nDocs))
+          .select(
+            col("doc_id"), col("term"), col("tf"), col("df"),
+            (col("tf") * expr("(n_docs * 1000000) div df")).as("score"))
+        val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+        scored
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+      }
+    ),
+    Q(
       "q57_curation_pipeline",
       "The capstone composition every training corpus runs: quality floor " +
         "(q51) FIRST on the raw column — a filter over plain attribute " +

@@ -256,6 +256,26 @@ object TraceQueries {
             col("event_type"),
             col("cnt"),
             col("sum_value"))
+    ),
+    Q(
+      "q67_csv_roundtrip",
+      "The reference's raison d'etre surfaced in the oracle gate: parquet " +
+        "-> header CSV -> read back with the source schema (SURVEY.md §2 " +
+        "O12). Doubles survive because Spark writes the shortest " +
+        "round-trippable decimal rendering; quoting covers embedded " +
+        "delimiters. Oracle = the original parquet rows: the round trip " +
+        "must be lossless.",
+      Some("""
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        val src = Tables.customer(spark, dir)
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-q67-csv"
+        src.write.mode("overwrite").option("header", true).csv(out)
+        spark.read.schema(src.schema).option("header", true).csv(out)
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      }
     )
   )
 }
