@@ -276,6 +276,69 @@ object TraceQueries {
         spark.read.schema(src.schema).option("header", true).csv(out)
           .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
       }
+    ),
+    Q(
+      "q72_orc_roundtrip",
+      "Format interop: parquet -> ORC -> read back. ORC is the second " +
+        "columnar format a complete engine speaks (both ship in Spark); " +
+        "doubles/ints/strings survive bit-exactly. Oracle = the original " +
+        "parquet rows.",
+      Some("""
+        |SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        val src = Tables.part(spark, dir)
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-q72-orc"
+        src.write.mode("overwrite").orc(out)
+        spark.read.schema(src.schema).orc(out)
+          .select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      }
+    ),
+    Q(
+      "q73_json_roundtrip",
+      "Format interop: parquet -> newline-delimited JSON -> schema-ed read " +
+        "back (the reference's own cache format, SURVEY.md §2 O9/O10, done " +
+        "the Spark way). Doubles survive because the writer emits the " +
+        "shortest round-trippable rendering. Oracle = the original rows.",
+      Some("""
+        |SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        val src = Tables.supplier(spark, dir)
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-q73-json"
+        src.write.mode("overwrite").json(out)
+        spark.read.schema(src.schema).json(out)
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      }
+    ),
+    Q(
+      "q74_partition_pruning",
+      "Hive-style partition pruning: orders written partitioned by " +
+        "priority, then aggregated under a partition-key predicate — the " +
+        "scan plans with a PartitionFilter and touches ONE directory of " +
+        "five (PlanPropertiesSpec pins it). At 100 TB this is the " +
+        "difference between reading 20 TB and reading 100 TB; partition " +
+        "pruning happens at PLANNING time, before any I/O.",
+      Some("""
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-q74-part"
+        Tables.orders(spark, dir).write.mode("overwrite")
+          .partitionBy("o_orderpriority").parquet(out)
+        spark.read.parquet(out)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy("o_orderstatus")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
+      }
     )
   )
 }

@@ -82,6 +82,36 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
   }
 
+  test("q63: the benchmark n-gram set broadcasts; corpus n-grams are never shuffled for the join") {
+    val p = plan("q63_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("q65/q66/q68/q71: generators, unpivot, and multimodal stages are narrow (zero exchanges)") {
+    Seq("q65_explode_pos", "q66_unpivot", "q68_multimodal_resize",
+      "q71_multimodal_frames").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange ("), s"$q must not shuffle:\n$p")
+    }
+  }
+
+  test("q70: the vocabulary (df) and corpus-size joins broadcast — the corpus never reshuffles on term") {
+    val p = plan("q70_tfidf")
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 1, p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q69: the ANN query set broadcasts under the corpus stream") {
+    val p = plan("q69_multimodal_embed_ann")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("q74: the priority predicate prunes partitions at planning time") {
+    val p = plan("q74_partition_pruning")
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderpriority"),
+      p.linesIterator.take(40).mkString("\n"))
+  }
+
   test("components small-graph path: the REAL iteration plans broadcast joins, no sort-merge") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
