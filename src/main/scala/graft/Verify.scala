@@ -8,9 +8,19 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     // Optional 3rd arg (local iteration only; the driver passes two): run
     // only queries whose name contains the substring.
+    val filtered = args.length > 2
     val only: String => Boolean =
       args.drop(2).headOption.map(s => (n: String) => n.contains(s))
         .getOrElse(_ => true)
+    // Foot-gun guard: a filtered run into an outDir that already holds a
+    // full run would shrink oracle_sql.json in place, and a later
+    // check_oracle over that dir would silently verify only the subset.
+    if (filtered && Files.exists(Paths.get(s"$outDir/oracle_sql.json"))) {
+      System.err.println(
+        s"[verify] refusing filtered run into $outDir: oracle_sql.json " +
+          "already exists (use a fresh outDir for subset runs)")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

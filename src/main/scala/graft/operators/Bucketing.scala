@@ -26,6 +26,11 @@ object Bucketing {
     * the location is cleared explicitly after the DROP.
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    // The stale-location cleanup below assumes the default database's
+    // warehouse layout (<warehouse>/<table>); a qualified name would both
+    // misparse under the backticks and compute the wrong location.
+    require(!table.contains("."),
+      s"writeBucketed takes an unqualified default-database table name, got '$table'")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(

@@ -102,6 +102,7 @@ object Multimodal {
     * bytes = deterministic truncation (stand-in for re-encoded bytes).
     */
   def resizeStub(payload: Array[Byte], maxW: Int, maxH: Int): Array[Byte] = {
+    if (payload.isEmpty) return payload // never fabricate bytes for empty media
     val (w, h, _) = decodeStub(payload)
     val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
     val newLen = math.max(1, (payload.length * scale * scale).toInt)

@@ -46,7 +46,8 @@ object MultimodalQueries {
         |  FROM documents
         |), r AS (
         |  SELECT doc_id, text,
-        |         greatest(1, CAST(floor((len * sc) * sc) AS BIGINT)) AS newlen
+        |         CASE WHEN len = 0 THEN 0
+        |              ELSE greatest(1, CAST(floor((len * sc) * sc) AS BIGINT)) END AS newlen
         |  FROM (SELECT doc_id, text, len,
         |               least(1.0, least(256.0 / w, 256.0 / h)) AS sc FROM s)
         |), m AS (
