@@ -601,6 +601,32 @@ object RelationalQueries {
           .filter(length(col("token")) >= 8)
     ),
     Q(
+      "q75_grouping_sets",
+      "Arbitrary GROUPING SETS (the general form under q22's rollup and " +
+        "q27's cube): per-segment, per-nation, and per-(segment, nation) " +
+        "subtotals in one pass — Spark plans a single Expand + one " +
+        "aggregation exchange, not three scans. Identical SQL text in " +
+        "both engines; fixture columns are null-free so the coalesce " +
+        "marker is unambiguous.",
+      Some(GroupingSetsSql.sql),
+      (spark, dir) => {
+        graft.GraftCatalog.registerTables(spark, dir)
+        spark.sql(GroupingSetsSql.sql)
+      }
+    ),
+    Q(
+      "q76_lateral_topn",
+      "Correlated LATERAL subquery with ORDER BY + LIMIT: top-2 customers " +
+        "per nation — the per-row dependent subquery every SQL surface " +
+        "needs; Catalyst decorrelates it into a join + per-key limit " +
+        "rather than 25 re-executions. Identical SQL text in both engines.",
+      Some(LateralTopNSql.sql),
+      (spark, dir) => {
+        graft.GraftCatalog.registerTables(spark, dir)
+        spark.sql(LateralTopNSql.sql)
+      }
+    ),
+    Q(
       "q66_unpivot",
       "Unpivot/melt: the four lineitem measures rotated into long form " +
         "(key, measure-name, value) — the inverse of q44's pivot. Narrow " +
@@ -646,6 +672,31 @@ private object RangeFrameSql {
     |         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
     |       ) AS DOUBLE) AS trailing_30d
     |FROM orders
+    |""".stripMargin.trim
+}
+
+/** Shared SQL for q75 (one source of truth for both engines). */
+private object GroupingSetsSql {
+  val sql: String = """
+    |SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+    |       coalesce(n_name, 'ALL') AS nat,
+    |       COUNT(*) AS n,
+    |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+    |FROM customer JOIN nation ON c_nationkey = n_nationkey
+    |GROUP BY GROUPING SETS ((c_mktsegment), (n_name), (c_mktsegment, n_name))
+    |""".stripMargin.trim
+}
+
+/** Shared SQL for q76 (one source of truth for both engines). */
+private object LateralTopNSql {
+  val sql: String = """
+    |SELECT n_name, t.c_name, t.c_acctbal
+    |FROM nation, LATERAL (
+    |  SELECT c_name, c_acctbal FROM customer
+    |  WHERE c_nationkey = n_nationkey
+    |  ORDER BY c_acctbal DESC, c_name
+    |  LIMIT 2
+    |) t
     |""".stripMargin.trim
 }
 
