@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+
+/** Streaming == batch equivalence for the text-curation stack: the narrow
+  * quality/redaction/chunking operators produce bit-identical output
+  * whether the corpus arrives as one batch or as a replayed file stream.
+  */
+class DocumentStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  lazy val watchDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("docs_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(SparkTestSession.sf0001, "documents.parquet"),
+      dir.resolve("documents.parquet"))
+    dir.toString
+  }
+
+  test("streaming curation (quality floor + redaction) equals its batch twin") {
+    val stream = DocumentStream.readDocuments(spark, watchDir, SparkTestSession.sf0001)
+    val q = EventStream.runToMemory(
+      DocumentStream.curated(stream), "docs_curated", OutputMode.Append())
+    try {
+      val streamed = spark.sql("SELECT * FROM docs_curated ORDER BY doc_id").collect()
+      val batch = DocumentStream.curated(
+        Tables.documents(spark, SparkTestSession.sf0001))
+        .orderBy("doc_id").collect()
+      assert(streamed.length > 0 && streamed.sameElements(batch))
+    } finally q.stop()
+  }
+
+  test("streaming chunk explosion equals its batch twin and keeps append-mode statelessness") {
+    val stream = DocumentStream.readDocuments(spark, watchDir, SparkTestSession.sf0001)
+    val chunks = DocumentStream.curatedChunks(stream)
+    val q = EventStream.runToMemory(chunks, "docs_chunks", OutputMode.Append())
+    try {
+      val streamed =
+        spark.sql("SELECT * FROM docs_chunks ORDER BY doc_id, chunk_idx").collect()
+      val batch = DocumentStream.curatedChunks(
+        Tables.documents(spark, SparkTestSession.sf0001))
+        .orderBy("doc_id", "chunk_idx").collect()
+      assert(streamed.length > 0 && streamed.sameElements(batch))
+      // the whole path is narrow: nothing may register in the state store
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+}
