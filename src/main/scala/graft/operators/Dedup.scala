@@ -85,9 +85,14 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val bandStructs = (0 until bands).map { b =>
       val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      // The band key is the RAW signature slice (a struct of longs), not a
+      // digest of it: exact equality with zero collision risk, no per-row
+      // md5 + string materialization, and the shuffle rows are the same
+      // order of size. (The oracle SQL still digests — it only compares
+      // the OUTPUT pairs, which are representation-independent.)
       struct(
         lit(b).as("band"),
-        md5(concat_ws("_", rows: _*).cast("binary")).as("key"))
+        struct(rows.zipWithIndex.map { case (c, i) => c.as(s"k$i") }: _*).as("key"))
     }
     val exploded = signatures
       .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
