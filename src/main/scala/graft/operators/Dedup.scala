@@ -139,10 +139,10 @@ object Dedup {
     * rows — a few dozen bytes per doc per block.
     *
     * Width note: 16-bit sketches saturate around 10^4 documents (random
-    * Hamming-2 balls start colliding); a production corpus widens the
-    * sketch (64-bit votes over 64-bit word hashes) through this same
-    * vote/block machinery — the block count and the pigeonhole argument
-    * are width-independent.
+    * Hamming-2 balls start colliding); the production width is
+    * [[simhashWideNearDupPairs]] (60-bit votes over 60-bit word hashes)
+    * through this same vote/block machinery — the block count and the
+    * pigeonhole argument are width-independent.
     */
   def simhashNearDupPairs(
       df: DataFrame,
@@ -150,12 +150,73 @@ object Dedup {
       idCol: String,
       radius: Int = 2): DataFrame = {
     require(radius >= 0 && radius < 16, s"radius out of range: $radius")
+    pigeonholePairs(simhash16(df, textCol, idCol), idCol, radius, sketchBits = 16)
+  }
+
+  /** Width-parameterized SimHash: same per-bit majority vote as
+    * [[simhash16]] but over `width`-bit word hashes (15 md5 hex digits =
+    * 60 bits — the widest slice that stays a non-negative BIGINT in every
+    * engine). This is the production width: 16-bit sketches saturate
+    * around 10^4 documents (random Hamming balls start colliding); at 60
+    * bits the sketch distinguishes ~10^8 documents at radius 3. The vote
+    * aggregation is still one explode + one map-side-combining groupBy —
+    * width only changes the number of vote columns.
+    */
+  def simhashWide(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      width: Int = 60): DataFrame = {
+    require(width >= 1 && width <= 60, s"width out of range: $width")
+    val words = df.select(col(idCol), explode(TextAnalysis.wsTokens(col(textCol))).as("w"))
+    // 15 hex digits of md5 = 60 bits, engine-portable (DuckDB:
+    // CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)).
+    val hashed = words.select(
+      col(idCol),
+      expr("CAST(conv(substring(md5(CAST(w AS BINARY)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    val votes = (0 until width).map { j =>
+      sum(expr(s"shiftright(h, $j) % 2 * 2 - 1")).as(s"s$j")
+    }
+    val combined = (0 until width)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    hashed
+      .groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), expr(s"CAST($combined AS BIGINT)").as("simhash"))
+  }
+
+  /** Near-dup pairs over the wide sketch — the corpus-scale configuration
+    * of the same pigeonhole machinery (blocks of 60/(radius+1) bits are
+    * selective enough that candidate buckets hold only true near-dups
+    * plus ~|corpus|/2^15 random collisions).
+    */
+  def simhashWideNearDupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      radius: Int = 3,
+      width: Int = 60): DataFrame = {
+    require(radius >= 0 && radius < width, s"radius out of range: $radius")
+    pigeonholePairs(simhashWide(df, textCol, idCol, width), idCol, radius, width)
+  }
+
+  /** Shared pigeonhole block join over a (idCol, simhash) frame: split the
+    * `sketchBits`-bit sketch into `radius + 1` blocks — two sketches
+    * within Hamming `radius` cannot differ in every block, so exact
+    * equality on (block_idx, block_value) finds every qualifying pair
+    * without an all-pairs comparison; `bit_count(xor)` verifies exactly.
+    */
+  private def pigeonholePairs(
+      sims: DataFrame,
+      idCol: String,
+      radius: Int,
+      sketchBits: Int): DataFrame = {
     val blocks = radius + 1
-    val bitsPer = 16 / blocks
-    val sims = simhash16(df, textCol, idCol)
+    val bitsPer = sketchBits / blocks
     val blockStructs = (0 until blocks).map { b =>
       val lo = b * bitsPer
-      val width = if (b == blocks - 1) 16 - lo else bitsPer
+      val width = if (b == blocks - 1) sketchBits - lo else bitsPer
       val mask = (1L << width) - 1L
       struct(
         lit(b).as("bidx"),

@@ -56,6 +56,29 @@ object DedupQueries {
        |SELECT doc_id, CAST($combined AS BIGINT) AS simhash FROM v""".stripMargin
   }
 
+  /** Width-parameterized wide-simhash oracle text (q77/q78): 60-bit word
+    * hashes = 15 md5 hex digits, mirrored literally from
+    * [[graft.operators.Dedup.simhashWide]].
+    */
+  private def duckSimhashWideSql(width: Int): String = {
+    val votes = (0 until width)
+      .map(j => s"CAST(SUM(((h >> $j) & 1) * 2 - 1) AS BIGINT) AS s$j")
+      .mkString(",\n         ")
+    val combined = (0 until width)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("\n           + ")
+    s"""WITH wh AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |        FROM documents)
+       |), v AS (
+       |  SELECT doc_id,
+       |         $votes
+       |  FROM wh GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST($combined AS BIGINT) AS simhash FROM v""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "q30_dedup_exact",
@@ -130,6 +153,36 @@ object DedupQueries {
       (spark, dir) =>
         Dedup.simhashNearDupPairs(
           Tables.documents(spark, dir), "text", "doc_id", radius = 2)
+    ),
+    Q(
+      "q77_simhash_wide",
+      "60-bit SimHash (15 md5 hex digits per word hash) — the production " +
+        "width: 16-bit sketches saturate around 10^4 docs, 60-bit " +
+        "distinguishes ~10^8 at radius 3. Same one-explode one-groupBy " +
+        "vote plan as q33; width only adds vote columns.",
+      Some(duckSimhashWideSql(60)),
+      (spark, dir) =>
+        Dedup.simhashWide(Tables.documents(spark, dir), "text", "doc_id")
+    ),
+    Q(
+      "q78_simhash_wide_pairs",
+      "Near-dup pairs over the 60-bit sketch, radius 3 via the pigeonhole " +
+        "block join (4 blocks of 15 bits: candidate buckets hold true " +
+        "near-dups plus ~|corpus|/2^15 random collisions — the " +
+        "corpus-scale configuration). Oracle: all-pairs Hamming filter.",
+      Some(s"""
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM (
+        |${duckSimhashWideSql(60)}
+        |) a JOIN (
+        |${duckSimhashWideSql(60)}
+        |) b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Dedup.simhashWideNearDupPairs(
+          Tables.documents(spark, dir), "text", "doc_id", radius = 3)
     ),
     Q(
       "q34_ngram_jaccard",

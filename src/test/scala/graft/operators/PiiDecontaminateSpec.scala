@@ -56,6 +56,28 @@ class PiiDecontaminateSpec extends AnyFunSuite {
       == Seq((1L, 2L, true), (2L, 0L, false)))
   }
 
+  test("wide simhash: identical docs collide, near-identical land within radius, distant do not") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // identical
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // one word off
+      (4L, "completely different content about unrelated things entirely here now"))
+      .toDF("doc_id", "text")
+    val sims = Dedup.simhashWide(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(2L))
+    assert(sims.values.forall(v => v >= 0 && v < (1L << 60)))
+    val pairs = Dedup.simhashWideNearDupPairs(df, "text", "doc_id", radius = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // hamming 0
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)) && !pairs.contains((3L, 4L)),
+      s"distant doc must stay outside radius: $pairs")
+    // pigeonhole candidates == brute force at any radius: hamming(1,3) from
+    // one changed word is whatever it is; just assert consistency with xor
+    val h13 = java.lang.Long.bitCount(sims(1L) ^ sims(3L))
+    assert(pairs.contains((1L, 3L)) == (h13 <= 16))
+  }
+
   test("decontamination broadcasts the benchmark n-gram set (no corpus-side shuffle join)") {
     val bench = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
     val corpus = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
