@@ -25,18 +25,24 @@ object Bucketing {
     * leftover files would fail the CREATE with LOCATION_ALREADY_EXISTS;
     * the location is cleared explicitly after the DROP.
     */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
-    // The stale-location cleanup below assumes the default database's
-    // warehouse layout (<warehouse>/<table>); a qualified name would both
-    // misparse under the backticks and compute the wrong location.
+  /** DROP the managed table and clear any stale warehouse location a
+    * previous session left behind (fresh-metastore + old-warehouse runs
+    * would otherwise fail the CREATE with LOCATION_ALREADY_EXISTS).
+    * Default-database unqualified names only — a qualified name would
+    * both misparse under the backticks and compute the wrong location.
+    */
+  def dropWithLocation(spark: SparkSession, table: String): Unit = {
     require(!table.contains("."),
-      s"writeBucketed takes an unqualified default-database table name, got '$table'")
-    val spark = df.sparkSession
+      s"expected an unqualified default-database table name, got '$table'")
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    dropWithLocation(df.sparkSession, table)
     df.write
       .bucketBy(buckets, key)
       .sortBy(key)

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF (inverted-file) ANN index: build ONCE, probe many times.
+  *
+  * [[Similarity.cosineTopKIvf]] quantizes the corpus on every query run —
+  * correct, but at 100 TB the corpus assignment pass (a full scan +
+  * broadcast-centroid scoring) dwarfs any single probe. The production
+  * shape materializes the index: a tiny centroid table plus the corpus
+  * assignments written BUCKETED BY CELL, so that
+  *  - the assignment scan/scoring cost is paid once at build time;
+  *  - every probe reads only the probed cells' buckets (bucket pruning on
+  *    the cell key) and joins them WITHOUT shuffling the corpus — the
+  *    bucketed layout IS the shuffle, amortized;
+  *  - recall/cost stays tunable per query via nprobe, unchanged.
+  *
+  * Probe semantics are identical to [[Similarity.cosineTopKIvf]] (same
+  * quantizer, same tiebreaks), which is exactly what the oracle and spec
+  * check.
+  */
+object IvfIndex {
+
+  def centroidTable(prefix: String): String = s"${prefix}_centroids"
+  def corpusTable(prefix: String): String = s"${prefix}_cells"
+
+  /** Build the index tables from the corpus. `buckets` sizes the cell
+    * layout (cells-per-bucket is fine; bucket pruning still skips
+    * non-probed buckets).
+    */
+  def build(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      nlist: Int = 16,
+      buckets: Int = 8,
+      prefix: String = "graft_ivf"): Unit = {
+    val spark = corpus.sparkSession
+    val cents = Similarity.centroids(corpus, idCol, embCol, nlist)
+    Bucketing.dropWithLocation(spark, centroidTable(prefix))
+    cents.write.format("parquet").saveAsTable(centroidTable(prefix))
+    val assigned = Similarity.assignCells(corpus, cents, idCol, embCol, "neighbor_id", keep = 1)
+    Bucketing.writeBucketed(assigned, corpusTable(prefix), "cell", buckets)
+  }
+
+  /** Probe the persisted index: assign each query to its `nprobe` nearest
+    * centroids (broadcast of the tiny centroid table), join the probed
+    * cells' corpus buckets, exact-score the candidates, keep top-k.
+    */
+  def probe(
+      spark: SparkSession,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nprobe: Int = 2,
+      prefix: String = "graft_ivf"): DataFrame = {
+    graft.functions.DotProductFF.register(spark)
+    val cents = spark.table(centroidTable(prefix))
+    val corpusCells = spark.table(corpusTable(prefix))
+    val queryCells = Similarity
+      .assignCells(queries, cents, idCol, embCol, "q_id", keep = nprobe)
+      .withColumnRenamed("emb", "q_emb").withColumnRenamed("nrm", "q_nrm")
+    val scored = corpusCells
+      .join(queryCells, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        (Similarity.dotD(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("sim"))
+      .dropDuplicates("q_id", "neighbor_id") // a pair can meet in >1 probed cell
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

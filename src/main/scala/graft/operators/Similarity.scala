@@ -135,6 +135,37 @@ object Similarity {
     * so at 100 TB each cell's candidates colocate and the cross product
     * never materializes. Recall/cost knob: nprobe.
     */
+  /** Deterministic coarse quantizer: the first `nlist` corpus vectors
+    * stand in for trained k-means centroids (swap in real centroids in
+    * production; every downstream plan shape is identical).
+    */
+  def centroids(corpus: DataFrame, idCol: String, embCol: String, nlist: Int): DataFrame =
+    corpus
+      .filter(col(idCol) < nlist)
+      .select(col(idCol).as("cell"), col(embCol).as("cent_emb"),
+        normD(col(embCol)).as("cent_norm"))
+
+  /** Assign each vector to its `keep` nearest centroid cells (broadcast
+    * centroid pass + per-vector window). Output: (outId, emb, nrm, cell).
+    */
+  def assignCells(
+      df: DataFrame,
+      cents: DataFrame,
+      idCol: String,
+      embCol: String,
+      outId: String,
+      keep: Int): DataFrame = {
+    graft.functions.DotProductFF.register(df.sparkSession)
+    val scored = df
+      .select(col(idCol).as(outId), col(embCol).as("emb"), normD(col(embCol)).as("nrm"))
+      .crossJoin(broadcast(cents))
+      .select(col(outId), col("emb"), col("nrm"), col("cell"),
+        (dotD(col("emb"), col("cent_emb")) / (col("nrm") * col("cent_norm"))).as("csim"))
+    val w = Window.partitionBy(outId).orderBy(col("csim").desc, col("cell"))
+    scored.withColumn("cr", row_number().over(w)).filter(col("cr") <= keep)
+      .select(col(outId), col("emb"), col("nrm"), col("cell"))
+  }
+
   def cosineTopKIvf(
       corpus: DataFrame,
       queries: DataFrame,
@@ -144,24 +175,9 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 2): DataFrame = {
     graft.functions.DotProductFF.register(corpus.sparkSession)
-    val cents = corpus
-      .filter(col(idCol) < nlist)
-      .select(col(idCol).as("cell"), col(embCol).as("cent_emb"),
-        normD(col(embCol)).as("cent_norm"))
-
-    def assign(df: DataFrame, outId: String, keep: Int): DataFrame = {
-      val scored = df
-        .select(col(idCol).as(outId), col(embCol).as("emb"), normD(col(embCol)).as("nrm"))
-        .crossJoin(broadcast(cents))
-        .select(col(outId), col("emb"), col("nrm"), col("cell"),
-          (dotD(col("emb"), col("cent_emb")) / (col("nrm") * col("cent_norm"))).as("csim"))
-      val w = Window.partitionBy(outId).orderBy(col("csim").desc, col("cell"))
-      scored.withColumn("cr", row_number().over(w)).filter(col("cr") <= keep)
-        .select(col(outId), col("emb"), col("nrm"), col("cell"))
-    }
-
-    val corpusCells = assign(corpus, "neighbor_id", 1)
-    val queryCells = assign(queries, "q_id", nprobe)
+    val cents = centroids(corpus, idCol, embCol, nlist)
+    val corpusCells = assignCells(corpus, cents, idCol, embCol, "neighbor_id", 1)
+    val queryCells = assignCells(queries, cents, idCol, embCol, "q_id", nprobe)
       .withColumnRenamed("emb", "q_emb").withColumnRenamed("nrm", "q_nrm")
 
     val scored = corpusCells

@@ -29,6 +29,43 @@ object SimilarityQueries {
       s"(CASE WHEN ${duckDot.format(embExpr, duckPlane(p))} > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** q42's IVF oracle text (deterministic first-16 quantizer, nprobe=2,
+    * top-5 for queries vec_id < 8) — shared verbatim by q79, whose
+    * persisted-index probe has identical semantics by construction.
+    */
+  private lazy val ivfOracleSql: String = {
+    val dotEC = duckDot.format("e.embedding", "c.cent_emb")
+    val dotCQ = duckDot.format("c.emb", "q.q_emb")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cell, embedding AS cent_emb, norm AS cent_norm FROM e WHERE vec_id < 16
+       |), scored_all AS (
+       |  SELECT e.vec_id, e.embedding, e.norm, c.cell,
+       |         $dotEC / (e.norm * c.cent_norm) AS csim
+       |  FROM e, cents c
+       |), corpus_cells AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS emb, norm AS nrm, cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+       |    FROM scored_all) WHERE cr = 1
+       |), query_cells AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_nrm, cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
+       |    FROM scored_all WHERE vec_id < 8) WHERE cr <= 2
+       |), cand AS (
+       |  SELECT DISTINCT q.q_id, c.neighbor_id,
+       |         $dotCQ / (c.nrm * q.q_nrm) AS sim
+       |  FROM corpus_cells c JOIN query_cells q
+       |    ON c.cell = q.cell AND c.neighbor_id != q.q_id
+       |)
+       |SELECT q_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rn
+       |      FROM cand)
+       |WHERE rn <= 5""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "q40_ann_bruteforce",
@@ -91,43 +128,29 @@ object SimilarityQueries {
       "IVF-bucketed approximate top-5: deterministic coarse quantizer " +
         "(first-16 vectors as centroid cells), nprobe=2 cells per query; " +
         "oracle expresses the same argmax assignment with window functions.",
-      Some {
-        val dotEC = duckDot.format("e.embedding", "c.cent_emb")
-        val dotCQ = duckDot.format("c.emb", "q.q_emb")
-        s"""WITH e AS (
-           |  SELECT vec_id, embedding,
-           |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
-           |  FROM embeddings
-           |), cents AS (
-           |  SELECT vec_id AS cell, embedding AS cent_emb, norm AS cent_norm FROM e WHERE vec_id < 16
-           |), scored_all AS (
-           |  SELECT e.vec_id, e.embedding, e.norm, c.cell,
-           |         $dotEC / (e.norm * c.cent_norm) AS csim
-           |  FROM e, cents c
-           |), corpus_cells AS (
-           |  SELECT vec_id AS neighbor_id, embedding AS emb, norm AS nrm, cell FROM (
-           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
-           |    FROM scored_all) WHERE cr = 1
-           |), query_cells AS (
-           |  SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_nrm, cell FROM (
-           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS cr
-           |    FROM scored_all WHERE vec_id < 8) WHERE cr <= 2
-           |), cand AS (
-           |  SELECT DISTINCT q.q_id, c.neighbor_id,
-           |         $dotCQ / (c.nrm * q.q_nrm) AS sim
-           |  FROM corpus_cells c JOIN query_cells q
-           |    ON c.cell = q.cell AND c.neighbor_id != q.q_id
-           |)
-           |SELECT q_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank
-           |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rn
-           |      FROM cand)
-           |WHERE rn <= 5""".stripMargin
-      },
+      Some(ivfOracleSql),
       (spark, dir) => {
         val e = Tables.embeddings(spark, dir)
         Similarity.cosineTopKIvf(
           e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
           k = 5, nlist = 16, nprobe = 2)
+      }
+    ),
+    Q(
+      "q79_ann_ivf_index",
+      "Persisted IVF index: the corpus assignment pass is paid ONCE at " +
+        "build time (centroid table + cell-bucketed corpus table); each " +
+        "probe broadcasts the tiny centroid table, reads the probed " +
+        "cells, and joins them against the pre-bucketed layout without " +
+        "shuffling the corpus. Probe semantics are identical to q42 by " +
+        "construction — same oracle text.",
+      Some(ivfOracleSql),
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        graft.operators.IvfIndex.build(e, "vec_id", "embedding", nlist = 16)
+        graft.operators.IvfIndex.probe(
+          spark, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, nprobe = 2)
       }
     )
   )
