@@ -341,6 +341,33 @@ object TextQueries {
       }
     ),
     Q(
+      "q80_array_hof_funcs",
+      "Array + higher-order function surface: distinct/sort/element " +
+        "access/membership plus an aggregate-fold (total token chars) — " +
+        "all codegen'd array expressions over the token split, zero " +
+        "shuffle. DuckDB list functions mirror each one.",
+      Some("""
+        |SELECT doc_id,
+        |       CAST(len(list_distinct(toks)) AS INTEGER) AS n_vocab,
+        |       list_sort(list_distinct(toks))[1] AS first_tok,
+        |       list_sort(list_distinct(toks))[len(list_distinct(toks))] AS last_tok,
+        |       list_contains(toks, 'data') AS has_data,
+        |       CAST(list_sum(list_transform(toks, x -> length(x))) AS INTEGER) AS total_tok_chars
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        val toks = TextAnalysis.wsTokens(col("text"))
+        val vocab = sort_array(array_distinct(toks))
+        Tables.documents(spark, dir).select(
+          col("doc_id"),
+          size(array_distinct(toks)).as("n_vocab"),
+          element_at(vocab, 1).as("first_tok"),
+          element_at(vocab, size(vocab)).as("last_tok"),
+          array_contains(toks, "data").as("has_data"),
+          aggregate(toks, lit(0), (acc, x) => acc + length(x)).as("total_tok_chars"))
+      }
+    ),
+    Q(
       "q57_curation_pipeline",
       "The capstone composition every training corpus runs: quality floor " +
         "(q51) FIRST on the raw column — a filter over plain attribute " +
