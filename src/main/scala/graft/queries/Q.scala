@@ -20,3 +20,12 @@ final case class Q(
     doc: String,
     oracle: Option[String],
     run: (SparkSession, String) => DataFrame)
+
+object Q {
+  /** Input-dir-keyed tag for scratch paths / table names, so concurrent
+    * runs over different inputs (e.g. a verify at sf0.01 alongside a
+    * bench at sf0.1) never collide on side-effect locations.
+    */
+  def scratchTag(dir: String): String =
+    java.lang.Integer.toUnsignedString(dir.hashCode, 16)
+}

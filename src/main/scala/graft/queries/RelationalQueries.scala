@@ -566,8 +566,8 @@ object RelationalQueries {
       (spark, dir) => {
         val (li, ord) = graft.operators.Bucketing.colocate(
           spark,
-          Tables.lineitem(spark, dir), "l_orderkey", "graft_li_bucketed",
-          Tables.orders(spark, dir), "o_orderkey", "graft_ord_bucketed",
+          Tables.lineitem(spark, dir), "l_orderkey", s"graft_li_bucketed_${Q.scratchTag(dir)}",
+          Tables.orders(spark, dir), "o_orderkey", s"graft_ord_bucketed_${Q.scratchTag(dir)}",
           buckets = 16)
         ord.join(li, col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderpriority")

@@ -147,10 +147,11 @@ object SimilarityQueries {
       Some(ivfOracleSql),
       (spark, dir) => {
         val e = Tables.embeddings(spark, dir)
-        graft.operators.IvfIndex.build(e, "vec_id", "embedding", nlist = 16)
+        val prefix = s"graft_ivf_${Q.scratchTag(dir)}"
+        graft.operators.IvfIndex.build(e, "vec_id", "embedding", nlist = 16, prefix = prefix)
         graft.operators.IvfIndex.probe(
           spark, e.filter(col("vec_id") < 8), "vec_id", "embedding",
-          k = 5, nprobe = 2)
+          k = 5, nprobe = 2, prefix = prefix)
       }
     )
   )

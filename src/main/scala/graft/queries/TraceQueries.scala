@@ -271,7 +271,7 @@ object TraceQueries {
         |""".stripMargin.trim),
       (spark, dir) => {
         val src = Tables.customer(spark, dir)
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft-q67-csv"
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-q67-csv-${Q.scratchTag(dir)}"
         src.write.mode("overwrite").option("header", true).csv(out)
         spark.read.schema(src.schema).option("header", true).csv(out)
           .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
@@ -289,7 +289,7 @@ object TraceQueries {
         |""".stripMargin.trim),
       (spark, dir) => {
         val src = Tables.part(spark, dir)
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft-q72-orc"
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-q72-orc-${Q.scratchTag(dir)}"
         src.write.mode("overwrite").orc(out)
         spark.read.schema(src.schema).orc(out)
           .select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
@@ -307,7 +307,7 @@ object TraceQueries {
         |""".stripMargin.trim),
       (spark, dir) => {
         val src = Tables.supplier(spark, dir)
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft-q73-json"
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-q73-json-${Q.scratchTag(dir)}"
         src.write.mode("overwrite").json(out)
         spark.read.schema(src.schema).json(out)
           .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
@@ -329,7 +329,7 @@ object TraceQueries {
         |GROUP BY 1
         |""".stripMargin.trim),
       (spark, dir) => {
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft-q74-part"
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-q74-part-${Q.scratchTag(dir)}"
         Tables.orders(spark, dir).write.mode("overwrite")
           .partitionBy("o_orderpriority").parquet(out)
         spark.read.parquet(out)
