@@ -171,13 +171,12 @@ object DedupQueries {
         "near-dups plus ~|corpus|/2^15 random collisions — the " +
         "corpus-scale configuration). Oracle: all-pairs Hamming filter.",
       Some(s"""
+        |WITH s AS (
+        |${duckSimhashWideSql(60)}
+        |)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-        |FROM (
-        |${duckSimhashWideSql(60)}
-        |) a JOIN (
-        |${duckSimhashWideSql(60)}
-        |) b ON a.doc_id < b.doc_id
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |""".stripMargin.trim),
       (spark, dir) =>

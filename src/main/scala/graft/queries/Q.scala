@@ -24,8 +24,13 @@ final case class Q(
 object Q {
   /** Input-dir-keyed tag for scratch paths / table names, so concurrent
     * runs over different inputs (e.g. a verify at sf0.01 alongside a
-    * bench at sf0.1) never collide on side-effect locations.
+    * bench at sf0.1) never collide on side-effect locations. md5-derived
+    * (not String.hashCode, whose 32 bits collide easily). Two concurrent
+    * runs over the SAME dir still share locations by design — the harness
+    * runs its phases sequentially.
     */
   def scratchTag(dir: String): String =
-    java.lang.Integer.toUnsignedString(dir.hashCode, 16)
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
 }

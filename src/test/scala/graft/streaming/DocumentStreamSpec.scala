@@ -14,9 +14,12 @@ class DocumentStreamSpec extends AnyFunSuite {
 
   lazy val watchDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("docs_stream")
-    java.nio.file.Files.copy(
+    val copied = java.nio.file.Files.copy(
       java.nio.file.Paths.get(SparkTestSession.sf0001, "documents.parquet"),
       dir.resolve("documents.parquet"))
+    copied.toFile.setWritable(true) // fixture perms are r--r--r--
+    copied.toFile.deleteOnExit()
+    dir.toFile.deleteOnExit()
     dir.toString
   }
 
