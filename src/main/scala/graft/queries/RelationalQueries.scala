@@ -627,6 +627,40 @@ object RelationalQueries {
       }
     ),
     Q(
+      "q81_fuzzy_match",
+      "Blocked fuzzy matching: Levenshtein <= 2 name pairs within " +
+        "nation-key blocks — the entity-resolution primitive. Blocking " +
+        "bounds the pair space (the join shuffles on the block key, never " +
+        "the cross product); at 100 TB the block key comes from an LSH or " +
+        "phonetic bucket, same plan shape. Both engines implement classic " +
+        "edit distance, so the oracle is exact.",
+      Some("""
+        |WITH c AS (
+        |  SELECT c_custkey, c_name, c_nationkey FROM customer WHERE c_custkey < 300
+        |)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM c a JOIN c b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        val c = Tables.customer(spark, dir)
+          .filter(col("c_custkey") < 300)
+          .select("c_custkey", "c_name", "c_nationkey")
+        val a = c.as("a")
+        val b = c.as("b")
+        a.join(b,
+            col("a.c_nationkey") === col("b.c_nationkey") &&
+              col("a.c_custkey") < col("b.c_custkey"))
+          .select(
+            col("a.c_custkey").as("id_a"),
+            col("b.c_custkey").as("id_b"),
+            levenshtein(col("a.c_name"), col("b.c_name")).as("dist"))
+          .filter(col("dist") <= 2)
+      }
+    ),
+    Q(
       "q66_unpivot",
       "Unpivot/melt: the four lineitem measures rotated into long form " +
         "(key, measure-name, value) — the inverse of q44's pivot. Narrow " +
