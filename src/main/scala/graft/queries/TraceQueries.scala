@@ -278,6 +278,36 @@ object TraceQueries {
       }
     ),
     Q(
+      "q82_latest_by_key",
+      "CDC/upsert compaction: keep only the LATEST event per (user, type) " +
+        "key by event time (ties broken on event_id) — the compaction " +
+        "pass any append-only ingest (the reference's rerun-and-append " +
+        "SQLite sink included) needs before serving. One shuffle on the " +
+        "key; Spark turns the rank filter into a per-key top-1 heap " +
+        "(WindowGroupLimit), so no partition is ever fully sorted.",
+      Some("""
+        |SELECT user_id, event_type, event_id, ts_us, value
+        |FROM (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |WHERE rn = 1
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        Tables.eventsTsNs(spark, dir)
+          .withColumn("ts_us", expr("ts div 1000"))
+          .select("user_id", "event_type", "event_id", "ts_us", "value")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .drop("rn")
+      }
+    ),
+    Q(
       "q72_orc_roundtrip",
       "Format interop: parquet -> ORC -> read back. ORC is the second " +
         "columnar format a complete engine speaks (both ship in Spark); " +
