@@ -107,6 +107,12 @@ object Components {
         labels = updated.select("id", "comp")
         iter += 1
       }
+      // Observability: pointer jumping converges in O(log diameter) rounds
+      // (2-4 on LSH near-clique graphs); a higher count flags an unusual
+      // graph shape worth investigating before it costs at scale.
+      System.err.println(
+        s"[components] ${if (changed == 0) "converged" else s"STOPPED at maxIter=$maxIter"} " +
+          s"after $iter rounds (nodes=$nodeCount, strategy=${if (small) "broadcast" else "shuffle"})")
       labels
     } finally {
       edgesBase.unpersist()
