@@ -49,15 +49,29 @@ object Bench {
         name -> (if (t2 < 0) t1 else math.min(t1, t2))
       } else name -> t1
     }
-    // Millisecond precision keeps the line short: the driver captures only a
-    // bounded tail of the output, and a truncated JSON line is unparseable.
     def fmt(v: Double): String =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) // locale-pinned: "5.123" never "5,123"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum // exclude -1 failure sentinels
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only a bounded tail of the output, and a truncated
+    // JSON line is unparseable (round 3 proved an 82-query line overflows
+    // it). So: the FULL per-query map goes to a file and to stderr — both
+    // printed BEFORE the stdout line, so a combined-stream tail capture
+    // always ends with the parseable stdout line — and the stdout line
+    // itself carries total + sf + only the slowest queries, bounded to stay
+    // well inside any plausible capture window.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_queries.json"), fullLine + "\n")
+    System.err.println(s"[bench] full per-query map: $fullLine")
+    val slowest = results.sortBy(-_._2).take(12)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

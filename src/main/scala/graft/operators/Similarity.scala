@@ -190,9 +190,54 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Production embedding near-dup pairs: banded sign-bit LSH. `tables`
+    * independent hash tables of `bitsPerTable` hyperplane sign bits each;
+    * a pair is a candidate iff it shares a bucket in ANY table (recall
+    * 1 - (1 - p^b)^L for per-plane agreement probability p), and the exact
+    * double-fold cosine then verifies against `threshold`, so precision
+    * is 1 — only recall is approximate. The self-join shuffles
+    * (table, bucket)-keyed rows — L small rows per vector — and never
+    * materializes a cross product; hot buckets are split by AQE skew
+    * handling. This replaces the bounded [[cosineDupPairs]] cross join as
+    * the at-scale path; that one remains the verification-scale oracle.
+    */
+  def cosineDupPairsLsh(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      tables: Int = 4,
+      bitsPerTable: Int = 4,
+      dim: Int = 64): DataFrame = {
+    graft.functions.DotProductFF.register(df.sparkSession)
+    val planes = hyperplanes(tables * bitsPerTable, dim)
+    val e = df.select(col(idCol), col(embCol), normD(col(embCol)).as("norm"))
+    val tableBuckets = (0 until tables).map { t =>
+      val slice = planes.slice(t * bitsPerTable, (t + 1) * bitsPerTable)
+      struct(lit(t).as("tbl"), lshBucket(col(embCol), slice).as("bucket"))
+    }
+    val bucketed = e
+      .select(col(idCol), col(embCol), col("norm"),
+        explode(array(tableBuckets: _*)).as("tb"))
+      .select(col(idCol), col(embCol), col("norm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val a = bucketed.select(col("tbl"), col("bucket"),
+      col(idCol).as("vec_a"), col(embCol).as("ea"), col("norm").as("na"))
+    val b = bucketed.select(col("tbl"), col("bucket"),
+      col(idCol).as("vec_b"), col(embCol).as("eb"), col("norm").as("nb"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (dotD(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim"))
+      .filter(col("sim") >= threshold)
+      // A pair can share a bucket in several tables; sim is a deterministic
+      // function of the pair, so dedup on ids alone is value-stable.
+      .dropDuplicates("vec_a", "vec_b")
+  }
+
   /** Embedding-cosine near-dup pairs above a similarity threshold within a
     * bounded id range (verification scale; production pairs come from LSH
-    * buckets instead of the cross join).
+    * buckets instead of the cross join — see [[cosineDupPairsLsh]]).
     */
   def cosineDupPairs(
       df: DataFrame,

@@ -24,10 +24,18 @@ object SimilarityQueries {
   private val duckDot =
     "list_sum(list_transform(list_zip(%s, %s), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
 
-  private def duckBucket(embExpr: String): String =
-    planes.zipWithIndex.map { case (p, j) =>
+  private def duckBucketPlanes(embExpr: String, ps: Array[Array[Double]]): String =
+    ps.zipWithIndex.map { case (p, j) =>
       s"(CASE WHEN ${duckDot.format(embExpr, duckPlane(p))} > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  private def duckBucket(embExpr: String): String = duckBucketPlanes(embExpr, planes)
+
+  // Banded LSH family for q83's threshold near-dup pairs: independent
+  // tables of sign bits, the same constants on both engines.
+  private val DupTables = 4
+  private val DupBits = 4
+  private lazy val dupPlanes = Similarity.hyperplanes(DupTables * DupBits, Dim)
 
   /** q42's IVF oracle text (deterministic first-16 quantizer, nprobe=2,
     * top-5 for queries vec_id < 8) — shared verbatim by q79, whose
@@ -153,6 +161,43 @@ object SimilarityQueries {
           spark, e.filter(col("vec_id") < 8), "vec_id", "embedding",
           k = 5, nprobe = 2, prefix = prefix)
       }
+    ),
+    Q(
+      "q83_embedding_dup_lsh",
+      s"Production embedding near-dup pairs: banded sign-bit LSH " +
+        s"($DupTables tables x $DupBits bits), candidates join on " +
+        "(table, bucket) — never a cross product — then the exact " +
+        "double-fold cosine verifies the threshold (precision 1, recall " +
+        "the banding knob). Replaces q35's bounded cross join as the " +
+        "at-scale path; same bounded subset so the two are comparable. " +
+        "Oracle mirrors the identical plane constants and banding.",
+      Some {
+        val branches = (0 until DupTables).map { t =>
+          val slice = dupPlanes.slice(t * DupBits, (t + 1) * DupBits)
+          s"SELECT vec_id, $t AS tbl, ${duckBucketPlanes("embedding", slice)} AS bucket FROM e"
+        }.mkString("\n  UNION ALL\n  ")
+        val dotAB = duckDot.format("ea.embedding", "eb.embedding")
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding,
+           |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+           |  FROM embeddings WHERE vec_id < 1000
+           |), b AS (
+           |  $branches
+           |), cand AS (
+           |  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+           |  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+           |)
+           |SELECT cand.vec_a, cand.vec_b,
+           |       $dotAB / (ea.norm * eb.norm) AS sim
+           |FROM cand JOIN e ea ON ea.vec_id = cand.vec_a
+           |          JOIN e eb ON eb.vec_id = cand.vec_b
+           |WHERE $dotAB / (ea.norm * eb.norm) >= 0.4""".stripMargin
+      },
+      (spark, dir) =>
+        Similarity.cosineDupPairsLsh(
+          Tables.embeddings(spark, dir).filter(col("vec_id") < 1000),
+          "vec_id", "embedding", threshold = 0.4,
+          tables = DupTables, bitsPerTable = DupBits, dim = Dim)
     )
   )
 }

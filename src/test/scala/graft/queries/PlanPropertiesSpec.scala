@@ -39,6 +39,14 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoop"))
   }
 
+  test("q83: banded-LSH dup pairs join on (table, bucket) — never cartesian/nested-loop") {
+    val p = plan("q83_embedding_dup_lsh")
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(40).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoop"), p.linesIterator.take(40).mkString("\n"))
+    // and the id bound still reaches the parquet scan
+    assert(p.contains("LessThan(vec_id,1000)"), p.linesIterator.take(40).mkString("\n"))
+  }
+
   test("q14: global top-k runs as TakeOrderedAndProject, not a full sort") {
     assert(plan("q14_sort_limit").contains("TakeOrderedAndProject"))
   }
