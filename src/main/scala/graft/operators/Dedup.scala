@@ -245,19 +245,44 @@ object Dedup {
     * n-gram-keyed self-join (shuffle on the n-gram — never on the pair),
     * Jaccard = |A∩B| / (|A|+|B|-|A∩B|). Use on bounded candidate sets
     * (e.g. LSH output); the all-pairs form here is for verification scale.
+    *
+    * `maxDocFreq`: stop-gram cap. A gram appearing in f documents creates
+    * f^2/2 join rows, so one boilerplate gram shared by a million docs is
+    * a quadratic hot bucket. With the cap set, grams whose document
+    * frequency exceeds it are removed from the representation BEFORE the
+    * join (consistently — from both the intersection and the per-doc set
+    * sizes, so the result is exact Jaccard over the filtered gram sets).
+    * Ubiquitous grams carry no pair-discriminating signal, so sensible
+    * caps leave the above-threshold pair set unchanged (property-tested);
+    * the hot-gram set is tiny by construction (each needs > cap distinct
+    * docs) and broadcasts, so the cap costs one map-side anti-join, not a
+    * second shuffle of the gram stream.
     */
   def ngramJaccardPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
       n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    val grams = df.select(
+      threshold: Double = 0.5,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val rawGrams = df.select(
       col(idCol),
       explode(array_distinct(
         transform(
           sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
           i => col(textCol).substr(i, lit(n))))).as("g"))
+    val grams = maxDocFreq match {
+      case Some(cap) =>
+        // Grams are distinct per doc, so count(*) per gram IS document
+        // frequency. Only above-cap grams survive the filter — a small
+        // set that broadcasts under the anti-join.
+        val hot = rawGrams.groupBy(col("g"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap)
+          .select(col("g"))
+        rawGrams.join(broadcast(hot), Seq("g"), "left_anti")
+      case None => rawGrams
+    }
     val counts = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
     val a = grams.as("ga").join(counts.withColumnRenamed("n_grams", "na").as("ca"), idCol)
     val g2 = grams.as("gb").join(counts.withColumnRenamed("n_grams", "nb").as("cb"), idCol)

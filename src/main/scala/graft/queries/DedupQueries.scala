@@ -187,14 +187,21 @@ object DedupQueries {
       "q34_ngram_jaccard",
       "Character-trigram Jaccard near-dup pairs (bounded subset, ngram-" +
         "keyed self-join; intersection counted per pair, never a cross " +
-        "product).",
+        "product). Stop-gram cap df<=100: boilerplate grams shared by " +
+        "most docs would each be a quadratic join bucket at scale and " +
+        "carry no pair-discriminating signal — they are dropped from the " +
+        "representation consistently on both engines.",
       Some("""
         |WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
-        |g AS (
+        |g0 AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, greatest(length(text) - 2, 1) + 1),
         |    i -> substr(text, i, 3)))) AS g
         |  FROM d
+        |),
+        |g AS (
+        |  SELECT * FROM g0
+        |  WHERE g NOT IN (SELECT g FROM g0 GROUP BY g HAVING COUNT(*) > 100)
         |),
         |c AS (SELECT doc_id, COUNT(*) AS n_g FROM g GROUP BY 1),
         |inter AS (
@@ -212,7 +219,7 @@ object DedupQueries {
       (spark, dir) =>
         Dedup.ngramJaccardPairs(
           Tables.documents(spark, dir).filter(col("doc_id") < 200),
-          "text", "doc_id", n = 3, threshold = 0.5)
+          "text", "doc_id", n = 3, threshold = 0.5, maxDocFreq = Some(100))
     ),
     Q(
       "q36_dedup_groups",

@@ -42,6 +42,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.head.getLong(2) == 2L) // identical docs share both bands
   }
 
+  test("ngram-jaccard stop-gram cap: true near-dups survive, boilerplate-only pairs are cut") {
+    // 20 docs share a long boilerplate header (every header gram has
+    // df = 20 > cap = 10). Docs 1 and 2 additionally share a unique body;
+    // all other doc bodies are disjoint random-ish words.
+    val boiler = "this document is provided under the standard license " +
+      "agreement all rights reserved see terms and conditions for details"
+    val body12 = "quantum flux capacitor engaged overdrive maximal entropy"
+    val df = docs((1L to 20L).map { i =>
+      val body = if (i <= 2) body12
+      else s"unique${i}a word${i}b token${i}c item${i}d thing${i}e part${i}f"
+      (i, s"$boiler $body")
+    }: _*)
+    def pairs(cap: Option[Int]) =
+      Dedup.ngramJaccardPairs(df, "text", "doc_id", n = 3,
+          threshold = 0.5, maxDocFreq = cap)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(None)
+    val capped = pairs(Some(10))
+    // Uncapped, boilerplate dominates every gram set: spurious pairs of
+    // totally unrelated docs clear the threshold.
+    assert(uncapped.exists { case (a, b) => (a, b) != (1L, 2L) },
+      s"fixture mis-built: no spurious boilerplate pairs uncapped: $uncapped")
+    // The cap removes exactly the quadratic boilerplate buckets: the true
+    // near-dup pair survives, every spurious pair is gone.
+    assert(capped == Set((1L, 2L)), s"capped = $capped")
+  }
+
   test("simhash: identical docs equal; unrelated docs differ") {
     val df = docs(
       (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
