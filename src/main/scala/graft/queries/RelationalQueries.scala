@@ -661,6 +661,25 @@ object RelationalQueries {
       }
     ),
     Q(
+      "q84_fuzzy_blocked",
+      "Production fuzzy matching: positional-segment pigeonhole blocking " +
+        "(9 segments, block key = (idx, segment, length)) with a " +
+        "hot-block cap of 150 — constant-prefix boilerplate blocks are " +
+        "dropped (they carry no discriminating signal and would be " +
+        "quadratic), surviving blocks are capped, and exact Levenshtein " +
+        "verifies every candidate (precision 1). The content-derived " +
+        "block key q81's docstring promises; both engines mirror the " +
+        "identical blocking so the oracle is exact.",
+      Some(FuzzyBlockedSql.sql),
+      (spark, dir) =>
+        graft.operators.FuzzyJoin.segmentBlockedPairs(
+          Tables.customer(spark, dir)
+            .filter(col("c_custkey") < 300)
+            .select("c_custkey", "c_name"),
+          "c_name", "c_custkey",
+          maxDist = 2, numSegments = 9, blockCap = 150)
+    ),
+    Q(
       "q66_unpivot",
       "Unpivot/melt: the four lineitem measures rotated into long form " +
         "(key, measure-name, value) — the inverse of q44's pivot. Narrow " +
@@ -685,6 +704,43 @@ object RelationalQueries {
           valueColumnName = "value")
     )
   )
+}
+
+/** q84's oracle: the identical positional-segment blocking + cap +
+  * Levenshtein, generated from the same (numSegments, blockCap, maxDist)
+  * constants as the Spark plan so the two cannot drift.
+  */
+private object FuzzyBlockedSql {
+  private val M = 9
+  private val Cap = 150
+  private val MaxDist = 2
+  val sql: String = {
+    val branches = (0 until M).map { i =>
+      s"""SELECT c_custkey, c_name, length(c_name) AS len, $i AS seg_idx,
+         |         substr(c_name, ($i * length(c_name)) // $M + 1,
+         |                (${i + 1} * length(c_name)) // $M - ($i * length(c_name)) // $M) AS seg
+         |  FROM c""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH c AS (
+       |  SELECT c_custkey, c_name FROM customer WHERE c_custkey < 300
+       |), b AS (
+       |  $branches
+       |), hot AS (
+       |  SELECT seg_idx, seg, len FROM b GROUP BY 1, 2, 3 HAVING COUNT(*) > $Cap
+       |), k AS (
+       |  SELECT * FROM b ANTI JOIN hot USING (seg_idx, seg, len)
+       |), cand AS (
+       |  SELECT DISTINCT a.c_custkey AS id_a, b2.c_custkey AS id_b
+       |  FROM k a JOIN k b2
+       |    ON a.seg_idx = b2.seg_idx AND a.seg = b2.seg AND a.len = b2.len
+       |   AND a.c_custkey < b2.c_custkey
+       |)
+       |SELECT cand.id_a, cand.id_b,
+       |       CAST(levenshtein(ca.c_name, cb.c_name) AS INTEGER) AS dist
+       |FROM cand JOIN c ca ON ca.c_custkey = cand.id_a
+       |          JOIN c cb ON cb.c_custkey = cand.id_b
+       |WHERE levenshtein(ca.c_name, cb.c_name) <= $MaxDist""".stripMargin
+  }
 }
 
 /** Shared SQL for q55 (one source of truth for both engines). */

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class FuzzyJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("substitution pairs within maxDist are found; precision is exact") {
+    val df = Seq(
+      (1L, "abcdefghijklmnopqr"),
+      (2L, "abcdefghijklmnopXr"), // 1 substitution vs 1
+      (3L, "abcdefghijklmnYpXr"), // 2 substitutions vs 1
+      (4L, "zzzzzzzzzzzzzzzzzz")  // unrelated
+    ).toDF("id", "s")
+    val got = FuzzyJoin.segmentBlockedPairs(df, "s", "id",
+        maxDist = 2, numSegments = 9, blockCap = 150)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(got((1L, 2L)) == 1 && got((1L, 3L)) == 2 && got((2L, 3L)) == 1)
+  }
+
+  test("customer fixture: the cap bites on boilerplate blocks, surviving blocks stay bounded, recall is real") {
+    val c = graft.Tables.customer(spark, SparkTestSession.sf0001)
+      .filter(col("c_custkey") < 300).select("c_custkey", "c_name")
+    val n = c.count()
+    // Reconstruct the block layout the operator uses to measure block sizes.
+    val m = 9
+    val segs = (0 until m).map { i =>
+      struct(lit(i).as("seg_idx"),
+        col("c_name").substr(
+          expr(s"(($i * length(c_name)) div $m) + 1"),
+          expr(s"((${i + 1} * length(c_name)) div $m) - (($i * length(c_name)) div $m)")).as("seg"))
+    }
+    val sizes = c.select(col("c_custkey"), length(col("c_name")).as("len"),
+        explode(array(segs: _*)).as("b"))
+      .groupBy(col("b.seg_idx"), col("b.seg"), col("len")).count()
+    // sf0.001 has 150 customers in the subset, so the cap that bites here
+    // is 100 (the q84 registry entry runs cap 150 over sf0.01's 300).
+    val cap = 100
+    val maxRaw = sizes.agg(max("count")).head().getLong(0)
+    assert(maxRaw > cap,
+      s"fixture has no hot block (max $maxRaw of $n rows); cap assertion vacuous")
+    val maxKept = sizes.filter(col("count") <= cap).agg(max("count")).head().getLong(0)
+    assert(maxKept <= cap) // the bound the join's per-block cost derives from
+
+    val pairs = FuzzyJoin.segmentBlockedPairs(c, "c_name", "c_custkey",
+      maxDist = 2, numSegments = 9, blockCap = cap)
+    val got = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Known true pair discoverable through a below-cap block: custkeys 1 and
+    // 2 differ in the final digit (lev 1) and share the (idx=7, "00", 18)
+    // segment whose block holds only custkeys 0..99.
+    assert(got.contains((1L, 2L)), s"expected (1,2) in ${got.take(20)}")
+  }
+}

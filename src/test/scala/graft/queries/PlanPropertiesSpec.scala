@@ -47,6 +47,12 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("LessThan(vec_id,1000)"), p.linesIterator.take(40).mkString("\n"))
   }
 
+  test("q84: segment-blocked fuzzy join is an equi-join on the block key — never cartesian") {
+    val p = plan("q84_fuzzy_blocked")
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(40).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoop"), p.linesIterator.take(40).mkString("\n"))
+  }
+
   test("q14: global top-k runs as TakeOrderedAndProject, not a full sort") {
     assert(plan("q14_sort_limit").contains("TakeOrderedAndProject"))
   }
