@@ -36,9 +36,13 @@ object IvfIndex {
       embCol: String,
       nlist: Int = 16,
       buckets: Int = 8,
-      prefix: String = "graft_ivf"): Unit = {
+      prefix: String = "graft_ivf",
+      centroidsOpt: Option[DataFrame] = None): Unit = {
     val spark = corpus.sparkSession
-    val cents = Similarity.centroids(corpus, idCol, embCol, nlist)
+    // Default: the deterministic first-nlist quantizer (oracle-friendly);
+    // production passes Similarity.trainedCentroids for real k-means cells.
+    val cents = centroidsOpt.getOrElse(
+      Similarity.centroids(corpus, idCol, embCol, nlist))
     Bucketing.dropWithLocation(spark, centroidTable(prefix))
     cents.write.format("parquet").saveAsTable(centroidTable(prefix))
     val assigned = Similarity.assignCells(corpus, cents, idCol, embCol, "neighbor_id", keep = 1)

@@ -145,6 +145,39 @@ object Similarity {
       .select(col(idCol).as("cell"), col(embCol).as("cent_emb"),
         normD(col(embCol)).as("cent_norm"))
 
+  /** REAL trained coarse quantizer: Spark ML k-means (seeded, so
+    * reproducible on a fixed layout) over the embedding column; centers
+    * come back as the same (cell, cent_emb, cent_norm) shape as
+    * [[centroids]], cast to the corpus's float element type. Training cost
+    * is one cached pass per iteration over features only — at index-build
+    * time, never per probe. Centroid QUALITY only moves recall-per-nprobe;
+    * every correctness property downstream is centroid-independent (an
+    * exhaustive probe with nprobe = nlist returns exactly the brute-force
+    * top-k whatever the centers are — pinned by q85's oracle).
+    */
+  def trainedCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      nlist: Int,
+      seed: Long = 42L,
+      maxIter: Int = 20): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.DotProductFF.register(spark)
+    val feats = corpus.select(
+      org.apache.spark.ml.functions.array_to_vector(
+        col(embCol).cast("array<double>")).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .fit(feats)
+    val rows = model.clusterCenters.toIndexedSeq.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.toArray.map(_.toFloat))
+    }
+    import spark.implicits._
+    rows.toDF("cell", "cent_emb")
+      .select(col("cell"), col("cent_emb"), normD(col("cent_emb")).as("cent_norm"))
+  }
+
   /** Assign each vector to its `keep` nearest centroid cells (broadcast
     * centroid pass + per-vector window). Output: (outId, emb, nrm, cell).
     */
@@ -173,9 +206,10 @@ object Similarity {
       embCol: String,
       k: Int,
       nlist: Int = 16,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2,
+      centroidsOpt: Option[DataFrame] = None): DataFrame = {
     graft.functions.DotProductFF.register(corpus.sparkSession)
-    val cents = centroids(corpus, idCol, embCol, nlist)
+    val cents = centroidsOpt.getOrElse(centroids(corpus, idCol, embCol, nlist))
     val corpusCells = assignCells(corpus, cents, idCol, embCol, "neighbor_id", 1)
     val queryCells = assignCells(queries, cents, idCol, embCol, "q_id", nprobe)
       .withColumnRenamed("emb", "q_emb").withColumnRenamed("nrm", "q_nrm")

@@ -74,29 +74,35 @@ object SimilarityQueries {
        |WHERE rn <= 5""".stripMargin
   }
 
+  /** Brute-force top-5 oracle — shared verbatim by q85, whose exhaustive
+    * probe (nprobe = nlist) returns exactly the brute-force result no
+    * matter what the trained centroids are.
+    */
+  private val bruteForceSql: String = """
+    |WITH e AS (
+    |  SELECT vec_id, embedding,
+    |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+    |  FROM embeddings
+    |),
+    |scored AS (
+    |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+    |         list_sum(list_transform(list_zip(c.embedding, q.embedding),
+    |                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (c.norm * q.norm) AS sim
+    |  FROM e c JOIN e q ON q.vec_id < 8 AND c.vec_id != q.vec_id
+    |)
+    |SELECT q_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank
+    |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rn
+    |      FROM scored)
+    |WHERE rn <= 5
+    |""".stripMargin.trim
+
   val all: Seq[Q] = Seq(
     Q(
       "q40_ann_bruteforce",
       "Brute-force cosine top-5 for 8 query vectors: broadcast nested loop " +
         "(queries broadcast, corpus streams), per-query top-k via window. " +
         "The exact baseline ANN variants are measured against.",
-      Some("""
-        |WITH e AS (
-        |  SELECT vec_id, embedding,
-        |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
-        |  FROM embeddings
-        |),
-        |scored AS (
-        |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
-        |         list_sum(list_transform(list_zip(c.embedding, q.embedding),
-        |                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (c.norm * q.norm) AS sim
-        |  FROM e c JOIN e q ON q.vec_id < 8 AND c.vec_id != q.vec_id
-        |)
-        |SELECT q_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank
-        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rn
-        |      FROM scored)
-        |WHERE rn <= 5
-        |""".stripMargin.trim),
+      Some(bruteForceSql),
       (spark, dir) => {
         val e = Tables.embeddings(spark, dir)
         Similarity.cosineTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
@@ -160,6 +166,24 @@ object SimilarityQueries {
         graft.operators.IvfIndex.probe(
           spark, e.filter(col("vec_id") < 8), "vec_id", "embedding",
           k = 5, nprobe = 2, prefix = prefix)
+      }
+    ),
+    Q(
+      "q85_ann_ivf_trained",
+      "IVF with REAL trained centroids (seeded Spark ML k-means, 8 cells) " +
+        "probed exhaustively (nprobe = nlist): the result is exactly the " +
+        "brute-force top-5 whatever the learned centers are, so the " +
+        "trained-quantizer plumbing gets an exact centroid-independent " +
+        "oracle; recall at nprobe < nlist is pinned separately in " +
+        "IvfKmeansSpec.",
+      Some(bruteForceSql),
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        val cents = Similarity.trainedCentroids(e, "vec_id", "embedding",
+          nlist = 8, seed = 42L)
+        Similarity.cosineTopKIvf(
+          e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, nlist = 8, nprobe = 8, centroidsOpt = Some(cents))
       }
     ),
     Q(
