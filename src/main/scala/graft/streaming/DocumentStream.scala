@@ -50,4 +50,40 @@ object DocumentStream {
   def curatedChunks(docs: DataFrame): DataFrame =
     TextAnalysis.chunkByTokens(
       curated(docs), "clean_text", "doc_id", chunkTokens = 50, overlap = 10)
+
+  /** Streaming EXACT content dedup — the incremental face of q30: the
+    * shuffle key is the 32-byte sha256 of the text (bodies never move),
+    * keyed state expires once the ingest-time watermark passes the
+    * horizon, so state is bounded by (horizon x distinct-content arrival
+    * rate), not stream length. Documents have no event time — a crawl
+    * dedups over ARRIVAL time by design: "the same content re-crawled
+    * months later" is a re-dup candidate only within the horizon, which is
+    * the production semantic (and the reason the horizon is a parameter).
+    */
+  def dedupedByContent(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    docs
+      .select(col("doc_id"), sha2(col("text").cast("binary"), 256).as("text_sha"))
+      .withColumn("ingest_time", current_timestamp())
+      .withWatermark("ingest_time", horizon)
+      .dropDuplicatesWithinWatermark("text_sha")
+      .select("doc_id", "text_sha")
+
+  /** Streaming decontamination — the incremental face of q63. The batch
+    * path broadcasts the benchmark n-gram set under a join + per-doc
+    * aggregation; an aggregation is STATE in streaming, so the streaming
+    * shape collects the (small — eval suites, not corpora) gram set once
+    * at plan time and screens with a pure narrow `arrays_overlap` filter:
+    * zero state, append mode, whole-stage codegen, and each micro-batch
+    * sees the identical screen the batch twin applies.
+    */
+  def decontaminated(docs: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    val docGrams = array_distinct(
+      TextAnalysis.tokenNgrams(TextAnalysis.wsTokens(col("text")), n))
+    val benchGrams = benchmark
+      .select(explode(array_distinct(
+        TextAnalysis.tokenNgrams(TextAnalysis.wsTokens(col("text")), n))).as("g"))
+      .distinct().collect().map(_.getString(0)).sorted
+    docs.filter(!arrays_overlap(docGrams, typedlit(benchGrams.toSeq)))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
 }

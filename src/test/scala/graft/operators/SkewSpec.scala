@@ -25,6 +25,50 @@ class SkewSpec extends AnyFunSuite {
     assert(p.length == s.length && p.sameElements(s))
   }
 
+  test("AQE skew-join actually splits a hot key (the runtime half of the skew story)") {
+    // The Dedup/LSH docstrings lean on "AQE splits hot buckets"; this pins
+    // that the mechanism really fires. Thresholds are lowered so a ~10 MB
+    // hot partition counts as skewed on the test harness; broadcast is
+    // disabled so the join stays sort-merge (the plan shape AQE's skew
+    // handling applies to).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+      conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16384")
+
+      val pad = "x" * 60
+      val big = spark.range(0, 200000)
+        .select(
+          // 95% of rows land on key 1; the rest spread across 1000 keys
+          when(col("id") % 20 =!= 0, lit(1L)).otherwise(col("id") % 1000).as("k"),
+          concat(col("id").cast("string"), lit(pad)).as("payload"))
+      val small = spark.range(0, 1000).select(
+        col("id").as("k"), concat(lit("label"), col("id")).as("label"))
+
+      val joined = big.join(small, "k").select("k", "payload", "label")
+      // Execute THIS DataFrame's QueryExecution (a writer would clone the
+      // plan and leave this one un-finalized), then read the final
+      // adaptive plan it settled on.
+      assert(joined.collect().length == 200000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true") || finalPlan.contains("skewed"),
+        s"AQE did not mark the skew-join split:\n${finalPlan.take(4000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("salt is deterministic and spans buckets") {
     val df = (1 to 100).map(_.toLong).toDF("x")
     val salts = df.select(Skew.salt(8, col("x")).as("s")).as[Int].collect()
