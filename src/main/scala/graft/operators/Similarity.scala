@@ -124,20 +124,10 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** IVF (inverted-file) approximate top-k: a coarse quantizer assigns each
-    * corpus vector to its nearest of `nlist` centroid cells; each query
-    * probes its `nprobe` nearest cells and scores only vectors there.
-    *
-    * The quantizer here is deterministic — the first `nlist` corpus vectors
-    * stand in for trained k-means centroids (swap in real centroids in
-    * production; the plan shape is identical). Cell assignment is one
-    * corpus×nlist broadcast pass; the probe join shuffles on the cell id,
-    * so at 100 TB each cell's candidates colocate and the cross product
-    * never materializes. Recall/cost knob: nprobe.
-    */
   /** Deterministic coarse quantizer: the first `nlist` corpus vectors
-    * stand in for trained k-means centroids (swap in real centroids in
-    * production; every downstream plan shape is identical).
+    * stand in for trained centroids — the oracle-friendly default
+    * ([[trainedCentroids]] is the production quantizer; every downstream
+    * plan shape is identical either way).
     */
   def centroids(corpus: DataFrame, idCol: String, embCol: String, nlist: Int): DataFrame =
     corpus

@@ -631,9 +631,10 @@ object RelationalQueries {
       "Blocked fuzzy matching: Levenshtein <= 2 name pairs within " +
         "nation-key blocks — the entity-resolution primitive. Blocking " +
         "bounds the pair space (the join shuffles on the block key, never " +
-        "the cross product); at 100 TB the block key comes from an LSH or " +
-        "phonetic bucket, same plan shape. Both engines implement classic " +
-        "edit distance, so the oracle is exact.",
+        "the cross product); the production content-derived block key is " +
+        "q84 (positional-segment pigeonhole + hot-block cap), same plan " +
+        "shape. Both engines implement classic edit distance, so the " +
+        "oracle is exact.",
       Some("""
         |WITH c AS (
         |  SELECT c_custkey, c_name, c_nationkey FROM customer WHERE c_custkey < 300
