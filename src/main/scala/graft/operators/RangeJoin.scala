@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Binned (bucketed) range join: point-in-interval matching WITHOUT an
+  * equi key.
+  *
+  * Spark plans a bare `p.ts BETWEEN i.start AND i.end` join as a
+  * BroadcastNestedLoopJoin (or cartesian) — every point against every
+  * interval, quadratic at scale. The production shape discretizes the
+  * domain into fixed-width bins: each interval explodes to the bins it
+  * covers (replication factor = interval_width / bin_width + 1, a small
+  * constant when bins are sized near the typical interval), each point
+  * maps to exactly ONE bin, and the join becomes an equi-join on the bin
+  * id — shuffle-partitioned, AQE-skew-splittable — followed by the exact
+  * range predicate. Because a point lives in exactly one bin, a
+  * qualifying (point, interval) pair meets exactly once: no dedup pass
+  * is needed and the equi-join output is the final answer after the
+  * verify filter.
+  *
+  * Intervals are half-open [start, end): a point at `end` does not match,
+  * so back-to-back intervals never double-count a boundary point.
+  */
+object RangeJoin {
+
+  /** @param points    rows carrying `pointId` and a numeric `pointTs`
+    * @param intervals rows carrying `intervalId`, `startCol`, `endCol`
+    *                  (same numeric domain as `pointTs`; end > start)
+    * @param binWidth  bin size in that domain — tune toward the typical
+    *                  interval width; smaller bins = more interval
+    *                  replication, bigger bins = more false candidates
+    *                  for the verify filter
+    * @return (interval_id, point_id, p_ts) for every point inside an
+    *         interval, each pair exactly once
+    */
+  def pointInInterval(
+      points: DataFrame,
+      pointId: String,
+      pointTs: String,
+      intervals: DataFrame,
+      intervalId: String,
+      startCol: String,
+      endCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    val p = points
+      .select(col(pointId).as("point_id"), col(pointTs).as("p_ts"))
+      .withColumn("bin", expr(s"p_ts div ${binWidth}L"))
+    val i = intervals
+      .select(col(intervalId).as("interval_id"),
+        col(startCol).as("start_ts"), col(endCol).as("end_ts"))
+      .withColumn("bin",
+        explode(sequence(
+          expr(s"start_ts div ${binWidth}L"),
+          expr(s"(end_ts - 1L) div ${binWidth}L"))))
+    p.join(i, Seq("bin"))
+      .filter(col("p_ts") >= col("start_ts") && col("p_ts") < col("end_ts"))
+      .select(col("interval_id"), col("point_id"), col("p_ts"))
+  }
+}

@@ -662,6 +662,45 @@ object RelationalQueries {
       }
     ),
     Q(
+      "q86_range_join_binned",
+      "Non-equi range join done scalably: purchases falling inside " +
+        "6-hour windows opened by a deterministic slice of signups. A " +
+        "bare ts-between theta join plans as a nested loop (quadratic); " +
+        "the binned form explodes each interval to its covered 1-hour " +
+        "bins (replication ~7), maps each point to its single bin, " +
+        "equi-joins on the bin id, and verifies the exact half-open " +
+        "predicate — every qualifying pair meets exactly once, so no " +
+        "dedup pass. Oracle is the plain theta join: the binning must " +
+        "not change a row.",
+      Some("""
+        |WITH iv AS (
+        |  SELECT event_id AS interval_id, epoch_us(ts) AS start_ts,
+        |         epoch_us(ts) + 21600000000 AS end_ts
+        |  FROM events WHERE event_type = 'signup' AND event_id % 97 = 0
+        |), pt AS (
+        |  SELECT event_id AS point_id, epoch_us(ts) AS p_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT interval_id, point_id, p_ts
+        |FROM iv JOIN pt ON p_ts >= start_ts AND p_ts < end_ts
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        val ev = Tables.eventsTsNs(spark, dir)
+        val intervals = ev
+          .filter(col("event_type") === "signup" && col("event_id") % 97 === 0)
+          .select(col("event_id"),
+            expr("ts div 1000").as("start_ts"),
+            (expr("ts div 1000") + lit(21600000000L)).as("end_ts"))
+        val points = ev
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), expr("ts div 1000").as("p_ts"))
+        graft.operators.RangeJoin.pointInInterval(
+          points, "event_id", "p_ts",
+          intervals, "event_id", "start_ts", "end_ts",
+          binWidth = 3600000000L)
+      }
+    ),
+    Q(
       "q84_fuzzy_blocked",
       "Production fuzzy matching: positional-segment pigeonhole blocking " +
         "(9 segments, block key = (idx, segment, length)) with a " +

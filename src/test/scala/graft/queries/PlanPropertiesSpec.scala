@@ -53,6 +53,12 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoop"), p.linesIterator.take(40).mkString("\n"))
   }
 
+  test("q86: binned range join plans as an equi-join on the bin — never a nested loop") {
+    val p = plan("q86_range_join_binned")
+    assert(!p.contains("BroadcastNestedLoop"), p.linesIterator.take(40).mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(40).mkString("\n"))
+  }
+
   test("q14: global top-k runs as TakeOrderedAndProject, not a full sort") {
     assert(plan("q14_sort_limit").contains("TakeOrderedAndProject"))
   }
