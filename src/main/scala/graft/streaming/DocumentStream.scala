@@ -1,10 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.Tables
-import graft.operators.TextAnalysis
+import graft.operators.{Dedup, TextAnalysis}
 
 /** Streaming document curation: the batch text stack (quality floor ->
   * PII redaction -> context-window chunking, q51/q62/q61) run over a
@@ -67,6 +68,77 @@ object DocumentStream {
       .withWatermark("ingest_time", horizon)
       .dropDuplicatesWithinWatermark("text_sha")
       .select("doc_id", "text_sha")
+
+  final case class BandPair(doc_a: Long, doc_b: Long, band: Int)
+
+  /** NARROW MinHash band keys: per-row higher-order-function fold instead
+    * of the batch path's explode + groupBy. Identical signatures (same
+    * permutation family, same min over the same distinct-word set) — the
+    * batch shape exists because one explode + map-side-combined groupBy
+    * shuffles less at corpus scale, but streaming wants zero-state
+    * signature computation, and a document's words all live in one row.
+    */
+  def bandKeys(docs: DataFrame, numHashes: Int = 16, bands: Int = 2): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val words = array_distinct(TextAnalysis.wsTokens(col("text")))
+    val sigCols = (0 until numHashes).map { i =>
+      array_min(transform(words, w =>
+        (TextAnalysis.portableHash32(w) * lit(Dedup.minhashA(i)) + lit(Dedup.minhashB(i)))
+          % lit(Dedup.MinhashPrime))).as(s"mh$i")
+    }
+    val sigs = docs.select(col("doc_id") +: sigCols: _*)
+    val rowsPerBand = numHashes / bands
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_",
+          (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("key"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Streaming INCREMENTAL MinHash-LSH near-dup candidates — the
+    * cross-batch face of q32: band-bucket membership lives in keyed state
+    * (one state row per occupied (band, key) bucket), and each arriving
+    * document emits a candidate pair against every bucket member that
+    * preceded it — in earlier micro-batches or earlier in this one. The
+    * pair set over the whole stream equals the batch band join over the
+    * union of all batches (StreamingLshSpec asserts it).
+    *
+    * `maxBucket` bounds state per bucket: a boilerplate bucket collecting
+    * unbounded near-identical docs is the same quadratic degenerate the
+    * batch docstring flags, and a training pipeline wants those capped
+    * anyway (members beyond the cap pair only against the first
+    * `maxBucket` — for dedup purposes any one edge into the cluster
+    * suffices to mark the newcomer a dup).
+    */
+  def lshPairsStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      numHashes: Int = 16,
+      bands: Int = 2,
+      maxBucket: Int = 64): Dataset[BandPair] = {
+    import spark.implicits._
+    bandKeys(docs, numHashes, bands)
+      .select(col("doc_id"), col("band"), col("key"))
+      .as[(Long, Int, String)]
+      .groupByKey { case (_, band, key) => (band, key) }
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bk: (Int, String), rows: Iterator[(Long, Int, String)],
+         state: GroupState[List[Long]]) =>
+          val prior = state.getOption.getOrElse(Nil)
+          val arrivals = rows.map(_._1).toList.distinct.sorted
+          val fresh = arrivals.filterNot(prior.contains)
+          val pairs = for {
+            n <- fresh
+            p <- prior ++ fresh.filter(_ < n)
+            if p != n
+          } yield BandPair(math.min(p, n), math.max(p, n), bk._1)
+          state.update((prior ++ fresh).take(maxBucket))
+          pairs.distinct.iterator
+      }
+  }
 
   /** Streaming decontamination — the incremental face of q63. The batch
     * path broadcasts the benchmark n-gram set under a join + per-doc
