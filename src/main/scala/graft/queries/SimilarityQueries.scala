@@ -179,8 +179,12 @@ object SimilarityQueries {
       Some(bruteForceSql),
       (spark, dir) => {
         val e = Tables.embeddings(spark, dir)
+        // maxIter 10: at the oracle's corpus size k-means cost is pure
+        // per-iteration scheduling overhead, and the result is exact at
+        // ANY centroid quality (exhaustive probe) — keep the bench honest
+        // about training cost without paying double for nothing.
         val cents = Similarity.trainedCentroids(e, "vec_id", "embedding",
-          nlist = 8, seed = 42L)
+          nlist = 8, seed = 42L, maxIter = 10)
         Similarity.cosineTopKIvf(
           e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
           k = 5, nlist = 8, nprobe = 8, centroidsOpt = Some(cents))

@@ -35,6 +35,23 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!run(5L, pts, ivs).contains((10L, 4L)))
   }
 
+  test("randomized: binned equals scalar ground truth for 300 points x 100 intervals, 4 bin widths") {
+    val rnd = new scala.util.Random(42)
+    val pts = (1L to 300L).map(i => (i, rnd.nextLong(10000L)))
+    val ivs = (1L to 100L).map { i =>
+      val s = rnd.nextLong(9500L)
+      (i, s, s + 1L + rnd.nextLong(800L))
+    }
+    val want = (for {
+      (pid, ts) <- pts; (iid, s, e) <- ivs; if ts >= s && ts < e
+    } yield (iid, pid)).sorted
+    for (w <- Seq(1L, 13L, 256L, 100000L)) {
+      val got = run(w, pts, ivs)
+      assert(got.length == got.distinct.length, s"duplicate pairs at binWidth=$w")
+      assert(got.sorted.toSeq == want, s"binWidth=$w: ${got.length} vs ${want.length}")
+    }
+  }
+
   test("events fixture: binned == theta join, and the binned plan is an equi-join") {
     val ev = graft.Tables.eventsTsNs(spark, SparkTestSession.sf0001)
     val intervals = ev
