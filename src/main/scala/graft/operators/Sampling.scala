@@ -45,6 +45,39 @@ object Sampling {
     df.filter(hashBucket(key, 100, salt) < percent)
   }
 
+  /** Greedy per-group token-budget selection: within each `groupCol`
+    * value, take rows in (scoreCol DESC, idCol ASC) order until the
+    * running `tokensCol` total would exceed `budget` — the data-mixing
+    * primitive a pre-training corpus runs per source ("best N tokens of
+    * each source", proportions set by per-source budgets).
+    *
+    * Deterministic: the id tiebreak makes the order total, so the kept
+    * set is unique. One shuffle (hash on the group) + one in-group sort —
+    * the exact form's honest cost; when a single group's candidate set is
+    * too large to sort, pre-thin it with [[stratifiedHashSample]] or a
+    * quality floor first (both narrow), then budget-select the survivors.
+    * Output keeps every input column plus `cum_tokens` (the running total
+    * INCLUDING the row itself; a row larger than the remaining budget is
+    * dropped along with everything after it in the group's order).
+    */
+  def fillTokenBudget(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String,
+      tokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokensCol).cast("long")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Stratified deterministic sample: per-stratum keep-percentages, strata
     * not listed keep `defaultPercent`. The rate lookup compiles to a
     * literal CASE chain — no join, no shuffle; rates stay exact however

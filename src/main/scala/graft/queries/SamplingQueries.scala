@@ -60,6 +60,49 @@ object SamplingQueries {
           defaultPercent = 10,
           salt = "strat1:")
           .select(col("doc_id"), col("lang"))
+    ),
+    Q(
+      "q87_token_budget",
+      "Greedy per-source token-budget curation: each source contributes " +
+        "its highest-quality documents until an 800-token budget fills — " +
+        "the data-mixing primitive behind 'best N tokens per source'. " +
+        "Total order via the (quality DESC, doc_id) tiebreak makes the " +
+        "kept set unique; one hash shuffle on source + in-group sort is " +
+        "the exact form's honest cost (pre-thin oversized groups with the " +
+        "narrow samplers first at corpus scale).",
+      Some("""
+        |WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(LENGTH(text) AS DOUBLE) AS chars,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS toks,
+        |         len(regexp_extract_all(text, '[.!?,;:]')) AS punct,
+        |         len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS stops
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, source,
+        |         ((CASE WHEN chars / greatest(toks, 1.0) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+        |          + (CASE WHEN CAST(punct AS DOUBLE) / greatest(toks, 1.0) <= 0.3 THEN 1.0 ELSE 0.0 END)
+        |          + (CASE WHEN CAST(stops AS DOUBLE) / greatest(toks, 1.0) >= 0.05 THEN 1.0 ELSE 0.0 END)
+        |          + (CASE WHEN chars BETWEEN 50.0 AND 100000.0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality,
+        |         CAST(toks AS BIGINT) AS ws_tokens
+        |  FROM t
+        |)
+        |SELECT doc_id, source, quality, ws_tokens, cum_tokens FROM (
+        |  SELECT *, CAST(SUM(ws_tokens) OVER (
+        |    PARTITION BY source ORDER BY quality DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM s)
+        |WHERE cum_tokens <= 800
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.operators.TextAnalysis
+        val scored = Tables.documents(spark, dir).select(
+          col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"))
+        Sampling.fillTokenBudget(
+          scored, "source", "quality", "doc_id", "ws_tokens", budget = 800L)
+      }
     )
   )
 }
