@@ -59,6 +59,12 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.linesIterator.take(40).mkString("\n"))
   }
 
+  test("q87: token-budget selection costs exactly one exchange (the per-source window)") {
+    val p = plan("q87_token_budget")
+    val exchanges = p.sliding("Exchange (".length).count(_ == "Exchange (")
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+  }
+
   test("q14: global top-k runs as TakeOrderedAndProject, not a full sort") {
     assert(plan("q14_sort_limit").contains("TakeOrderedAndProject"))
   }
