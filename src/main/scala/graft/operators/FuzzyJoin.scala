@@ -36,6 +36,8 @@ object FuzzyJoin {
 
   /** All (id_a, id_b, dist) pairs with dist <= maxDist discoverable through
     * the capped positional-segment blocking described above; id_a < id_b.
+    * Null strings are excluded (a null block key joins nothing) —
+    * spec-pinned.
     */
   def segmentBlockedPairs(
       df: DataFrame,

@@ -21,6 +21,8 @@ import org.apache.spark.sql.functions._
   *
   * Intervals are half-open [start, end): a point at `end` does not match,
   * so back-to-back intervals never double-count a boundary point.
+  * Rows with a null timestamp or null bounds are excluded (null bins join
+  * nothing / explode to nothing) — spec-pinned.
   */
 object RangeJoin {
 

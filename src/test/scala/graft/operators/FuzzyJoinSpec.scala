@@ -23,6 +23,62 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(got((1L, 2L)) == 1 && got((1L, 3L)) == 2 && got((2L, 3L)) == 1)
   }
 
+  test("randomized: every planted substitution pair within maxDist is found (pigeonhole recall)") {
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def randStr(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(26))).mkString
+    def mutate(s: String, k: Int): String = {
+      val idxs = rnd.shuffle(s.indices.toList).take(k)
+      idxs.foldLeft(s) { (acc, i) =>
+        val c = alpha((alpha.indexOf(acc(i)) + 1 + rnd.nextInt(24)) % 26)
+        acc.updated(i, c)
+      }
+    }
+    // 40 bases of length 18-27; each gets a partner at 1 or 2 substitutions.
+    val rows = (0 until 40).flatMap { i =>
+      val base = randStr(18 + rnd.nextInt(10))
+      val k = 1 + (i % 2)
+      Seq((2L * i, base), (2L * i + 1, mutate(base, k)))
+    }
+    val planted = (0 until 40).map(i => (2L * i, 2L * i + 1)).toSet
+    val got = FuzzyJoin.segmentBlockedPairs(
+        rows.toDF("id", "s"), "s", "id",
+        maxDist = 2, numSegments = 9, blockCap = 1000)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall: all planted pairs present (pigeonhole: 9 segments, <=2 subs)
+    assert(planted.subsetOf(got), s"missed: ${planted -- got}")
+    // precision: everything reported really is within distance 2
+    val byId = rows.toMap
+    got.foreach { case (a, b) =>
+      val d = {
+        val (x, y) = (byId(a), byId(b))
+        val dp = Array.tabulate(y.length + 1)(identity)
+        for (i <- 1 to x.length) {
+          var prev = dp(0); dp(0) = i
+          for (j <- 1 to y.length) {
+            val t = dp(j)
+            dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+              prev + (if (x(i - 1) == y(j - 1)) 0 else 1))
+            prev = t
+          }
+        }
+        dp(y.length)
+      }
+      assert(d <= 2, s"pair ($a,$b) reported at distance $d")
+    }
+  }
+
+  test("null strings are excluded, not matched or crashed on") {
+    val df = Seq((1L, "abcdefghijklmnopqr"), (2L, "abcdefghijklmnopXr"))
+      .toDF("id", "s")
+      .unionByName(Seq((3L, Option.empty[String])).toDF("id", "s"))
+    val got = FuzzyJoin.segmentBlockedPairs(df, "s", "id",
+        maxDist = 2, numSegments = 9, blockCap = 100)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L))) // the null row joins nothing (null block key)
+  }
+
   test("customer fixture: the cap bites on boilerplate blocks, surviving blocks stay bounded, recall is real") {
     val c = graft.Tables.customer(spark, SparkTestSession.sf0001)
       .filter(col("c_custkey") < 300).select("c_custkey", "c_name")

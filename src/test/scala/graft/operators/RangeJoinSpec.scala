@@ -35,6 +35,18 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!run(5L, pts, ivs).contains((10L, 4L)))
   }
 
+  test("null timestamps and null bounds are excluded, not matched or crashed on") {
+    val pts = Seq((1L, Some(5L)), (2L, None)).toDF("id", "ts")
+    val ivs = Seq((10L, Some(0L), Some(10L)), (11L, None, Some(10L)))
+      .toDF("id", "s", "e")
+    val got = RangeJoin.pointInInterval(pts, "id", "ts", ivs, "id", "s", "e", 4L)
+      .select("interval_id", "point_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // null ts -> null bin (joins nothing); null start -> null bin sequence
+    // (explodes to nothing); only the fully-defined pair survives
+    assert(got == Set((10L, 1L)))
+  }
+
   test("randomized: binned equals scalar ground truth for 300 points x 100 intervals, 4 bin widths") {
     val rnd = new scala.util.Random(42)
     val pts = (1L to 300L).map(i => (i, rnd.nextLong(10000L)))
