@@ -252,11 +252,14 @@ object Dedup {
     * frequency exceeds it are removed from the representation BEFORE the
     * join (consistently — from both the intersection and the per-doc set
     * sizes, so the result is exact Jaccard over the filtered gram sets).
-    * Ubiquitous grams carry no pair-discriminating signal, so sensible
-    * caps leave the above-threshold pair set unchanged (property-tested);
-    * the hot-gram set is tiny by construction (each needs > cap distinct
-    * docs) and broadcasts, so the cap costs one map-side anti-join, not a
-    * second shuffle of the gram stream.
+    * Ubiquitous grams carry no pair-discriminating signal — similarity
+    * driven by them is boilerplate coincidence, not duplication — so the
+    * cap is a quality filter as much as a scale guard: true near-dups
+    * (shared distinctive content) keep their pairs while boilerplate-only
+    * pairs drop out (property-tested). The hot-gram set is tiny by
+    * construction (each needs > cap distinct docs) and broadcasts, so the
+    * cap costs one map-side anti-join, not a second shuffle of the gram
+    * stream.
     */
   def ngramJaccardPairs(
       df: DataFrame,

@@ -110,7 +110,11 @@ object DocumentStream {
     * batch docstring flags, and a training pipeline wants those capped
     * anyway (members beyond the cap pair only against the first
     * `maxBucket` — for dedup purposes any one edge into the cluster
-    * suffices to mark the newcomer a dup).
+    * suffices to mark the newcomer a dup). The NUMBER of occupied buckets
+    * still grows with distinct content; a lifetime-running deployment
+    * swaps NoTimeout for ProcessingTime/EventTimeTimeout and evicts idle
+    * buckets in the handler — the dedup-horizon knob, same tradeoff as
+    * [[dedupedByContent]]'s watermark.
     */
   def lshPairsStream(
       spark: SparkSession,
