@@ -48,4 +48,41 @@ object Decontaminate {
         coalesce(col("hits"), lit(0L)).as("n_hits"),
         (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** SEMANTIC decontamination (SemDeDup-style): flag corpus items whose
+    * embedding is too close to ANY benchmark embedding — catches
+    * paraphrased eval leakage that exact n-gram overlap misses.
+    *
+    * Same scale shape as [[report]]: the benchmark side is small and
+    * broadcasts; the corpus streams through the broadcast nested loop
+    * computing exact double-fold cosines (bit-reproducible, see
+    * [[Similarity]]), then one map-side-combined max per corpus id — the
+    * only exchange carries (id, partial max) pairs. For benchmark sets
+    * too large to score exhaustively, pre-bucket both sides with
+    * [[Similarity.lshBucket]] and screen only bucket-colocated pairs
+    * (recall knob), exactly like [[Similarity.cosineDupPairsLsh]].
+    *
+    * @return (idCol, max_bench_sim, contaminated = max >= threshold),
+    *         one row per corpus item (the full audit, like [[report]]).
+    */
+  def semanticReport(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double): DataFrame = {
+    graft.functions.DotProductFF.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol), col(embCol).as("c_emb"),
+      Similarity.normD(col(embCol)).as("c_norm"))
+    val b = benchmark.select(col(embCol).as("b_emb"),
+      Similarity.normD(col(embCol)).as("b_norm"))
+    c.crossJoin(broadcast(b))
+      .select(col(idCol),
+        (Similarity.dotD(col("c_emb"), col("b_emb")) / (col("c_norm") * col("b_norm")))
+          .as("sim"))
+      .groupBy(col(idCol))
+      .agg(max(col("sim")).as("max_bench_sim"))
+      .select(col(idCol), col("max_bench_sim"),
+        (col("max_bench_sim") >= threshold).as("contaminated"))
+  }
 }

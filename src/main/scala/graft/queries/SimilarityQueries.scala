@@ -191,6 +191,35 @@ object SimilarityQueries {
       }
     ),
     Q(
+      "q88_semantic_decontaminate",
+      "SemDeDup-style semantic decontamination: every corpus embedding " +
+        "(vec_id % 10 <> 0) scored against the broadcast benchmark slice " +
+        "(vec_id % 10 = 0); max cosine per corpus item, flagged at 0.35 — " +
+        "catches paraphrased eval leakage that exact n-gram overlap " +
+        "(q63) misses. One exchange: the map-side-combined per-id max.",
+      Some("""
+        |WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |  FROM embeddings
+        |), c AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+        |b AS (SELECT * FROM e WHERE vec_id % 10 = 0)
+        |SELECT c.vec_id,
+        |       MAX(list_sum(list_transform(list_zip(c.embedding, b.embedding),
+        |            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (c.norm * b.norm)) AS max_bench_sim,
+        |       MAX(list_sum(list_transform(list_zip(c.embedding, b.embedding),
+        |            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (c.norm * b.norm)) >= 0.35 AS contaminated
+        |FROM c, b GROUP BY c.vec_id
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        graft.operators.Decontaminate.semanticReport(
+          e.filter(col("vec_id") % 10 =!= 0),
+          e.filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", threshold = 0.35)
+      }
+    ),
+    Q(
       "q83_embedding_dup_lsh",
       s"Production embedding near-dup pairs: banded sign-bit LSH " +
         s"($DupTables tables x $DupBits bits), candidates join on " +
