@@ -78,6 +78,58 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Two-phase [[fillTokenBudget]] for huge groups: phase 1 splits each
+    * group into `shards` deterministic sub-groups (salted on the id) and
+    * budget-selects within each (group, shard) — parallelism becomes
+    * groups x shards and each shard's survivor set is small (its running
+    * total stops at the budget); phase 2 runs the exact selection over
+    * the thinned union.
+    *
+    * EXACT, not approximate, by two facts about the prefix semantics:
+    * (1) a row's within-shard running total is a lower bound on its
+    * global one (shard competitors are a subset of group competitors),
+    * so phase 1 never drops a row of the true prefix; (2) every row of
+    * the true prefix precedes every dropped row in the group order
+    * (anything AFTER a dropped row has an even larger global total), so
+    * cutting each group at its earliest dropped position — the tiny
+    * per-group `cut` aggregate, broadcast back — removes exactly the
+    * rows whose thinned running total would under-count, and for
+    * everything before the cut the thinned total IS the global total.
+    * Equality with the one-phase form is property-tested, including
+    * shards that overflow at different points.
+    */
+  def fillTokenBudgetSharded(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String,
+      tokensCol: String,
+      budget: Long,
+      shards: Int = 32): DataFrame = {
+    require(shards > 0, s"shards must be positive: $shards")
+    // Order key as a comparable struct: (score DESC, id ASC) == struct
+    // lexicographic on (-score, id). Scores here are finite (quality in
+    // [0,1]); a NaN score would order differently than the window's desc.
+    def orderKey = struct((-col(scoreCol)).as("ns"), col(idCol).as("i"))
+    val salted = df.withColumn("budget_shard",
+      hashBucket(col(idCol), shards, salt = "budget:"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("budget_shard"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val marked = salted.withColumn("shard_cum",
+      sum(col(tokensCol).cast("long")).over(w1))
+    val cut = marked.filter(col("shard_cum") > budget)
+      .groupBy(col(groupCol)).agg(min(orderKey).as("cut"))
+    val thinned = marked.filter(col("shard_cum") <= budget)
+      .join(broadcast(cut), Seq(groupCol), "left")
+      .filter(col("cut").isNull || orderKey < col("cut"))
+      .drop("budget_shard", "shard_cum", "cut")
+    fillTokenBudget(thinned, groupCol, scoreCol, idCol, tokensCol, budget)
+  }
+
   /** Stratified deterministic sample: per-stratum keep-percentages, strata
     * not listed keep `defaultPercent`. The rate lookup compiles to a
     * literal CASE chain — no join, no shuffle; rates stay exact however

@@ -146,4 +146,40 @@ class SamplingSpec extends AnyFunSuite {
     assert(got(3L) == ((0.0, 0.0)))
     assert(got(4L) == ((0.0, 0.0)))
   }
+
+  test("fillTokenBudget keeps the best-quality prefix per group, running total included") {
+    val df = Seq(
+      // (id, grp, score, tokens) — grp a: scores force order 3,1,2
+      (1L, "a", 0.5, 40L), (2L, "a", 0.25, 40L), (3L, "a", 0.75, 40L),
+      (4L, "b", 1.0, 150L), (5L, "b", 0.9, 10L)
+    ).toDF("id", "grp", "score", "tokens")
+    val got = Sampling.fillTokenBudget(df, "grp", "score", "id", "tokens", 100L)
+      .select("id", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // grp a: order 3(40),1(80),2(120) -> keep 3 and 1
+    // grp b: order 4(150 > budget) -> its tokens still count: nothing kept
+    //        (5's cum is 160) — prefix semantics, not skip-and-continue
+    assert(got == Map(3L -> 40L, 1L -> 80L))
+  }
+
+  test("sharded token budget equals the one-phase form, including uneven shard overflow") {
+    val rnd = new scala.util.Random(7)
+    // 3 groups x 400 rows; token sizes mix tiny and huge so different
+    // hash shards overflow at different ranks (the case where a naive
+    // thin-then-select would over-keep rows after a dropped one).
+    val rows = for {
+      g <- Seq("a", "b", "c"); i <- 0 until 400
+    } yield (g.hashCode.toLong * 1000 + i, g,
+      (rnd.nextInt(5) * 25).toDouble / 100.0,
+      if (rnd.nextInt(10) == 0) 500L + rnd.nextInt(1000) else 1L + rnd.nextInt(50))
+    val df = rows.toDF("id", "grp", "score", "tokens")
+    for (budget <- Seq(100L, 1000L, 5000L); shards <- Seq(2, 7, 32)) {
+      val one = Sampling.fillTokenBudget(df, "grp", "score", "id", "tokens", budget)
+        .select("id", "cum_tokens").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val two = Sampling.fillTokenBudgetSharded(df, "grp", "score", "id", "tokens",
+          budget, shards)
+        .select("id", "cum_tokens").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(two == one, s"budget=$budget shards=$shards: ${two.size} vs ${one.size}")
+    }
+  }
 }
