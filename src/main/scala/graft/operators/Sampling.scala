@@ -53,9 +53,10 @@ object Sampling {
     *
     * Deterministic: the id tiebreak makes the order total, so the kept
     * set is unique. One shuffle (hash on the group) + one in-group sort —
-    * the exact form's honest cost; when a single group's candidate set is
-    * too large to sort, pre-thin it with [[stratifiedHashSample]] or a
-    * quality floor first (both narrow), then budget-select the survivors.
+    * the exact form's honest cost; parallelism is bounded by the group
+    * count, so when groups are huge use [[fillTokenBudgetSharded]]
+    * (exact, groups x shards parallel) or pre-thin with
+    * [[stratifiedHashSample]] / a quality floor (both narrow).
     * Output keeps every input column plus `cum_tokens` (the running total
     * INCLUDING the row itself; a row larger than the remaining budget is
     * dropped along with everything after it in the group's order).
