@@ -85,4 +85,53 @@ object Decontaminate {
       .select(col(idCol), col("max_bench_sim"),
         (col("max_bench_sim") >= threshold).as("contaminated"))
   }
+
+  /** [[semanticReport]] for benchmark sets too large to score
+    * exhaustively: both sides bucket under the banded sign-bit LSH family
+    * (same machinery as [[Similarity.cosineDupPairsLsh]]) and only
+    * bucket-colocated (corpus, benchmark) pairs are scored. Computed
+    * sims are exact, so the reported max is a LOWER bound on the true
+    * max and every flag is a true flag (precision 1); recall is the
+    * (tables, bits) banding knob. `max_bench_sim` is null for corpus
+    * items with no bucket-colocated benchmark vector — still one output
+    * row per corpus item (the audit contract), `contaminated` false.
+    */
+  def semanticReportLsh(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      tables: Int = 4,
+      bitsPerTable: Int = 4,
+      dim: Int = 64): DataFrame = {
+    graft.functions.DotProductFF.register(corpus.sparkSession)
+    val planes = Similarity.hyperplanes(tables * bitsPerTable, dim)
+    def bucketed(df: DataFrame, cols: Seq[org.apache.spark.sql.Column]) = {
+      val tableBuckets = (0 until tables).map { t =>
+        val slice = planes.slice(t * bitsPerTable, (t + 1) * bitsPerTable)
+        struct(lit(t).as("tbl"),
+          Similarity.lshBucket(col(embCol), slice).as("bucket"))
+      }
+      val pre = df.select(cols :+ explode(array(tableBuckets: _*)).as("tb"): _*)
+      val kept = pre.columns.filterNot(_ == "tb").map(col)
+      pre.select(kept :+ col("tb.tbl").as("tbl") :+ col("tb.bucket").as("bucket"): _*)
+    }
+    val c = bucketed(corpus, Seq(col(idCol), col(embCol).as("c_emb"),
+      Similarity.normD(col(embCol)).as("c_norm")))
+    val b = bucketed(benchmark, Seq(col(embCol).as("b_emb"),
+      Similarity.normD(col(embCol)).as("b_norm")))
+    // A pair meeting in several tables contributes duplicate sims — max
+    // is duplicate-insensitive, so no dedup pass is needed.
+    val hits = c.join(b, Seq("tbl", "bucket"))
+      .select(col(idCol),
+        (Similarity.dotD(col("c_emb"), col("b_emb")) / (col("c_norm") * col("b_norm")))
+          .as("sim"))
+      .groupBy(col(idCol))
+      .agg(max(col("sim")).as("max_bench_sim"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("max_bench_sim"),
+        coalesce(col("max_bench_sim") >= threshold, lit(false)).as("contaminated"))
+  }
 }

@@ -85,4 +85,27 @@ class PiiDecontaminateSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
+
+  test("LSH semantic screen: precision 1 vs the exact screen, full audit, real recall") {
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sf0001)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val bench = emb.filter(col("vec_id") % 10 === 0)
+    def flags(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val exact = flags(Decontaminate.semanticReport(
+      corpus, bench, "vec_id", "embedding", threshold = 0.3))
+    val lsh = flags(Decontaminate.semanticReportLsh(
+      corpus, bench, "vec_id", "embedding", threshold = 0.3))
+    // one audit row per corpus item in both
+    assert(lsh.keySet == exact.keySet)
+    // precision 1: every LSH flag is an exact flag (computed sims are
+    // exact on a subset of pairs, so the max is a lower bound)
+    val lshFlagged = lsh.filter(_._2).keySet
+    val exactFlagged = exact.filter(_._2).keySet
+    assert(lshFlagged.subsetOf(exactFlagged))
+    // the banding actually finds a usable fraction on the fixture
+    assert(exactFlagged.nonEmpty)
+    assert(lshFlagged.nonEmpty,
+      s"LSH screen found none of ${exactFlagged.size} exact flags")
+  }
 }
