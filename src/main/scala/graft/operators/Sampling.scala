@@ -131,6 +131,38 @@ object Sampling {
     fillTokenBudget(thinned, groupCol, scoreCol, idCol, tokensCol, budget)
   }
 
+  /** Deterministic WEIGHTED sampling without replacement
+    * (Efraimidis-Spirakis A-ES): each row draws u in (0,1) from the
+    * portable hash of its id and competes on key = -ln(u) / weight; the
+    * k smallest keys per stratum are exactly a weight-proportional
+    * sample drawn without replacement — and because u is hash-derived,
+    * the draw is reproducible across runs, engines, and partitionings
+    * (same contract as [[hashSample]]). One shuffle (the per-stratum
+    * top-k window; WindowGroupLimit keeps it a streaming top-k, not a
+    * full sort retention).
+    *
+    * Weights must be strictly positive. The float key is ordering-only
+    * and never output: cross-engine libm can differ in the last ulp, but
+    * flipping an order needs two keys within one ulp — vanishing for
+    * hash-derived draws.
+    */
+  def weightedHashSample(
+      df: DataFrame,
+      strataCol: Column,
+      idKey: Column,
+      weight: Column,
+      k: Int,
+      salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val u = (TextAnalysis.portableHash32(concat(lit(salt), idKey.cast("string")))
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val key = -log(u) / weight
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(key.asc, idKey.asc)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Stratified deterministic sample: per-stratum keep-percentages, strata
     * not listed keep `defaultPercent`. The rate lookup compiles to a
     * literal CASE chain — no join, no shuffle; rates stay exact however

@@ -62,6 +62,50 @@ object SamplingQueries {
           .select(col("doc_id"), col("lang"))
     ),
     Q(
+      "q89_weighted_sample",
+      "Deterministic weighted sampling without replacement (Efraimidis-" +
+        "Spirakis): 5 docs per language, selection probability " +
+        "proportional to quality + 0.25, the draw u hash-derived so the " +
+        "sample reproduces across runs/engines/partitionings. The float " +
+        "competition key is ordering-only and never output; rank is via " +
+        "WindowGroupLimit (streaming top-k, no full sort retention).",
+      Some("""
+        |WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST(LENGTH(text) AS DOUBLE) AS chars,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS toks,
+        |         len(regexp_extract_all(text, '[.!?,;:]')) AS punct,
+        |         len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS stops
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, lang,
+        |         ((CASE WHEN chars / greatest(toks, 1.0) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+        |          + (CASE WHEN CAST(punct AS DOUBLE) / greatest(toks, 1.0) <= 0.3 THEN 1.0 ELSE 0.0 END)
+        |          + (CASE WHEN CAST(stops AS DOUBLE) / greatest(toks, 1.0) >= 0.05 THEN 1.0 ELSE 0.0 END)
+        |          + (CASE WHEN chars BETWEEN 50.0 AND 100000.0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+        |  FROM t
+        |), keyed AS (
+        |  SELECT doc_id, lang, quality,
+        |         -ln((CAST('0x' || substr(md5('wsamp1:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+        |             / 4294967296.0) / (quality + 0.25) AS key
+        |  FROM s
+        |)
+        |SELECT doc_id, lang, quality, CAST(rn AS INTEGER) AS sample_rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rn
+        |      FROM keyed)
+        |WHERE rn <= 5
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.operators.TextAnalysis
+        val scored = Tables.documents(spark, dir).select(
+          col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        Sampling.weightedHashSample(
+          scored, col("lang"), col("doc_id"),
+          col("quality") + lit(0.25), k = 5, salt = "wsamp1:")
+      }
+    ),
+    Q(
       "q87_token_budget",
       "Greedy per-source token-budget curation: each source contributes " +
         "its highest-quality documents until an 800-token budget fills — " +

@@ -147,6 +147,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(got(4L) == ((0.0, 0.0)))
   }
 
+  test("weighted sample: selection frequency tracks weight; draw is salt-reproducible") {
+    // one stratum, 100 rows: ids 0-49 weight 9.0, ids 50-99 weight 1.0;
+    // over 30 salted draws of k=10, heavy rows should win the large
+    // majority of slots (E[heavy share] = 90% at these weights).
+    val df = (0L until 100L).map(i => (i, "s", if (i < 50) 9.0 else 1.0))
+      .toDF("id", "grp", "w")
+    val picks = (0 until 30).flatMap { s =>
+      Sampling.weightedHashSample(df, col("grp"), col("id"), col("w"),
+          k = 10, salt = s"t$s:")
+        .select("id").collect().map(_.getLong(0))
+    }
+    val heavyShare = picks.count(_ < 50).toDouble / picks.size
+    assert(heavyShare > 0.7, f"heavy-weight share $heavyShare%.2f too low")
+    // reproducible: same salt -> identical sample
+    def draw() = Sampling.weightedHashSample(df, col("grp"), col("id"), col("w"),
+        k = 10, salt = "fixed:").select("id").collect().map(_.getLong(0)).toSeq
+    assert(draw() == draw())
+  }
+
   test("fillTokenBudget keeps the best-quality prefix per group, running total included") {
     val df = Seq(
       // (id, grp, score, tokens) — grp a: scores force order 3,1,2
