@@ -114,7 +114,7 @@ object Decontaminate {
           Similarity.lshBucket(col(embCol), slice).as("bucket"))
       }
       val pre = df.select(cols :+ explode(array(tableBuckets: _*)).as("tb"): _*)
-      val kept = pre.columns.filterNot(_ == "tb").map(col)
+      val kept = pre.columns.filterNot(_ == "tb").toIndexedSeq.map(col)
       pre.select(kept :+ col("tb.tbl").as("tbl") :+ col("tb.bucket").as("bucket"): _*)
     }
     val c = bucketed(corpus, Seq(col(idCol), col(embCol).as("c_emb"),
