@@ -62,6 +62,40 @@ object SamplingQueries {
           .select(col("doc_id"), col("lang"))
     ),
     Q(
+      "q90_sequence_pack",
+      "Sequence packing: documents laid out into 512-token training bins " +
+        "per source (greedy contiguous — bin = running-total start div " +
+        "capacity, offset gives the exact split point for straddlers). " +
+        "A pure running-total window: one shuffle, no bin-coordination " +
+        "state, identical layout under any partitioning.",
+      Some("""
+        |WITH s AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS seq_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, seq_tokens,
+        |         CAST(SUM(seq_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           - seq_tokens AS pack_start
+        |  FROM s
+        |)
+        |SELECT doc_id, source, seq_tokens,
+        |       pack_start // 512 AS bin_id,
+        |       pack_start % 512 AS bin_offset
+        |FROM c
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.operators.TextAnalysis
+        val docs = Tables.documents(spark, dir).select(
+          col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("toks"))
+        graft.operators.Packing.contiguousPack(
+            docs, "source", "doc_id", "toks", capacity = 512L)
+          .select("doc_id", "source", "seq_tokens", "bin_id", "bin_offset")
+      }
+    ),
+    Q(
       "q89_weighted_sample",
       "Deterministic weighted sampling without replacement (Efraimidis-" +
         "Spirakis): 5 docs per language, selection probability " +
