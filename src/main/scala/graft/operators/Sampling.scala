@@ -163,6 +163,39 @@ object Sampling {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Mixture scheduling (stride interleaving): assign every row an
+    * `interleave_key` such that ascending-key order visits sources in
+    * weight proportion — item i (1-based, per stratum, ordered by id)
+    * lands at (i - 0.5) / weight, so a weight-2 source appears twice as
+    * often as a weight-1 source at every prefix of the schedule. This is
+    * the step that turns per-source curated pools into ONE training
+    * order with the target mixture.
+    *
+    * Scale-honest on purpose: the key is EMITTED, not turned into a
+    * global position — a global row_number would be a single-partition
+    * window; the consumer range-partitions by the key instead (a sort,
+    * the honest cost of materializing a total order, with no extra
+    * coordination). Per-stratum rank + a literal CASE of weights is one
+    * shuffle; the arithmetic is exact small-int division, so the key
+    * reproduces bit-identically in any engine.
+    */
+  def mixtureInterleave(
+      df: DataFrame,
+      strataCol: Column,
+      idCol: Column,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq).forall(_ > 0),
+      s"weights must be positive: $weights default=$defaultWeight")
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (stratum, wt)) => when(strataCol === stratum, lit(wt)).otherwise(acc)
+    }
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(idCol)
+    df.withColumn("interleave_key",
+      (row_number().over(win).cast("double") - lit(0.5)) / w)
+  }
+
   /** Stratified deterministic sample: per-stratum keep-percentages, strata
     * not listed keep `defaultPercent`. The rate lookup compiles to a
     * literal CASE chain — no join, no shuffle; rates stay exact however

@@ -62,6 +62,29 @@ object SamplingQueries {
           .select(col("doc_id"), col("lang"))
     ),
     Q(
+      "q91_mixture_interleave",
+      "Mixture scheduling (stride interleaving): every doc gets an " +
+        "interleave_key so ascending-key order visits languages in " +
+        "weight proportion (en 3x, zh 2x, others 1x) — the step that " +
+        "turns per-source pools into one training order. The key is " +
+        "emitted, not globally ranked (a global row_number would be a " +
+        "single-partition window); consumers range-partition by it.",
+      Some("""
+        |SELECT doc_id, lang,
+        |       (CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS DOUBLE) - 0.5)
+        |         / (CASE WHEN lang = 'en' THEN 3.0 WHEN lang = 'zh' THEN 2.0 ELSE 1.0 END)
+        |         AS interleave_key
+        |FROM documents
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Sampling.mixtureInterleave(
+          Tables.documents(spark, dir).select("doc_id", "lang"),
+          strataCol = col("lang"),
+          idCol = col("doc_id"),
+          weights = Map("en" -> 3.0, "zh" -> 2.0),
+          defaultWeight = 1.0)
+    ),
+    Q(
       "q90_sequence_pack",
       "Sequence packing: documents laid out into 512-token training bins " +
         "per source (greedy contiguous — bin = running-total start div " +

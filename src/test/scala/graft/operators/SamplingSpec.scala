@@ -147,6 +147,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(got(4L) == ((0.0, 0.0)))
   }
 
+  test("mixture interleave matches the scalar stride model and honors weight proportions") {
+    val df = (0L until 90L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "de"))
+      .toDF("id", "lang")
+    val got = Sampling.mixtureInterleave(df, col("lang"), col("id"),
+        Map("en" -> 3.0, "zh" -> 2.0), defaultWeight = 1.0)
+      .select("id", "interleave_key").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // scalar model: per lang in id order, key = (rank - 0.5) / w
+    val byLang = (0L until 90L).groupBy(i =>
+      if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "de")
+    byLang.foreach { case (lang, ids) =>
+      val w = lang match { case "en" => 3.0; case "zh" => 2.0; case _ => 1.0 }
+      ids.sorted.zipWithIndex.foreach { case (id, r) =>
+        assert(got(id) == (r + 0.5) / w, s"id=$id")
+      }
+    }
+    // weight proportions hold on schedule prefixes: first 30 of the
+    // ascending-key order contain en:zh:de at 3:2:1 (15/10/5)
+    val order = got.toSeq.sortBy(_._2).map(_._1)
+    val prefix = order.take(30).groupBy(i =>
+      if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "de").view.mapValues(_.size).toMap
+    assert(prefix == Map("en" -> 15, "zh" -> 10, "de" -> 5), s"prefix=$prefix")
+  }
+
   test("weighted sample: selection frequency tracks weight; draw is salt-reproducible") {
     // one stratum, 100 rows: ids 0-49 weight 9.0, ids 50-99 weight 1.0;
     // over 30 salted draws of k=10, heavy rows should win the large
