@@ -45,4 +45,30 @@ object Packing {
       .withColumn("bin_offset", expr(s"pack_start % ${capacity}L"))
       .drop("pack_start")
   }
+
+  /** [[contiguousPack]] at corpus scale: identical output (packing is a
+    * pure per-group prefix sum), but the running total runs two-phase via
+    * [[ShardedPrefix.exclusivePrefixSum]] — per-shard sums in parallel
+    * plus broadcast shard offsets — instead of one window partition per
+    * group. The one-window form serializes each group through a single
+    * task (a 30 TB source = one task); this is the production path.
+    * Equality with the one-window form is property-tested
+    * (ShardedPrefixSpec). `orderCol` must be numeric, non-null, unique
+    * per group (the [[ShardedPrefix]] contract).
+    */
+  def contiguousPackSharded(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      tokensCol: String,
+      capacity: Long,
+      shards: Int = 32): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    ShardedPrefix.exclusivePrefixSum(
+        df.withColumn("seq_tokens", col(tokensCol).cast("long")),
+        groupCol, orderCol, col(tokensCol).cast("long"), "pack_start", shards)
+      .withColumn("bin_id", expr(s"pack_start div ${capacity}L"))
+      .withColumn("bin_offset", expr(s"pack_start % ${capacity}L"))
+      .drop("pack_start")
+  }
 }

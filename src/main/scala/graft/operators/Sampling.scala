@@ -196,6 +196,37 @@ object Sampling {
       (row_number().over(win).cast("double") - lit(0.5)) / w)
   }
 
+  /** [[mixtureInterleave]] at corpus scale: identical output, but the
+    * per-stratum rank is the exact distributed row_number of
+    * [[ShardedPrefix.globalRank]] (per-shard ranks + broadcast cumulative
+    * shard counts) instead of one window partition per stratum — the
+    * one-window form serializes each source through a single task.
+    * Equality is property-tested (ShardedPrefixSpec). `idCol` must be
+    * numeric, non-null, unique per stratum (the [[ShardedPrefix]]
+    * contract; the one-window form already needed uniqueness for a
+    * deterministic schedule).
+    */
+  def mixtureInterleaveSharded(
+      df: DataFrame,
+      strataCol: Column,
+      idCol: Column,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0,
+      shards: Int = 32): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq).forall(_ > 0),
+      s"weights must be positive: $weights default=$defaultWeight")
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (stratum, wt)) => when(strataCol === stratum, lit(wt)).otherwise(acc)
+    }
+    val keyed = df
+      .withColumn("__mi_stratum", strataCol)
+      .withColumn("__mi_ord", idCol)
+    ShardedPrefix.globalRank(keyed, "__mi_stratum", "__mi_ord", "__mi_rank", shards)
+      .withColumn("interleave_key",
+        (col("__mi_rank").cast("double") - lit(0.5)) / w)
+      .drop("__mi_stratum", "__mi_ord", "__mi_rank")
+  }
+
   /** Stratified deterministic sample: per-stratum keep-percentages, strata
     * not listed keep `defaultPercent`. The rate lookup compiles to a
     * literal CASE chain — no join, no shuffle; rates stay exact however

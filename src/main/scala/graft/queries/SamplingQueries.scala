@@ -11,6 +11,35 @@ import graft.operators.Sampling
   */
 object SamplingQueries {
 
+  /** q87's oracle, shared verbatim by q92: the sharded two-phase form is
+    * EXACT (equality property-tested in SamplingSpec), so the same SQL
+    * oracles both the didactic one-window path and the production path.
+    */
+  private val tokenBudgetSql: String = """
+    |WITH t AS (
+    |  SELECT doc_id, source,
+    |         CAST(LENGTH(text) AS DOUBLE) AS chars,
+    |         CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS toks,
+    |         len(regexp_extract_all(text, '[.!?,;:]')) AS punct,
+    |         len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS stops
+    |  FROM documents
+    |), s AS (
+    |  SELECT doc_id, source,
+    |         ((CASE WHEN chars / greatest(toks, 1.0) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+    |          + (CASE WHEN CAST(punct AS DOUBLE) / greatest(toks, 1.0) <= 0.3 THEN 1.0 ELSE 0.0 END)
+    |          + (CASE WHEN CAST(stops AS DOUBLE) / greatest(toks, 1.0) >= 0.05 THEN 1.0 ELSE 0.0 END)
+    |          + (CASE WHEN chars BETWEEN 50.0 AND 100000.0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality,
+    |         CAST(toks AS BIGINT) AS ws_tokens
+    |  FROM t
+    |)
+    |SELECT doc_id, source, quality, ws_tokens, cum_tokens FROM (
+    |  SELECT *, CAST(SUM(ws_tokens) OVER (
+    |    PARTITION BY source ORDER BY quality DESC, doc_id
+    |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+    |  FROM s)
+    |WHERE cum_tokens <= 800
+    |""".stripMargin.trim
+
   val all: Seq[Q] = Seq(
     Q(
       "q38_hash_split",
@@ -68,7 +97,10 @@ object SamplingQueries {
         "weight proportion (en 3x, zh 2x, others 1x) — the step that " +
         "turns per-source pools into one training order. The key is " +
         "emitted, not globally ranked (a global row_number would be a " +
-        "single-partition window); consumers range-partition by it.",
+        "single-partition window); consumers range-partition by it. " +
+        "The per-stratum rank itself is the DISTRIBUTED row_number " +
+        "(ShardedPrefix.globalRank: per-shard ranks + broadcast shard " +
+        "counts), so no stratum ever serializes through one task.",
       Some("""
         |SELECT doc_id, lang,
         |       (CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS DOUBLE) - 0.5)
@@ -77,20 +109,23 @@ object SamplingQueries {
         |FROM documents
         |""".stripMargin.trim),
       (spark, dir) =>
-        Sampling.mixtureInterleave(
+        Sampling.mixtureInterleaveSharded(
           Tables.documents(spark, dir).select("doc_id", "lang"),
           strataCol = col("lang"),
           idCol = col("doc_id"),
           weights = Map("en" -> 3.0, "zh" -> 2.0),
           defaultWeight = 1.0)
+          .select("doc_id", "lang", "interleave_key")
     ),
     Q(
       "q90_sequence_pack",
       "Sequence packing: documents laid out into 512-token training bins " +
         "per source (greedy contiguous — bin = running-total start div " +
         "capacity, offset gives the exact split point for straddlers). " +
-        "A pure running-total window: one shuffle, no bin-coordination " +
-        "state, identical layout under any partitioning.",
+        "The running total is a TWO-PHASE distributed prefix sum " +
+        "(ShardedPrefix: order-contiguous shards + broadcast offsets), " +
+        "so a 30 TB source never serializes through one window task; " +
+        "layout identical under any partitioning.",
       Some("""
         |WITH s AS (
         |  SELECT doc_id, source,
@@ -113,7 +148,7 @@ object SamplingQueries {
         val docs = Tables.documents(spark, dir).select(
           col("doc_id"), col("source"),
           TextAnalysis.tokenCount(col("text")).as("toks"))
-        graft.operators.Packing.contiguousPack(
+        graft.operators.Packing.contiguousPackSharded(
             docs, "source", "doc_id", "toks", capacity = 512L)
           .select("doc_id", "source", "seq_tokens", "bin_id", "bin_offset")
       }
@@ -171,30 +206,7 @@ object SamplingQueries {
         "kept set unique; one hash shuffle on source + in-group sort is " +
         "the exact form's honest cost (pre-thin oversized groups with the " +
         "narrow samplers first at corpus scale).",
-      Some("""
-        |WITH t AS (
-        |  SELECT doc_id, source,
-        |         CAST(LENGTH(text) AS DOUBLE) AS chars,
-        |         CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS toks,
-        |         len(regexp_extract_all(text, '[.!?,;:]')) AS punct,
-        |         len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS stops
-        |  FROM documents
-        |), s AS (
-        |  SELECT doc_id, source,
-        |         ((CASE WHEN chars / greatest(toks, 1.0) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
-        |          + (CASE WHEN CAST(punct AS DOUBLE) / greatest(toks, 1.0) <= 0.3 THEN 1.0 ELSE 0.0 END)
-        |          + (CASE WHEN CAST(stops AS DOUBLE) / greatest(toks, 1.0) >= 0.05 THEN 1.0 ELSE 0.0 END)
-        |          + (CASE WHEN chars BETWEEN 50.0 AND 100000.0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality,
-        |         CAST(toks AS BIGINT) AS ws_tokens
-        |  FROM t
-        |)
-        |SELECT doc_id, source, quality, ws_tokens, cum_tokens FROM (
-        |  SELECT *, CAST(SUM(ws_tokens) OVER (
-        |    PARTITION BY source ORDER BY quality DESC, doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-        |  FROM s)
-        |WHERE cum_tokens <= 800
-        |""".stripMargin.trim),
+      Some(tokenBudgetSql),
       (spark, dir) => {
         import graft.operators.TextAnalysis
         val scored = Tables.documents(spark, dir).select(
@@ -203,6 +215,28 @@ object SamplingQueries {
           TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"))
         Sampling.fillTokenBudget(
           scored, "source", "quality", "doc_id", "ws_tokens", budget = 800L)
+      }
+    ),
+    Q(
+      "q92_token_budget_sharded",
+      "q87's PRODUCTION path, oracle-checked: exact two-phase sharded " +
+        "token-budget selection (fillTokenBudgetSharded — per-(source, " +
+        "shard) windows thin each shard to its budget prefix, the tiny " +
+        "per-source cut key broadcasts back, then the exact selection " +
+        "runs over the thinned union). Same oracle as q87 because the " +
+        "two forms are provably equal (property-tested incl. shards " +
+        "overflowing at different points); parallelism is sources x " +
+        "shards instead of sources.",
+      Some(tokenBudgetSql),
+      (spark, dir) => {
+        import graft.operators.TextAnalysis
+        val scored = Tables.documents(spark, dir).select(
+          col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"))
+        Sampling.fillTokenBudgetSharded(
+          scored, "source", "quality", "doc_id", "ws_tokens", budget = 800L)
+          .select("doc_id", "source", "quality", "ws_tokens", "cum_tokens")
       }
     )
   )

@@ -255,6 +255,52 @@ object SimilarityQueries {
           Tables.embeddings(spark, dir).filter(col("vec_id") < 1000),
           "vec_id", "embedding", threshold = 0.4,
           tables = DupTables, bitsPerTable = DupBits, dim = Dim)
+    ),
+    Q(
+      "q93_semantic_decontaminate_lsh",
+      s"q88's at-scale path, oracle-checked: LSH-bucketed semantic " +
+        s"decontamination ($DupTables tables x $DupBits sign bits, the " +
+        "q83 banding family) — corpus and benchmark bucket under the " +
+        "same planes, only (table, bucket)-colocated pairs are scored " +
+        "with the exact double-fold cosine, max per corpus id (duplicate " +
+        "meetings are max-insensitive, no dedup pass), full-audit left " +
+        "join back (null max_bench_sim = no colocated benchmark vector, " +
+        "contaminated false). Every flag is a true flag (precision 1); " +
+        "recall is the banding knob.",
+      Some {
+        def branches(src: String) = (0 until DupTables).map { t =>
+          val slice = dupPlanes.slice(t * DupBits, (t + 1) * DupBits)
+          s"SELECT vec_id, embedding, norm, $t AS tbl, ${duckBucketPlanes("embedding", slice)} AS bucket FROM $src"
+        }.mkString("\n  UNION ALL\n  ")
+        val dotCB = duckDot.format("ca.embedding", "ba.embedding")
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding,
+           |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+           |  FROM embeddings
+           |), c AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+           |b AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+           |cb AS (
+           |  ${branches("c")}
+           |), bb AS (
+           |  ${branches("b")}
+           |), hits AS (
+           |  SELECT ca.vec_id,
+           |         MAX($dotCB / (ca.norm * ba.norm)) AS max_bench_sim
+           |  FROM cb ca JOIN bb ba ON ca.tbl = ba.tbl AND ca.bucket = ba.bucket
+           |  GROUP BY ca.vec_id
+           |)
+           |SELECT c.vec_id, hits.max_bench_sim,
+           |       COALESCE(hits.max_bench_sim >= 0.35, FALSE) AS contaminated
+           |FROM c LEFT JOIN hits ON c.vec_id = hits.vec_id""".stripMargin
+      },
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        graft.operators.Decontaminate.semanticReportLsh(
+          e.filter(col("vec_id") % 10 =!= 0),
+          e.filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", threshold = 0.35,
+          tables = DupTables, bitsPerTable = DupBits, dim = Dim)
+      }
     )
   )
 }
