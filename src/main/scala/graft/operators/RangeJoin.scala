@@ -33,6 +33,17 @@ object RangeJoin {
     *                  interval width; smaller bins = more interval
     *                  replication, bigger bins = more false candidates
     *                  for the verify filter
+    * @param maxBinsPerInterval replication cap: an interval spanning more
+    *                  than this many bins is NOT exploded (one
+    *                  pathologically long interval would otherwise
+    *                  replicate to millions of bin rows and hot-spot the
+    *                  equi-join); it is routed to a broadcast theta join
+    *                  instead, which is exact and cheap precisely because
+    *                  such outliers are rare — if they were common, the
+    *                  broadcast would blow up, which is the natural guard.
+    *                  Each interval takes exactly one path, so the
+    *                  pair-meets-exactly-once property is preserved.
+    *                  `None` (default) keeps the pure binned plan.
     * @return (interval_id, point_id, p_ts) for every point inside an
     *         interval, each pair exactly once
     */
@@ -44,20 +55,42 @@ object RangeJoin {
       intervalId: String,
       startCol: String,
       endCol: String,
-      binWidth: Long): DataFrame = {
+      binWidth: Long,
+      maxBinsPerInterval: Option[Int] = None): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    maxBinsPerInterval.foreach(c =>
+      require(c > 0, s"maxBinsPerInterval must be positive: $c"))
     val p = points
       .select(col(pointId).as("point_id"), col(pointTs).as("p_ts"))
       .withColumn("bin", expr(s"p_ts div ${binWidth}L"))
-    val i = intervals
+    val base = intervals
       .select(col(intervalId).as("interval_id"),
         col(startCol).as("start_ts"), col(endCol).as("end_ts"))
+      // null bounds yield a null span and fall out of BOTH branch filters
+      // below — the same excluded-not-matched semantics as the uncapped
+      // plan, where a null bound explodes to zero bins.
+      .withColumn("n_bins",
+        expr(s"(end_ts - 1L) div ${binWidth}L - start_ts div ${binWidth}L + 1L"))
+    val binnable =
+      maxBinsPerInterval.fold(base)(c => base.filter(col("n_bins") <= c))
+    val i = binnable
       .withColumn("bin",
         explode(sequence(
           expr(s"start_ts div ${binWidth}L"),
           expr(s"(end_ts - 1L) div ${binWidth}L"))))
-    p.join(i, Seq("bin"))
+    val binned = p.join(i, Seq("bin"))
       .filter(col("p_ts") >= col("start_ts") && col("p_ts") < col("end_ts"))
       .select(col("interval_id"), col("point_id"), col("p_ts"))
+    maxBinsPerInterval match {
+      case None => binned
+      case Some(c) =>
+        val outliers = base.filter(col("n_bins") > c)
+          .select("interval_id", "start_ts", "end_ts")
+        val outlierPairs = p
+          .join(broadcast(outliers),
+            col("p_ts") >= col("start_ts") && col("p_ts") < col("end_ts"))
+          .select(col("interval_id"), col("point_id"), col("p_ts"))
+        binned.unionByName(outlierPairs)
+    }
   }
 }

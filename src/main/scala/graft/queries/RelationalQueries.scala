@@ -564,18 +564,8 @@ object RelationalQueries {
         |GROUP BY 1
         |""".stripMargin.trim),
       (spark, dir) => {
-        val (li, ord) = graft.operators.Bucketing.colocate(
-          spark,
-          Tables.lineitem(spark, dir), "l_orderkey", s"graft_li_bucketed_${Q.scratchTag(dir)}",
-          Tables.orders(spark, dir), "o_orderkey", s"graft_ord_bucketed_${Q.scratchTag(dir)}",
-          buckets = 16)
-        ord.join(li, col("l_orderkey") === col("o_orderkey"))
-          .groupBy("o_orderpriority")
-          .agg(
-            count(lit(1)).as("n_items"),
-            sum(expr(
-              "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"))
-              .cast("double").as("revenue"))
+        BucketedJoinPhases.build(spark, dir)
+        BucketedJoinPhases.probe(spark, dir)
       }
     ),
     Q(
@@ -698,6 +688,46 @@ object RelationalQueries {
           points, "event_id", "p_ts",
           intervals, "event_id", "start_ts", "end_ts",
           binWidth = 3600000000L)
+      }
+    ),
+    Q(
+      "q94_range_join_capped",
+      "q86's binned range join with the replication cap engaged on a " +
+        "mixed-width fixture: most signup windows span 6 hours (7 bins, " +
+        "under the cap of 10 — binned equi-join path), every fifth spans " +
+        "48 hours (49 bins — routed to the broadcast theta path instead " +
+        "of exploding to 49 replicas). One pathological interval can no " +
+        "longer hot-spot the bin join. Oracle is the plain theta join " +
+        "over the same mixed widths: the routing must not change a row.",
+      Some("""
+        |WITH iv AS (
+        |  SELECT event_id AS interval_id, epoch_us(ts) AS start_ts,
+        |         epoch_us(ts) + CASE WHEN event_id % 5 = 0
+        |                             THEN 172800000000 ELSE 21600000000 END AS end_ts
+        |  FROM events WHERE event_type = 'signup' AND event_id % 97 = 0
+        |), pt AS (
+        |  SELECT event_id AS point_id, epoch_us(ts) AS p_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT interval_id, point_id, p_ts
+        |FROM iv JOIN pt ON p_ts >= start_ts AND p_ts < end_ts
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        val ev = Tables.eventsTsNs(spark, dir)
+        val intervals = ev
+          .filter(col("event_type") === "signup" && col("event_id") % 97 === 0)
+          .select(col("event_id"),
+            expr("ts div 1000").as("start_ts"),
+            (expr("ts div 1000") +
+              when(col("event_id") % 5 === 0, lit(172800000000L))
+                .otherwise(lit(21600000000L))).as("end_ts"))
+        val points = ev
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), expr("ts div 1000").as("p_ts"))
+        graft.operators.RangeJoin.pointInInterval(
+          points, "event_id", "p_ts",
+          intervals, "event_id", "start_ts", "end_ts",
+          binWidth = 3600000000L, maxBinsPerInterval = Some(10))
       }
     ),
     Q(
@@ -839,4 +869,45 @@ private object SqlInterface {
     |WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
     |GROUP BY n_name
     |""".stripMargin.trim
+}
+
+/** q64's two phases, exposed separately so the bench can time the
+  * amortizable one-shot bucketed WRITE apart from the exchange-free probe
+  * join. A single conflated number reads as a slow join when the join is
+  * actually sub-second and the cost is the ingest-time bucketing that a
+  * production deployment pays once per fact-table refresh, not per query.
+  * The registry/oracle entry still runs build + probe (side-effect-free
+  * for the caller, identical results to the plain parquet join).
+  */
+object BucketedJoinPhases {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  private def liTable(dir: String) = s"graft_li_bucketed_${Q.scratchTag(dir)}"
+  private def ordTable(dir: String) = s"graft_ord_bucketed_${Q.scratchTag(dir)}"
+
+  /** One shuffle per side: write both fact tables bucketed + sorted on
+    * the order key. Idempotent (drops and rewrites).
+    */
+  def build(spark: SparkSession, dir: String): Unit =
+    graft.operators.Bucketing.colocate(
+      spark,
+      Tables.lineitem(spark, dir), "l_orderkey", liTable(dir),
+      Tables.orders(spark, dir), "o_orderkey", ordTable(dir),
+      buckets = 16)
+
+  /** The exchange-free join + aggregate over the bucketed tables
+    * (BucketedJoinSpec proves no Exchange below the join). Requires
+    * [[build]] to have run for this `dir`.
+    */
+  def probe(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.table(liTable(dir))
+    val ord = spark.table(ordTable(dir))
+    ord.join(li, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(expr(
+          "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"))
+          .cast("double").as("revenue"))
+  }
 }

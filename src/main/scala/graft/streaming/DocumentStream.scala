@@ -151,14 +151,29 @@ object DocumentStream {
     * at plan time and screens with a pure narrow `arrays_overlap` filter:
     * zero state, append mode, whole-stage codegen, and each micro-batch
     * sees the identical screen the batch twin applies.
+    *
+    * `maxPlanGrams` guards the plan-literal shape: the gram set is baked
+    * into every micro-batch's plan, so an oversized benchmark would bloat
+    * analysis/serialization on each trigger. A benchmark over the cap is
+    * a contract violation, not a tuning knob — route it through the batch
+    * broadcast path (`Decontaminate.report`) instead.
     */
-  def decontaminated(docs: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+  def decontaminated(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 8,
+      maxPlanGrams: Int = 100000): DataFrame = {
     val docGrams = array_distinct(
       TextAnalysis.tokenNgrams(TextAnalysis.wsTokens(col("text")), n))
     val benchGrams = benchmark
       .select(explode(array_distinct(
         TextAnalysis.tokenNgrams(TextAnalysis.wsTokens(col("text")), n))).as("g"))
       .distinct().collect().map(_.getString(0)).sorted
+    require(benchGrams.length <= maxPlanGrams,
+      s"benchmark expands to ${benchGrams.length} $n-grams > maxPlanGrams=" +
+        s"$maxPlanGrams; a plan-literal screen that large would bloat every " +
+        "micro-batch plan — use the batch broadcast path " +
+        "(Decontaminate.report) for corpus-sized benchmarks")
     docs.filter(!arrays_overlap(docGrams, typedlit(benchGrams.toSeq)))
       .select(col("doc_id"), col("source"), col("n_chars"))
   }

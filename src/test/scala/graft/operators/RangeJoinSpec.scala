@@ -93,4 +93,49 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(naivePlan.contains("BroadcastNestedLoop") || naivePlan.contains("CartesianProduct"),
       "theta join no longer plans as a nested loop — revisit the operator's premise")
   }
+
+  test("replication cap: capped equals uncapped equals scalar ground truth on mixed-width intervals") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1L to 300L).map(i => (i, rnd.nextLong(10000L)))
+    // mostly narrow intervals; every 10th is pathologically long (spans
+    // hundreds of bins at binWidth=13 — the hot-spot the cap exists for)
+    val ivs = (1L to 100L).map { i =>
+      val s = rnd.nextLong(9000L)
+      val len = if (i % 10 == 0) 5000L + rnd.nextLong(4000L) else 1L + rnd.nextLong(50L)
+      (i, s, s + len)
+    }
+    val want = (for {
+      (pid, ts) <- pts; (iid, s, e) <- ivs; if ts >= s && ts < e
+    } yield (iid, pid)).sorted
+    // cap below every span, mixed, and above every span — identical answers
+    for (cap <- Seq(1, 8, 1000000)) {
+      val got = RangeJoin.pointInInterval(
+          pts.toDF("id", "ts"), "id", "ts",
+          ivs.toDF("id", "s", "e"), "id", "s", "e",
+          binWidth = 13L, maxBinsPerInterval = Some(cap))
+        .select("interval_id", "point_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.distinct.length, s"duplicate pairs at cap=$cap")
+      assert(got.sorted.toSeq == want, s"cap=$cap: ${got.length} vs ${want.length}")
+    }
+  }
+
+  test("replication cap routes outliers to a broadcast branch; null bounds stay excluded on both paths") {
+    val pts = Seq((1L, Some(5L)), (2L, None)).toDF("id", "ts")
+    val ivs = Seq(
+      (10L, Some(0L), Some(10L)),      // 3 bins at width 4 -> binned path
+      (11L, None, Some(10L)),          // null bound -> excluded everywhere
+      (12L, Some(0L), Some(1000000L))  // 250k bins -> broadcast, NOT exploded
+    ).toDF("id", "s", "e")
+    val out = RangeJoin.pointInInterval(
+      pts, "id", "ts", ivs, "id", "s", "e",
+      binWidth = 4L, maxBinsPerInterval = Some(4))
+    val got = out.select("interval_id", "point_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 1L), (12L, 1L)))
+    import org.apache.spark.sql.execution.FormattedMode
+    val plan = out.queryExecution.explainString(FormattedMode)
+    assert(plan.contains("BroadcastNestedLoop"), "expected the broadcast outlier branch")
+    assert(plan.contains("Union"), "expected the binned + outlier union")
+  }
 }

@@ -91,4 +91,16 @@ class StreamingHygieneSpec extends AnyFunSuite {
         q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
     } finally q.stop()
   }
+
+  test("oversized benchmark gram set trips the plan-literal guard with a pointer to the batch path") {
+    val fixture = SparkTestSession.sf0001
+    val all = Tables.documents(spark, fixture)
+    val ex = intercept[IllegalArgumentException] {
+      DocumentStream.decontaminated(
+        all.limit(50), all.filter(col("doc_id") % 10 === 0),
+        n = 8, maxPlanGrams = 3)
+    }
+    assert(ex.getMessage.contains("maxPlanGrams"))
+    assert(ex.getMessage.contains("Decontaminate.report"))
+  }
 }
