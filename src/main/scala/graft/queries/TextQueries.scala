@@ -417,6 +417,92 @@ object TextQueries {
           graft.operators.Sampling.splitLabel(col("doc_id"), salt = "cur:").as("split"),
           col("n_copies"))
       }
+    ),
+    Q(
+      "q95_boilerplate_removal",
+      "Cross-document boilerplate removal (C4/RefinedWeb-style): each doc " +
+        "cut into non-overlapping 3-token passages, passage document " +
+        "frequency counted corpus-wide (one map-side-combined shuffle on " +
+        "the passage), passages in more than 5 docs dropped, survivors " +
+        "reassembled in order. The screen is an equi-join back on the " +
+        "passage — the document-frequency pattern, never all-pairs. Both " +
+        "engines mirror the identical cut + cap, so the oracle is exact.",
+      Some("""
+        |WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), p AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pidx,
+        |         array_to_string(t[i*3+1 : i*3+3], ' ') AS passage
+        |  FROM toks, UNNEST(range(0, len(t) // 3)) AS u(i)
+        |), df AS (
+        |  SELECT passage, count(DISTINCT doc_id) AS pdf FROM p GROUP BY 1
+        |)
+        |SELECT p.doc_id,
+        |       count(*) FILTER (WHERE pdf <= 5) AS n_kept,
+        |       count(*) FILTER (WHERE pdf > 5) AS n_dropped,
+        |       coalesce(string_agg(passage, ' ' ORDER BY pidx)
+        |                  FILTER (WHERE pdf <= 5), '') AS cleaned_text
+        |FROM p JOIN df USING (passage)
+        |GROUP BY 1
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        graft.operators.Boilerplate.removeBoilerplate(
+          Tables.documents(spark, dir), "doc_id", "text",
+          window = 3, maxDf = 5L)
+    ),
+    Q(
+      "q96_bpe_pair_counts",
+      "BPE/WordPiece merge-selection inner loop: corpus-wide counts of " +
+        "adjacent whitespace-token pairs, top 200 with a lexicographic " +
+        "tiebreak. Narrow pair explode, ONE map-side-combined shuffle on " +
+        "the pair, and the top-k plans as TakeOrderedAndProject (per-" +
+        "partition top-k + k-row driver merge), never a global sort.",
+      Some("""
+        |WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), pr AS (
+        |  SELECT t[i] || ' ' || t[i+1] AS pair
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        |)
+        |SELECT pair, count(*) AS n
+        |FROM pr GROUP BY 1
+        |ORDER BY n DESC, pair
+        |LIMIT 200
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        graft.operators.CorpusStats.pairCounts(
+          Tables.documents(spark, dir), "text", k = 200)
+    ),
+    Q(
+      "q97_gram_novelty",
+      "Per-document 5-gram novelty: the fraction of a doc's distinct " +
+        "grams first seen (by ascending doc id) in that doc — the " +
+        "content-growth signal for ordering or pruning sources that stop " +
+        "contributing new text. First-occurrence is a min-aggregate " +
+        "shuffled on the gram (map-side combine) joined back on the same " +
+        "key; the ratio is exact int/int double division, bit-identical " +
+        "across engines.",
+      Some("""
+        |WITH g AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, array_to_string(t[i : i+4], ' ') AS gram
+        |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |          FROM documents),
+        |         UNNEST(range(1, len(t) - 3)) AS u(i))
+        |), f AS (
+        |  SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1
+        |)
+        |SELECT doc_id,
+        |       count(*) AS n_grams,
+        |       count(*) FILTER (WHERE first_doc = doc_id) AS n_novel,
+        |       CAST(count(*) FILTER (WHERE first_doc = doc_id) AS DOUBLE)
+        |         / count(*) AS novelty
+        |FROM g JOIN f USING (gram)
+        |GROUP BY 1
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        graft.operators.CorpusStats.gramNovelty(
+          Tables.documents(spark, dir), "doc_id", "text", n = 5)
     )
   )
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Ground truth and plan shape for [[Boilerplate]]: passage cutting drops
+  * the short tail, frequency screening is exact, reassembly preserves
+  * order, and the corpus-wide screen is an equi-join on the passage —
+  * never a cartesian.
+  */
+class BoilerplateSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    // "x y" boilerplate passage appears in 3 docs; window=2
+    (1L, "x y a b c d e"),       // passages: "x y","a b","c d" (+tail "e" dropped)
+    (2L, "x y f g"),             // "x y","f g"
+    (3L, "h i x y"),             // "h i","x y"
+    (4L, "j k"),                 // "j k"
+    (5L, "solo")                 // shorter than one window -> no rows
+  ).toDF("doc_id", "text")
+
+  test("passages: non-overlapping windows, 0-based pidx, short tail and short docs dropped") {
+    val p = Boilerplate.passages(docs, "doc_id", "text", window = 2)
+      .as[(Long, Int, String)].collect().toSet
+    assert(p == Set(
+      (1L, 0, "x y"), (1L, 1, "a b"), (1L, 2, "c d"),
+      (2L, 0, "x y"), (2L, 1, "f g"),
+      (3L, 0, "h i"), (3L, 1, "x y"),
+      (4L, 0, "j k")))
+  }
+
+  test("removeBoilerplate: passages over the df cap dropped, survivors reassembled in order") {
+    val out = Boilerplate.removeBoilerplate(docs, "doc_id", "text", window = 2, maxDf = 2L)
+      .select("doc_id", "n_kept", "n_dropped", "cleaned_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    // "x y" df=3 > 2 -> dropped everywhere; everything else df=1 kept
+    assert(out == Seq(
+      (1L, 2L, 1L, "a b c d"),
+      (2L, 1L, 1L, "f g"),
+      (3L, 1L, 1L, "h i"),
+      (4L, 1L, 0L, "j k")))
+  }
+
+  test("a doc that is ALL boilerplate survives with empty cleaned_text, not a lost row") {
+    val d = Seq((1L, "x y"), (2L, "x y"), (3L, "x y")).toDF("doc_id", "text")
+    val out = Boilerplate.removeBoilerplate(d, "doc_id", "text", window = 2, maxDf = 2L)
+      .select("doc_id", "n_kept", "cleaned_text")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 0L, ""), (2L, 0L, ""), (3L, 0L, "")))
+  }
+
+  test("plan: the screen is an equi-join on the passage, never a nested loop or cartesian") {
+    val out = Boilerplate.removeBoilerplate(
+      graft.Tables.documents(spark, SparkTestSession.sf0001),
+      "doc_id", "text", window = 3, maxDf = 5L)
+    val plan = out.queryExecution.explainString(FormattedMode)
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      plan.linesIterator.take(30).mkString("\n"))
+    assert(out.limit(5).collect().nonEmpty)
+  }
+}
