@@ -71,6 +71,51 @@ object DocumentStream {
 
   final case class BandPair(doc_a: Long, doc_b: Long, band: Int)
 
+  /** One packed document: its source, id, token count, and the
+    * bin-relative start position assigned at arrival time.
+    */
+  final case class PackedDoc(
+      source: String, doc_id: Long, seq_tokens: Long,
+      bin_id: Long, bin_offset: Long)
+
+  /** Streaming sequence packing — the incremental face of q90's
+    * contiguous layout. Keyed state holds ONE long per source (the
+    * running token total); each arriving document takes its bin from the
+    * prefix total at arrival, exactly as the batch form takes it from
+    * the running-sum window. Within a micro-batch documents pack in
+    * ascending doc id, so the layout is deterministic given the batch
+    * partitioning of the stream; fed the same arrival order, the output
+    * equals the batch twin (StreamingPackingSpec). State is O(sources) —
+    * it never grows with stream length — and a group's documents stream
+    * through the iterator without materializing the corpus.
+    */
+  def packedBySource(docs: DataFrame, capacity: Long): Dataset[PackedDoc] = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("seq_tokens"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[Long]) =>
+          var tot = state.getOption.getOrElse(0L)
+          // id sort makes the within-batch order deterministic; batches
+          // are small (one trigger), the corpus-sized axis is ACROSS
+          // batches, which is pure O(1) state
+          val packed = rows.toSeq.sortBy(_._2).map { case (_, id, toks) =>
+            val start = tot
+            tot += toks
+            PackedDoc(src, id, toks, start / capacity, start % capacity)
+          }
+          state.update(tot)
+          packed.iterator
+      }
+  }
+
   /** NARROW MinHash band keys: per-row higher-order-function fold instead
     * of the batch path's explode + groupBy. Identical signatures (same
     * permutation family, same min over the same distinct-word set) — the

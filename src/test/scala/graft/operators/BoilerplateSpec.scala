@@ -54,6 +54,31 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(out == Seq((1L, 0L, ""), (2L, 0L, ""), (3L, 0L, "")))
   }
 
+  test("randomized: removeBoilerplate equals a scalar model on small-vocab corpora") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d")
+    val window = 2
+    val maxDf = 3L
+    val corpus = (1L to 60L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    def cuts(t: String): Vector[String] =
+      t.split("\\s+").grouped(window).filter(_.length == window)
+        .map(_.mkString(" ")).toVector
+    val dfModel = corpus
+      .flatMap { case (id, t) => cuts(t).distinct.map(p => (p, id)) }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).distinct.size }
+    val want = corpus.map { case (id, t) =>
+      val ps = cuts(t)
+      val kept = ps.filter(p => dfModel(p) <= maxDf)
+      (id, kept.size.toLong, (ps.size - kept.size).toLong, kept.mkString(" "))
+    }.sortBy(_._1)
+    val got = Boilerplate.removeBoilerplate(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", window, maxDf)
+      .select("doc_id", "n_kept", "n_dropped", "cleaned_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == want)
+  }
+
   test("plan: the screen is an equi-join on the passage, never a nested loop or cartesian") {
     val out = Boilerplate.removeBoilerplate(
       graft.Tables.documents(spark, SparkTestSession.sf0001),
