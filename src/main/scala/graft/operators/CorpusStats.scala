@@ -40,11 +40,14 @@ object CorpusStats {
     * document — the content-growth signal curation uses to order or
     * prune sources that stop contributing new text.
     *
-    * Scale shape: the first-occurrence table is a min-aggregate shuffled
-    * on the gram (map-side combine), joined back on the same key — the
-    * document-frequency pattern, never all-pairs. Docs with fewer than
-    * `n` tokens have no grams and are absent. The novelty ratio is an
-    * exact int/int double division — bit-identical across engines.
+    * Scale shape: the gram stream shuffles ONCE (the min-doc aggregate,
+    * map-side combined); novel counts fall straight out of that
+    * aggregate's output re-keyed by the winning doc, and per-doc totals
+    * are a narrow doc-keyed count — so the join that assembles the
+    * ratio is doc-sized on both sides, never a second pass over the
+    * gram stream. Docs with fewer than `n` tokens have no grams and are
+    * absent. The novelty ratio is an exact int/int double division —
+    * bit-identical across engines.
     */
   def gramNovelty(
       docs: DataFrame,
@@ -57,13 +60,15 @@ object CorpusStats {
       explode(array_distinct(
         TextAnalysis.tokenNgrams(TextAnalysis.wsTokens(col(textCol)), n)))
         .as("gram"))
-    val first = grams.groupBy("gram").agg(min("doc_id").as("first_doc"))
-    grams.join(first, "gram")
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_grams"),
-        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
-      .withColumn("novelty",
-        col("n_novel").cast("double") / col("n_grams"))
+    val novel = grams
+      .groupBy("gram").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    val totals = grams
+      .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    totals.join(novel, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_novel"))
+      .select(
+        col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
   }
 }

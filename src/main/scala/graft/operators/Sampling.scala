@@ -246,4 +246,24 @@ object Sampling {
     }
     df.filter(hashBucket(key, 100, salt) < pct)
   }
+
+  /** Materialize a total training order — the consumer step
+    * [[mixtureInterleave]]'s docstring promises: range-partition on the
+    * ordering key (sampled boundaries, a DISTRIBUTED sort) and sort
+    * within partitions, so reading partitions 0..n-1 in sequence yields
+    * the full schedule. `ord_partition` (the range bucket) is emitted so
+    * a writer can produce one ordered shard per partition. This is the
+    * honest cost of a total order at 100 TB: one range exchange, every
+    * partition sorting locally in parallel — never a global
+    * single-partition sort or window.
+    */
+  def materializeOrder(
+      df: DataFrame,
+      keyCol: Column,
+      partitions: Int): DataFrame = {
+    require(partitions > 0, s"partitions must be positive: $partitions")
+    df.repartitionByRange(partitions, keyCol)
+      .sortWithinPartitions(keyCol)
+      .withColumn("ord_partition", spark_partition_id())
+  }
 }

@@ -72,4 +72,34 @@ class JoinScaleCheck extends AnyFunSuite {
       assert(rows.forall(r => r.getDouble(2) >= 0.4))
     }
   }
+
+  test("boilerplate removal on ALL documents, sort-merge path") {
+    noBroadcast {
+      val docs = Tables.documents(spark, SparkTestSession.sf0001)
+      val out = Boilerplate.removeBoilerplate(docs, "doc_id", "text",
+        window = 3, maxDf = 5L)
+      val rows = out.select("doc_id", "n_kept", "n_dropped").collect()
+      // every doc with >= one passage comes back exactly once, and the
+      // kept/dropped split accounts for all of its passages
+      assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+      assert(rows.forall(r => r.getLong(1) + r.getLong(2) > 0))
+      assert(rows.length == docs.count())
+    }
+  }
+
+  test("gram novelty on ALL documents, sort-merge path") {
+    noBroadcast {
+      val docs = Tables.documents(spark, SparkTestSession.sf0001)
+      val out = CorpusStats.gramNovelty(docs, "doc_id", "text", n = 5)
+      val rows = out.select("doc_id", "n_grams", "n_novel", "novelty").collect()
+      assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+      assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
+      assert(rows.forall { r =>
+        val nov = r.getDouble(3); nov >= 0.0 && nov <= 1.0
+      })
+      // first doc by id is all-novel by definition
+      val firstId = rows.map(_.getLong(0)).min
+      assert(rows.find(_.getLong(0) == firstId).get.getDouble(3) == 1.0)
+    }
+  }
 }

@@ -225,4 +225,24 @@ class SamplingSpec extends AnyFunSuite {
       assert(two == one, s"budget=$budget shards=$shards: ${two.size} vs ${one.size}")
     }
   }
+
+  test("materializeOrder: range-partitioned distributed sort yields the full schedule in partition order") {
+    val docs = graft.Tables.documents(spark, SparkTestSession.sf0001)
+    val keyed = Sampling.mixtureInterleaveSharded(
+      docs, col("lang"), col("doc_id"), Map("en" -> 3.0, "de" -> 2.0), 1.0)
+    val ordered = Sampling.materializeOrder(keyed, col("interleave_key"), partitions = 8)
+    val rows = ordered.select("ord_partition", "interleave_key")
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    // collect returns partitions in index order; within each the local
+    // sort ran; range boundaries make partition i's keys <= partition
+    // i+1's — so the flat sequence must be globally non-decreasing
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      "schedule not globally ordered across partitions")
+    assert(rows.map(_._1).distinct.length > 1, "everything landed in one partition")
+    val plan = ordered.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan.linesIterator.take(15).mkString("\n"))
+    // the sort is local (global=false renders as "], false, 0")
+    assert(!plan.contains("], true, 0"), "unexpected global sort node")
+  }
 }
