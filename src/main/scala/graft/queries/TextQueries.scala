@@ -503,6 +503,37 @@ object TextQueries {
       (spark, dir) =>
         graft.operators.CorpusStats.gramNovelty(
           Tables.documents(spark, dir), "doc_id", "text", n = 5)
+    ),
+    Q(
+      "q98_countmin_sketch",
+      "Count-min sketch of the corpus token stream as its 4x64 count " +
+        "matrix: the heavy-hitter/frequency primitive beside the KMV " +
+        "distinct sketch (q54). The md5-derived salted hash family makes " +
+        "the whole matrix deterministic and engine-portable, so the " +
+        "oracle checks the sketch ITSELF, cell for cell. One narrow " +
+        "4-way cell explode, one map-side-combined shuffle onto a " +
+        "constant 256-cell key space — output size is independent of " +
+        "corpus size, the property that makes the sketch mergeable " +
+        "monoid state at 100 TB.",
+      Some("""
+        |WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |), cells AS (
+        |  SELECT CAST(r AS INTEGER) AS r,
+        |         CAST('0x' || substr(md5('cm' || CAST(r AS VARCHAR) || ':' || tok), 1, 8)
+        |              AS BIGINT) % 64 AS c
+        |  FROM toks, UNNEST(range(0, 4)) AS u(r)
+        |)
+        |SELECT r, c, count(*) AS cnt
+        |FROM cells GROUP BY 1, 2
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        graft.operators.CountMin.sketch(
+          Tables.documents(spark, dir)
+            .select(explode(
+              graft.operators.TextAnalysis.wsTokens(col("text"))).as("tok")),
+          "tok", depth = 4, width = 64)
     )
   )
 }
