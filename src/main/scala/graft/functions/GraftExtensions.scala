@@ -42,5 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(RollingFingerprint.name,
         "rolling_fingerprint(tokens[, window]) - min portable hash over token shingle windows"),
       RollingFingerprint.builder))
+    e.injectFunction((
+      FunctionIdentifier(ZOrderInterleave.name),
+      info(ZOrderInterleave.name,
+        "zorder_interleave(a, b) - 62-bit Morton interleave of two integral dimensions"),
+      ZOrderInterleave.builder))
   }
 }

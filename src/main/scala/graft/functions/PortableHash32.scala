@@ -84,6 +84,7 @@ object GraftFunctions {
     DotProductFF.register(spark)
     PortableHash32.register(spark)
     RollingFingerprint.register(spark)
+    ZOrderInterleave.register(spark)
     KMinSketch.register(spark)
   }
 }

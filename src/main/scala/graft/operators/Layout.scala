@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ZOrderInterleave
+
+/** Multi-dimensional data layout: order rows along a Z (Morton) curve so
+  * that files and row groups stay clustered in BOTH dimensions. A
+  * single-column sort only ever prunes on its leading column; the
+  * z-layout lets parquet min/max statistics skip most files for a box
+  * predicate on EITHER dimension — the write-side technique that turns
+  * full scans into partial scans at 100 TB (LayoutSpec measures the file
+  * pruning on a real written-and-filtered grid).
+  */
+object Layout {
+
+  /** Order `df` along the z-curve of two integral dimensions: one range
+    * exchange on the z-value (sampled boundaries, a distributed sort) +
+    * local sorts — the same honest total-order cost as
+    * [[Sampling.materializeOrder]], keyed by the interleaved curve.
+    * Write the result with `df.write.parquet` and each output file holds
+    * a compact z-range, i.e. a small rectangle of the dimension space.
+    */
+  def zOrderBy(
+      df: DataFrame,
+      dimA: Column,
+      dimB: Column,
+      partitions: Int): DataFrame = {
+    require(partitions > 0, s"partitions must be positive: $partitions")
+    df.withColumn("z_value", ZOrderInterleave.zorderInterleave(dimA, dimB))
+      .repartitionByRange(partitions, col("z_value"))
+      .sortWithinPartitions("z_value")
+  }
+}

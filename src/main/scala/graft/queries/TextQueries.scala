@@ -534,6 +534,27 @@ object TextQueries {
             .select(explode(
               graft.operators.TextAnalysis.wsTokens(col("text"))).as("tok")),
           "tok", depth = 4, width = 64)
+    ),
+    Q(
+      "q99_zorder_value",
+      "Z-order (Morton) curve key over (user_id, event_id): the codegen'd " +
+        "bit-interleave expression behind multi-dimensional data layout " +
+        "(Layout.zOrderBy) — sorting by this key clusters files in BOTH " +
+        "dimensions so min/max statistics prune box predicates on either " +
+        "one. The oracle renders the identical curve bit by bit from the " +
+        "same constants (ZOrderInterleave.duckSql), checking the curve " +
+        "itself value for value.",
+      Some(
+        s"""SELECT event_id,
+           |       ${graft.functions.ZOrderInterleave.duckSql("user_id", "event_id")} AS z_value
+           |FROM events""".stripMargin),
+      (spark, dir) =>
+        Tables.eventsTsNs(spark, dir)
+          .select(
+            col("event_id"),
+            graft.functions.ZOrderInterleave
+              .zorderInterleave(col("user_id"), col("event_id"))
+              .as("z_value"))
     )
   )
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.functions.ZOrderInterleave
+
+/** The z-order contract: the interleave matches an independent bit-loop
+  * model (including 31-bit masking), the SQL registration works, and —
+  * the point of the operator — a z-ordered layout makes a box predicate
+  * on the NON-leading dimension touch a fraction of the files a
+  * single-column layout touches.
+  */
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def model(a: Long, b: Long): Long = {
+    var z = 0L
+    for (i <- 0 until 31) {
+      z |= ((a >> i) & 1L) << (2 * i)
+      z |= ((b >> i) & 1L) << (2 * i + 1)
+    }
+    z
+  }
+
+  test("interleave equals the bit-loop model, masks to 31 bits, stays non-negative") {
+    val rnd = new scala.util.Random(5)
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L),
+        (Int.MaxValue.toLong, Int.MaxValue.toLong),
+        ((1L << 31) + 7L, (1L << 40) + 9L)) ++
+      Seq.fill(200)((rnd.nextLong().abs, rnd.nextLong().abs))
+    val got = cases.toDF("a", "b")
+      .select(ZOrderInterleave.zorderInterleave(col("a"), col("b")))
+      .as[Long].collect()
+    cases.zip(got).foreach { case ((a, b), z) =>
+      assert(z == model(a & 0x7fffffffL, b & 0x7fffffffL), s"($a, $b)")
+      assert(z >= 0L)
+    }
+  }
+
+  test("SQL registration: zorder_interleave callable from SQL, both paths") {
+    graft.functions.GraftFunctions.register(spark)
+    val z = spark.sql("SELECT zorder_interleave(3, 5)").as[Long].head()
+    // 3 = 0b11 on even bits -> 0b0101; 5 = 0b101 on odd bits -> 0b100010
+    assert(z == (0x5L | 0x22L))
+  }
+
+  test("z-layout prunes files on the non-leading dimension where a linear layout cannot") {
+    val n = 256
+    val grid = spark.range(n.toLong * n)
+      .select((col("id") / n).cast("long").as("x"), (col("id") % n).as("y"))
+    val files = 16
+
+    def distinctFiles(dir: String): Long = {
+      val read = spark.read.parquet(dir).filter(col("y") < 64)
+      val cnt = read.select(input_file_name()).distinct().count()
+      assert(read.count() == n.toLong * 64, "predicate selected the wrong rows")
+      cnt
+    }
+
+    val zDir = java.nio.file.Files.createTempDirectory("zorder").toString
+    Layout.zOrderBy(grid, col("x"), col("y"), partitions = files)
+      .write.mode("overwrite").parquet(zDir)
+    val linDir = java.nio.file.Files.createTempDirectory("linear").toString
+    grid.repartitionByRange(files, col("x")).sortWithinPartitions("x", "y")
+      .write.mode("overwrite").parquet(linDir)
+
+    val zFiles = distinctFiles(zDir)
+    val linFiles = distinctFiles(linDir)
+    // y < 64 zeroes the two top y bits: the matching z-range is ~1/4 of
+    // the curve in two contiguous chunks -> ~4 of 16 z-files hold matches;
+    // under x-major layout every x-stripe contains y<64 rows -> all files
+    assert(zFiles <= 8, s"z-layout read $zFiles of $files files")
+    assert(linFiles >= 14, s"linear layout read only $linFiles files; premise broken")
+  }
+}
