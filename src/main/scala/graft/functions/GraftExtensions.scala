@@ -16,8 +16,8 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * This is the deployment-grade registration path: every session derived
   * from the builder (including `newSession()` clones and thrift/connect
   * sessions created from the same context) sees `dot_ff`,
-  * `portable_hash32`, and `rolling_fingerprint` as SQL-callable functions
-  * with catalog metadata. The per-session
+  * `portable_hash32`, `rolling_fingerprint`, and `zorder_interleave` as
+  * SQL-callable functions with catalog metadata. The per-session
   * [[GraftFunctions.register]] remains for foreign sessions the engine
   * does not construct.
   */
