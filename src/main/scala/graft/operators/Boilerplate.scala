@@ -13,12 +13,23 @@ import org.apache.spark.sql.functions._
   * distinct docs contain it verbatim) is computed corpus-wide; passages
   * over the frequency cap are dropped and the survivors are reassembled
   * in order. At 100 TB the passage-frequency table shuffles on the
-  * passage value with full map-side combine (a distinct-count aggregate),
-  * the screen is an equi-join back on the same key — never all-pairs —
-  * and reassembly groups on doc_id, whose group size is bounded by a
-  * single document's passage count.
+  * passage value with full map-side combine (a distinct-count aggregate);
+  * the screen is a BROADCAST anti-join against the over-cap set — the
+  * [[Dedup.ngramJaccardPairs]] stop-gram pattern — never an equi-join of
+  * the full passage stream on the passage value (whose hottest keys are,
+  * by definition, the boilerplate: a header in 30% of docs would land
+  * 30% of the corpus on one task). Reassembly groups on doc_id, whose
+  * group size is bounded by a single document's passage count.
   */
 object Boilerplate {
+
+  /** Number of full non-overlapping `window`-token passages in `textCol`
+    * — computable narrowly from the document alone, which is what lets
+    * the screen drop boilerplate instances from the stream entirely and
+    * still report per-doc drop counts.
+    */
+  private def passageCount(text: Column, window: Int): Column =
+    greatest((size(TextAnalysis.wsTokens(text)) / window).cast("long"), lit(0L))
 
   /** Cut `textCol` into non-overlapping `window`-token passages:
     * (doc_id, pidx, passage), pidx 0-based in document order. A trailing
@@ -48,6 +59,17 @@ object Boilerplate {
     * `maxDf`, returning per-doc (n_kept, n_dropped, cleaned_text) with
     * survivors rejoined in passage order. Docs with no full window are
     * absent from the output (they contributed no passages to screen).
+    *
+    * Scale shape: the over-cap passage set is TINY by construction —
+    * each member needs > maxDf distinct docs, so there are at most
+    * total-passage-instances / maxDf of them — and is broadcast for a
+    * LeftAnti hash join. Boilerplate instances therefore leave the
+    * stream BEFORE the doc_id reassembly shuffle (the hotter the
+    * passage, the more rows the anti-join removes), instead of being
+    * shuffled TO one task as an equi-join on the passage would do.
+    * n_dropped survives the anti-join because the per-doc passage total
+    * is recomputed narrowly from the document itself (same
+    * floor(tokens/window) the cut uses): dropped = total - kept.
     */
   def removeBoilerplate(
       docs: DataFrame,
@@ -57,19 +79,30 @@ object Boilerplate {
       maxDf: Long): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1: $maxDf")
     val p = passages(docs, idCol, textCol, window)
-    val df = p.groupBy("passage")
+    val hot = p.groupBy("passage")
       .agg(countDistinct("doc_id").as("passage_df"))
-    val kept: Column = col("passage_df") <= maxDf
-    p.join(df, "passage")
+      .filter(col("passage_df") > maxDf)
+      .select("passage")
+    val keptAgg = p.join(broadcast(hot), Seq("passage"), "left_anti")
       .groupBy("doc_id")
       .agg(
-        count(when(kept, 1)).as("n_kept"),
-        count(when(!kept, 1)).as("n_dropped"),
+        count(lit(1)).as("__bp_kept"),
         array_join(
           transform(
-            array_sort(collect_list(when(kept,
-              struct(col("pidx"), col("passage"))))),
+            array_sort(collect_list(struct(col("pidx"), col("passage")))),
             s => s.getField("passage")),
-          " ").as("cleaned_text"))
+          " ").as("__bp_text"))
+    // One row per doc with >= 1 full window; an all-boilerplate doc is
+    // absent from keptAgg but must still report (0 kept, n dropped, "").
+    val totals = docs.select(
+        col(idCol).as("doc_id"),
+        passageCount(col(textCol), window).as("__bp_total"))
+      .filter(col("__bp_total") > 0)
+    totals.join(keptAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("__bp_kept"), lit(0L)).as("n_kept"),
+        (col("__bp_total") - coalesce(col("__bp_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("__bp_text"), lit("")).as("cleaned_text"))
   }
 }

@@ -424,9 +424,11 @@ object TextQueries {
         "cut into non-overlapping 3-token passages, passage document " +
         "frequency counted corpus-wide (one map-side-combined shuffle on " +
         "the passage), passages in more than 5 docs dropped, survivors " +
-        "reassembled in order. The screen is an equi-join back on the " +
-        "passage — the document-frequency pattern, never all-pairs. Both " +
-        "engines mirror the identical cut + cap, so the oracle is exact.",
+        "reassembled in order. The screen BROADCASTS the tiny over-cap " +
+        "set and anti-joins (stop-gram pattern) — the hottest passages " +
+        "are by definition the boilerplate, so the full stream is never " +
+        "shuffled on the passage value. Both engines mirror the " +
+        "identical cut + cap, so the oracle is exact.",
       Some("""
         |WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents

@@ -79,13 +79,40 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  test("plan: the screen is an equi-join on the passage, never a nested loop or cartesian") {
+  test("plan: the screen is a broadcast LeftAnti hash join — the passage stream never shuffles on the passage value") {
     val out = Boilerplate.removeBoilerplate(
       graft.Tables.documents(spark, SparkTestSession.sf0001),
       "doc_id", "text", window = 3, maxDf = 5L)
+    // Simple tree: each join node is one line with its keys inline, so
+    // "a SortMergeJoin/ShuffledHashJoin keyed on the passage" is a
+    // single-line match. The only allowed joins on `passage` are the
+    // broadcast anti screen (and the broadcast bounds of the hot-set agg).
+    val lines = out.queryExecution.executedPlan.toString.linesIterator.toSeq
+    assert(lines.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftAnti") && l.contains("passage")),
+      lines.mkString("\n"))
+    assert(!lines.exists(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) && l.contains("passage")),
+      lines.mkString("\n"))
     val plan = out.queryExecution.explainString(FormattedMode)
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
       plan.linesIterator.take(30).mkString("\n"))
     assert(out.limit(5).collect().nonEmpty)
+  }
+
+  test("skewed fixture: one passage in 50% of docs is screened correctly (hot key never a join hot-spot)") {
+    val n = 200
+    val d = (1 to n).map { i =>
+      val body = s"body$i unique$i content$i"
+      (i.toLong, if (i % 2 == 0) s"copyright acme corp $body" else body)
+    }.toDF("doc_id", "text")
+    val out = Boilerplate.removeBoilerplate(d, "doc_id", "text", window = 3, maxDf = 10L)
+      .select("doc_id", "n_kept", "n_dropped", "cleaned_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val want = (1 to n).map { i =>
+      if (i % 2 == 0) (i.toLong, 1L, 1L, s"body$i unique$i content$i")
+      else (i.toLong, 1L, 0L, s"body$i unique$i content$i")
+    }
+    assert(out == want)
   }
 }
