@@ -78,12 +78,61 @@ object Boilerplate {
       window: Int,
       maxDf: Long): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1: $maxDf")
-    val p = passages(docs, idCol, textCol, window)
-    val hot = p.groupBy("passage")
+    screenAndReassemble(docs, idCol, textCol, window, maxDf, keyOf = None)
+  }
+
+  /** Near-miss chrome normalization: lowercase + every digit run folded to
+    * a single `0`, then the portable 32-bit content hash. "© 2024 Acme" /
+    * "© 2025 Acme" and "Page 3 of 10" / "Page 7 of 12" collapse to one cap
+    * key, so chrome that varies only by dates/counters is screened as ONE
+    * passage family where the verbatim screen sees df=1 singletons. The
+    * hash (not the folded string) is the key so the broadcast set is 8-byte
+    * longs; a 32-bit collision can only over-drop (fold a benign passage
+    * into a hot family) — acceptable for a boilerplate screen, and
+    * deterministic cross-engine (md5-prefix hash, mirrored by the oracle).
+    */
+  def normalizedKey(passage: Column): Column =
+    TextAnalysis.portableHash32(
+      regexp_replace(lower(passage), "[0-9]+", "0"))
+
+  /** [[removeBoilerplate]] with the document-frequency cap applied to the
+    * [[normalizedKey]] instead of the verbatim passage — catches chrome
+    * that differs only in case or embedded numbers. Same broadcast
+    * anti-join shape; reassembly still emits the ORIGINAL passages.
+    */
+  def removeBoilerplateNormalized(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      maxDf: Long): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1: $maxDf")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    screenAndReassemble(docs, idCol, textCol, window, maxDf,
+      keyOf = Some(normalizedKey))
+  }
+
+  /** Shared screen: df-count on the cap key (the verbatim passage, or
+    * `keyOf(passage)` when given), broadcast the over-cap key set,
+    * LeftAnti the passage stream, reassemble survivors per doc.
+    */
+  private def screenAndReassemble(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      maxDf: Long,
+      keyOf: Option[Column => Column]): DataFrame = {
+    val p0 = passages(docs, idCol, textCol, window)
+    val (p, keyCol) = keyOf match {
+      case None => (p0, "passage")
+      case Some(f) => (p0.withColumn("__bp_key", f(col("passage"))), "__bp_key")
+    }
+    val hot = p.groupBy(keyCol)
       .agg(countDistinct("doc_id").as("passage_df"))
       .filter(col("passage_df") > maxDf)
-      .select("passage")
-    val keptAgg = p.join(broadcast(hot), Seq("passage"), "left_anti")
+      .select(keyCol)
+    val keptAgg = p.join(broadcast(hot), Seq(keyCol), "left_anti")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("__bp_kept"),

@@ -557,6 +557,43 @@ object TextQueries {
             graft.functions.ZOrderInterleave
               .zorderInterleave(col("user_id"), col("event_id"))
               .as("z_value"))
+    ),
+    Q(
+      "q101_boilerplate_normalized",
+      "Near-miss boilerplate removal: the q95 screen keyed on a NORMALIZED " +
+        "passage fingerprint (lowercase + digit runs folded to '0', then " +
+        "the portable md5-prefix hash), so chrome varying only by " +
+        "dates/counters ('© 2024' vs '© 2025', 'Page 3 of 10') caps as ONE " +
+        "passage family where the verbatim screen sees df=1 singletons. " +
+        "Same broadcast anti-join shape; survivors reassemble as their " +
+        "ORIGINAL text. Both engines fold digits and hash identically, so " +
+        "the oracle is exact.",
+      Some("""
+        |WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), p AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pidx,
+        |         array_to_string(t[i*3+1 : i*3+3], ' ') AS passage
+        |  FROM toks, UNNEST(range(0, len(t) // 3)) AS u(i)
+        |), k AS (
+        |  SELECT doc_id, pidx, passage,
+        |         CAST('0x' || substr(md5(regexp_replace(lower(passage), '[0-9]+', '0', 'g')), 1, 8) AS BIGINT) AS key
+        |  FROM p
+        |), df AS (
+        |  SELECT key, count(DISTINCT doc_id) AS pdf FROM k GROUP BY 1
+        |)
+        |SELECT k.doc_id,
+        |       count(*) FILTER (WHERE pdf <= 5) AS n_kept,
+        |       count(*) FILTER (WHERE pdf > 5) AS n_dropped,
+        |       coalesce(string_agg(passage, ' ' ORDER BY pidx)
+        |                  FILTER (WHERE pdf <= 5), '') AS cleaned_text
+        |FROM k JOIN df USING (key)
+        |GROUP BY 1
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        graft.operators.Boilerplate.removeBoilerplateNormalized(
+          Tables.documents(spark, dir), "doc_id", "text",
+          window = 3, maxDf = 5L)
     )
   )
 }

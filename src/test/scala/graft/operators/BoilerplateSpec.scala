@@ -100,6 +100,39 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(out.limit(5).collect().nonEmpty)
   }
 
+  test("normalized screen catches date/counter-mutated chrome the verbatim screen misses") {
+    // Chrome "Copyright YEAR acme" with a different year per doc: verbatim
+    // df=1 each (never capped); digit-folded all docs share one cap key.
+    // Bodies are digit-free so they stay distinct under the fold.
+    val d = (1 to 8).map { i =>
+      val tag = ('a' + i - 1).toChar
+      (i.toLong, s"Copyright ${2000 + i} acme body$tag stays here")
+    }.toDF("doc_id", "text")
+    val verbatim = Boilerplate.removeBoilerplate(d, "doc_id", "text", window = 3, maxDf = 5L)
+      .select("doc_id", "n_dropped").as[(Long, Long)].collect().toMap
+    assert(verbatim.values.forall(_ == 0L), s"verbatim should miss mutated chrome: $verbatim")
+    val norm = Boilerplate.removeBoilerplateNormalized(d, "doc_id", "text", window = 3, maxDf = 5L)
+      .select("doc_id", "n_kept", "n_dropped", "cleaned_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(norm == (1 to 8).map { i =>
+      val tag = ('a' + i - 1).toChar
+      (i.toLong, 1L, 1L, s"body$tag stays here")
+    })
+  }
+
+  test("normalized screen: case-folded chrome caps together, distinct bodies survive") {
+    val d = Seq(
+      (1L, "TERMS OF service body one filler"),
+      (2L, "terms of Service body two filler"),
+      (3L, "Terms Of SERVICE body three filler"),
+      (4L, "unrelated text here body four filler")
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.removeBoilerplateNormalized(d, "doc_id", "text", window = 3, maxDf = 2L)
+      .select("doc_id", "n_kept", "n_dropped").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 1L), (4L, 2L, 0L)))
+  }
+
   test("skewed fixture: one passage in 50% of docs is screened correctly (hot key never a join hot-spot)") {
     val n = 200
     val d = (1 to n).map { i =>
