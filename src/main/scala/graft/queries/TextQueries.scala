@@ -594,6 +594,110 @@ object TextQueries {
         graft.operators.Boilerplate.removeBoilerplateNormalized(
           Tables.documents(spark, dir), "doc_id", "text",
           window = 3, maxDf = 5L)
+    ),
+    Q(
+      "q100_capstone_pipeline",
+      "End-to-end curation capstone: C4-style clean -> cross-doc " +
+        "boilerplate removal (broadcast anti-join screen) -> exact dedup " +
+        "(sha256 groupBy, min-id survivor) -> per-source token-budget " +
+        "selection (two-phase sharded, exact) -> contiguous sequence " +
+        "packing into 512-token bins (two-phase sharded prefix sum). " +
+        "The curated corpus MATERIALIZES once between curation and " +
+        "layout (localCheckpoint here; a parquet write at cluster scale " +
+        "— the q64 build/probe trade): the sharded layout stages " +
+        "reference their input several times, and without the cut the " +
+        "whole clean+screen subtree recomputes per reference. Post-" +
+        "reassembly, document bodies never shuffle — dedup moves " +
+        "(sha, id), selection and packing move narrow scored rows. " +
+        "Exercises every schema hand-off the stages promise each other; " +
+        "each stage is individually oracle-checked (q48/q95/q30/q92/" +
+        "q90), this checks their COMPOSITION value-for-value.",
+      Some(s"""
+        |WITH cleaned AS (
+        |  SELECT doc_id, source, ${cleanSql("text")} AS clean FROM documents
+        |), tok AS (
+        |  SELECT doc_id, string_split_regex(trim(clean), '\\s+') AS t FROM cleaned
+        |), p AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pidx,
+        |         array_to_string(t[i*3+1 : i*3+3], ' ') AS passage
+        |  FROM tok, UNNEST(range(0, len(t) // 3)) AS u(i)
+        |), pdf AS (
+        |  SELECT passage, count(DISTINCT doc_id) AS pdf FROM p GROUP BY 1
+        |), bp AS (
+        |  SELECT p.doc_id,
+        |         count(*) FILTER (WHERE pdf <= 5) AS n_kept,
+        |         coalesce(string_agg(passage, ' ' ORDER BY pidx)
+        |                    FILTER (WHERE pdf <= 5), '') AS ctext
+        |  FROM p JOIN pdf USING (passage)
+        |  GROUP BY 1
+        |), kept AS (
+        |  SELECT b.doc_id, c.source, b.ctext
+        |  FROM bp b JOIN cleaned c USING (doc_id)
+        |  WHERE b.n_kept >= 1
+        |), surv AS (
+        |  SELECT k.* FROM kept k
+        |  JOIN (SELECT sha256(ctext) AS fp, min(doc_id) AS doc_id
+        |        FROM kept GROUP BY 1) d USING (doc_id)
+        |), feats AS (
+        |  SELECT doc_id, source,
+        |         CAST(LENGTH(ctext) AS DOUBLE) AS chars,
+        |         CAST(len(string_split_regex(trim(ctext), '\\s+')) AS DOUBLE) AS toks,
+        |         len(regexp_extract_all(ctext, '[.!?,;:]')) AS punct,
+        |         len(regexp_extract_all(lower(ctext), '\\b(the|and|of|to|in|is|a)\\b')) AS stops
+        |  FROM surv
+        |), q AS (
+        |  SELECT doc_id, source, $qualitySql AS quality,
+        |         CAST(toks AS BIGINT) AS ws_tokens
+        |  FROM feats
+        |), budget AS (
+        |  SELECT doc_id, source, ws_tokens, cum_tokens FROM (
+        |    SELECT *, CAST(SUM(ws_tokens) OVER (
+        |      PARTITION BY source ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |    FROM q)
+        |  WHERE cum_tokens <= 800
+        |), packed AS (
+        |  SELECT doc_id, source, ws_tokens, cum_tokens,
+        |         CAST(SUM(ws_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           - ws_tokens AS pack_start
+        |  FROM budget
+        |)
+        |SELECT doc_id, source, ws_tokens, cum_tokens,
+        |       pack_start // 512 AS bin_id,
+        |       pack_start % 512 AS bin_offset
+        |FROM packed
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.operators._
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.cleanText(col("text")).as("clean"))
+        // Curation job: clean -> screen -> reassemble, THEN score and
+        // fingerprint while the body is still in hand — downstream
+        // stages only ever touch these narrow columns plus the body
+        // carried for the final survivor set.
+        val curated = Boilerplate.removeBoilerplate(
+            docs, "doc_id", "clean", window = 3, maxDf = 5L)
+          .filter(col("n_kept") >= 1)
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+          .select(
+            col("doc_id"), col("source"),
+            TextAnalysis.qualityScore(col("cleaned_text")).as("quality"),
+            TextAnalysis.tokenCount(col("cleaned_text")).cast("long").as("ws_tokens"),
+            col("cleaned_text"))
+          .localCheckpoint(false) // materialize the curated corpus ONCE
+        val scored = curated.join(
+            Dedup.exactGroups(curated, "cleaned_text", "doc_id")
+              .select(col("keep_id").as("doc_id")),
+            Seq("doc_id"), "left_semi")
+          .drop("cleaned_text")
+        val budgeted = Sampling.fillTokenBudgetSharded(
+          scored, "source", "quality", "doc_id", "ws_tokens", budget = 800L)
+        Packing.contiguousPackSharded(
+            budgeted, "source", "doc_id", "ws_tokens", capacity = 512L)
+          .select("doc_id", "source", "ws_tokens", "cum_tokens", "bin_id", "bin_offset")
+      }
     )
   )
 }

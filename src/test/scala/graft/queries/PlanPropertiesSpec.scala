@@ -152,6 +152,37 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q100: distinct runtime shuffles stay bounded — duplicated layout branches hit exchange reuse") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+    val out = SparkEntry.queries("q100_capstone_pipeline")(spark, SparkTestSession.sf0001)
+    out.collect() // materialize so AQE finalizes the plan
+    def walk(p: SparkPlan): (Set[Int], Int) = {
+      val (hereIds, hereReused) = p match {
+        case e: Exchange => (Set(e.id), 0)
+        case _: ReusedExchangeExec => (Set.empty[Int], 1)
+        case _ => (Set.empty[Int], 0)
+      }
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => Seq(walk(a.executedPlan))
+        case q: QueryStageExec => Seq(walk(q.plan))
+        case other => other.children.map(walk)
+      }
+      below.foldLeft((hereIds, hereReused)) { case ((ids, r), (i2, r2)) => (ids ++ i2, r + r2) }
+    }
+    val (distinctExchanges, reused) = walk(out.queryExecution.executedPlan)
+    info(s"distinct exchanges=${distinctExchanges.size} reused=$reused")
+    // Audited at 8 distinct + 3 reused (sf0.001): passage-df agg pair,
+    // reassembly groupBy, dedup agg, semi-join side, the (source, shard)
+    // budget window, the final source window, the (group, shard) pack
+    // exchange. The duplicated sharded-layout branches must keep hitting
+    // exchange reuse rather than re-shuffling; 10 leaves AQE headroom.
+    assert(distinctExchanges.size <= 10,
+      s"capstone shuffle budget blown: ${distinctExchanges.size} distinct exchanges")
+    assert(reused >= 1, "expected duplicated branches to reuse at least one exchange")
+  }
+
   test("components shuffle path: the REAL iteration keys the edge join on dst (sort-merge capable)") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
