@@ -34,12 +34,19 @@ import org.apache.spark.sql.functions._
   * Contract: `orderCol` must be numeric, non-null, and unique per group
   * (uniqueness is what makes any running-total layout deterministic —
   * same contract as the one-window form); `groupCol` must be non-null
-  * (a null group would drop at the bounds join).
+  * (a null group would drop at the bounds join). Non-nullness is
+  * ENFORCED at runtime — a null group or order key raises instead of
+  * silently landing in shard 0 with nondeterministic window placement /
+  * dropping at the bounds join. The check is a narrow codegen'd branch
+  * fused into the bounds aggregate's input (zero extra pass, zero shuffle);
+  * per-group uniqueness stays a caller contract (verifying it would
+  * cost a full extra shuffle on exactly the key being sharded).
   */
 object ShardedPrefix {
 
   /** Adds `shardName`: a deterministic, order-monotone shard id in
     * [0, shards) within each group, range-contiguous in `orderCol`.
+    * Raises `SHARDED_PREFIX_NULL_KEY` on any null group/order key.
     */
   def withOrderShard(
       df: DataFrame,
@@ -49,8 +56,22 @@ object ShardedPrefix {
       shardName: String): DataFrame = {
     require(shards > 0, s"shards must be positive: $shards")
     val o = col(orderCol).cast("double")
-    val bounds = df.groupBy(col(groupCol))
-      .agg(min(o).as("__sp_min"), max(o).as("__sp_max"))
+    // The null checks ride the BOUNDS AGGREGATE, which sees every input
+    // row: the order check is min/max's argument (cannot be pruned), and
+    // the GROUP check is fused into the grouping expression itself —
+    // the inner bounds join makes the optimizer infer isnotnull(group)
+    // and push it below the aggregate, and a filter over the checked
+    // grouping expression must still EVALUATE it, so a null group raises
+    // instead of silently filtering. Both fire while building the tiny
+    // broadcast side, before the join could drop rows from the main
+    // stream. Zero extra pass, stays in codegen.
+    def nullRaise = raise_error(lit(
+      s"SHARDED_PREFIX_NULL_KEY: $groupCol and $orderCol must be non-null " +
+        "(ShardedPrefix contract; a null key would mis-shard silently)"))
+    val gChecked = when(col(groupCol).isNotNull, col(groupCol)).otherwise(nullRaise)
+    val oChecked = when(col(orderCol).isNotNull, o).otherwise(nullRaise)
+    val bounds = df.groupBy(gChecked.as(groupCol))
+      .agg(min(oChecked).as("__sp_min"), max(oChecked).as("__sp_max"))
     df.join(broadcast(bounds), Seq(groupCol))
       .withColumn(shardName,
         greatest(lit(0), least(lit(shards - 1),

@@ -94,6 +94,28 @@ class ShardedPrefixSpec extends AnyFunSuite {
       key(Sampling.mixtureInterleave(docs, $"lang", $"id", weights, 1.0)))
   }
 
+  test("contract: a null ORDER key fails fast instead of silently mis-sharding") {
+    val bad = Seq(("a", Some(1.0), 5L), ("a", None, 7L), ("b", Some(2.0), 1L))
+      .toDF("grp", "ord", "v")
+    val e = intercept[Exception] {
+      ShardedPrefix.exclusivePrefixSum(bad, "grp", "ord", $"v", "cum").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("SHARDED_PREFIX_NULL_KEY")), e.toString)
+  }
+
+  test("contract: a null GROUP key fails fast instead of silently dropping at the bounds join") {
+    val bad = Seq((Some("a"), 1.0, 5L), (None, 2.0, 7L), (Some("b"), 3.0, 1L))
+      .toDF("grp", "ord", "v")
+    val e = intercept[Exception] {
+      ShardedPrefix.globalRank(bad, "grp", "ord", "rnk").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("SHARDED_PREFIX_NULL_KEY")), e.toString)
+  }
+
   /** The plan pin: the window that sees EVERY row partitions by
     * (group, shard) — parallelism groups x shards. A bare-group window is
     * allowed only above an aggregate (the tiny groups x shards offsets
