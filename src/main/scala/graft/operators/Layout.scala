@@ -21,6 +21,12 @@ object Layout {
     * [[Sampling.materializeOrder]], keyed by the interleaved curve.
     * Write the result with `df.write.parquet` and each output file holds
     * a compact z-range, i.e. a small rectangle of the dimension space.
+    *
+    * The curve key is RETAINED in the output as `z_value` (deliberate:
+    * written alongside the data it lets a reader range-filter on the
+    * curve directly, and its file min/max stats are the pruning handle).
+    * The input must not already carry a `z_value` column — refused
+    * loudly rather than silently overwritten.
     */
   def zOrderBy(
       df: DataFrame,
@@ -28,6 +34,9 @@ object Layout {
       dimB: Column,
       partitions: Int): DataFrame = {
     require(partitions > 0, s"partitions must be positive: $partitions")
+    require(!df.columns.contains("z_value"),
+      "zOrderBy emits the curve key as `z_value`; the input already has " +
+        "a z_value column — rename it first (silent overwrite refused)")
     df.withColumn("z_value", ZOrderInterleave.zorderInterleave(dimA, dimB))
       .repartitionByRange(partitions, col("z_value"))
       .sortWithinPartitions("z_value")

@@ -71,8 +71,16 @@ object RangeJoin {
       // plan, where a null bound explodes to zero bins.
       .withColumn("n_bins",
         expr(s"(end_ts - 1L) div ${binWidth}L - start_ts div ${binWidth}L + 1L"))
+    // n_bins < 1 <=> end_ts <= start_ts: a half-open [start, end) with
+    // end <= start matches NO point, so dropping such intervals is
+    // semantics-preserving — and mandatory for safety: sequence()'s
+    // default step is -1 when start > stop, so one inverted interval
+    // (e.g. end_ts=0, start_ts huge) would otherwise explode to a
+    // DESCENDING bin range of billions of rows, bypassing the cap
+    // (n_bins <= 0 always passes the `n_bins <= c` filter).
+    val wellFormed = base.filter(col("n_bins") >= 1)
     val binnable =
-      maxBinsPerInterval.fold(base)(c => base.filter(col("n_bins") <= c))
+      maxBinsPerInterval.fold(wellFormed)(c => wellFormed.filter(col("n_bins") <= c))
     val i = binnable
       .withColumn("bin",
         explode(sequence(
@@ -84,7 +92,7 @@ object RangeJoin {
     maxBinsPerInterval match {
       case None => binned
       case Some(c) =>
-        val outliers = base.filter(col("n_bins") > c)
+        val outliers = wellFormed.filter(col("n_bins") > c)
           .select("interval_id", "start_ts", "end_ts")
         val outlierPairs = p
           .join(broadcast(outliers),

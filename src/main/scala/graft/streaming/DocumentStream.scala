@@ -86,8 +86,10 @@ object DocumentStream {
     * ascending doc id, so the layout is deterministic given the batch
     * partitioning of the stream; fed the same arrival order, the output
     * equals the batch twin (StreamingPackingSpec). State is O(sources) —
-    * it never grows with stream length — and a group's documents stream
-    * through the iterator without materializing the corpus.
+    * it never grows with stream length. Within one trigger, a source's
+    * rows ARE buffered (rows.toSeq) for the id sort, so per-trigger
+    * memory is bounded by the largest per-source micro-batch group —
+    * size triggers accordingly; only the ACROSS-batch axis is O(1).
     */
   def packedBySource(docs: DataFrame, capacity: Long): Dataset[PackedDoc] = {
     require(capacity > 0, s"capacity must be positive: $capacity")

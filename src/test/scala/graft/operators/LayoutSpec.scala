@@ -47,6 +47,15 @@ class LayoutSpec extends AnyFunSuite {
     assert(z == (0x5L | 0x22L))
   }
 
+  test("zOrderBy refuses an input that already has z_value instead of silently overwriting it") {
+    val d = spark.range(10).selectExpr("id AS a", "id AS b", "id AS z_value")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Layout.zOrderBy(d, org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b"), partitions = 2)
+    }
+    assert(e.getMessage.contains("z_value"))
+  }
+
   test("z-layout prunes files on the non-leading dimension where a linear layout cannot") {
     val n = 256
     val grid = spark.range(n.toLong * n)

@@ -138,4 +138,27 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoop"), "expected the broadcast outlier branch")
     assert(plan.contains("Union"), "expected the binned + outlier union")
   }
+
+  test("inverted/empty intervals (end <= start) match nothing and never explode a descending bin range") {
+    // end=0/start=10^12 would, without the n_bins >= 1 guard, generate a
+    // DESCENDING sequence of ~10^12/binWidth bins (sequence's default
+    // step is -1) — n_bins <= 0 slips past the `n_bins <= cap` filter.
+    // The guard drops such intervals on BOTH the capped and uncapped
+    // paths; correct, because a half-open [start, end) with end <= start
+    // contains no point.
+    val pts = Seq((1L, 0L), (2L, 5L), (3L, 1000000000000L)).toDF("id", "ts")
+    val ivs = Seq(
+      (20L, 0L, 10L),             // well-formed: catches ts=0, ts=5
+      (21L, 10L, 10L),            // empty
+      (22L, 1000000000000L, 0L)   // inverted, pathological span
+    ).toDF("id", "s", "e")
+    for (cap <- Seq(None, Some(4): Option[Int])) {
+      val got = RangeJoin.pointInInterval(
+          pts, "id", "ts", ivs, "id", "s", "e",
+          binWidth = 4L, maxBinsPerInterval = cap)
+        .select("interval_id", "point_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((20L, 1L), (20L, 2L)), s"cap=$cap")
+    }
+  }
 }
