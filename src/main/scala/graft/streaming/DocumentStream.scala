@@ -224,4 +224,51 @@ object DocumentStream {
     docs.filter(!arrays_overlap(docGrams, typedlit(benchGrams.toSeq)))
       .select(col("doc_id"), col("source"), col("n_chars"))
   }
+
+  /** Streaming boilerplate screen — the incremental face of q95 against a
+    * STATIC cap set (the production pattern: a periodic batch job refreshes
+    * the over-cap passage set from the served corpus — tiny by
+    * construction, each member needs > maxDf distinct docs — and the
+    * stream applies it to arrivals). The batch operator's corpus-wide
+    * frequency count is an aggregation, i.e. STATE in streaming, so the
+    * streaming shape takes the frequencies as given and keeps the screen
+    * itself: cut, drop capped passages, reassemble — all ROW-LOCAL
+    * (array transform/filter, no explode + regroup), so zero state,
+    * append mode, and per-doc output identical to the batch twin fed the
+    * same cap set (DocumentStreamSpec asserts it). Docs with no full
+    * window are absent, mirroring the batch contract.
+    *
+    * `maxPlanPassages` guards the plan-literal + linear-membership shape
+    * (the cap set is baked into each micro-batch plan and scanned per
+    * passage); an over-cap screen set is a contract violation — refresh
+    * it batch-side with a tighter maxDf instead.
+    */
+  def boilerplateScreened(
+      docs: DataFrame,
+      capSet: DataFrame,
+      window: Int = 3,
+      maxPlanPassages: Int = 10000): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val caps = capSet.select(col("passage").cast("string"))
+      .distinct().collect().map(_.getString(0)).sorted
+    require(caps.length <= maxPlanPassages,
+      s"cap set has ${caps.length} passages > maxPlanPassages=$maxPlanPassages; " +
+        "a plan-literal screen that large would bloat every micro-batch " +
+        "plan — tighten the batch-side maxDf that produced it")
+    val capLit = typedlit(caps.toSeq)
+    val toks = TextAnalysis.wsTokens(col("text"))
+    val nWin = (size(toks) / window).cast("int")
+    val idxs = when(nWin > 0, sequence(lit(0), nWin - 1))
+      .otherwise(array().cast("array<int>"))
+    val passages = transform(idxs, i =>
+      array_join(slice(toks, i * window + 1, lit(window)), " "))
+    val kept = filter(passages, p => !array_contains(capLit, p))
+    docs
+      .filter(nWin > 0)
+      .select(
+        col("doc_id"),
+        size(kept).cast("long").as("n_kept"),
+        (size(passages) - size(kept)).cast("long").as("n_dropped"),
+        array_join(kept, " ").as("cleaned_text"))
+  }
 }

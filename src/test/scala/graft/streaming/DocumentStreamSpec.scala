@@ -36,6 +36,32 @@ class DocumentStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming boilerplate screen against a static cap set equals the batch twin, zero state") {
+    import org.apache.spark.sql.functions._
+    val window = 3
+    val maxDf = 5L
+    val batchDocs = Tables.documents(spark, SparkTestSession.sf0001)
+    // The production refresh job: over-cap passages from the served corpus.
+    val capSet = graft.operators.Boilerplate
+      .passages(batchDocs, "doc_id", "text", window)
+      .groupBy("passage").agg(countDistinct("doc_id").as("pdf"))
+      .filter(col("pdf") > maxDf).select("passage")
+    val stream = DocumentStream.readDocuments(spark, watchDir, SparkTestSession.sf0001)
+    val screened = DocumentStream.boilerplateScreened(stream, capSet, window)
+    val q = EventStream.runToMemory(screened, "docs_screened", OutputMode.Append())
+    try {
+      val streamed = spark.sql("SELECT * FROM docs_screened ORDER BY doc_id").collect()
+      val batch = graft.operators.Boilerplate
+        .removeBoilerplate(batchDocs, "doc_id", "text", window, maxDf)
+        .orderBy("doc_id").collect()
+      assert(streamed.length > 0 && streamed.sameElements(batch))
+      // row-local screen: nothing may register in the state store
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("streaming chunk explosion equals its batch twin and keeps append-mode statelessness") {
     val stream = DocumentStream.readDocuments(spark, watchDir, SparkTestSession.sf0001)
     val chunks = DocumentStream.curatedChunks(stream)
