@@ -27,6 +27,14 @@ object Layout {
     * curve directly, and its file min/max stats are the pruning handle).
     * The input must not already carry a `z_value` column — refused
     * loudly rather than silently overwritten.
+    *
+    * Dimension contract: the interleave is RAW-BIT, so the two
+    * dimensions must span comparable value ranges — if one is orders of
+    * magnitude wider, its high bits dominate the curve and the layout
+    * degenerates to a single-column sort (no pruning on the narrow
+    * dimension). Pre-scale skewed dimensions onto a common lattice,
+    * e.g. `dim * 32767 / (max + 1)` (Bench's zorder metric shows the
+    * pattern; production systems rank-normalize the same way).
     */
   def zOrderBy(
       df: DataFrame,
