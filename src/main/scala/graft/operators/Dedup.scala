@@ -36,6 +36,18 @@ object Dedup {
         min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_copies"))
 
+  /** [[exactGroups]] over a PRECOMPUTED content key: when the pipeline
+    * already fingerprinted the text (e.g. before materializing an
+    * intermediate without the bodies — the q100 shape), grouping on the
+    * existing key avoids carrying or re-hashing the content. Same
+    * output contract with the key echoed as `text_sha`.
+    */
+  def exactGroupsByKey(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol).as("text_sha"))
+      .agg(
+        min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+
   /** MinHash signatures over the distinct word set of each document:
     * one explode + one groupBy (single shuffle on doc id); the k minimums
     * are computed as k parallel `min` aggregates with map-side partial

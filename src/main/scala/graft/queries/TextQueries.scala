@@ -673,10 +673,11 @@ object TextQueries {
         val docs = Tables.documents(spark, dir)
           .select(col("doc_id"), col("source"),
             TextAnalysis.cleanText(col("text")).as("clean"))
-        // Curation job: clean -> screen -> reassemble, THEN score and
-        // fingerprint while the body is still in hand — downstream
-        // stages only ever touch these narrow columns plus the body
-        // carried for the final survivor set.
+        // Curation job: clean -> screen -> reassemble, then score and
+        // FINGERPRINT while the body is still in hand — the materialized
+        // intermediate carries only narrow columns (id, source, quality,
+        // tokens, sha), never the text: everything downstream (dedup,
+        // budget, packing) works off the fingerprint and the counts.
         val curated = Boilerplate.removeBoilerplate(
             docs, "doc_id", "clean", window = 3, maxDf = 5L)
           .filter(col("n_kept") >= 1)
@@ -685,13 +686,13 @@ object TextQueries {
             col("doc_id"), col("source"),
             TextAnalysis.qualityScore(col("cleaned_text")).as("quality"),
             TextAnalysis.tokenCount(col("cleaned_text")).cast("long").as("ws_tokens"),
-            col("cleaned_text"))
+            sha2(col("cleaned_text").cast("binary"), 256).as("fp"))
           .localCheckpoint(false) // materialize the curated corpus ONCE
         val scored = curated.join(
-            Dedup.exactGroups(curated, "cleaned_text", "doc_id")
+            Dedup.exactGroupsByKey(curated, "fp", "doc_id")
               .select(col("keep_id").as("doc_id")),
             Seq("doc_id"), "left_semi")
-          .drop("cleaned_text")
+          .drop("fp")
         val budgeted = Sampling.fillTokenBudgetSharded(
           scored, "source", "quality", "doc_id", "ws_tokens", budget = 800L)
         Packing.contiguousPackSharded(

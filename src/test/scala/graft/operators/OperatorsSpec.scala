@@ -21,6 +21,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(g.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("exactGroupsByKey over a precomputed sha equals exactGroups over the text") {
+    import org.apache.spark.sql.functions.{col, sha2}
+    val df = docs(
+      (1L, "the cat sat"), (2L, "the cat sat"), (3L, "a dog ran"), (4L, "a dog ran"))
+    val direct = Dedup.exactGroups(df, "text", "doc_id")
+      .orderBy("keep_id").collect().toSeq
+    val keyed = Dedup.exactGroupsByKey(
+        df.withColumn("fp", sha2(col("text").cast("binary"), 256)).drop("text"),
+        "fp", "doc_id")
+      .orderBy("keep_id").collect().toSeq
+    assert(direct == keyed)
+  }
+
   test("minhash signatures: identical word sets -> identical signatures; word order irrelevant") {
     val df = docs(
       (1L, "alpha beta gamma"), (2L, "gamma beta alpha alpha"),
