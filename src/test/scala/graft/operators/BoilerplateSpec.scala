@@ -100,6 +100,47 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(out.limit(5).collect().nonEmpty)
   }
 
+  test("randomized: removeBoilerplateNormalized equals a scalar model (digit-folded case-folded keys)") {
+    val rnd = new scala.util.Random(23)
+    // vocab mixes case variants and digit-bearing tokens so the fold is live
+    val vocab = Vector("a", "A", "b", "B2", "c3", "d")
+    val window = 2
+    val maxDf = 3L
+    val corpus = (1L to 60L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    def cuts(t: String): Vector[String] =
+      t.split("\\s+").grouped(window).filter(_.length == window)
+        .map(_.mkString(" ")).toVector
+    def fold(p: String): String = p.toLowerCase.replaceAll("[0-9]+", "0")
+    val dfModel = corpus
+      .flatMap { case (id, t) => cuts(t).map(fold).distinct.map(k => (k, id)) }
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).distinct.size }
+    val want = corpus.map { case (id, t) =>
+      val ps = cuts(t)
+      val kept = ps.filter(p => dfModel(fold(p)) <= maxDf)
+      (id, kept.size.toLong, (ps.size - kept.size).toLong, kept.mkString(" "))
+    }.sortBy(_._1)
+    val got = Boilerplate.removeBoilerplateNormalized(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", window, maxDf)
+      .select("doc_id", "n_kept", "n_dropped", "cleaned_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == want)
+  }
+
+  test("plan: the normalized screen is also a broadcast LeftAnti — hashed cap keys, no passage shuffle") {
+    val out = Boilerplate.removeBoilerplateNormalized(
+      graft.Tables.documents(spark, SparkTestSession.sf0001),
+      "doc_id", "text", window = 3, maxDf = 5L)
+    val lines = out.queryExecution.executedPlan.toString.linesIterator.toSeq
+    assert(lines.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftAnti") && l.contains("__bp_key")),
+      lines.mkString("\n"))
+    assert(!lines.exists(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+          (l.contains("passage") || l.contains("__bp_key"))),
+      lines.mkString("\n"))
+  }
+
   test("normalized screen catches date/counter-mutated chrome the verbatim screen misses") {
     // Chrome "Copyright YEAR acme" with a different year per doc: verbatim
     // df=1 each (never capped); digit-folded all docs share one cap key.
