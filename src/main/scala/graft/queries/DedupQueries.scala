@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Components, Dedup, Similarity}
+import graft.operators.{Components, Dedup, Sampling, Similarity}
 
 /** Dedup queries over `documents` / `embeddings` (north-star extension).
   * The minhash/simhash oracle SQL is generated from the same loops as the
@@ -352,6 +352,54 @@ object DedupQueries {
               graft.functions.KMinSketch.kmin(col("h"), 8).cast("array<string>"),
               ",").as("kmin"),
             count(lit(1)).as("n_docs"))
+    ),
+    Q(
+      "q102_split_leakage",
+      "Train/test leakage audit: near-dup candidate pairs (the q32 LSH " +
+        "banding) that STRADDLE a split boundary — the hygiene check a " +
+        "pipeline runs after splitting, because exact-dedup-then-split " +
+        "still leaks paraphrases across train/test. The split label is a " +
+        "pure function of the doc id (the q38 hash bands), so the audit " +
+        "is a NARROW post-filter on the pair stream — zero extra joins, " +
+        "zero extra shuffles beyond the band join itself; this join-free " +
+        "consistency is exactly what the hash-based split buys at 100 TB.",
+      Some(
+        s"""$duckSignatureCte, bands AS (
+           |  SELECT doc_id, 0 AS band,
+           |         md5(concat_ws('_', ${(0 until 8).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band,
+           |         md5(concat_ws('_', ${(8 until 16).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |), pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2
+           |)
+           |SELECT doc_a, doc_b, shared_bands, split_a, split_b
+           |FROM (
+           |  SELECT *,
+           |    CASE WHEN CAST('0x' || substr(md5('split1:' || CAST(doc_a AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+           |         WHEN CAST('0x' || substr(md5('split1:' || CAST(doc_a AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+           |         ELSE 'test' END AS split_a,
+           |    CASE WHEN CAST('0x' || substr(md5('split1:' || CAST(doc_b AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+           |         WHEN CAST('0x' || substr(md5('split1:' || CAST(doc_b AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+           |         ELSE 'test' END AS split_b
+           |  FROM pairs
+           |)
+           |WHERE split_a <> split_b""".stripMargin),
+      (spark, dir) => {
+        val sig = Dedup.minhashSignatures(
+          Tables.documents(spark, dir), "text", "doc_id", NumHashes)
+        Dedup.lshCandidatePairs(sig, "doc_id", NumHashes, bands = 2)
+          .withColumn("split_a",
+            Sampling.splitLabel(col("doc_a"), salt = "split1:"))
+          .withColumn("split_b",
+            Sampling.splitLabel(col("doc_b"), salt = "split1:"))
+          .filter(col("split_a") =!= col("split_b"))
+      }
     )
   )
 }
