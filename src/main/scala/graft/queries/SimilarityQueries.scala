@@ -160,12 +160,8 @@ object SimilarityQueries {
         "construction — same oracle text.",
       Some(ivfOracleSql),
       (spark, dir) => {
-        val e = Tables.embeddings(spark, dir)
-        val prefix = s"graft_ivf_${Q.scratchTag(dir)}"
-        graft.operators.IvfIndex.build(e, "vec_id", "embedding", nlist = 16, prefix = prefix)
-        graft.operators.IvfIndex.probe(
-          spark, e.filter(col("vec_id") < 8), "vec_id", "embedding",
-          k = 5, nprobe = 2, prefix = prefix)
+        IvfPhases.indexBuild(spark, dir)
+        IvfPhases.indexProbe(spark, dir)
       }
     ),
     Q(
@@ -178,16 +174,8 @@ object SimilarityQueries {
         "IvfKmeansSpec.",
       Some(bruteForceSql),
       (spark, dir) => {
-        val e = Tables.embeddings(spark, dir)
-        // maxIter 10: at the oracle's corpus size k-means cost is pure
-        // per-iteration scheduling overhead, and the result is exact at
-        // ANY centroid quality (exhaustive probe) — keep the bench honest
-        // about training cost without paying double for nothing.
-        val cents = Similarity.trainedCentroids(e, "vec_id", "embedding",
-          nlist = 8, seed = 42L, maxIter = 10)
-        Similarity.cosineTopKIvf(
-          e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
-          k = 5, nlist = 8, nprobe = 8, centroidsOpt = Some(cents))
+        IvfPhases.train(spark, dir)
+        IvfPhases.trainedProbe(spark, dir)
       }
     ),
     Q(
@@ -303,4 +291,57 @@ object SimilarityQueries {
       }
     )
   )
+}
+
+/** Build/probe phase functions behind q79/q85 — shared by the registry
+  * entries (which run both phases, so Verify checks the whole path) and
+  * by the bench's phase split (the q64 precedent): index build / k-means
+  * training is the one-shot ingest-time cost, the probe is what a repeat
+  * query pays.
+  */
+object IvfPhases {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  private def prefix(dir: String) = s"graft_ivf_${Q.scratchTag(dir)}"
+
+  /** One-shot: centroid table + cell-bucketed corpus table (idempotent). */
+  def indexBuild(spark: SparkSession, dir: String): Unit =
+    graft.operators.IvfIndex.build(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      nlist = 16, prefix = prefix(dir))
+
+  /** Probe against the persisted layout; corpus never reshuffles. */
+  def indexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    graft.operators.IvfIndex.probe(
+      spark, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+      k = 5, nprobe = 2, prefix = prefix(dir))
+  }
+
+  // Trained centroids per input dir: k-means .fit() is eager, so the
+  // train phase really pays the training cost; the probe phase reuses
+  // the tiny centroid table exactly as a serving system would.
+  private val cents = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** One-shot: seeded k-means. maxIter 10: at the oracle's corpus size
+    * k-means cost is pure per-iteration scheduling overhead, and the
+    * result is exact at ANY centroid quality (exhaustive probe) — keep
+    * the bench honest about training cost without paying double for
+    * nothing.
+    */
+  def train(spark: SparkSession, dir: String): Unit =
+    cents.put(dir, graft.operators.Similarity.trainedCentroids(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      nlist = 8, seed = 42L, maxIter = 10))
+
+  /** Exhaustive probe (nprobe = nlist) with the trained quantizer;
+    * trains on demand if [[train]] has not run for this dir.
+    */
+  def trainedProbe(spark: SparkSession, dir: String): DataFrame = {
+    if (!cents.containsKey(dir)) train(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+    graft.operators.Similarity.cosineTopKIvf(
+      e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 8, centroidsOpt = Some(cents.get(dir)))
+  }
 }
