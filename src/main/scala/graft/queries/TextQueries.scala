@@ -543,9 +543,11 @@ object TextQueries {
         "bit-interleave expression behind multi-dimensional data layout " +
         "(Layout.zOrderBy) — sorting by this key clusters files in BOTH " +
         "dimensions so min/max statistics prune box predicates on either " +
-        "one. The oracle renders the identical curve bit by bit from the " +
-        "same constants (ZOrderInterleave.duckSql), checking the curve " +
-        "itself value for value.",
+        "one (for dimensions of comparable range; zOrderBy documents the " +
+        "pre-scaling contract for skewed ranges, and the bench measures " +
+        "the pruning payoff on the pre-scaled layout). The oracle renders " +
+        "the identical curve bit by bit from the same constants " +
+        "(ZOrderInterleave.duckSql), checking the curve value for value.",
       Some(
         s"""SELECT event_id,
            |       ${graft.functions.ZOrderInterleave.duckSql("user_id", "event_id")} AS z_value

@@ -248,21 +248,54 @@ object DocumentStream {
       capSet: DataFrame,
       window: Int = 3,
       maxPlanPassages: Int = 10000): DataFrame = {
-    require(window >= 1, s"window must be >= 1: $window")
     val caps = capSet.select(col("passage").cast("string"))
       .distinct().collect().map(_.getString(0)).sorted
     require(caps.length <= maxPlanPassages,
       s"cap set has ${caps.length} passages > maxPlanPassages=$maxPlanPassages; " +
         "a plan-literal screen that large would bloat every micro-batch " +
         "plan — tighten the batch-side maxDf that produced it")
-    val capLit = typedlit(caps.toSeq)
+    screen(docs, window, typedlit(caps.toSeq), identity)
+  }
+
+  /** [[boilerplateScreened]] for the NORMALIZED cap key (the q101 near-miss
+    * screen): the cap set carries the batch job's over-cap `key` column
+    * (portable hashes of lowercase + digit-folded passages — 8-byte plan
+    * literals), and each arriving passage is folded + hashed row-side
+    * before the membership test. Same zero-state shape.
+    */
+  def boilerplateScreenedNormalized(
+      docs: DataFrame,
+      capKeys: DataFrame,
+      window: Int = 3,
+      maxPlanKeys: Int = 10000): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val caps = capKeys.select(col("key").cast("long"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    require(caps.length <= maxPlanKeys,
+      s"cap set has ${caps.length} keys > maxPlanKeys=$maxPlanKeys; " +
+        "a plan-literal screen that large would bloat every micro-batch " +
+        "plan — tighten the batch-side maxDf that produced it")
+    screen(docs, window, typedlit(caps.toSeq),
+      graft.operators.Boilerplate.normalizedKey)
+  }
+
+  /** Shared row-local screen: cut into `window`-token passages, drop those
+    * whose `keyOf` lands in the cap literal, reassemble in order. Docs
+    * with no full window are absent (the batch contract).
+    */
+  private def screen(
+      docs: DataFrame,
+      window: Int,
+      capLit: org.apache.spark.sql.Column,
+      keyOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
     val toks = TextAnalysis.wsTokens(col("text"))
     val nWin = (size(toks) / window).cast("int")
     val idxs = when(nWin > 0, sequence(lit(0), nWin - 1))
       .otherwise(array().cast("array<int>"))
     val passages = transform(idxs, i =>
       array_join(slice(toks, i * window + 1, lit(window)), " "))
-    val kept = filter(passages, p => !array_contains(capLit, p))
+    val kept = filter(passages, p => !array_contains(capLit, keyOf(p)))
     docs
       .filter(nWin > 0)
       .select(

@@ -62,6 +62,33 @@ class DocumentStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming NORMALIZED boilerplate screen (hashed cap keys) equals the batch twin, zero state") {
+    import org.apache.spark.sql.functions._
+    val window = 3
+    val maxDf = 5L
+    val batchDocs = Tables.documents(spark, SparkTestSession.sf0001)
+    graft.functions.GraftFunctions.register(spark)
+    val capKeys = graft.operators.Boilerplate
+      .passages(batchDocs, "doc_id", "text", window)
+      .select(col("doc_id"),
+        graft.operators.Boilerplate.normalizedKey(col("passage")).as("key"))
+      .groupBy("key").agg(countDistinct("doc_id").as("pdf"))
+      .filter(col("pdf") > maxDf).select("key")
+    val stream = DocumentStream.readDocuments(spark, watchDir, SparkTestSession.sf0001)
+    val screened = DocumentStream.boilerplateScreenedNormalized(stream, capKeys, window)
+    val q = EventStream.runToMemory(screened, "docs_screened_norm", OutputMode.Append())
+    try {
+      val streamed = spark.sql("SELECT * FROM docs_screened_norm ORDER BY doc_id").collect()
+      val batch = graft.operators.Boilerplate
+        .removeBoilerplateNormalized(batchDocs, "doc_id", "text", window, maxDf)
+        .orderBy("doc_id").collect()
+      assert(streamed.length > 0 && streamed.sameElements(batch))
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("streaming chunk explosion equals its batch twin and keeps append-mode statelessness") {
     val stream = DocumentStream.readDocuments(spark, watchDir, SparkTestSession.sf0001)
     val chunks = DocumentStream.curatedChunks(stream)
