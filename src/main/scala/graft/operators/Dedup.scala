@@ -86,11 +86,22 @@ object Dedup {
     * quadratic in any formulation — banding width controls bucket size,
     * and AQE skew-join splits hot buckets across tasks.
     */
+  /** @param carry per-document columns to ride the banding and come out
+    *              per pair as `<col>_a` / `<col>_b` (e.g. a split label
+    *              for a leakage audit). Computed ONCE per document on the
+    *              signature side — attaching them after the join would
+    *              either cost a join back on the pair stream or, worse,
+    *              let Catalyst push the recomputation into the join
+    *              condition where it runs per CANDIDATE pair in every
+    *              hot bucket. Cost: the carried bytes ride each of the
+    *              `bands` band rows per document through the shuffle.
+    */
   def lshCandidatePairs(
       signatures: DataFrame,
       idCol: String,
       numHashes: Int = 16,
-      bands: Int = 2): DataFrame = {
+      bands: Int = 2,
+      carry: Seq[String] = Nil): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) evenly — " +
         "a remainder would silently drop signature rows and change recall")
@@ -107,15 +118,21 @@ object Dedup {
         struct(rows.zipWithIndex.map { case (c, i) => c.as(s"k$i") }: _*).as("key"))
     }
     val exploded = signatures
-      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col(idCol) +: carry.map(col) :+ explode(array(bandStructs: _*)).as("bk"): _*)
+      .select(col(idCol) +: carry.map(col) :+
+        col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
     val a = exploded.as("a")
     val b = exploded.as("b")
+    // carried columns are constant per doc, so adding them to the group
+    // keys never splits a (doc_a, doc_b) group
+    val groupCols =
+      col(s"a.$idCol").as("doc_a") +: col(s"b.$idCol").as("doc_b") +:
+        carry.flatMap(c => Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b")))
     a.join(b,
         col("a.band") === col("b.band") &&
           col("a.key") === col("b.key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .groupBy(groupCols: _*)
       .agg(count(lit(1)).as("shared_bands"))
   }
 

@@ -359,10 +359,11 @@ object DedupQueries {
         "banding) that STRADDLE a split boundary — the hygiene check a " +
         "pipeline runs after splitting, because exact-dedup-then-split " +
         "still leaks paraphrases across train/test. The split label is a " +
-        "pure function of the doc id (the q38 hash bands), so the audit " +
-        "is a NARROW post-filter on the pair stream — zero extra joins, " +
-        "zero extra shuffles beyond the band join itself; this join-free " +
-        "consistency is exactly what the hash-based split buys at 100 TB.",
+        "pure function of the doc id (the q38 hash bands), computed once " +
+        "per document on the signature side and CARRIED through the " +
+        "banding — zero extra joins or shuffles beyond the band join " +
+        "itself; this join-free consistency is exactly what the " +
+        "hash-based split buys at 100 TB.",
       Some(
         s"""$duckSignatureCte, bands AS (
            |  SELECT doc_id, 0 AS band,
@@ -391,14 +392,18 @@ object DedupQueries {
            |)
            |WHERE split_a <> split_b""".stripMargin),
       (spark, dir) => {
+        // The split label is computed ONCE per doc on the signature side
+        // and carried through the banding — attaching it to the pair
+        // stream afterwards lets Catalyst push the label RECOMPUTATION
+        // into the join condition, where the two md5 chains run per
+        // candidate pair in every hot bucket (measured 2x the q32 cost).
         val sig = Dedup.minhashSignatures(
-          Tables.documents(spark, dir), "text", "doc_id", NumHashes)
-        Dedup.lshCandidatePairs(sig, "doc_id", NumHashes, bands = 2)
-          .withColumn("split_a",
-            Sampling.splitLabel(col("doc_a"), salt = "split1:"))
-          .withColumn("split_b",
-            Sampling.splitLabel(col("doc_b"), salt = "split1:"))
+            Tables.documents(spark, dir), "text", "doc_id", NumHashes)
+          .withColumn("split", Sampling.splitLabel(col("doc_id"), salt = "split1:"))
+        Dedup.lshCandidatePairs(sig, "doc_id", NumHashes, bands = 2,
+            carry = Seq("split"))
           .filter(col("split_a") =!= col("split_b"))
+          .select("doc_a", "doc_b", "shared_bands", "split_a", "split_b")
       }
     )
   )
