@@ -34,6 +34,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(direct == keyed)
   }
 
+  test("lshCandidatePairs carry: carried columns ride the banding without changing the pair set") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val df = docs(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma epsilon"), (4L, "totally different words here"))
+    val sig = Dedup.minhashSignatures(df, "text", "doc_id", 16)
+      .withColumn("tag", concat(lit("t"), col("doc_id")))
+    val plain = Dedup.lshCandidatePairs(sig, "doc_id", 16, bands = 2)
+      .select("doc_a", "doc_b", "shared_bands")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val carried = Dedup.lshCandidatePairs(sig, "doc_id", 16, bands = 2, carry = Seq("tag"))
+    assert(carried.columns.toSeq ==
+      Seq("doc_a", "doc_b", "tag_a", "tag_b", "shared_bands"))
+    val rows = carried.collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet == plain)
+    assert(rows.forall(r => r.getString(2) == s"t${r.getLong(0)}" &&
+      r.getString(3) == s"t${r.getLong(1)}"))
+  }
+
   test("minhash signatures: identical word sets -> identical signatures; word order irrelevant") {
     val df = docs(
       (1L, "alpha beta gamma"), (2L, "gamma beta alpha alpha"),
