@@ -52,7 +52,11 @@ class RangeJoinSpec extends AnyFunSuite {
     val pts = (1L to 300L).map(i => (i, rnd.nextLong(10000L)))
     val ivs = (1L to 100L).map { i =>
       val s = rnd.nextLong(9500L)
-      (i, s, s + 1L + rnd.nextLong(800L))
+      // every 10th interval malformed (empty or inverted): the half-open
+      // predicate matches nothing for them, and the n_bins >= 1 guard
+      // must drop them instead of exploding a descending bin sequence
+      if (i % 10 == 0) (i, s, s - rnd.nextLong(2000L))
+      else (i, s, s + 1L + rnd.nextLong(800L))
     }
     val want = (for {
       (pid, ts) <- pts; (iid, s, e) <- ivs; if ts >= s && ts < e
