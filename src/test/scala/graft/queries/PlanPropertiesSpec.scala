@@ -152,6 +152,17 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q102: split labels are carried, never re-hashed inside the band-join condition") {
+    // Regression pin for a measured 2x: attaching the labels to the pair
+    // stream lets Catalyst push the md5 chains into the join condition,
+    // re-evaluating them per candidate pair in every hot bucket. Carried
+    // labels mean no join node may evaluate portable_hash32 itself.
+    val p = SparkEntry.queries("q102_split_leakage")(spark, SparkTestSession.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.linesIterator.exists(l => l.contains("Join") && l.contains("portable_hash32")),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
   test("q100: distinct runtime shuffles stay bounded — duplicated layout branches hit exchange reuse") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
