@@ -54,20 +54,29 @@ object Dedup {
     * aggregation, so shuffled data is k longs per (doc, distinct-word)
     * partial — not the word stream.
     */
+  /** @param carry constant-per-document columns to keep on the signature
+    *               rows (e.g. `source` for the q106 overlap matrix),
+    *               riding the groupBy keys — constant per doc, so they
+    *               never split a group or add a shuffle; the cost is
+    *               their bytes on the word-stream partials, which
+    *               map-side combine collapses early.
+    */
   def minhashSignatures(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      numHashes: Int = 16): DataFrame = {
+      numHashes: Int = 16,
+      carry: Seq[String] = Nil): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val words = df.select(
-      col(idCol),
-      explode(array_distinct(TextAnalysis.wsTokens(col(textCol)))).as("w"))
-    val hashed = words.select(col(idCol), TextAnalysis.portableHash32(col("w")).as("h"))
+      col(idCol) +: carry.map(col) :+
+        explode(array_distinct(TextAnalysis.wsTokens(col(textCol)))).as("w"): _*)
+    val hashed = words.select(
+      col(idCol) +: carry.map(col) :+ TextAnalysis.portableHash32(col("w")).as("h"): _*)
     val aggs = (0 until numHashes).map { i =>
       min((col("h") * lit(minhashA(i)) + lit(minhashB(i))) % lit(MinhashPrime)).as(s"mh$i")
     }
-    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    hashed.groupBy(col(idCol) +: carry.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding over a minhash signature: each document emits `bands`

@@ -405,6 +405,55 @@ object DedupQueries {
           .filter(col("split_a") =!= col("split_b"))
           .select("doc_a", "doc_b", "shared_bands", "split_a", "split_b")
       }
+    ),
+    Q(
+      "q106_dup_overlap_matrix",
+      "Cross-source duplicate-overlap matrix: the q32 LSH candidate " +
+        "pairs rolled up to (source, source) counts — the mixture-design " +
+        "diagnostic (which crawls/sources mirror each other, how much " +
+        "of a new source is already in the corpus) that drives " +
+        "per-source dedup and weighting decisions. `source` rides the " +
+        "SIGNATURE groupBy keys and the banding carry (constant per " +
+        "doc: no group splits, no extra shuffle, no join back on the " +
+        "pair stream — the q102 pushdown lesson), and the final rollup " +
+        "aggregates the narrow pair stream onto a key space bounded by " +
+        "sources^2.",
+      Some(
+        s"""$duckSignatureCte, bands AS (
+           |  SELECT doc_id, 0 AS band,
+           |         md5(concat_ws('_', ${(0 until 8).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band,
+           |         md5(concat_ws('_', ${(8 until 16).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |), pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2
+           |)
+           |SELECT least(da.source, db.source) AS src_a,
+           |       greatest(da.source, db.source) AS src_b,
+           |       count(*) AS n_pairs,
+           |       CAST(sum(shared_bands) AS BIGINT) AS n_shared_bands
+           |FROM pairs p
+           |JOIN documents da ON p.doc_a = da.doc_id
+           |JOIN documents db ON p.doc_b = db.doc_id
+           |GROUP BY 1, 2""".stripMargin),
+      (spark, dir) => {
+        val sig = Dedup.minhashSignatures(
+          Tables.documents(spark, dir), "text", "doc_id", NumHashes,
+          carry = Seq("source"))
+        Dedup.lshCandidatePairs(sig, "doc_id", NumHashes, bands = 2,
+            carry = Seq("source"))
+          .groupBy(
+            least(col("source_a"), col("source_b")).as("src_a"),
+            greatest(col("source_a"), col("source_b")).as("src_b"))
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            sum("shared_bands").as("n_shared_bands"))
+      }
     )
   )
 }

@@ -701,6 +701,159 @@ object TextQueries {
             budgeted, "source", "doc_id", "ws_tokens", capacity = 512L)
           .select("doc_id", "source", "ws_tokens", "cum_tokens", "bin_id", "bin_offset")
       }
+    ),
+    Q(
+      "q103_hll_registers",
+      "HyperLogLog register table (p=6, 64 buckets) over the per-source " +
+        "token stream: the mergeable distinct-count sketch completing " +
+        "the family beside KMV (q54) and count-min (q98). Bucket = low " +
+        "6 hash bits, rank = leading-zero count of the high 26 via " +
+        "length(bin(w)) — pure integer arithmetic over the portable md5 " +
+        "hash, so the oracle checks the sketch register for register. " +
+        "One shuffle onto a (source x 64)-cell key space with max as " +
+        "the map-side combiner: constant output however large the " +
+        "corpus, and per-shard sketches union by cell-wise max.",
+      Some("""
+        |WITH toks AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |), hr AS (
+        |  SELECT source,
+        |         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) & 63 AS bucket,
+        |         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) >> 6 AS w
+        |  FROM toks
+        |)
+        |SELECT source, bucket,
+        |       CAST(max(CASE WHEN w = 0 THEN 27
+        |                     ELSE 27 - length(bin(w)) END) AS INTEGER) AS register
+        |FROM hr GROUP BY 1, 2
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        graft.operators.HyperLogLog.registers(
+          Tables.documents(spark, dir)
+            .select(col("source"),
+              explode(graft.operators.TextAnalysis.wsTokens(col("text"))).as("tok")),
+          "tok", Seq("source"), p = 6)
+    ),
+    Q(
+      "q104_hll_estimate",
+      "HLL distinct-document estimate per source beside the exact count: " +
+        "the harmonic sum is kept in FIXED-POINT (s_scaled = S * 2^27, " +
+        "an exact order-independent BIGINT), so the raw estimate is one " +
+        "double multiply and one divide from integers — bit-identical " +
+        "across engines with no transcendental in the checked path (the " +
+        "ln-based small-range correction is spec-pinned in " +
+        "HyperLogLogSpec instead). At 100 TB the register table is the " +
+        "persisted artifact; estimates re-derive from it without " +
+        "rescanning the corpus.",
+      Some(s"""
+        |WITH hr AS (
+        |  SELECT source,
+        |         CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) & 63 AS bucket,
+        |         CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) >> 6 AS w
+        |  FROM documents
+        |), regs AS (
+        |  SELECT source, bucket,
+        |         max(CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END) AS register
+        |  FROM hr GROUP BY 1, 2
+        |), est AS (
+        |  SELECT source,
+        |         CAST((64 - count(*)) * (CAST(1 AS BIGINT) << 27)
+        |           + sum(CAST(1 AS BIGINT) << (27 - register)) AS BIGINT) AS s_scaled
+        |  FROM regs GROUP BY 1
+        |)
+        |SELECT e.source, e.s_scaled,
+        |       (${graft.operators.HyperLogLog.alphaLiteral(6)}) * 549755813888.0
+        |         / CAST(e.s_scaled AS DOUBLE) AS hll_raw,
+        |       x.n_exact
+        |FROM est e
+        |JOIN (SELECT source, count(DISTINCT text) AS n_exact
+        |      FROM documents GROUP BY 1) x USING (source)
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.operators.HyperLogLog
+        val docs = Tables.documents(spark, dir)
+        val est = HyperLogLog.estimateRaw(
+          HyperLogLog.registers(docs, "text", Seq("source"), p = 6),
+          Seq("source"), p = 6)
+        est.join(
+          docs.groupBy("source").agg(countDistinct("text").as("n_exact")),
+          Seq("source"))
+      }
+    ),
+    Q(
+      "q105_bloom_screen",
+      "Bloom-filter blocklist screen (k=3, m=4096): every document " +
+        "probed against the content fingerprints of a blocklist (docs " +
+        "with id % 20 = 0) through a CONSTANT 4096-bit broadcast bitmap " +
+        "— the 100 TB screen shape where the blocklist itself is too " +
+        "big to broadcast and too hot to shuffle-join. Salted portable " +
+        "md5 positions make filter and probes bit-deterministic, so " +
+        "false positives are oracle-checked values, not statistics; " +
+        "exact_blocked (broadcast semi-join truth) rides along to " +
+        "measure the realized FP rate. Probe is row-local codegen: " +
+        "zero joins, zero shuffles on the corpus stream.",
+      Some {
+        def posSql(i: Int, key: String): String =
+          s"CAST('0x' || substr(md5('bloom$i:' || $key), 1, 8) AS BIGINT) % 4096"
+        s"""
+        |WITH bl AS (
+        |  SELECT DISTINCT md5(text) AS key FROM documents WHERE doc_id % 20 = 0
+        |), pos AS (
+        |  SELECT DISTINCT ${posSql(0, "key")} AS p FROM bl
+        |  UNION
+        |  SELECT DISTINCT ${posSql(1, "key")} AS p FROM bl
+        |  UNION
+        |  SELECT DISTINCT ${posSql(2, "key")} AS p FROM bl
+        |), d AS (
+        |  SELECT doc_id, md5(text) AS key FROM documents
+        |)
+        |SELECT doc_id,
+        |       (${posSql(0, "key")} IN (SELECT p FROM pos))
+        |   AND (${posSql(1, "key")} IN (SELECT p FROM pos))
+        |   AND (${posSql(2, "key")} IN (SELECT p FROM pos)) AS maybe_blocked,
+        |       key IN (SELECT key FROM bl) AS exact_blocked
+        |FROM d
+        |""".stripMargin.trim
+      },
+      (spark, dir) => {
+        val keyed = Tables.documents(spark, dir)
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("key"))
+        val blocklist = keyed.filter(col("doc_id") % 20 === 0).select("key")
+        graft.operators.BloomScreen.screen(
+            keyed, "key", blocklist, "key", k = 3, m = 4096)
+          .select("doc_id", "maybe_blocked", "exact_blocked")
+      }
+    ),
+    Q(
+      "q107_fragment_stitch",
+      "Fragment stitching: pairs where one document's last 2 tokens are " +
+        "another's first 2 verbatim — the mid-document split signature " +
+        "(crawl shard boundaries, pagination) a pipeline repairs by " +
+        "rejoining rather than deduplicating away. Each doc contributes " +
+        "ONE prefix and ONE suffix key, so candidates come from an " +
+        "equi-join of two narrow hash streams (never quadratic); the " +
+        "2-token overlap string rides along only to verify hash " +
+        "candidates exactly. Oracle joins directly on the overlap " +
+        "string — the output is hash-representation-independent.",
+      Some("""
+        |WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), e AS (
+        |  SELECT doc_id, t FROM tok WHERE len(t) >= 2
+        |), heads AS (
+        |  SELECT doc_id AS right_id, array_to_string(t[1:2], ' ') AS ov FROM e
+        |), tails AS (
+        |  SELECT doc_id AS left_id,
+        |         array_to_string(t[len(t)-1:len(t)], ' ') AS ov FROM e
+        |)
+        |SELECT left_id, right_id, ov AS overlap
+        |FROM tails JOIN heads USING (ov)
+        |WHERE left_id <> right_id
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        graft.operators.Stitch.fragmentCandidates(
+          Tables.documents(spark, dir), "doc_id", "text", k = 2)
     )
   )
 }

@@ -63,6 +63,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sig(1L) != sig(3L))
   }
 
+  test("minhash signature carry: extra groupBy keys leave the signature values intact") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val df = docs(
+      (1L, "alpha beta gamma"), (2L, "gamma beta alpha alpha"),
+      (3L, "totally different words here"))
+      .withColumn("src", concat(lit("s"), col("doc_id") % 2))
+    val plain = Dedup.minhashSignatures(df, "text", "doc_id", 16).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val carried = Dedup.minhashSignatures(df, "text", "doc_id", 16,
+      carry = Seq("src"))
+    assert(carried.columns.take(2).toSeq == Seq("doc_id", "src"))
+    carried.collect().foreach { r =>
+      assert(r.toSeq.drop(2) == plain(r.getLong(0)),
+        s"carry changed signature of doc ${r.getLong(0)}")
+      assert(r.getString(1) == s"s${r.getLong(0) % 2}")
+    }
+  }
+
   test("LSH candidate pairs surface duplicate documents") {
     val df = docs(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
