@@ -279,6 +279,28 @@ object DocumentStream {
       graft.operators.Boilerplate.normalizedKey)
   }
 
+  /** Bloom blocklist screen for arrivals: flags documents whose content
+    * fingerprint (md5 of the text, the q105 batch key) probes positive in
+    * a batch-built Bloom bitmap ([[graft.operators.BloomScreen.build]]).
+    * Among the plan-literal screens this is the one whose literal NEVER
+    * grows: the bitmap is m bits whatever the blocklist cardinality —
+    * where the gram screen needs a size guard and the passage cap set is
+    * bounded only by construction, the bloom screen's broadcast cost is
+    * fixed by geometry. Zero state, row-local codegen probe, false
+    * positives only (route flagged rows to a batch-side exact check —
+    * never drop on the probe alone), never a false negative. Refresh the
+    * bitmap batch-side and restart the query to pick up blocklist
+    * changes, the same cadence contract as the other screens.
+    */
+  def bloomScreened(
+      docs: DataFrame,
+      words: Array[Long],
+      k: Int,
+      m: Int): DataFrame =
+    docs.withColumn("maybe_blocked",
+      graft.operators.BloomScreen.maybeContains(
+        md5(col("text").cast("binary")), words, k, m))
+
   /** Shared row-local screen: cut into `window`-token passages, drop those
     * whose `keyOf` lands in the cap literal, reassemble in order. Docs
     * with no full window are absent (the batch contract).

@@ -163,6 +163,44 @@ class PlanPropertiesSpec extends AnyFunSuite {
       p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
 
+  test("q103: the HLL register table costs one exchange with map-side combine") {
+    val p = plan("q103_hll_registers")
+    val exchanges = p.sliding("Exchange (".length).count(_ == "Exchange (")
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+    // partial + final aggregate: max is the map-side combiner, so the
+    // shuffle moves at most (group x 64) partial registers per task
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2, p)
+  }
+
+  test("q105: the bloom probe is join-free — the only join is the broadcast exact-truth column") {
+    val p = plan("q105_bloom_screen")
+    val broadcasts = p.sliding("BroadcastExchange".length)
+      .count(_ == "BroadcastExchange")
+    val exchanges = p.sliding("Exchange (".length).count(_ == "Exchange (")
+    // every Exchange is the broadcast of the tiny exact-truth side; the
+    // corpus stream itself never shuffles for the screen
+    assert(broadcasts >= 1 && exchanges == broadcasts,
+      s"expected only broadcast exchanges, got $exchanges total / $broadcasts broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q106: source labels are carried — no join node evaluates portable_hash32, never cartesian") {
+    val out = SparkEntry.queries("q106_dup_overlap_matrix")(spark, SparkTestSession.sf0001)
+    val exec = out.queryExecution.executedPlan.toString
+    assert(!exec.linesIterator.exists(l => l.contains("Join") && l.contains("portable_hash32")),
+      exec.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    val p = plan("q106_dup_overlap_matrix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q107: fragment stitch is an equi-join on the overlap hash, never cartesian") {
+    val p = plan("q107_fragment_stitch")
+    assert(p.contains("hk"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("q100: distinct runtime shuffles stay bounded — duplicated layout branches hit exchange reuse") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

@@ -103,4 +103,43 @@ class StreamingHygieneSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("maxPlanGrams"))
     assert(ex.getMessage.contains("Decontaminate.report"))
   }
+
+  test("streaming bloom screen equals its batch twin (q105 semantics), zero state") {
+    val fixture = SparkTestSession.sf0001
+    val all = Tables.documents(spark, fixture)
+    val keyed = all.select(col("doc_id"), md5(col("text").cast("binary")).as("key"))
+    val blocklist = keyed.filter(col("doc_id") % 20 === 0).select("key")
+    val words = graft.operators.BloomScreen.build(blocklist, "key", k = 3, m = 4096)
+
+    // batch twin: the q105 probe over the same bitmap
+    val batchFlagged = keyed
+      .withColumn("maybe_blocked",
+        graft.operators.BloomScreen.maybeContains(col("key"), words, 3, 4096))
+      .filter(col("maybe_blocked"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("docs_bloom")
+    dir.toFile.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(fixture, "documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val stream = DocumentStream.readDocuments(spark, dir.toString, fixture)
+    val q = EventStream.runToMemory(
+      DocumentStream.bloomScreened(stream, words, k = 3, m = 4096),
+      "docs_bloom", OutputMode.Append())
+    try {
+      val streamedFlagged = spark
+        .sql("SELECT doc_id FROM docs_bloom WHERE maybe_blocked")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamedFlagged == batchFlagged)
+      // every blocklisted doc is flagged (no false negatives)
+      val blocked = all.filter(col("doc_id") % 20 === 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(blocked.subsetOf(streamedFlagged))
+      // zero-state screen: nothing may register in the state store
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
 }
