@@ -854,6 +854,94 @@ object TextQueries {
       (spark, dir) =>
         graft.operators.Stitch.fragmentCandidates(
           Tables.documents(spark, dir), "doc_id", "text", k = 2)
+    ),
+    Q(
+      "q108_hdr_sketch",
+      "HDR-style quantile histogram (subBits=4) of per-source document " +
+        "token counts: values bucket by (floor(log2), top-4 mantissa " +
+        "bits) — relative bucket width 1/16 with EVERYTHING in integer " +
+        "arithmetic (the exponent is length(bin(v))-1, no libm), so the " +
+        "histogram is oracle-checked cell for cell like the count-min " +
+        "matrix and HLL registers. One exchange onto a constant " +
+        "(source x cell) key space, count map-side combined; per-shard " +
+        "histograms merge by cell-wise addition.",
+      Some("""
+        |WITH v AS (
+        |  SELECT source,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
+        |  FROM documents
+        |), cells AS (
+        |  SELECT source, toks,
+        |         CASE WHEN toks = 0 THEN -1
+        |              ELSE CAST(length(bin(toks)) AS INTEGER) - 1 END AS e
+        |  FROM v
+        |)
+        |SELECT source, e,
+        |       CASE WHEN e <= 4 THEN toks ELSE toks >> (e - 4) END AS sub,
+        |       count(*) AS cnt
+        |FROM cells GROUP BY 1, 2, 3
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        graft.operators.HdrSketch.sketch(
+          Tables.documents(spark, dir)
+            .select(col("source"),
+              graft.operators.TextAnalysis.tokenCount(col("text")).as("toks")),
+          "toks", Seq("source"), subBits = 4)
+    ),
+    Q(
+      "q109_hdr_quantiles",
+      "p50/p90/p99 per-source token-count quantiles FROM the q108 " +
+        "histogram: cumulative-count walk to rank ceil(q*n), emitting " +
+        "integer bucket lower bounds — est <= true < est*(1+1/16)+1 " +
+        "(the bound HdrSketchSpec pins against exact order statistics). " +
+        "The walk runs on the constant-size sketch, never the corpus: " +
+        "at 100 TB the histogram is the persisted artifact and any " +
+        "quantile re-derives from it for free, where exact percentiles " +
+        "would re-shuffle the raw metric stream per question.",
+      Some("""
+        |WITH v AS (
+        |  SELECT source,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
+        |  FROM documents
+        |), cells AS (
+        |  SELECT source, toks,
+        |         CASE WHEN toks = 0 THEN -1
+        |              ELSE CAST(length(bin(toks)) AS INTEGER) - 1 END AS e
+        |  FROM v
+        |), sk AS (
+        |  SELECT source, e,
+        |         CASE WHEN e <= 4 THEN toks ELSE toks >> (e - 4) END AS sub,
+        |         count(*) AS cnt
+        |  FROM cells GROUP BY 1, 2, 3
+        |), cum AS (
+        |  SELECT source, e, sub, cnt,
+        |         CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY e, sub
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM sk
+        |), tot AS (
+        |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM sk GROUP BY 1
+        |), probes AS (
+        |  SELECT source, n, pq,
+        |         CAST(ceil(q * n) AS BIGINT) AS rank
+        |  FROM tot, (VALUES ('p50', CAST(0.50 AS DOUBLE)),
+        |                    ('p90', CAST(0.90 AS DOUBLE)),
+        |                    ('p99', CAST(0.99 AS DOUBLE))) AS qs(pq, q)
+        |)
+        |SELECT p.source, p.pq, p.n, p.rank,
+        |       min(CASE WHEN c.e <= 4 THEN c.sub
+        |                ELSE c.sub << (c.e - 4) END) AS est
+        |FROM probes p JOIN cum c ON p.source = c.source AND c.cum >= p.rank
+        |GROUP BY 1, 2, 3, 4
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.operators.{HdrSketch, TextAnalysis}
+        val sk = HdrSketch.sketch(
+          Tables.documents(spark, dir)
+            .select(col("source"), TextAnalysis.tokenCount(col("text")).as("toks")),
+          "toks", Seq("source"), subBits = 4)
+        HdrSketch.quantiles(sk, Seq("source"),
+          Seq("p50" -> 0.50, "p90" -> 0.90, "p99" -> 0.99), subBits = 4)
+      }
     )
   )
 }

@@ -201,6 +201,22 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("q108: the HDR histogram costs one exchange with map-side combine") {
+    val p = plan("q108_hdr_sketch")
+    val exchanges = p.sliding("Exchange (".length).count(_ == "Exchange (")
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2, p)
+  }
+
+  test("q109: quantiles derive from ONE corpus pass — total and cumulative windows share an exchange, no join") {
+    val p = plan("q109_hdr_quantiles")
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"expected 1 parquet scan, got $scans:\n$p")
+    assert(!p.contains("Join"), "the totals must come from a window, not a join")
+    val exchanges = p.sliding("Exchange (".length).count(_ == "Exchange (")
+    assert(exchanges == 2, s"expected 2 exchanges (sketch agg + group window), got $exchanges:\n$p")
+  }
+
   test("q100: distinct runtime shuffles stay bounded — duplicated layout branches hit exchange reuse") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
