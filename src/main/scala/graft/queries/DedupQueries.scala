@@ -12,6 +12,11 @@ object DedupQueries {
 
   private val NumHashes = 16
 
+  /** q110/q111 rolling-window width in tokens (declared before `all`:
+    * a val referenced during the registry Seq's construction).
+    */
+  private val SpanWindow = 8
+
   /** DuckDB CTE producing (doc_id, h) = portable 32-bit word hashes of the
     * distinct (`distinctWords`=true) or full multiset of words.
     */
@@ -454,6 +459,93 @@ object DedupQueries {
             count(lit(1)).as("n_pairs"),
             sum("shared_bands").as("n_shared_bands"))
       }
+    ),
+    Q(
+      "q110_dup_spans",
+      "Exact duplicated-span detection (Lee et al. substring dedup, " +
+        "distributed form): stride-1 8-token windows fingerprinted with " +
+        "full md5, a window is duplicated iff it occurs in >= 2 distinct " +
+        "docs (min(doc) != max(doc) on the fingerprint — two longs of " +
+        "partial state, hot fingerprints collapse map-side), hits " +
+        "semi-joined back and merged per doc into maximal [start, end) " +
+        "spans by gaps-and-islands. Unlike the q95 df-cap screen this " +
+        "catches a long quote shared by just TWO documents, and spans " +
+        "are maximal, not fixed passages.",
+      Some(duckSpanSql(SpanWindow) +
+        s"""
+           |SELECT doc_id, span_start, span_end, n_windows FROM sp
+           |""".stripMargin.trim),
+      (spark, dir) =>
+        graft.operators.SpanDedup.dupSpans(
+          Tables.documents(spark, dir), "doc_id", "text", SpanWindow)
+    ),
+    Q(
+      "q111_span_dedup",
+      "Duplicated-span REMOVAL: every q110 span cut out of its document, " +
+        "all docs reported (n_removed = 0 for untouched docs), survivors " +
+        "rejoined in token order. Spans ride a doc_id equi-join as a " +
+        "per-doc array (group size = one doc's span count); the per-" +
+        "token keep/drop is a narrow array exists over that list — no " +
+        "token-level shuffle, no range join.",
+      Some(duckSpanSql(SpanWindow) +
+        s"""
+           |, tp AS (
+           |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok,
+           |         CAST(len(t) AS BIGINT) AS n
+           |  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+           |), cov AS (
+           |  SELECT tp.*, EXISTS (
+           |           SELECT 1 FROM sp
+           |           WHERE sp.doc_id = tp.doc_id
+           |             AND tp.pos >= sp.span_start AND tp.pos < sp.span_end
+           |         ) AS hit
+           |  FROM tp
+           |)
+           |SELECT doc_id,
+           |       any_value(n) AS n_tokens,
+           |       CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_removed,
+           |       coalesce(string_agg(tok, ' ' ORDER BY pos)
+           |                  FILTER (WHERE NOT hit), '') AS cleaned_text
+           |FROM cov
+           |GROUP BY 1
+           |""".stripMargin.trim),
+      (spark, dir) =>
+        graft.operators.SpanDedup.removeDupSpans(
+          Tables.documents(spark, dir), "doc_id", "text", SpanWindow)
     )
   )
+
+  /** Shared q110/q111 oracle prefix: toks -> stride-1 windows -> cross-doc
+    * duplicated fingerprints -> gaps-and-islands merged spans (`sp`).
+    * Mirrors [[graft.operators.SpanDedup]] constant for constant.
+    */
+  private def duckSpanSql(w: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents
+       |), w AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS widx,
+       |         md5(array_to_string(t[i+1 : i+$w], ' ')) AS fp
+       |  FROM toks, UNNEST(range(0, len(t) - $w + 1)) AS u(i)
+       |), dup AS (
+       |  SELECT fp FROM w GROUP BY 1 HAVING min(doc_id) <> max(doc_id)
+       |), h AS (
+       |  SELECT doc_id, widx FROM w WHERE fp IN (SELECT fp FROM dup)
+       |), isl AS (
+       |  SELECT doc_id, widx,
+       |         CASE WHEN max(widx + $w) OVER (PARTITION BY doc_id ORDER BY widx
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |              OR widx > max(widx + $w) OVER (PARTITION BY doc_id ORDER BY widx
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |              THEN 1 ELSE 0 END AS ni
+       |  FROM h
+       |), sp AS (
+       |  SELECT doc_id, CAST(min(widx) AS BIGINT) AS span_start,
+       |         CAST(max(widx) + $w AS BIGINT) AS span_end,
+       |         count(*) AS n_windows
+       |  FROM (SELECT doc_id, widx, ni,
+       |               sum(ni) OVER (PARTITION BY doc_id ORDER BY widx) AS island
+       |        FROM isl)
+       |  GROUP BY doc_id, island
+       |)""".stripMargin
 }
