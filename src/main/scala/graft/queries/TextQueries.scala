@@ -11,6 +11,19 @@ import graft.operators.{Decontaminate, TextAnalysis}
   */
 object TextQueries {
 
+  /** q112 query phrases + k, shared by the Spark plan and the generated
+    * oracle SQL so the two sides cannot drift (declared before `all`).
+    */
+  private val Bm25Queries =
+    Seq("hash join merge", "vector scan filter", "customer order query")
+  private val Bm25K = 10
+
+  /** The distinct (query, term) pairs [[graft.operators.Bm25.topK]]
+    * derives — rendered into the oracle's VALUES and IN lists.
+    */
+  private val bm25QTerms: Seq[(String, String)] =
+    Bm25Queries.flatMap(q => q.trim.split("\\s+").distinct.map(q -> _)).distinct
+
   /** DuckDB rendering of [[TextAnalysis.cleanText]] over `src` (single
     * source of truth for q48 and the q57 curation pipeline).
     */
@@ -942,6 +955,57 @@ object TextQueries {
         HdrSketch.quantiles(sk, Seq("source"),
           Seq("p50" -> 0.50, "p90" -> 0.90, "p99" -> 0.99), subBits = 4)
       }
+    ),
+    Q(
+      "q112_bm25_topk",
+      "BM25 ranked retrieval: top-10 documents per query phrase, Okapi " +
+        "k1=1.2 b=0.75 with every rational folded through to exact " +
+        "BIGINT arithmetic (avgdl enters as T/N, idf floor-scaled by " +
+        "1e6) so both engines score bit-for-bit. Query terms are plan " +
+        "literals filtering the token stream BEFORE the tf shuffle (the " +
+        "q63 decontamination pattern); df and the (query, term) map are " +
+        "vocabulary-bounded broadcast joins; corpus N and T ride a " +
+        "broadcast 1-row frame; per-query top-k plans as " +
+        "WindowGroupLimit — the corpus is scanned once and only " +
+        "query-vocabulary tokens ever shuffle.",
+      Some(
+        s"""WITH d AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+           |  FROM documents
+           |), dd AS (
+           |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl FROM d
+           |), stats AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |         CAST(sum(dl) AS BIGINT) AS t_tokens
+           |  FROM dd
+           |), tf AS (
+           |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+           |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM dd)
+           |  WHERE term IN (${bm25QTerms.map(_._2).distinct.map(t => s"'$t'").mkString(", ")})
+           |  GROUP BY 1, 2, 3
+           |), df AS (
+           |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+           |), qt(query, term) AS (
+           |  VALUES ${bm25QTerms.map { case (q, t) => s"('$q', '$t')" }.mkString(",\n         ")}
+           |), sc AS (
+           |  SELECT qt.query, tf.doc_id,
+           |         CAST(sum(
+           |           (((((2 * n_docs - 2 * df + 1) * ${graft.operators.Bm25.Scale})
+           |               // (2 * df + 1)) * 22 * tf * t_tokens)
+           |             // (10 * tf * t_tokens + 3 * t_tokens + 9 * dl * n_docs))
+           |         ) AS BIGINT) AS score
+           |  FROM tf JOIN df USING (term) JOIN qt USING (term), stats
+           |  GROUP BY 1, 2
+           |)
+           |SELECT query, doc_id, score, rnk AS "rank" FROM (
+           |  SELECT query, doc_id, score,
+           |         CAST(row_number() OVER (
+           |           PARTITION BY query ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+           |  FROM sc)
+           |WHERE rnk <= $Bm25K""".stripMargin),
+      (spark, dir) =>
+        graft.operators.Bm25.topK(
+          Tables.documents(spark, dir), "doc_id", "text", Bm25Queries, Bm25K)
     )
   )
 }
