@@ -1006,6 +1006,65 @@ object TextQueries {
       (spark, dir) =>
         graft.operators.Bm25.topK(
           Tables.documents(spark, dir), "doc_id", "text", Bm25Queries, Bm25K)
+    ),
+    Q(
+      "q113_sketch_quality_floor",
+      "Sketch-DRIVEN curation: per-source p10 token-count floor derived " +
+        "from the q108 HDR histogram, broadcast back as thresholds, docs " +
+        "below their source's floor dropped — the 'trim the shortest " +
+        "decile of every source' screen with the cutoff decided by a " +
+        "constant-size mergeable sketch instead of a corpus-wide exact " +
+        "percentile (at 100 TB the threshold pass is a narrow scan into " +
+        "a few-KB histogram; per-shard sketches roll up by count " +
+        "addition, so the floor never needs a global sort or a raw " +
+        "re-shuffle). Second pass re-scans the corpus to apply the " +
+        "source-keyed broadcast floor — two narrow scans, zero wide " +
+        "shuffles of document rows.",
+      Some("""
+        |WITH v AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
+        |  FROM documents
+        |), cells AS (
+        |  SELECT source, toks,
+        |         CASE WHEN toks = 0 THEN -1
+        |              ELSE CAST(length(bin(toks)) AS INTEGER) - 1 END AS e
+        |  FROM v
+        |), sk AS (
+        |  SELECT source, e,
+        |         CASE WHEN e <= 4 THEN toks ELSE toks >> (e - 4) END AS sub,
+        |         count(*) AS cnt
+        |  FROM cells GROUP BY 1, 2, 3
+        |), cum AS (
+        |  SELECT source, e, sub, cnt,
+        |         CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY e, sub
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |         CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM sk
+        |), thr AS (
+        |  SELECT source,
+        |         min(CASE WHEN e <= 4 THEN sub ELSE sub << (e - 4) END) AS p10_floor
+        |  FROM cum
+        |  WHERE cum >= CAST(ceil(0.10 * n) AS BIGINT)
+        |  GROUP BY 1
+        |)
+        |SELECT v.source, v.doc_id, v.toks, thr.p10_floor
+        |FROM v JOIN thr USING (source)
+        |WHERE v.toks >= thr.p10_floor
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.operators.HdrSketch
+        val v = Tables.documents(spark, dir).select(
+          col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+        val thr = HdrSketch.quantiles(
+            HdrSketch.sketch(v, "toks", Seq("source"), subBits = 4),
+            Seq("source"), Seq("p10" -> 0.10), subBits = 4)
+          .select(col("source"), col("est").as("p10_floor"))
+        v.join(broadcast(thr), Seq("source"))
+          .filter(col("toks") >= col("p10_floor"))
+          .select("source", "doc_id", "toks", "p10_floor")
+      }
     )
   )
 }
