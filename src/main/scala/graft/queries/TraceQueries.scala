@@ -19,6 +19,43 @@ object TraceQueries {
   private val endNsSql =
     "(start_ns + (event_id * 7 % 4000) * 1000000 + user_id * 333667)"
 
+  /** q114/q115 funnel constants, shared by the Spark plans and the
+    * generated oracle SQL (declared before `all` — referenced during the
+    * registry Seq's construction).
+    */
+  private val FunnelSteps = Seq("view", "click", "purchase")
+  private val FunnelHorizonUs = 7L * 24 * 3600 * 1000000 // 7 days
+
+  /** Shared q114/q115 oracle prefix: sequential conditional-min step
+    * times per user (strict order), one-row-per-user dedup, horizon-
+    * gated depth (`dd`). Mirrors [[graft.operators.Funnel.userDepth]]
+    * step for step.
+    */
+  private def duckFunnelCte: String = {
+    val stepCtes = FunnelSteps.zipWithIndex.map { case (s, i) =>
+      val k = i + 1
+      val cond =
+        if (i == 0) s"event_type = '$s'"
+        else s"event_type = '$s' AND us > t${i}_us"
+      s"""s$k AS (
+         |  SELECT *, min(CASE WHEN $cond THEN us END)
+         |         OVER (PARTITION BY user_id) AS t${k}_us
+         |  FROM s$i
+         |)""".stripMargin
+    }
+    val tCols = (1 to FunnelSteps.size).map(k => s"t${k}_us").mkString(", ")
+    val depthTerms = (1 to FunnelSteps.size).map(k =>
+      s"CASE WHEN t${k}_us IS NOT NULL AND t${k}_us - t1_us <= $FunnelHorizonUs THEN 1 ELSE 0 END"
+    ).mkString("\n           + ")
+    s"""WITH s0 AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+       |), ${stepCtes.mkString(", ")}, dd AS (
+       |  SELECT user_id, $tCols,
+       |         CAST($depthTerms AS BIGINT) AS depth
+       |  FROM (SELECT DISTINCT user_id, $tCols FROM s${FunnelSteps.size})
+       |)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "q01_trace_pipeline",
@@ -369,6 +406,42 @@ object TraceQueries {
             count(lit(1)).as("n"),
             sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
       }
+    ),
+    Q(
+      "q114_funnel_user_depth",
+      "Ordered event-funnel per user: first view, first click strictly " +
+        "after it, first purchase strictly after that; depth = longest " +
+        "prefix completed within a 7-day horizon of the first view. Each " +
+        "step time is a conditional MIN window over the SAME user " +
+        "partitioning — three sequential Window passes, ONE exchange " +
+        "(the q108/q109 shared-partitioning lesson), no self-joins, no " +
+        "per-step scans. The sequence-pattern operator the reference's " +
+        "row-at-a-time JS loop could only express as client code.",
+      Some(
+        s"""$duckFunnelCte
+           |SELECT user_id, t1_us, t2_us, t3_us, depth FROM dd""".stripMargin),
+      (spark, dir) =>
+        graft.operators.Funnel.userDepth(
+          Tables.eventsTsNs(spark, dir).withColumn("us", expr("ts div 1000")),
+          "user_id", "event_type", "us", FunnelSteps, FunnelHorizonUs)
+    ),
+    Q(
+      "q115_funnel_counts",
+      "The funnel rollup: users reaching each step within the horizon, " +
+        "monotone nonincreasing by construction. The per-user depth " +
+        "frame explodes k literal structs per user onto a k-sized key " +
+        "space — rollup input is users x steps, never the event stream.",
+      Some(
+        s"""$duckFunnelCte
+           |SELECT CAST(st.i AS BIGINT) AS step_idx, st.s AS step,
+           |       CAST(count(*) FILTER (WHERE dd.depth >= st.i) AS BIGINT) AS n_users
+           |FROM dd, (VALUES ${FunnelSteps.zipWithIndex
+                .map { case (s, i) => s"(${i + 1}, '$s')" }.mkString(", ")}) AS st(i, s)
+           |GROUP BY 1, 2""".stripMargin),
+      (spark, dir) =>
+        graft.operators.Funnel.counts(
+          Tables.eventsTsNs(spark, dir).withColumn("us", expr("ts div 1000")),
+          "user_id", "event_type", "us", FunnelSteps, FunnelHorizonUs)
     )
   )
 }
