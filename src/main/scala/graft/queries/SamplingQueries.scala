@@ -238,6 +238,92 @@ object SamplingQueries {
           scored, "source", "quality", "doc_id", "ws_tokens", budget = 800L)
           .select("doc_id", "source", "quality", "ws_tokens", "cum_tokens")
       }
+    ),
+    Q(
+      "q116_length_bucketed_pack",
+      "Length-bucketed sequence packing: docs bucketed by the GLOBAL " +
+        "p25/p50/p75 token-count quartiles read off the q108 HDR sketch " +
+        "(bucket = #thresholds <= toks), then each bucket packed " +
+        "independently into 512-token bins by the sharded prefix sum — " +
+        "homogeneous-length bins cut padding waste in training batches. " +
+        "Thresholds come from a constant-size mergeable sketch (never a " +
+        "global sort) and ride a broadcast 1-row frame; packing order " +
+        "inside a bucket is doc_id, so the layout is deterministic " +
+        "under any partitioning.",
+      Some("""
+        |WITH v AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
+        |  FROM documents
+        |), cells AS (
+        |  SELECT toks,
+        |         CASE WHEN toks = 0 THEN -1
+        |              ELSE CAST(length(bin(toks)) AS INTEGER) - 1 END AS e
+        |  FROM v
+        |), sk AS (
+        |  SELECT e,
+        |         CASE WHEN e <= 4 THEN toks ELSE toks >> (e - 4) END AS sub,
+        |         count(*) AS cnt
+        |  FROM cells GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT e, sub, cnt,
+        |         CAST(SUM(cnt) OVER (ORDER BY e, sub
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+        |  FROM sk
+        |), ests AS (
+        |  SELECT pq,
+        |         min(CASE WHEN e <= 4 THEN sub ELSE sub << (e - 4) END) AS est
+        |  FROM cum, (VALUES ('p25', CAST(0.25 AS DOUBLE)),
+        |                    ('p50', CAST(0.50 AS DOUBLE)),
+        |                    ('p75', CAST(0.75 AS DOUBLE))) AS qs(pq, q)
+        |  WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+        |  GROUP BY 1
+        |), th AS (
+        |  SELECT max(CASE WHEN pq = 'p25' THEN est END) AS q25,
+        |         max(CASE WHEN pq = 'p50' THEN est END) AS q50,
+        |         max(CASE WHEN pq = 'p75' THEN est END) AS q75
+        |  FROM ests
+        |), b AS (
+        |  SELECT doc_id, toks,
+        |         CAST(CAST(toks >= q25 AS INTEGER) + CAST(toks >= q50 AS INTEGER)
+        |              + CAST(toks >= q75 AS INTEGER) AS BIGINT) AS bucket
+        |  FROM v, th
+        |), c AS (
+        |  SELECT doc_id, bucket, toks AS seq_tokens,
+        |         CAST(SUM(toks) OVER (PARTITION BY bucket ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           - toks AS pack_start
+        |  FROM b
+        |)
+        |SELECT doc_id, bucket, seq_tokens,
+        |       pack_start // 512 AS bin_id,
+        |       pack_start % 512 AS bin_offset
+        |FROM c
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.operators.{HdrSketch, Packing, TextAnalysis}
+        val v = Tables.documents(spark, dir).select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+        val th = HdrSketch.quantiles(
+            HdrSketch.sketch(v, "toks", Seq.empty, subBits = 4),
+            Seq.empty, Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75),
+            subBits = 4)
+          .groupBy()
+          .agg(
+            max(when(col("pq") === "p25", col("est"))).as("q25"),
+            max(when(col("pq") === "p50", col("est"))).as("q50"),
+            max(when(col("pq") === "p75", col("est"))).as("q75"))
+        val bucketed = v.crossJoin(broadcast(th))
+          .withColumn("bucket",
+            ((col("toks") >= col("q25")).cast("int") +
+              (col("toks") >= col("q50")).cast("int") +
+              (col("toks") >= col("q75")).cast("int")).cast("long"))
+        Packing.contiguousPackSharded(
+            bucketed, "bucket", "doc_id", "toks", capacity = 512L)
+          .select("doc_id", "bucket", "seq_tokens", "bin_id", "bin_offset")
+      }
     )
   )
 }
