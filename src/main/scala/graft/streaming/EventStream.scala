@@ -87,6 +87,69 @@ object EventStream {
       }
   }
 
+  final case class FunnelProgress(
+      user_id: Long,
+      step_times_us: Seq[Long], // -1 = step not yet reached
+      depth: Long,
+      n_events: Long) // total funnel-relevant events folded (monotone)
+
+  /** Streaming twin of the q114 ordered funnel: per-user step times and
+    * horizon-gated depth maintained in `mapGroupsWithState` — state is
+    * exactly k longs per user (the step-time vector), bounded by key
+    * cardinality, never by stream length, which is what lets a funnel
+    * run over an unbounded event stream.
+    *
+    * Semantics contract: equals the batch [[graft.operators.Funnel]]
+    * when each user's events are PROCESSED in event-time order. Each
+    * micro-batch group is sorted by event time before folding (in-batch
+    * disorder is free); an event arriving in a LATER batch with an
+    * earlier timestamp than already-folded state can only extend the
+    * funnel, never rewind t_k to the smaller value — the same
+    * late-data-drops contract as a watermarked aggregation, made
+    * explicit here because exact out-of-order repair would need every
+    * candidate event retained per user (unbounded state) plus
+    * retractions. Emits the updated row per user per batch (Update
+    * mode); `n_events` is monotone so a consumer can pick the latest.
+    */
+  def funnelDepth(
+      spark: SparkSession,
+      events: DataFrame,
+      steps: Seq[String],
+      horizonUs: Long): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"steps must be nonempty and distinct: $steps")
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .selectExpr("user_id", "event_type", "ts div 1000 AS us")
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[FunnelProgress]) =>
+          val prev = state.getOption.getOrElse(
+            FunnelProgress(user, Seq.fill(steps.size)(-1L), 0L, 0L))
+          val times = prev.step_times_us.toArray
+          var n = prev.n_events
+          // in-batch event-time order makes "first of step k strictly
+          // after t_{k-1}" a single forward fold
+          rows.toSeq.sortBy(_._3).foreach { case (_, ty, us) =>
+            stepIdx.get(ty).foreach { i =>
+              n += 1
+              if (times(i) < 0 &&
+                (i == 0 || (times(i - 1) >= 0 && us > times(i - 1))))
+                times(i) = us
+            }
+          }
+          val depth = times.zipWithIndex.takeWhile { case (t, _) =>
+            t >= 0 && t - times(0) <= horizonUs
+          }.length.toLong
+          val next = FunnelProgress(user, times.toSeq, depth, n)
+          state.update(next)
+          next
+      }
+  }
+
   /** Stream-static enrichment join: each micro-batch of events joins the
     * (small, broadcast) static dimension — the standard streaming lookup
     * pattern; the static side re-resolves per batch, so slowly-changing
