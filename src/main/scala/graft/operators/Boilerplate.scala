@@ -44,15 +44,22 @@ object Boilerplate {
       window: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1: $window")
     val toks = TextAnalysis.wsTokens(col(textCol))
-    val nWin = (size(toks) / window).cast("int")
-    // sequence(0, -1) would count DOWN; guard the no-full-window case
+    val nWin = (size(col("__bp_toks")) / window).cast("int")
+    // sequence(0, -1) would count DOWN; guard the no-full-window case.
+    // Positions explode FIRST and the slice/join runs codegen'd on the
+    // exploded rows — a transform(idxs, i -> array_join(slice(...)))
+    // builds every passage through an interpreted lambda (HOFs are
+    // CodegenFallback; the SpanDedup.windows lesson, ~8x at bench scale).
     val idxs = when(nWin > 0, sequence(lit(0), nWin - 1))
       .otherwise(array().cast("array<int>"))
-    val cuts = transform(idxs, i =>
-      array_join(slice(toks, i * window + 1, lit(window)), " "))
-    docs.select(
-      col(idCol).as("doc_id"),
-      posexplode(cuts).as(Seq("pidx", "passage")))
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("__bp_toks"))
+      .select(col("doc_id"), col("__bp_toks"),
+        posexplode(idxs).as(Seq("pidx", "__bp_i")))
+      .select(col("doc_id"), col("pidx"),
+        array_join(
+          slice(col("__bp_toks"), col("__bp_i") * window + 1, lit(window)),
+          " ").as("passage"))
   }
 
   /** Remove passages whose corpus-wide document frequency exceeds
