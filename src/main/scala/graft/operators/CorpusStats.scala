@@ -71,4 +71,52 @@ object CorpusStats {
         col("doc_id"), col("n_grams"), col("n_novel"),
         (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
   }
+
+  /** Per-source unigram-distribution drift: the total-variation distance
+    * between each source's token distribution and the whole corpus —
+    * tv = 0.5 * sum_t |c_{s,t}/N_s - C_t/N| — the mixture-design
+    * diagnostic (a source whose distribution walks away from the corpus
+    * is changing character; a new crawl slice with high tv needs its own
+    * weight).
+    *
+    * DETERMINISM + shape: the absolute-difference sum multiplies through
+    * by N_s * N, so everything up to the final division is exact BIGINT:
+    * sum_t |c_{s,t}*N - C_t*N_s| over tokens PRESENT in the source, plus
+    * (N - sum_{t in s} C_t) * N_s for the absent tail (algebra: absent
+    * tokens contribute C_t*N_s each) — no per-token join against the
+    * full vocab x sources cross space. One shuffle builds the (source,
+    * token) counts; global token counts reduce FROM that table (second
+    * tiny shuffle on the token); the rollup is source-keyed. Long
+    * arithmetic is safe while N_s * N < 2^63; a 100 TB corpus runs the
+    * same plan with the sum in DOUBLE after the exact-verification
+    * stage.
+    */
+  def sourceDrift(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String): DataFrame = {
+    val tok = docs.select(
+      col(sourceCol).as("source"),
+      explode(TextAnalysis.wsTokens(col(textCol))).as("t"))
+    val st = tok.groupBy("source", "t").agg(count(lit(1)).as("c"))
+    val gt = st.groupBy("t").agg(sum("c").as("ct"))
+    val totals = st.groupBy("source").agg(sum("c").as("ns"))
+    val n = st.agg(sum("c").as("n"))
+    st.join(gt, Seq("t"))
+      .join(totals, Seq("source"))
+      .crossJoin(broadcast(n))
+      .groupBy("source")
+      .agg(
+        max(col("ns")).as("n_tokens_src"),
+        sum(abs(col("c") * col("n") - col("ct") * col("ns"))).as("__present"),
+        sum(col("ct")).as("__ct_present"),
+        max(col("n")).as("__n"))
+      .select(
+        col("source"), col("n_tokens_src"),
+        ((col("__present") +
+          (col("__n") - col("__ct_present")) * col("n_tokens_src"))
+          .cast("double") /
+          (lit(2.0) * col("n_tokens_src").cast("double") * col("__n").cast("double")))
+          .as("tv_distance"))
+  }
 }

@@ -263,6 +263,52 @@ object Similarity {
     * bounded id range (verification scale; production pairs come from LSH
     * buckets instead of the cross join — see [[cosineDupPairsLsh]]).
     */
+  /** Per-label centroid and per-dimension variance of an embedding
+    * column — class prototypes plus intra-class spread, the label-quality
+    * audit (a label whose variance rivals the between-class spread is
+    * noisy; a centroid drifting between corpus snapshots flags upstream
+    * embedding-model change).
+    *
+    * DETERMINISM: floats widen to double exactly, scaling by 2^30 is a
+    * pure exponent shift (also exact), and floor() of that product is the
+    * same integer in every engine — so the per-cell accumulation is an
+    * exact BIGINT sum under any partitioning/order, and the only floating
+    * ops are the final fixed-shape divisions. (A raw double sum would be
+    * order-dependent; a float->DECIMAL cast rounds differently across
+    * engines; and DuckDB's double->BIGINT cast ROUNDS where Spark's
+    * truncates, which is why the floor is explicit.)
+    *
+    * Scale shape: one narrow posexplode to (label, dim, v) and ONE
+    * map-side-combined shuffle onto the (labels x dims) key space —
+    * output size is independent of corpus size, so the audit runs at any
+    * scale the scan runs.
+    */
+  def labelCentroids(
+      df: DataFrame,
+      labelCol: String,
+      embCol: String): DataFrame = {
+    val scale = 1073741824.0 // 2^30
+    val vd = col("__lc_v").cast("double")
+    df.select(col(labelCol).as("label"),
+        posexplode(col(embCol)).as(Seq("dim", "__lc_v")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        floor(vd * scale).cast("long").as("__lc_s1"),
+        floor(vd * vd * scale).cast("long").as("__lc_s2"))
+      .groupBy("label", "dim")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum("__lc_s1").as("__s1"),
+        sum("__lc_s2").as("__s2"))
+      .select(
+        col("label"), col("dim"), col("n_vecs"),
+        (col("__s1").cast("double") / (col("n_vecs").cast("double") * scale))
+          .as("centroid"),
+        (col("__s2").cast("double") / (col("n_vecs").cast("double") * scale) -
+          (col("__s1").cast("double") / (col("n_vecs").cast("double") * scale)) *
+            (col("__s1").cast("double") / (col("n_vecs").cast("double") * scale)))
+          .as("variance"))
+  }
+
   def cosineDupPairs(
       df: DataFrame,
       idCol: String,

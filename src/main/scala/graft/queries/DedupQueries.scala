@@ -512,6 +512,46 @@ object DedupQueries {
       (spark, dir) =>
         graft.operators.SpanDedup.removeDupSpans(
           Tables.documents(spark, dir), "doc_id", "text", SpanWindow)
+    ),
+    Q(
+      "q119_snapshot_diff",
+      "Corpus snapshot diff by content hash: every key across two crawl " +
+        "snapshots classified added / removed / changed / unchanged — " +
+        "the data-versioning audit that scopes incremental re-processing " +
+        "to the delta. The second snapshot derives deterministically " +
+        "from the first (doc_id % 17 removed, % 13 text-mutated, % 11 " +
+        "re-keyed as additions) so both engines diff identical inputs. " +
+        "md5 computes AT THE SCAN on each side: the full-outer join " +
+        "moves (key, hash) rows, bodies never shuffle.",
+      Some("""
+        |WITH a AS (
+        |  SELECT doc_id AS key, md5(text) AS h FROM documents
+        |), b AS (
+        |  SELECT doc_id AS key,
+        |         md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS key, md5(text) AS h
+        |  FROM documents WHERE doc_id % 11 = 0
+        |)
+        |SELECT coalesce(a.key, b.key) AS key,
+        |       CASE WHEN a.key IS NULL THEN 'added'
+        |            WHEN b.key IS NULL THEN 'removed'
+        |            WHEN a.h <> b.h THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM a FULL OUTER JOIN b ON a.key = b.key
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val newSnap = docs
+          .filter(col("doc_id") % 17 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        graft.operators.SnapshotDiff.diff(docs, newSnap, "doc_id", "text")
+      }
     )
   )
 

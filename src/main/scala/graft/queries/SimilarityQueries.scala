@@ -289,6 +289,43 @@ object SimilarityQueries {
           "vec_id", "embedding", threshold = 0.35,
           tables = DupTables, bitsPerTable = DupBits, dim = Dim)
       }
+    ),
+    Q(
+      "q117_label_centroids",
+      "Per-label embedding centroid + per-dimension variance: class " +
+        "prototypes and intra-class spread, the label-quality / " +
+        "centroid-drift audit. Accumulation is an exact BIGINT sum of " +
+        "floor(v * 2^30) per (label, dim) cell — float->double widening " +
+        "and the 2^30 exponent shift are exact, floor is the same " +
+        "integer in every engine (DuckDB's double->BIGINT cast ROUNDS " +
+        "where Spark's truncates, hence the explicit floor), so the " +
+        "only floating ops are the final fixed-shape divisions. One " +
+        "narrow posexplode, ONE map-side-combined shuffle onto the " +
+        "labels x dims key space — output size independent of corpus " +
+        "size.",
+      Some("""
+        |WITH x AS (
+        |  SELECT label,
+        |         generate_subscripts(embedding, 1) - 1 AS dim,
+        |         unnest(embedding) AS v
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT label, CAST(dim AS BIGINT) AS dim,
+        |         CAST(count(*) AS BIGINT) AS n_vecs,
+        |         CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1073741824.0) AS BIGINT)) AS BIGINT) AS s1,
+        |         CAST(sum(CAST(floor(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1073741824.0) AS BIGINT)) AS BIGINT) AS s2
+        |  FROM x GROUP BY 1, 2
+        |)
+        |SELECT label, dim, n_vecs,
+        |       CAST(s1 AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1073741824.0) AS centroid,
+        |       CAST(s2 AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1073741824.0)
+        |         - (CAST(s1 AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1073741824.0))
+        |           * (CAST(s1 AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1073741824.0)) AS variance
+        |FROM s
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        graft.operators.Similarity.labelCentroids(
+          Tables.embeddings(spark, dir), "label", "embedding")
     )
   )
 }

@@ -1065,6 +1065,46 @@ object TextQueries {
           .filter(col("toks") >= col("p10_floor"))
           .select("source", "doc_id", "toks", "p10_floor")
       }
+    ),
+    Q(
+      "q118_source_drift",
+      "Per-source unigram-distribution drift: total-variation distance " +
+        "between each source's token distribution and the corpus — the " +
+        "mixture-design diagnostic for sources changing character. The " +
+        "|p-q| sum is multiplied through by N_s*N so everything up to " +
+        "the final division is exact BIGINT (absent-token tail handled " +
+        "by algebra, never a vocab x sources cross space); one shuffle " +
+        "builds (source, token) counts, global counts reduce FROM that " +
+        "table, the rollup is source-keyed.",
+      Some("""
+        |WITH tok AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents
+        |), st AS (
+        |  SELECT source, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+        |), gt AS (
+        |  SELECT t, CAST(sum(c) AS BIGINT) AS ct FROM st GROUP BY 1
+        |), tot AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM st GROUP BY 1
+        |), nn AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n FROM st
+        |), g AS (
+        |  SELECT st.source,
+        |         max(tot.ns) AS n_tokens_src,
+        |         CAST(sum(abs(st.c * nn.n - gt.ct * tot.ns)) AS BIGINT) AS present,
+        |         CAST(sum(gt.ct) AS BIGINT) AS ct_present,
+        |         max(nn.n) AS n
+        |  FROM st JOIN gt USING (t) JOIN tot USING (source), nn
+        |  GROUP BY 1
+        |)
+        |SELECT source, n_tokens_src,
+        |       CAST(present + (n - ct_present) * n_tokens_src AS DOUBLE)
+        |         / (2.0 * CAST(n_tokens_src AS DOUBLE) * CAST(n AS DOUBLE)) AS tv_distance
+        |FROM g
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        graft.operators.CorpusStats.sourceDrift(
+          Tables.documents(spark, dir), "source", "text")
     )
   )
 }
