@@ -1105,6 +1105,79 @@ object TextQueries {
       (spark, dir) =>
         graft.operators.CorpusStats.sourceDrift(
           Tables.documents(spark, dir), "source", "text")
+    ),
+    Q(
+      "q120_rank_blend",
+      "Rank-blended ensemble quality: three integer signals (quality " +
+        "band x4, token count, distinct words) rank-normalized corpus-" +
+        "wide and summed — the scale-free signal combiner (rank " +
+        "normalization is immune to signal units/outliers, the reason " +
+        "ensembles blend ranks, not raw scores). The three rankings run " +
+        "as ONE ShardedPrefix.globalRank pass over the STACKED (signal, " +
+        "doc) stream — the signal is the rank group, so no corpus-sized " +
+        "group ever serializes through one window task and one wide " +
+        "exchange serves all three orderings; the (value, doc_id) total " +
+        "order is encoded as value*2^32 + doc_id, exact in BIGINT.",
+      Some(s"""
+        |WITH feats AS (
+        |  SELECT doc_id,
+        |         CAST(LENGTH(text) AS DOUBLE) AS chars,
+        |         CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS toks,
+        |         len(regexp_extract_all(text, '[.!?,;:]')) AS punct,
+        |         len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a)\\b')) AS stops,
+        |         CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS dwords
+        |  FROM documents
+        |), v AS (
+        |  SELECT doc_id,
+        |         CAST(($qualitySql) * 4 AS BIGINT) AS quality4,
+        |         CAST(toks AS BIGINT) AS ws_tokens, dwords
+        |  FROM feats
+        |), st AS (
+        |  SELECT doc_id, 'quality' AS signal, quality4 AS value FROM v
+        |  UNION ALL
+        |  SELECT doc_id, 'tokens' AS signal, ws_tokens AS value FROM v
+        |  UNION ALL
+        |  SELECT doc_id, 'dwords' AS signal, dwords AS value FROM v
+        |), r AS (
+        |  SELECT doc_id, signal,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY signal
+        |           ORDER BY value * 4294967296 + doc_id) AS BIGINT) AS rnk
+        |  FROM st
+        |)
+        |SELECT doc_id,
+        |       max(CASE WHEN signal = 'quality' THEN rnk END) AS r_quality,
+        |       max(CASE WHEN signal = 'tokens' THEN rnk END) AS r_tokens,
+        |       max(CASE WHEN signal = 'dwords' THEN rnk END) AS r_dwords,
+        |       CAST(sum(rnk) AS BIGINT) AS rank_sum
+        |FROM r
+        |GROUP BY 1
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.operators.ShardedPrefix
+        val v = Tables.documents(spark, dir).select(
+          col("doc_id"),
+          (TextAnalysis.qualityScore(col("text")) * 4).cast("long").as("quality4"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"),
+          size(array_distinct(TextAnalysis.wsTokens(col("text")))).cast("long")
+            .as("dwords"))
+        val stacked = v.select(col("doc_id"),
+            explode(array(
+              struct(lit("quality").as("signal"), col("quality4").as("value")),
+              struct(lit("tokens").as("signal"), col("ws_tokens").as("value")),
+              struct(lit("dwords").as("signal"), col("dwords").as("value"))))
+              .as("s"))
+          .select(col("doc_id"), col("s.signal").as("signal"),
+            col("s.value").as("value"))
+          .withColumn("okey", col("value") * lit(4294967296L) + col("doc_id"))
+        ShardedPrefix.globalRank(stacked, "signal", "okey", "rnk")
+          .groupBy("doc_id")
+          .agg(
+            max(when(col("signal") === "quality", col("rnk"))).as("r_quality"),
+            max(when(col("signal") === "tokens", col("rnk"))).as("r_tokens"),
+            max(when(col("signal") === "dwords", col("rnk"))).as("r_dwords"),
+            sum(col("rnk")).as("rank_sum"))
+      }
     )
   )
 }
