@@ -41,6 +41,15 @@ object Bm25 {
 
   val Scale = 1000000L
 
+  /** Largest n_docs * t_tokens * max_dl for which every intermediate of
+    * the integer score fits a Long: the contrib numerator is bounded by
+    * idf_s * 22 * tf * t_tokens < (n_docs * Scale) * 22 * max_dl *
+    * t_tokens (df >= 1 makes idf_s < n_docs * Scale; tf <= dl <= max_dl),
+    * so the product bound is Long.MaxValue / (22 * Scale). The
+    * denominator's 10*tf*t_tokens term is bounded by the same product.
+    */
+  val MaxStatProduct: Long = Long.MaxValue / (22L * Scale)
+
   /** Top-k docs per query: (query, doc_id, score, rank), score the exact
     * integer-scaled BM25 sum over the query's distinct terms, rank the
     * 1-based position by (score desc, doc_id asc). Docs sharing no term
@@ -54,6 +63,11 @@ object Bm25 {
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(queries.nonEmpty, "need at least one query")
+    // A blank query would tokenize to Array("") and match the [""] token
+    // that wsTokens yields for blank documents — reject it instead of
+    // silently scoring empty-text docs against an empty term.
+    require(queries.forall(_.trim.nonEmpty),
+      s"queries must contain at least one term: ${queries.filter(_.trim.isEmpty)}")
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -66,10 +80,30 @@ object Bm25 {
       TextAnalysis.wsTokens(col(textCol)).as("__toks"))
       .withColumn("dl", size(col("__toks")).cast("long"))
     // Corpus stats as a broadcast 1-row frame: avgdl enters the score as
-    // the exact rational T/N, never a rounded double.
+    // the exact rational T/N, never a rounded double. t_tokens is wrapped
+    // in a fail-fast overflow guard (the HdrSketch fail-fast convention):
+    // past MaxStatProduct the Long score would wrap SILENTLY under
+    // non-ANSI arithmetic and mis-rank, so the stats row raises instead.
+    // The bound product is compared in decimal(38,0), which turns its own
+    // overflow into null — and a null guard condition takes the
+    // raise_error branch, so the check cannot itself wrap.
     val stats = d.agg(
-      count(lit(1)).as("n_docs"),
-      sum("dl").as("t_tokens"))
+        count(lit(1)).as("n_docs"),
+        sum("dl").as("t_tokens"),
+        max("dl").as("max_dl"))
+      .select(
+        col("n_docs"),
+        when(
+          col("n_docs").cast("decimal(38,0)") * col("t_tokens") * col("max_dl")
+            <= lit(MaxStatProduct),
+          col("t_tokens"))
+          .otherwise(raise_error(concat(
+            lit("Bm25.topK: n_docs*t_tokens*max_dl = "),
+            (col("n_docs").cast("decimal(38,0)") * col("t_tokens") * col("max_dl"))
+              .cast("string"),
+            lit(s" exceeds the exact-Long scoring bound $MaxStatProduct; " +
+              "drop Scale or move to double scoring"))))
+          .as("t_tokens"))
     // Vocabulary filter BEFORE the shuffle: only query-term tokens leave
     // the scan, so the tf aggregate is query-sized, not corpus-sized.
     val tf = d.select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))

@@ -9,6 +9,12 @@ import org.apache.spark.sql.functions._
   */
 object CorpusStats {
 
+  /** Largest corpus token count for which [[sourceDrift]]'s integer TV
+    * sum is exact in Long: c <= ns <= n bounds every product by n^2 and
+    * the per-source total by 2*n^2, so n <= 2e9 keeps 2*n^2 < 2^63.
+    */
+  val MaxDriftTokens: Long = 2000000000L
+
   /** Adjacent-token pair counts, the BPE/WordPiece merge-selection inner
     * loop: every consecutive whitespace-token pair, counted corpus-wide,
     * top `k` by count with a deterministic lexicographic tiebreak.
@@ -87,9 +93,10 @@ object CorpusStats {
     * full vocab x sources cross space. One shuffle builds the (source,
     * token) counts; global token counts reduce FROM that table (second
     * tiny shuffle on the token); the rollup is source-keyed. Long
-    * arithmetic is safe while N_s * N < 2^63; a 100 TB corpus runs the
-    * same plan with the sum in DOUBLE after the exact-verification
-    * stage.
+    * arithmetic is exact while n <= [[MaxDriftTokens]] — enforced with a
+    * raise_error guard on the broadcast total, not assumed — and a
+    * 100 TB corpus runs the same plan with the sum in DOUBLE after the
+    * exact-verification stage.
     */
   def sourceDrift(
       docs: DataFrame,
@@ -101,7 +108,19 @@ object CorpusStats {
     val st = tok.groupBy("source", "t").agg(count(lit(1)).as("c"))
     val gt = st.groupBy("t").agg(sum("c").as("ct"))
     val totals = st.groupBy("source").agg(sum("c").as("ns"))
+    // Fail-fast overflow guard (the Bm25/HdrSketch convention): every
+    // product in the integer TV sum is bounded by n^2 and the summed
+    // total by 2*n^2, so exactness holds while n <= 2e9. Past that the
+    // Long math would wrap silently under non-ANSI arithmetic — raise on
+    // the broadcast 1-row frame instead.
     val n = st.agg(sum("c").as("n"))
+      .select(
+        when(col("n") <= lit(MaxDriftTokens), col("n"))
+          .otherwise(raise_error(concat(
+            lit("CorpusStats.sourceDrift: corpus token count "),
+            col("n").cast("string"),
+            lit(s" exceeds the exact-Long TV-distance bound $MaxDriftTokens"))))
+          .as("n"))
     st.join(gt, Seq("t"))
       .join(totals, Seq("source"))
       .crossJoin(broadcast(n))

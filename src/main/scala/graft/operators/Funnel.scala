@@ -39,7 +39,10 @@ object Funnel {
     require(steps.nonEmpty, "need at least one funnel step")
     require(steps.distinct.size == steps.size, s"steps must be distinct: $steps")
     require(horizonUs > 0, s"horizonUs must be > 0: $horizonUs")
-    val w = Window.partitionBy(userCol)
+    // Partition by the POST-rename column: `base` below aliases userCol to
+    // user_id, so a spec built on the caller's name would fail to resolve
+    // for any userCol other than the literal "user_id".
+    val w = Window.partitionBy(col("user_id"))
     val base = events.select(
       col(userCol).as("user_id"),
       col(typeCol).as("__ft"),

@@ -520,7 +520,9 @@ object DedupQueries {
         "the data-versioning audit that scopes incremental re-processing " +
         "to the delta. The second snapshot derives deterministically " +
         "from the first (doc_id % 17 removed, % 13 text-mutated, % 11 " +
-        "re-keyed as additions) so both engines diff identical inputs. " +
+        "re-keyed as additions under NEGATED keys — outside the id " +
+        "domain at any corpus size) so both engines diff identical " +
+        "inputs. " +
         "md5 computes AT THE SCAN on each side: the full-outer join " +
         "moves (key, hash) rows, bodies never shuffle.",
       Some("""
@@ -531,7 +533,7 @@ object DedupQueries {
         |         md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS h
         |  FROM documents WHERE doc_id % 17 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000 AS key, md5(text) AS h
+        |  SELECT -doc_id - 1 AS key, md5(text) AS h
         |  FROM documents WHERE doc_id % 11 = 0
         |)
         |SELECT coalesce(a.key, b.key) AS key,
@@ -549,7 +551,7 @@ object DedupQueries {
             when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
               .otherwise(col("text")).as("text"))
           .unionByName(docs.filter(col("doc_id") % 11 === 0)
-            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+            .select((-col("doc_id") - 1L).as("doc_id"), col("text")))
         graft.operators.SnapshotDiff.diff(docs, newSnap, "doc_id", "text")
       }
     )

@@ -90,6 +90,26 @@ class Bm25Spec extends AnyFunSuite {
     assert(got == model(c, qs, 7).sortBy(r => (r._1, r._4)))
   }
 
+  test("blank queries are rejected instead of matching blank documents") {
+    val ex = intercept[IllegalArgumentException] {
+      Bm25.topK(corpus.toDF("doc_id", "text"), "doc_id", "text",
+        Seq("hash join", "   "), 3)
+    }
+    assert(ex.getMessage.contains("at least one term"), ex.getMessage)
+  }
+
+  test("past the exact-Long bound the stats row fails fast instead of wrapping") {
+    // 5 docs x 200k tokens: n*T*max_dl = 5 * 1e6 * 2e5 = 1e12 > MaxStatProduct.
+    val body = Array.fill(100000)("a b").mkString(" ")
+    val c = (1L to 5L).map(i => (i, body))
+    val ex = intercept[Exception] {
+      Bm25.topK(c.toDF("doc_id", "text"), "doc_id", "text", Seq("a"), 1).collect()
+    }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("exact-Long scoring bound"), s"unexpected: $ex")
+  }
+
   test("plan: term-side joins broadcast, top-k is WindowGroupLimit, stats is the only nested loop") {
     val plan = Bm25.topK(corpus.toDF("doc_id", "text"), "doc_id", "text", queries, 3)
       .queryExecution.explainString(FormattedMode)

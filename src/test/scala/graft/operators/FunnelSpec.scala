@@ -77,6 +77,17 @@ class FunnelSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("userDepth resolves caller column names other than the renamed defaults") {
+    val renamed = events.toDF("uid", "etype", "micros")
+    val got = Funnel.userDepth(renamed, "uid", "etype", "micros", Steps, H)
+      .as[(Long, Option[Long], Option[Long], Option[Long], Long)]
+      .collect().sortBy(_._1).toSeq
+    val want = Funnel.userDepth(events, "user_id", "event_type", "us", Steps, H)
+      .as[(Long, Option[Long], Option[Long], Option[Long], Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == want)
+  }
+
   test("plan: the three step windows and the per-user collapse cost ONE exchange") {
     val p = Funnel.userDepth(events, "user_id", "event_type", "us", Steps, H)
       .queryExecution.explainString(FormattedMode)
