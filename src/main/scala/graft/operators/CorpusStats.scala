@@ -78,6 +78,84 @@ object CorpusStats {
         (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
   }
 
+  /** Sketch-based pairwise source resemblance: the KMV Jaccard estimate
+    * between every source pair, computed ENTIRELY from per-source
+    * k-minimum-values sketches ([[graft.functions.KMinSketch]]) — the
+    * at-scale face of q106's exact overlap matrix. Document bodies never
+    * pair up: the corpus contributes one <= k-long sketch per source
+    * (map-side-combined), and everything pairwise happens on the
+    * sources-sized sketch table. The estimator is the classic KMV
+    * resemblance (Bar-Yossef et al.): take the k smallest of the merged
+    * sketches — exactly kmin_k(A union B), since each side's sketch
+    * contains every union-member below its own kth min — and count how
+    * many live in BOTH input sketches; J ~ n_both / |merged|. All
+    * integer counts; the single division is small-int-exact.
+    *
+    * The pair former is a bounded nested-loop join BY DESIGN: the sketch
+    * table has one row per source, so pairs = sources^2 / 2 stays tiny
+    * at any corpus size (the corpus-size-dependent work is all in the
+    * sketch aggregate).
+    */
+  def kmvSourceResemblance(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val sk = docs
+      .select(col(sourceCol).as("source"),
+        TextAnalysis.portableHash32(col(textCol)).as("__h"))
+      .groupBy("source")
+      .agg(graft.functions.KMinSketch.kmin(col("__h"), k).as("kmin"))
+    val a = sk.select(col("source").as("source_a"), col("kmin").as("__ka"))
+    val b = sk.select(col("source").as("source_b"), col("kmin").as("__kb"))
+    a.join(b, col("source_a") < col("source_b"))
+      .withColumn("__ku",
+        expr(s"slice(array_sort(array_distinct(concat(__ka, __kb))), 1, $k)"))
+      .withColumn("n_union", size(col("__ku")).cast("long"))
+      .withColumn("n_both", expr(
+        "CAST(size(filter(__ku, x -> array_contains(__ka, x) AND array_contains(__kb, x))) AS BIGINT)"))
+      .select(
+        col("source_a"), col("source_b"), col("n_union"), col("n_both"),
+        (col("n_both").cast("double") / col("n_union").cast("double"))
+          .as("jaccard_est"))
+  }
+
+  /** Vocabulary coverage / out-of-vocabulary rate: per document, the
+    * fraction of token INSTANCES outside the corpus's top-`vocabSize`
+    * tokens — the audit run before committing a tokenizer vocabulary
+    * (high OOV mass = the vocab under-fits the corpus mix).
+    *
+    * Shape: one map-side-combined token count, a TakeOrderedAndProject
+    * top-V (deterministic tiebreak: count DESC, token ASC — V rows on
+    * the driver, never a global sort), broadcast back over the token
+    * stream, and ONE doc-keyed shuffle for the per-doc rollup. The
+    * vocabulary is corpus-derived but bounded by V, so the broadcast is
+    * fixed-size at any corpus scale.
+    */
+  def oovRate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    val tok = docs.select(col(idCol),
+      explode(TextAnalysis.wsTokens(col(textCol))).as("__t"))
+    val vocab = tok.groupBy("__t").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__t"))
+      .limit(vocabSize)
+      .select(col("__t"), lit(true).as("__in_vocab"))
+    tok.join(broadcast(vocab), Seq("__t"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab"), 0L).otherwise(1L)).as("n_oov"))
+      .select(
+        col(idCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_ratio"))
+  }
+
   /** Per-source unigram-distribution drift: the total-variation distance
     * between each source's token distribution and the whole corpus —
     * tv = 0.5 * sum_t |c_{s,t}/N_s - C_t/N| — the mixture-design

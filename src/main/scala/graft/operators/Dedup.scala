@@ -111,25 +111,7 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 2,
       carry: Seq[String] = Nil): DataFrame = {
-    require(numHashes % bands == 0,
-      s"bands ($bands) must divide numHashes ($numHashes) evenly — " +
-        "a remainder would silently drop signature rows and change recall")
-    val rowsPerBand = numHashes / bands
-    val bandStructs = (0 until bands).map { b =>
-      val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      // The band key is the RAW signature slice (a struct of longs), not a
-      // digest of it: exact equality with zero collision risk, no per-row
-      // md5 + string materialization, and the shuffle rows are the same
-      // order of size. (The oracle SQL still digests — it only compares
-      // the OUTPUT pairs, which are representation-independent.)
-      struct(
-        lit(b).as("band"),
-        struct(rows.zipWithIndex.map { case (c, i) => c.as(s"k$i") }: _*).as("key"))
-    }
-    val exploded = signatures
-      .select(col(idCol) +: carry.map(col) :+ explode(array(bandStructs: _*)).as("bk"): _*)
-      .select(col(idCol) +: carry.map(col) :+
-        col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
+    val exploded = bandKeys(signatures, idCol, numHashes, bands, carry)
     val a = exploded.as("a")
     val b = exploded.as("b")
     // carried columns are constant per doc, so adding them to the group
@@ -143,6 +125,85 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(groupCols: _*)
       .agg(count(lit(1)).as("shared_bands"))
+  }
+
+  /** The LSH band-key explode shared by the pair former and the
+    * cross-corpus screens: each signature row emits `bands` rows of
+    * (idCol, carry..., band, key), key the RAW signature slice as a
+    * struct of longs (exact equality, no digest materialization — the
+    * [[lshCandidatePairs]] rationale).
+    */
+  def bandKeys(
+      signatures: DataFrame,
+      idCol: String,
+      numHashes: Int = 16,
+      bands: Int = 2,
+      carry: Seq[String] = Nil): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) evenly — " +
+        "a remainder would silently drop signature rows and change recall")
+    val rowsPerBand = numHashes / bands
+    val bandStructs = (0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(
+        lit(b).as("band"),
+        struct(rows.zipWithIndex.map { case (c, i) => c.as(s"k$i") }: _*).as("key"))
+    }
+    signatures
+      .select(col(idCol) +: carry.map(col) :+ explode(array(bandStructs: _*)).as("bk"): _*)
+      .select(col(idCol) +: carry.map(col) :+
+        col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
+  }
+
+  /** Incremental corpus update: classify each INCOMING document against
+    * an EXISTING corpus as `exact_dup` (content hash already present),
+    * `near_dup` (shares a MinHash LSH band bucket with an existing
+    * document — the q32 banding as a cross-corpus screen), or `new`.
+    * This is the ingest-time gate of a continuously-crawled corpus: only
+    * `new` survivors pay downstream processing, and the existing corpus
+    * is never re-deduplicated.
+    *
+    * Scale shape: the exact screen shuffles 32-byte hashes (bodies never
+    * move — the q30 discipline) into a left-semi join; the near screen
+    * is two signature passes plus a (band, key)-keyed semi join of the
+    * incoming band rows against the existing ones — the same
+    * bucket-equi-join shape as the self-join pair former, with the
+    * incoming side typically a small fraction of the corpus. Both
+    * screens are semi joins: no pair stream materializes, each incoming
+    * id appears once however many collisions it has. In steady state
+    * the existing side's signatures/hashes would be a persisted index
+    * (the q79 build-once discipline), not recomputed per batch.
+    */
+  def incrementalClassify(
+      existing: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      bands: Int = 2): DataFrame = {
+    val exHash = existing.select(sha2(col(textCol), 256).as("__h"))
+    val exactIds = incoming
+      .select(col(idCol), sha2(col(textCol), 256).as("__h"))
+      .join(exHash, Seq("__h"), "left_semi")
+      .select(col(idCol), lit(true).as("__exact"))
+    val inBands = bandKeys(
+      minhashSignatures(incoming, textCol, idCol, numHashes),
+      idCol, numHashes, bands)
+    val exBands = bandKeys(
+      minhashSignatures(existing, textCol, idCol, numHashes),
+      idCol, numHashes, bands)
+    val nearIds = inBands
+      .join(exBands.select("band", "key"), Seq("band", "key"), "left_semi")
+      .select(col(idCol)).distinct
+      .withColumn("__near", lit(true))
+    incoming.select(col(idCol))
+      .join(exactIds, Seq(idCol), "left")
+      .join(nearIds, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        when(col("__exact"), lit("exact_dup"))
+          .when(col("__near"), lit("near_dup"))
+          .otherwise(lit("new")).as("status"))
   }
 
   /** 16-bit SimHash over the (multiset of) words: per bit j, sign of the

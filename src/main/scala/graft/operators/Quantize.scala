@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding quantization: float vectors to int8 codes with a per-vector
+  * scale — the storage/serving compression every large embedding corpus
+  * applies before ANN serving (4x smaller than float32, SIMD-friendly
+  * dot products at serve time).
+  *
+  * DETERMINISM (the q117 floor-shift device, applied end-to-end): each
+  * float widens to double exactly, the 2^30 multiply is an exponent
+  * shift (exact), and floor() of that product is the same BIGINT in
+  * every engine — so the whole quantization pipeline after that first
+  * floor is INTEGER arithmetic: scale = max |iv|, code = (|iv| * 127)
+  * div scale with the sign split out (so the truncating division only
+  * ever sees non-negative operands — engines disagree on negative
+  * integer division, not on this), and the reconstruction error is an
+  * exact BIGINT residue. No doubles survive into the output.
+  *
+  * Scale shape: a pure narrow map — zero shuffle, zero joins; the
+  * operator runs at whatever rate the scan runs. The per-element work
+  * uses array higher-order functions, which Spark evaluates interpreted
+  * (CodegenFallback): acceptable here because the array IS the output
+  * (the PLANS.md HOF rule); if profiling ever shows this pass CPU-bound
+  * at corpus scale, the swap is a codegen'd Expression in the
+  * [[graft.functions.DotProductFF]] mold, not a shuffle.
+  */
+object Quantize {
+
+  /** 2^30: the largest power of two that keeps |v| <= 8 embeddings inside
+    * BIGINT after the *127 step with headroom (|iv| <= 2^33, *127 < 2^40).
+    */
+  val Shift = 1073741824L
+
+  private def codeCase(x: String): String =
+    s"CASE WHEN scale = 0 THEN CAST(0 AS BIGINT) " +
+      s"WHEN $x >= 0 THEN ($x * 127) div scale " +
+      s"ELSE -((-$x * 127) div scale) END"
+
+  /** Per-vector symmetric int8 quantization of `embCol`
+    * (`ArrayType(FloatType)`): output (idCol, scale, qvec, max_abs_err)
+    * where `scale` = max |floor(v * 2^30)| (BIGINT; 0 for empty or
+    * all-zero vectors), `qvec` the codes in [-127, 127] (BIGINT elements
+    * — the value range is int8, the storage cast is the writer's
+    * choice), and `max_abs_err` = max |iv*127 - q*scale| — the exact
+    * integer reconstruction residue, < scale by the division identity,
+    * i.e. a per-element float error below scale / (127 * 2^30).
+    */
+  def int8(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.select(
+        col(idCol),
+        expr(s"transform($embCol, v -> CAST(floor(CAST(v AS DOUBLE) * $Shift.0D) AS BIGINT))")
+          .as("__iv"))
+      .withColumn("scale",
+        coalesce(array_max(expr("transform(__iv, x -> abs(x))")), lit(0L)))
+      .withColumn("qvec", expr(s"transform(__iv, x -> ${codeCase("x")})"))
+      .withColumn("max_abs_err",
+        coalesce(
+          array_max(expr(
+            s"transform(__iv, x -> abs(x * 127 - (${codeCase("x")}) * scale))")),
+          lit(0L)))
+      .drop("__iv")
+}

@@ -227,6 +227,120 @@ object Sampling {
       .drop("__mi_stratum", "__mi_ord", "__mi_rank")
   }
 
+  /** Mixture-epoch planning: given integer mixture weights and a total
+    * token budget, how many PASSES (epochs) over each source the
+    * training stream needs — the repeat-factor arithmetic behind
+    * weighted pre-training mixtures, where a small high-quality source
+    * is deliberately oversampled (epochs > 1) to hit its target share.
+    *
+    * target_s = budget * w_s div W (W = sum of weights over sources
+    * PRESENT in the data, so unlisted sources default correctly);
+    * epochs_s = ceil(target_s / tokens_s) capped at `maxEpochs` (the
+    * repeat-degradation knob — past a few epochs, repeated data stops
+    * helping). All arithmetic is integer; `budget * w_s` must fit a
+    * Long (budget < 2^63 / max weight — a constraint on CONFIG, not
+    * data). One map-side-combined source aggregate plus a broadcast
+    * 1-row weight total: output is sources-sized at any corpus size.
+    *
+    * Output: (source, n_docs, tokens_src, max_id, weight, target_tokens,
+    * epochs, planned_tokens) — planned = min(target, epochs * tokens_s),
+    * what the cut stream will actually carry. `max_id` rides along for
+    * [[mixtureEpochMaterialize]]'s epoch-major order key.
+    */
+  def mixtureEpochPlan(
+      docs: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      tokens: Column,
+      weights: Map[String, Long],
+      budget: Long,
+      defaultWeight: Long = 1L,
+      maxEpochs: Long = 100L): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(maxEpochs > 0, s"maxEpochs must be positive: $maxEpochs")
+    require((defaultWeight +: weights.values.toSeq).forall(_ >= 0),
+      s"weights must be non-negative: $weights default=$defaultWeight")
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (s, wt)) => when(col("source") === s, lit(wt)).otherwise(acc)
+    }
+    val per = docs
+      .select(col(sourceCol).as("source"), col(idCol).cast("long").as("__id"),
+        tokens.cast("long").as("__t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("__t").as("tokens_src"),
+        max("__id").as("max_id"))
+      .withColumn("weight", w)
+    // Weight total over sources PRESENT in the data — a data-dependent
+    // scalar, so it rides a broadcast 1-row frame, never a driver collect.
+    // All-zero weights would divide by zero: fail fast on the same frame.
+    val tot = per.agg(sum("weight").as("__w_total"))
+      .select(
+        when(col("__w_total") > 0, col("__w_total"))
+          .otherwise(raise_error(lit(
+            "mixtureEpochPlan: all per-source weights are zero")))
+          .as("__w_total"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("target_tokens", expr(s"${budget}L * weight div __w_total"))
+      .withColumn("epochs",
+        least(lit(maxEpochs),
+          when(col("target_tokens") > 0 && col("tokens_src") > 0,
+            expr("(target_tokens + tokens_src - 1) div tokens_src"))
+            .otherwise(lit(0L))))
+      .withColumn("planned_tokens",
+        least(col("target_tokens"), col("epochs") * col("tokens_src")))
+      .select("source", "n_docs", "tokens_src", "max_id", "weight",
+        "target_tokens", "epochs", "planned_tokens")
+  }
+
+  /** Materialize the [[mixtureEpochPlan]]: repeat each source `epochs_s`
+    * times in epoch-major order (epoch 1 of a source streams completely
+    * before epoch 2) and cut each source's stream exactly at its token
+    * target. The repeat is a narrow `sequence` explode against the
+    * broadcast plan — the corpus is scanned once, never self-joined —
+    * and the per-source running total is the two-phase
+    * [[ShardedPrefix.exclusivePrefixSum]], so no source ever serializes
+    * through a single window task. Output: input id/source/tokens plus
+    * (epoch, cum_tokens), cum_tokens the running total INCLUDING the
+    * row, <= target by the cut.
+    *
+    * Contract: ids non-negative (enforced — the epoch-major order key is
+    * epoch * (max_id + 1) + id, which a negative id would alias across
+    * epochs) and unique per source (the ShardedPrefix determinism
+    * contract).
+    */
+  def mixtureEpochMaterialize(
+      docs: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      tokens: Column,
+      weights: Map[String, Long],
+      budget: Long,
+      defaultWeight: Long = 1L,
+      maxEpochs: Long = 100L,
+      shards: Int = 32): DataFrame = {
+    val plan = mixtureEpochPlan(docs, sourceCol, idCol, tokens, weights,
+      budget, defaultWeight, maxEpochs)
+    val joined = docs
+      .select(col(sourceCol).as("source"), col(idCol).cast("long").as("__id"),
+        tokens.cast("long").as("tokens"))
+      .join(broadcast(plan.select("source", "epochs", "target_tokens", "max_id")),
+        Seq("source"))
+      .filter(col("epochs") > 0)
+      .withColumn("epoch", explode(expr("sequence(1L, epochs)")))
+      .withColumn("__ord",
+        when(col("__id") >= 0,
+          (col("epoch") - 1L) * (col("max_id") + 1L) + col("__id"))
+          .otherwise(raise_error(lit(
+            "mixtureEpochMaterialize: ids must be non-negative " +
+              "(a negative id would alias order keys across epochs)"))))
+    ShardedPrefix.exclusivePrefixSum(
+        joined, "source", "__ord", col("tokens"), "__before", shards)
+      .filter(col("__before") + col("tokens") <= col("target_tokens"))
+      .withColumn("cum_tokens", col("__before") + col("tokens"))
+      .select(col("source"), col("__id").as(idCol), col("epoch"),
+        col("tokens"), col("cum_tokens"))
+  }
+
   /** Stratified deterministic sample: per-stratum keep-percentages, strata
     * not listed keep `defaultPercent`. The rate lookup compiles to a
     * literal CASE chain — no join, no shuffle; rates stay exact however

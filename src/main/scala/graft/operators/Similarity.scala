@@ -124,6 +124,32 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Recall@k evaluation of an approximate ANN result against the exact
+    * one: per query, the fraction of the true top-k the approximate
+    * method returned — THE quality number an ANN index is tuned by
+    * (recall-per-nprobe / recall-per-band curves come from sweeping the
+    * index knob over this).
+    *
+    * Inputs are two (q_id, neighbor_id, ...) frames as produced by
+    * [[cosineTopK]] / [[cosineTopKLsh]] / [[cosineTopKIvf]]. Both are
+    * top-k-sized — queries x k rows, corpus-size-INDEPENDENT — so the
+    * evaluation join costs nothing next to the searches themselves.
+    * n_exact is the per-query truth size (< k when the corpus is small),
+    * so recall is well-defined at any corpus size.
+    */
+  def topKRecall(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("q_id"), col("neighbor_id"))
+      .join(
+        approx.select(col("q_id"), col("neighbor_id"), lit(1L).as("__hit")),
+        Seq("q_id", "neighbor_id"), "left")
+      .groupBy("q_id")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(
+        col("q_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double")).as("recall"))
+
   /** Deterministic coarse quantizer: the first `nlist` corpus vectors
     * stand in for trained centroids — the oracle-friendly default
     * ([[trainedCentroids]] is the production quantizer; every downstream

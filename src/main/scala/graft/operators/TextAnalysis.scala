@@ -237,6 +237,46 @@ object TextAnalysis {
         .as(Seq("chunk_idx", "chunk_text")))
   }
 
+  /** Per-document language consistency: chunk the token stream
+    * ([[chunkByTokens]]), language-ID each chunk ([[langIdHeuristic]]),
+    * and roll up how uniform the document is — (n_chunks, n_langs,
+    * majority_lang, majority_frac). A prose document whose chunks split
+    * between languages is mixed-language content (embedded code,
+    * concatenated crawls, machine-translation seams) that a DOC-level
+    * language ID silently mislabels; majority_frac is the confidence a
+    * mixture filter thresholds on.
+    *
+    * Shape: the chunk explode is narrow; one map-side-combined shuffle
+    * onto (doc, lang) — bounded by docs x languages, not chunks — and
+    * the doc-level rollup windows share one doc-keyed exchange. The
+    * majority tiebreak (count DESC, lang ASC) makes the argmax
+    * deterministic.
+    */
+  def langConsistency(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      chunkTokens: Int,
+      overlap: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perLang = chunkByTokens(df, textCol, idCol, chunkTokens, overlap)
+      .select(col(idCol), langIdHeuristic(col("chunk_text")).as("chunk_lang"))
+      .groupBy(col(idCol), col("chunk_lang"))
+      .agg(count(lit(1)).as("__c"))
+    val wDoc = Window.partitionBy(col(idCol))
+    val wRank = Window.partitionBy(col(idCol))
+      .orderBy(col("__c").desc, col("chunk_lang"))
+    perLang
+      .withColumn("n_chunks", sum("__c").over(wDoc))
+      .withColumn("n_langs", count(lit(1)).over(wDoc))
+      .withColumn("__rn", row_number().over(wRank))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("n_chunks"), col("n_langs"),
+        col("chunk_lang").as("majority_lang"),
+        (col("__c").cast("double") / col("n_chunks").cast("double"))
+          .as("majority_frac"))
+  }
+
   /** Composite quality score in [0,1]: mean-word-length sanity band,
     * punctuation density band, stopword presence — the standard cheap
     * pre-filter stack (Gopher/C4-style rules) as one codegen'd expression.

@@ -554,6 +554,98 @@ object DedupQueries {
             .select((-col("doc_id") - 1L).as("doc_id"), col("text")))
         graft.operators.SnapshotDiff.diff(docs, newSnap, "doc_id", "text")
       }
+    ),
+    Q(
+      "q123_kmv_source_jaccard",
+      "Sketch-based pairwise source resemblance: the KMV Jaccard " +
+        "estimate for every source pair, computed ENTIRELY from " +
+        "per-source 8-minimum-value sketches (the q54 aggregator) — " +
+        "q106's overlap matrix at 100 TB cost: the corpus contributes " +
+        "one <=8-long sketch per source (map-side-combined), document " +
+        "bodies never pair up, and the pair former is a bounded " +
+        "nested-loop over the sources-sized sketch table. Estimator: " +
+        "k smallest of the merged sketches = kmin_k(A union B); count " +
+        "members present in BOTH sketches; all integer until one " +
+        "small-int-exact division.",
+      Some("""
+        |WITH sk AS (
+        |  SELECT source, list_slice(list_sort(list(DISTINCT h)), 1, 8) AS kmin
+        |  FROM (SELECT source, CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS h
+        |        FROM documents)
+        |  GROUP BY source
+        |), p AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         a.kmin AS ka, b.kmin AS kb
+        |  FROM sk a, sk b WHERE a.source < b.source
+        |), m AS (
+        |  SELECT source_a, source_b, ka, kb,
+        |         list_slice(list_sort(list_distinct(list_concat(ka, kb))), 1, 8) AS ku
+        |  FROM p
+        |)
+        |SELECT source_a, source_b,
+        |       CAST(len(ku) AS BIGINT) AS n_union,
+        |       CAST(len(list_filter(ku, x -> list_contains(ka, x) AND list_contains(kb, x))) AS BIGINT) AS n_both,
+        |       CAST(len(list_filter(ku, x -> list_contains(ka, x) AND list_contains(kb, x))) AS DOUBLE)
+        |         / len(ku) AS jaccard_est
+        |FROM m
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        graft.operators.CorpusStats.kmvSourceResemblance(
+          Tables.documents(spark, dir), "source", "text", k = 8)
+    ),
+    Q(
+      "q126_incremental_update",
+      "Incremental corpus update: incoming docs (doc_id odd) classified " +
+        "against the existing corpus (doc_id even) as exact_dup " +
+        "(content hash present — the q30 hash discipline, bodies never " +
+        "shuffle), near_dup (shares a q32 MinHash LSH band bucket with " +
+        "an existing doc), or new — the ingest gate of a continuously " +
+        "crawled corpus, where only `new` survivors pay downstream " +
+        "processing. Both screens are SEMI joins: no pair stream " +
+        "materializes, each incoming id appears exactly once.",
+      Some {
+        def sigFor(rel: String, alias: String): String =
+          s"""$alias AS (
+             |  SELECT doc_id,
+             |       $duckMinhashAggs
+             |  FROM (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h
+             |        FROM (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS w
+             |              FROM $rel))
+             |  GROUP BY doc_id
+             |)""".stripMargin
+        def bandsFor(sig: String, alias: String): String = {
+          val branches = (0 until 2).map { b =>
+            val cols = (b * 8 until (b + 1) * 8).map(r => s"mh$r").mkString(", ")
+            s"SELECT doc_id, $b AS band, md5(concat_ws('_', $cols)) AS key FROM $sig"
+          }.mkString("\n  UNION ALL\n  ")
+          s"$alias AS (\n  $branches\n)"
+        }
+        s"""WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+           |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+           |exact AS (
+           |  SELECT DISTINCT i.doc_id FROM inc i JOIN ex e ON sha256(i.text) = sha256(e.text)
+           |),
+           |${sigFor("inc", "sig_i")},
+           |${sigFor("ex", "sig_e")},
+           |${bandsFor("sig_i", "bi")},
+           |${bandsFor("sig_e", "be")},
+           |near AS (
+           |  SELECT DISTINCT bi.doc_id FROM bi JOIN be ON bi.band = be.band AND bi.key = be.key
+           |)
+           |SELECT i.doc_id,
+           |       CASE WHEN x.doc_id IS NOT NULL THEN 'exact_dup'
+           |            WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+           |            ELSE 'new' END AS status
+           |FROM inc i LEFT JOIN exact x ON i.doc_id = x.doc_id
+           |           LEFT JOIN near n ON i.doc_id = n.doc_id""".stripMargin
+      },
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        Dedup.incrementalClassify(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", numHashes = NumHashes, bands = 2)
+      }
     )
   )
 

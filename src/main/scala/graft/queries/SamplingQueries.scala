@@ -40,7 +40,104 @@ object SamplingQueries {
     |WHERE cum_tokens <= 800
     |""".stripMargin.trim
 
+  // q124/q125 mixture-epoch constants — one source of truth for the Spark
+  // plans and the oracle text below.
+  private val EpochWeights = Map("src3" -> 3L, "src7" -> 2L, "src11" -> 0L)
+  private val EpochBudget = 40000L
+  private val EpochMaxEpochs = 4L
+
+  private def duckEpochWeightCase: String =
+    "CAST(CASE source " +
+      EpochWeights.toSeq.sortBy(_._1)
+        .map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString(" ") +
+      " ELSE 1 END AS BIGINT)"
+
+  /** Shared plan CTE chain for q124/q125: per-source token totals, the
+    * broadcastable weight total, integer targets and capped epochs —
+    * mirror of [[Sampling.mixtureEpochPlan]] constant for constant.
+    */
+  private def duckEpochPlanCtes: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks
+       |  FROM documents
+       |), per AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(toks) AS BIGINT) AS tokens_src,
+       |         MAX(doc_id) AS max_id,
+       |         $duckEpochWeightCase AS weight
+       |  FROM d GROUP BY source
+       |), tot AS (
+       |  SELECT CAST(SUM(weight) AS BIGINT) AS w_total FROM per
+       |), plan0 AS (
+       |  SELECT per.*, ($EpochBudget * weight) // w_total AS target_tokens
+       |  FROM per, tot
+       |), plan AS (
+       |  SELECT *, CAST(LEAST($EpochMaxEpochs,
+       |           CASE WHEN target_tokens > 0 AND tokens_src > 0
+       |                THEN (target_tokens + tokens_src - 1) // tokens_src
+       |                ELSE 0 END) AS BIGINT) AS epochs
+       |  FROM plan0
+       |)""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q(
+      "q124_mixture_epoch_plan",
+      "Mixture-epoch planning: integer mixture weights + a 40k-token " +
+        "budget -> per-source token targets and repeat factors (epochs, " +
+        "capped at 4 — the repeat-degradation knob), the arithmetic " +
+        "behind oversampling small high-quality sources in a " +
+        "pre-training mix. All integer (targets are budget*w div W with " +
+        "W summed over sources PRESENT in the data, on a broadcast " +
+        "1-row frame); output is sources-sized at any corpus scale. A " +
+        "zero weight (src11) excludes a source outright.",
+      Some(
+        s"""$duckEpochPlanCtes
+           |SELECT source, n_docs, tokens_src, max_id, weight, target_tokens,
+           |       epochs,
+           |       LEAST(target_tokens, epochs * tokens_src) AS planned_tokens
+           |FROM plan""".stripMargin),
+      (spark, dir) => {
+        import graft.operators.TextAnalysis
+        Sampling.mixtureEpochPlan(
+          Tables.documents(spark, dir), "source", "doc_id",
+          TextAnalysis.tokenCount(col("text")), EpochWeights,
+          budget = EpochBudget, maxEpochs = EpochMaxEpochs)
+      }
+    ),
+    Q(
+      "q125_mixture_epoch_stream",
+      "The materialized epoch mixture: each source repeated epoch-major " +
+        "(pass 1 streams completely before pass 2) and cut exactly at " +
+        "its token target. The repeat is a narrow sequence-explode " +
+        "against the broadcast plan — the corpus is scanned ONCE, never " +
+        "self-joined — and the per-source running cut is the two-phase " +
+        "sharded prefix sum (q90/q92 primitive), so no source " +
+        "serializes through one window task.",
+      Some(
+        s"""$duckEpochPlanCtes, ex AS (
+           |  SELECT d.source, d.doc_id, d.toks, CAST(u.e AS BIGINT) AS epoch,
+           |         p.target_tokens
+           |  FROM d, plan p, UNNEST(range(1, p.epochs + 1)) AS u(e)
+           |  WHERE d.source = p.source
+           |), c AS (
+           |  SELECT source, doc_id, epoch, toks,
+           |         CAST(SUM(toks) OVER (
+           |           PARTITION BY source ORDER BY epoch, doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+           |         target_tokens
+           |  FROM ex
+           |)
+           |SELECT source, doc_id, epoch, toks AS tokens, cum_tokens
+           |FROM c WHERE cum_tokens <= target_tokens""".stripMargin),
+      (spark, dir) => {
+        import graft.operators.TextAnalysis
+        Sampling.mixtureEpochMaterialize(
+          Tables.documents(spark, dir), "source", "doc_id",
+          TextAnalysis.tokenCount(col("text")), EpochWeights,
+          budget = EpochBudget, maxEpochs = EpochMaxEpochs)
+      }
+    ),
     Q(
       "q38_hash_split",
       "Deterministic train/val/test split: portable-hash bucket of the doc " +

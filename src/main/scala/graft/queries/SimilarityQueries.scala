@@ -291,6 +291,86 @@ object SimilarityQueries {
       }
     ),
     Q(
+      "q121_ann_recall",
+      "Recall@5 of the LSH-bucketed ANN (q41) against the brute-force " +
+        "truth (q40), per query: the index-tuning metric itself as a " +
+        "tracked query, so banding-knob regressions surface as recall " +
+        "deltas, not anecdotes. Both inputs are queries x k rows — " +
+        "corpus-size-independent — so the evaluation join is free next " +
+        "to the searches. n_exact is the per-query truth size, n_hit " +
+        "how many of those the LSH buckets surfaced.",
+      Some {
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding,
+           |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm,
+           |         ${duckBucket("embedding")} AS bucket
+           |  FROM embeddings
+           |), ex AS (
+           |  SELECT q_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+           |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |             ${duckDot.format("c.embedding", "q.embedding")} / (c.norm * q.norm) DESC, c.vec_id) AS rn
+           |    FROM e c JOIN e q ON q.vec_id < 8 AND c.vec_id != q.vec_id)
+           |  WHERE rn <= 5
+           |), ap AS (
+           |  SELECT q_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+           |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |             ${duckDot.format("c.embedding", "q.embedding")} / (c.norm * q.norm) DESC, c.vec_id) AS rn
+           |    FROM e c JOIN e q ON c.bucket = q.bucket AND q.vec_id < 8 AND c.vec_id != q.vec_id)
+           |  WHERE rn <= 5
+           |)
+           |SELECT ex.q_id,
+           |       CAST(COUNT(*) AS BIGINT) AS n_exact,
+           |       CAST(COUNT(ap.neighbor_id) AS BIGINT) AS n_hit,
+           |       CAST(COUNT(ap.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+           |FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.neighbor_id = ap.neighbor_id
+           |GROUP BY ex.q_id""".stripMargin
+      },
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        val q = e.filter(col("vec_id") < 8)
+        Similarity.topKRecall(
+          Similarity.cosineTopK(e, q, "vec_id", "embedding", k = 5),
+          Similarity.cosineTopKLsh(e, q, "vec_id", "embedding",
+            k = 5, numPlanes = NumPlanes, dim = Dim))
+      }
+    ),
+    Q(
+      "q122_embed_quantize",
+      "Per-vector symmetric int8 quantization: codes in [-127,127] with " +
+        "a per-vector scale and the EXACT integer reconstruction " +
+        "residue. The q117 floor-shift device end-to-end: floor(v*2^30) " +
+        "is the same BIGINT in every engine, and everything after it — " +
+        "scale max, sign-split truncating division, error residue — is " +
+        "integer arithmetic, so the 4x-compression pass oracle-checks " +
+        "bit-for-bit. Pure narrow map: zero shuffle at any corpus size.",
+      Some {
+        val code = "CASE WHEN scale = 0 THEN 0 WHEN x >= 0 THEN (x * 127) // scale ELSE -((-x * 127) // scale) END"
+        s"""WITH v AS (
+           |  SELECT vec_id,
+           |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1073741824.0) AS BIGINT)) AS iv
+           |  FROM embeddings
+           |), s AS (
+           |  SELECT vec_id, iv,
+           |         coalesce(list_max(list_transform(iv, x -> abs(x))), 0) AS scale
+           |  FROM v
+           |)
+           |SELECT vec_id, CAST(scale AS BIGINT) AS scale,
+           |       array_to_string(list_transform(iv, x -> $code), ',') AS qvec,
+           |       CAST(coalesce(list_max(list_transform(iv,
+           |              x -> abs(x * 127 - ($code) * scale))), 0) AS BIGINT) AS max_abs_err
+           |FROM s""".stripMargin
+      },
+      (spark, dir) =>
+        graft.operators.Quantize.int8(
+            Tables.embeddings(spark, dir), "vec_id", "embedding")
+          .select(
+            col("vec_id"), col("scale"),
+            array_join(col("qvec").cast("array<string>"), ",").as("qvec"),
+            col("max_abs_err"))
+    ),
+    Q(
       "q117_label_centroids",
       "Per-label embedding centroid + per-dimension variance: class " +
         "prototypes and intra-class spread, the label-quality / " +

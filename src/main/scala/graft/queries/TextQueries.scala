@@ -1178,6 +1178,99 @@ object TextQueries {
             max(when(col("signal") === "dwords", col("rnk"))).as("r_dwords"),
             sum(col("rnk")).as("rank_sum"))
       }
+    ),
+    Q(
+      "q127_oov_rate",
+      "Vocabulary coverage audit: per document, the fraction of token " +
+        "INSTANCES outside the corpus's top-200 tokens — the check run " +
+        "before committing a tokenizer vocabulary (high OOV mass = the " +
+        "vocab under-fits the corpus mix). One map-side-combined token " +
+        "count, a TakeOrderedAndProject top-V (count DESC, token ASC " +
+        "tiebreak — V rows, never a global sort), broadcast back over " +
+        "the token stream, ONE doc-keyed rollup shuffle; the broadcast " +
+        "is fixed-size at any corpus scale.",
+      Some("""
+        |WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents
+        |), v AS (
+        |  SELECT t, TRUE AS in_vocab FROM (
+        |    SELECT t, count(*) AS c FROM tok GROUP BY t
+        |    ORDER BY c DESC, t LIMIT 200)
+        |)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) FILTER (WHERE v.in_vocab IS NULL) AS BIGINT) AS n_oov,
+        |       CAST(count(*) FILTER (WHERE v.in_vocab IS NULL) AS DOUBLE)
+        |         / count(*) AS oov_ratio
+        |FROM tok LEFT JOIN v USING (t)
+        |GROUP BY doc_id
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        graft.operators.CorpusStats.oovRate(
+          Tables.documents(spark, dir), "doc_id", "text", vocabSize = 200)
+    ),
+    Q(
+      "q128_lang_consistency",
+      "Chunk-level language consistency: q61's 50/40 sliding chunks each " +
+        "language-ID'd with the q52 profile heuristic, rolled up per doc " +
+        "to (n_chunks, n_langs, majority_lang, majority_frac) — the " +
+        "mixed-language detector a doc-level language ID silently " +
+        "mislabels (embedded code, concatenated crawls, translation " +
+        "seams). Chunk explode narrow; one (doc, lang) shuffle bounded " +
+        "by docs x languages; the doc rollup windows share one " +
+        "exchange; majority argmax tiebreak (count DESC, lang ASC) is " +
+        "deterministic.",
+      Some("""
+        |WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), k AS (
+        |  SELECT doc_id, toks,
+        |         greatest(1, (len(toks) - 10 + 39) // 40) AS nch
+        |  FROM t
+        |), ch AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_slice(toks, i * 40 + 1, i * 40 + 50), ' ') AS chunk_text
+        |  FROM (SELECT doc_id, toks, unnest(range(0, nch)) AS i FROM k)
+        |), m AS (
+        |  SELECT doc_id,
+        |         CAST(LENGTH(chunk_text) AS DOUBLE) AS chars,
+        |         CAST(len(string_split_regex(trim(chunk_text), '\s+')) AS DOUBLE) AS toks,
+        |         CAST(len(regexp_extract_all(chunk_text, '[\x{4e00}-\x{9fff}]')) AS DOUBLE) AS cjk,
+        |         CAST(len(regexp_extract_all(lower(chunk_text), '\b(the|and|of|to|in|is|a)\b')) AS DOUBLE) AS s_en,
+        |         CAST(len(regexp_extract_all(lower(chunk_text), '\b(der|die|das|und|ist|nicht|zu)\b')) AS DOUBLE) AS s_de,
+        |         CAST(len(regexp_extract_all(lower(chunk_text), '\b(le|la|les|et|est|des|une)\b')) AS DOUBLE) AS s_fr,
+        |         CAST(len(regexp_extract_all(lower(chunk_text), '\b(el|los|las|y|es|que|un)\b')) AS DOUBLE) AS s_es,
+        |         len(regexp_extract_all(chunk_text, '[A-Za-z]')) AS letters
+        |  FROM ch
+        |), l AS (
+        |  SELECT doc_id,
+        |       CASE WHEN chars > 0 AND cjk / chars >= 0.05 THEN 'zh'
+        |            WHEN toks > 0 AND s_en / toks >= 1.0/12.0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |            WHEN toks > 0 AND s_de / toks >= 1.0/12.0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |            WHEN toks > 0 AND s_fr / toks >= 1.0/12.0 AND s_fr >= s_es THEN 'fr'
+        |            WHEN toks > 0 AND s_es / toks >= 1.0/12.0 THEN 'es'
+        |            WHEN letters > 0 THEN 'und'
+        |            ELSE 'zxx' END AS chunk_lang
+        |  FROM m
+        |), g AS (
+        |  SELECT doc_id, chunk_lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM l GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chunks,
+        |         CAST(count(*) AS BIGINT) AS n_langs
+        |  FROM g GROUP BY 1
+        |)
+        |SELECT g.doc_id, tot.n_chunks, tot.n_langs,
+        |       g.chunk_lang AS majority_lang,
+        |       CAST(g.c AS DOUBLE) / tot.n_chunks AS majority_frac
+        |FROM g JOIN tot ON g.doc_id = tot.doc_id
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.c DESC, g.chunk_lang) = 1
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        TextAnalysis.langConsistency(
+          Tables.documents(spark, dir), "text", "doc_id",
+          chunkTokens = 50, overlap = 10)
     )
   )
 }

@@ -58,4 +58,71 @@ class CorpusStatsSpec extends AnyFunSuite {
       plan.linesIterator.take(25).mkString("\n"))
     assert(q.limit(5).collect().nonEmpty)
   }
+
+  test("kmvSourceResemblance: identical sources estimate 1, disjoint estimate 0") {
+    val docs = Seq(
+      ("a", "alpha"), ("a", "beta"), ("a", "gamma"),
+      ("b", "alpha"), ("b", "beta"), ("b", "gamma"),   // b == a
+      ("c", "delta"), ("c", "epsilon"))                // c disjoint
+      .toDF("source", "text")
+    val got = CorpusStats.kmvSourceResemblance(docs, "source", "text", k = 8)
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got(("a", "b")) == ((3L, 3L, 1.0)))
+    assert(got(("a", "c")) == ((5L, 0L, 0.0)))
+    assert(got(("b", "c")) == ((5L, 0L, 0.0)))
+  }
+
+  test("kmvSourceResemblance equals a scalar KMV model on random overlap") {
+    val rnd = new scala.util.Random(23)
+    val vocabDocs = (1 to 40).map(i => s"doc body $i")
+    val rows = for {
+      s <- Seq("s1", "s2", "s3")
+      d <- vocabDocs if rnd.nextBoolean()
+    } yield (s, d)
+    val k = 4
+    def h(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(t.getBytes("UTF-8")).take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    val sketches = rows.groupBy(_._1).view
+      .mapValues(_.map(r => h(r._2)).distinct.sorted.take(k)).toMap
+    val want = (for {
+      a <- sketches.keys; b <- sketches.keys if a < b
+    } yield {
+      val ka = sketches(a); val kb = sketches(b)
+      val ku = (ka ++ kb).distinct.sorted.take(k)
+      val both = ku.count(v => ka.contains(v) && kb.contains(v))
+      (a, b, ku.size.toLong, both.toLong, both.toDouble / ku.size)
+    }).toSeq.sortBy(r => (r._1, r._2))
+    val got = CorpusStats.kmvSourceResemblance(
+        rows.toDF("source", "text"), "source", "text", k)
+      .as[(String, String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == want)
+  }
+
+  test("oovRate equals a scalar recount with the deterministic vocab tiebreak") {
+    val docs = Seq(
+      (1L, "a a b c"),
+      (2L, "a b x"),
+      (3L, "y z"))
+      .toDF("doc_id", "text")
+    // counts: a:3 b:2 c:1 x:1 y:1 z:1 -> top-3 by (c desc, t asc): a, b, c
+    val got = CorpusStats.oovRate(docs, "doc_id", "text", vocabSize = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 4L, 0L, 0.0),
+      (2L, 3L, 1L, 1.0 / 3.0),
+      (3L, 2L, 2L, 1.0)))
+  }
+
+  test("oovRate plan: vocab joins broadcast and the top-V is TakeOrdered") {
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val p = CorpusStats.oovRate(docs, "doc_id", "text", 2)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

@@ -245,4 +245,100 @@ class SamplingSpec extends AnyFunSuite {
     // the sort is local (global=false renders as "], false, 0")
     assert(!plan.contains("], true, 0"), "unexpected global sort node")
   }
+
+  // ---- mixture epochs ----
+
+  // (source, id, tokens): s1 = 30 tokens, s2 = 10, s3 = 20
+  private lazy val epochDocs = Seq(
+    ("s1", 1L, 10L), ("s1", 2L, 20L),
+    ("s2", 3L, 10L),
+    ("s3", 4L, 5L), ("s3", 5L, 15L))
+    .toDF("source", "doc_id", "toks")
+
+  test("mixtureEpochPlan: integer targets, ceil epochs, cap, zero-weight exclusion") {
+    // weights: s1=2, s2=5, s3=0; W=7; budget=140 -> targets 40, 100, 0
+    // epochs: ceil(40/30)=2; ceil(100/10)=10 capped at 4; 0
+    val got = Sampling.mixtureEpochPlan(
+        epochDocs, "source", "doc_id", col("toks"),
+        Map("s1" -> 2L, "s2" -> 5L, "s3" -> 0L),
+        budget = 140L, maxEpochs = 4L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("s1", 2L, 30L, 2L, 2L, 40L, 2L, 40L),
+      ("s2", 1L, 10L, 3L, 5L, 100L, 4L, 40L),
+      ("s3", 2L, 20L, 5L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("mixtureEpochPlan raises when every weight is zero") {
+    val ex = intercept[Exception] {
+      Sampling.mixtureEpochPlan(
+        epochDocs, "source", "doc_id", col("toks"),
+        Map("s1" -> 0L, "s2" -> 0L, "s3" -> 0L),
+        budget = 100L, defaultWeight = 0L).collect()
+    }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("weights are zero"), s"unexpected: $ex")
+  }
+
+  test("mixtureEpochMaterialize: epoch-major order, exact per-source cut") {
+    val got = Sampling.mixtureEpochMaterialize(
+        epochDocs, "source", "doc_id", col("toks"),
+        Map("s1" -> 2L, "s2" -> 5L, "s3" -> 0L),
+        budget = 140L, maxEpochs = 4L, shards = 3)
+      .as[(String, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    assert(got == Seq(
+      // s1 target 40: epoch1 (10+20=30), epoch2 first doc only (40)
+      ("s1", 1L, 1L, 10L, 10L), ("s1", 2L, 1L, 20L, 30L), ("s1", 1L, 2L, 10L, 40L),
+      // s2 target 100 but 4 epochs x 10 = 40 carried
+      ("s2", 3L, 1L, 10L, 10L), ("s2", 3L, 2L, 10L, 20L),
+      ("s2", 3L, 3L, 10L, 30L), ("s2", 3L, 4L, 10L, 40L)))
+    // s3 excluded entirely (zero weight)
+    assert(!got.exists(_._1 == "s3"))
+  }
+
+  test("mixtureEpochMaterialize equals a scalar model on a randomized corpus") {
+    val rnd = new scala.util.Random(41)
+    val data = for {
+      s <- Seq("a", "b", "c", "d"); i <- 1 to (5 + rnd.nextInt(20))
+    } yield (s, (s.hashCode.toLong % 97) * 1000 + i, 1L + rnd.nextInt(30))
+    val weights = Map("a" -> 3L, "c" -> 2L)
+    val budget = 600L
+    val cap = 5L
+    // scalar model
+    val bySrc = data.groupBy(_._1)
+    val w = bySrc.keys.map(s => s -> weights.getOrElse(s, 1L)).toMap
+    val wTot = w.values.sum
+    val want = bySrc.toSeq.flatMap { case (s, rows) =>
+      val tokens = rows.map(_._3).sum
+      val target = budget * w(s) / wTot
+      val epochs = math.min(cap,
+        if (target > 0 && tokens > 0) (target + tokens - 1) / tokens else 0L)
+      val stream = for {
+        e <- 1L to epochs; r <- rows.sortBy(_._2)
+      } yield (s, r._2, e, r._3)
+      stream.scanLeft(("", 0L, 0L, 0L, 0L)) { case ((_, _, _, _, cum), (src, id, e, t)) =>
+        (src, id, e, t, cum + t)
+      }.drop(1).takeWhile(_._5 <= target)
+    }.sortBy(r => (r._1, r._3, r._2))
+    val got = Sampling.mixtureEpochMaterialize(
+        data.toDF("source", "doc_id", "toks"), "source", "doc_id", col("toks"),
+        weights, budget = budget, maxEpochs = cap, shards = 4)
+      .as[(String, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    assert(got == want)
+  }
+
+  test("mixtureEpochMaterialize raises on negative ids (order-key aliasing)") {
+    val bad = Seq(("s1", -1L, 10L), ("s1", 2L, 10L)).toDF("source", "doc_id", "toks")
+    val ex = intercept[Exception] {
+      Sampling.mixtureEpochMaterialize(
+        bad, "source", "doc_id", col("toks"), Map.empty, budget = 100L).collect()
+    }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("non-negative"), s"unexpected: $ex")
+  }
 }
