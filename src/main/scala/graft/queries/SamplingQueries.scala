@@ -82,6 +82,37 @@ object SamplingQueries {
 
   val all: Seq[Q] = Seq(
     Q(
+      "q130_global_shuffle",
+      "Seeded deterministic global training-order shuffle: every doc " +
+        "ranks by the portable hash of (salt, id) — reproducible across " +
+        "runs, engines, and partitionings, the property RNG shuffles " +
+        "lack — and the rank is the DISTRIBUTED row_number of " +
+        "ShardedPrefix.globalRank run with ONE corpus-wide group: the " +
+        "single-group case is exactly where the two-phase prefix rank " +
+        "earns its keep (a plain row_number window would drag the whole " +
+        "corpus through one task). Order key = hash * 2^30 + id " +
+        "(unique; ids < 2^30 by the documents contract).",
+      Some("""
+        |SELECT doc_id,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY
+        |         CAST('0x' || substr(md5('shuffle42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |           * 1073741824 + doc_id
+        |       ) AS BIGINT) AS shuffle_rank
+        |FROM documents
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.operators.{ShardedPrefix, TextAnalysis}
+        val keyed = Tables.documents(spark, dir).select(
+            col("doc_id"),
+            TextAnalysis.portableHash32(
+              concat(lit("shuffle42:"), col("doc_id").cast("string"))).as("__hk"))
+          .withColumn("__g", lit(0))
+          .withColumn("__okey", col("__hk") * lit(1073741824L) + col("doc_id"))
+        ShardedPrefix.globalRank(keyed, "__g", "__okey", "shuffle_rank")
+          .select("doc_id", "shuffle_rank")
+      }
+    ),
+    Q(
       "q124_mixture_epoch_plan",
       "Mixture-epoch planning: integer mixture weights + a 40k-token " +
         "budget -> per-source token targets and repeat factors (epochs, " +

@@ -1271,6 +1271,67 @@ object TextQueries {
         TextAnalysis.langConsistency(
           Tables.documents(spark, dir), "text", "doc_id",
           chunkTokens = 50, overlap = 10)
+    ),
+    Q(
+      "q129_corpus_report",
+      "Per-source dataset card: doc/token counts, mean length, mean " +
+        "quality, and the count of docs duplicated ANYWHERE in the " +
+        "corpus — the summary table a data release ships. Quality " +
+        "averages via the integer quality4 sum (quality is k/4 by " +
+        "construction, so sum(q4)/(4n) is division of exact integers — " +
+        "no double accumulation order). The dup screen joins (source, " +
+        "hash) rows against the hash-count table: bodies never " +
+        "shuffle; the source rollup is map-side combined.",
+      Some("""
+        |WITH d AS (
+        |  SELECT source, doc_id, sha256(text) AS h,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks,
+        |         ((CASE WHEN chars / greatest(toksd, 1.0) BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END)
+        |          + (CASE WHEN CAST(punct AS DOUBLE) / greatest(toksd, 1.0) <= 0.3 THEN 1 ELSE 0 END)
+        |          + (CASE WHEN CAST(stops AS DOUBLE) / greatest(toksd, 1.0) >= 0.05 THEN 1 ELSE 0 END)
+        |          + (CASE WHEN chars BETWEEN 50.0 AND 100000.0 THEN 1 ELSE 0 END)) AS q4
+        |  FROM (
+        |    SELECT source, doc_id, text,
+        |           CAST(LENGTH(text) AS DOUBLE) AS chars,
+        |           CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS toksd,
+        |           len(regexp_extract_all(text, '[.!?,;:]')) AS punct,
+        |           len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS stops
+        |    FROM documents
+        |  )
+        |), dup AS (
+        |  SELECT h, count(*) AS c FROM d GROUP BY h
+        |)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(toks) AS BIGINT) AS tokens,
+        |       CAST(sum(toks) AS DOUBLE) / count(*) AS mean_tokens,
+        |       CAST(sum(q4) AS DOUBLE) / (count(*) * 4.0) AS mean_quality,
+        |       CAST(count(*) FILTER (WHERE c > 1) AS BIGINT) AS n_dup_docs
+        |FROM d JOIN dup USING (h)
+        |GROUP BY source
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        val d = Tables.documents(spark, dir).select(
+          col("source"),
+          sha2(col("text"), 256).as("h"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("toks"),
+          (TextAnalysis.qualityScore(col("text")) * 4).cast("long").as("q4"))
+        val dup = d.groupBy("h").agg(count(lit(1)).as("c"))
+        d.join(dup, Seq("h"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("toks").as("tokens"),
+            sum("q4").as("__q4"),
+            sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+          .select(
+            col("source"), col("n_docs"), col("tokens"),
+            (col("tokens").cast("double") / col("n_docs").cast("double"))
+              .as("mean_tokens"),
+            (col("__q4").cast("double") /
+              (col("n_docs").cast("double") * lit(4.0))).as("mean_quality"),
+            col("n_dup_docs"))
+      }
     )
   )
 }

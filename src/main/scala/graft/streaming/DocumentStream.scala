@@ -301,6 +301,99 @@ object DocumentStream {
       graft.operators.BloomScreen.maybeContains(
         md5(col("text").cast("binary")), words, k, m))
 
+  /** Streaming incremental corpus classification — the ingest face of
+    * q126 against a STATIC existing corpus: each arriving document
+    * labels exact_dup (content hash in the existing set), near_dup
+    * (any MinHash band key in the existing band-key set), or new —
+    * entirely ROW-LOCAL: the narrow per-row signature fold ([[bandKeys]]
+    * without the explode) plus two plan-literal membership tests. Zero
+    * state, append mode; fed the same corpus split, the labels equal
+    * the batch twin's (StreamingIncrementalSpec asserts it — the batch
+    * path keys bands as raw-long structs, this path as strings; the
+    * REPRESENTATIONS differ, the collision sets are identical).
+    *
+    * `maxPlanKeys` guards the plan-literal shape (hashes + band keys
+    * are baked into every micro-batch plan). A corpus-sized existing
+    * set is a contract violation, not a tuning knob: production screens
+    * a large existing corpus with [[bloomScreened]] (fixed-size bitmap,
+    * FP-only) for the exact tier and a periodic batch q126 for the
+    * near tier.
+    */
+  def incrementalClassified(
+      docs: DataFrame,
+      existing: DataFrame,
+      numHashes: Int = 16,
+      bands: Int = 2,
+      maxPlanKeys: Int = 100000): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val exHashes = existing.select(sha2(col("text"), 256).as("h"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val exBandKeys = bandKeys(existing, numHashes, bands)
+      .select(concat_ws("#", col("band"), col("key")).as("bk"))
+      .distinct().collect().map(_.getString(0)).sorted
+    require(exHashes.length + exBandKeys.length <= maxPlanKeys,
+      s"existing corpus expands to ${exHashes.length} hashes + " +
+        s"${exBandKeys.length} band keys > maxPlanKeys=$maxPlanKeys — " +
+        "screen corpus-sized existing sets with bloomScreened + a " +
+        "periodic batch q126 instead of a plan literal")
+    val words = array_distinct(TextAnalysis.wsTokens(col("text")))
+    val mhs = (0 until numHashes).map { i =>
+      array_min(transform(words, w =>
+        (TextAnalysis.portableHash32(w) * lit(Dedup.minhashA(i)) + lit(Dedup.minhashB(i)))
+          % lit(Dedup.MinhashPrime)))
+    }
+    val rowsPerBand = numHashes / bands
+    val bandKeyArr = array((0 until bands).map { b =>
+      concat_ws("#", lit(b),
+        concat_ws("_", (b * rowsPerBand until (b + 1) * rowsPerBand).map(mhs): _*))
+    }: _*)
+    docs.select(
+      col("doc_id"),
+      when(array_contains(typedlit(exHashes.toSeq), sha2(col("text"), 256)),
+        lit("exact_dup"))
+        .when(arrays_overlap(bandKeyArr, typedlit(exBandKeys.toSeq)), lit("near_dup"))
+        .otherwise(lit("new")).as("status"))
+  }
+
+  /** One quota-admitted document: its source, id, and 1-based admission
+    * rank within the source.
+    */
+  final case class QuotaDoc(source: String, doc_id: Long, source_seq: Long)
+
+  /** Streaming per-source ingest quota — the crawl-time face of a
+    * per-host document cap: each source admits its first
+    * `maxDocsPerSource` documents (by arrival; ascending doc id within
+    * a micro-batch) and drops the rest. Keyed state is ONE long per
+    * source — the admitted count — so state never grows with stream
+    * length; the cap holds ACROSS micro-batches because the count
+    * persists (StreamingIncrementalSpec replays overflow across
+    * batches). Fed documents in id order, the admitted set equals the
+    * batch twin `row_number() over (partition by source order by id)
+    * <= cap`.
+    */
+  def quotaCapped(docs: DataFrame, maxDocsPerSource: Long): Dataset[QuotaDoc] = {
+    require(maxDocsPerSource > 0,
+      s"maxDocsPerSource must be positive: $maxDocsPerSource")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("source"), col("doc_id")).as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(String, Long)],
+         state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val admitted = rows.map(_._2).toSeq.sorted.flatMap { id =>
+            if (n < maxDocsPerSource) { n += 1; Some(QuotaDoc(src, id, n)) }
+            else None
+          }
+          state.update(n)
+          admitted.iterator
+      }
+  }
+
   /** Shared row-local screen: cut into `window`-token passages, drop those
     * whose `keyOf` lands in the cap literal, reassemble in order. Docs
     * with no full window are absent (the batch contract).

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.operators.Dedup
+
+/** Streaming faces of the round-9 ingest operators: incremental
+  * classification against a static corpus (q126's zero-state plan-literal
+  * twin — label equality with the batch path despite the different band
+  * key representation) and the per-source ingest quota (one long of
+  * state per source, cap enforced ACROSS micro-batches).
+  */
+class StreamingIncrementalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and then naps all afternoon " +
+      "in the warm summer sun while birds sing overhead in the old oak tree"
+
+  /** One parquet file per batch inside a fresh watch dir, so
+    * maxFilesPerTrigger=1 replays each row set as its own micro-batch.
+    */
+  private def watchDirOf(batches: Seq[DataFrame]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("stream_incr")
+    dir.toFile.deleteOnExit()
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"stream_incr_src$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(part), dir.resolve(f"batch_$i%03d.parquet"))
+    }
+    dir.toString
+  }
+
+  test("incrementalClassified labels equal the batch twin across micro-batches") {
+    val existing = Seq(
+      (1L, base),
+      (2L, "completely different content about spark catalyst optimizer rules " +
+        "and distributed shuffle exchange planning for large analytical joins"))
+      .toDF("doc_id", "text")
+    val batch1 = Seq((11L, base), (12L, base.replace("warm", "hot")))
+    val batch2 = Seq((13L, "entirely novel text on minhash banding recall and " +
+      "jaccard similarity estimation over shingled token streams"))
+    val dirStr = watchDirOf(Seq(
+      batch1.toDF("doc_id", "text"), batch2.toDF("doc_id", "text")))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dirStr)
+    val q = EventStream.runToMemory(
+      DocumentStream.incrementalClassified(stream, existing),
+      "incr_labels", OutputMode.Append())
+    try {
+      val got = spark.sql("SELECT doc_id, status FROM incr_labels")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      val want = Dedup.incrementalClassify(
+          existing, (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(got == want, "stream labels diverge from batch twin")
+      assert(got.map(_._2) == Seq("exact_dup", "near_dup", "new"))
+      // zero-state screen: no state store rows
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
+  test("quotaCapped admits first N per source within AND across batches") {
+    val batches = Seq(
+      Seq(("a", 1L), ("a", 2L), ("b", 10L)),
+      Seq(("a", 3L), ("b", 11L), ("b", 12L)),
+      Seq(("a", 4L), ("b", 13L)))
+    val dirStr = watchDirOf(batches.map(_.toDF("source", "doc_id")))
+    val schema = StructType(Seq(
+      StructField("source", StringType), StructField("doc_id", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dirStr)
+    val q = EventStream.runToMemory(
+      DocumentStream.quotaCapped(stream, maxDocsPerSource = 3L).toDF(),
+      "quota_docs", OutputMode.Append())
+    try {
+      val got = spark.sql("SELECT source, doc_id, source_seq FROM quota_docs")
+        .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+      // cap 3: a admits 1,2 (batch 1) + 3 (batch 2), rejects 4 (batch 3);
+      // b admits 10 (batch 1) + 11,12 (batch 2), rejects 13.
+      assert(got == Seq(
+        ("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L),
+        ("b", 10L, 1L), ("b", 11L, 2L), ("b", 12L, 3L)))
+      // equals the batch twin fed the same (ordered) arrivals
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      val want = batches.flatten.toDF("source", "doc_id")
+        .withColumn("source_seq", row_number().over(w).cast("long"))
+        .filter(col("source_seq") <= 3)
+        .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+      assert(got == want)
+      // O(sources) state: exactly one state row per source
+      assert(q.lastProgress.stateOperators.map(_.numRowsTotal).sum == 2)
+    } finally q.stop()
+  }
+}
