@@ -47,6 +47,51 @@ object Quantize {
     * integer reconstruction residue, < scale by the division identity,
     * i.e. a per-element float error below scale / (127 * 2^30).
     */
+  /** Brute-force cosine top-k over the INT8 CODES — the serving-side
+    * search an int8-compressed index runs, and (with
+    * [[Similarity.topKRecall]]) the end-to-end measure of what the 4x
+    * compression costs in retrieval quality.
+    *
+    * The key algebraic fact: the per-vector scale cancels in cosine —
+    * v_hat = q * (scale / (127 * 2^30)) elementwise, so
+    * cos(v_hat_a, v_hat_b) = cos(q_a, q_b) — which means the whole
+    * similarity computes on the integer codes: the dot product is an
+    * exact BIGINT fold (|q| <= 127, so dim * 127^2 never nears Long
+    * range), the norms are single IEEE sqrts of exact integers, and the
+    * one division is deterministic in every engine. No reconstruction,
+    * no float arrays, no engine-variant accumulation. Zero-norm codes
+    * (all-zero vectors) are excluded — cosine is undefined for them.
+    *
+    * Same shape as [[Similarity.cosineTopK]]: queries broadcast, corpus
+    * streams, WindowGroupLimit top-k per query.
+    */
+  def cosineTopKInt8(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    def codes(df: DataFrame, outId: String, vec: String, nrm: String) =
+      int8(df, idCol, embCol)
+        .filter(col("scale") > 0)
+        .select(
+          col(idCol).as(outId), col("qvec").as(vec),
+          sqrt(expr("aggregate(zip_with(qvec, qvec, (x, y) -> x * y), 0L, (a, x) -> a + x)")
+            .cast("double")).as(nrm))
+    val c = codes(corpus, "neighbor_id", "c_q", "c_norm")
+    val q = codes(queries, "q_id", "q_q", "q_norm")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("sim").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        (expr("aggregate(zip_with(c_q, q_q, (x, y) -> x * y), 0L, (a, x) -> a + x)")
+          .cast("double") / (col("c_norm") * col("q_norm"))).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   def int8(df: DataFrame, idCol: String, embCol: String): DataFrame =
     df.select(
         col(idCol),

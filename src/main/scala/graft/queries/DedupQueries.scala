@@ -646,6 +646,52 @@ object DedupQueries {
           docs.filter(col("doc_id") % 2 === 1),
           "doc_id", "text", numHashes = NumHashes, bands = 2)
       }
+    ),
+    Q(
+      "q133_dup_token_mass",
+      "Per-source duplicated-token mass: the fraction of each source's " +
+        "tokens covered by cross-document duplicated spans (the q110 " +
+        "merged spans) — 'how much of source X is copied text', the " +
+        "number that decides whether a source needs span-level dedup " +
+        "before training. Merged spans are disjoint per doc, so the " +
+        "per-doc covered count is an exact sum; the rollup joins " +
+        "doc-sized frames (doc_id, counts) — bodies never reshuffle " +
+        "past the span pipeline itself.",
+      Some(
+        s"""${duckSpanSql(SpanWindow)}, pd AS (
+           |  SELECT doc_id, CAST(SUM(span_end - span_start) AS BIGINT) AS dup_toks
+           |  FROM sp GROUP BY 1
+           |), dt AS (
+           |  SELECT doc_id, source,
+           |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks
+           |  FROM documents
+           |)
+           |SELECT source,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(toks) AS BIGINT) AS tokens,
+           |       CAST(sum(coalesce(pd.dup_toks, 0)) AS BIGINT) AS dup_tokens,
+           |       CAST(sum(coalesce(pd.dup_toks, 0)) AS DOUBLE) / sum(toks) AS dup_frac
+           |FROM dt LEFT JOIN pd USING (doc_id)
+           |GROUP BY source""".stripMargin),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val perDoc = graft.operators.SpanDedup
+          .dupSpans(docs, "doc_id", "text", SpanWindow)
+          .groupBy("doc_id")
+          .agg(sum(col("span_end") - col("span_start")).as("dup_toks"))
+        docs.select(col("doc_id"), col("source"),
+            graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("toks").as("tokens"),
+            sum(coalesce(col("dup_toks"), lit(0L))).as("dup_tokens"))
+          .select(
+            col("source"), col("n_docs"), col("tokens"), col("dup_tokens"),
+            (col("dup_tokens").cast("double") / col("tokens").cast("double"))
+              .as("dup_frac"))
+      }
     )
   )
 

@@ -371,6 +371,57 @@ object SimilarityQueries {
             col("max_abs_err"))
     ),
     Q(
+      "q131_quantized_ann_recall",
+      "What the 4x compression costs: recall@5 of brute-force search " +
+        "over the INT8 CODES (q122) against the float truth (q40). The " +
+        "per-vector scale cancels in cosine — cos(q_a*s_a, q_b*s_b) = " +
+        "cos(q_a, q_b) — so the quantized search runs entirely on " +
+        "integer codes: exact BIGINT dot folds, one sqrt and one " +
+        "division as the only floating ops. The compression-quality " +
+        "curve as a tracked query, not a notebook anecdote.",
+      Some {
+        val code = "CASE WHEN scale = 0 THEN 0 WHEN x >= 0 THEN (x * 127) // scale ELSE -((-x * 127) // scale) END"
+        s"""WITH v AS (
+           |  SELECT vec_id,
+           |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1073741824.0) AS BIGINT)) AS iv
+           |  FROM embeddings
+           |), s AS (
+           |  SELECT vec_id, iv,
+           |         coalesce(list_max(list_transform(iv, x -> abs(x))), 0) AS scale
+           |  FROM v
+           |), n AS (
+           |  SELECT vec_id, q,
+           |         sqrt(CAST(list_sum(list_transform(list_zip(q, q), x -> x[1] * x[2])) AS DOUBLE)) AS nrm
+           |  FROM (SELECT vec_id, list_transform(iv, x -> $code) AS q FROM s WHERE scale > 0)
+           |), ap AS (
+           |  SELECT q_id, neighbor_id FROM (
+           |    SELECT qq.vec_id AS q_id, c.vec_id AS neighbor_id,
+           |           ROW_NUMBER() OVER (PARTITION BY qq.vec_id ORDER BY
+           |             CAST(list_sum(list_transform(list_zip(c.q, qq.q), x -> x[1] * x[2])) AS DOUBLE)
+           |               / (c.nrm * qq.nrm) DESC, c.vec_id) AS rn
+           |    FROM n c JOIN n qq ON qq.vec_id < 8 AND c.vec_id != qq.vec_id)
+           |  WHERE rn <= 5
+           |), ex AS (
+           |  SELECT q_id, neighbor_id FROM (
+           |    $bruteForceSql
+           |  )
+           |)
+           |SELECT ex.q_id,
+           |       CAST(COUNT(*) AS BIGINT) AS n_exact,
+           |       CAST(COUNT(ap.neighbor_id) AS BIGINT) AS n_hit,
+           |       CAST(COUNT(ap.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+           |FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.neighbor_id = ap.neighbor_id
+           |GROUP BY ex.q_id""".stripMargin
+      },
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        val q = e.filter(col("vec_id") < 8)
+        Similarity.topKRecall(
+          Similarity.cosineTopK(e, q, "vec_id", "embedding", k = 5),
+          graft.operators.Quantize.cosineTopKInt8(e, q, "vec_id", "embedding", k = 5))
+      }
+    ),
+    Q(
       "q117_label_centroids",
       "Per-label embedding centroid + per-dimension variance: class " +
         "prototypes and intra-class spread, the label-quality / " +

@@ -442,6 +442,41 @@ object TraceQueries {
         graft.operators.Funnel.counts(
           Tables.eventsTsNs(spark, dir).withColumn("us", expr("ts div 1000")),
           "user_id", "event_type", "us", FunnelSteps, FunnelHorizonUs)
+    ),
+    Q(
+      "q132_retention_cohorts",
+      "Cohort retention: users grouped by first-active day, counted " +
+        "distinct at each day offset they return — the engagement table " +
+        "behind every retention curve. Day floors identically from ns " +
+        "(Spark) and the µs-truncated TIMESTAMP (DuckDB) because day " +
+        "boundaries sit on whole seconds. The event stream shuffles " +
+        "ONCE on user_id — the cohort aggregate and the join back are " +
+        "co-partitioned on the same exchange (ReuseExchange) — then the " +
+        "distinct + rollup run on the users x offsets space, far " +
+        "smaller than the stream.",
+      Some("""
+        |WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        |), c AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1
+        |), a AS (
+        |  SELECT DISTINCT e.user_id, c.cohort_day, e.day - c.cohort_day AS offset_days
+        |  FROM e JOIN c USING (user_id)
+        |)
+        |SELECT cohort_day, offset_days, CAST(count(*) AS BIGINT) AS n_users
+        |FROM a GROUP BY 1, 2
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        val e = Tables.eventsTsNs(spark, dir)
+          .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+        val c = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+        e.join(c, Seq("user_id"))
+          .select(col("user_id"), col("cohort_day"),
+            (col("day") - col("cohort_day")).as("offset_days"))
+          .distinct()
+          .groupBy("cohort_day", "offset_days")
+          .agg(count(lit(1)).as("n_users"))
+      }
     )
   )
 }

@@ -64,6 +64,27 @@ class QuantizeSpec extends AnyFunSuite {
     }
   }
 
+  test("cosineTopKInt8 equals a scalar integer-code model") {
+    val rnd = new scala.util.Random(7)
+    val data = (1L to 40L).map(i => (i, Array.fill(8)((rnd.nextFloat() - 0.5f) * 2f)))
+    val df = data.toDF("vec_id", "embedding")
+    val got = Quantize.cosineTopKInt8(df, df.filter(col("vec_id") < 4), "vec_id", "embedding", 4)
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val codes = data.map { case (id, v) => id -> scalarModel(v)._2 }.toMap
+    def dot(a: Seq[Long], b: Seq[Long]): Long = a.zip(b).map { case (x, y) => x * y }.sum
+    val want = (1L to 3L).flatMap { qid =>
+      val scored = data.map(_._1).filter(_ != qid).map { cid =>
+        val s = dot(codes(cid), codes(qid)).toDouble /
+          (math.sqrt(dot(codes(cid), codes(cid)).toDouble) *
+            math.sqrt(dot(codes(qid), codes(qid)).toDouble))
+        (cid, s)
+      }
+      scored.sortBy { case (id, s) => (-s, id) }.take(4).zipWithIndex
+        .map { case ((id, s), i) => (qid, id, s, i + 1L) }
+    }.sortBy(r => (r._1, r._4))
+    assert(got == want)
+  }
+
   test("plan: zero exchange — quantization is a pure narrow map") {
     val p = Quantize.int8(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
       .queryExecution.explainString(FormattedMode)
