@@ -55,12 +55,16 @@ object Quantize {
     * The key algebraic fact: the per-vector scale cancels in cosine —
     * v_hat = q * (scale / (127 * 2^30)) elementwise, so
     * cos(v_hat_a, v_hat_b) = cos(q_a, q_b) — which means the whole
-    * similarity computes on the integer codes: the dot product is an
-    * exact BIGINT fold (|q| <= 127, so dim * 127^2 never nears Long
-    * range), the norms are single IEEE sqrts of exact integers, and the
-    * one division is deterministic in every engine. No reconstruction,
-    * no float arrays, no engine-variant accumulation. Zero-norm codes
-    * (all-zero vectors) are excluded — cosine is undefined for them.
+    * similarity computes on the integer codes — and the codes ride the
+    * CODEGEN'D [[graft.functions.DotProductFF]] kernel, not an
+    * interpreted HOF fold, because int8 codes are exact in float
+    * (|q| <= 127, products <= 127^2 < 2^24) and DotProductFF
+    * accumulates in double, where sums of those exact products stay
+    * exact integers to 2^53 — so the hot-path dot is bit-identical to
+    * a BIGINT fold at any realistic dimension. The norms are single
+    * IEEE sqrts of exact integers, the one division deterministic in
+    * every engine. Zero-norm codes (all-zero vectors) are excluded —
+    * cosine is undefined for them.
     *
     * Same shape as [[Similarity.cosineTopK]]: queries broadcast, corpus
     * streams, WindowGroupLimit top-k per query.
@@ -72,13 +76,14 @@ object Quantize {
       embCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    def codes(df: DataFrame, outId: String, vec: String, nrm: String) =
-      int8(df, idCol, embCol)
+    graft.functions.DotProductFF.register(corpus.sparkSession)
+    import graft.operators.Similarity.dotD
+    def codes(df: DataFrame, outId: String, vec: String, nrm: String) = {
+      val f = int8(df, idCol, embCol)
         .filter(col("scale") > 0)
-        .select(
-          col(idCol).as(outId), col("qvec").as(vec),
-          sqrt(expr("aggregate(zip_with(qvec, qvec, (x, y) -> x * y), 0L, (a, x) -> a + x)")
-            .cast("double")).as(nrm))
+        .select(col(idCol).as(outId), col("qvec").cast("array<float>").as(vec))
+      f.select(col(outId), col(vec), sqrt(dotD(col(vec), col(vec))).as(nrm))
+    }
     val c = codes(corpus, "neighbor_id", "c_q", "c_norm")
     val q = codes(queries, "q_id", "q_q", "q_norm")
     val w = org.apache.spark.sql.expressions.Window
@@ -86,8 +91,7 @@ object Quantize {
     c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("q_id"))
       .select(col("q_id"), col("neighbor_id"),
-        (expr("aggregate(zip_with(c_q, q_q, (x, y) -> x * y), 0L, (a, x) -> a + x)")
-          .cast("double") / (col("c_norm") * col("q_norm"))).as("sim"))
+        (dotD(col("c_q"), col("q_q")) / (col("c_norm") * col("q_norm"))).as("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
