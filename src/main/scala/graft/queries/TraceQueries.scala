@@ -449,11 +449,11 @@ object TraceQueries {
         "distinct at each day offset they return — the engagement table " +
         "behind every retention curve. Day floors identically from ns " +
         "(Spark) and the µs-truncated TIMESTAMP (DuckDB) because day " +
-        "boundaries sit on whole seconds. The event stream shuffles " +
-        "ONCE on user_id — the cohort aggregate and the join back are " +
-        "co-partitioned on the same exchange (ReuseExchange) — then the " +
-        "distinct + rollup run on the users x offsets space, far " +
-        "smaller than the stream.",
+        "boundaries sit on whole seconds. The cohort table is " +
+        "users-sized, so the join back BROADCASTS it (plan-pinned); at " +
+        "a user count past broadcast range the same plan degrades to a " +
+        "user-keyed co-partitioned join. The distinct + rollup run on " +
+        "the users x offsets space, far smaller than the stream.",
       Some("""
         |WITH e AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events

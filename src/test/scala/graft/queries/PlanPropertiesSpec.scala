@@ -252,6 +252,35 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(reused >= 1, "expected duplicated branches to reuse at least one exchange")
   }
 
+  test("q130: the corpus-wide rank windows by shard; only the tiny offsets table is single-partition") {
+    val p = plan("q130_global_shuffle")
+    // main stream: the running-count window partitions on the order shard
+    assert(p.contains("hashpartitioning(__sp_shard"), p.linesIterator.take(40).mkString("\n"))
+    // exactly one SinglePartition exchange — the shards-sized offsets
+    // aggregate — never the document stream
+    val single = p.sliding("SinglePartition".length).count(_ == "SinglePartition")
+    assert(single <= 1, s"expected <=1 SinglePartition exchange, got $single:\n$p")
+  }
+
+  test("q129: the dup-count join is hash-based, never a cartesian/nested loop") {
+    val p = plan("q129_corpus_report")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q131: quantized search keeps WindowGroupLimit and the codegen dot kernel") {
+    val p = plan("q131_quantized_ann_recall")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("dot_ff"), "integer-code dot should ride the codegen kernel")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q132: the cohort join broadcasts the users-sized aggregate") {
+    val p = plan("q132_retention_cohorts")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
   test("components shuffle path: the REAL iteration keys the edge join on dst (sort-merge capable)") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
