@@ -49,6 +49,39 @@ object Decontaminate {
         (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** The REVERSE audit of [[report]], for the benchmark's owners: per
+    * BENCHMARK item, how many distinct corpus documents share an exact
+    * n-token gram with it — "which eval items are burned, and how
+    * widely". [[report]] answers what to drop from the corpus; this
+    * answers which benchmark rows still measure anything after training.
+    *
+    * Same scale shape: the (gram -> bench id) map is benchmark-sized and
+    * broadcasts, corpus grams are screened by it BEFORE any shuffle, so
+    * the only exchanged rows are surviving (bench, corpus) id pairs.
+    * Every benchmark item is reported (zero leaks included).
+    */
+  def leakageReport(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8): DataFrame = {
+    def grams(df: DataFrame, out: String) = df.select(
+      col(idCol).as(out),
+      explode(array_distinct(
+        TextAnalysis.tokenNgrams(TextAnalysis.wsTokens(col(textCol)), n))).as("g"))
+    val benchGrams = grams(benchmark, "bench_id").distinct()
+    val hits = grams(corpus, "corpus_id")
+      .join(broadcast(benchGrams), Seq("g"))
+      .select("bench_id", "corpus_id").distinct()
+      .groupBy("bench_id")
+      .agg(count(lit(1)).as("n_leaked_docs"))
+    benchmark.select(col(idCol).as("bench_id"))
+      .join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_leaked_docs"), lit(0L)).as("n_leaked_docs"))
+  }
+
   /** SEMANTIC decontamination (SemDeDup-style): flag corpus items whose
     * embedding is too close to ANY benchmark embedding — catches
     * paraphrased eval leakage that exact n-gram overlap misses.

@@ -692,6 +692,54 @@ object DedupQueries {
             (col("dup_tokens").cast("double") / col("tokens").cast("double"))
               .as("dup_frac"))
       }
+    ),
+    Q(
+      "q135_dup_degree_histogram",
+      "Near-dup graph degree histogram per source: how many candidate " +
+        "partners each doc has (the q32 banding), rolled up to (source, " +
+        "degree, n_docs) — dup HUBS (template farms, mirror sites) show " +
+        "up as high-degree tails concentrated in one source. The source " +
+        "label rides the signature groupBy and the banding carry (the " +
+        "q106 pattern), so no join back on the pair stream; the degree " +
+        "aggregate is map-side combined on doc ids.",
+      Some(
+        s"""$duckSignatureCte, bands AS (
+           |  SELECT doc_id, 0 AS band,
+           |         md5(concat_ws('_', ${(0 until 8).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band,
+           |         md5(concat_ws('_', ${(8 until 16).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |), pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2
+           |), deg AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+           |    SELECT doc_a AS doc_id FROM pairs
+           |    UNION ALL
+           |    SELECT doc_b AS doc_id FROM pairs
+           |  ) GROUP BY 1
+           |)
+           |SELECT d.source, deg.degree, CAST(count(*) AS BIGINT) AS n_docs
+           |FROM deg JOIN documents d USING (doc_id)
+           |GROUP BY 1, 2""".stripMargin),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val pairs = Dedup.lshCandidatePairs(
+          Dedup.minhashSignatures(docs, "text", "doc_id", NumHashes,
+            carry = Seq("source")),
+          "doc_id", NumHashes, bands = 2, carry = Seq("source"))
+        pairs.select(col("doc_a").as("doc_id"), col("source_a").as("source"))
+          .unionByName(
+            pairs.select(col("doc_b").as("doc_id"), col("source_b").as("source")))
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("degree"))
+          .groupBy("source", "degree")
+          .agg(count(lit(1)).as("n_docs"))
+      }
     )
   )
 

@@ -305,6 +305,43 @@ object TextQueries {
       }
     ),
     Q(
+      "q134_leakage_report",
+      "q63's REVERSE audit, for the benchmark's owners: per benchmark " +
+        "item, how many distinct corpus docs share an exact 8-token " +
+        "gram — which eval rows are burned, and how widely. Same scale " +
+        "shape as q63: the (gram, bench_id) map broadcasts, corpus " +
+        "grams are screened BEFORE any shuffle, only surviving id " +
+        "pairs are exchanged; every benchmark item reported, zero " +
+        "leaks included.",
+      Some("""
+        |WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 7, 0) + 1),
+        |    i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS g
+        |  FROM t
+        |), hits AS (
+        |  SELECT b.doc_id AS bench_id,
+        |         CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_leaked_docs
+        |  FROM (SELECT doc_id, g FROM g WHERE doc_id % 10 = 0) b
+        |  JOIN (SELECT doc_id, g FROM g WHERE doc_id % 10 <> 0) c ON b.g = c.g
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id AS bench_id,
+        |       CAST(COALESCE(h.n_leaked_docs, 0) AS BIGINT) AS n_leaked_docs
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        |LEFT JOIN hits h ON h.bench_id = d.doc_id
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        Decontaminate.leakageReport(
+          corpus = docs.filter(col("doc_id") % 10 =!= 0),
+          benchmark = docs.filter(col("doc_id") % 10 === 0),
+          textCol = "text", idCol = "doc_id", n = 8)
+      }
+    ),
+    Q(
       "q70_tfidf",
       "TF-IDF term scoring, integer-exact: per-(doc, term) tf, corpus df, " +
         "and score = tf * (N_docs * 1e6 div df) — a scaled-rational idf " +

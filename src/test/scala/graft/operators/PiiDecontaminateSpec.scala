@@ -108,4 +108,21 @@ class PiiDecontaminateSpec extends AnyFunSuite {
     assert(lshFlagged.nonEmpty,
       s"LSH screen found none of ${exactFlagged.size} exact flags")
   }
+
+  test("leakageReport: distinct corpus docs per benchmark item, zero-leak rows kept") {
+    import spark.implicits._
+    val leaked = "alpha beta gamma delta epsilon zeta eta theta"  // 8 tokens = 1 gram
+    val corpus = Seq(
+      (1L, s"prefix words here $leaked and a tail"),
+      (2L, s"$leaked entirely different continuation of text"),
+      (3L, "nothing in common with any benchmark item at all here"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, leaked),                                        // leaked into docs 1 and 2
+      (101L, "clean benchmark question nobody has copied anywhere yet today"))
+      .toDF("doc_id", "text")
+    val got = Decontaminate.leakageReport(corpus, bench, "text", "doc_id", n = 8)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((100L, 2L), (101L, 0L)))
+  }
 }
