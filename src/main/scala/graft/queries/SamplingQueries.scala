@@ -52,15 +52,22 @@ object SamplingQueries {
         .map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString(" ") +
       " ELSE 1 END AS BIGINT)"
 
-  /** Shared plan CTE chain for q124/q125: per-source token totals, the
-    * broadcastable weight total, integer targets and capped epochs —
+  /** Shared plan CTE chain for q124/q125/q136: per-source token totals,
+    * the broadcastable weight total, integer targets and capped epochs —
     * mirror of [[Sampling.mixtureEpochPlan]] constant for constant.
+    * `dBody` supplies the (source, doc_id, toks) input relation;
+    * `budget` the token budget.
     */
   private def duckEpochPlanCtes: String =
+    duckEpochCtesFrom(
+      """  SELECT source, doc_id,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
+        |  FROM documents""".stripMargin,
+      EpochBudget)
+
+  private def duckEpochCtesFrom(dBody: String, budget: Long): String =
     s"""WITH d AS (
-       |  SELECT source, doc_id,
-       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks
-       |  FROM documents
+       |$dBody
        |), per AS (
        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        |         CAST(SUM(toks) AS BIGINT) AS tokens_src,
@@ -70,7 +77,7 @@ object SamplingQueries {
        |), tot AS (
        |  SELECT CAST(SUM(weight) AS BIGINT) AS w_total FROM per
        |), plan0 AS (
-       |  SELECT per.*, ($EpochBudget * weight) // w_total AS target_tokens
+       |  SELECT per.*, ($budget * weight) // w_total AS target_tokens
        |  FROM per, tot
        |), plan AS (
        |  SELECT *, CAST(LEAST($EpochMaxEpochs,
@@ -365,6 +372,81 @@ object SamplingQueries {
         Sampling.fillTokenBudgetSharded(
           scored, "source", "quality", "doc_id", "ws_tokens", budget = 800L)
           .select("doc_id", "source", "quality", "ws_tokens", "cum_tokens")
+      }
+    ),
+    Q(
+      "q136_mixture_capstone",
+      "The mixture-assembly capstone: per-source best-quality curation " +
+        "(the q87 800-token budget) -> epoch repeats to 30k-token " +
+        "mixture targets (the q124/q125 plan, weights 3/2/0) -> " +
+        "512-token training bins. The composition insight: the epoch " +
+        "stream's running cut total IS the packing prefix, so bin " +
+        "assignment is pure arithmetic on cum_tokens — the final stage " +
+        "costs ZERO additional shuffles. The curated pool is " +
+        "materialized ONCE (localCheckpoint; a parquet write at cluster " +
+        "scale) before fanning out into the plan aggregate and the " +
+        "epoch stream — the q100 discipline. Each stage is individually " +
+        "oracle-green (q92, q125, q116); this checks their composition " +
+        "— schema hand-offs, order keys surviving each stage — as one " +
+        "plan.",
+      Some {
+        val curatedBody =
+          """  SELECT doc_id, source, ws_tokens AS toks FROM (
+            |    SELECT doc_id, source, ws_tokens,
+            |           CAST(SUM(ws_tokens) OVER (
+            |             PARTITION BY source ORDER BY quality DESC, doc_id
+            |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum0
+            |    FROM (
+            |      SELECT doc_id, source,
+            |             ((CASE WHEN chars / greatest(toksd, 1.0) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+            |              + (CASE WHEN CAST(punct AS DOUBLE) / greatest(toksd, 1.0) <= 0.3 THEN 1.0 ELSE 0.0 END)
+            |              + (CASE WHEN CAST(stops AS DOUBLE) / greatest(toksd, 1.0) >= 0.05 THEN 1.0 ELSE 0.0 END)
+            |              + (CASE WHEN chars BETWEEN 50.0 AND 100000.0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality,
+            |             CAST(toksd AS BIGINT) AS ws_tokens
+            |      FROM (
+            |        SELECT doc_id, source,
+            |               CAST(LENGTH(text) AS DOUBLE) AS chars,
+            |               CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS toksd,
+            |               len(regexp_extract_all(text, '[.!?,;:]')) AS punct,
+            |               len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS stops
+            |        FROM documents
+            |      )
+            |    )
+            |  ) WHERE cum0 <= 800""".stripMargin
+        s"""${duckEpochCtesFrom(curatedBody, 30000L)}, ex AS (
+           |  SELECT d.source, d.doc_id, d.toks, CAST(u.e AS BIGINT) AS epoch,
+           |         p.target_tokens
+           |  FROM d, plan p, UNNEST(range(1, p.epochs + 1)) AS u(e)
+           |  WHERE d.source = p.source
+           |), c AS (
+           |  SELECT source, doc_id, epoch, toks,
+           |         CAST(SUM(toks) OVER (
+           |           PARTITION BY source ORDER BY epoch, doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+           |         target_tokens
+           |  FROM ex
+           |)
+           |SELECT source, doc_id, epoch, toks AS tokens,
+           |       (cum_tokens - toks) // 512 AS bin_id,
+           |       (cum_tokens - toks) % 512 AS bin_offset
+           |FROM c WHERE cum_tokens <= target_tokens""".stripMargin
+      },
+      (spark, dir) => {
+        import graft.operators.TextAnalysis
+        val scored = Tables.documents(spark, dir).select(
+          col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"))
+        val curated = Sampling.fillTokenBudgetSharded(
+            scored, "source", "quality", "doc_id", "ws_tokens", budget = 800L)
+          .select("doc_id", "source", "ws_tokens")
+          .localCheckpoint(false) // materialize the curated pool ONCE
+        Sampling.mixtureEpochMaterialize(
+            curated, "source", "doc_id", col("ws_tokens"), EpochWeights,
+            budget = 30000L, maxEpochs = EpochMaxEpochs)
+          .select(col("source"), col("doc_id"), col("epoch"), col("tokens"),
+            expr("(cum_tokens - tokens) div 512").as("bin_id"),
+            expr("(cum_tokens - tokens) % 512").as("bin_offset"))
       }
     ),
     Q(

@@ -281,6 +281,39 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q136: capstone runtime shuffles stay bounded; bin assignment adds none") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+    val out = SparkEntry.queries("q136_mixture_capstone")(spark, SparkTestSession.sf0001)
+    out.collect() // materialize so AQE finalizes the plan
+    def walk(p: SparkPlan): (Set[Int], Int) = {
+      val (hereIds, hereReused) = p match {
+        case e: Exchange => (Set(e.id), 0)
+        case _: ReusedExchangeExec => (Set.empty[Int], 1)
+        case _ => (Set.empty[Int], 0)
+      }
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => Seq(walk(a.executedPlan))
+        case q: QueryStageExec => Seq(walk(q.plan))
+        case other => other.children.map(walk)
+      }
+      below.foldLeft((hereIds, hereReused)) { case ((ids, r), (i2, r2)) => (ids ++ i2, r + r2) }
+    }
+    val (distinctExchanges, reused) = walk(out.queryExecution.executedPlan)
+    info(s"distinct exchanges=${distinctExchanges.size} reused=$reused")
+    // Audited at 12 distinct + 4 reused (sf0.001): the sharded budget
+    // windows + cut, the epoch-plan source aggregate + weight total, and
+    // the sharded-prefix (source, shard) family downstream of the ONE
+    // localCheckpoint materialization. The static tree expands the
+    // duplicated curation branches to 77 exchange nodes; the pin keeps
+    // the executed plan at the audited order, and the bin-assignment
+    // stage (pure cum_tokens arithmetic) must add nothing.
+    assert(distinctExchanges.size <= 16,
+      s"capstone shuffle budget blown: ${distinctExchanges.size} distinct exchanges")
+    assert(reused >= 1, "expected the fanned-out curated pool to reuse exchanges")
+  }
+
   test("components shuffle path: the REAL iteration keys the edge join on dst (sort-merge capable)") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
