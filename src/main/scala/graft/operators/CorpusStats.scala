@@ -156,6 +156,43 @@ object CorpusStats {
           .as("oov_ratio"))
   }
 
+  /** Per-document token rarity: the sum over token INSTANCES of the
+    * integer inverse frequency N div c_t (N = total corpus tokens,
+    * c_t = the token's corpus count) — a log-free surprisal proxy (the
+    * [[graft.queries.Q]] determinism contract forbids libm: ln differs
+    * in the last ulp across engines and a sum of logs is
+    * order-dependent, where this rational form is exact BIGINT under
+    * any partitioning). High mean rarity = rare vocabulary — a
+    * quality/novelty signal next to [[oovRate]], and its structural
+    * complement: oovRate bounds its vocabulary at top-V so the join
+    * side BROADCASTS, while rarity joins the token stream against the
+    * FULL vocabulary — the honest unbounded-vocab shape, a hash
+    * equi-join on the token with both sides map-side combined.
+    *
+    * Overflow: summand <= N, so a doc needs tokens_doc * N >= 2^63 to
+    * wrap — beyond exabyte corpora; the corpus total rides a broadcast
+    * 1-row frame.
+    */
+  def tokenRarity(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextAnalysis.wsTokens(col(textCol))).as("__t"))
+    val counts = tok.groupBy("__t").agg(count(lit(1)).as("__ct"))
+    val n = tok.agg(count(lit(1)).as("__n_total"))
+    tok.join(counts, Seq("__t"))
+      .crossJoin(broadcast(n))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(expr("__n_total div __ct")).as("rarity_sum"))
+      .select(
+        col(idCol), col("n_tokens"), col("rarity_sum"),
+        (col("rarity_sum").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_rarity"))
+  }
+
   /** Per-source unigram-distribution drift: the total-variation distance
     * between each source's token distribution and the whole corpus —
     * tv = 0.5 * sum_t |c_{s,t}/N_s - C_t/N| — the mixture-design

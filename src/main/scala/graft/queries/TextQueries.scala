@@ -1310,6 +1310,36 @@ object TextQueries {
           chunkTokens = 50, overlap = 10)
     ),
     Q(
+      "q137_token_rarity",
+      "Per-document token rarity: sum over token instances of the " +
+        "integer inverse frequency N div c_t — a log-free surprisal " +
+        "proxy (libm ln differs across engines in the last ulp and a " +
+        "sum of logs is order-dependent; this rational form is exact " +
+        "BIGINT under any partitioning). q127's structural complement: " +
+        "the rarity join runs the token stream against the FULL " +
+        "vocabulary — the honest unbounded-vocab hash equi-join — " +
+        "where q127 bounds its vocab at top-V to broadcast.",
+      Some("""
+        |WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS ct FROM tok GROUP BY 1
+        |), n AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok
+        |)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(n_total // ct) AS BIGINT) AS rarity_sum,
+        |       CAST(sum(n_total // ct) AS DOUBLE) / count(*) AS mean_rarity
+        |FROM tok JOIN c USING (t), n
+        |GROUP BY doc_id
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        graft.operators.CorpusStats.tokenRarity(
+          Tables.documents(spark, dir), "doc_id", "text")
+    ),
+    Q(
       "q129_corpus_report",
       "Per-source dataset card: doc/token counts, mean length, mean " +
         "quality, and the count of docs duplicated ANYWHERE in the " +

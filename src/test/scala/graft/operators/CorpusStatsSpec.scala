@@ -117,6 +117,22 @@ class CorpusStatsSpec extends AnyFunSuite {
       (3L, 2L, 2L, 1.0)))
   }
 
+  test("tokenRarity equals a scalar recount; rare vocabulary scores higher") {
+    val docs = Seq(
+      (1L, "a a a a"),       // all common
+      (2L, "a z"),           // one rare token
+      (3L, "q z"))           // all rare
+      .toDF("doc_id", "text")
+    // counts: a:5 z:2 q:1; N=8 -> inv: a=1, z=4, q=8
+    val got = CorpusStats.tokenRarity(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 4L, 4L, 1.0),
+      (2L, 2L, 5L, 2.5),
+      (3L, 2L, 12L, 6.0)))
+    assert(got.map(_._4) == got.map(_._4).sorted) // rarer vocab -> higher mean
+  }
+
   test("oovRate plan: vocab joins broadcast and the top-V is TakeOrdered") {
     val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
     val p = CorpusStats.oovRate(docs, "doc_id", "text", 2)
