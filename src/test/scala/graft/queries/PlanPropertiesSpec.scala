@@ -281,6 +281,15 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q137: the vocabulary join is hash-based; the only nested loop is the 1-row total") {
+    val p = plan("q137_token_rarity")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the broadcast 1-row corpus total is the single allowed nested loop
+    // (FormattedMode prints each node twice: tree + detail)
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 2, p)
+  }
+
   test("q136: capstone runtime shuffles stay bounded; bin assignment adds none") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
