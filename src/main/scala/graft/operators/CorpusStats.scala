@@ -167,7 +167,12 @@ object CorpusStats {
     * complement: oovRate bounds its vocabulary at top-V so the join
     * side BROADCASTS, while rarity joins the token stream against the
     * FULL vocabulary — the honest unbounded-vocab shape, a hash
-    * equi-join on the token with both sides map-side combined.
+    * equi-join on the token (the count side map-side combined). When
+    * even that token-keyed shuffle is too dear, the sketch swap is
+    * in-repo: broadcast a [[CountMin]] matrix instead of the exact
+    * count table — it never under-counts, so sketch rarity
+    * under-estimates by a bounded colliding mass and the screen stays
+    * conservative.
     *
     * Overflow: summand <= N, so a doc needs tokens_doc * N >= 2^63 to
     * wrap — beyond exabyte corpora; the corpus total rides a broadcast

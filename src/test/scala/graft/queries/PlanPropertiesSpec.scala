@@ -281,6 +281,14 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q134: the benchmark gram map broadcasts into the corpus-side screen") {
+    val p = plan("q134_leakage_report")
+    // the gram screen is the broadcast inner join; the FINAL left join
+    // (zero-leak rows) is benchmark-sized and may sort-merge statically
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q137: the vocabulary join is hash-based; the only nested loop is the 1-row total") {
     val p = plan("q137_token_rarity")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
