@@ -694,6 +694,72 @@ object DedupQueries {
       }
     ),
     Q(
+      "q138_dup_pagerank",
+      "Integer fixed-point PageRank over the near-dup candidate graph " +
+        "(5 damped iterations at BIGINT scale 1e12): duplication-hub " +
+        "importance — a curation pass keeps the hub as canonical and " +
+        "drops satellites. Every division is an explicit truncating " +
+        "div at a fixed dataflow point (contrib per node, teleport, " +
+        "damped sum), so the iterate is exact under any partitioning " +
+        "and the oracle UNROLLS the same rounds as generated CTE " +
+        "triplets (recursive CTEs cannot aggregate in the recursive " +
+        "term). Per iteration: one node-keyed join, one edge-keyed " +
+        "join carrying a single long per edge, one map-side-combined " +
+        "sum — the q36 iteration discipline with lineage checkpoints.",
+      Some {
+        val iters = (1 to 5).map { k =>
+          s"""c$k AS (
+             |  SELECT r.id, r.rank // d.outdeg AS c
+             |  FROM r${k - 1} r JOIN deg d ON d.src = r.id
+             |), s$k AS (
+             |  SELECT e.dst AS id, CAST(SUM(c.c) AS BIGINT) AS s
+             |  FROM edges e JOIN c$k c ON c.id = e.src GROUP BY 1
+             |), r$k AS (
+             |  SELECT r.id,
+             |         ((15 * (1000000000000 // (SELECT n_total FROM n))) // 100)
+             |           + (85 * COALESCE(s.s, 0)) // 100 AS rank
+             |  FROM r${k - 1} r LEFT JOIN s$k s ON s.id = r.id
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""${duckSignatureCte.replace("FROM documents", "FROM documents WHERE doc_id < 1000")}, bands AS (
+           |  SELECT doc_id, 0 AS band,
+           |         md5(concat_ws('_', ${(0 until 8).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band,
+           |         md5(concat_ws('_', ${(8 until 16).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |), pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |), edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs
+           |), deg AS (
+           |  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1
+           |), n AS (
+           |  SELECT CAST(count(DISTINCT src) AS BIGINT) AS n_total FROM edges
+           |), r0 AS (
+           |  SELECT src AS id, 1000000000000 // (SELECT n_total FROM n) AS rank
+           |  FROM (SELECT DISTINCT src FROM edges)
+           |),
+           |$iters
+           |SELECT id AS doc_id, rank FROM r5""".stripMargin
+      },
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
+        val pairs = Dedup.lshCandidatePairs(
+            Dedup.minhashSignatures(docs, "text", "doc_id", NumHashes),
+            "doc_id", NumHashes, bands = 2)
+          .select("doc_a", "doc_b")
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        graft.operators.PageRank.ranks(edges, iterations = 5, numPartitions = Some(8))
+          .select(col("id").as("doc_id"), col("rank"))
+      }
+    ),
+    Q(
       "q135_dup_degree_histogram",
       "Near-dup graph degree histogram per source: how many candidate " +
         "partners each doc has (the q32 banding), rolled up to (source, " +

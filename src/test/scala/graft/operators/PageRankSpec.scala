@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Ground truth for [[PageRank]]: the integer fixed-point iterate equals
+  * a scalar model exactly, hubs outrank satellites, mass stays bounded
+  * by Scale, and iteration count matters.
+  */
+class PageRankSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Scalar model of the exact integer update in [[PageRank.ranks]]. */
+  private def model(edges: Seq[(Long, Long)], iterations: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val inEdges = edges.groupBy(_._2)
+    var r = nodes.map(v => v -> PageRank.Scale / n).toMap
+    val t = (15L * (PageRank.Scale / n)) / 100L
+    for (_ <- 1 to iterations) {
+      val c = nodes.map(v => v -> (r(v) / deg.getOrElse(v, 1L))).toMap
+      r = nodes.map { v =>
+        val s = inEdges.getOrElse(v, Nil).map { case (u, _) => c(u) }.sum
+        v -> (t + (85L * s) / 100L)
+      }.toMap
+    }
+    r
+  }
+
+  // star: 1 is the hub, 2..5 satellites; symmetric edges
+  private val star = (2L to 5L).flatMap(v => Seq((1L, v), (v, 1L)))
+
+  test("ranks equal the scalar integer model on a star graph; the hub wins") {
+    val got = PageRank.ranks(star.toDF("src", "dst"), iterations = 5,
+        numPartitions = Some(2))
+      .as[(Long, Long)].collect().toMap
+    assert(got == model(star, 5))
+    assert((2L to 5L).forall(v => got(1L) > got(v)), s"hub does not dominate: $got")
+    // satellites are symmetric: identical ranks
+    assert((2L to 5L).map(got).distinct.size == 1)
+  }
+
+  test("randomized graph equals the model; total mass bounded by Scale") {
+    val rnd = new scala.util.Random(13)
+    val pairs = (1 to 60).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val sym = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val got = PageRank.ranks(sym.toDF("src", "dst"), iterations = 5,
+        numPartitions = Some(3))
+      .as[(Long, Long)].collect().toMap
+    assert(got == model(sym, 5))
+    // truncating divisions only LOSE mass: the total never exceeds Scale
+    assert(got.values.sum <= PageRank.Scale)
+    assert(got.values.forall(_ > 0))
+  }
+
+  test("iteration count matters: one round differs from five on an asymmetric graph") {
+    val chain = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L))
+    val r1 = PageRank.ranks(chain.toDF("src", "dst"), iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    val r5 = PageRank.ranks(chain.toDF("src", "dst"), iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == model(chain, 1))
+    assert(r5 == model(chain, 5))
+    assert(r1 != r5)
+  }
+}
