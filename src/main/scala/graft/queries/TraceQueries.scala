@@ -477,6 +477,83 @@ object TraceQueries {
           .groupBy("cohort_day", "offset_days")
           .agg(count(lit(1)).as("n_users"))
       }
+    ),
+    Q(
+      "q139_value_anomalies",
+      "Per-(user, type) z-score anomaly flags over the event value " +
+        "stream: group sums accumulate in exact DECIMAL (partitioning- " +
+        "independent) and cast to double ONCE, so mean/std/z are " +
+        "fixed-shape IEEE ops both engines reproduce bit for bit; " +
+        "constant groups score z=0 instead of dividing by zero. One " +
+        "map-side-combined group aggregate joined back on the group " +
+        "key; the scoring is narrow.",
+      Some("""
+        |WITH s AS (
+        |  SELECT user_id, event_type,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+        |         CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv2
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT user_id, event_type, sv / n AS mean,
+        |         sqrt(greatest(sv2 / n - (sv / n) * (sv / n), 0.0)) AS std
+        |  FROM s
+        |)
+        |SELECT e.event_id, e.user_id, e.event_type, e.value,
+        |       CASE WHEN m.std > 0 THEN (e.value - m.mean) / m.std ELSE 0.0 END AS z,
+        |       CASE WHEN m.std > 0 THEN abs((e.value - m.mean) / m.std) > 3.0 ELSE FALSE END AS is_anomaly
+        |FROM events e JOIN m ON e.user_id = m.user_id AND e.event_type = m.event_type
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        graft.operators.Anomaly.zScores(
+          Tables.eventsTsNs(spark, dir)
+            .select("event_id", "user_id", "event_type", "value"),
+          groupCols = Seq("user_id", "event_type"),
+          valueCol = "value",
+          keepCols = Seq("event_id"),
+          threshold = 3.0)
+    ),
+    Q(
+      "q140_hourly_gapfill",
+      "Hour-grid resampling with forward fill: per user, one row per " +
+        "hour from first to last activity, carrying the last observed " +
+        "value (in-hour 'last' = max of a (µs, id, value) struct — one " +
+        "map-side-combined aggregate, never a sort; µs not ns so the " +
+        "tiebreak matches engines that truncate nanosecond timestamps) " +
+        "and a gap flag. The grid is a bounded narrow sequence explode " +
+        "(span/step rows per key); the fill is one per-key window over " +
+        "span-sized partitions.",
+      Some("""
+        |WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |         epoch_us(ts) AS us, epoch_us(ts) // 3600000000 AS h
+        |  FROM events
+        |), hourly AS (
+        |  SELECT user_id, h, value AS hour_value FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, h ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM e
+        |  ) WHERE rn = 1
+        |), b AS (
+        |  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM e GROUP BY 1
+        |), grid AS (
+        |  SELECT b.user_id, CAST(u.h AS BIGINT) AS h
+        |  FROM b, UNNEST(range(b.h0, b.h1 + 1)) AS u(h)
+        |), j AS (
+        |  SELECT g.user_id, g.h, hourly.hour_value
+        |  FROM grid g LEFT JOIN hourly ON hourly.user_id = g.user_id AND hourly.h = g.h
+        |)
+        |SELECT user_id, h,
+        |       last_value(hour_value IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY h
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff,
+        |       hour_value IS NULL AS is_gap
+        |FROM j
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        graft.operators.Resample.hourlyForwardFill(
+          Tables.eventsTsNs(spark, dir),
+          userCol = "user_id", tsNsCol = "ts",
+          idCol = "event_id", valueCol = "value")
     )
   )
 }
