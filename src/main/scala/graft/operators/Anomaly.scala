@@ -19,17 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Anomaly {
 
-  def zScores(
+  /** The (groupCols..., __mean, __std) statistics table — exposed so the
+    * streaming serving twin ([[graft.streaming.EventStream.anomalyScored]])
+    * can score arrivals against a batch-refreshed copy of exactly these
+    * numbers.
+    */
+  def groupStats(
       df: DataFrame,
       groupCols: Seq[String],
-      valueCol: String,
-      keepCols: Seq[String],
-      threshold: Double = 3.0): DataFrame = {
+      valueCol: String): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
-    require(threshold > 0, s"threshold must be positive: $threshold")
     val dec = col(valueCol).cast("decimal(18,4)")
     val mean = col("__sv") / col("__n")
-    val stats = df.groupBy(groupCols.map(col): _*)
+    df.groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("__n"),
         sum(dec).cast("double").as("__sv"),
@@ -38,8 +40,17 @@ object Anomaly {
         mean.as("__mean"),
         sqrt(greatest(col("__sv2") / col("__n") - mean * mean, lit(0.0)))
           .as("__std")): _*)
+  }
+
+  def zScores(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      keepCols: Seq[String],
+      threshold: Double = 3.0): DataFrame = {
+    require(threshold > 0, s"threshold must be positive: $threshold")
     val z = (col(valueCol) - col("__mean")) / col("__std")
-    df.join(stats, groupCols)
+    df.join(groupStats(df, groupCols, valueCol), groupCols)
       .select(keepCols.map(col) ++ groupCols.map(col) ++ Seq(
         col(valueCol),
         when(col("__std") > 0, z).otherwise(lit(0.0)).as("z"),

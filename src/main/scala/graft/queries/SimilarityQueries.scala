@@ -422,6 +422,39 @@ object SimilarityQueries {
       }
     ),
     Q(
+      "q141_ivf_recall",
+      "Recall@5 of the IVF index (q42's nprobe=2 deterministic " +
+        "quantizer) against the brute-force truth — completing the " +
+        "tracked recall family (q121 LSH, q131 int8, q141 IVF): the " +
+        "recall-per-nprobe operating point as a regression-guarded " +
+        "number. Evaluation join is queries x k rows.",
+      Some {
+        s"""WITH ex AS (
+           |  SELECT q_id, neighbor_id FROM (
+           |    $bruteForceSql
+           |  )
+           |), ap AS (
+           |  SELECT q_id, neighbor_id FROM (
+           |    $ivfOracleSql
+           |  )
+           |)
+           |SELECT ex.q_id,
+           |       CAST(COUNT(*) AS BIGINT) AS n_exact,
+           |       CAST(COUNT(ap.neighbor_id) AS BIGINT) AS n_hit,
+           |       CAST(COUNT(ap.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+           |FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.neighbor_id = ap.neighbor_id
+           |GROUP BY ex.q_id""".stripMargin
+      },
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        val q = e.filter(col("vec_id") < 8)
+        Similarity.topKRecall(
+          Similarity.cosineTopK(e, q, "vec_id", "embedding", k = 5),
+          Similarity.cosineTopKIvf(e, q, "vec_id", "embedding",
+            k = 5, nlist = 16, nprobe = 2))
+      }
+    ),
+    Q(
       "q117_label_centroids",
       "Per-label embedding centroid + per-dimension variance: class " +
         "prototypes and intra-class spread, the label-quality / " +

@@ -158,6 +158,32 @@ object EventStream {
   def enrichedWithUsers(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left")
 
+  /** Streaming anomaly scoring — the SERVING face of q139: arrivals
+    * score against a batch-computed (group -> mean/std) statistics
+    * table via a broadcast stream-static join (the [[enrichedWithUsers]]
+    * dim pattern — the static side re-resolves per batch, so a periodic
+    * batch refresh of the stats shows up without restarting the query).
+    * Zero keyed state, row-local scoring, identical flags to the batch
+    * twin fed the same stats (StreamingIncrementalSpec asserts it).
+    * Computing the statistics IN-stream would be an aggregation-
+    * before-join (state + update mode); the batch-stats/stream-score
+    * split is the production anomaly-detection shape.
+    */
+  def anomalyScored(
+      events: DataFrame,
+      stats: DataFrame,
+      threshold: Double = 3.0): DataFrame = {
+    require(threshold > 0, s"threshold must be positive: $threshold")
+    val z = (col("value") - col("__mean")) / col("__std")
+    events
+      .join(broadcast(stats), Seq("user_id", "event_type"), "left")
+      .select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        when(col("__std") > 0, z).otherwise(lit(0.0)).as("z"),
+        when(col("__std") > 0, abs(z) > threshold).otherwise(lit(false))
+          .as("is_anomaly"))
+  }
+
   /** Streaming exactly-once dedup: drop replayed/duplicate events by id
     * within the watermark horizon — the streaming face of the engine's
     * dedup story. `dropDuplicatesWithinWatermark` keys state on event_id

@@ -105,4 +105,49 @@ class StreamingIncrementalSpec extends AnyFunSuite {
       assert(q.lastProgress.stateOperators.map(_.numRowsTotal).sum == 2)
     } finally q.stop()
   }
+
+  test("anomalyScored equals the batch z-scores fed the same stats; zero state") {
+    import graft.operators.Anomaly
+    // 16 inliers + outlier per the sqrt(n-1) bound; one constant group
+    val history = ((1L to 16L).map(i => (i, 7L, "click", 10.0)) ++
+      Seq((17L, 7L, "click", 1000.0)) ++
+      (18L to 21L).map(i => (i, 8L, "view", 5.0)))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val stats = Anomaly.groupStats(history, Seq("user_id", "event_type"), "value")
+    val batches = Seq(
+      Seq((101L, 7L, "click", 10.0), (102L, 7L, "click", 1000.0)),
+      Seq((103L, 8L, "view", 5.0), (104L, 9L, "click", 42.0))) // unseen group
+    val dirStr = watchDirOf(batches.map(
+      _.toDF("event_id", "user_id", "event_type", "value")))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dirStr)
+    val q = EventStream.runToMemory(
+      EventStream.anomalyScored(stream, stats), "anomaly_scored",
+      OutputMode.Append())
+    try {
+      val got = spark.sql(
+          "SELECT event_id, value, z, is_anomaly FROM anomaly_scored")
+        .as[(Long, Double, Double, Boolean)].collect().sortBy(_._1).toSeq
+      // batch twin: score the SAME arrivals against the SAME stats
+      val want = batches.flatten
+        .toDF("event_id", "user_id", "event_type", "value")
+        .join(broadcast(stats), Seq("user_id", "event_type"), "left")
+        .select(col("event_id"), col("value"),
+          when(col("__std") > 0,
+            (col("value") - col("__mean")) / col("__std")).otherwise(0.0).as("z"),
+          when(col("__std") > 0,
+            abs((col("value") - col("__mean")) / col("__std")) > 3.0)
+            .otherwise(false).as("is_anomaly"))
+        .as[(Long, Double, Double, Boolean)].collect().sortBy(_._1).toSeq
+      assert(got == want)
+      assert(got.find(_._1 == 102L).exists(_._4), "streamed outlier not flagged")
+      assert(got.find(_._1 == 104L).exists(r => r._3 == 0.0 && !r._4),
+        "unseen group should score 0 / unflagged")
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
 }
