@@ -22,6 +22,9 @@ import org.apache.spark.sql.functions._
   * is one per-key window ordered by hour. Per-key state is span-sized
   * (a month = 720 rows) — for multi-year spans at billions of keys,
   * shard the fill with the [[ShardedPrefix]] two-phase pattern.
+  * `maxSpanHours` fail-fasts a key whose span would explode the grid
+  * (one corrupt epoch-0 timestamp next to a current one = a 480k-hour
+  * grid row bomb per key) instead of silently materializing it.
   */
 object Resample {
 
@@ -32,7 +35,9 @@ object Resample {
       userCol: String,
       tsNsCol: String,
       idCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String,
+      maxSpanHours: Long = 100000L): DataFrame = {
+    require(maxSpanHours > 0, s"maxSpanHours must be positive: $maxSpanHours")
     val e = events.select(
       col(userCol).as("user_id"),
       expr(s"$tsNsCol div $HourNs").as("h"),
@@ -44,7 +49,14 @@ object Resample {
       .select(col("user_id"), col("h"), col("__last.__v").as("hour_value"))
     val grid = e.groupBy("user_id")
       .agg(min("h").as("__h0"), max("h").as("__h1"))
-      .select(col("user_id"), explode(expr("sequence(__h0, __h1)")).as("h"))
+      .select(col("user_id"),
+        explode(expr(s"""CASE WHEN __h1 - __h0 < ${maxSpanHours}L
+          | THEN sequence(__h0, __h1)
+          | ELSE raise_error(concat('Resample.hourlyForwardFill: key ',
+          |   CAST(user_id AS STRING), ' spans ', CAST(__h1 - __h0 AS STRING),
+          |   ' hours > maxSpanHours=${maxSpanHours} — likely a corrupt
+          |   timestamp; clean or raise the cap')) END""".stripMargin
+          .replace("\n", " "))).as("h"))
     val w = Window.partitionBy("user_id").orderBy("h")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(hourly, Seq("user_id", "h"), "left")

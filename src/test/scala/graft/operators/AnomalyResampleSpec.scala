@@ -63,6 +63,20 @@ class AnomalyResampleSpec extends AnyFunSuite {
     assert(got((2L, 7L)) == ((6.0, false)))   // same µs -> id tiebreak
   }
 
+  test("hourlyForwardFill fails fast on a span past maxSpanHours (corrupt timestamp)") {
+    val h = Resample.HourNs
+    val bad = Seq(
+      (1L, 0L, 100L, 1.0),                    // epoch 0
+      (1L, 500000L * h, 101L, 2.0))           // ~57 years later
+      .toDF("user_id", "ts", "event_id", "value")
+    val ex = intercept[Exception] {
+      Resample.hourlyForwardFill(bad, "user_id", "ts", "event_id", "value").collect()
+    }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("maxSpanHours"), s"unexpected: $ex")
+  }
+
   test("plans: the z-score aggregate and the in-hour last are map-side-combinable") {
     val df = Seq((1L, "a", 1.0)).toDF("event_id", "grp", "value")
     val p1 = Anomaly.zScores(df, Seq("grp"), "value", Seq("event_id"))
