@@ -31,13 +31,24 @@ object Anomaly {
     require(groupCols.nonEmpty, "need at least one group column")
     val dec = col(valueCol).cast("decimal(18,4)")
     val mean = col("__sv") / col("__n")
+    // n counts values that SURVIVE the decimal cast, and any value the
+    // cast nulls out (|v| >= 1e14 overflows decimal(18,4) silently under
+    // non-ANSI mode) raises instead of skewing mean/std — the silent-
+    // wrap class the Bm25/sourceDrift guards exist for. Input nulls are
+    // skipped like every aggregate skips them.
     df.groupBy(groupCols.map(col): _*)
       .agg(
-        count(lit(1)).as("__n"),
+        count(dec).as("__n"),
+        sum(when(col(valueCol).isNotNull && dec.isNull, 1L).otherwise(0L))
+          .as("__overflow"),
         sum(dec).cast("double").as("__sv"),
         sum(dec * dec).cast("double").as("__sv2"))
       .select(groupCols.map(col) ++ Seq(
-        mean.as("__mean"),
+        when(col("__overflow") === 0, mean)
+          .otherwise(raise_error(concat(
+            lit("Anomaly.groupStats: "), col("__overflow").cast("string"),
+            lit(" value(s) overflow decimal(18,4); widen the cast or " +
+              "clean the metric")))).as("__mean"),
         sqrt(greatest(col("__sv2") / col("__n") - mean * mean, lit(0.0)))
           .as("__std")): _*)
   }

@@ -94,8 +94,12 @@ object Bm25 {
       .select(
         col("n_docs"),
         when(
-          col("n_docs").cast("decimal(38,0)") * col("t_tokens") * col("max_dl")
-            <= lit(MaxStatProduct),
+          // an EMPTY corpus (n_docs = 0, null sums) is a legitimate empty
+          // result, not an overflow — only a non-empty corpus whose bound
+          // product exceeds (or null-overflows) the limit raises
+          col("n_docs") === 0 ||
+            col("n_docs").cast("decimal(38,0)") * col("t_tokens") * col("max_dl")
+              <= lit(MaxStatProduct),
           col("t_tokens"))
           .otherwise(raise_error(concat(
             lit("Bm25.topK: n_docs*t_tokens*max_dl = "),

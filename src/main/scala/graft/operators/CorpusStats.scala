@@ -185,7 +185,10 @@ object CorpusStats {
     val tok = docs.select(col(idCol),
       explode(TextAnalysis.wsTokens(col(textCol))).as("__t"))
     val counts = tok.groupBy("__t").agg(count(lit(1)).as("__ct"))
-    val n = tok.agg(count(lit(1)).as("__n_total"))
+    // the total reduces FROM the counts table (vocab-sized, reusing its
+    // exchange) — the sourceDrift discipline; a tok.agg(count) here would
+    // re-scan and re-explode the whole corpus just to count tokens
+    val n = counts.agg(sum("__ct").as("__n_total"))
     tok.join(counts, Seq("__t"))
       .crossJoin(broadcast(n))
       .groupBy(col(idCol))
@@ -235,7 +238,8 @@ object CorpusStats {
     // the broadcast 1-row frame instead.
     val n = st.agg(sum("c").as("n"))
       .select(
-        when(col("n") <= lit(MaxDriftTokens), col("n"))
+        // a null total = empty corpus = legitimately empty result
+        when(col("n").isNull || col("n") <= lit(MaxDriftTokens), col("n"))
           .otherwise(raise_error(concat(
             lit("CorpusStats.sourceDrift: corpus token count "),
             col("n").cast("string"),

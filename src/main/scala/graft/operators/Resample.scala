@@ -50,7 +50,7 @@ object Resample {
     val grid = e.groupBy("user_id")
       .agg(min("h").as("__h0"), max("h").as("__h1"))
       .select(col("user_id"),
-        explode(expr(s"""CASE WHEN __h1 - __h0 < ${maxSpanHours}L
+        explode(expr(s"""CASE WHEN __h1 - __h0 <= ${maxSpanHours}L
           | THEN sequence(__h0, __h1)
           | ELSE raise_error(concat('Resample.hourlyForwardFill: key ',
           |   CAST(user_id AS STRING), ' spans ', CAST(__h1 - __h0 AS STRING),

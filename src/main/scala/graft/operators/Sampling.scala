@@ -303,10 +303,12 @@ object Sampling {
     * (epoch, cum_tokens), cum_tokens the running total INCLUDING the
     * row, <= target by the cut.
     *
-    * Contract: ids non-negative (enforced — the epoch-major order key is
-    * epoch * (max_id + 1) + id, which a negative id would alias across
-    * epochs) and unique per source (the ShardedPrefix determinism
-    * contract).
+    * Contract: ids non-negative AND small enough that
+    * maxEpochs * (max_id + 1) fits a Long (both enforced — the
+    * epoch-major order key is epoch * (max_id + 1) + id, which a
+    * negative id would alias across epochs and an oversized id would
+    * silently wrap, mis-ordering the cut), and unique per source (the
+    * ShardedPrefix determinism contract).
     */
   def mixtureEpochMaterialize(
       docs: DataFrame,
@@ -328,11 +330,13 @@ object Sampling {
       .filter(col("epochs") > 0)
       .withColumn("epoch", explode(expr("sequence(1L, epochs)")))
       .withColumn("__ord",
-        when(col("__id") >= 0,
+        when(col("__id") >= 0 && col("max_id") <= lit(Long.MaxValue / maxEpochs - 1L),
           (col("epoch") - 1L) * (col("max_id") + 1L) + col("__id"))
           .otherwise(raise_error(lit(
-            "mixtureEpochMaterialize: ids must be non-negative " +
-              "(a negative id would alias order keys across epochs)"))))
+            "mixtureEpochMaterialize: ids must be non-negative and " +
+              s"max_id <= Long.MaxValue/$maxEpochs - 1 (a negative id " +
+              "would alias order keys across epochs; an oversized one " +
+              "would wrap them silently)"))))
     ShardedPrefix.exclusivePrefixSum(
         joined, "source", "__ord", col("tokens"), "__before", shards)
       .filter(col("__before") + col("tokens") <= col("target_tokens"))

@@ -490,7 +490,7 @@ object TraceQueries {
       Some("""
         |WITH s AS (
         |  SELECT user_id, event_type,
-        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(value) AS BIGINT) AS n,
         |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
         |         CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv2
         |  FROM events GROUP BY 1, 2

@@ -125,22 +125,38 @@ object DocumentStream {
     * shuffles less at corpus scale, but streaming wants zero-state
     * signature computation, and a document's words all live in one row.
     */
-  def bandKeys(docs: DataFrame, numHashes: Int = 16, bands: Int = 2): DataFrame = {
-    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+  /** Per-row narrow minhash signature expressions (index i = mh_i) —
+    * the SINGLE definition both [[bandKeys]] and
+    * [[incrementalClassified]] build from, so the two sides of a
+    * membership screen can never desynchronize on the permutation
+    * family.
+    */
+  private def minhashExprs(numHashes: Int): IndexedSeq[org.apache.spark.sql.Column] = {
     val words = array_distinct(TextAnalysis.wsTokens(col("text")))
-    val sigCols = (0 until numHashes).map { i =>
+    (0 until numHashes).map { i =>
       array_min(transform(words, w =>
         (TextAnalysis.portableHash32(w) * lit(Dedup.minhashA(i)) + lit(Dedup.minhashB(i)))
-          % lit(Dedup.MinhashPrime))).as(s"mh$i")
-    }
-    val sigs = docs.select(col("doc_id") +: sigCols: _*)
+          % lit(Dedup.MinhashPrime)))
+    }.toIndexedSeq
+  }
+
+  /** The band-b key text ("v0_v1_..."): one definition of the slice
+    * format for every streaming band-key consumer.
+    */
+  private def bandSliceKey(
+      mhs: IndexedSeq[org.apache.spark.sql.Column],
+      b: Int,
+      rowsPerBand: Int): org.apache.spark.sql.Column =
+    concat_ws("_", (b * rowsPerBand until (b + 1) * rowsPerBand).map(mhs): _*)
+
+  def bandKeys(docs: DataFrame, numHashes: Int = 16, bands: Int = 2): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val mhs = minhashExprs(numHashes)
     val rowsPerBand = numHashes / bands
     val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("_",
-          (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("key"))
+      struct(lit(b).as("band"), bandSliceKey(mhs, b, rowsPerBand).as("key"))
     }
-    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+    docs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
@@ -338,16 +354,10 @@ object DocumentStream {
         s"${exBandKeys.length} band keys > maxPlanKeys=$maxPlanKeys — " +
         "screen corpus-sized existing sets with bloomScreened + a " +
         "periodic batch q126 instead of a plan literal")
-    val words = array_distinct(TextAnalysis.wsTokens(col("text")))
-    val mhs = (0 until numHashes).map { i =>
-      array_min(transform(words, w =>
-        (TextAnalysis.portableHash32(w) * lit(Dedup.minhashA(i)) + lit(Dedup.minhashB(i)))
-          % lit(Dedup.MinhashPrime)))
-    }
+    val mhs = minhashExprs(numHashes)
     val rowsPerBand = numHashes / bands
     val bandKeyArr = array((0 until bands).map { b =>
-      concat_ws("#", lit(b),
-        concat_ws("_", (b * rowsPerBand until (b + 1) * rowsPerBand).map(mhs): _*))
+      concat_ws("#", lit(b), bandSliceKey(mhs, b, rowsPerBand))
     }: _*)
     docs.select(
       col("doc_id"),

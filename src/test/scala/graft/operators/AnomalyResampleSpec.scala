@@ -63,6 +63,30 @@ class AnomalyResampleSpec extends AnyFunSuite {
     assert(got((2L, 7L)) == ((6.0, false)))   // same µs -> id tiebreak
   }
 
+  test("zScores raises on values that overflow the decimal cast instead of skewing stats") {
+    // under ANSI mode (Spark 4 default) the cast itself throws; under
+    // non-ANSI it nulls silently and the groupStats guard raises — either
+    // way an overflowing metric NEVER silently skews mean/std
+    val rows = Seq((1L, "g", 10.0), (2L, "g", 1e15)) // 1e15 overflows decimal(18,4)
+      .toDF("event_id", "grp", "value")
+    val ex = intercept[Exception] {
+      Anomaly.zScores(rows, Seq("grp"), "value", Seq("event_id")).collect()
+    }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("overflow decimal") ||
+      chain.contains("NUMERIC_VALUE_OUT_OF_RANGE"), s"unexpected: $ex")
+  }
+
+  test("hourlyForwardFill: a span exactly at maxSpanHours passes (inclusive cap)") {
+    val h = Resample.HourNs
+    val events = Seq((1L, 0L, 100L, 1.0), (1L, 5L * h, 101L, 2.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = Resample.hourlyForwardFill(
+      events, "user_id", "ts", "event_id", "value", maxSpanHours = 5L).collect()
+    assert(got.length == 6) // hours 0..5 inclusive
+  }
+
   test("hourlyForwardFill fails fast on a span past maxSpanHours (corrupt timestamp)") {
     val h = Resample.HourNs
     val bad = Seq(

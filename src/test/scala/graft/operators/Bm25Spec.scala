@@ -98,6 +98,11 @@ class Bm25Spec extends AnyFunSuite {
     assert(ex.getMessage.contains("at least one term"), ex.getMessage)
   }
 
+  test("an empty corpus returns an empty result, not a spurious overflow raise") {
+    val empty = corpus.toDF("doc_id", "text").filter("doc_id < 0")
+    assert(Bm25.topK(empty, "doc_id", "text", queries, 3).collect().isEmpty)
+  }
+
   test("past the exact-Long bound the stats row fails fast instead of wrapping") {
     // 5 docs x 200k tokens: n*T*max_dl = 5 * 1e6 * 2e5 = 1e12 > MaxStatProduct.
     val body = Array.fill(100000)("a b").mkString(" ")

@@ -117,6 +117,11 @@ class CorpusStatsSpec extends AnyFunSuite {
       (3L, 2L, 2L, 1.0)))
   }
 
+  test("sourceDrift on an empty corpus is empty, not a spurious bound raise") {
+    val empty = Seq.empty[(String, String)].toDF("source", "text")
+    assert(CorpusStats.sourceDrift(empty, "source", "text").collect().isEmpty)
+  }
+
   test("tokenRarity equals a scalar recount; rare vocabulary scores higher") {
     val docs = Seq(
       (1L, "a a a a"),       // all common

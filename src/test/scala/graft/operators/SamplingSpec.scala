@@ -341,4 +341,18 @@ class SamplingSpec extends AnyFunSuite {
       .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
     assert(chain.contains("non-negative"), s"unexpected: $ex")
   }
+
+  test("mixtureEpochMaterialize raises on ids large enough to wrap the order key") {
+    // hash-sized ids: epoch * (max_id + 1) would overflow Long silently
+    val bad = Seq(("s1", Long.MaxValue / 2, 10L), ("s1", 2L, 10L))
+      .toDF("source", "doc_id", "toks")
+    val ex = intercept[Exception] {
+      Sampling.mixtureEpochMaterialize(
+        bad, "source", "doc_id", col("toks"), Map.empty,
+        budget = 100L, maxEpochs = 4L).collect()
+    }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("wrap"), s"unexpected: $ex")
+  }
 }
