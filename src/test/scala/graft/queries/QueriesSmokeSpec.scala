@@ -32,4 +32,15 @@ class QueriesSmokeSpec extends AnyFunSuite {
   test("every oracle key exists in queries") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("registry names are unique — a duplicate would silently drop a query from the driver map") {
+    val names = SparkEntry.registry.map(_.name)
+    val dupes = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dupes.isEmpty, s"duplicate registry names: ${dupes.mkString(", ")}")
+  }
+
+  test("every query ships an oracle — no rows-only checks remain") {
+    val missing = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
+    assert(missing.isEmpty, s"queries without oracle SQL: ${missing.mkString(", ")}")
+  }
 }
