@@ -760,6 +760,91 @@ object DedupQueries {
       }
     ),
     Q(
+      "q142_canonical_by_rank",
+      "Rank-aware canonical selection: each near-dup cluster keeps its " +
+        "PageRank-most-central member (tiebreak min id) instead of " +
+        "q37's min-id convention — 'keep the hub, drop the " +
+        "satellites', the curation policy that preserves the most " +
+        "connected (usually most complete) copy. Composes the q36 " +
+        "components and the q138 fixed-point ranks over ONE " +
+        "checkpointed pair set; the canonical table is " +
+        "components-sized and joins back on the component key.",
+      Some {
+        val iters = (1 to 5).map { k =>
+          s"""c$k AS (
+             |  SELECT r.id, r.rank // d.outdeg AS c
+             |  FROM r${k - 1} r JOIN deg d ON d.src = r.id
+             |), s$k AS (
+             |  SELECT e.dst AS id, CAST(SUM(c.c) AS BIGINT) AS s
+             |  FROM edges e JOIN c$k c ON c.id = e.src GROUP BY 1
+             |), r$k AS (
+             |  SELECT r.id,
+             |         ((15 * (1000000000000 // (SELECT n_total FROM n))) // 100)
+             |           + (85 * COALESCE(s.s, 0)) // 100 AS rank
+             |  FROM r${k - 1} r LEFT JOIN s$k s ON s.id = r.id
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""${duckSignatureCte.replace("FROM documents", "FROM documents WHERE doc_id < 1000")}, bands AS (
+           |  SELECT doc_id, 0 AS band,
+           |         md5(concat_ws('_', ${(0 until 8).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band,
+           |         md5(concat_ws('_', ${(8 until 16).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |), pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |), edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs
+           |), labels AS (
+           |  WITH RECURSIVE reach(id, lab) AS (
+           |    SELECT DISTINCT src, src FROM edges
+           |    UNION
+           |    SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+           |  )
+           |  SELECT id, MIN(lab) AS comp FROM reach GROUP BY id
+           |), deg AS (
+           |  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1
+           |), n AS (
+           |  SELECT CAST(count(DISTINCT src) AS BIGINT) AS n_total FROM edges
+           |), r0 AS (
+           |  SELECT src AS id, 1000000000000 // (SELECT n_total FROM n) AS rank
+           |  FROM (SELECT DISTINCT src FROM edges)
+           |),
+           |$iters, can AS (
+           |  SELECT l.comp, r.id AS canonical_id
+           |  FROM labels l JOIN r5 r ON r.id = l.id
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY l.comp ORDER BY r.rank DESC, r.id) = 1
+           |)
+           |SELECT l.id AS doc_id, l.comp, can.canonical_id
+           |FROM labels l JOIN can ON can.comp = l.comp""".stripMargin
+      },
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
+        val pairs = Dedup.lshCandidatePairs(
+            Dedup.minhashSignatures(docs, "text", "doc_id", NumHashes),
+            "doc_id", NumHashes, bands = 2)
+          .select("doc_a", "doc_b")
+          .localCheckpoint(false) // ONE pair set feeds components AND ranks
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        val comp = Components.connectedComponents(pairs, numPartitions = Some(8))
+        val ranks = graft.operators.PageRank.ranks(edges, iterations = 5,
+          numPartitions = Some(8))
+        val w = Window.partitionBy("comp").orderBy(col("rank").desc, col("id"))
+        val can = comp.join(ranks, Seq("id"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("comp"), col("id").as("canonical_id"))
+        comp.join(can, Seq("comp"))
+          .select(col("id").as("doc_id"), col("comp"), col("canonical_id"))
+      }
+    ),
+    Q(
       "q135_dup_degree_histogram",
       "Near-dup graph degree histogram per source: how many candidate " +
         "partners each doc has (the q32 banding), rolled up to (source, " +
