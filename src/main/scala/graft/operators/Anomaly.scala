@@ -24,18 +24,35 @@ object Anomaly {
     * can score arrivals against a batch-refreshed copy of exactly these
     * numbers.
     */
+  /** @param precision
+    *   decimal accumulator precision (default 18 — values up to ~1e14
+    *   at scale 4). A legitimately large metric opts into a wider
+    *   accumulator here instead of editing the operator; determinism is
+    *   unchanged (DECIMAL sums are exact at any precision).
+    * @param scale decimal accumulator scale (fractional digits kept).
+    */
   def groupStats(
       df: DataFrame,
       groupCols: Seq[String],
-      valueCol: String): DataFrame = {
+      valueCol: String,
+      precision: Int = 18,
+      scale: Int = 4): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
-    val dec = col(valueCol).cast("decimal(18,4)")
+    require(precision >= 1 && precision <= 38 && scale >= 0 && scale < precision,
+      s"invalid decimal($precision,$scale): need 1 <= precision <= 38, 0 <= scale < precision")
+    val decTy = s"decimal($precision,$scale)"
+    val dec = col(valueCol).cast(decTy)
     val mean = col("__sv") / col("__n")
     // n counts values that SURVIVE the decimal cast, and any value the
-    // cast nulls out (|v| >= 1e14 overflows decimal(18,4) silently under
+    // cast nulls out (overflowing decimal(precision,scale) silently under
     // non-ANSI mode) raises instead of skewing mean/std — the silent-
     // wrap class the Bm25/sourceDrift guards exist for. Input nulls are
-    // skipped like every aggregate skips them.
+    // skipped like every aggregate skips them. The SUMS can also
+    // overflow without any single value doing so (sum(dec*dec) caps at
+    // decimal(38,2*scale); ~100 values near the cast limit overflow it
+    // to NULL non-ANSI, and greatest(NULL, 0.0) would then report
+    // std = 0 for the whole group) — so a null sum over a non-empty
+    // group raises through the same fail-fast gate.
     df.groupBy(groupCols.map(col): _*)
       .agg(
         count(dec).as("__n"),
@@ -44,11 +61,16 @@ object Anomaly {
         sum(dec).cast("double").as("__sv"),
         sum(dec * dec).cast("double").as("__sv2"))
       .select(groupCols.map(col) ++ Seq(
-        when(col("__overflow") === 0, mean)
-          .otherwise(raise_error(concat(
+        when(col("__overflow") > 0, raise_error(concat(
             lit("Anomaly.groupStats: "), col("__overflow").cast("string"),
-            lit(" value(s) overflow decimal(18,4); widen the cast or " +
-              "clean the metric")))).as("__mean"),
+            lit(s" value(s) overflow $decTy; widen precision/scale or " +
+              "clean the metric"))))
+          .when(col("__n") > 0 && (col("__sv").isNull || col("__sv2").isNull),
+            raise_error(lit(
+              s"Anomaly.groupStats: group sum overflows the $decTy " +
+                "accumulator (decimal 38-digit cap); widen precision/scale " +
+                "or clean the metric")))
+          .otherwise(mean).as("__mean"),
         sqrt(greatest(col("__sv2") / col("__n") - mean * mean, lit(0.0)))
           .as("__std")): _*)
   }
@@ -58,10 +80,12 @@ object Anomaly {
       groupCols: Seq[String],
       valueCol: String,
       keepCols: Seq[String],
-      threshold: Double = 3.0): DataFrame = {
+      threshold: Double = 3.0,
+      precision: Int = 18,
+      scale: Int = 4): DataFrame = {
     require(threshold > 0, s"threshold must be positive: $threshold")
     val z = (col(valueCol) - col("__mean")) / col("__std")
-    df.join(groupStats(df, groupCols, valueCol), groupCols)
+    df.join(groupStats(df, groupCols, valueCol, precision, scale), groupCols)
       .select(keepCols.map(col) ++ groupCols.map(col) ++ Seq(
         col(valueCol),
         when(col("__std") > 0, z).otherwise(lit(0.0)).as("z"),

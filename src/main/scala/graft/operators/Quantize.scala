@@ -38,15 +38,6 @@ object Quantize {
       s"WHEN $x >= 0 THEN ($x * 127) div scale " +
       s"ELSE -((-$x * 127) div scale) END"
 
-  /** Per-vector symmetric int8 quantization of `embCol`
-    * (`ArrayType(FloatType)`): output (idCol, scale, qvec, max_abs_err)
-    * where `scale` = max |floor(v * 2^30)| (BIGINT; 0 for empty or
-    * all-zero vectors), `qvec` the codes in [-127, 127] (BIGINT elements
-    * — the value range is int8, the storage cast is the writer's
-    * choice), and `max_abs_err` = max |iv*127 - q*scale| — the exact
-    * integer reconstruction residue, < scale by the division identity,
-    * i.e. a per-element float error below scale / (127 * 2^30).
-    */
   /** Brute-force cosine top-k over the INT8 CODES — the serving-side
     * search an int8-compressed index runs, and (with
     * [[Similarity.topKRecall]]) the end-to-end measure of what the 4x
@@ -96,6 +87,15 @@ object Quantize {
       .filter(col("rank") <= k)
   }
 
+  /** Per-vector symmetric int8 quantization of `embCol`
+    * (`ArrayType(FloatType)`): output (idCol, scale, qvec, max_abs_err)
+    * where `scale` = max |floor(v * 2^30)| (BIGINT; 0 for empty or
+    * all-zero vectors), `qvec` the codes in [-127, 127] (BIGINT elements
+    * — the value range is int8, the storage cast is the writer's
+    * choice), and `max_abs_err` = max |iv*127 - q*scale| — the exact
+    * integer reconstruction residue, < scale by the division identity,
+    * i.e. a per-element float error below scale / (127 * 2^30).
+    */
   def int8(df: DataFrame, idCol: String, embCol: String): DataFrame =
     df.select(
         col(idCol),

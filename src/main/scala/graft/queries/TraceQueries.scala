@@ -447,9 +447,11 @@ object TraceQueries {
       "q132_retention_cohorts",
       "Cohort retention: users grouped by first-active day, counted " +
         "distinct at each day offset they return — the engagement table " +
-        "behind every retention curve. Day floors identically from ns " +
-        "(Spark) and the µs-truncated TIMESTAMP (DuckDB) because day " +
-        "boundaries sit on whole seconds. The cohort table is " +
+        "behind every retention curve. Day buckets use an explicit " +
+        "FLOOR division (Resample.floorDivSql) so ns (Spark) and the " +
+        "µs-truncated TIMESTAMP (DuckDB `//`) agree for ANY timestamp " +
+        "sign — `div` alone truncates toward zero and would diverge " +
+        "pre-1970. The cohort table is " +
         "users-sized, so the join back BROADCASTS it (plan-pinned); at " +
         "a user count past broadcast range the same plan degrades to a " +
         "user-keyed co-partitioned join. The distinct + rollup run on " +
@@ -468,7 +470,8 @@ object TraceQueries {
         |""".stripMargin.trim),
       (spark, dir) => {
         val e = Tables.eventsTsNs(spark, dir)
-          .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+          .select(col("user_id"),
+            expr(graft.operators.Resample.floorDivSql("ts", 86400000000000L)).as("day"))
         val c = e.groupBy("user_id").agg(min("day").as("cohort_day"))
         e.join(c, Seq("user_id"))
           .select(col("user_id"), col("cohort_day"),

@@ -78,6 +78,41 @@ class AnomalyResampleSpec extends AnyFunSuite {
       chain.contains("NUMERIC_VALUE_OUT_OF_RANGE"), s"unexpected: $ex")
   }
 
+  test("zScores: widened precision accepts metrics the default cast rejects") {
+    // 1e15 overflows decimal(18,4) (the default) but fits decimal(30,4);
+    // the caller opts into the wider accumulator instead of editing the
+    // operator. Stats stay exact-decimal-then-one-double-cast.
+    val rows = Seq((1L, "g", 1e15), (2L, "g", 3e15)).toDF("event_id", "grp", "value")
+    val got = Anomaly.zScores(rows, Seq("grp"), "value", Seq("event_id"),
+        threshold = 3.0, precision = 30, scale = 4)
+      .as[(Long, String, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 2)
+    // mean 2e15, std 1e15 -> z = +/-1, below threshold
+    assert(math.abs(got(1L)._4 + 1.0) < 1e-9 && !got(1L)._5)
+    assert(math.abs(got(2L)._4 - 1.0) < 1e-9 && !got(2L)._5)
+  }
+
+  test("groupStats raises when the SUM overflows decimal even though no single value does") {
+    // sum(dec*dec) accumulates in decimal(38, 2*scale) (~1e30 cap at
+    // scale 4): 150 values of 9e13 each fit decimal(18,4) individually
+    // but their squares sum to ~1.2e30 — non-ANSI Spark nulls that sum
+    // silently, and without the guard greatest(NULL, 0.0) would report
+    // std = 0 for the whole group (every anomaly masked). ANSI mode
+    // throws on its own; force non-ANSI to pin the guard itself.
+    val prev = spark.conf.get("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val rows = (1L to 150L).map(i => (i, "g", 9e13)).toDF("event_id", "grp", "value")
+      val ex = intercept[Exception] {
+        Anomaly.groupStats(rows, Seq("grp"), "value").collect()
+      }
+      val chain = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(chain.contains("group sum overflows"), s"unexpected: $ex")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("hourlyForwardFill: a span exactly at maxSpanHours passes (inclusive cap)") {
     val h = Resample.HourNs
     val events = Seq((1L, 0L, 100L, 1.0), (1L, 5L * h, 101L, 2.0))
@@ -99,6 +134,45 @@ class AnomalyResampleSpec extends AnyFunSuite {
     val chain = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
     assert(chain.contains("maxSpanHours"), s"unexpected: $ex")
+  }
+
+  test("hourlyForwardFill: pre-1970 timestamps floor to the previous hour (DuckDB // parity)") {
+    val h = Resample.HourNs
+    // ts = -1 ns is inside hour -1 under floor division; `div` would
+    // truncate it to hour 0 and diverge from the oracle's `//`
+    val events = Seq(
+      (1L, -1L, 100L, 1.0),
+      (1L, h + 1L, 101L, 2.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = Resample.hourlyForwardFill(events, "user_id", "ts", "event_id", "value")
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._2 -> (r._3, r._4)).toMap
+    assert(got.keySet == Set(-1L, 0L, 1L), s"grid hours: ${got.keySet}")
+    assert(got(-1L) == ((1.0, false)))
+    assert(got(0L) == ((1.0, true)))   // gap hour carries the -1h value
+    assert(got(1L) == ((2.0, false)))
+  }
+
+  test("hourlyForwardFillSharded equals the windowed form (equality property)") {
+    val h = Resample.HourNs
+    // deterministic pseudo-random stream: 5 users, sparse hours over a
+    // ~200-hour span, some in-hour collisions — every fill/carry shape
+    val events = (0 until 400).map { i =>
+      val u = (i * 7919) % 5
+      val hour = (i * 6151) % 200
+      val inHour = (i * 104729) % 3600
+      (u.toLong, hour * h + inHour * 1000000000L, i.toLong, (i % 17).toDouble)
+    }.toDF("user_id", "ts", "event_id", "value")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Boolean)].collect().sorted.toSeq
+    val windowed = canon(
+      Resample.hourlyForwardFill(events, "user_id", "ts", "event_id", "value"))
+    // shards = 3 so a 200-hour span genuinely splits across shard
+    // boundaries (carry-in exercised), not just degenerate 1-row shards
+    val sharded = canon(
+      Resample.hourlyForwardFillSharded(events, "user_id", "ts", "event_id", "value",
+        shards = 3))
+    assert(windowed.nonEmpty && windowed == sharded)
   }
 
   test("plans: the z-score aggregate and the in-hour last are map-side-combinable") {
