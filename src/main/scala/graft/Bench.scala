@@ -59,6 +59,18 @@ object Bench {
     // paid once per refresh).
     val phaseSplit: Map[String, Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]] =
       Map(
+        // The dup-graph family (q32/q36/q37/q102/q106/q135/q138/q142/
+        // q143) probes ONE materialized pair graph; the signature mine +
+        // band join is timed here once as the amortized build (attached
+        // to q102, the family's first query in bench name order — the
+        // in-process memo then serves every later consumer).
+        "q102_split_leakage" -> Seq(
+          "dupgraph_build" -> ((s: SparkSession, d: String) => {
+            graft.queries.DupGraphPhases.build(s, d)
+            s.emptyDataFrame
+          }),
+          "q102_split_leakage" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q102_split_leakage")(s, d))),
         "q64_bucketed_join" -> Seq(
           "q64_bucketed_build" -> ((s: SparkSession, d: String) => {
             graft.queries.BucketedJoinPhases.build(s, d)
@@ -85,15 +97,15 @@ object Bench {
         (n, f, timeOne(n, f))
       }
     }
-    // This host shows intermittent CPU steal that can inflate a single run
-    // of a query 3-10x. Re-time the slow tail once and keep the per-query
-    // best: bounded extra runtime, far more faithful numbers.
+    // Noise protocol (round-9 VERDICT): this host shows intermittent CPU
+    // steal that can inflate a single run 3-10x, so EVERY query is timed
+    // twice within the run and reports min-of-2 — the mechanical version
+    // of "early-round totals are representative". Build phases re-run
+    // their (idempotent) build; memoized probes stay probes.
     val results = firstPass.map { case (name, fn, t1) =>
-      if (t1 > 2.0) {
-        // A failed retry must not clobber the valid first measurement.
-        val t2 = timeOne(name, fn)
-        name -> (if (t2 < 0) t1 else math.min(t1, t2))
-      } else name -> t1
+      // A failed retry must not clobber a valid first measurement.
+      val t2 = timeOne(name, fn)
+      name -> (if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
     }
     def fmt(v: Double): String =
       if (v < 0) "-1"
@@ -184,12 +196,19 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] zorder metric failed: $e"); ""
     }
+    // A query "regresses" only when its min-of-2 exceeds 1.5x the best
+    // any prior round recorded at this scale — single-run spikes are
+    // noise by protocol and never appear here.
+    val regressed = results.collect {
+      case (k, v) if v >= 0 && priorBest.get(k).exists(b => v > 1.5 * b) => k
+    }
+    val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val fullBest = results.map { case (k, _) => "\"" + k + "\":" + fmt(best(k)) }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"best":$fullBest$zorderMetrics,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"best":$fullBest,"regressed_vs_best":$regressedJson$zorderMetrics,"sf":"$sfDir"}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_queries.json"), fullLine + "\n")
@@ -201,7 +220,7 @@ object Bench {
     val slowestBest = slowTail
       .map { case (k, _) => "\"" + k + "\":" + fmt(best(k)) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"best":$slowestBest$zorderMetrics,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"best":$slowestBest,"regressed_vs_best":$regressedJson$zorderMetrics,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -47,5 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(ZOrderInterleave.name,
         "zorder_interleave(a, b) - 62-bit Morton interleave of two integral dimensions"),
       ZOrderInterleave.builder))
+    e.injectFunction((
+      FunctionIdentifier(SortedSetContains.name),
+      info(SortedSetContains.name,
+        "sorted_set_contains(x, keys) - binary-search membership of x in a foldable string array"),
+      SortedSetContains.builder))
   }
 }

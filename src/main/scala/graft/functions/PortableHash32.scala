@@ -86,5 +86,6 @@ object GraftFunctions {
     RollingFingerprint.register(spark)
     ZOrderInterleave.register(spark)
     KMinSketch.register(spark)
+    SortedSetContains.register(spark)
   }
 }

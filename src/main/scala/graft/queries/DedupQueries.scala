@@ -10,7 +10,7 @@ import graft.operators.{Components, Dedup, Sampling, Similarity}
   */
 object DedupQueries {
 
-  private val NumHashes = 16
+  private val NumHashes = DupGraphPhases.NumHashes
 
   /** q110/q111 rolling-window width in tokens (declared before `all`:
     * a val referenced during the registry Seq's construction).
@@ -110,7 +110,9 @@ object DedupQueries {
       "q32_minhash_lsh_pairs",
       "LSH banding over the minhash signatures (2 bands x 8 rows): " +
         "candidate near-dup pairs = documents sharing any band key. " +
-        "Turns O(n^2) all-pairs into a bucket-local self-join.",
+        "Turns O(n^2) all-pairs into a bucket-local self-join. Served " +
+        "from the materialized pair graph (DupGraphPhases — built once, " +
+        "probed by the whole dedup-graph family).",
       Some(
         s"""$duckSignatureCte, bands AS (
            |  SELECT doc_id, 0 AS band,
@@ -125,10 +127,8 @@ object DedupQueries {
            |FROM bands a JOIN bands b
            |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
            |GROUP BY 1, 2""".stripMargin),
-      (spark, dir) => {
-        val sig = Dedup.minhashSignatures(Tables.documents(spark, dir), "text", "doc_id", NumHashes)
-        Dedup.lshCandidatePairs(sig, "doc_id", NumHashes, bands = 2)
-      }
+      (spark, dir) =>
+        DupGraphPhases.pairs(spark, dir).select("doc_a", "doc_b", "shared_bands")
     ),
     Q(
       "q33_simhash",
@@ -259,9 +259,8 @@ object DedupQueries {
            |)
            |SELECT id AS doc_id, comp FROM labels""".stripMargin),
       (spark, dir) => {
-        val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
-        val sig = Dedup.minhashSignatures(docs, "text", "doc_id", NumHashes)
-        val pairs = Dedup.lshCandidatePairs(sig, "doc_id", NumHashes, bands = 2)
+        val pairs = DupGraphPhases.pairsUnder(spark, dir, 1000L)
+          .select("doc_a", "doc_b")
         Components.connectedComponents(pairs, numPartitions = Some(8))
           .select(col("id").as("doc_id"), col("comp"))
       }
@@ -300,8 +299,7 @@ object DedupQueries {
            |  AND doc_id NOT IN (SELECT id FROM labels WHERE id != comp)""".stripMargin),
       (spark, dir) => {
         val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
-        val sig = Dedup.minhashSignatures(docs, "text", "doc_id", NumHashes)
-        val pairs = Dedup.lshCandidatePairs(sig, "doc_id", NumHashes, bands = 2)
+        val pairs = DupGraphPhases.pairsUnder(spark, dir, 1000L)
           .select("doc_a", "doc_b")
         Components.keepCanonical(docs, pairs, "doc_id", numPartitions = Some(8))
           .select("doc_id", "n_chars")
@@ -364,11 +362,12 @@ object DedupQueries {
         "banding) that STRADDLE a split boundary — the hygiene check a " +
         "pipeline runs after splitting, because exact-dedup-then-split " +
         "still leaks paraphrases across train/test. The split label is a " +
-        "pure function of the doc id (the q38 hash bands), computed once " +
-        "per document on the signature side and CARRIED through the " +
-        "banding — zero extra joins or shuffles beyond the band join " +
-        "itself; this join-free consistency is exactly what the " +
-        "hash-based split buys at 100 TB.",
+        "pure function of the doc id (the q38 hash bands), so probing " +
+        "the materialized pair graph it computes directly on the final " +
+        "pair stream — two md5s per SURVIVING pair, join-free (when the " +
+        "graph was mined inline it had to ride the banding carry to " +
+        "avoid per-candidate recomputation in hot buckets; " +
+        "materialization makes that moot).",
       Some(
         s"""$duckSignatureCte, bands AS (
            |  SELECT doc_id, 0 AS band,
@@ -396,20 +395,12 @@ object DedupQueries {
            |  FROM pairs
            |)
            |WHERE split_a <> split_b""".stripMargin),
-      (spark, dir) => {
-        // The split label is computed ONCE per doc on the signature side
-        // and carried through the banding — attaching it to the pair
-        // stream afterwards lets Catalyst push the label RECOMPUTATION
-        // into the join condition, where the two md5 chains run per
-        // candidate pair in every hot bucket (measured 2x the q32 cost).
-        val sig = Dedup.minhashSignatures(
-            Tables.documents(spark, dir), "text", "doc_id", NumHashes)
-          .withColumn("split", Sampling.splitLabel(col("doc_id"), salt = "split1:"))
-        Dedup.lshCandidatePairs(sig, "doc_id", NumHashes, bands = 2,
-            carry = Seq("split"))
+      (spark, dir) =>
+        DupGraphPhases.pairs(spark, dir)
+          .select(col("doc_a"), col("doc_b"), col("shared_bands"),
+            Sampling.splitLabel(col("doc_a"), salt = "split1:").as("split_a"),
+            Sampling.splitLabel(col("doc_b"), salt = "split1:").as("split_b"))
           .filter(col("split_a") =!= col("split_b"))
-          .select("doc_a", "doc_b", "shared_bands", "split_a", "split_b")
-      }
     ),
     Q(
       "q106_dup_overlap_matrix",
@@ -417,11 +408,11 @@ object DedupQueries {
         "pairs rolled up to (source, source) counts — the mixture-design " +
         "diagnostic (which crawls/sources mirror each other, how much " +
         "of a new source is already in the corpus) that drives " +
-        "per-source dedup and weighting decisions. `source` rides the " +
-        "SIGNATURE groupBy keys and the banding carry (constant per " +
-        "doc: no group splits, no extra shuffle, no join back on the " +
-        "pair stream — the q102 pushdown lesson), and the final rollup " +
-        "aggregates the narrow pair stream onto a key space bounded by " +
+        "per-source dedup and weighting decisions. `source` rode the " +
+        "SIGNATURE groupBy keys and the banding carry at build time " +
+        "(constant per doc: no group splits, no extra shuffle, no join " +
+        "back on the pair stream), so the probe is ONE rollup of the " +
+        "materialized pair stream onto a key space bounded by " +
         "sources^2.",
       Some(
         s"""$duckSignatureCte, bands AS (
@@ -446,19 +437,14 @@ object DedupQueries {
            |JOIN documents da ON p.doc_a = da.doc_id
            |JOIN documents db ON p.doc_b = db.doc_id
            |GROUP BY 1, 2""".stripMargin),
-      (spark, dir) => {
-        val sig = Dedup.minhashSignatures(
-          Tables.documents(spark, dir), "text", "doc_id", NumHashes,
-          carry = Seq("source"))
-        Dedup.lshCandidatePairs(sig, "doc_id", NumHashes, bands = 2,
-            carry = Seq("source"))
+      (spark, dir) =>
+        DupGraphPhases.pairs(spark, dir)
           .groupBy(
             least(col("source_a"), col("source_b")).as("src_a"),
             greatest(col("source_a"), col("source_b")).as("src_b"))
           .agg(
             count(lit(1)).as("n_pairs"),
             sum("shared_bands").as("n_shared_bands"))
-      }
     ),
     Q(
       "q110_dup_spans",
@@ -748,10 +734,7 @@ object DedupQueries {
            |SELECT id AS doc_id, rank FROM r5""".stripMargin
       },
       (spark, dir) => {
-        val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
-        val pairs = Dedup.lshCandidatePairs(
-            Dedup.minhashSignatures(docs, "text", "doc_id", NumHashes),
-            "doc_id", NumHashes, bands = 2)
+        val pairs = DupGraphPhases.pairsUnder(spark, dir, 1000L)
           .select("doc_a", "doc_b")
         val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -766,70 +749,19 @@ object DedupQueries {
         "q37's min-id convention — 'keep the hub, drop the " +
         "satellites', the curation policy that preserves the most " +
         "connected (usually most complete) copy. Composes the q36 " +
-        "components and the q138 fixed-point ranks over ONE " +
-        "checkpointed pair set; the canonical table is " +
-        "components-sized and joins back on the component key.",
-      Some {
-        val iters = (1 to 5).map { k =>
-          s"""c$k AS (
-             |  SELECT r.id, r.rank // d.outdeg AS c
-             |  FROM r${k - 1} r JOIN deg d ON d.src = r.id
-             |), s$k AS (
-             |  SELECT e.dst AS id, CAST(SUM(c.c) AS BIGINT) AS s
-             |  FROM edges e JOIN c$k c ON c.id = e.src GROUP BY 1
-             |), r$k AS (
-             |  SELECT r.id,
-             |         ((15 * (1000000000000 // (SELECT n_total FROM n))) // 100)
-             |           + (85 * COALESCE(s.s, 0)) // 100 AS rank
-             |  FROM r${k - 1} r LEFT JOIN s$k s ON s.id = r.id
-             |)""".stripMargin
-        }.mkString(",\n")
-        s"""${duckSignatureCte.replace("FROM documents", "FROM documents WHERE doc_id < 1000")}, bands AS (
-           |  SELECT doc_id, 0 AS band,
-           |         md5(concat_ws('_', ${(0 until 8).map(r => s"mh$r").mkString(", ")})) AS key
-           |  FROM sig
-           |  UNION ALL
-           |  SELECT doc_id, 1 AS band,
-           |         md5(concat_ws('_', ${(8 until 16).map(r => s"mh$r").mkString(", ")})) AS key
-           |  FROM sig
-           |), pairs AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-           |), edges AS (
-           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-           |  UNION ALL SELECT doc_b, doc_a FROM pairs
-           |), labels AS (
-           |  WITH RECURSIVE reach(id, lab) AS (
-           |    SELECT DISTINCT src, src FROM edges
-           |    UNION
-           |    SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
-           |  )
-           |  SELECT id, MIN(lab) AS comp FROM reach GROUP BY id
-           |), deg AS (
-           |  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1
-           |), n AS (
-           |  SELECT CAST(count(DISTINCT src) AS BIGINT) AS n_total FROM edges
-           |), r0 AS (
-           |  SELECT src AS id, 1000000000000 // (SELECT n_total FROM n) AS rank
-           |  FROM (SELECT DISTINCT src FROM edges)
-           |),
-           |$iters, can AS (
-           |  SELECT l.comp, r.id AS canonical_id
-           |  FROM labels l JOIN r5 r ON r.id = l.id
-           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY l.comp ORDER BY r.rank DESC, r.id) = 1
-           |)
+        "components and the q138 fixed-point ranks over the ONE " +
+        "materialized pair table (DupGraphPhases); the canonical table " +
+        "is components-sized and joins back on the component key.",
+      Some(
+        s"""$duckGraphCanonicalCte
            |SELECT l.id AS doc_id, l.comp, can.canonical_id
-           |FROM labels l JOIN can ON can.comp = l.comp""".stripMargin
-      },
+           |FROM labels l JOIN can ON can.comp = l.comp""".stripMargin),
       (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
-        val pairs = Dedup.lshCandidatePairs(
-            Dedup.minhashSignatures(docs, "text", "doc_id", NumHashes),
-            "doc_id", NumHashes, bands = 2)
+        // The materialized graph replaces q142's old localCheckpoint:
+        // components AND ranks read the same bucketed pair table.
+        val pairs = DupGraphPhases.pairsUnder(spark, dir, 1000L)
           .select("doc_a", "doc_b")
-          .localCheckpoint(false) // ONE pair set feeds components AND ranks
         val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         val comp = Components.connectedComponents(pairs, numPartitions = Some(8))
@@ -850,9 +782,10 @@ object DedupQueries {
         "partners each doc has (the q32 banding), rolled up to (source, " +
         "degree, n_docs) — dup HUBS (template farms, mirror sites) show " +
         "up as high-degree tails concentrated in one source. The source " +
-        "label rides the signature groupBy and the banding carry (the " +
-        "q106 pattern), so no join back on the pair stream; the degree " +
-        "aggregate is map-side combined on doc ids.",
+        "label rode the signature groupBy and the banding carry at " +
+        "build time (the q106 pattern), so the probe never joins back " +
+        "on the pair stream; the degree aggregate is map-side combined " +
+        "on doc ids over the materialized pairs.",
       Some(
         s"""$duckSignatureCte, bands AS (
            |  SELECT doc_id, 0 AS band,
@@ -878,11 +811,7 @@ object DedupQueries {
            |FROM deg JOIN documents d USING (doc_id)
            |GROUP BY 1, 2""".stripMargin),
       (spark, dir) => {
-        val docs = Tables.documents(spark, dir)
-        val pairs = Dedup.lshCandidatePairs(
-          Dedup.minhashSignatures(docs, "text", "doc_id", NumHashes,
-            carry = Seq("source")),
-          "doc_id", NumHashes, bands = 2, carry = Seq("source"))
+        val pairs = DupGraphPhases.pairs(spark, dir)
         pairs.select(col("doc_a").as("doc_id"), col("source_a").as("source"))
           .unionByName(
             pairs.select(col("doc_b").as("doc_id"), col("source_b").as("source")))
@@ -891,8 +820,124 @@ object DedupQueries {
           .groupBy("source", "degree")
           .agg(count(lit(1)).as("n_docs"))
       }
+    ),
+    Q(
+      "q143_curation_capstone",
+      "Dup-graph curation capstone, end-to-end off the BUILT pair graph " +
+        "(zero signature recomputation — DupGraphSpec pins the probe " +
+        "plan): components -> fixed-point ranks -> rank-aware canonical " +
+        "per cluster -> drop the satellites -> per-source kept/dropped " +
+        "doc and token mass (the q133-style rollup) — the full curation " +
+        "policy report a training pipeline signs off on. Satellite set " +
+        "is components-sized; the rollup joins doc-sized frames, and " +
+        "singleton docs (no pairs) are kept by construction.",
+      Some(
+        s"""$duckGraphCanonicalCte, sat AS (
+           |  SELECT l.id FROM labels l JOIN can ON can.comp = l.comp
+           |  WHERE l.id <> can.canonical_id
+           |), dt AS (
+           |  SELECT doc_id, source,
+           |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks,
+           |         doc_id IN (SELECT id FROM sat) AS dropped
+           |  FROM documents WHERE doc_id < 1000
+           |)
+           |SELECT source,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(count(*) FILTER (WHERE NOT dropped) AS BIGINT) AS kept_docs,
+           |       CAST(count(*) FILTER (WHERE dropped) AS BIGINT) AS dropped_docs,
+           |       CAST(coalesce(sum(toks) FILTER (WHERE NOT dropped), 0) AS BIGINT) AS kept_tokens,
+           |       CAST(coalesce(sum(toks) FILTER (WHERE dropped), 0) AS BIGINT) AS dropped_tokens
+           |FROM dt GROUP BY source""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
+        val pairs = DupGraphPhases.pairsUnder(spark, dir, 1000L)
+          .select("doc_a", "doc_b")
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        val comp = Components.connectedComponents(pairs, numPartitions = Some(8))
+        val ranks = graft.operators.PageRank.ranks(edges, iterations = 5,
+          numPartitions = Some(8))
+        val w = Window.partitionBy("comp").orderBy(col("rank").desc, col("id"))
+        val can = comp.join(ranks, Seq("id"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("comp"), col("id").as("canonical_id"))
+        val satellites = comp.join(can, Seq("comp"))
+          .filter(col("id") =!= col("canonical_id"))
+          .select(col("id").as("doc_id"), lit(true).as("__dropped"))
+        docs.select(col("doc_id"), col("source"),
+            graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+          .join(satellites, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("__dropped"), 0L).otherwise(1L)).as("kept_docs"),
+            sum(when(col("__dropped"), 1L).otherwise(0L)).as("dropped_docs"),
+            sum(when(col("__dropped"), 0L).otherwise(col("toks"))).as("kept_tokens"),
+            sum(when(col("__dropped"), col("toks")).otherwise(0L)).as("dropped_tokens"))
+      }
     )
   )
+
+  /** Shared q142/q143 oracle prefix: the doc_id < 1000 pair graph
+    * (mirroring the DupGraphPhases build restricted to the sub-corpus),
+    * its connected-component labels, 5 unrolled BIGINT fixed-point
+    * PageRank rounds (generated from the same constants as
+    * [[graft.operators.PageRank]]), and the per-component rank-canonical
+    * pick (`can`: top rank, tiebreak min id).
+    */
+  private def duckGraphCanonicalCte: String = {
+    val iters = (1 to 5).map { k =>
+      s"""c$k AS (
+         |  SELECT r.id, r.rank // d.outdeg AS c
+         |  FROM r${k - 1} r JOIN deg d ON d.src = r.id
+         |), s$k AS (
+         |  SELECT e.dst AS id, CAST(SUM(c.c) AS BIGINT) AS s
+         |  FROM edges e JOIN c$k c ON c.id = e.src GROUP BY 1
+         |), r$k AS (
+         |  SELECT r.id,
+         |         ((15 * (1000000000000 // (SELECT n_total FROM n))) // 100)
+         |           + (85 * COALESCE(s.s, 0)) // 100 AS rank
+         |  FROM r${k - 1} r LEFT JOIN s$k s ON s.id = r.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""${duckSignatureCte.replace("FROM documents", "FROM documents WHERE doc_id < 1000")}, bands AS (
+       |  SELECT doc_id, 0 AS band,
+       |         md5(concat_ws('_', ${(0 until 8).map(r => s"mh$r").mkString(", ")})) AS key
+       |  FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band,
+       |         md5(concat_ws('_', ${(8 until 16).map(r => s"mh$r").mkString(", ")})) AS key
+       |  FROM sig
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |), labels AS (
+       |  WITH RECURSIVE reach(id, lab) AS (
+       |    SELECT DISTINCT src, src FROM edges
+       |    UNION
+       |    SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+       |  )
+       |  SELECT id, MIN(lab) AS comp FROM reach GROUP BY id
+       |), deg AS (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1
+       |), n AS (
+       |  SELECT CAST(count(DISTINCT src) AS BIGINT) AS n_total FROM edges
+       |), r0 AS (
+       |  SELECT src AS id, 1000000000000 // (SELECT n_total FROM n) AS rank
+       |  FROM (SELECT DISTINCT src FROM edges)
+       |),
+       |$iters, can AS (
+       |  SELECT l.comp, r.id AS canonical_id
+       |  FROM labels l JOIN r5 r ON r.id = l.id
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY l.comp ORDER BY r.rank DESC, r.id) = 1
+       |)""".stripMargin
+  }
 
   /** Shared q110/q111 oracle prefix: toks -> stride-1 windows -> cross-doc
     * duplicated fingerprints -> gaps-and-islands merged spans (`sp`).
@@ -927,4 +972,71 @@ object DedupQueries {
        |        FROM isl)
        |  GROUP BY doc_id, island
        |)""".stripMargin
+}
+
+/** Materialized near-dup pair graph: build ONCE, probe many times — the
+  * [[graft.operators.IvfIndex]] build/probe discipline applied to the
+  * dedup-graph family. Eight registry queries (q32, q36, q37, q102,
+  * q106, q135, q138, q142/q143) consume the SAME MinHash-LSH candidate
+  * pair set; re-mining signatures and re-running the band join per
+  * query makes the signature mine the dominant repeated cost at 100 TB.
+  * [[build]] pays it once: signatures (with the source label carried),
+  * band join, deduped pair set written BUCKETED + SORTED BY doc_a —
+  * every probe reads the pair stream without re-shuffling it, and
+  * doc_a-keyed aggregations run exchange-free (DupGraphSpec pins both).
+  *
+  * Within one process the build is memoized per input dir (the first
+  * consumer to run triggers it; Verify's other seven probe the table);
+  * Bench times the build as its own `dupgraph_build` line so per-query
+  * numbers reflect what a repeat query actually costs.
+  */
+object DupGraphPhases {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** Signature/banding geometry shared by the build, the per-query
+    * oracle SQL generators above, and the streaming twins — one
+    * constant so the two sides cannot drift.
+    */
+  val NumHashes = 16
+  val Bands = 2
+
+  private val built = scala.collection.mutable.Set[String]()
+
+  def pairTable(dir: String): String = s"graft_dupgraph_${Q.scratchTag(dir)}"
+
+  /** Force (re)build: one signature mine over the full corpus (source
+    * carried on the groupBy keys — constant per doc, no extra shuffle),
+    * one band join, the deduped (doc_a, doc_b, shared_bands, source_a,
+    * source_b) pair set materialized bucketed by doc_a. Idempotent.
+    */
+  def build(spark: SparkSession, dir: String): Unit = synchronized {
+    val docs = graft.Tables.documents(spark, dir)
+    val sig = graft.operators.Dedup.minhashSignatures(
+      docs, "text", "doc_id", NumHashes, carry = Seq("source"))
+    val prs = graft.operators.Dedup.lshCandidatePairs(
+      sig, "doc_id", NumHashes, bands = Bands, carry = Seq("source"))
+    graft.operators.Bucketing.writeBucketed(prs, pairTable(dir), "doc_a", 16)
+    built += pairTable(dir)
+  }
+
+  def ensureBuilt(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!built.contains(pairTable(dir))) build(spark, dir)
+  }
+
+  /** The built pair graph — (doc_a, doc_b, shared_bands, source_a,
+    * source_b), one row per candidate pair, doc_a < doc_b.
+    */
+  def pairs(spark: SparkSession, dir: String): DataFrame = {
+    ensureBuilt(spark, dir)
+    spark.table(pairTable(dir))
+  }
+
+  /** Pairs restricted to the sub-corpus doc_id < maxId on BOTH
+    * endpoints. Identical to mining the filtered corpus directly:
+    * signatures and band keys are per-document (independent of every
+    * other doc), so a pair of sub-corpus docs shares exactly the same
+    * bands either way — DupGraphSpec pins the equality.
+    */
+  def pairsUnder(spark: SparkSession, dir: String, maxId: Long): DataFrame =
+    pairs(spark, dir).filter(col("doc_a") < maxId && col("doc_b") < maxId)
 }

@@ -322,7 +322,11 @@ object DocumentStream {
     * labels exact_dup (content hash in the existing set), near_dup
     * (any MinHash band key in the existing band-key set), or new —
     * entirely ROW-LOCAL: the narrow per-row signature fold ([[bandKeys]]
-    * without the explode) plus two plan-literal membership tests. Zero
+    * without the explode) plus two plan-literal membership tests, each a
+    * codegen'd BINARY SEARCH over the sorted literal
+    * ([[graft.functions.SortedSetContains]] — O(log keys) per row where
+    * `array_contains` would scan all maxPlanKeys elements per row per
+    * micro-batch). Zero
     * state, append mode; fed the same corpus split, the labels equal
     * the batch twin's (StreamingIncrementalSpec asserts it — the batch
     * path keys bands as raw-long structs, this path as strings; the
@@ -356,14 +360,18 @@ object DocumentStream {
         "periodic batch q126 instead of a plan literal")
     val mhs = minhashExprs(numHashes)
     val rowsPerBand = numHashes / bands
-    val bandKeyArr = array((0 until bands).map { b =>
-      concat_ws("#", lit(b), bandSliceKey(mhs, b, rowsPerBand))
-    }: _*)
+    import graft.functions.SortedSetContains.{contains => inSet}
+    // arrays_overlap over a 2-element probe array would still scan the
+    // full literal per row; per-band binary searches OR'd together keep
+    // the probe row-local AND logarithmic.
+    val nearHit = (0 until bands).map { b =>
+      inSet(concat_ws("#", lit(b), bandSliceKey(mhs, b, rowsPerBand)),
+        exBandKeys.toSeq)
+    }.reduce(_ || _)
     docs.select(
       col("doc_id"),
-      when(array_contains(typedlit(exHashes.toSeq), sha2(col("text"), 256)),
-        lit("exact_dup"))
-        .when(arrays_overlap(bandKeyArr, typedlit(exBandKeys.toSeq)), lit("near_dup"))
+      when(inSet(sha2(col("text"), 256), exHashes.toSeq), lit("exact_dup"))
+        .when(nearHit, lit("near_dup"))
         .otherwise(lit("new")).as("status"))
   }
 

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestSession, Tables}
+import graft.operators.Dedup
+
+/** Ground truth for the materialized dup-graph build/probe split
+  * ([[DupGraphPhases]]): the built table equals inline mining exactly
+  * (full graph AND the sub-corpus restriction the q36/q37/q138/q142/q143
+  * consumers use), probes never re-mine signatures, and doc_a-keyed
+  * aggregation over the bucketed table is exchange-free.
+  */
+class DupGraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sf0001
+  private val NH = DupGraphPhases.NumHashes
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+
+  test("built graph equals inline mining (the build is just amortization)") {
+    val got = canon(DupGraphPhases.pairs(spark, dir)
+      .select("doc_a", "doc_b", "shared_bands", "source_a", "source_b"))
+    val docs = Tables.documents(spark, dir)
+    val direct = canon(Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(docs, "text", "doc_id", NH, carry = Seq("source")),
+      "doc_id", NH, bands = DupGraphPhases.Bands, carry = Seq("source"))
+      .select("doc_a", "doc_b", "shared_bands", "source_a", "source_b"))
+    assert(got.nonEmpty && got == direct)
+  }
+
+  test("pairsUnder equals mining the filtered corpus (signatures are per-document)") {
+    // The semantic claim that lets q36/q37/q138/q142/q143 probe the FULL
+    // graph: a band key depends only on its own document, so restricting
+    // the pair set to both-endpoints-under-maxId is identical to mining
+    // the filtered corpus from scratch.
+    val got = canon(DupGraphPhases.pairsUnder(spark, dir, 300L)
+      .select("doc_a", "doc_b", "shared_bands"))
+    val sub = Tables.documents(spark, dir).filter(col("doc_id") < 300)
+    val direct = canon(Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(sub, "text", "doc_id", NH),
+      "doc_id", NH, bands = DupGraphPhases.Bands)
+      .select("doc_a", "doc_b", "shared_bands"))
+    assert(got.nonEmpty && got == direct)
+  }
+
+  test("probes read the bucketed table without re-mining or re-shuffling it") {
+    // No Generate = no token/band explode = zero signature recomputation
+    // in any probe plan.
+    val scan = DupGraphPhases.pairs(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    assert(!scan.contains("Generate"), scan)
+    assert(!scan.contains("Exchange ("), scan)
+    // The bucketed layout IS the shuffle: a doc_a-keyed aggregation runs
+    // with zero exchanges (HashPartitioning(doc_a, 16) from the buckets
+    // satisfies the aggregate's required distribution).
+    val agg = DupGraphPhases.pairs(spark, dir)
+      .groupBy("doc_a").agg(count(lit(1)).as("n"))
+      .queryExecution.explainString(FormattedMode)
+    assert(!agg.contains("Exchange ("), agg)
+    assert(!agg.contains("Generate"), agg)
+  }
+
+  test("q143 capstone: zero signature recomputation in the executed pipeline") {
+    val q = SparkEntry.queries("q143_curation_capstone")(spark, dir)
+    val p = q.queryExecution.explainString(FormattedMode)
+    // Signature mining would show as portable_hash32 / a token-explode
+    // Generate; off the built graph neither may appear anywhere.
+    assert(!p.contains("portable_hash32"), p.linesIterator.take(60).mkString("\n"))
+    assert(!p.contains("Generate"), p.linesIterator.take(60).mkString("\n"))
+    // and the report itself is sane: every source accounted, kept+dropped
+    // partitions both docs and tokens
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3), r.toString) // docs
+      assert(r.getLong(4) >= 0 && r.getLong(5) >= 0, r.toString)
+    }
+  }
+}

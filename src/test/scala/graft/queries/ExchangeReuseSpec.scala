@@ -19,7 +19,7 @@ class ExchangeReuseSpec extends AnyFunSuite {
   // explain() can't show before execution — so this pins the STATIC
   // ReuseExchange rule with adaptive off (the property is the same: both
   // sides canonicalize to one shuffle).
-  private def planNoBroadcast(name: String): String = {
+  private def planNoBroadcast(df: => org.apache.spark.sql.DataFrame): String = {
     val conf = spark.conf
     val saved = Seq(
       "spark.sql.autoBroadcastJoinThreshold",
@@ -28,16 +28,25 @@ class ExchangeReuseSpec extends AnyFunSuite {
     try {
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       conf.set("spark.sql.adaptive.enabled", "false")
-      SparkEntry.queries(name)(spark, SparkTestSession.sf0001)
-        .queryExecution.explainString(FormattedMode)
+      df.queryExecution.explainString(FormattedMode)
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)
     }
   }
 
-  test("q32: at sort-merge scale the band self-join reuses one signature shuffle") {
-    val p = planNoBroadcast("q32_minhash_lsh_pairs")
+  private def planNoBroadcast(name: String): String =
+    planNoBroadcast(SparkEntry.queries(name)(spark, SparkTestSession.sf0001))
+
+  test("dup-graph BUILD: at sort-merge scale the band self-join reuses one signature shuffle") {
+    // q32 itself is now a probe of the materialized graph (no join to
+    // reuse); the reuse property lives in the build pipeline.
+    import graft.operators.Dedup
+    val nh = graft.queries.DupGraphPhases.NumHashes
+    val docs = graft.Tables.documents(spark, SparkTestSession.sf0001)
+    val p = planNoBroadcast(Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(docs, "text", "doc_id", nh, carry = Seq("source")),
+      "doc_id", nh, bands = graft.queries.DupGraphPhases.Bands, carry = Seq("source")))
     assert(p.contains("ReusedExchange"), p.linesIterator.take(50).mkString("\n"))
   }
 

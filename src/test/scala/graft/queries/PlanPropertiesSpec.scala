@@ -34,10 +34,14 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(plan("q89_weighted_sample").contains("WindowGroupLimit"))
   }
 
-  test("q32: the band self-join is an equi-join, never a cartesian/nested-loop") {
+  test("q32: the probe is a bare bucketed-table read — no join, no mining, no shuffle") {
+    // The band self-join (equi-join, never cartesian) moved into the
+    // one-shot DupGraphPhases build (pinned in ExchangeReuseSpec /
+    // DupGraphSpec); the repeat-query path must stay this cheap.
     val p = plan("q32_minhash_lsh_pairs")
-    assert(!p.contains("CartesianProduct"))
-    assert(!p.contains("BroadcastNestedLoop"))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("Exchange ("), p)
   }
 
   test("q83: banded-LSH dup pairs join on (table, bucket) — never cartesian/nested-loop") {
@@ -152,15 +156,16 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("q102: split labels are carried, never re-hashed inside the band-join condition") {
-    // Regression pin for a measured 2x: attaching the labels to the pair
-    // stream lets Catalyst push the md5 chains into the join condition,
-    // re-evaluating them per candidate pair in every hot bucket. Carried
-    // labels mean no join node may evaluate portable_hash32 itself.
+  test("q102: split labels compute on the materialized pair stream — no join, no mining") {
+    // Pre-materialization this pinned the banding carry (labels pushed
+    // into the join condition re-hashed per candidate pair, measured 2x).
+    // Off the built graph the probe has no join at all: two md5s per
+    // SURVIVING pair in a narrow projection.
     val p = SparkEntry.queries("q102_split_leakage")(spark, SparkTestSession.sf0001)
-      .queryExecution.executedPlan.toString
-    assert(!p.linesIterator.exists(l => l.contains("Join") && l.contains("portable_hash32")),
-      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Join"), p.linesIterator.take(40).mkString("\n"))
+    assert(!p.contains("Generate"), p.linesIterator.take(40).mkString("\n"))
+    assert(!p.contains("Exchange ("), p.linesIterator.take(40).mkString("\n"))
   }
 
   test("q103: the HLL register table costs one exchange with map-side combine") {
@@ -186,13 +191,12 @@ class PlanPropertiesSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoop"), p)
   }
 
-  test("q106: source labels are carried — no join node evaluates portable_hash32, never cartesian") {
-    val out = SparkEntry.queries("q106_dup_overlap_matrix")(spark, SparkTestSession.sf0001)
-    val exec = out.queryExecution.executedPlan.toString
-    assert(!exec.linesIterator.exists(l => l.contains("Join") && l.contains("portable_hash32")),
-      exec.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  test("q106: one rollup of the materialized pairs — no join, no mining, sources^2 output") {
+    // The source labels were carried at BUILD time, so the overlap
+    // matrix is a single aggregation of the pair table.
     val p = plan("q106_dup_overlap_matrix")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("Join"), p.linesIterator.take(40).mkString("\n"))
+    assert(!p.contains("Generate"), p.linesIterator.take(40).mkString("\n"))
   }
 
   test("q107: fragment stitch is an equi-join on the overlap hash, never cartesian") {
