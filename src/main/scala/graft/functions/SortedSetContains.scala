@@ -56,6 +56,9 @@ case class SortedSetContains(left: Expression, right: Expression)
     */
   @transient private lazy val sortedKeys: Array[AnyRef] = {
     val arr = right.eval().asInstanceOf[ArrayData]
+    require(arr != null,
+      s"${SortedSetContains.name}: the key-set literal is NULL — a screen " +
+        "with no set is a construction bug, not an empty lookup")
     val out = new Array[AnyRef](arr.numElements())
     var i = 0
     while (i < out.length) {

@@ -216,7 +216,11 @@ object TraceQueries {
       (spark, dir) =>
         Tables.eventsTsNs(spark, dir)
           .groupBy(
-            expr("ts div 1000 div 3600000000").as("hour_idx"),
+            // explicit floor so a pre-1970 ns timestamp buckets like the
+            // oracle's // (truncating div rounds toward zero) — the q132
+            // convention
+            expr(graft.operators.Resample.floorDivSql("ts", 3600000000000L))
+              .as("hour_idx"),
             col("event_type"))
           .agg(
             count(lit(1)).as("cnt"),
