@@ -71,6 +71,17 @@ object Bench {
           }),
           "q102_split_leakage" -> ((s: SparkSession, d: String) =>
             SparkEntry.queries("q102_split_leakage")(s, d))),
+        // Second amortization layer: components + fixed-point ranks are
+        // computed once per curation run (q36/q37/q138/q142/q143 all
+        // probe the derived tables); timed at the family's first derived
+        // consumer in bench name order.
+        "q138_dup_pagerank" -> Seq(
+          "dupgraph_derive" -> ((s: SparkSession, d: String) => {
+            graft.queries.DupGraphPhases.buildDerived(s, d)
+            s.emptyDataFrame
+          }),
+          "q138_dup_pagerank" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q138_dup_pagerank")(s, d))),
         "q64_bucketed_join" -> Seq(
           "q64_bucketed_build" -> ((s: SparkSession, d: String) => {
             graft.queries.BucketedJoinPhases.build(s, d)

@@ -230,7 +230,10 @@ object DedupQueries {
       "q36_dedup_groups",
       "Near-dup GROUPS: MinHash-LSH candidate pairs -> distributed " +
         "connected components (min-label propagation, pointer jumping) -> " +
-        "(doc_id, comp) cluster map. Oracle: recursive-CTE label flooding " +
+        "(doc_id, comp) cluster map, computed once per curation run and " +
+        "served from the derived table (DupGraphPhases.buildDerived — " +
+        "the second amortization layer over the built pair graph). " +
+        "Oracle: recursive-CTE label flooding " +
         "over the same pair graph (tractable at oracle scale; the Spark " +
         "path is the one that scales).",
       Some(
@@ -258,12 +261,9 @@ object DedupQueries {
            |  SELECT id, MIN(lab) AS comp FROM reach GROUP BY id
            |)
            |SELECT id AS doc_id, comp FROM labels""".stripMargin),
-      (spark, dir) => {
-        val pairs = DupGraphPhases.pairsUnder(spark, dir, 1000L)
-          .select("doc_a", "doc_b")
-        Components.connectedComponents(pairs, numPartitions = Some(8))
+      (spark, dir) =>
+        DupGraphPhases.components(spark, dir)
           .select(col("id").as("doc_id"), col("comp"))
-      }
     ),
     Q(
       "q37_dedup_canonical",
@@ -298,10 +298,13 @@ object DedupQueries {
            |WHERE doc_id < 1000
            |  AND doc_id NOT IN (SELECT id FROM labels WHERE id != comp)""".stripMargin),
       (spark, dir) => {
+        // keepCanonical semantics off the derived cluster map: drop every
+        // non-min-label member ("loser"); singletons (no pairs -> not in
+        // the map) survive the anti join untouched.
         val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
-        val pairs = DupGraphPhases.pairsUnder(spark, dir, 1000L)
-          .select("doc_a", "doc_b")
-        Components.keepCanonical(docs, pairs, "doc_id", numPartitions = Some(8))
+        val losers = DupGraphPhases.components(spark, dir)
+          .filter(col("id") =!= col("comp")).select(col("id"))
+        docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
           .select("doc_id", "n_chars")
       }
     ),
@@ -691,7 +694,9 @@ object DedupQueries {
         "triplets (recursive CTEs cannot aggregate in the recursive " +
         "term). Per iteration: one node-keyed join, one edge-keyed " +
         "join carrying a single long per edge, one map-side-combined " +
-        "sum — the q36 iteration discipline with lineage checkpoints.",
+        "sum — the q36 iteration discipline with lineage checkpoints; " +
+        "run once per curation run and served from the derived table " +
+        "(DupGraphPhases.buildDerived).",
       Some {
         val iters = (1 to 5).map { k =>
           s"""c$k AS (
@@ -733,14 +738,9 @@ object DedupQueries {
            |$iters
            |SELECT id AS doc_id, rank FROM r5""".stripMargin
       },
-      (spark, dir) => {
-        val pairs = DupGraphPhases.pairsUnder(spark, dir, 1000L)
-          .select("doc_a", "doc_b")
-        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        graft.operators.PageRank.ranks(edges, iterations = 5, numPartitions = Some(8))
+      (spark, dir) =>
+        DupGraphPhases.ranks(spark, dir)
           .select(col("id").as("doc_id"), col("rank"))
-      }
     ),
     Q(
       "q142_canonical_by_rank",
@@ -749,24 +749,21 @@ object DedupQueries {
         "q37's min-id convention — 'keep the hub, drop the " +
         "satellites', the curation policy that preserves the most " +
         "connected (usually most complete) copy. Composes the q36 " +
-        "components and the q138 fixed-point ranks over the ONE " +
-        "materialized pair table (DupGraphPhases); the canonical table " +
-        "is components-sized and joins back on the component key.",
+        "components and the q138 fixed-point ranks, PROBED from the " +
+        "derived tables (DupGraphPhases.buildDerived — both bucketed " +
+        "by id, so the comp-rank join is exchange-free); the canonical " +
+        "table is components-sized and joins back on the component key.",
       Some(
         s"""$duckGraphCanonicalCte
            |SELECT l.id AS doc_id, l.comp, can.canonical_id
            |FROM labels l JOIN can ON can.comp = l.comp""".stripMargin),
       (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
-        // The materialized graph replaces q142's old localCheckpoint:
-        // components AND ranks read the same bucketed pair table.
-        val pairs = DupGraphPhases.pairsUnder(spark, dir, 1000L)
-          .select("doc_a", "doc_b")
-        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        val comp = Components.connectedComponents(pairs, numPartitions = Some(8))
-        val ranks = graft.operators.PageRank.ranks(edges, iterations = 5,
-          numPartitions = Some(8))
+        // comp and rank come from the derived tables (both bucketed by
+        // id, same bucket count -> their join needs no exchange on id);
+        // the canonical pick is a components-sized window.
+        val comp = DupGraphPhases.components(spark, dir)
+        val ranks = DupGraphPhases.ranks(spark, dir)
         val w = Window.partitionBy("comp").orderBy(col("rank").desc, col("id"))
         val can = comp.join(ranks, Seq("id"))
           .withColumn("__rn", row_number().over(w))
@@ -851,13 +848,8 @@ object DedupQueries {
       (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
-        val pairs = DupGraphPhases.pairsUnder(spark, dir, 1000L)
-          .select("doc_a", "doc_b")
-        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        val comp = Components.connectedComponents(pairs, numPartitions = Some(8))
-        val ranks = graft.operators.PageRank.ranks(edges, iterations = 5,
-          numPartitions = Some(8))
+        val comp = DupGraphPhases.components(spark, dir)
+        val ranks = DupGraphPhases.ranks(spark, dir)
         val w = Window.partitionBy("comp").orderBy(col("rank").desc, col("id"))
         val can = comp.join(ranks, Seq("id"))
           .withColumn("__rn", row_number().over(w))
@@ -1039,4 +1031,54 @@ object DupGraphPhases {
     */
   def pairsUnder(spark: SparkSession, dir: String, maxId: Long): DataFrame =
     pairs(spark, dir).filter(col("doc_a") < maxId && col("doc_b") < maxId)
+
+  /** The graph-algorithm consumers' shared sub-corpus bound (oracle
+    * tractability: the recursive-CTE flooding and unrolled PageRank
+    * rounds run on doc_id < 1000 in DuckDB).
+    */
+  val DerivedMaxId = 1000L
+
+  def compTable(dir: String): String = s"graft_dupcomp_${Q.scratchTag(dir)}"
+  def rankTable(dir: String): String = s"graft_duprank_${Q.scratchTag(dir)}"
+
+  /** SECOND amortization layer: the iterative graph algorithms. The pair
+    * MINE is per-corpus ([[build]]); connected components and the
+    * fixed-point PageRank are per-CURATION-RUN — yet q36, q37, q138,
+    * q142 and q143 would otherwise re-iterate them per report (4x
+    * components + 3x PageRank over the identical pair set). This runs
+    * each ONCE off the built pair table and materializes (id, comp) and
+    * (id, rank), BUCKETED BY id with one bucket count, so the q142/q143
+    * comp-join-rank probe needs no exchange on id and every report is a
+    * table read. Both algorithms are exactly deterministic (min-label /
+    * integer fixed point), so the derived tables equal the inline runs
+    * row for row (DupGraphSpec pins it).
+    */
+  def buildDerived(spark: SparkSession, dir: String): Unit = synchronized {
+    val prs = pairsUnder(spark, dir, DerivedMaxId).select("doc_a", "doc_b")
+    val edges = prs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(prs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val comp = graft.operators.Components
+      .connectedComponents(prs, numPartitions = Some(8))
+    graft.operators.Bucketing.writeBucketed(comp, compTable(dir), "id", 4)
+    val rks = graft.operators.PageRank
+      .ranks(edges, iterations = 5, numPartitions = Some(8))
+    graft.operators.Bucketing.writeBucketed(rks, rankTable(dir), "id", 4)
+    built += compTable(dir)
+  }
+
+  def ensureDerived(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!built.contains(compTable(dir))) buildDerived(spark, dir)
+  }
+
+  /** (id, comp) for the sub-corpus — q36's cluster map. */
+  def components(spark: SparkSession, dir: String): DataFrame = {
+    ensureDerived(spark, dir)
+    spark.table(compTable(dir))
+  }
+
+  /** (id, rank) for the sub-corpus — q138's importance table. */
+  def ranks(spark: SparkSession, dir: String): DataFrame = {
+    ensureDerived(spark, dir)
+    spark.table(rankTable(dir))
+  }
 }

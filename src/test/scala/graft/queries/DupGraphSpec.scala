@@ -64,6 +64,32 @@ class DupGraphSpec extends AnyFunSuite {
     assert(!agg.contains("Generate"), agg)
   }
 
+  test("derived components/ranks equal the inline iterative runs; probes are table reads") {
+    // Determinism is the load-bearing claim: min-label components and
+    // integer fixed-point PageRank are partitioning-exact, so the
+    // materialized tables (built at 8 partitions) must equal fresh
+    // inline runs at a DIFFERENT partition count, row for row.
+    val prs = DupGraphPhases
+      .pairsUnder(spark, dir, DupGraphPhases.DerivedMaxId)
+      .select("doc_a", "doc_b")
+    val edges = prs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(prs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    assert(canon(DupGraphPhases.components(spark, dir)) ==
+      canon(graft.operators.Components.connectedComponents(prs,
+        numPartitions = Some(4))))
+    assert(canon(DupGraphPhases.ranks(spark, dir)) ==
+      canon(graft.operators.PageRank.ranks(edges, iterations = 5,
+        numPartitions = Some(4))))
+    // and the probes are bare bucketed-table reads — no iteration, no
+    // mining, no shuffle
+    Seq(DupGraphPhases.components(spark, dir), DupGraphPhases.ranks(spark, dir))
+      .foreach { t =>
+        val p = t.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        assert(!p.contains("Generate") && !p.contains("Exchange ("), p)
+      }
+  }
+
   test("q143 capstone: zero signature recomputation in the executed pipeline") {
     val q = SparkEntry.queries("q143_curation_capstone")(spark, dir)
     val p = q.queryExecution.explainString(FormattedMode)
