@@ -869,6 +869,87 @@ object DedupQueries {
             sum(when(col("__dropped"), 0L).otherwise(col("toks"))).as("kept_tokens"),
             sum(when(col("__dropped"), col("toks")).otherwise(0L)).as("dropped_tokens"))
       }
+    ),
+    Q(
+      "q144_canonical_routing",
+      "Ingest-time canonical ROUTING: each incoming document (doc_id " +
+        "odd, the q126 convention) that near-dups the existing corpus " +
+        "(even) is told WHICH cluster it duplicates — the canonical " +
+        "(min-id) of the matched existing component, or NULL for novel " +
+        "docs. Pure probe composition over the built pair graph: " +
+        "existing-existing pairs (both-even filter — exact, since band " +
+        "keys are per-document) feed components; existing docs in no " +
+        "pair are their own singleton cluster; incoming-existing edges " +
+        "are the MIXED-parity rows of the same pair table (sharing a " +
+        "band IS the pair relation — no re-mining); route = min matched " +
+        "canonical. The streaming twin is " +
+        "DocumentStream.canonicalRouted (band-key broadcast joins, " +
+        "row-local).",
+      Some(
+        s"""$duckSignatureCte, bands AS (
+           |  SELECT doc_id, 0 AS band,
+           |         md5(concat_ws('_', ${(0 until 8).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band,
+           |         md5(concat_ws('_', ${(8 until 16).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |), pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |), epairs AS (
+           |  SELECT doc_a, doc_b FROM pairs WHERE doc_a % 2 = 0 AND doc_b % 2 = 0
+           |), eedges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM epairs
+           |  UNION SELECT doc_b, doc_a FROM epairs
+           |), labels AS (
+           |  WITH RECURSIVE reach(id, lab) AS (
+           |    SELECT DISTINCT src, src FROM eedges
+           |    UNION
+           |    SELECT e.src, r.lab FROM eedges e JOIN reach r ON r.id = e.dst
+           |  )
+           |  SELECT id, MIN(lab) AS comp FROM reach GROUP BY id
+           |), full_comp AS (
+           |  SELECT e.doc_id AS id, COALESCE(l.comp, e.doc_id) AS comp
+           |  FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) e
+           |  LEFT JOIN labels l ON l.id = e.doc_id
+           |), mixed AS (
+           |  SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS inc_id,
+           |         CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END AS ex_id
+           |  FROM pairs WHERE (doc_a % 2) <> (doc_b % 2)
+           |), routed AS (
+           |  SELECT m.inc_id, MIN(fc.comp) AS canonical_id
+           |  FROM mixed m JOIN full_comp fc ON fc.id = m.ex_id
+           |  GROUP BY 1
+           |)
+           |SELECT i.doc_id, r.canonical_id
+           |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) i
+           |LEFT JOIN routed r ON r.inc_id = i.doc_id""".stripMargin),
+      (spark, dir) => {
+        val p = DupGraphPhases.pairs(spark, dir)
+        val docs = Tables.documents(spark, dir)
+        val evenPairs = p
+          .filter(col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0)
+          .select("doc_a", "doc_b")
+        val comp = Components.connectedComponents(evenPairs, numPartitions = Some(8))
+        // min-label convention: comp IS the cluster's min id = canonical
+        val fullComp = docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("id"))
+          .join(comp, Seq("id"), "left")
+          .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+        val mixed = p.filter((col("doc_a") % 2) =!= (col("doc_b") % 2))
+          .select(
+            when(col("doc_a") % 2 === 1, col("doc_a")).otherwise(col("doc_b"))
+              .as("inc_id"),
+            when(col("doc_a") % 2 === 1, col("doc_b")).otherwise(col("doc_a"))
+              .as("ex_id"))
+        val routed = mixed.join(fullComp, col("ex_id") === col("id"))
+          .groupBy("inc_id").agg(min("comp").as("canonical_id"))
+        docs.filter(col("doc_id") % 2 === 1).select("doc_id")
+          .join(routed, col("doc_id") === col("inc_id"), "left")
+          .select(col("doc_id"), col("canonical_id"))
+      }
     )
   )
 

@@ -375,6 +375,65 @@ object DocumentStream {
         .otherwise(lit("new")).as("status"))
   }
 
+  /** Batch-side builder for [[canonicalRouted]]'s static routing table:
+    * every band key of the existing corpus mapped to its cluster's
+    * canonical id. `comp` is the existing corpus's (id, comp) cluster
+    * map (e.g. [[graft.queries.DupGraphPhases.components]] or a fresh
+    * `Components.connectedComponents` run); existing docs absent from it
+    * (no pairs) are their own singleton canonical. One canonical per
+    * band key by construction — all docs sharing a band key are
+    * pairwise connected, hence one component — so the min() is
+    * belt-and-braces, not a tiebreak.
+    */
+  def bandCanonicalTable(
+      existing: DataFrame,
+      comp: DataFrame,
+      numHashes: Int = 16,
+      bands: Int = 2): DataFrame =
+    bandKeys(existing, numHashes, bands)
+      .select(concat_ws("#", col("band"), col("key")).as("bk"), col("doc_id"))
+      .join(comp.select(col("id"), col("comp")),
+        col("doc_id") === col("id"), "left")
+      .select(col("bk"), coalesce(col("comp"), col("doc_id")).as("canonical_id"))
+      .groupBy("bk").agg(min("canonical_id").as("canonical_id"))
+
+  /** Streaming canonical ROUTING — the ingest face of q144: each
+    * arriving document is told which existing cluster it duplicates
+    * (the matched cluster's canonical id; NULL for novel docs). The
+    * probe is ROW-LOCAL: the narrow per-row signature fold produces one
+    * band-key column per band, and each probes the batch-refreshed
+    * (bk, canonical_id) table via a broadcast stream-static LEFT join —
+    * no explode, no aggregation, no state; `least` across the per-band
+    * matches is exact because `least` skips nulls and every band key
+    * maps to its cluster's min id (min of mins = min over all matched
+    * members — the q144 batch semantics). Refresh the table batch-side
+    * and restart to pick up corpus changes, the same cadence contract
+    * as the other screens.
+    */
+  def canonicalRouted(
+      docs: DataFrame,
+      bandCanonical: DataFrame,
+      numHashes: Int = 16,
+      bands: Int = 2): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val mhs = minhashExprs(numHashes)
+    val rowsPerBand = numHashes / bands
+    val keyed = docs.select(
+      col("doc_id") +: (0 until bands).map { b =>
+        concat_ws("#", lit(b), bandSliceKey(mhs, b, rowsPerBand)).as(s"__bk$b")
+      }: _*)
+    val joined = (0 until bands).foldLeft(keyed) { (df, b) =>
+      df.join(
+        broadcast(bandCanonical.select(
+          col("bk").as(s"__k$b"), col("canonical_id").as(s"__c$b"))),
+        df(s"__bk$b") === col(s"__k$b"), "left")
+    }
+    joined.select(col("doc_id"),
+      least((0 until bands).map(b => col(s"__c$b")): _*).as("canonical_id"))
+  }
+
   /** One quota-admitted document: its source, id, and 1-based admission
     * rank within the source.
     */
