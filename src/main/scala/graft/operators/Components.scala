@@ -167,6 +167,81 @@ object Components {
     }
   }
 
+  /** INCREMENTAL component maintenance — fold a batch of arriving nodes
+    * into an existing cluster map at cost proportional to the DELTA,
+    * never the corpus. The daily-ingest counterpart of
+    * [[connectedComponents]]: at 100 TB the full graph is re-clustered
+    * per curation run, not per ingest batch; between runs each batch
+    * updates the (id, comp) map with only (a) the arrivals' signature
+    * mine and (b) a label-space merge graph no larger than the delta
+    * pair set.
+    *
+    * Contract:
+    *  - `baseComp` (id, comp) must be TOTAL over existing nodes —
+    *    singletons included with comp = id (what q144-style
+    *    coalesce(comp, id) produces). comp = cluster min id, exactly
+    *    what [[connectedComponents]] emits.
+    *  - `newIds` (id): arriving node ids, disjoint from existing ids.
+    *  - `deltaPairs`: every candidate pair with >= 1 new endpoint
+    *    (new-new and new-existing). Band keys are per-document, so the
+    *    merged corpus's full pair set is exactly oldPairs ∪ deltaPairs —
+    *    no old-old pair can appear or vanish when docs arrive.
+    *
+    * Algorithm: (1) lift each delta edge into LABEL space — every
+    * endpoint replaced by its current label (existing -> comp via the
+    * touched slice of the base map, new -> own id); (2) run
+    * [[connectedComponents]] over the label graph (<= |deltaPairs|
+    * edges); (3) relabel — touched labels map to their merged minimum,
+    * untouched rows pass through unchanged. Exactness: every base label
+    * is its cluster's minimum id and every new label is the node itself,
+    * so the min over a merged label-component equals the min over ALL
+    * member ids of the merged data-component — the result equals a full
+    * recompute row for row (ComponentsSpec pins it, including the case
+    * where one arrival bridges two existing clusters).
+    *
+    * Scale shape: the touched-label slice and the merge map are
+    * delta-sized, so every join here puts them on the BUILD side of a
+    * broadcast hash join — the corpus-sized base map is only ever
+    * scanned in place (plan-pinned: zero exchanges on the base side).
+    */
+  def incremental(
+      baseComp: DataFrame,
+      newIds: DataFrame,
+      deltaPairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      numPartitions: Option[Int] = None): DataFrame = {
+    val base = baseComp.select(col("id"), col("comp"))
+    val fresh = newIds.select(col("id"))
+    val delta = deltaPairs.select(col(aCol).as("ea"), col(bCol).as("eb"))
+    // Touched slice of the base map: broadcast the (delta-sized) endpoint
+    // set into a semi join, so the corpus map is scanned, never shuffled.
+    val endpoints = delta
+      .select(explode(array(col("ea"), col("eb"))).as("id")).distinct()
+    val touched = base
+      .join(broadcast(endpoints), Seq("id"), "left_semi")
+      .select(col("id").as("tid"), col("comp").as("tcomp"))
+    // Lift to label space: existing endpoint -> its comp; a new endpoint
+    // is absent from the (total) base map, so coalesce to the id itself.
+    val labelEdges = delta
+      .join(broadcast(touched), col("ea") === col("tid"), "left")
+      .select(coalesce(col("tcomp"), col("ea")).as("la"), col("eb"))
+      .join(broadcast(touched), col("eb") === col("tid"), "left")
+      .select(col("la"), coalesce(col("tcomp"), col("eb")).as("lb"))
+    val merged = connectedComponents(
+        labelEdges, "la", "lb", numPartitions = numPartitions)
+      .select(col("id").as("lab"), col("comp").as("mcomp"))
+    // Relabel: merge map on the broadcast side of both left joins; the
+    // base map and the arrival list stream through without an exchange.
+    val existingOut = base
+      .join(broadcast(merged), col("comp") === col("lab"), "left")
+      .select(col("id"), coalesce(col("mcomp"), col("comp")).as("comp"))
+    val newOut = fresh
+      .join(broadcast(merged), col("id") === col("lab"), "left")
+      .select(col("id"), coalesce(col("mcomp"), col("id")).as("comp"))
+    existingOut.unionByName(newOut)
+  }
+
   /** Dedup by components: drop every document that is not its cluster's
     * canonical (minimum-id) representative. Documents with no near-dup
     * pair survive untouched (left-anti against the non-canonical set).

@@ -950,6 +950,74 @@ object DedupQueries {
           .join(routed, col("doc_id") === col("inc_id"), "left")
           .select(col("doc_id"), col("canonical_id"))
       }
+    ),
+    Q(
+      "q145_incremental_components",
+      "Incremental cluster-map maintenance: fold an ingest batch (odd " +
+        "doc_ids, the q126 convention) into the existing corpus's " +
+        "(even) component map at DELTA cost — arrivals' pairs are " +
+        "lifted into label space (existing endpoint -> its comp, new " +
+        "-> own id), components run on that delta-sized label graph, " +
+        "and the corpus map is relabeled through a broadcast merge " +
+        "map, never shuffled. Min-label convention makes the " +
+        "incremental result provably EQUAL to a full recompute over " +
+        "the merged corpus — which is exactly what the oracle runs " +
+        "(recursive-CTE flooding over the full doc_id<1000 pair " +
+        "graph). Sub-corpus bound shared with q142/q143 for oracle " +
+        "tractability.",
+      Some(
+        s"""${duckSignatureCte.replace("FROM documents", "FROM documents WHERE doc_id < 1000")}, bands AS (
+           |  SELECT doc_id, 0 AS band,
+           |         md5(concat_ws('_', ${(0 until 8).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band,
+           |         md5(concat_ws('_', ${(8 until 16).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |), pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |), edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs
+           |), labels AS (
+           |  WITH RECURSIVE reach(id, lab) AS (
+           |    SELECT DISTINCT src, src FROM edges
+           |    UNION
+           |    SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+           |  )
+           |  SELECT id, MIN(lab) AS comp FROM reach GROUP BY id
+           |)
+           |SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS comp
+           |FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d
+           |LEFT JOIN labels l ON l.id = d.doc_id""".stripMargin),
+      (spark, dir) => {
+        val p = DupGraphPhases
+          .pairsUnder(spark, dir, DupGraphPhases.DerivedMaxId)
+          .select("doc_a", "doc_b")
+        val docs = Tables.documents(spark, dir)
+          .filter(col("doc_id") < DupGraphPhases.DerivedMaxId)
+        // "Yesterday's corpus": even ids, with a TOTAL (id, comp) map
+        // (singletons coalesced) — the Components.incremental contract.
+        val evenPairs =
+          p.filter(col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0)
+        val baseComp = docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("id"))
+          .join(Components.connectedComponents(evenPairs, numPartitions = Some(8)),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+        // "Today's batch": odd ids; its delta pairs are every built pair
+        // with >= 1 odd endpoint (band keys are per-document, so this IS
+        // the full delta — no old-old pair changes when docs arrive).
+        val delta =
+          p.filter((col("doc_a") % 2 === 1) || (col("doc_b") % 2 === 1))
+        val newIds = docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id").as("id"))
+        Components
+          .incremental(baseComp, newIds, delta, numPartitions = Some(8))
+          .select(col("id").as("doc_id"), col("comp"))
+      }
     )
   )
 

@@ -39,6 +39,45 @@ class ComponentsSpec extends AnyFunSuite {
     assert(comps.forall(_.getLong(1) == 0L)) // all flood to min label 0
   }
 
+  test("incremental equals full recompute: bridge-merge, attach, new-new, singletons") {
+    // Existing corpus: clusters {1,2} and {3,4}, singleton 5, singleton 6.
+    val oldPairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    // TOTAL base map (the incremental contract): singletons comp = id.
+    val baseComp = Seq(
+      (1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L), (6L, 6L)
+    ).toDF("id", "comp")
+    val newIds = Seq(10L, 11L, 12L, 13L, 14L).toDF("id")
+    // 10 BRIDGES the two existing clusters (the hard case: a merge of
+    // two old labels); 11 attaches to singleton 5; 13-14 form a purely
+    // new cluster; 12 arrives with no pairs at all.
+    val delta = Seq(
+      (2L, 10L), (3L, 10L), (5L, 11L), (13L, 14L)
+    ).toDF("doc_a", "doc_b")
+    val got = Components.incremental(baseComp, newIds, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Full recompute over the merged corpus, singletons coalesced.
+    val full = Components
+      .connectedComponents(oldPairs.unionByName(delta))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (Seq(1L, 2L, 3L, 4L, 5L, 6L) ++ Seq(10L, 11L, 12L, 13L, 14L))
+      .map(i => i -> full.getOrElse(i, i)).toMap
+    assert(got == want)
+    // the merge actually happened: {1,2,3,4,10} all label 1
+    assert(Seq(3L, 4L, 10L).forall(got(_) == 1L))
+    assert(got(11L) == 5L && got(12L) == 12L && got(14L) == 13L)
+  }
+
+  test("incremental relabel keeps the base map exchange-free (broadcast joins only)") {
+    val baseComp = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("id", "comp")
+    val newIds = Seq(10L).toDF("id")
+    val delta = Seq((2L, 10L)).toDF("doc_a", "doc_b")
+    val out = Components.incremental(baseComp, newIds, delta)
+    val plan = out.queryExecution.executedPlan.toString
+    // every join in the delta-lift and relabel stages broadcasts the
+    // delta-sized side; a SortMergeJoin would mean the corpus map shuffled
+    assert(!plan.contains("SortMergeJoin"), s"base map shuffled:\n$plan")
+  }
+
   test("shuffle path (broadcastNodeLimit = 0) agrees with the broadcast path") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
