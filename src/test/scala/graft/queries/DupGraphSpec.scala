@@ -90,6 +90,32 @@ class DupGraphSpec extends AnyFunSuite {
       }
   }
 
+  test("serving component map equals inline even-components; q144 is a pure probe") {
+    // Equality: min-label components are partitioning-exact, so the
+    // materialized serving map (built at 8 partitions) must equal a fresh
+    // inline run at a different partition count — including the singleton
+    // coalesce that makes the map TOTAL over even docs.
+    val evenPairs = DupGraphPhases.pairs(spark, dir)
+      .filter(col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0)
+      .select("doc_a", "doc_b")
+    val inline = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("id"))
+      .join(graft.operators.Components.connectedComponents(evenPairs,
+        numPartitions = Some(4)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    assert(canon(DupGraphPhases.servingComponents(spark, dir)) == canon(inline))
+    // The probe is a bare bucketed-table read, and q144's whole routing
+    // plan does neither signature mining nor label-propagation iteration.
+    val scan = DupGraphPhases.servingComponents(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    assert(!scan.contains("Generate") && !scan.contains("Exchange ("), scan)
+    val q = SparkEntry.queries("q144_canonical_routing")(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    assert(!q.contains("portable_hash32"), q.linesIterator.take(60).mkString("\n"))
+    assert(!q.contains("Generate"), q.linesIterator.take(60).mkString("\n"))
+  }
+
   test("q143 capstone: zero signature recomputation in the executed pipeline") {
     val q = SparkEntry.queries("q143_curation_capstone")(spark, dir)
     val p = q.queryExecution.explainString(FormattedMode)
