@@ -1014,6 +1014,69 @@ object DedupQueries {
           .incremental(baseComp, newIds, delta, numPartitions = Some(8))
           .select(col("id").as("doc_id"), col("comp"))
       }
+    ),
+    Q(
+      "q146_cluster_safe_split",
+      "LEAKAGE-SAFE train/val/test split: q102 measures how a naive " +
+        "per-doc hash split (q38) strands near-duplicates across the " +
+        "train/test boundary; this is the fix — hash the CLUSTER id " +
+        "(the derived component map's comp, singletons = own id), so " +
+        "every doc in a near-dup cluster lands in the same split by " +
+        "construction. The assignment is a row-local md5 bucket on " +
+        "comp over the materialized map (a bucketed-table read — zero " +
+        "mining, zero iteration at split time), so the operator is a " +
+        "narrow map over corpus-sized data at any scale. Sub-corpus " +
+        "bound shared with q142/q143 for oracle tractability; " +
+        "DupGraphSpec pins the zero-cross-split-pair property.",
+      Some(
+        s"""${duckSignatureCte.replace("FROM documents", "FROM documents WHERE doc_id < 1000")}, bands AS (
+           |  SELECT doc_id, 0 AS band,
+           |         md5(concat_ws('_', ${(0 until 8).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band,
+           |         md5(concat_ws('_', ${(8 until 16).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |), pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |), edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs
+           |), labels AS (
+           |  WITH RECURSIVE reach(id, lab) AS (
+           |    SELECT DISTINCT src, src FROM edges
+           |    UNION
+           |    SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+           |  )
+           |  SELECT id, MIN(lab) AS comp FROM reach GROUP BY id
+           |), cm AS (
+           |  SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS comp
+           |  FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d
+           |  LEFT JOIN labels l ON l.id = d.doc_id
+           |)
+           |SELECT doc_id, comp,
+           |       CASE WHEN b < 80 THEN 'train'
+           |            WHEN b < 90 THEN 'val'
+           |            ELSE 'test' END AS split
+           |FROM (
+           |  SELECT doc_id, comp,
+           |         CAST('0x' || substr(md5('csplit:' || CAST(comp AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+           |  FROM cm
+           |)""".stripMargin),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+          .filter(col("doc_id") < DupGraphPhases.DerivedMaxId)
+        docs.select(col("doc_id"))
+          .join(DupGraphPhases.components(spark, dir)
+            .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).as("comp"))
+          .withColumn("split",
+            Sampling.splitLabel(col("comp"), trainPct = 80, valPct = 10,
+              salt = "csplit:"))
+      }
     )
   )
 

@@ -116,6 +116,28 @@ class DupGraphSpec extends AnyFunSuite {
     assert(!q.contains("Generate"), q.linesIterator.take(60).mkString("\n"))
   }
 
+  test("q146 cluster-safe split: zero candidate pairs cross the split boundary") {
+    // The semantic guarantee the query exists for: hashing the CLUSTER id
+    // means no near-dup candidate pair can straddle train/val/test. Check
+    // it against the actual pair set, not the construction.
+    val split = SparkEntry.queries("q146_cluster_safe_split")(spark, dir)
+      .select(col("doc_id"), col("split"))
+    val pairs = DupGraphPhases
+      .pairsUnder(spark, dir, DupGraphPhases.DerivedMaxId)
+      .select("doc_a", "doc_b")
+    val crossers = pairs
+      .join(split.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "split_a"), Seq("doc_a"))
+      .join(split.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "split_b"), Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+    assert(crossers.count() == 0)
+    // and the split is total + three-way over the sub-corpus
+    val n = Tables.documents(spark, dir)
+      .filter(col("doc_id") < DupGraphPhases.DerivedMaxId).count()
+    assert(split.count() == n)
+  }
+
   test("q143 capstone: zero signature recomputation in the executed pipeline") {
     val q = SparkEntry.queries("q143_curation_capstone")(spark, dir)
     val p = q.queryExecution.explainString(FormattedMode)
