@@ -227,6 +227,53 @@ object Sampling {
       .drop("__mi_stratum", "__mi_ord", "__mi_rank")
   }
 
+  /** Temperature-scaled mixture weights at α = 1/2: the multilingual /
+    * multi-source sampling rule w_s ∝ p_s^α (p_s = source's token share)
+    * that flattens a natural-frequency mixture toward uniform, boosting
+    * low-resource sources without discarding high-resource ones. α is
+    * FIXED at 1/2 because IEEE-754 guarantees `sqrt` correctly rounded —
+    * bit-identical across engines — while `pow(p, α)` is not, and a
+    * cross-engine-reproducible weight table is the point: the weights
+    * feed [[mixtureEpochPlan]]'s integer arithmetic, so two engines
+    * computing the mix must agree exactly. The sqrt rides a 1e12 integer
+    * fixed point (floor of an IEEE product of exact doubles), after
+    * which everything is exact BIGINT math.
+    *
+    * p_ppm's 1e6 numerator product is guarded fail-fast (the repo's
+    * silent-wrap discipline): per-source token counts past 2^63/1e6
+    * (~9.2e12 tokens — a ~37 TB single source at 4 bytes/token) must
+    * widen the fixed point, not wrap. One map-side-combined source
+    * aggregate + two broadcast 1-row totals: sources-sized output at any
+    * corpus scale, and the corpus is scanned once.
+    *
+    * Output: (source, tokens, p_ppm, w_ppm) — natural vs temperature-
+    * scaled shares in parts-per-million (floors; non-negative inputs
+    * make Spark's truncating `div` and the oracle's floor-div agree).
+    */
+  def temperatureWeightsSqrt(
+      df: DataFrame,
+      sourceCol: String = "source",
+      tokens: Column): DataFrame = {
+    val guardLimit = Long.MaxValue / 1000000L
+    val t = df.groupBy(sourceCol)
+      .agg(sum(tokens.cast("long")).as("tokens"))
+      .withColumn("tokens",
+        when(col("tokens") > guardLimit, raise_error(concat(
+          lit("temperatureWeightsSqrt: token count overflows the ppm " +
+            "fixed point: "), col("tokens").cast("string"))))
+          .otherwise(col("tokens")))
+    val tot = t.agg(sum("tokens").as("__tt"))
+    val s = t.crossJoin(broadcast(tot))
+      .withColumn("__sc",
+        floor(sqrt(col("tokens").cast("double") / col("__tt").cast("double"))
+          * lit(1e12)).cast("long"))
+    val stot = s.select("__sc").agg(sum("__sc").as("__st"))
+    s.crossJoin(broadcast(stot))
+      .select(col(sourceCol), col("tokens"),
+        expr("(1000000 * tokens) div __tt").as("p_ppm"),
+        expr("(1000000 * __sc) div __st").as("w_ppm"))
+  }
+
   /** Mixture-epoch planning: given integer mixture weights and a total
     * token budget, how many PASSES (epochs) over each source the
     * training stream needs — the repeat-factor arithmetic behind

@@ -534,6 +534,43 @@ object SamplingQueries {
             bucketed, "bucket", "doc_id", "toks", capacity = 512L)
           .select("doc_id", "bucket", "seq_tokens", "bin_id", "bin_offset")
       }
+    ),
+    Q(
+      "q147_temperature_mixture",
+      "Temperature-scaled mixture weights (alpha = 1/2): w_s ~ " +
+        "sqrt(p_s), the multilingual-sampling rule that flattens a " +
+        "natural-frequency source mix toward uniform — the weight table " +
+        "that feeds q124's epoch planner when the mix is derived from " +
+        "the data rather than hand-set. alpha is pinned at 1/2 because " +
+        "IEEE sqrt is correctly rounded (bit-identical across engines) " +
+        "where pow is not; the sqrt lands in a 1e12 integer fixed point " +
+        "and everything after is exact BIGINT math, fail-fast guarded " +
+        "against ppm-numerator wrap. One map-side-combined source " +
+        "aggregate + two broadcast 1-row totals; sources-sized output " +
+        "at any corpus scale.",
+      Some("""
+        |WITH t AS (
+        |  SELECT source,
+        |         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1
+        |), tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tt FROM t),
+        |s AS (
+        |  SELECT source, tokens,
+        |         CAST(floor(sqrt(CAST(tokens AS DOUBLE) / CAST(tt AS DOUBLE))
+        |                    * 1000000000000) AS BIGINT) AS sc
+        |  FROM t, tot
+        |), stot AS (SELECT CAST(SUM(sc) AS BIGINT) AS st FROM s)
+        |SELECT s.source, s.tokens,
+        |       (1000000 * s.tokens) // tt AS p_ppm,
+        |       (1000000 * s.sc) // st AS w_ppm
+        |FROM s, tot, stot
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.operators.TextAnalysis
+        Sampling.temperatureWeightsSqrt(
+          Tables.documents(spark, dir),
+          tokens = TextAnalysis.tokenCount(col("text")))
+      }
     )
   )
 }

@@ -355,4 +355,38 @@ class SamplingSpec extends AnyFunSuite {
       .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
     assert(chain.contains("wrap"), s"unexpected: $ex")
   }
+
+  test("temperatureWeightsSqrt flattens shares toward uniform, exactly in ppm") {
+    // 3 sources with 90%/9%/1% of tokens: sqrt-scaling must pull the big
+    // source's weight DOWN from its share and every small source's UP,
+    // with weights still summing to ~1e6 (floor slack < #sources).
+    val df = (Seq.fill(90)("big") ++ Seq.fill(9)("mid") ++ Seq("small"))
+      .zipWithIndex.map { case (s, i) => (s, i.toLong, 100L) }
+      .toDF("source", "doc_id", "toks")
+    val w = Sampling.temperatureWeightsSqrt(df, "source", col("toks"))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(w("big")._2 < w("big")._1)     // 900000 -> ~620xxx
+    assert(w("mid")._2 > w("mid")._1)     // 90000  -> ~196xxx
+    assert(w("small")._2 > w("small")._1) // 10000  -> ~65xxx
+    val wsum = w.values.map(_._2).sum
+    assert(wsum > 1000000L - 3 && wsum <= 1000000L, wsum.toString)
+    // scalar model agreement: exact fixed-point pipeline reproduced here
+    val toks = Map("big" -> 9000.0, "mid" -> 900.0, "small" -> 100.0)
+    val sc = toks.view.mapValues(t => math.floor(math.sqrt(t / 10000.0) * 1e12).toLong).toMap
+    val st = sc.values.sum
+    toks.keys.foreach { s =>
+      assert(w(s)._2 == 1000000L * sc(s) / st, s)
+    }
+  }
+
+  test("temperatureWeightsSqrt fails fast past the ppm fixed point") {
+    val bad = Seq(("s1", 1L, Long.MaxValue / 1000000L + 1), ("s2", 2L, 5L))
+      .toDF("source", "doc_id", "toks")
+    val ex = intercept[Exception] {
+      Sampling.temperatureWeightsSqrt(bad, "source", col("toks")).collect()
+    }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("fixed point"), s"unexpected: $ex")
+  }
 }
