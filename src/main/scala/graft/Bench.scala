@@ -48,7 +48,21 @@ object Bench {
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9 }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // Session-hygiene barrier (round-10 q13 regression): the build
+        // phases release their checkpoints explicitly, so anything still
+        // persisted here is leaked state that would degrade every later
+        // query in this long-lived session. Sweep it (Bench owns the
+        // session; the amortized products live on DISK as tables, never
+        // as cached frames) inside the phase's own timed window, and log
+        // so a reappearing leak is visible in the round log.
+        val leaked = spark.sparkContext.getPersistentRDDs
+        if (leaked.nonEmpty) {
+          System.err.println(
+            s"[bench] $name left ${leaked.size} persisted RDD(s) pinned — releasing")
+          leaked.values.foreach(_.unpersist(blocking = false))
+        }
+        sec }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: $e"); -1.0 }
     }
@@ -82,6 +96,18 @@ object Bench {
           }),
           "q138_dup_pagerank" -> ((s: SparkSession, d: String) =>
             SparkEntry.queries("q138_dup_pagerank")(s, d))),
+        // Third amortization layer: q144's serving component map. Without
+        // this line the build ran lazily inside q144's first timed run and
+        // min-of-2 kept only the memoized-probe second run — the build
+        // cost appeared in NO reported number (the silent-cap class the
+        // noise protocol exists to prevent).
+        "q144_canonical_routing" -> Seq(
+          "dupgraph_serving" -> ((s: SparkSession, d: String) => {
+            graft.queries.DupGraphPhases.buildServing(s, d)
+            s.emptyDataFrame
+          }),
+          "q144_canonical_routing" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q144_canonical_routing")(s, d))),
         "q64_bucketed_join" -> Seq(
           "q64_bucketed_build" -> ((s: SparkSession, d: String) => {
             graft.queries.BucketedJoinPhases.build(s, d)

@@ -100,10 +100,11 @@ object Components {
         // then reads checkpointed blocks, not a recomputation
         val updated = propagateMin(edges, labels, small).localCheckpoint(true)
         changed = updated.filter(col("comp") =!= col("prev")).count()
-        // The previous round's checkpoint blocks are NOT freed by
-        // Dataset.unpersist (localCheckpoint persists at the RDD level,
-        // outside the CacheManager); dropping the reference here lets the
-        // ContextCleaner reclaim them asynchronously once GC'd.
+        // The previous round's checkpoint is dead the moment `updated`
+        // materializes — free its blocks NOW instead of waiting for
+        // GC + ContextCleaner, which can leave rounds' worth of state
+        // pinned in a long-lived session (Checkpoints scaladoc).
+        Checkpoints.release(labels)
         labels = updated.select("id", "comp")
         iter += 1
       }

@@ -44,30 +44,94 @@ object PageRank {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     val part = numPartitions.getOrElse(
       edges.sparkSession.sessionState.conf.numShufflePartitions)
+    // Eager checkpoints throughout (round-10 session hygiene): the lazy
+    // variant deferred every round's materialization to the caller's
+    // first action and left all `iterations` rounds of blocks pinned
+    // until GC + ContextCleaner; eager rounds let each release its
+    // predecessor the moment it lands (Checkpoints scaladoc), so at any
+    // instant at most one round of rank state is held. deg/nodes are
+    // checkpointed ONCE so no round re-derives them from the edge scan.
     val e = edges.select(col("src"), col("dst"))
-      .repartition(part, col("src")).localCheckpoint(false)
+      .repartition(part, col("src")).localCheckpoint(true)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val nRow = nodes.agg(count(lit(1)).as("__n"))
     var ranks = nodes.crossJoin(broadcast(nRow))
       .select(col("id"), expr(s"${Scale}L div __n").as("rank"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     for (_ <- 1 to iterations) {
-      val contrib = ranks.join(deg, col("id") === col("src"))
-        .select(col("src"), expr("rank div outdeg").as("__c"))
-      val sums = e.join(contrib, Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(sum("__c").as("__s"))
-      ranks = nodes
+      val next = nodes
         .crossJoin(broadcast(nRow))
-        .join(sums, Seq("id"), "left")
+        .join(dampedSums(e, deg, ranks), Seq("id"), "left")
         .select(col("id"),
           (expr(s"(15 * (${Scale}L div __n)) div 100") +
             expr("(85 * coalesce(__s, CAST(0 AS BIGINT))) div 100")).as("rank"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
+      Checkpoints.release(ranks)
+      ranks = next
     }
+    Checkpoints.release(e); Checkpoints.release(deg); Checkpoints.release(nodes)
     ranks
   }
+
+  /** COMPONENT-LOCAL fixed-point ranks — the same damped update with the
+    * graph-global terms removed: r0 = `Scale` for EVERY node and a
+    * constant teleport `(15 * Scale) div 100`, i.e. the unnormalized
+    * form (per-node mass starts at 1.0 in fixed point; nothing divides
+    * by the graph's node count). Because rank mass moves only along
+    * edges, a node's local rank depends on nothing outside its connected
+    * component — ranking a component's subgraph alone yields bit-equal
+    * values to ranking it inside the full graph. That independence is
+    * the contract incremental rank maintenance needs (an ingest batch
+    * perturbs only the components it touches; every other component's
+    * ranks are reusable as-is), which graph-size-normalized
+    * [[ranks]] cannot offer: there, N changes globally on every arrival.
+    * Same integer-exact determinism argument; per-node mass is bounded
+    * by Scale * maxIndegree, far from Long range on LSH band graphs.
+    */
+  def localRanks(
+      edges: DataFrame,
+      iterations: Int = 5,
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val part = numPartitions.getOrElse(
+      edges.sparkSession.sessionState.conf.numShufflePartitions)
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(part, col("src")).localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    var ranks = nodes.select(col("id"), lit(Scale).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val next = nodes
+        .join(dampedSums(e, deg, ranks), Seq("id"), "left")
+        .select(col("id"),
+          (lit((15L * Scale) / 100L) +
+            expr("(85 * coalesce(__s, CAST(0 AS BIGINT))) div 100")).as("rank"))
+        .localCheckpoint(true)
+      Checkpoints.release(ranks)
+      ranks = next
+    }
+    Checkpoints.release(e); Checkpoints.release(deg); Checkpoints.release(nodes)
+    ranks
+  }
+
+  /** One round's damped in-neighbor sums: (id, __s). contrib = rank div
+    * outdeg once per NODE, summed onto each in-neighbor — the shared
+    * core of [[ranks]] and [[localRanks]].
+    */
+  private def dampedSums(
+      e: DataFrame, deg: DataFrame, ranks: DataFrame): DataFrame =
+    e.join(
+        ranks.join(deg, col("id") === col("src"))
+          .select(col("src"), expr("rank div outdeg").as("__c")),
+        Seq("src"))
+      .groupBy(col("dst").as("id"))
+      .agg(sum("__c").as("__s"))
 }
