@@ -138,6 +138,66 @@ class DupGraphSpec extends AnyFunSuite {
     assert(split.count() == n)
   }
 
+  test("even base map + local ranks equal inline runs; q145 probes, never rebuilds") {
+    val prs = DupGraphPhases
+      .pairsUnder(spark, dir, DupGraphPhases.DerivedMaxId)
+      .select("doc_a", "doc_b")
+    val evenPairs = prs.filter(col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0)
+    // Materialized even base map (4th derived product) = inline TOTAL
+    // map at a different partition count — the q145 baseComp contract.
+    val inlineBase = Tables.documents(spark, dir)
+      .filter(col("doc_id") < DupGraphPhases.DerivedMaxId && col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("id"))
+      .join(graft.operators.Components.connectedComponents(evenPairs,
+        numPartitions = Some(4)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    assert(canon(DupGraphPhases.evenBaseComponents(spark, dir)) == canon(inlineBase))
+    // Materialized local ranks (5th) = inline localRanks, ditto.
+    val evenEdges = evenPairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(evenPairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    assert(canon(DupGraphPhases.evenLocalRanks(spark, dir)) ==
+      canon(graft.operators.PageRank.localRanks(evenEdges, iterations = 5,
+        numPartitions = Some(4))))
+    // q145's plan: no signature mining, and no label-propagation rebuild
+    // of the base map — the ONLY iterative work left is the delta-sized
+    // label-graph merge inside Components.incremental.
+    val q145 = SparkEntry.queries("q145_incremental_components")(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    assert(!q145.contains("Generate"), q145.linesIterator.take(60).mkString("\n"))
+    assert(!q145.contains("portable_hash32"), q145.linesIterator.take(60).mkString("\n"))
+  }
+
+  test("q149 incremental ranks equal a full merged-graph localRanks recompute") {
+    // The load-bearing claim: component-local ranks (r0 = Scale, constant
+    // teleport — no graph-global N) are identical computed per touched
+    // subgraph + read from the even rank table, vs recomputed over the
+    // whole merged graph. Row-for-row, at a different partition count.
+    val prs = DupGraphPhases
+      .pairsUnder(spark, dir, DupGraphPhases.DerivedMaxId)
+      .select("doc_a", "doc_b")
+    val allEdges = prs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(prs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val full = graft.operators.PageRank
+      .localRanks(allEdges, iterations = 5, numPartitions = Some(4))
+      .select(col("id").as("doc_id"), col("rank"))
+    val got = SparkEntry.queries("q149_incremental_ranks")(spark, dir)
+    assert(canon(got) == canon(full))
+    // The reuse is real: some components are untouched (all-even), so
+    // the incremental path must read strictly fewer edges than the
+    // graph holds — and its plan reads the materialized rank table and
+    // never mines signatures.
+    val mergedComp = DupGraphPhases.components(spark, dir)
+    val touched = mergedComp.filter(col("id") % 2 === 1).select("comp").distinct()
+    val untouchedNodes = mergedComp
+      .join(touched, Seq("comp"), "left_anti").count()
+    assert(untouchedNodes > 0,
+      "fixture lost its all-even components; the reuse path is untested")
+    val plan = got.queryExecution.explainString(FormattedMode)
+    assert(plan.contains(DupGraphPhases.evenRankTable(dir)), plan.linesIterator.take(80).mkString("\n"))
+    assert(!plan.contains("Generate"), plan.linesIterator.take(80).mkString("\n"))
+    assert(!plan.contains("portable_hash32"), plan.linesIterator.take(80).mkString("\n"))
+  }
+
   test("q143 capstone: zero signature recomputation in the executed pipeline") {
     val q = SparkEntry.queries("q143_curation_capstone")(spark, dir)
     val p = q.queryExecution.explainString(FormattedMode)
