@@ -253,7 +253,33 @@ object Sampling {
   def temperatureWeightsSqrt(
       df: DataFrame,
       sourceCol: String = "source",
-      tokens: Column): DataFrame = {
+      tokens: Column): DataFrame =
+    temperatureWeights(df, sourceCol, tokens, alphaNum = 1, alphaDen = 2)
+
+  /** [[temperatureWeightsSqrt]] generalized to any dyadic temperature
+    * α = k/2^m in (0, 1]: w_s ∝ p_s^α with p^(k/2^m) composed from
+    * REPEATED correctly-rounded square roots — write k in binary and
+    * multiply the matching nested-sqrt terms (e.g. α = 3/4 →
+    * sqrt(p) * sqrt(sqrt(p))). Each sqrt is IEEE-correctly-rounded and
+    * each double multiply exactly rounded, so the COMPOSITION is
+    * bit-identical across engines — the same argument that pinned the
+    * original at 1/2, now covering the temperature sweep an epoch
+    * planner runs (α = 1/4 aggressive flattening … 1 = natural mix)
+    * without ever touching the non-reproducible `pow`. Dyadic rationals
+    * are dense in (0, 1], so this spans the practical temperature range
+    * at cross-engine-exact precision; same fixed point, guards, and
+    * sources-sized single-scan shape as the α = 1/2 form.
+    */
+  def temperatureWeights(
+      df: DataFrame,
+      sourceCol: String = "source",
+      tokens: Column,
+      alphaNum: Int,
+      alphaDen: Int): DataFrame = {
+    require(alphaDen >= 1 && (alphaDen & (alphaDen - 1)) == 0,
+      s"alphaDen must be a power of two (α dyadic — see scaladoc): $alphaDen")
+    require(alphaNum >= 1 && alphaNum <= alphaDen,
+      s"alpha must be in (0, 1]: $alphaNum/$alphaDen")
     val guardLimit = Long.MaxValue / 1000000L
     val t = df.groupBy(sourceCol)
       .agg(sum(tokens.cast("long")).as("tokens"))
@@ -263,15 +289,31 @@ object Sampling {
             "fixed point: "), col("tokens").cast("string"))))
           .otherwise(col("tokens")))
     val tot = t.agg(sum("tokens").as("__tt"))
+    val p = col("tokens").cast("double") / col("__tt").cast("double")
     val s = t.crossJoin(broadcast(tot))
       .withColumn("__sc",
-        floor(sqrt(col("tokens").cast("double") / col("__tt").cast("double"))
-          * lit(1e12)).cast("long"))
+        floor(dyadicPow(p, alphaNum, alphaDen) * lit(1e12)).cast("long"))
     val stot = s.select("__sc").agg(sum("__sc").as("__st"))
     s.crossJoin(broadcast(stot))
       .select(col(sourceCol), col("tokens"),
         expr("(1000000 * tokens) div __tt").as("p_ppm"),
         expr("(1000000 * __sc) div __st").as("w_ppm"))
+  }
+
+  /** x^(num/den) for dyadic num/den as a fixed left-associated product of
+    * nested square roots: bit i of num (i = 0 at the LSB, den = 2^m)
+    * contributes the (m-i)-times-nested sqrt of x, factors multiplied in
+    * DESCENDING exponent order (sqrt(x) before sqrt(sqrt(x)), …; x itself
+    * when num = den). The order is part of the cross-engine contract —
+    * oracle SQL must compose the identical expression.
+    */
+  private[graft] def dyadicPow(x: Column, num: Int, den: Int): Column = {
+    val m = java.lang.Integer.numberOfTrailingZeros(den)
+    val factors = (m to 0 by -1).collect {
+      case i if (num & (1 << i)) != 0 =>
+        (0 until (m - i)).foldLeft(x)((c, _) => sqrt(c))
+    }
+    factors.reduce(_ * _)
   }
 
   /** Mixture-epoch planning: given integer mixture weights and a total

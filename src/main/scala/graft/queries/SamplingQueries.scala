@@ -571,6 +571,57 @@ object SamplingQueries {
           Tables.documents(spark, dir),
           tokens = TextAnalysis.tokenCount(col("text")))
       }
+    ),
+    Q(
+      "q148_temperature_alpha",
+      "Temperature mixture at a GENERAL dyadic alpha (3/4 here): " +
+        "w_s ~ p_s^(k/2^m) with the power composed from repeated " +
+        "correctly-rounded square roots (binary expansion of k; " +
+        "3/4 -> sqrt(p) * sqrt(sqrt(p))) — each sqrt IEEE-correctly " +
+        "rounded and each double product exactly rounded, so the " +
+        "composition stays bit-identical across engines, extending " +
+        "q147's alpha = 1/2 argument to the temperature sweep an epoch " +
+        "planner runs (the oracle SQL renders the SAME composition from " +
+        "the same constants). Identical fixed point, overflow guard, " +
+        "and sources-sized one-scan shape.",
+      Some {
+        // Rendered from the same (num, den) the Spark side passes to
+        // Sampling.dyadicPow, mirroring its bit walk — the two sides
+        // cannot drift.
+        val (num, den) = (3, 4)
+        val m = java.lang.Integer.numberOfTrailingZeros(den)
+        val pow = (m to 0 by -1).collect {
+          case i if (num & (1 << i)) != 0 =>
+            (0 until (m - i)).foldLeft("x")((s, _) => s"sqrt($s)")
+        }.mkString(" * ")
+        s"""
+        |WITH t AS (
+        |  SELECT source,
+        |         CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1
+        |), tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tt FROM t),
+        |x AS (
+        |  SELECT source, tokens,
+        |         CAST(tokens AS DOUBLE) / CAST(tt AS DOUBLE) AS x
+        |  FROM t, tot
+        |), s AS (
+        |  SELECT source, tokens,
+        |         CAST(floor(($pow) * 1000000000000) AS BIGINT) AS sc
+        |  FROM x
+        |), stot AS (SELECT CAST(SUM(sc) AS BIGINT) AS st FROM s)
+        |SELECT s.source, s.tokens,
+        |       (1000000 * s.tokens) // tt AS p_ppm,
+        |       (1000000 * s.sc) // st AS w_ppm
+        |FROM s, tot, stot
+        |""".stripMargin.trim
+      },
+      (spark, dir) => {
+        import graft.operators.TextAnalysis
+        Sampling.temperatureWeights(
+          Tables.documents(spark, dir),
+          tokens = TextAnalysis.tokenCount(col("text")),
+          alphaNum = 3, alphaDen = 4)
+      }
     )
   )
 }

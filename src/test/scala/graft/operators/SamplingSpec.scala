@@ -379,6 +379,44 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureWeights at dyadic alpha: composition model, monotone flattening, sqrt delegation") {
+    val df = (Seq.fill(90)("big") ++ Seq.fill(9)("mid") ++ Seq("small"))
+      .zipWithIndex.map { case (s, i) => (s, i.toLong, 100L) }
+      .toDF("source", "doc_id", "toks")
+    def wAt(num: Int, den: Int): Map[String, Long] =
+      Sampling.temperatureWeights(df, "source", col("toks"), num, den)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // Scalar model of the EXACT composition (alpha = 3/4 ->
+    // sqrt(x) * sqrt(sqrt(x)), left-associated IEEE doubles):
+    val toks = Map("big" -> 9000.0, "mid" -> 900.0, "small" -> 100.0)
+    val sc34 = toks.view.mapValues { t =>
+      val x = t / 10000.0
+      math.floor(math.sqrt(x) * math.sqrt(math.sqrt(x)) * 1e12).toLong
+    }.toMap
+    val st34 = sc34.values.sum
+    val got34 = wAt(3, 4)
+    toks.keys.foreach(s => assert(got34(s) == 1000000L * sc34(s) / st34, s))
+    // Flattening is monotone in alpha: smaller alpha = flatter mix, so
+    // the dominant source's weight falls as alpha drops 1 -> 3/4 ->
+    // 1/2 -> 1/4, and the smallest source's rises.
+    val byAlpha = Seq(wAt(4, 4), got34, wAt(1, 2), wAt(1, 4))
+    assert(byAlpha.map(_.apply("big")) == byAlpha.map(_.apply("big")).sorted.reverse)
+    assert(byAlpha.map(_.apply("small")) == byAlpha.map(_.apply("small")).sorted)
+    // alpha = 1 is the natural mix (w_ppm = p_ppm modulo the two floors).
+    assert(math.abs(wAt(4, 4)("big") - 900000L) <= 1)
+    // The sqrt form is exactly the alpha = 1/2 instance.
+    val sqrtForm = Sampling.temperatureWeightsSqrt(df, "source", col("toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(sqrtForm == wAt(1, 2))
+    // Non-dyadic and out-of-range alphas are construction errors.
+    assert(intercept[IllegalArgumentException](
+      Sampling.temperatureWeights(df, "source", col("toks"), 1, 3))
+      .getMessage.contains("power of two"))
+    assert(intercept[IllegalArgumentException](
+      Sampling.temperatureWeights(df, "source", col("toks"), 5, 4))
+      .getMessage.contains("(0, 1]"))
+  }
+
   test("temperatureWeightsSqrt fails fast past the ppm fixed point") {
     val bad = Seq(("s1", 1L, Long.MaxValue / 1000000L + 1), ("s2", 2L, 5L))
       .toDF("source", "doc_id", "toks")
