@@ -210,16 +210,18 @@ object DocumentStream {
   /** Streaming decontamination — the incremental face of q63. The batch
     * path broadcasts the benchmark n-gram set under a join + per-doc
     * aggregation; an aggregation is STATE in streaming, so the streaming
-    * shape collects the (small — eval suites, not corpora) gram set once
-    * at plan time and screens with a pure narrow `arrays_overlap` filter:
-    * zero state, append mode, whole-stage codegen, and each micro-batch
-    * sees the identical screen the batch twin applies.
+    * shape materializes the (small — eval suites, not corpora) gram set
+    * ONCE at construction as a single-row array frame — executor-side
+    * via an eager localCheckpoint, never shipped through the driver —
+    * and every micro-batch screens with a broadcast stream-static join
+    * + a pure narrow `arrays_overlap` filter: zero state, append mode,
+    * and each trigger sees the identical screen the batch twin applies
+    * without re-running the benchmark mine or carrying a plan literal.
     *
-    * `maxPlanGrams` guards the plan-literal shape: the gram set is baked
-    * into every micro-batch's plan, so an oversized benchmark would bloat
-    * analysis/serialization on each trigger. A benchmark over the cap is
-    * a contract violation, not a tuning knob — route it through the batch
-    * broadcast path (`Decontaminate.report`) instead.
+    * `maxPlanGrams` bounds the screen row (it is broadcast to every
+    * task and scanned per document by `arrays_overlap`). A benchmark
+    * over the cap is a contract violation, not a tuning knob — route it
+    * through the batch broadcast path (`Decontaminate.report`) instead.
     */
   def decontaminated(
       docs: DataFrame,
@@ -228,16 +230,22 @@ object DocumentStream {
       maxPlanGrams: Int = 100000): DataFrame = {
     val docGrams = array_distinct(
       TextAnalysis.tokenNgrams(TextAnalysis.wsTokens(col("text")), n))
-    val benchGrams = benchmark
+    val benchRow = benchmark
       .select(explode(array_distinct(
         TextAnalysis.tokenNgrams(TextAnalysis.wsTokens(col("text")), n))).as("g"))
-      .distinct().collect().map(_.getString(0)).sorted
-    require(benchGrams.length <= maxPlanGrams,
-      s"benchmark expands to ${benchGrams.length} $n-grams > maxPlanGrams=" +
-        s"$maxPlanGrams; a plan-literal screen that large would bloat every " +
-        "micro-batch plan — use the batch broadcast path " +
+      .distinct()
+      .agg(sort_array(collect_list(col("g"))).as("__grams"))
+      .withColumn("__k", lit(1))
+      .localCheckpoint(true)
+    val nGrams = benchRow.select(size(col("__grams"))).head().getInt(0)
+    require(nGrams <= maxPlanGrams,
+      s"benchmark expands to $nGrams $n-grams > maxPlanGrams=" +
+        s"$maxPlanGrams; a broadcast screen row that large would weigh on " +
+        "every task — use the batch broadcast path " +
         "(Decontaminate.report) for corpus-sized benchmarks")
-    docs.filter(!arrays_overlap(docGrams, typedlit(benchGrams.toSeq)))
+    docs.withColumn("__k", lit(1))
+      .join(broadcast(benchRow), Seq("__k"))
+      .filter(!arrays_overlap(docGrams, col("__grams")))
       .select(col("doc_id"), col("source"), col("n_chars"))
   }
 
@@ -254,23 +262,30 @@ object DocumentStream {
     * same cap set (DocumentStreamSpec asserts it). Docs with no full
     * window are absent, mirroring the batch contract.
     *
-    * `maxPlanPassages` guards the plan-literal + linear-membership shape
-    * (the cap set is baked into each micro-batch plan and scanned per
-    * passage); an over-cap screen set is a contract violation — refresh
-    * it batch-side with a tighter maxDf instead.
+    * `maxPlanPassages` guards the broadcast + linear-membership shape
+    * (the cap row is broadcast to every task and scanned per passage);
+    * an over-cap screen set is a contract violation — refresh it
+    * batch-side with a tighter maxDf instead. The set itself is
+    * materialized once, executor-side (eager localCheckpoint) — never
+    * collected through the driver — and joined broadcast-stream-static
+    * into each micro-batch.
     */
   def boilerplateScreened(
       docs: DataFrame,
       capSet: DataFrame,
       window: Int = 3,
       maxPlanPassages: Int = 10000): DataFrame = {
-    val caps = capSet.select(col("passage").cast("string"))
-      .distinct().collect().map(_.getString(0)).sorted
-    require(caps.length <= maxPlanPassages,
-      s"cap set has ${caps.length} passages > maxPlanPassages=$maxPlanPassages; " +
-        "a plan-literal screen that large would bloat every micro-batch " +
-        "plan — tighten the batch-side maxDf that produced it")
-    screen(docs, window, typedlit(caps.toSeq), identity)
+    val capsRow = capSet.select(col("passage").cast("string").as("__cap"))
+      .distinct()
+      .agg(sort_array(collect_list(col("__cap"))).as("__caps"))
+      .withColumn("__k", lit(1))
+      .localCheckpoint(true)
+    val nCaps = capsRow.select(size(col("__caps"))).head().getInt(0)
+    require(nCaps <= maxPlanPassages,
+      s"cap set has $nCaps passages > maxPlanPassages=$maxPlanPassages; " +
+        "a broadcast screen row that large would weigh on every " +
+        "micro-batch — tighten the batch-side maxDf that produced it")
+    screen(docs, window, capsRow, identity)
   }
 
   /** [[boilerplateScreened]] for the NORMALIZED cap key (the q101 near-miss
@@ -285,13 +300,17 @@ object DocumentStream {
       window: Int = 3,
       maxPlanKeys: Int = 10000): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val caps = capKeys.select(col("key").cast("long"))
-      .distinct().collect().map(_.getLong(0)).sorted
-    require(caps.length <= maxPlanKeys,
-      s"cap set has ${caps.length} keys > maxPlanKeys=$maxPlanKeys; " +
-        "a plan-literal screen that large would bloat every micro-batch " +
-        "plan — tighten the batch-side maxDf that produced it")
-    screen(docs, window, typedlit(caps.toSeq),
+    val capsRow = capKeys.select(col("key").cast("long").as("__cap"))
+      .distinct()
+      .agg(sort_array(collect_list(col("__cap"))).as("__caps"))
+      .withColumn("__k", lit(1))
+      .localCheckpoint(true)
+    val nCaps = capsRow.select(size(col("__caps"))).head().getInt(0)
+    require(nCaps <= maxPlanKeys,
+      s"cap set has $nCaps keys > maxPlanKeys=$maxPlanKeys; " +
+        "a broadcast screen row that large would weigh on every " +
+        "micro-batch — tighten the batch-side maxDf that produced it")
+    screen(docs, window, capsRow,
       graft.operators.Boilerplate.normalizedKey)
   }
 
@@ -320,22 +339,22 @@ object DocumentStream {
   /** Streaming incremental corpus classification — the ingest face of
     * q126 against a STATIC existing corpus: each arriving document
     * labels exact_dup (content hash in the existing set), near_dup
-    * (any MinHash band key in the existing band-key set), or new —
-    * entirely ROW-LOCAL: the narrow per-row signature fold ([[bandKeys]]
-    * without the explode) plus two plan-literal membership tests, each a
-    * codegen'd BINARY SEARCH over the sorted literal
-    * ([[graft.functions.SortedSetContains]] — O(log keys) per row where
-    * `array_contains` would scan all maxPlanKeys elements per row per
-    * micro-batch). Zero
-    * state, append mode; fed the same corpus split, the labels equal
-    * the batch twin's (StreamingIncrementalSpec asserts it — the batch
+    * (any MinHash band key in the existing band-key set), or new. The
+    * per-row signature fold ([[bandKeys]] without the explode) stays
+    * narrow; the membership tests are broadcast stream-static LEFT
+    * joins against the existing corpus's hash / band-key tables —
+    * mined ONCE at construction into executor-side eager
+    * localCheckpoints (never collected through the driver, never baked
+    * into the micro-batch plan) and hash-probed per row. Zero state,
+    * append mode; fed the same corpus split, the labels equal the
+    * batch twin's (StreamingIncrementalSpec asserts it — the batch
     * path keys bands as raw-long structs, this path as strings; the
     * REPRESENTATIONS differ, the collision sets are identical).
     *
-    * `maxPlanKeys` guards the plan-literal shape (hashes + band keys
-    * are baked into every micro-batch plan). A corpus-sized existing
-    * set is a contract violation, not a tuning knob: production screens
-    * a large existing corpus with [[bloomScreened]] (fixed-size bitmap,
+    * `maxPlanKeys` bounds the BROADCAST side (hash + band-key tables
+    * ship to every executor each trigger). A corpus-sized existing set
+    * is a contract violation, not a tuning knob: production screens a
+    * large existing corpus with [[bloomScreened]] (fixed-size bitmap,
     * FP-only) for the exact tier and a periodic batch q126 for the
     * near tier.
     */
@@ -347,31 +366,39 @@ object DocumentStream {
       maxPlanKeys: Int = 100000): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val exHashes = existing.select(sha2(col("text"), 256).as("h"))
-      .distinct().collect().map(_.getString(0)).sorted
+    val exHashes = existing.select(sha2(col("text"), 256).as("__eh"))
+      .distinct().localCheckpoint(true)
     val exBandKeys = bandKeys(existing, numHashes, bands)
-      .select(concat_ws("#", col("band"), col("key")).as("bk"))
-      .distinct().collect().map(_.getString(0)).sorted
-    require(exHashes.length + exBandKeys.length <= maxPlanKeys,
-      s"existing corpus expands to ${exHashes.length} hashes + " +
-        s"${exBandKeys.length} band keys > maxPlanKeys=$maxPlanKeys — " +
-        "screen corpus-sized existing sets with bloomScreened + a " +
-        "periodic batch q126 instead of a plan literal")
+      .select(concat_ws("#", col("band"), col("key")).as("__ebk"))
+      .distinct().localCheckpoint(true)
+    val nKeys = exHashes.count() + exBandKeys.count()
+    require(nKeys <= maxPlanKeys,
+      s"existing corpus expands to $nKeys hash + band keys > " +
+        s"maxPlanKeys=$maxPlanKeys — screen corpus-sized existing sets " +
+        "with bloomScreened + a periodic batch q126 instead of a " +
+        "per-trigger broadcast")
     val mhs = minhashExprs(numHashes)
     val rowsPerBand = numHashes / bands
-    import graft.functions.SortedSetContains.{contains => inSet}
-    // arrays_overlap over a 2-element probe array would still scan the
-    // full literal per row; per-band binary searches OR'd together keep
-    // the probe row-local AND logarithmic.
-    val nearHit = (0 until bands).map { b =>
-      inSet(concat_ws("#", lit(b), bandSliceKey(mhs, b, rowsPerBand)),
-        exBandKeys.toSeq)
-    }.reduce(_ || _)
-    docs.select(
+    // Distinct keys on the build sides make every left join at most
+    // 1:1, so no arriving row is duplicated by a probe hit.
+    val keyed = docs.select(
+      col("doc_id") +: sha2(col("text"), 256).as("__h") +:
+        (0 until bands).map { b =>
+          concat_ws("#", lit(b), bandSliceKey(mhs, b, rowsPerBand))
+            .as(s"__bk$b")
+        }: _*)
+    val joined = (0 until bands).foldLeft(
+      keyed.join(broadcast(exHashes), col("__h") === col("__eh"), "left")) {
+      (df, b) =>
+        df.join(
+          broadcast(exBandKeys.select(col("__ebk").as(s"__ebk$b"))),
+          df(s"__bk$b") === col(s"__ebk$b"), "left")
+    }
+    joined.select(
       col("doc_id"),
-      when(inSet(sha2(col("text"), 256), exHashes.toSeq), lit("exact_dup"))
-        .when(nearHit, lit("near_dup"))
+      when(col("__eh").isNotNull, lit("exact_dup"))
+        .when((0 until bands).map(b => col(s"__ebk$b").isNotNull)
+          .reduce(_ || _), lit("near_dup"))
         .otherwise(lit("new")).as("status"))
   }
 
@@ -434,6 +461,36 @@ object DocumentStream {
       least((0 until bands).map(b => col(s"__c$b")): _*).as("canonical_id"))
   }
 
+  /** Streaming cluster-safe split assignment — the ingest face of q146:
+    * each arriving document is assigned train/val/test by hashing its
+    * CLUSTER id (the batch-refreshed serving component map's comp;
+    * novel docs fall back to their own id = their singleton cluster),
+    * so every member of a near-dup cluster lands in the same split by
+    * construction and an arrival never straddles the train/test
+    * boundary against its existing near-duplicates. One broadcast
+    * stream-static LEFT join against the (id, comp) map + the same
+    * row-local md5 bucket as the batch side
+    * ([[graft.operators.Sampling.splitLabel]]) — zero state, append
+    * mode, and fed the same map the assignment equals the batch twin's
+    * row for row (StreamingIncrementalSpec asserts it). Refresh the map
+    * batch-side and restart to pick up re-clusterings, the same cadence
+    * contract as [[canonicalRouted]].
+    */
+  def splitAssigned(
+      docs: DataFrame,
+      comp: DataFrame,
+      trainPct: Int = 80,
+      valPct: Int = 10,
+      salt: String = "csplit:"): DataFrame =
+    docs.select(col("doc_id"))
+      .join(
+        broadcast(comp.select(col("id").as("__cid"), col("comp").as("__comp"))),
+        col("doc_id") === col("__cid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__comp"), col("doc_id")).as("comp"))
+      .withColumn("split", graft.operators.Sampling.splitLabel(
+        col("comp"), trainPct, valPct, salt))
+
   /** One quota-admitted document: its source, id, and 1-based admission
     * rank within the source.
     */
@@ -471,14 +528,17 @@ object DocumentStream {
       }
   }
 
-  /** Shared row-local screen: cut into `window`-token passages, drop those
-    * whose `keyOf` lands in the cap literal, reassemble in order. Docs
-    * with no full window are absent (the batch contract).
+  /** Shared row-local screen: cut into `window`-token passages, drop
+    * those whose `keyOf` lands in the cap set, reassemble in order. The
+    * cap set arrives as `capsRow` — a one-row (__caps array, __k = 1)
+    * frame the caller has already materialized — joined in broadcast
+    * stream-static, so the screen itself stays row-local. Docs with no
+    * full window are absent (the batch contract).
     */
   private def screen(
       docs: DataFrame,
       window: Int,
-      capLit: org.apache.spark.sql.Column,
+      capsRow: DataFrame,
       keyOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     require(window >= 1, s"window must be >= 1: $window")
     val toks = TextAnalysis.wsTokens(col("text"))
@@ -487,8 +547,10 @@ object DocumentStream {
       .otherwise(array().cast("array<int>"))
     val passages = transform(idxs, i =>
       array_join(slice(toks, i * window + 1, lit(window)), " "))
-    val kept = filter(passages, p => !array_contains(capLit, keyOf(p)))
+    val kept = filter(passages, p => !array_contains(col("__caps"), keyOf(p)))
     docs
+      .withColumn("__k", lit(1))
+      .join(broadcast(capsRow), Seq("__k"))
       .filter(nWin > 0)
       .select(
         col("doc_id"),

@@ -137,6 +137,45 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("splitAssigned equals the batch cluster-safe split; zero state") {
+    // The q146 ingest twin: arrivals get train/val/test by the CLUSTER id
+    // from a static serving map (novel docs = own-id singleton cluster),
+    // via one broadcast stream-static left join + the row-local md5
+    // bucket. Fed the same map, assignments must equal the batch form
+    // row for row — including a doc ABSENT from the map (the novel path).
+    val comp = Seq((2L, 2L), (4L, 2L), (6L, 6L)).toDF("id", "comp")
+    val b1 = Seq((2L, "x"), (4L, "x"))
+    val b2 = Seq((6L, "x"), (15L, "x")) // 15 is novel: comp = own id
+    val dirStr = watchDirOf(Seq(
+      b1.toDF("doc_id", "text"), b2.toDF("doc_id", "text")))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dirStr)
+    val q = EventStream.runToMemory(
+      DocumentStream.splitAssigned(stream, comp),
+      "split_assigned", OutputMode.Append())
+    try {
+      val got = spark.sql("SELECT doc_id, comp, split FROM split_assigned")
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      val want = (b1 ++ b2).toDF("doc_id", "text").select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("comp"))
+        .withColumn("split", graft.operators.Sampling.splitLabel(
+          col("comp"), trainPct = 80, valPct = 10, salt = "csplit:"))
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      assert(got == want, s"stream split diverges: $got vs $want")
+      // cluster-safety at the twin level: same cluster -> same split
+      assert(got.groupBy(_._2).values.forall(_.map(_._3).distinct.size == 1))
+      // the novel doc fell back to its own id
+      assert(got.find(_._1 == 15L).get._2 == 15L)
+      // zero-state: broadcast join only
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("quotaCapped admits first N per source within AND across batches") {
     val batches = Seq(
       Seq(("a", 1L), ("a", 2L), ("b", 10L)),
