@@ -13,20 +13,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * literal, via binary search — O(log n) per row where `array_contains`
   * scans all n elements per row.
   *
-  * Built for the streaming plan-literal screens
-  * ([[graft.streaming.DocumentStream.incrementalClassified]]): a
-  * micro-batch evaluating `array_contains(<100k-element literal>, x)` per
-  * row pays an O(rows x keys) linear scan; the literal sets there are
-  * static per query, so the log-time probe is free to set up. The literal
-  * is evaluated ONCE per operator instance (lazy val / codegen reference
-  * object, never per row) and SORTED here in UTF8String (byte-wise)
-  * order — callers need not pre-sort, and java.lang.String order (which
-  * differs from byte order beyond ASCII) never leaks in.
+  * Built for plan-literal membership screens (exposed as the
+  * `sorted_set_contains` SQL function): a query evaluating
+  * `array_contains(<100k-element literal>, x)` per row pays an
+  * O(rows x keys) linear scan; a literal set that is static per query
+  * makes the log-time probe free to set up. (The streaming screens that
+  * motivated it now probe via broadcast stream-static joins —
+  * [[graft.streaming.DocumentStream.incrementalClassified]] — this
+  * remains the right tool when the set IS a plan literal, e.g.
+  * hand-authored SQL screens.) The literal is evaluated ONCE per
+  * operator instance (lazy val / codegen reference object, never per
+  * row) and SORTED here in UTF8String (byte-wise) order — callers need
+  * not pre-sort, and java.lang.String order (which differs from byte
+  * order beyond ASCII) never leaks in.
   *
-  * NULL CONTRACT: null input string or null literal array gives NULL
-  * (null-intolerant binary expression); null ELEMENTS in the literal are
-  * rejected at first evaluation (a screen set with a null key is a bug,
-  * not a lookup).
+  * NULL CONTRACT: a null input STRING gives NULL (null-intolerant binary
+  * expression). A NULL key-array literal is rejected at ANALYSIS
+  * (checkInputDataTypes) — never at evaluation — so interpreted and
+  * codegen execution cannot diverge on it (codegen forces the sorted
+  * set at plan time; interpreted eval would otherwise short-circuit a
+  * null probe first). Null ELEMENTS in the literal are rejected at
+  * first evaluation (a screen set with a null key is a bug, not a
+  * lookup).
   */
 case class SortedSetContains(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -37,7 +45,16 @@ case class SortedSetContains(left: Expression, right: Expression)
         s"${SortedSetContains.name} requires a string probe, got ${left.dataType}")
     else right.dataType match {
       case ArrayType(StringType, _) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // Reject a NULL literal HERE so both execution modes agree:
+        // codegen forces the sorted set at plan time (would throw),
+        // while interpreted eval would short-circuit a null probe first
+        // (would return NULL) — analysis is before either.
+        if (right.eval() == null)
+          TypeCheckResult.TypeCheckFailure(
+            s"${SortedSetContains.name}: the key-set literal is NULL — " +
+              "a screen with no set is a construction bug, not an " +
+              "empty lookup")
+        else TypeCheckResult.TypeCheckSuccess
       case ArrayType(StringType, _) =>
         TypeCheckResult.TypeCheckFailure(
           s"${SortedSetContains.name} requires a FOLDABLE key array " +
@@ -56,6 +73,8 @@ case class SortedSetContains(left: Expression, right: Expression)
     */
   @transient private lazy val sortedKeys: Array[AnyRef] = {
     val arr = right.eval().asInstanceOf[ArrayData]
+    // Unreachable when analyzed (checkInputDataTypes rejects a null
+    // literal); kept as a guard for direct unanalyzed construction.
     require(arr != null,
       s"${SortedSetContains.name}: the key-set literal is NULL — a screen " +
         "with no set is a construction bug, not an empty lookup")

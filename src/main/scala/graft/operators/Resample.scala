@@ -106,11 +106,18 @@ object Resample {
     * [[ShardedPrefix.exclusivePrefixSum]]: (1) running last-non-null
     * within each (key, shard); (2) a TINY (keys x shards) table of each
     * shard's final observation, turned into a per-shard carry-in with a
-    * null-skipping `last` window over the tiny table; (3) broadcast the
+    * null-skipping `last` window over the tiny table; (3) join the
     * carries back — fill = coalesce(within-shard last, carry-in). The
     * wide exchange on (key, shard) is shared between the window and the
     * carry aggregate (the exchange-reuse shape ShardedPrefixSpec pins
     * for prefix sums).
+    *
+    * The carry join's strategy is left to Catalyst/AQE deliberately: the
+    * carries table is keys x shards rows, so at modest key counts AQE
+    * broadcasts it, while at the billions-of-keys scale this operator
+    * exists for a forced broadcast would blow the driver/broadcast
+    * limits — there AQE falls back to a shuffled join on the same
+    * (key, shard) layout the frame already has.
     */
   def hourlyForwardFillSharded(
       events: DataFrame,
@@ -137,7 +144,7 @@ object Resample {
       .withColumn("__carry",
         last(col("__obs"), ignoreNulls = true).over(wCarry)("hour_value"))
       .drop("__obs")
-    filled.join(broadcast(carries), Seq("user_id", "__shard"))
+    filled.join(carries, Seq("user_id", "__shard"))
       .select(
         col("user_id"), col("h"),
         coalesce(col("__in_last"), col("__carry")).as("value_ff"),

@@ -39,6 +39,26 @@ class SortedSetContainsSpec extends AnyFunSuite {
     assert(sql.getBoolean(0) && !sql.getBoolean(1))
   }
 
+  test("NULL key-set literal is rejected at analysis in BOTH execution modes") {
+    // Regression (round-10 ADVICE): interpreted eval short-circuited a
+    // null probe before forcing the sorted set (returning NULL) while
+    // codegen forced it at plan time (throwing) — the modes disagreed.
+    // Rejecting the null literal at checkInputDataTypes makes the
+    // divergence unreachable; both paths now fail analysis identically.
+    val df = Seq(Some("a"), None).toDF("p")
+    val nullKeys = typedlit[Option[Seq[String]]](None)
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      try {
+        val ex = intercept[Exception] {
+          df.select(call_function(SortedSetContains.name, col("p"), nullKeys))
+            .collect()
+        }
+        assert(ex.getMessage.contains("NULL"), s"$codegen: ${ex.getMessage}")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("non-foldable key array is rejected at analysis") {
     val df = Seq(("a", Seq("a", "b"))).toDF("p", "ks")
     val ex = intercept[Exception] {

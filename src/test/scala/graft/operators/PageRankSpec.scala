@@ -68,9 +68,12 @@ class PageRankSpec extends AnyFunSuite {
     val n5 = planNodes(5)
     val n10 = planNodes(10)
     assert(n5 == n10, s"plan grew with iterations: 5 -> $n5 nodes, 10 -> $n10")
-    // Runtime sanity at a VERY loose bound (host noise): doubling the
-    // iterations must scale roughly linearly, never explode the way a
-    // growing lineage re-evaluated per round would (exponential).
+    // The lineage claim itself is pinned DETERMINISTICALLY by the
+    // plan-node-count equality above. The wall-clock check below is only
+    // a smoke test against exponential re-evaluation, so it compares
+    // min-of-3 runs (this host's intermittent CPU steal inflates single
+    // runs 3-10x — a single inflated t10 flaked the old single-run form)
+    // at a deliberately loose bound.
     def timeIt(iterations: Int): Double = {
       val t0 = System.nanoTime()
       PageRank.ranks(star.toDF("src", "dst"), iterations, numPartitions = Some(2))
@@ -78,9 +81,9 @@ class PageRankSpec extends AnyFunSuite {
       (System.nanoTime() - t0) / 1e9
     }
     timeIt(2) // warm the path so JIT lands outside the compared runs
-    val t5 = timeIt(5)
-    val t10 = timeIt(10)
-    assert(t10 <= 6.0 * math.max(t5, 0.2),
+    val t5 = (1 to 3).map(_ => timeIt(5)).min
+    val t10 = (1 to 3).map(_ => timeIt(10)).min
+    assert(t10 <= 8.0 * math.max(t5, 0.3),
       s"10 iterations took ${t10}s vs ${t5}s for 5 — superlinear growth")
   }
 
