@@ -44,36 +44,42 @@ object PageRank {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     val part = numPartitions.getOrElse(
       edges.sparkSession.sessionState.conf.numShufflePartitions)
-    // Eager checkpoints throughout (round-10 session hygiene): the lazy
-    // variant deferred every round's materialization to the caller's
-    // first action and left all `iterations` rounds of blocks pinned
-    // until GC + ContextCleaner; eager rounds let each release its
-    // predecessor the moment it lands (Checkpoints scaladoc), so at any
-    // instant at most one round of rank state is held. deg/nodes are
-    // checkpointed ONCE so no round re-derives them from the edge scan.
+    // Iteration count is FIXED (no convergence check), so no round needs
+    // its own driver action: every round is a LAZY localCheckpoint —
+    // which still truncates the logical plan, keeping plan size
+    // iteration-count-invariant — and only the LAST round is eager,
+    // evaluating the whole chain as ONE multi-stage job (each round's
+    // RDD computed once, then block-cached for the next). Session
+    // hygiene (round-10 q13 regression): once that job lands, every
+    // intermediate round plus e/deg/nodes is materialized and dead, and
+    // is released immediately — only the returned frame stays pinned.
+    // Compare Components.connectedComponents, where the per-round
+    // convergence count forces eager rounds (released one behind).
+    val intermediates = scala.collection.mutable.ArrayBuffer[DataFrame]()
     val e = edges.select(col("src"), col("dst"))
-      .repartition(part, col("src")).localCheckpoint(true)
+      .repartition(part, col("src")).localCheckpoint(false)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nRow = nodes.agg(count(lit(1)).as("__n"))
     var ranks = nodes.crossJoin(broadcast(nRow))
       .select(col("id"), expr(s"${Scale}L div __n").as("rank"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+      .localCheckpoint(false)
+    intermediates ++= Seq(e, deg, nodes, ranks)
+    for (i <- 1 to iterations) {
       val next = nodes
         .crossJoin(broadcast(nRow))
         .join(dampedSums(e, deg, ranks), Seq("id"), "left")
         .select(col("id"),
           (expr(s"(15 * (${Scale}L div __n)) div 100") +
             expr("(85 * coalesce(__s, CAST(0 AS BIGINT))) div 100")).as("rank"))
-        .localCheckpoint(true)
-      Checkpoints.release(ranks)
+        .localCheckpoint(i == iterations)
+      if (i < iterations) intermediates += next
       ranks = next
     }
-    Checkpoints.release(e); Checkpoints.release(deg); Checkpoints.release(nodes)
+    intermediates.foreach(Checkpoints.release)
     ranks
   }
 
@@ -99,26 +105,29 @@ object PageRank {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     val part = numPartitions.getOrElse(
       edges.sparkSession.sessionState.conf.numShufflePartitions)
+    // Same one-job lazy-round shape as [[ranks]] — see the comment there.
+    val intermediates = scala.collection.mutable.ArrayBuffer[DataFrame]()
     val e = edges.select(col("src"), col("dst"))
-      .repartition(part, col("src")).localCheckpoint(true)
+      .repartition(part, col("src")).localCheckpoint(false)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var ranks = nodes.select(col("id"), lit(Scale).as("rank"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+      .localCheckpoint(false)
+    intermediates ++= Seq(e, deg, nodes, ranks)
+    for (i <- 1 to iterations) {
       val next = nodes
         .join(dampedSums(e, deg, ranks), Seq("id"), "left")
         .select(col("id"),
           (lit((15L * Scale) / 100L) +
             expr("(85 * coalesce(__s, CAST(0 AS BIGINT))) div 100")).as("rank"))
-        .localCheckpoint(true)
-      Checkpoints.release(ranks)
+        .localCheckpoint(i == iterations)
+      if (i < iterations) intermediates += next
       ranks = next
     }
-    Checkpoints.release(e); Checkpoints.release(deg); Checkpoints.release(nodes)
+    intermediates.foreach(Checkpoints.release)
     ranks
   }
 

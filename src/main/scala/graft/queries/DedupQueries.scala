@@ -1161,6 +1161,111 @@ object DedupQueries {
         recomputed.unionByName(untouched)
           .select(col("id").as("doc_id"), col("rank"))
       }
+    ),
+    Q(
+      "q150_incremental_canonicals",
+      "Incremental CANONICAL maintenance — the q144-q149 ingest story's " +
+        "capstone: per-cluster rank-aware canonicals (top component-" +
+        "local rank, tiebreak min id) updated at DELTA cost when a " +
+        "batch arrives. Components an arrival touches get their " +
+        "canonical re-decided from the q149-style recomputed subgraph " +
+        "ranks; every untouched cluster's (comp, canonical_id) row is " +
+        "read back VERBATIM from the materialized even canonical table " +
+        "— valid because component-local ranks (no graph-global N) and " +
+        "min-label component ids are both stable under arrivals " +
+        "elsewhere, so an untouched cluster's membership, label, ranks, " +
+        "and argmax are all unchanged. Equals a full merged-graph " +
+        "recompute row for row (the oracle: flooded labels + unrolled " +
+        "local-rank rounds + per-component QUALIFY argmax). Touched " +
+        "sets ride broadcast semi/anti joins; corpus-sized tables are " +
+        "scanned, never shuffled.",
+      Some {
+        val scale = graft.operators.PageRank.Scale
+        val teleport = (15L * scale) / 100L
+        val iters = (1 to 5).map { k =>
+          s"""c$k AS (
+             |  SELECT r.id, r.rank // d.outdeg AS c
+             |  FROM r${k - 1} r JOIN deg d ON d.src = r.id
+             |), s$k AS (
+             |  SELECT e.dst AS id, CAST(SUM(c.c) AS BIGINT) AS s
+             |  FROM edges e JOIN c$k c ON c.id = e.src GROUP BY 1
+             |), r$k AS (
+             |  SELECT r.id,
+             |         $teleport + (85 * COALESCE(s.s, 0)) // 100 AS rank
+             |  FROM r${k - 1} r LEFT JOIN s$k s ON s.id = r.id
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""${duckSignatureCte.replace("FROM documents", "FROM documents WHERE doc_id < 1000")}, bands AS (
+           |  SELECT doc_id, 0 AS band,
+           |         md5(concat_ws('_', ${(0 until 8).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band,
+           |         md5(concat_ws('_', ${(8 until 16).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |), pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |), edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs
+           |), labels AS (
+           |  WITH RECURSIVE reach(id, lab) AS (
+           |    SELECT DISTINCT src, src FROM edges
+           |    UNION
+           |    SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+           |  )
+           |  SELECT id, MIN(lab) AS comp FROM reach GROUP BY id
+           |), deg AS (
+           |  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1
+           |), r0 AS (
+           |  SELECT DISTINCT src AS id, CAST($scale AS BIGINT) AS rank FROM edges
+           |),
+           |$iters
+           |SELECT l.comp, r.id AS canonical_id
+           |FROM labels l JOIN r5 r ON r.id = l.id
+           |QUALIFY ROW_NUMBER() OVER (PARTITION BY l.comp ORDER BY r.rank DESC, r.id) = 1""".stripMargin
+      },
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val p = DupGraphPhases
+          .pairsUnder(spark, dir, DupGraphPhases.DerivedMaxId)
+          .select("doc_a", "doc_b")
+        val mergedComp = DupGraphPhases.components(spark, dir)
+        val touchedComps = mergedComp.filter(col("id") % 2 === 1)
+          .select("comp").distinct()
+        val touchedIds = mergedComp
+          .join(broadcast(touchedComps), Seq("comp"), "left_semi")
+          .select("id")
+        val touchedPairs = p.join(
+          broadcast(touchedIds.withColumnRenamed("id", "doc_a")),
+          Seq("doc_a"), "left_semi")
+        val tEdges = touchedPairs
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(
+            touchedPairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        val tRanks = graft.operators.PageRank
+          .localRanks(tEdges, iterations = 5, numPartitions = Some(8))
+        // Re-decide canonicals for touched components only: recomputed
+        // ranks joined back to the merged labels (touched slice), argmax
+        // bounded per cluster by WindowGroupLimit.
+        val w = Window.partitionBy("comp").orderBy(col("rank").desc, col("id"))
+        val touchedCan = tRanks
+          .join(mergedComp, Seq("id"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("comp"), col("id").as("canonical_id"))
+        // Screen the even table by member id, NOT by merged label: a
+        // touched even component keeps its row keyed by its EVEN label,
+        // which an odd arrival may have displaced as the merged min —
+        // but that even label is itself a member id, so membership in
+        // touchedIds is exactly "my component was touched".
+        val untouchedCan = DupGraphPhases.evenCanonicals(spark, dir)
+          .join(broadcast(touchedIds.withColumnRenamed("id", "comp")),
+            Seq("comp"), "left_anti")
+        touchedCan.unionByName(untouchedCan)
+      }
     )
   )
 
@@ -1334,6 +1439,8 @@ object DupGraphPhases {
   def rankTable(dir: String): String = s"graft_duprank_${Q.scratchTag(dir)}"
   def evenBaseTable(dir: String): String = s"graft_dupebase_${Q.scratchTag(dir)}"
   def evenRankTable(dir: String): String = s"graft_duperank_${Q.scratchTag(dir)}"
+  def evenCanonicalTable(dir: String): String =
+    s"graft_dupecan_${Q.scratchTag(dir)}"
 
   /** SECOND amortization layer: the iterative graph algorithms. The pair
     * MINE is per-corpus ([[build]]); connected components and the
@@ -1393,6 +1500,23 @@ object DupGraphPhases {
       .localRanks(evenEdges, iterations = 5, numPartitions = Some(8))
     graft.operators.Bucketing.writeBucketed(
       evenRks, evenRankTable(dir), "id", 4)
+    // Rank-aware canonical per even component (top local rank, tiebreak
+    // min id) — the per-cluster decision incremental canonical
+    // maintenance (q150) reuses verbatim for every component an ingest
+    // batch does not touch. Components with edges only (a singleton has
+    // no rank and is its own canonical by convention); local ranks make
+    // the choice component-stable under arrivals elsewhere.
+    val evenCan = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("comp").orderBy(col("rank").desc, col("id"))
+      spark.table(evenBaseTable(dir))
+        .join(spark.table(evenRankTable(dir)), Seq("id"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("comp"), col("id").as("canonical_id"))
+    }
+    graft.operators.Bucketing.writeBucketed(
+      evenCan, evenCanonicalTable(dir), "comp", 4)
     graft.operators.Checkpoints.release(evenRks)
     built += compTable(dir)
   }
@@ -1428,6 +1552,15 @@ object DupGraphPhases {
   def evenLocalRanks(spark: SparkSession, dir: String): DataFrame = {
     ensureDerived(spark, dir)
     spark.table(evenRankTable(dir))
+  }
+
+  /** (comp, canonical_id) rank-aware canonicals over the even slice's
+    * edged components — the reusable per-cluster decision for
+    * incremental canonical maintenance (q150).
+    */
+  def evenCanonicals(spark: SparkSession, dir: String): DataFrame = {
+    ensureDerived(spark, dir)
+    spark.table(evenCanonicalTable(dir))
   }
 
   def servingCompTable(dir: String): String =

@@ -198,6 +198,46 @@ class DupGraphSpec extends AnyFunSuite {
     assert(!plan.contains("portable_hash32"), plan.linesIterator.take(80).mkString("\n"))
   }
 
+  test("q150 incremental canonicals equal a full merged-graph re-decision") {
+    // Full recompute: merged labels + merged-graph local ranks + argmax
+    // (top rank, tiebreak min id) per component, all inline at a
+    // different partition count.
+    import org.apache.spark.sql.expressions.Window
+    val prs = DupGraphPhases
+      .pairsUnder(spark, dir, DupGraphPhases.DerivedMaxId)
+      .select("doc_a", "doc_b")
+    val allEdges = prs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(prs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val w = Window.partitionBy("comp").orderBy(col("rank").desc, col("id"))
+    val full = graft.operators.PageRank
+      .localRanks(allEdges, iterations = 5, numPartitions = Some(4))
+      .join(graft.operators.Components.connectedComponents(prs,
+        numPartitions = Some(4)), Seq("id"))
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("comp"), col("id").as("canonical_id"))
+    val got = SparkEntry.queries("q150_incremental_canonicals")(spark, dir)
+    assert(canon(got) == canon(full))
+    // The correctness-critical displacement case must be EXERCISED by
+    // the fixture: at least one touched merged component whose label is
+    // odd yet which contains even members (an arrival displaced the
+    // even min) — the case the id-keyed screen of the even table exists
+    // for. The sub-corpus's interleaved-parity near-dup planting makes
+    // this stable.
+    val mergedComp = DupGraphPhases.components(spark, dir)
+    val displaced = mergedComp.filter(col("comp") % 2 === 1)
+      .filter(col("id") % 2 === 0).count()
+    assert(displaced > 0,
+      "fixture lost its displaced-even-label components; the stale-row " +
+        "screen in q150 is untested")
+    // Probe shape: reads the materialized canonical table, never mines.
+    val plan = got.queryExecution.explainString(FormattedMode)
+    assert(plan.contains(DupGraphPhases.evenCanonicalTable(dir)),
+      plan.linesIterator.take(80).mkString("\n"))
+    assert(!plan.contains("Generate"), plan.linesIterator.take(80).mkString("\n"))
+    assert(!plan.contains("portable_hash32"), plan.linesIterator.take(80).mkString("\n"))
+  }
+
   test("q143 capstone: zero signature recomputation in the executed pipeline") {
     val q = SparkEntry.queries("q143_curation_capstone")(spark, dir)
     val p = q.queryExecution.explainString(FormattedMode)
