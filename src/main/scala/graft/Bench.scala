@@ -156,7 +156,10 @@ object Bench {
     val priorBest: Map[String, Double] = {
       // Tolerate JSON-escaped quotes: the driver's BENCH_r*.json wraps the
       // bench line inside a string field, so keys appear as \"q46...\":
-      val rx = "\\\\?\"(q[0-9][A-Za-z0-9_]*)\\\\?\":(-?[0-9]+(?:\\.[0-9]+)?)".r
+      // Matches query names AND the amortized build-phase lines
+      // (dupgraph_*), so phase costs get the same cross-round best /
+      // regression tracking as queries.
+      val rx = "\\\\?\"((?:q[0-9]|dupgraph_)[A-Za-z0-9_]*)\\\\?\":(-?[0-9]+(?:\\.[0-9]+)?)".r
       val files =
         try {
           import scala.jdk.CollectionConverters._

@@ -1455,51 +1455,74 @@ object DupGraphPhases {
     * row for row (DupGraphSpec pins it).
     */
   def buildDerived(spark: SparkSession, dir: String): Unit = synchronized {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // The pair table is forced to exist BEFORE forking (pairsUnder calls
+    // ensureBuilt) so the four derived builds below share one finished
+    // input and depend on nothing else — they are independent job chains
+    // and run CONCURRENTLY from driver threads (standard Spark
+    // multi-job submission; each product's algorithm is deterministic,
+    // so concurrency cannot change any table's content). On a
+    // 1000-executor cluster this is the difference between the curation
+    // run's critical path being sum-of-builds and max-of-builds; on
+    // local[32] it overlaps each build's fixed per-job overhead.
     val prs = pairsUnder(spark, dir, DerivedMaxId).select("doc_a", "doc_b")
     val edges = prs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(prs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val comp = graft.operators.Components
-      .connectedComponents(prs, numPartitions = Some(8))
-    graft.operators.Bucketing.writeBucketed(comp, compTable(dir), "id", 4)
-    // The table is on disk — free the final checkpoint's blocks NOW so
-    // the build leaves nothing pinned in the block manager for later,
-    // unrelated queries to pay for (round-10 q13 regression).
-    graft.operators.Checkpoints.release(comp)
-    val rks = graft.operators.PageRank
-      .ranks(edges, iterations = 5, numPartitions = Some(8))
-    graft.operators.Bucketing.writeBucketed(rks, rankTable(dir), "id", 4)
-    graft.operators.Checkpoints.release(rks)
     // "Yesterday's corpus" slice of the SAME sub-graph (even ids, the
-    // q126 convention), materialized TOTAL over the even docs: the base
-    // the incremental maintainers fold arrivals into. q145 probes this
-    // instead of recomputing even-subgraph components inline per run —
-    // the base map is a per-curation-run product exactly like comp/rks
-    // above, and inline recompute made q145's bench line ~90% base-map
-    // construction instead of the delta-cost step it demonstrates.
+    // q126 convention): the base the incremental maintainers (q145,
+    // q149, q150) fold arrivals into. Materialized per curation run
+    // exactly like comp/rks — inline recompute made q145's bench line
+    // ~90% base-map construction instead of the delta-cost step it
+    // demonstrates.
     val evenPairs =
       prs.filter(col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0)
-    val evenComp = graft.operators.Components
-      .connectedComponents(evenPairs, numPartitions = Some(8))
-    val evenTotal = graft.Tables.documents(spark, dir)
-      .filter(col("doc_id") < DerivedMaxId && col("doc_id") % 2 === 0)
-      .select(col("doc_id").as("id"))
-      .join(evenComp, Seq("id"), "left")
-      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
-    graft.operators.Bucketing.writeBucketed(
-      evenTotal, evenBaseTable(dir), "id", 4)
-    graft.operators.Checkpoints.release(evenComp)
-    // Component-LOCAL ranks over the same even sub-graph (unnormalized
-    // fixed point — see PageRank.localRanks): the rank state incremental
-    // rank maintenance reuses for every component an ingest batch does
-    // NOT touch. Edge-endpoint nodes only, like rankTable.
     val evenEdges = evenPairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(
         evenPairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val evenRks = graft.operators.PageRank
-      .localRanks(evenEdges, iterations = 5, numPartitions = Some(8))
-    graft.operators.Bucketing.writeBucketed(
-      evenRks, evenRankTable(dir), "id", 4)
+    val builds: Seq[() => Unit] = Seq(
+      () => {
+        val comp = graft.operators.Components
+          .connectedComponents(prs, numPartitions = Some(8))
+        graft.operators.Bucketing.writeBucketed(comp, compTable(dir), "id", 4)
+        // The table is on disk — free the final checkpoint's blocks NOW
+        // so the build leaves nothing pinned in the block manager for
+        // later, unrelated queries to pay for (round-10 q13 regression).
+        graft.operators.Checkpoints.release(comp)
+      },
+      () => {
+        val rks = graft.operators.PageRank
+          .ranks(edges, iterations = 5, numPartitions = Some(8))
+        graft.operators.Bucketing.writeBucketed(rks, rankTable(dir), "id", 4)
+        graft.operators.Checkpoints.release(rks)
+      },
+      () => {
+        val evenComp = graft.operators.Components
+          .connectedComponents(evenPairs, numPartitions = Some(8))
+        val evenTotal = graft.Tables.documents(spark, dir)
+          .filter(col("doc_id") < DerivedMaxId && col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("id"))
+          .join(evenComp, Seq("id"), "left")
+          .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+        graft.operators.Bucketing.writeBucketed(
+          evenTotal, evenBaseTable(dir), "id", 4)
+        graft.operators.Checkpoints.release(evenComp)
+      },
+      () => {
+        // Component-LOCAL ranks over the even sub-graph (unnormalized
+        // fixed point — see PageRank.localRanks): the rank state
+        // incremental maintenance reuses for untouched components.
+        // Edge-endpoint nodes only, like rankTable.
+        val evenRks = graft.operators.PageRank
+          .localRanks(evenEdges, iterations = 5, numPartitions = Some(8))
+        graft.operators.Bucketing.writeBucketed(
+          evenRks, evenRankTable(dir), "id", 4)
+        graft.operators.Checkpoints.release(evenRks)
+      })
+    Await.result(
+      Future.sequence(builds.map(b => Future(b()))), Duration.Inf)
     // Rank-aware canonical per even component (top local rank, tiebreak
     // min id) — the per-cluster decision incremental canonical
     // maintenance (q150) reuses verbatim for every component an ingest
@@ -1517,7 +1540,6 @@ object DupGraphPhases {
     }
     graft.operators.Bucketing.writeBucketed(
       evenCan, evenCanonicalTable(dir), "comp", 4)
-    graft.operators.Checkpoints.release(evenRks)
     built += compTable(dir)
   }
 
