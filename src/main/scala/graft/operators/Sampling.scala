@@ -359,6 +359,61 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum("__t").as("tokens_src"),
         max("__id").as("max_id"))
       .withColumn("weight", w)
+    epochPlanTail(per, budget, maxEpochs)
+  }
+
+  /** [[mixtureEpochPlan]] with DATA-DERIVED weights: the weight table
+    * arrives as a (source, weight) frame — e.g. [[temperatureWeights]]'s
+    * (source, w_ppm) — instead of a driver-side Map, so a
+    * temperature-derived mix flows into epoch planning as ONE
+    * declarative plan with no collect between the two stages. The
+    * weight table is sources-sized by construction, so it rides the
+    * broadcast side of a left join onto the per-source aggregate
+    * (absent sources fall back to `defaultWeight`); negative weights in
+    * the DATA raise at execution (the Map form validates its literal
+    * weights at construction — same contract, the only place it can be
+    * checked here). Identical output columns and integer arithmetic.
+    *
+    * `budget * weight` must fit a Long; with ppm weights that bounds
+    * budget below 2^63/1e6 ~ 9.2e12 tokens — same class of CONFIG
+    * constraint as the Map form, checked by the caller's choice of
+    * weight scale.
+    */
+  def mixtureEpochPlanWeighted(
+      docs: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      tokens: Column,
+      weights: DataFrame,
+      budget: Long,
+      defaultWeight: Long = 0L,
+      maxEpochs: Long = 100L): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(maxEpochs > 0, s"maxEpochs must be positive: $maxEpochs")
+    require(defaultWeight >= 0, s"defaultWeight must be >= 0: $defaultWeight")
+    val w = weights.select(col("source").as("__wsrc"),
+      when(col("weight") < 0, raise_error(concat(
+        lit("mixtureEpochPlanWeighted: negative weight for source "),
+        col("source").cast("string"))))
+        .otherwise(col("weight")).cast("long").as("__w"))
+    val per = docs
+      .select(col(sourceCol).as("source"), col(idCol).cast("long").as("__id"),
+        tokens.cast("long").as("__t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("__t").as("tokens_src"),
+        max("__id").as("max_id"))
+      .join(broadcast(w), col("source") === col("__wsrc"), "left")
+      .withColumn("weight", coalesce(col("__w"), lit(defaultWeight)))
+      .drop("__wsrc", "__w")
+    epochPlanTail(per, budget, maxEpochs)
+  }
+
+  /** Shared integer epoch arithmetic over a (source, n_docs, tokens_src,
+    * max_id, weight) frame — the tail of both plan forms, factored so
+    * the two cannot drift.
+    */
+  private def epochPlanTail(
+      per: DataFrame, budget: Long, maxEpochs: Long): DataFrame = {
     // Weight total over sources PRESENT in the data — a data-dependent
     // scalar, so it rides a broadcast 1-row frame, never a driver collect.
     // All-zero weights would divide by zero: fail fast on the same frame.

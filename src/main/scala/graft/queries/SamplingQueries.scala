@@ -622,6 +622,68 @@ object SamplingQueries {
           tokens = TextAnalysis.tokenCount(col("text")),
           alphaNum = 3, alphaDen = 4)
       }
+    ),
+    Q(
+      "q151_mixture_epoch_derived",
+      "Epoch planning from DATA-DERIVED weights: the q147 temperature " +
+        "table (w_s ~ sqrt(p_s), exact ppm fixed point) flows straight " +
+        "into q124's integer epoch arithmetic as ONE declarative plan — " +
+        "no driver collect between deriving the mix and planning the " +
+        "passes, so 'measure the corpus, set the temperature, plan the " +
+        "epochs' is a single job. The sources-sized weight table rides " +
+        "a broadcast left join onto the per-source aggregate; weight " +
+        "total stays a broadcast 1-row frame; every number after the " +
+        "sqrt is exact BIGINT (same cross-engine argument as q147/q148).",
+      Some(
+        s"""
+        |WITH d AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks
+        |  FROM documents
+        |), t AS (
+        |  SELECT source, CAST(SUM(toks) AS BIGINT) AS tokens FROM d GROUP BY 1
+        |), tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tt FROM t),
+        |s AS (
+        |  SELECT source, tokens,
+        |         CAST(floor(sqrt(CAST(tokens AS DOUBLE) / CAST(tt AS DOUBLE))
+        |                    * 1000000000000) AS BIGINT) AS sc
+        |  FROM t, tot
+        |), stot AS (SELECT CAST(SUM(sc) AS BIGINT) AS st FROM s),
+        |wt AS (
+        |  SELECT source, (1000000 * sc) // st AS weight FROM s, stot
+        |), per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(toks) AS BIGINT) AS tokens_src,
+        |         MAX(doc_id) AS max_id
+        |  FROM d GROUP BY source
+        |), perw AS (
+        |  SELECT per.*, CAST(COALESCE(wt.weight, 0) AS BIGINT) AS weight
+        |  FROM per LEFT JOIN wt ON wt.source = per.source
+        |), wtot AS (SELECT CAST(SUM(weight) AS BIGINT) AS w_total FROM perw),
+        |plan0 AS (
+        |  SELECT perw.*, ($EpochBudget * weight) // w_total AS target_tokens
+        |  FROM perw, wtot
+        |), plan AS (
+        |  SELECT *, CAST(LEAST($EpochMaxEpochs,
+        |           CASE WHEN target_tokens > 0 AND tokens_src > 0
+        |                THEN (target_tokens + tokens_src - 1) // tokens_src
+        |                ELSE 0 END) AS BIGINT) AS epochs
+        |  FROM plan0
+        |)
+        |SELECT source, n_docs, tokens_src, max_id, weight, target_tokens,
+        |       epochs,
+        |       LEAST(target_tokens, epochs * tokens_src) AS planned_tokens
+        |FROM plan
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.operators.TextAnalysis
+        val docs = Tables.documents(spark, dir)
+        val toks = TextAnalysis.tokenCount(col("text"))
+        val w = Sampling.temperatureWeightsSqrt(docs, "source", toks)
+          .select(col("source"), col("w_ppm").as("weight"))
+        Sampling.mixtureEpochPlanWeighted(docs, "source", "doc_id", toks, w,
+          budget = EpochBudget, maxEpochs = EpochMaxEpochs)
+      }
     )
   )
 }

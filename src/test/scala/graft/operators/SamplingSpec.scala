@@ -417,6 +417,33 @@ class SamplingSpec extends AnyFunSuite {
       .getMessage.contains("(0, 1]"))
   }
 
+  test("mixtureEpochPlanWeighted equals the Map form; negative data weight raises") {
+    val docs = Seq(
+      ("a", 1L, 100L), ("a", 2L, 200L), ("b", 3L, 50L), ("c", 4L, 10L))
+      .toDF("source", "doc_id", "toks")
+    val asMap = Map("a" -> 3L, "b" -> 1L) // c falls to default
+    val asDf = asMap.toSeq.toDF("source", "weight")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val viaMap = Sampling.mixtureEpochPlan(
+      docs, "source", "doc_id", col("toks"), asMap,
+      budget = 1000L, defaultWeight = 2L, maxEpochs = 4L)
+    val viaDf = Sampling.mixtureEpochPlanWeighted(
+      docs, "source", "doc_id", col("toks"), asDf,
+      budget = 1000L, defaultWeight = 2L, maxEpochs = 4L)
+    assert(canon(viaMap) == canon(viaDf))
+    // A negative weight is only discoverable at execution in the DF form
+    // (the Map form rejects it at construction) — it must raise, not plan.
+    val bad = Seq(("a", -1L)).toDF("source", "weight")
+    val ex = intercept[Exception] {
+      Sampling.mixtureEpochPlanWeighted(
+        docs, "source", "doc_id", col("toks"), bad, budget = 1000L).collect()
+    }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("negative weight"), s"unexpected: $ex")
+  }
+
   test("temperatureWeightsSqrt fails fast past the ppm fixed point") {
     val bad = Seq(("s1", 1L, Long.MaxValue / 1000000L + 1), ("s2", 2L, 5L))
       .toDF("source", "doc_id", "toks")
