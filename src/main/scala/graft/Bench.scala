@@ -239,6 +239,15 @@ object Bench {
     // A query "regresses" only when its min-of-2 exceeds 1.5x the best
     // any prior round recorded at this scale — single-run spikes are
     // noise by protocol and never appear here.
+    //
+    // Known-stale bests (investigated round 11; standalone fresh-session
+    // reruns confirm current code cannot reach them because the OPERATOR
+    // intentionally changed, not because a path got slower): q90/q91's
+    // 0.27/0.21 predate round 6's switch from one-phase window forms
+    // (fast at toy scale, single-task-serializing at 100 TB) to the
+    // sharded two-phase ShardedPrefix forms; q52's 0.40 is a round-1
+    // artifact of a ~60-query session. Their appearance below is the
+    // price of never silently resetting the best column.
     val regressed = results.collect {
       case (k, v) if v >= 0 && priorBest.get(k).exists(b => v > 1.5 * b) => k
     }
