@@ -293,6 +293,15 @@ class RenamedColumnsSpec extends AnyFunSuite {
     check("mixtureEpochPlan")(df => Sampling.mixtureEpochPlan(
       df, df.columns(2), df.columns(0), length(col(df.columns(1))).cast("long") % 7 + 1,
       weights = Map("s1" -> 2L), budget = 200L), docsD, docsR)
+    check("temperatureWeights")(df => Sampling.temperatureWeights(
+      df, df.columns(2), length(col(df.columns(1))).cast("long") % 7 + 1,
+      alphaNum = 3, alphaDen = 4), docsD, docsR)
+    // weights frame columns (source, weight) are FIXED by contract; only
+    // the docs-side names are generic.
+    check("mixtureEpochPlanWeighted")(df => Sampling.mixtureEpochPlanWeighted(
+      df, df.columns(2), df.columns(0), length(col(df.columns(1))).cast("long") % 7 + 1,
+      weights = Seq(("s1", 2L)).toDF("source", "weight"), budget = 200L),
+      docsD, docsR)
     check("mixtureEpochMaterialize")(df => Sampling.mixtureEpochMaterialize(
       df, df.columns(2), df.columns(0), length(col(df.columns(1))).cast("long") % 7 + 1,
       weights = Map("s1" -> 2L), budget = 200L, shards = 2)
