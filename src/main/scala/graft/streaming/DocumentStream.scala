@@ -317,10 +317,11 @@ object DocumentStream {
   /** Bloom blocklist screen for arrivals: flags documents whose content
     * fingerprint (md5 of the text, the q105 batch key) probes positive in
     * a batch-built Bloom bitmap ([[graft.operators.BloomScreen.build]]).
-    * Among the plan-literal screens this is the one whose literal NEVER
-    * grows: the bitmap is m bits whatever the blocklist cardinality —
+    * The one screen that stays a PLAN LITERAL (the others joined their
+    * sets in as broadcast stream-static frames): its literal NEVER
+    * grows — the bitmap is m bits whatever the blocklist cardinality —
     * where the gram screen needs a size guard and the passage cap set is
-    * bounded only by construction, the bloom screen's broadcast cost is
+    * bounded only by construction, the bloom screen's cost is
     * fixed by geometry. Zero state, row-local codegen probe, false
     * positives only (route flagged rows to a batch-side exact check —
     * never drop on the probe alone), never a false negative. Refresh the
