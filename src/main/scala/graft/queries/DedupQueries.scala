@@ -1008,8 +1008,12 @@ object DedupQueries {
           p.filter((col("doc_a") % 2 === 1) || (col("doc_b") % 2 === 1))
         val newIds = docs.filter(col("doc_id") % 2 === 1)
           .select(col("doc_id").as("id"))
+        // 2 partitions: the incremental step's only shuffled frames are
+        // label-graph-sized (<= delta), where task count is pure
+        // overhead; the corpus-sized base map streams through broadcast
+        // joins and never shuffles regardless.
         Components
-          .incremental(baseComp, newIds, delta, numPartitions = Some(8))
+          .incremental(baseComp, newIds, delta, numPartitions = Some(2))
           .select(col("id").as("doc_id"), col("comp"))
       }
     ),
