@@ -96,18 +96,17 @@ object Components {
       var iter = 0
       var changed = 1L
       while (changed > 0 && iter < maxIter) {
-        // TWO propagation steps per driver barrier: each checkpoint +
-        // convergence count is a full job-scheduling round trip — the
-        // dominant cost on small/delta graphs and a cluster-wide sync at
-        // scale — while an extra propagation inside the same plan is
-        // just two more joins. Checking convergence on the OUTER step
-        // alone is sound: if applying propagateMin to the inner result
-        // changed nothing, that result is already the fixpoint (min
-        // propagation is monotone), whether or not the inner step moved.
+        // ONE propagation per eager checkpoint + convergence count.
+        // Batching two steps per barrier was tried (round 11) and
+        // REVERTED by measurement: halving barriers doubled the
+        // per-barrier plan — two joins, two aggregations and two
+        // node-sized broadcast materializations instead of one — and
+        // the dup-graph derive phase ran 2x slower at sf0.1. The
+        // broadcast inside each step is itself a driver sync, so deeper
+        // plans do not actually buy fewer round trips.
         // Eager checkpoint truncates lineage NOW; the convergence count
         // then reads checkpointed blocks, not a recomputation.
-        val once = propagateMin(edges, labels, small).select("id", "comp")
-        val updated = propagateMin(edges, once, small).localCheckpoint(true)
+        val updated = propagateMin(edges, labels, small).localCheckpoint(true)
         changed = updated.filter(col("comp") =!= col("prev")).count()
         // The previous round's checkpoint is dead the moment `updated`
         // materializes — free its blocks NOW instead of waiting for
@@ -117,14 +116,12 @@ object Components {
         labels = updated.select("id", "comp")
         iter += 1
       }
-      // Observability: pointer jumping converges in O(log diameter)
-      // propagations (a handful on LSH near-clique graphs); a higher
-      // count flags an unusual graph shape worth investigating before
-      // it costs at scale.
+      // Observability: pointer jumping converges in O(log diameter) rounds
+      // (2-4 on LSH near-clique graphs); a higher count flags an unusual
+      // graph shape worth investigating before it costs at scale.
       System.err.println(
         s"[components] ${if (changed == 0) "converged" else s"STOPPED at maxIter=$maxIter"} " +
-          s"after $iter barriers (<= ${2 * iter} propagations, nodes=$nodeCount, " +
-          s"strategy=${if (small) "broadcast" else "shuffle"})")
+          s"after $iter rounds (nodes=$nodeCount, strategy=${if (small) "broadcast" else "shuffle"})")
       labels
     } finally {
       edgesBase.unpersist()
