@@ -48,21 +48,25 @@ object Bench {
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val sec = (System.nanoTime() - t0) / 1e9
         // Session-hygiene barrier (round-10 q13 regression): the build
         // phases release their checkpoints explicitly, so anything still
         // persisted here is leaked state that would degrade every later
         // query in this long-lived session. Sweep it (Bench owns the
         // session; the amortized products live on DISK as tables, never
-        // as cached frames) inside the phase's own timed window, and log
-        // so a reappearing leak is visible in the round log.
-        val leaked = spark.sparkContext.getPersistentRDDs
-        if (leaked.nonEmpty) {
-          System.err.println(
-            s"[bench] $name left ${leaked.size} persisted RDD(s) pinned — releasing")
-          leaked.values.foreach(_.unpersist(blocking = false))
-        }
-        sec }
+        // as cached frames) BEFORE the timing capture so cleanup cost is
+        // attributed to the phase that leaked, in its own try so a
+        // cleanup error can never discard a valid measurement; log so a
+        // reappearing leak is visible in the round log.
+        try {
+          val leaked = spark.sparkContext.getPersistentRDDs
+          if (leaked.nonEmpty) {
+            System.err.println(
+              s"[bench] $name left ${leaked.size} persisted RDD(s) pinned — releasing")
+            leaked.values.foreach(_.unpersist(blocking = false))
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name leak sweep failed (measurement kept): $e") }
+        (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: $e"); -1.0 }
     }
@@ -108,6 +112,17 @@ object Bench {
           }),
           "q144_canonical_routing" -> ((s: SparkSession, d: String) =>
             SparkEntry.queries("q144_canonical_routing")(s, d))),
+        // Fourth amortization layer: the per-ingest-batch touched
+        // subgraph (membership + local-rank fixed point) shared by the
+        // q149/q150 maintenance pair — built once per batch, timed at
+        // the family's first consumer in bench name order.
+        "q149_incremental_ranks" -> Seq(
+          "dupgraph_touched" -> ((s: SparkSession, d: String) => {
+            graft.queries.DupGraphPhases.buildTouched(s, d)
+            s.emptyDataFrame
+          }),
+          "q149_incremental_ranks" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q149_incremental_ranks")(s, d))),
         "q64_bucketed_join" -> Seq(
           "q64_bucketed_build" -> ((s: SparkSession, d: String) => {
             graft.queries.BucketedJoinPhases.build(s, d)
@@ -148,6 +163,24 @@ object Bench {
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) // locale-pinned: "5.123" never "5,123"
     val total = results.map(_._2).filter(_ >= 0).sum // exclude -1 failure sentinels
+    // Explicit best-floor resets: a best recorded BEFORE the listed round
+    // is excluded for that query, because the OPERATOR was intentionally
+    // changed (or the measurement context was unrepresentative) and the
+    // old number is unreachable by design — carrying it made
+    // regressed_vs_best report the same three known-false entries every
+    // round. The list is emitted in the JSON line so every reset is
+    // auditable (name + round + reason), never silent.
+    val bestFloorReset: Map[String, (Int, String)] = Map(
+      "q52_langid" -> (2 ->
+        ("round-1 best is an artifact of a ~60-query session; " +
+          "standalone reruns of current code cannot reach it")),
+      "q90_sequence_pack" -> (6 ->
+        ("pre-r6 best predates the intentional switch from the " +
+          "single-task-serializing window form to sharded two-phase " +
+          "packing (the 100 TB-safe shape)")),
+      "q91_mixture_interleave" -> (6 ->
+        ("pre-r6 best predates the same intentional one-phase -> " +
+          "sharded two-phase interleave switch")))
     // Per-query best-so-far, merged from prior rounds' BENCH_r*.json in
     // the working directory: this host's CPU steal inflates single runs
     // 3-10x, so a round-over-round "regression" on an untouched path is
@@ -172,12 +205,20 @@ object Bench {
       val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
       files
         .flatMap { p =>
+          val round = "BENCH_r(\\d+)\\.json".r
+            .findFirstMatchIn(p.getFileName.toString)
+            .map(_.group(1).toInt).getOrElse(0)
           val txt = try java.nio.file.Files.readString(p) catch { case _: Throwable => "" }
-          if (txt.contains(sfTag)) rx.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
+          if (txt.contains(sfTag))
+            rx.findAllMatchIn(txt).map(m => (round, m.group(1), m.group(2).toDouble))
           else Iterator.empty
         }
-        .filter(_._2 >= 0)
-        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+        .filter(_._3 >= 0)
+        // Apply the floor: a reset query's pre-floor rounds don't count.
+        .filter { case (round, k, _) =>
+          bestFloorReset.get(k).forall { case (floor, _) => round >= floor }
+        }
+        .groupBy(_._2).map { case (k, vs) => k -> vs.map(_._3).min }
     }
     val best: Map[String, Double] = results.map { case (k, v) =>
       val cands = (priorBest.get(k).toSeq ++ Some(v).filter(_ >= 0)).filter(_ >= 0)
@@ -238,26 +279,24 @@ object Bench {
     }
     // A query "regresses" only when its min-of-2 exceeds 1.5x the best
     // any prior round recorded at this scale — single-run spikes are
-    // noise by protocol and never appear here.
-    //
-    // Known-stale bests (investigated round 11; standalone fresh-session
-    // reruns confirm current code cannot reach them because the OPERATOR
-    // intentionally changed, not because a path got slower): q90/q91's
-    // 0.27/0.21 predate round 6's switch from one-phase window forms
-    // (fast at toy scale, single-task-serializing at 100 TB) to the
-    // sharded two-phase ShardedPrefix forms; q52's 0.40 is a round-1
-    // artifact of a ~60-query session. Their appearance below is the
-    // price of never silently resetting the best column.
+    // noise by protocol and never appear here. Known-unreachable bests
+    // are excluded via bestFloorReset above (each reset carried in the
+    // output with its round + reason), so every entry below is a genuine
+    // investigation candidate.
     val regressed = results.collect {
       case (k, v) if v >= 0 && priorBest.get(k).exists(b => v > 1.5 * b) => k
     }
     val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val floorJson = bestFloorReset.toSeq.sortBy(_._1).map {
+      case (k, (round, reason)) =>
+        "\"" + k + "\":{\"round\":" + round + ",\"reason\":\"" + reason + "\"}"
+    }.mkString("{", ",", "}")
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val fullBest = results.map { case (k, _) => "\"" + k + "\":" + fmt(best(k)) }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"best":$fullBest,"regressed_vs_best":$regressedJson$zorderMetrics,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"best":$fullBest,"regressed_vs_best":$regressedJson,"best_floor_reset":$floorJson$zorderMetrics,"sf":"$sfDir"}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_queries.json"), fullLine + "\n")
@@ -269,7 +308,7 @@ object Bench {
     val slowestBest = slowTail
       .map { case (k, _) => "\"" + k + "\":" + fmt(best(k)) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"best":$slowestBest,"regressed_vs_best":$regressedJson$zorderMetrics,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"best":$slowestBest,"regressed_vs_best":$regressedJson,"best_floor_reset":$floorJson$zorderMetrics,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,11 +27,21 @@ object Checkpoints {
   /** Free the block-manager blocks behind every localCheckpointed leaf
     * of `df`'s plan. Non-blocking; safe on frames with no checkpointed
     * leaves (no-op) and on already-released frames (unpersist on an
-    * unpersisted RDD is a no-op).
+    * unpersisted RDD is a no-op). Scoped to RDDs that actually ARE
+    * materialized checkpoints (`isCheckpointed` — the public
+    * checkpointed-and-materialized test; `isLocallyCheckpointed` is
+    * private[spark]): a caller-supplied RDD-backed leaf (e.g.
+    * `createDataFrame` over a deliberately persisted RDD) is someone
+    * else's caching decision and must survive this cleanup. Every
+    * in-repo call site releases after the checkpoint chain has run
+    * (post table-write / post final eager round), so the guard never
+    * skips a block this helper exists to free; a not-yet-materialized
+    * lazy checkpoint has no blocks to free anyway.
     */
   def release(df: DataFrame): Unit =
     df.queryExecution.logical.collectLeaves().foreach {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case lr: LogicalRDD if lr.rdd.isCheckpointed =>
+        lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
 }

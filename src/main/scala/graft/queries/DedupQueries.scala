@@ -1094,9 +1094,14 @@ object DedupQueries {
         "graph-normalized q138 form cannot be maintained this way " +
         "because N shifts globally on every arrival). Result provably " +
         "equals a full merged-graph recompute row for row — which is " +
-        "what the oracle runs. Touched sets ride the broadcast side of " +
-        "semi/anti joins; the corpus-sized tables are scanned, never " +
-        "shuffled. Sub-corpus bound shared with q142-q146.",
+        "what the oracle runs. The touched membership set and the " +
+        "touched-subgraph fixed point are ONE memoized per-batch " +
+        "product (DupGraphPhases.buildTouched) shared with q150, and " +
+        "consumers join it WITHOUT a broadcast hint — the set's worst " +
+        "case (a viral near-dup cluster) is component-sized, so AQE " +
+        "picks broadcast from its actual size; the corpus-sized tables " +
+        "are scanned, never shuffled. Sub-corpus bound shared with " +
+        "q142-q146.",
       Some {
         val scale = graft.operators.PageRank.Scale
         val teleport = (15L * scale) / 100L
@@ -1137,31 +1142,19 @@ object DedupQueries {
            |SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank FROM r5""".stripMargin
       },
       (spark, dir) => {
-        val p = DupGraphPhases
-          .pairsUnder(spark, dir, DupGraphPhases.DerivedMaxId)
-          .select("doc_a", "doc_b")
-        // Touched = merged components containing >= 1 arrival. The
-        // merged map is the per-curation-run derived product; its
-        // odd-id slice (and everything downstream of it) is delta-scale.
-        val mergedComp = DupGraphPhases.components(spark, dir)
-        val touchedComps = mergedComp.filter(col("id") % 2 === 1)
-          .select("comp").distinct()
-        val touchedIds = mergedComp
-          .join(broadcast(touchedComps), Seq("comp"), "left_semi")
-          .select("id")
-        // A pair's endpoints share a component, so screening doc_a alone
-        // keeps exactly the touched components' edges.
-        val touchedPairs = p.join(
-          broadcast(touchedIds.withColumnRenamed("id", "doc_a")),
-          Seq("doc_a"), "left_semi")
-        val tEdges = touchedPairs
-          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .unionByName(
-            touchedPairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        val recomputed = graft.operators.PageRank
-          .localRanks(tEdges, iterations = 5, numPartitions = Some(8))
+        // Both per-batch delta products (touched membership, touched-
+        // subgraph local-rank fixed point) come from the memoized
+        // DupGraphPhases.buildTouched — q150 decides canonicals from
+        // the SAME product, so the fixed point is paid once per ingest
+        // batch, not once per maintenance query. No broadcast hint on
+        // the membership set: one viral near-dup cluster makes it
+        // component-sized (unbounded by the arrival count), and a
+        // forced broadcast of it is a driver cliff at 100 TB — AQE
+        // broadcasts it when it is actually small (DupGraphSpec pins
+        // the chosen strategy at test scale).
+        val recomputed = DupGraphPhases.touchedLocalRanks(spark, dir)
         val untouched = DupGraphPhases.evenLocalRanks(spark, dir)
-          .join(broadcast(touchedIds), Seq("id"), "left_anti")
+          .join(DupGraphPhases.touchedIds(spark, dir), Seq("id"), "left_anti")
         recomputed.unionByName(untouched)
           .select(col("id").as("doc_id"), col("rank"))
       }
@@ -1180,9 +1173,12 @@ object DedupQueries {
         "elsewhere, so an untouched cluster's membership, label, ranks, " +
         "and argmax are all unchanged. Equals a full merged-graph " +
         "recompute row for row (the oracle: flooded labels + unrolled " +
-        "local-rank rounds + per-component QUALIFY argmax). Touched " +
-        "sets ride broadcast semi/anti joins; corpus-sized tables are " +
-        "scanned, never shuffled.",
+        "local-rank rounds + per-component QUALIFY argmax). Probes the " +
+        "SAME memoized per-batch touched product as q149 (membership + " +
+        "subgraph ranks, DupGraphPhases.buildTouched) without broadcast " +
+        "hints — the membership set is component-sized in the worst " +
+        "case, so AQE decides; corpus-sized tables are scanned, never " +
+        "shuffled.",
       Some {
         val scale = graft.operators.PageRank.Scale
         val teleport = (15L * scale) / 100L
@@ -1233,24 +1229,17 @@ object DedupQueries {
       },
       (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val p = DupGraphPhases
-          .pairsUnder(spark, dir, DupGraphPhases.DerivedMaxId)
-          .select("doc_a", "doc_b")
+        // The touched membership and the touched-subgraph rank fixed
+        // point are the memoized per-batch product built once by
+        // DupGraphPhases.buildTouched and shared with q149 — a real
+        // pipeline decides ranks AND canonicals from one delta product
+        // per ingest batch. No broadcast hint on the membership set
+        // (component-sized worst case — a viral cluster would make a
+        // forced broadcast a driver cliff); AQE picks the strategy
+        // from the actual size.
         val mergedComp = DupGraphPhases.components(spark, dir)
-        val touchedComps = mergedComp.filter(col("id") % 2 === 1)
-          .select("comp").distinct()
-        val touchedIds = mergedComp
-          .join(broadcast(touchedComps), Seq("comp"), "left_semi")
-          .select("id")
-        val touchedPairs = p.join(
-          broadcast(touchedIds.withColumnRenamed("id", "doc_a")),
-          Seq("doc_a"), "left_semi")
-        val tEdges = touchedPairs
-          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .unionByName(
-            touchedPairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        val tRanks = graft.operators.PageRank
-          .localRanks(tEdges, iterations = 5, numPartitions = Some(8))
+        val touchedIds = DupGraphPhases.touchedIds(spark, dir)
+        val tRanks = DupGraphPhases.touchedLocalRanks(spark, dir)
         // Re-decide canonicals for touched components only: recomputed
         // ranks joined back to the merged labels (touched slice), argmax
         // bounded per cluster by WindowGroupLimit.
@@ -1266,7 +1255,7 @@ object DedupQueries {
         // but that even label is itself a member id, so membership in
         // touchedIds is exactly "my component was touched".
         val untouchedCan = DupGraphPhases.evenCanonicals(spark, dir)
-          .join(broadcast(touchedIds.withColumnRenamed("id", "comp")),
+          .join(touchedIds.withColumnRenamed("id", "comp"),
             Seq("comp"), "left_anti")
         touchedCan.unionByName(untouchedCan)
       }
@@ -1587,6 +1576,80 @@ object DupGraphPhases {
   def evenCanonicals(spark: SparkSession, dir: String): DataFrame = {
     ensureDerived(spark, dir)
     spark.table(evenCanonicalTable(dir))
+  }
+
+  def touchedIdTable(dir: String): String = s"graft_duptid_${Q.scratchTag(dir)}"
+  def touchedRankTable(dir: String): String =
+    s"graft_duptrk_${Q.scratchTag(dir)}"
+
+  /** FOURTH amortization layer: the per-INGEST-BATCH touched subgraph.
+    * Rank maintenance (q149) and canonical maintenance (q150) consume
+    * the same two delta products for one arrival batch — the touched
+    * membership set (every member of every merged component containing
+    * >= 1 arrival) and the component-local rank fixed point over the
+    * touched subgraph's edges. Recomputing them per consumer ran the
+    * identical fixed point twice per batch; a real pipeline decides
+    * ranks AND canonicals from ONE touched-rank product. Both products
+    * are delta-scale in the typical case but materialize as BUCKETED
+    * TABLES, never forced broadcasts: the membership set's worst case
+    * is component-sized (one viral near-dup cluster — boilerplate
+    * families routinely reach millions of members in web crawls), so
+    * consumers join it hint-free and AQE picks broadcast only when the
+    * set is actually small. Only `touchedComps` (bounded by the arrival
+    * count) rides a broadcast hint. Timed as its own `dupgraph_touched`
+    * bench line at the family's first consumer (q149).
+    */
+  def buildTouched(spark: SparkSession, dir: String): Unit = synchronized {
+    ensureDerived(spark, dir)
+    val p = pairsUnder(spark, dir, DerivedMaxId).select("doc_a", "doc_b")
+    val mergedComp = spark.table(compTable(dir))
+    // Touched = merged components containing >= 1 arrival (odd id, the
+    // q126 convention). <= one comp per arrival, so the hint is safe at
+    // any corpus scale.
+    val touchedComps = mergedComp.filter(col("id") % 2 === 1)
+      .select("comp").distinct()
+    val tIds = mergedComp
+      .join(broadcast(touchedComps), Seq("comp"), "left_semi")
+      .select("id")
+    graft.operators.Bucketing.writeBucketed(tIds, touchedIdTable(dir), "id", 4)
+    // A pair's endpoints share a component, so screening doc_a alone
+    // keeps exactly the touched components' edges. Hint-free join
+    // against the just-written membership table (see scaladoc).
+    val touchedPairs = p.join(
+      spark.table(touchedIdTable(dir)).withColumnRenamed("id", "doc_a"),
+      Seq("doc_a"), "left_semi")
+    val tEdges = touchedPairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(
+        touchedPairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val tRanks = graft.operators.PageRank
+      .localRanks(tEdges, iterations = 5, numPartitions = Some(8))
+    graft.operators.Bucketing.writeBucketed(
+      tRanks, touchedRankTable(dir), "id", 4)
+    graft.operators.Checkpoints.release(tRanks)
+    built += touchedRankTable(dir)
+  }
+
+  def ensureTouched(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!built.contains(touchedRankTable(dir))) buildTouched(spark, dir)
+  }
+
+  /** (id) — every member of every merged component the current arrival
+    * batch touches; the screen that splits recomputed from reusable
+    * state in q149/q150.
+    */
+  def touchedIds(spark: SparkSession, dir: String): DataFrame = {
+    ensureTouched(spark, dir)
+    spark.table(touchedIdTable(dir))
+  }
+
+  /** (id, rank) component-local fixed point over the touched subgraph —
+    * the once-per-batch rank recompute q149 returns directly and q150
+    * re-decides canonicals from.
+    */
+  def touchedLocalRanks(spark: SparkSession, dir: String): DataFrame = {
+    ensureTouched(spark, dir)
+    spark.table(touchedRankTable(dir))
   }
 
   def servingCompTable(dir: String): String =

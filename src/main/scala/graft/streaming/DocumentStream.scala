@@ -129,9 +129,15 @@ object DocumentStream {
     * the SINGLE definition both [[bandKeys]] and
     * [[incrementalClassified]] build from, so the two sides of a
     * membership screen can never desynchronize on the permutation
-    * family.
+    * family. Takes the consuming frame so it can register the
+    * `portable_hash32` SQL function on that frame's session first —
+    * every caller is thereby covered on a foreign session (one not
+    * built via GraftSession), instead of each call site having to
+    * remember its own register line.
     */
-  private def minhashExprs(numHashes: Int): IndexedSeq[org.apache.spark.sql.Column] = {
+  private def minhashExprs(
+      docs: DataFrame, numHashes: Int): IndexedSeq[org.apache.spark.sql.Column] = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val words = array_distinct(TextAnalysis.wsTokens(col("text")))
     (0 until numHashes).map { i =>
       array_min(transform(words, w =>
@@ -151,7 +157,7 @@ object DocumentStream {
 
   def bandKeys(docs: DataFrame, numHashes: Int = 16, bands: Int = 2): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
-    val mhs = minhashExprs(numHashes)
+    val mhs = minhashExprs(docs, numHashes)
     val rowsPerBand = numHashes / bands
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"), bandSliceKey(mhs, b, rowsPerBand).as("key"))
@@ -378,7 +384,7 @@ object DocumentStream {
         s"maxPlanKeys=$maxPlanKeys — screen corpus-sized existing sets " +
         "with bloomScreened + a periodic batch q126 instead of a " +
         "per-trigger broadcast")
-    val mhs = minhashExprs(numHashes)
+    val mhs = minhashExprs(docs, numHashes)
     val rowsPerBand = numHashes / bands
     // Distinct keys on the build sides make every left join at most
     // 1:1, so no arriving row is duplicated by a probe hit.
@@ -430,13 +436,17 @@ object DocumentStream {
     * (the matched cluster's canonical id; NULL for novel docs). The
     * probe is ROW-LOCAL: the narrow per-row signature fold produces one
     * band-key column per band, and each probes the batch-refreshed
-    * (bk, canonical_id) table via a broadcast stream-static LEFT join —
-    * no explode, no aggregation, no state; `least` across the per-band
+    * (bk, canonical_id) table via a stream-static LEFT join — no
+    * explode, no aggregation, no state; `least` across the per-band
     * matches is exact because `least` skips nulls and every band key
     * maps to its cluster's min id (min of mins = min over all matched
-    * members — the q144 batch semantics). Refresh the table batch-side
-    * and restart to pick up corpus changes, the same cadence contract
-    * as the other screens.
+    * members — the q144 batch semantics). The table is TOTAL over the
+    * existing corpus's band keys — unbounded — so no forced broadcast
+    * hint: the planner picks the join strategy from its actual size
+    * (same rationale as [[splitAssigned]]); at corpus scale the probe
+    * shuffle-joins instead of dying at the driver. Refresh the table
+    * batch-side and restart to pick up corpus changes, the same
+    * cadence contract as the other screens.
     */
   def canonicalRouted(
       docs: DataFrame,
@@ -445,8 +455,7 @@ object DocumentStream {
       bands: Int = 2): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val mhs = minhashExprs(numHashes)
+    val mhs = minhashExprs(docs, numHashes)
     val rowsPerBand = numHashes / bands
     val keyed = docs.select(
       col("doc_id") +: (0 until bands).map { b =>
@@ -454,8 +463,8 @@ object DocumentStream {
       }: _*)
     val joined = (0 until bands).foldLeft(keyed) { (df, b) =>
       df.join(
-        broadcast(bandCanonical.select(
-          col("bk").as(s"__k$b"), col("canonical_id").as(s"__c$b"))),
+        bandCanonical.select(
+          col("bk").as(s"__k$b"), col("canonical_id").as(s"__c$b")),
         df(s"__bk$b") === col(s"__k$b"), "left")
     }
     joined.select(col("doc_id"),
@@ -468,14 +477,19 @@ object DocumentStream {
     * novel docs fall back to their own id = their singleton cluster),
     * so every member of a near-dup cluster lands in the same split by
     * construction and an arrival never straddles the train/test
-    * boundary against its existing near-duplicates. One broadcast
-    * stream-static LEFT join against the (id, comp) map + the same
-    * row-local md5 bucket as the batch side
+    * boundary against its existing near-duplicates. One stream-static
+    * LEFT join against the (id, comp) map + the same row-local md5
+    * bucket as the batch side
     * ([[graft.operators.Sampling.splitLabel]]) — zero state, append
     * mode, and fed the same map the assignment equals the batch twin's
-    * row for row (StreamingIncrementalSpec asserts it). Refresh the map
-    * batch-side and restart to pick up re-clusterings, the same cadence
-    * contract as [[canonicalRouted]].
+    * row for row (StreamingIncrementalSpec asserts it). Unlike the
+    * capped screens in this file, the map is TOTAL over the existing
+    * corpus (the Components.incremental contract) — unbounded, so no
+    * forced broadcast hint: the planner picks the strategy from the
+    * map's actual size (a materialized serving table carries stats),
+    * and a corpus-scale map shuffle-joins instead of dying at the
+    * driver. Refresh the map batch-side and restart to pick up
+    * re-clusterings, the same cadence contract as [[canonicalRouted]].
     */
   def splitAssigned(
       docs: DataFrame,
@@ -485,7 +499,7 @@ object DocumentStream {
       salt: String = "csplit:"): DataFrame =
     docs.select(col("doc_id"))
       .join(
-        broadcast(comp.select(col("id").as("__cid"), col("comp").as("__comp"))),
+        comp.select(col("id").as("__cid"), col("comp").as("__comp")),
         col("doc_id") === col("__cid"), "left")
       .select(col("doc_id"),
         coalesce(col("__comp"), col("doc_id")).as("comp"))
