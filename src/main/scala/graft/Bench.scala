@@ -123,6 +123,16 @@ object Bench {
           }),
           "q149_incremental_ranks" -> ((s: SparkSession, d: String) =>
             SparkEntry.queries("q149_incremental_ranks")(s, d))),
+        // Serving-map REFRESH: the delta-cost fold of an arrival batch
+        // into the serving component map (vs buildServing's full
+        // rebuild) — timed separately from the q152 routing probe.
+        "q152_serving_refresh" -> Seq(
+          "dupgraph_refresh" -> ((s: SparkSession, d: String) => {
+            graft.queries.DupGraphPhases.refreshServing(s, d)
+            s.emptyDataFrame
+          }),
+          "q152_serving_refresh" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q152_serving_refresh")(s, d))),
         "q64_bucketed_join" -> Seq(
           "q64_bucketed_build" -> ((s: SparkSession, d: String) => {
             graft.queries.BucketedJoinPhases.build(s, d)

@@ -259,6 +259,32 @@ class DupGraphSpec extends AnyFunSuite {
       executed.linesIterator.take(80).mkString("\n"))
   }
 
+  test("refreshed serving map equals a from-scratch merged-corpus rebuild") {
+    // The refreshServing contract: folding the odd arrival batch into
+    // the materialized even serving map (Components.incremental) must
+    // equal full label propagation over the merged corpus — total over
+    // ALL docs, singletons included — at a different partition count.
+    val allPairs = DupGraphPhases.pairs(spark, dir).select("doc_a", "doc_b")
+    val fullRebuild = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"))
+      .join(graft.operators.Components.connectedComponents(allPairs,
+        numPartitions = Some(4)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    assert(canon(DupGraphPhases.refreshedServing(spark, dir)) == canon(fullRebuild))
+    // The q152 routing probe is a pure bucketed-table read — no mining,
+    // no label-propagation iteration in its plan.
+    val q = SparkEntry.queries("q152_serving_refresh")(spark, dir)
+    val p = q.queryExecution.explainString(FormattedMode)
+    assert(p.contains(DupGraphPhases.refreshedServingTable(dir)),
+      p.linesIterator.take(60).mkString("\n"))
+    assert(!p.contains("Generate"), p.linesIterator.take(60).mkString("\n"))
+    assert(!p.contains("portable_hash32"), p.linesIterator.take(60).mkString("\n"))
+    // And the refresh genuinely changes routing vs the pre-refresh map:
+    // every odd doc now has a canonical (q144 gives novel docs NULL).
+    val n = Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1).count()
+    assert(q.count() == n)
+  }
+
   test("q143 capstone: zero signature recomputation in the executed pipeline") {
     val q = SparkEntry.queries("q143_curation_capstone")(spark, dir)
     val p = q.queryExecution.explainString(FormattedMode)
