@@ -463,9 +463,51 @@ object Sampling {
       budget: Long,
       defaultWeight: Long = 1L,
       maxEpochs: Long = 100L,
-      shards: Int = 32): DataFrame = {
-    val plan = mixtureEpochPlan(docs, sourceCol, idCol, tokens, weights,
-      budget, defaultWeight, maxEpochs)
+      shards: Int = 32): DataFrame =
+    materializeFromPlan(docs, sourceCol, idCol, tokens,
+      mixtureEpochPlan(docs, sourceCol, idCol, tokens, weights,
+        budget, defaultWeight, maxEpochs),
+      maxEpochs, shards)
+
+  /** [[mixtureEpochMaterialize]] with DATA-DERIVED weights — the
+    * materialized consumer of [[mixtureEpochPlanWeighted]]: the
+    * (source, weight) frame (e.g. [[temperatureWeightsSqrt]]'s ppm fixed
+    * point) plans the epochs and the plan drives the repeat-and-cut
+    * stream, all as ONE declarative job — measure the corpus, set the
+    * temperature, plan the passes, and lay out the training order with
+    * no driver collect anywhere between the stages. Identical output
+    * columns, order keys, and cut semantics as the Map form (the two
+    * share [[materializeFromPlan]], so they cannot drift).
+    */
+  def mixtureEpochMaterializeWeighted(
+      docs: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      tokens: Column,
+      weights: DataFrame,
+      budget: Long,
+      defaultWeight: Long = 0L,
+      maxEpochs: Long = 100L,
+      shards: Int = 32): DataFrame =
+    materializeFromPlan(docs, sourceCol, idCol, tokens,
+      mixtureEpochPlanWeighted(docs, sourceCol, idCol, tokens, weights,
+        budget, defaultWeight, maxEpochs),
+      maxEpochs, shards)
+
+  /** Shared repeat-and-cut tail of both materialize forms: explode each
+    * source `epochs` times against the broadcast (sources-sized) plan,
+    * order epoch-major, cut at the per-source token target with the
+    * two-phase sharded prefix sum. Factored so the literal-weight and
+    * derived-weight faces cannot drift.
+    */
+  private def materializeFromPlan(
+      docs: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      tokens: Column,
+      plan: DataFrame,
+      maxEpochs: Long,
+      shards: Int): DataFrame = {
     val joined = docs
       .select(col(sourceCol).as("source"), col(idCol).cast("long").as("__id"),
         tokens.cast("long").as("tokens"))

@@ -65,6 +65,48 @@ object SamplingQueries {
         |  FROM documents""".stripMargin,
       EpochBudget)
 
+  /** Shared q151/q153 CTE chain: temperature ppm weights (w ~ sqrt(p),
+    * the q147 fixed point) derived in-plan, then folded through q124's
+    * integer epoch arithmetic — mirror of
+    * [[Sampling.temperatureWeightsSqrt]] into
+    * [[Sampling.mixtureEpochPlanWeighted]] constant for constant.
+    */
+  private def duckWeightedPlanCtes: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks
+       |  FROM documents
+       |), t AS (
+       |  SELECT source, CAST(SUM(toks) AS BIGINT) AS tokens FROM d GROUP BY 1
+       |), tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tt FROM t),
+       |s AS (
+       |  SELECT source, tokens,
+       |         CAST(floor(sqrt(CAST(tokens AS DOUBLE) / CAST(tt AS DOUBLE))
+       |                    * 1000000000000) AS BIGINT) AS sc
+       |  FROM t, tot
+       |), stot AS (SELECT CAST(SUM(sc) AS BIGINT) AS st FROM s),
+       |wt AS (
+       |  SELECT source, (1000000 * sc) // st AS weight FROM s, stot
+       |), per AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(toks) AS BIGINT) AS tokens_src,
+       |         MAX(doc_id) AS max_id
+       |  FROM d GROUP BY source
+       |), perw AS (
+       |  SELECT per.*, CAST(COALESCE(wt.weight, 0) AS BIGINT) AS weight
+       |  FROM per LEFT JOIN wt ON wt.source = per.source
+       |), wtot AS (SELECT CAST(SUM(weight) AS BIGINT) AS w_total FROM perw),
+       |plan0 AS (
+       |  SELECT perw.*, ($EpochBudget * weight) // w_total AS target_tokens
+       |  FROM perw, wtot
+       |), plan AS (
+       |  SELECT *, CAST(LEAST($EpochMaxEpochs,
+       |           CASE WHEN target_tokens > 0 AND tokens_src > 0
+       |                THEN (target_tokens + tokens_src - 1) // tokens_src
+       |                ELSE 0 END) AS BIGINT) AS epochs
+       |  FROM plan0
+       |)""".stripMargin
+
   private def duckEpochCtesFrom(dBody: String, budget: Long): String =
     s"""WITH d AS (
        |$dBody
@@ -636,40 +678,7 @@ object SamplingQueries {
         "sqrt is exact BIGINT (same cross-engine argument as q147/q148).",
       Some(
         s"""
-        |WITH d AS (
-        |  SELECT source, doc_id,
-        |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks
-        |  FROM documents
-        |), t AS (
-        |  SELECT source, CAST(SUM(toks) AS BIGINT) AS tokens FROM d GROUP BY 1
-        |), tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tt FROM t),
-        |s AS (
-        |  SELECT source, tokens,
-        |         CAST(floor(sqrt(CAST(tokens AS DOUBLE) / CAST(tt AS DOUBLE))
-        |                    * 1000000000000) AS BIGINT) AS sc
-        |  FROM t, tot
-        |), stot AS (SELECT CAST(SUM(sc) AS BIGINT) AS st FROM s),
-        |wt AS (
-        |  SELECT source, (1000000 * sc) // st AS weight FROM s, stot
-        |), per AS (
-        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |         CAST(SUM(toks) AS BIGINT) AS tokens_src,
-        |         MAX(doc_id) AS max_id
-        |  FROM d GROUP BY source
-        |), perw AS (
-        |  SELECT per.*, CAST(COALESCE(wt.weight, 0) AS BIGINT) AS weight
-        |  FROM per LEFT JOIN wt ON wt.source = per.source
-        |), wtot AS (SELECT CAST(SUM(weight) AS BIGINT) AS w_total FROM perw),
-        |plan0 AS (
-        |  SELECT perw.*, ($EpochBudget * weight) // w_total AS target_tokens
-        |  FROM perw, wtot
-        |), plan AS (
-        |  SELECT *, CAST(LEAST($EpochMaxEpochs,
-        |           CASE WHEN target_tokens > 0 AND tokens_src > 0
-        |                THEN (target_tokens + tokens_src - 1) // tokens_src
-        |                ELSE 0 END) AS BIGINT) AS epochs
-        |  FROM plan0
-        |)
+        |$duckWeightedPlanCtes
         |SELECT source, n_docs, tokens_src, max_id, weight, target_tokens,
         |       epochs,
         |       LEAST(target_tokens, epochs * tokens_src) AS planned_tokens
@@ -683,6 +692,47 @@ object SamplingQueries {
           .select(col("source"), col("w_ppm").as("weight"))
         Sampling.mixtureEpochPlanWeighted(docs, "source", "doc_id", toks, w,
           budget = EpochBudget, maxEpochs = EpochMaxEpochs)
+      }
+    ),
+    Q(
+      "q153_mixture_epoch_derived_stream",
+      "The materialized DERIVED-weight epoch mixture — q151's plan " +
+        "driving q125's repeat-and-cut stream as ONE declarative job: " +
+        "temperature ppm weights (w ~ sqrt(p), the q147 fixed point) " +
+        "plan the per-source targets and epochs in-flight, each source " +
+        "repeats epoch-major against the broadcast sources-sized plan, " +
+        "and the cut is the two-phase sharded prefix sum — measure the " +
+        "corpus, set the temperature, plan the passes, and lay out the " +
+        "training order with no driver collect between any stage. The " +
+        "corpus is scanned once for the plan aggregate and once for " +
+        "the stream, never self-joined; no source serializes through " +
+        "a single window task.",
+      Some(
+        s"""
+        |$duckWeightedPlanCtes, ex AS (
+        |  SELECT d.source, d.doc_id, d.toks, CAST(u.e AS BIGINT) AS epoch,
+        |         p.target_tokens
+        |  FROM d, plan p, UNNEST(range(1, p.epochs + 1)) AS u(e)
+        |  WHERE d.source = p.source
+        |), c AS (
+        |  SELECT source, doc_id, epoch, toks,
+        |         CAST(SUM(toks) OVER (
+        |           PARTITION BY source ORDER BY epoch, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        |         target_tokens
+        |  FROM ex
+        |)
+        |SELECT source, doc_id, epoch, toks AS tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= target_tokens
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.operators.TextAnalysis
+        val docs = Tables.documents(spark, dir)
+        val toks = TextAnalysis.tokenCount(col("text"))
+        val w = Sampling.temperatureWeightsSqrt(docs, "source", toks)
+          .select(col("source"), col("w_ppm").as("weight"))
+        Sampling.mixtureEpochMaterializeWeighted(docs, "source", "doc_id",
+          toks, w, budget = EpochBudget, maxEpochs = EpochMaxEpochs)
       }
     )
   )

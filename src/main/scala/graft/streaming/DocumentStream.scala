@@ -506,6 +506,48 @@ object DocumentStream {
       .withColumn("split", graft.operators.Sampling.splitLabel(
         col("comp"), trainPct, valPct, salt))
 
+  /** Streaming canonical ASSIGNMENT at ingest — the stream face of q150's
+    * batch canonical maintenance, completing the ingest story
+    * [[canonicalRouted]] (band-key similarity routing) and
+    * [[splitAssigned]] (cluster-safe splits) began: each arriving
+    * document resolves its cluster from the batch-refreshed serving
+    * component map (novel docs fall back to their own id = their
+    * singleton cluster) and takes that cluster's rank-aware canonical
+    * from the materialized canonical table. A cluster with no canonical
+    * row is NEW to the canonical product (a singleton or a cluster born
+    * since the last batch decision): the arrival becomes its own
+    * canonical and is labeled 'new' so a downstream batch pass knows a
+    * per-cluster re-decision is pending; otherwise 'existing'. Two
+    * stream-static LEFT joins, zero state, append mode — and fed the
+    * same two tables the assignment equals the batch twin's row for row
+    * (StreamingIncrementalSpec asserts it). Both tables are TOTAL over
+    * the existing corpus (the serving map by the Components.incremental
+    * contract; canonicals per edged cluster) — unbounded, so no forced
+    * broadcast hint: the planner picks each join strategy from actual
+    * table size, and a corpus-scale map shuffle-joins instead of dying
+    * at the driver (same rationale as [[splitAssigned]]). Refresh both
+    * tables batch-side and restart, the same cadence contract as every
+    * screen in this file.
+    */
+  def canonicalAssigned(
+      docs: DataFrame,
+      comp: DataFrame,
+      canonicals: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(
+        comp.select(col("id").as("__cid"), col("comp").as("__comp")),
+        col("doc_id") === col("__cid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__comp"), col("doc_id")).as("comp"))
+      .join(
+        canonicals.select(
+          col("comp").as("__ccomp"), col("canonical_id").as("__can")),
+        col("comp") === col("__ccomp"), "left")
+      .select(col("doc_id"), col("comp"),
+        coalesce(col("__can"), col("doc_id")).as("canonical_id"),
+        when(col("__can").isNull, lit("new"))
+          .otherwise(lit("existing")).as("status"))
+
   /** One quota-admitted document: its source, id, and 1-based admission
     * rank within the source.
     */

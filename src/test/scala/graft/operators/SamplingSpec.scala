@@ -331,6 +331,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("mixtureEpochMaterializeWeighted equals the Map form on equal weights") {
+    // The derived-weight face shares materializeFromPlan with the
+    // literal form; fed a weight FRAME equal to the Map (every source
+    // listed, so defaultWeight never applies), the streams must be
+    // identical row for row — order keys, cuts, exclusions and all.
+    val weights = Map("s1" -> 2L, "s2" -> 5L, "s3" -> 0L)
+    val wFrame = weights.toSeq.toDF("source", "weight")
+    val got = Sampling.mixtureEpochMaterializeWeighted(
+        epochDocs, "source", "doc_id", col("toks"), wFrame,
+        budget = 140L, maxEpochs = 4L, shards = 3)
+      .as[(String, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    val want = Sampling.mixtureEpochMaterialize(
+        epochDocs, "source", "doc_id", col("toks"), weights,
+        budget = 140L, maxEpochs = 4L, shards = 3)
+      .as[(String, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._3, r._2)).toSeq
+    assert(got == want)
+  }
+
   test("mixtureEpochMaterialize raises on negative ids (order-key aliasing)") {
     val bad = Seq(("s1", -1L, 10L), ("s1", 2L, 10L)).toDF("source", "doc_id", "toks")
     val ex = intercept[Exception] {

@@ -176,6 +176,48 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("canonicalAssigned equals the batch canonical assignment; zero state") {
+    // The q150 ingest twin: arrivals resolve their cluster from the
+    // serving map (novel doc -> own-id singleton), then take the
+    // cluster's rank-aware canonical from the materialized canonical
+    // table; a cluster with no canonical row is 'new' (decision pending
+    // batch-side) and the arrival becomes its own canonical. Fed the
+    // same two tables, the stream must equal the batch form row for row
+    // across all three paths: existing cluster with a canonical (2, 4),
+    // existing cluster WITHOUT one (6 — singleton in the map, no edged
+    // canonical), and a doc absent from the map entirely (15).
+    val comp = Seq((2L, 2L), (4L, 2L), (6L, 6L)).toDF("id", "comp")
+    val canon = Seq((2L, 4L)).toDF("comp", "canonical_id")
+    val b1 = Seq((2L, "x"), (4L, "x"))
+    val b2 = Seq((6L, "x"), (15L, "x"))
+    val dirStr = watchDirOf(Seq(
+      b1.toDF("doc_id", "text"), b2.toDF("doc_id", "text")))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dirStr)
+    val q = EventStream.runToMemory(
+      DocumentStream.canonicalAssigned(stream, comp, canon),
+      "canon_assigned", OutputMode.Append())
+    try {
+      val got = spark.sql(
+          "SELECT doc_id, comp, canonical_id, status FROM canon_assigned")
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+      val want = DocumentStream.canonicalAssigned(
+          (b1 ++ b2).toDF("doc_id", "text"), comp, canon)
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+      assert(got == want, s"stream canonical diverges: $got vs $want")
+      // the three paths, pinned explicitly
+      assert(got.find(_._1 == 2L).get == ((2L, 2L, 4L, "existing")))
+      assert(got.find(_._1 == 4L).get == ((4L, 2L, 4L, "existing")))
+      assert(got.find(_._1 == 6L).get == ((6L, 6L, 6L, "new")))
+      assert(got.find(_._1 == 15L).get == ((15L, 15L, 15L, "new")))
+      // zero-state: stream-static joins only
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("quotaCapped admits first N per source within AND across batches") {
     val batches = Seq(
       Seq(("a", 1L), ("a", 2L), ("b", 10L)),
