@@ -1,16 +1,19 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md / FIXTURES.md).
   *
   * One parquet file per table under `\$dir/<name>.parquet`. The `events`
-  * table carries a nanosecond-precision parquet timestamp; Spark's parquet
-  * reader cannot represent TIMESTAMP(NANOS) in `TimestampType` (µs), so we
-  * read it with `spark.sql.legacy.parquet.nanosAsLong=true` semantics when
-  * needed — exposed here as [[eventsWithTsNs]] which yields `ts` as int64
-  * nanoseconds, matching the reference's own int64-ns data model
-  * (SURVEY.md §1: `main.js:158-162`).
+  * table carries an event-time column `ts` whose PHYSICAL encoding has
+  * varied across fixture generations — TIMESTAMP(NANOS) in earlier drops,
+  * `timestamp[us]` since 2026-08-13 — so [[eventsTsNs]] normalizes it to
+  * ONE logical type at the loader seam: int64 nanoseconds-since-epoch,
+  * matching the reference's own int64-ns data model (SURVEY.md §1:
+  * `main.js:158-162`). Every event-time query consumes that contract;
+  * the dtype adaptation lives here and nowhere else.
   */
 object Tables {
   val starSchema: Seq[String] =
@@ -32,25 +35,65 @@ object Tables {
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   def events(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "events")
 
-  /** `events` with `ts` surfaced as int64 nanoseconds-since-epoch.
-    *
-    * The parquet file carries TIMESTAMP(NANOS), which Spark's µs
-    * `TimestampType` cannot represent ([PARQUET_TYPE_ILLEGAL]);
-    * `spark.sql.legacy.parquet.nanosAsLong` reads it losslessly as
-    * `LongType` — which is also the reference's own representation
-    * (int64 ns operated on as BigInt, `/root/reference/main.js:158-162`).
-    * The conf only affects NANOS-precision parquet columns, so leaving it
-    * set is harmless for every other table. It IS session-sticky by
-    * design (the flag must be live whenever this DataFrame plans/executes,
-    * so restoring it here would be a use-after-free): in a session shared
-    * with foreign code that reads ns-precision parquet and expects the
-    * PARQUET_TYPE_ILLEGAL error or µs semantics, isolate with
-    * `spark.newSession()`.
+  /** `events` read with whatever `ts` dtype the fixture carries (plus the
+    * `nanosAsLong` conf so a TIMESTAMP(NANOS) generation reads as long
+    * instead of failing with [PARQUET_TYPE_ILLEGAL]). Prefer
+    * [[eventsTsNs]]; this raw form exists for schema discovery — e.g. the
+    * streaming file source must declare the FILE's schema, then apply
+    * [[normalizeTsNs]] as a transform (a long-typed schema over a µs file
+    * would fail the parquet column conversion).
     */
-  def eventsTsNs(spark: SparkSession, dir: String): DataFrame = {
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    // Session-sticky by design: the flag must be live whenever this
+    // DataFrame plans/executes, so restoring it here would be a
+    // use-after-free. It only affects NANOS-precision parquet columns —
+    // harmless for every other table. Isolate with spark.newSession() if
+    // foreign code needs PARQUET_TYPE_ILLEGAL semantics.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     apply(spark, dir, "events")
   }
+
+  /** Normalize an events frame's `ts` to the engine contract: int64
+    * nanoseconds-since-epoch (`LongType`), whatever the fixture's physical
+    * encoding. Handles all three generations seen from the driver:
+    *
+    *  - `LongType` — TIMESTAMP(NANOS) parquet read under `nanosAsLong`
+    *    (pre-2026-08-13 fixtures): already ns, pass through;
+    *  - `TimestampType` — µs-precision, session-tz-adjusted: lossless
+    *    `unix_micros * 1000`;
+    *  - `TimestampNTZType` — µs-precision naive (what pandas-written
+    *    `timestamp[us]` infers as under `parquet.inferTimestampNTZ`):
+    *    cast to TimestampType first. All sessions here pin
+    *    `spark.sql.session.timeZone=UTC` (GraftSession/Verify/Bench), so
+    *    the NTZ→LTZ cast is the identity on the underlying micros and
+    *    matches DuckDB's naive read of the same file on the oracle side.
+    *
+    * Any other dtype fails loudly with the fixture named — a fourth
+    * silent regeneration should break ONE clearly-named place, not 28
+    * downstream analysis errors (round-12 post-mortem).
+    */
+  def normalizeTsNs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other: DataType =>
+        throw new IllegalStateException(
+          s"events.ts arrived as $other — the driver regenerated the fixtures with a new " +
+            "timestamp encoding. Supported: int64/TIMESTAMP(NANOS) (via nanosAsLong), " +
+            "timestamp[us] (TimestampType/TimestampNTZType). " +
+            "Extend graft.Tables.normalizeTsNs — the single adaptation point.")
+    }
+
+  /** `events` with `ts` surfaced as int64 nanoseconds-since-epoch — the
+    * engine's event-time contract (the reference's own representation:
+    * int64 ns operated on as BigInt, `/root/reference/main.js:158-162`).
+    * Dtype-adaptive across fixture generations; see [[normalizeTsNs]].
+    */
+  def eventsTsNs(spark: SparkSession, dir: String): DataFrame =
+    normalizeTsNs(eventsRaw(spark, dir))
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

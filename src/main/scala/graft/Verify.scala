@@ -31,11 +31,19 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
+    // A failed query must leave a VISIBLE artifact, not a silent absence:
+    // round 12 lost 14 broken queries from CORRECTNESS because the catch
+    // below only wrote to stderr and the output dir simply lacked their
+    // rows. failed.json (name -> error) gives every declared query a
+    // durable verdict; the summary line makes a broken run unmistakable.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+        System.err.println(s"[verify] $name FAILED: $msg")
+        failures(name) = msg
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -53,6 +61,13 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => only(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failedJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failed.json"), failedJson)
+    val total = SparkEntry.queries.count(kv => only(kv._1))
+    System.err.println(
+      s"[verify] ${total - failures.size}/$total queries dumped, ${failures.size} FAILED" +
+        (if (failures.isEmpty) "" else s": ${failures.keys.mkString(", ")}"))
     spark.stop()
   }
 }

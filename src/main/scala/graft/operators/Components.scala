@@ -38,6 +38,8 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** @param pairs edge list (two id columns, undirected)
     * @param broadcastNodeLimit max node count for the broadcast-label
     *        strategy (node rows are two longs; the default ~1M keeps the
@@ -118,10 +120,14 @@ object Components {
       }
       // Observability: pointer jumping converges in O(log diameter) rounds
       // (2-4 on LSH near-clique graphs); a higher count flags an unusual
-      // graph shape worth investigating before it costs at scale.
-      System.err.println(
-        s"[components] ${if (changed == 0) "converged" else s"STOPPED at maxIter=$maxIter"} " +
-          s"after $iter rounds (nodes=$nodeCount, strategy=${if (small) "broadcast" else "shuffle"})")
+      // graph shape worth investigating before it costs at scale. INFO so
+      // it respects the session's log level instead of spamming stderr on
+      // every invocation at fleet scale; the non-convergence case warns.
+      val summary =
+        s"${if (changed == 0) "converged" else s"STOPPED at maxIter=$maxIter"} " +
+          s"after $iter rounds (nodes=$nodeCount, strategy=${if (small) "broadcast" else "shuffle"})"
+      if (changed == 0) log.info(s"[components] $summary")
+      else log.warn(s"[components] $summary")
       labels
     } finally {
       edgesBase.unpersist()

@@ -24,13 +24,17 @@ object EventStream {
   final case class UserActivity(user_id: Long, n_events: Long, total_value: Double)
 
   /** File-source stream over a DIRECTORY of events parquet files (the file
-    * source watches directories; int64-ns ts, same nanosAsLong contract as
-    * the batch reader). `schemaFrom` points at any existing events table.
+    * source watches directories). `schemaFrom` points at any existing
+    * events table; the stream declares that file's RAW schema (a stream
+    * must match the physical encoding on disk) and then applies the same
+    * [[Tables.normalizeTsNs]] the batch reader uses, so `ts` is int64 ns
+    * here too — batch and stream share one event-time contract whatever
+    * the fixture generation's timestamp encoding.
     */
   def readEvents(spark: SparkSession, watchDir: String, schemaFrom: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.eventsTsNs(spark, schemaFrom).schema
-    spark.readStream.schema(schema).parquet(watchDir)
+    val schema = Tables.eventsRaw(spark, schemaFrom).schema
+    Tables.normalizeTsNs(spark.readStream.schema(schema).parquet(watchDir))
   }
 
   /** Streaming twin of q08_window_tumbling: 1-hour tumbling counts/sums.
