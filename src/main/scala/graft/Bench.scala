@@ -126,7 +126,18 @@ object Bench {
         // Serving-map REFRESH: the delta-cost fold of an arrival batch
         // into the serving component map (vs buildServing's full
         // rebuild) — timed separately from the q152 routing probe.
+        // Two geometries: the q152 fixture batch is ALL odd ids (a 50%
+        // delta — outside the incremental design regime, where one full
+        // flood legitimately wins), so dupgraph_refresh_delta times the
+        // same code path on a ~2% batch, the per-ingest-batch shape the
+        // incremental fold exists for. Read them against
+        // dupgraph_serving (the full-rebuild comparator): refresh_delta
+        // < serving < refresh(50%) is the expected ordering.
         "q152_serving_refresh" -> Seq(
+          "dupgraph_refresh_delta" -> ((s: SparkSession, d: String) => {
+            graft.queries.DupGraphPhases.refreshServingSmallDelta(s, d)
+            s.emptyDataFrame
+          }),
           "dupgraph_refresh" -> ((s: SparkSession, d: String) => {
             graft.queries.DupGraphPhases.refreshServing(s, d)
             s.emptyDataFrame

@@ -94,6 +94,41 @@ object Tables {
     */
   def eventsTsNs(spark: SparkSession, dir: String): DataFrame =
     normalizeTsNs(eventsRaw(spark, dir))
+
+  /** The engine's derived event-time columns over the contract `ts`
+    * (int64 ns, what [[eventsTsNs]]/[[normalizeTsNs]] guarantee). ALL
+    * unit math over `ts` lives here — queries reference these named
+    * derivations, so the next drift in the fixtures' event-time encoding
+    * or precision has exactly two fix points, both in this file:
+    * [[normalizeTsNs]] (physical dtype -> ns) and this object (ns ->
+    * query units). TracePipeline's duration derivation stays separate by
+    * design: its columns are caller-configured (`TraceConfig`), not the
+    * fixture's `ts`.
+    */
+  object EventTime {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+
+    /** µs since epoch — same value DuckDB's `epoch_us(ts)` computes on
+      * the oracle side (integral `div`: truncation toward zero, exact
+      * for the non-negative epochs in scope).
+      */
+    def us: Column = expr("ts div 1000")
+
+    /** ns truncated to the µs boundary: the oracle-identical int64-ns
+      * form (`epoch_ns(ts)` on a µs-precision fixture has zero sub-µs
+      * bits; truncating ours makes both generations agree).
+      */
+    def nsUsAligned: Column = expr("ts div 1000 * 1000")
+
+    /** Hour index (µs div 3.6e9) — tumbling-window key. */
+    def hourIdx: Column = expr("ts div 1000 div 3600000000")
+
+    /** `TimestampType` event time at µs precision — the form Spark's
+      * window/watermark/session operators require.
+      */
+    def eventTime: Column = timestamp_micros(us)
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

@@ -679,11 +679,11 @@ object RelationalQueries {
         val intervals = ev
           .filter(col("event_type") === "signup" && col("event_id") % 97 === 0)
           .select(col("event_id"),
-            expr("ts div 1000").as("start_ts"),
-            (expr("ts div 1000") + lit(21600000000L)).as("end_ts"))
+            Tables.EventTime.us.as("start_ts"),
+            (Tables.EventTime.us + lit(21600000000L)).as("end_ts"))
         val points = ev
           .filter(col("event_type") === "purchase")
-          .select(col("event_id"), expr("ts div 1000").as("p_ts"))
+          .select(col("event_id"), Tables.EventTime.us.as("p_ts"))
         graft.operators.RangeJoin.pointInInterval(
           points, "event_id", "p_ts",
           intervals, "event_id", "start_ts", "end_ts",
@@ -717,13 +717,13 @@ object RelationalQueries {
         val intervals = ev
           .filter(col("event_type") === "signup" && col("event_id") % 97 === 0)
           .select(col("event_id"),
-            expr("ts div 1000").as("start_ts"),
-            (expr("ts div 1000") +
+            Tables.EventTime.us.as("start_ts"),
+            (Tables.EventTime.us +
               when(col("event_id") % 5 === 0, lit(172800000000L))
                 .otherwise(lit(21600000000L))).as("end_ts"))
         val points = ev
           .filter(col("event_type") === "purchase")
-          .select(col("event_id"), expr("ts div 1000").as("p_ts"))
+          .select(col("event_id"), Tables.EventTime.us.as("p_ts"))
         graft.operators.RangeJoin.pointInInterval(
           points, "event_id", "p_ts",
           intervals, "event_id", "start_ts", "end_ts",

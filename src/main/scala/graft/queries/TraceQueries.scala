@@ -79,7 +79,7 @@ object TraceQueries {
         val cfg = TraceConfig(inputGlob = Tables.path(dir, "events"),
           startCol = "start_ns", endCol = "end_ns")
         val base = Tables.eventsTsNs(spark, dir)
-          .withColumn("start_ns", expr("ts div 1000 * 1000"))
+          .withColumn("start_ns", Tables.EventTime.nsUsAligned)
           .withColumn("end_ns", expr(endNsSql))
           .select("start_ns", "end_ns", "event_id", "event_type")
         TracePipeline
@@ -105,7 +105,7 @@ object TraceQueries {
         |""".stripMargin.trim),
       (spark, dir) =>
         Tables.eventsTsNs(spark, dir)
-          .withColumn("start_ns", expr("ts div 1000 * 1000"))
+          .withColumn("start_ns", Tables.EventTime.nsUsAligned)
           .withColumn("end_ns", expr(endNsSql))
           .selectExpr(
             "event_id",
@@ -129,7 +129,7 @@ object TraceQueries {
         |""".stripMargin.trim),
       (spark, dir) =>
         Tables.eventsTsNs(spark, dir)
-          .withColumn("start_ns", expr("ts div 1000 * 1000"))
+          .withColumn("start_ns", Tables.EventTime.nsUsAligned)
           .withColumn("end_ns", expr(endNsSql))
           .selectExpr(
             "event_id",
@@ -182,11 +182,11 @@ object TraceQueries {
         |FROM events
         |""".stripMargin.trim),
       (spark, dir) =>
-        Tables.eventsTsNs(spark, dir).selectExpr(
-          "CAST(event_id AS STRING) AS event_id_text",
-          "CAST(user_id AS BIGINT) AS user_id_num",
-          "CAST(event_type AS STRING) AS event_type_text",
-          "ts div 1000 * 1000 AS ts_num")
+        Tables.eventsTsNs(spark, dir).select(
+          col("event_id").cast("string").as("event_id_text"),
+          col("user_id").cast("long").as("user_id_num"),
+          col("event_type").cast("string").as("event_type_text"),
+          Tables.EventTime.nsUsAligned.as("ts_num"))
     ),
     Q(
       "q07_json_extract",
@@ -253,7 +253,7 @@ object TraceQueries {
         |""".stripMargin.trim),
       (spark, dir) =>
         Tables.eventsTsNs(spark, dir)
-          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withColumn("event_time", Tables.EventTime.eventTime)
           .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
           .agg(
             count(lit(1)).as("n_events"),
@@ -285,7 +285,7 @@ object TraceQueries {
         |""".stripMargin.trim),
       (spark, dir) =>
         Tables.eventsTsNs(spark, dir)
-          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withColumn("event_time", Tables.EventTime.eventTime)
           .groupBy(
             window(col("event_time"), "1 hour", "30 minutes"),
             col("event_type"))
@@ -341,7 +341,7 @@ object TraceQueries {
         val w = Window.partitionBy("user_id", "event_type")
           .orderBy(col("ts_us").desc, col("event_id").desc)
         Tables.eventsTsNs(spark, dir)
-          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts_us", Tables.EventTime.us)
           .select("user_id", "event_type", "event_id", "ts_us", "value")
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
@@ -426,7 +426,7 @@ object TraceQueries {
            |SELECT user_id, t1_us, t2_us, t3_us, depth FROM dd""".stripMargin),
       (spark, dir) =>
         graft.operators.Funnel.userDepth(
-          Tables.eventsTsNs(spark, dir).withColumn("us", expr("ts div 1000")),
+          Tables.eventsTsNs(spark, dir).withColumn("us", Tables.EventTime.us),
           "user_id", "event_type", "us", FunnelSteps, FunnelHorizonUs)
     ),
     Q(
@@ -444,7 +444,7 @@ object TraceQueries {
            |GROUP BY 1, 2""".stripMargin),
       (spark, dir) =>
         graft.operators.Funnel.counts(
-          Tables.eventsTsNs(spark, dir).withColumn("us", expr("ts div 1000")),
+          Tables.eventsTsNs(spark, dir).withColumn("us", Tables.EventTime.us),
           "user_id", "event_type", "us", FunnelSteps, FunnelHorizonUs)
     ),
     Q(

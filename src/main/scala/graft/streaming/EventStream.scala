@@ -45,7 +45,7 @@ object EventStream {
     */
   def hourlyCounts(events: DataFrame): DataFrame =
     events
-      .groupBy(expr("ts div 1000 div 3600000000").as("hour_idx"), col("event_type"))
+      .groupBy(Tables.EventTime.hourIdx.as("hour_idx"), col("event_type"))
       .agg(
         count(lit(1)).as("cnt"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
@@ -58,7 +58,7 @@ object EventStream {
     */
   def hourlyCountsWatermarked(events: DataFrame): DataFrame =
     events
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_time", Tables.EventTime.eventTime)
       .withWatermark("event_time", "2 hours")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
@@ -125,7 +125,7 @@ object EventStream {
       s"steps must be nonempty and distinct: $steps")
     val stepIdx = steps.zipWithIndex.toMap
     events
-      .selectExpr("user_id", "event_type", "ts div 1000 AS us")
+      .select(col("user_id"), col("event_type"), Tables.EventTime.us.as("us"))
       .as[(Long, String, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
@@ -203,7 +203,7 @@ object EventStream {
     */
   def dedupedEvents(events: DataFrame): DataFrame =
     events
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_time", Tables.EventTime.eventTime)
       .withWatermark("event_time", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
@@ -214,7 +214,7 @@ object EventStream {
     */
   def sessionized(events: DataFrame): DataFrame =
     events
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_time", Tables.EventTime.eventTime)
       .withWatermark("event_time", "2 hours")
       .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
@@ -232,12 +232,12 @@ object EventStream {
   def purchasesWithinHourOfSignup(signups: DataFrame, purchases: DataFrame): DataFrame = {
     val s = signups
       .filter(col("event_type") === "signup")
-      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("signup_time"),
+      .select(col("user_id"), Tables.EventTime.eventTime.as("signup_time"),
         col("event_id").as("signup_id"))
       .withWatermark("signup_time", "2 hours")
     val p = purchases
       .filter(col("event_type") === "purchase")
-      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("purchase_time"),
+      .select(col("user_id"), Tables.EventTime.eventTime.as("purchase_time"),
         col("event_id").as("purchase_id"), col("value"))
       .withWatermark("purchase_time", "2 hours")
     s.join(p,

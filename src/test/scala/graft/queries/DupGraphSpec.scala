@@ -285,6 +285,26 @@ class DupGraphSpec extends AnyFunSuite {
     assert(q.count() == n)
   }
 
+  test("small-delta serving refresh equals a from-scratch rebuild of its merged corpus") {
+    // Same Components.incremental exactness pin as the 50%-delta test
+    // above, at the ~2% batch geometry the bench's dupgraph_refresh_delta
+    // phase times: merged corpus = even ids ∪ (ids ≡ 1 mod 50), pairs =
+    // every mined pair with both endpoints in that corpus.
+    val member = (c: org.apache.spark.sql.Column) =>
+      (c % 2 === 0) || (c % 50 === 1)
+    val mergedPairs = DupGraphPhases.pairs(spark, dir)
+      .filter(member(col("doc_a")) && member(col("doc_b")))
+      .select("doc_a", "doc_b")
+    val mergedIds = Tables.documents(spark, dir)
+      .filter(member(col("doc_id")))
+      .select(col("doc_id").as("id"))
+    val fullRebuild = mergedIds
+      .join(graft.operators.Components.connectedComponents(mergedPairs,
+        numPartitions = Some(4)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    assert(canon(DupGraphPhases.smallDeltaServing(spark, dir)) == canon(fullRebuild))
+  }
+
   test("q143 capstone: zero signature recomputation in the executed pipeline") {
     val q = SparkEntry.queries("q143_curation_capstone")(spark, dir)
     val p = q.queryExecution.explainString(FormattedMode)
