@@ -285,6 +285,60 @@ object Similarity {
       .dropDuplicates("vec_a", "vec_b")
   }
 
+  /** Contrastive (anchor, positive, hard-negative) triplet mining —
+    * training data FOR the embedding model itself, the missing face of
+    * the similarity family: near-dup pairs become positives, and the
+    * "close but not duplicate" band becomes hard negatives (the pairs
+    * that actually move a contrastive loss; random negatives are
+    * trivially separable at scale).
+    *
+    * Candidates come from the SAME banded sign-bit LSH family as
+    * [[cosineDupPairsLsh]] mined at the lower `negLo` threshold, then
+    * symmetrized so each pair serves both endpoints as anchors. Per
+    * anchor: positive = highest-sim candidate with sim >= posThreshold;
+    * hard negative = highest-sim candidate strictly below it (the
+    * hardest), both tiebroken on min neighbor id, so the output is
+    * deterministic (sims are exact double folds). Anchors lacking
+    * either side drop — a triplet needs both.
+    *
+    * Scale shape: no cross product anywhere — candidates are the
+    * (table, bucket) self-join; the per-anchor argmax is a rank<=1
+    * window that Spark executes with a WindowGroupLimit partial limit
+    * before the anchor-keyed shuffle, so the exchanged stream is
+    * near-one-row-per-anchor, not the candidate stream. Recall of the
+    * positive side is the banding knob (as q83); the negative side only
+    * needs A hard negative, not THE globally hardest, so LSH
+    * under-recall there changes which valid negative is picked, never
+    * validity — exactly the tolerance contrastive mining has in
+    * production (hard negatives are sampled from ANN shortlists).
+    */
+  def contrastiveTriplets(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      posThreshold: Double,
+      negLo: Double,
+      tables: Int = 4,
+      bitsPerTable: Int = 4,
+      dim: Int = 64): DataFrame = {
+    require(negLo < posThreshold,
+      s"negative band [$negLo, $posThreshold) is empty")
+    val cand = cosineDupPairsLsh(
+      df, idCol, embCol, threshold = negLo, tables, bitsPerTable, dim)
+    val sym = cand
+      .select(col("vec_a").as("anchor_id"), col("vec_b").as("cand_id"), col("sim"))
+      .unionByName(cand
+        .select(col("vec_b").as("anchor_id"), col("vec_a").as("cand_id"), col("sim")))
+    val w = Window.partitionBy("anchor_id").orderBy(col("sim").desc, col("cand_id"))
+    def top1(in: DataFrame): DataFrame =
+      in.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    val pos = top1(sym.filter(col("sim") >= posThreshold))
+      .select(col("anchor_id"), col("cand_id").as("pos_id"), col("sim").as("pos_sim"))
+    val neg = top1(sym.filter(col("sim") < posThreshold))
+      .select(col("anchor_id"), col("cand_id").as("neg_id"), col("sim").as("neg_sim"))
+    pos.join(neg, Seq("anchor_id"))
+  }
+
   /** Embedding-cosine near-dup pairs above a similarity threshold within a
     * bounded id range (verification scale; production pairs come from LSH
     * buckets instead of the cross join — see [[cosineDupPairsLsh]]).

@@ -490,6 +490,64 @@ object SimilarityQueries {
       (spark, dir) =>
         graft.operators.Similarity.labelCentroids(
           Tables.embeddings(spark, dir), "label", "embedding")
+    ),
+    Q(
+      "q155_contrastive_triplets",
+      "Contrastive (anchor, positive, hard-negative) triplet mining — " +
+        "training data FOR the embedding model: candidates from the q83 " +
+        "banded sign-bit LSH family mined at the negative floor (0.1), " +
+        "symmetrized so each pair serves both endpoints as anchors; per " +
+        "anchor the positive is the highest-sim candidate >= 0.4 and " +
+        "the hard negative the highest-sim candidate below it (the " +
+        "pairs that actually move a contrastive loss — random " +
+        "negatives are trivially separable), ties broken on min id. " +
+        "Anchors lacking either side drop. No cross product (bucket " +
+        "self-join); the per-anchor argmax is a rank<=1 window with a " +
+        "WindowGroupLimit partial limit ahead of its shuffle. Same " +
+        "bounded subset as q83 so the oracle mirrors plane constants " +
+        "and banding verbatim.",
+      Some {
+        val branches = (0 until DupTables).map { t =>
+          val slice = dupPlanes.slice(t * DupBits, (t + 1) * DupBits)
+          s"SELECT vec_id, $t AS tbl, ${duckBucketPlanes("embedding", slice)} AS bucket FROM e"
+        }.mkString("\n  UNION ALL\n  ")
+        val dotAB = duckDot.format("ea.embedding", "eb.embedding")
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding,
+           |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+           |  FROM embeddings WHERE vec_id < 1000
+           |), b AS (
+           |  $branches
+           |), cand AS (
+           |  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+           |  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+           |), sims AS (
+           |  SELECT cand.vec_a, cand.vec_b,
+           |         $dotAB / (ea.norm * eb.norm) AS sim
+           |  FROM cand JOIN e ea ON ea.vec_id = cand.vec_a
+           |            JOIN e eb ON eb.vec_id = cand.vec_b
+           |  WHERE $dotAB / (ea.norm * eb.norm) >= 0.1
+           |), sym AS (
+           |  SELECT vec_a AS anchor_id, vec_b AS cand_id, sim FROM sims
+           |  UNION ALL
+           |  SELECT vec_b AS anchor_id, vec_a AS cand_id, sim FROM sims
+           |), pos AS (
+           |  SELECT anchor_id, cand_id AS pos_id, sim AS pos_sim FROM sym
+           |  WHERE sim >= 0.4
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY sim DESC, cand_id) = 1
+           |), neg AS (
+           |  SELECT anchor_id, cand_id AS neg_id, sim AS neg_sim FROM sym
+           |  WHERE sim < 0.4
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY sim DESC, cand_id) = 1
+           |)
+           |SELECT pos.anchor_id, pos.pos_id, pos.pos_sim, neg.neg_id, neg.neg_sim
+           |FROM pos JOIN neg ON pos.anchor_id = neg.anchor_id""".stripMargin
+      },
+      (spark, dir) =>
+        Similarity.contrastiveTriplets(
+          Tables.embeddings(spark, dir).filter(col("vec_id") < 1000),
+          "vec_id", "embedding", posThreshold = 0.4, negLo = 0.1,
+          tables = DupTables, bitsPerTable = DupBits, dim = Dim)
     )
   )
 }

@@ -199,6 +199,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivf == ivf2) // deterministic
   }
 
+  test("contrastive triplets: band invariants, determinism, argmax-vs-candidates, plan shape") {
+    val e = graft.Tables.embeddings(spark, SparkTestSession.sf0001)
+      .filter(col("vec_id") < 400)
+    val trip = Similarity.contrastiveTriplets(
+      e, "vec_id", "embedding", posThreshold = 0.4, negLo = 0.1)
+    val rows = trip.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (anchor, posId, posSim) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (negId, negSim) = (r.getLong(3), r.getDouble(4))
+      // the two sides live in their bands and never coincide
+      assert(posSim >= 0.4 && negSim < 0.4 && negSim >= 0.1, r.toString)
+      assert(posId != anchor && negId != anchor && posId != negId, r.toString)
+    }
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length) // one triplet per anchor
+    // per-anchor argmax agrees with the raw candidate stream: nothing in
+    // the positive band beats pos_sim, nothing below it beats neg_sim
+    val cand = Similarity.cosineDupPairsLsh(e, "vec_id", "embedding", threshold = 0.1)
+      .collect().flatMap { r =>
+        val (a, b, s) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        Seq((a, b, s), (b, a, s))
+      }.groupBy(_._1)
+    rows.foreach { r =>
+      val cs = cand(r.getLong(0)).map(_._3)
+      assert(cs.filter(_ >= 0.4).max == r.getDouble(2), s"pos argmax ${r.getLong(0)}")
+      assert(cs.filter(_ < 0.4).max == r.getDouble(4), s"neg argmax ${r.getLong(0)}")
+    }
+    // deterministic end to end (sims exact folds, ties on min id)
+    val again = Similarity.contrastiveTriplets(
+      e, "vec_id", "embedding", posThreshold = 0.4, negLo = 0.1).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    // scale shape: banded self-join, never a cross product; the rank<=1
+    // windows carry a WindowGroupLimit partial limit before their shuffle
+    val plan = trip.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(40).mkString("\n"))
+    assert(plan.contains("WindowGroupLimit"), plan.linesIterator.take(40).mkString("\n"))
+  }
+
   test("text analysis: counts and ratios on a known sentence") {
     val df = docs((1L, "The cat, and the dog. In a box!"))
     val r = df.select(
