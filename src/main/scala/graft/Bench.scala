@@ -164,7 +164,32 @@ object Bench {
             s.emptyDataFrame
           }),
           "q85_ann_ivf_trained" -> ((s: SparkSession, d: String) =>
-            graft.queries.IvfPhases.trainedProbe(s, d))))
+            graft.queries.IvfPhases.trainedProbe(s, d))),
+        // IVF delta-segment family: base build is the one-shot ingest
+        // cost, the delta APPEND is what every ingest batch pays (the
+        // number that must stay delta-sized — read it against the base
+        // build right above it), the probe is the per-query cost.
+        "q156_ivf_delta_probe" -> Seq(
+          "q156_ivf_base_build" -> ((s: SparkSession, d: String) => {
+            graft.queries.IvfPhases.segBaseBuild(s, d)
+            s.emptyDataFrame
+          }),
+          "q156_ivf_delta_append" -> ((s: SparkSession, d: String) => {
+            graft.queries.IvfPhases.segDeltaAppend(s, d)
+            s.emptyDataFrame
+          }),
+          "q156_ivf_delta_probe" -> ((s: SparkSession, d: String) =>
+            graft.queries.IvfPhases.segProbe(s, d))),
+        // Benchmark-version fold: the v1 build is the stored product's
+        // one-shot cost; the q157 line is what ONE benchmark release
+        // costs to fold — read it against q63's full screen.
+        "q157_benchmark_fold" -> Seq(
+          "q157_decontam_v1_build" -> ((s: SparkSession, d: String) => {
+            graft.queries.DecontamPhases.buildStored(s, d)
+            s.emptyDataFrame
+          }),
+          "q157_benchmark_fold" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q157_benchmark_fold")(s, d))))
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       phaseSplit.getOrElse(name, Seq(name -> fn)).map { case (n, f) =>
         (n, f, timeOne(n, f))

@@ -49,6 +49,77 @@ object Decontaminate {
         (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** The distinct n-gram set of a benchmark — the SCREEN itself, and the
+    * piece a serving decontamination product stores alongside the report
+    * (the benchmark documents can be archived; their gram set is what
+    * screening and [[foldNewBenchmark]] need).
+    */
+  def benchGramSet(
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8): DataFrame =
+    benchmark.select(
+      explode(array_distinct(
+        TextAnalysis.tokenNgrams(TextAnalysis.wsTokens(col(textCol)), n))).as("g"))
+      .distinct()
+
+  /** Benchmark-VERSION fold: when a new benchmark version lands, update a
+    * stored contamination report WITHOUT the previous benchmark's
+    * documents — the third face of the engine's incremental discipline
+    * (components: corpus arrivals; IVF delta segment: index arrivals;
+    * here: the SCREEN side grows).
+    *
+    * The served product is (report, gram set): the gram set IS the
+    * screen, so serving systems hold it anyway. The truly-novel grams
+    * are grams(newBenchmark) minus the stored set (benchmark-sized
+    * broadcast anti-join), and hit counts are ADDITIVE across disjoint
+    * gram sets:
+    *   hits_new(d) = |grams(d) ∩ (G_old ∪ G_new)|
+    *               = hits_old(d) + |grams(d) ∩ (G_new \ G_old)|
+    * so ONE corpus screen against the novel-gram set folds into the
+    * stored counts and yields exactly the from-scratch union report
+    * (q157's oracle floods it; DecontaminateSpec pins it).
+    *
+    * HONEST cost model: the corpus scan is NOT saved — a screen is
+    * scan-shaped whatever the benchmark. What the fold saves: (a) the
+    * old benchmark documents need not exist anymore, only their gram
+    * set; (b) the broadcast carries novel grams only (benchmark updates
+    * are mostly-overlapping point releases); (c) the stored per-doc
+    * counts are reused, not recomputed. The corpus-ARRIVAL delta face
+    * is the streaming twin ([[graft.streaming.DocumentStream]]
+    * decontaminated), which screens only arriving docs.
+    *
+    * @return (updated report, updated gram set) — same shapes as
+    *         [[report]] / [[benchGramSet]], ready to store back.
+    */
+  def foldNewBenchmark(
+      storedReport: DataFrame,
+      storedGrams: DataFrame,
+      corpus: DataFrame,
+      newBenchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8): (DataFrame, DataFrame) = {
+    val novel = benchGramSet(newBenchmark, textCol, idCol, n)
+      .join(broadcast(storedGrams), Seq("g"), "left_anti")
+    val deltaHits = corpus.select(
+        col(idCol),
+        explode(array_distinct(
+          TextAnalysis.tokenNgrams(TextAnalysis.wsTokens(col(textCol)), n))).as("g"))
+      .join(broadcast(novel), Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__delta_hits"))
+    val updated = storedReport
+      .join(deltaHits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        (col("n_hits") + coalesce(col("__delta_hits"), lit(0L))).as("n_hits"),
+        ((col("n_hits") + coalesce(col("__delta_hits"), lit(0L))) > 0)
+          .as("contaminated"))
+    (updated, storedGrams.unionByName(novel))
+  }
+
   /** The REVERSE audit of [[report]], for the benchmark's owners: per
     * BENCHMARK item, how many distinct corpus documents share an exact
     * n-token gram with it — "which eval items are burned, and how

@@ -60,10 +60,72 @@ object IvfIndex {
       embCol: String,
       k: Int,
       nprobe: Int = 2,
-      prefix: String = "graft_ivf"): DataFrame = {
+      prefix: String = "graft_ivf"): DataFrame =
+    probeCells(spark, spark.table(corpusTable(prefix)),
+      queries, idCol, embCol, k, nprobe, prefix)
+
+  def deltaTable(prefix: String): String = s"${prefix}_delta"
+
+  /** Fold an arrival batch into the persisted index at DELTA cost — the
+    * production vector-store segment model (an IVF base segment plus a
+    * fresh delta segment, compacted periodically): arrivals are assigned
+    * to the FROZEN centroid table (one broadcast-centroid scoring pass
+    * over the batch, nothing corpus-sized moves) and written as their own
+    * cell-bucketed delta segment; the base postings are untouched.
+    * Probes read base ∪ delta ([[probeSegments]]).
+    *
+    * Centroids are frozen between re-trains, so cell QUALITY degrades
+    * gracefully as the arrival distribution drifts — that moves
+    * recall-per-nprobe only, never correctness (the probe exact-scores
+    * whatever the probed cells contain). Because assignment to a fixed
+    * quantizer is deterministic and cell-local, probe(base ∪ delta)
+    * EQUALS a probe of an index rebuilt from scratch over the merged
+    * corpus with the same centroids, row for row (IvfIndexSpec pins it;
+    * q156's oracle floods the merged corpus). The periodic re-train +
+    * compact is [[build]] over the merged corpus — the batch path.
+    */
+  def appendDelta(
+      arrivals: DataFrame,
+      idCol: String,
+      embCol: String,
+      buckets: Int = 8,
+      prefix: String = "graft_ivf"): Unit = {
+    val spark = arrivals.sparkSession
+    val cents = spark.table(centroidTable(prefix))
+    val assigned = Similarity.assignCells(
+      arrivals, cents, idCol, embCol, "neighbor_id", keep = 1)
+    Bucketing.writeBucketed(assigned, deltaTable(prefix), "cell", buckets)
+  }
+
+  /** Probe base + delta segments: identical semantics to [[probe]] over
+    * the merged postings. Both segments are cell-bucketed with the same
+    * layout; the query side is a broadcast, so neither segment ever
+    * shuffles — the union streams both scans in place.
+    */
+  def probeSegments(
+      spark: SparkSession,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nprobe: Int = 2,
+      prefix: String = "graft_ivf"): DataFrame =
+    probeCells(spark,
+      spark.table(corpusTable(prefix))
+        .unionByName(spark.table(deltaTable(prefix))),
+      queries, idCol, embCol, k, nprobe, prefix)
+
+  private def probeCells(
+      spark: SparkSession,
+      corpusCells: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nprobe: Int,
+      prefix: String): DataFrame = {
     graft.functions.DotProductFF.register(spark)
     val cents = spark.table(centroidTable(prefix))
-    val corpusCells = spark.table(corpusTable(prefix))
     val queryCells = Similarity
       .assignCells(queries, cents, idCol, embCol, "q_id", keep = nprobe)
       .withColumnRenamed("emb", "q_emb").withColumnRenamed("nrm", "q_nrm")

@@ -41,7 +41,11 @@ object SimilarityQueries {
     * top-5 for queries vec_id < 8) — shared verbatim by q79, whose
     * persisted-index probe has identical semantics by construction.
     */
-  private lazy val ivfOracleSql: String = {
+  /** The IVF probe oracle, parameterized on the centroid selection so
+    * the delta-segment variant (q156: first-16 quantizer of the BASE
+    * slice) renders from the same template as q42/q79's full-corpus one.
+    */
+  private def ivfOracleSqlCents(centsWhere: String): String = {
     val dotEC = duckDot.format("e.embedding", "c.cent_emb")
     val dotCQ = duckDot.format("c.emb", "q.q_emb")
     s"""WITH e AS (
@@ -49,7 +53,7 @@ object SimilarityQueries {
        |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
        |  FROM embeddings
        |), cents AS (
-       |  SELECT vec_id AS cell, embedding AS cent_emb, norm AS cent_norm FROM e WHERE vec_id < 16
+       |  SELECT vec_id AS cell, embedding AS cent_emb, norm AS cent_norm FROM e WHERE $centsWhere
        |), scored_all AS (
        |  SELECT e.vec_id, e.embedding, e.norm, c.cell,
        |         $dotEC / (e.norm * c.cent_norm) AS csim
@@ -73,6 +77,8 @@ object SimilarityQueries {
        |      FROM cand)
        |WHERE rn <= 5""".stripMargin
   }
+
+  private lazy val ivfOracleSql: String = ivfOracleSqlCents("vec_id < 16")
 
   /** Brute-force top-5 oracle — shared verbatim by q85, whose exhaustive
     * probe (nprobe = nlist) returns exactly the brute-force result no
@@ -548,6 +554,25 @@ object SimilarityQueries {
           Tables.embeddings(spark, dir).filter(col("vec_id") < 1000),
           "vec_id", "embedding", posThreshold = 0.4, negLo = 0.1,
           tables = DupTables, bitsPerTable = DupBits, dim = Dim)
+    ),
+    Q(
+      "q156_ivf_delta_probe",
+      "IVF index with a DELTA segment — the production vector-store " +
+        "segment model (base segment + fresh segment, compact " +
+        "periodically): arrivals (vec_id = 4 mod 5, 20%) are assigned " +
+        "to the FROZEN base centroids in one broadcast-quantizer pass " +
+        "over the batch and written as their own cell-bucketed delta " +
+        "segment; base postings untouched — per-ingest-batch index " +
+        "maintenance at delta cost instead of a corpus-sized rebuild. " +
+        "The probe reads base UNION delta (query side broadcast, " +
+        "neither segment shuffles). Frozen-quantizer assignment is " +
+        "deterministic and cell-local, so the probe EQUALS one against " +
+        "an index rebuilt over the merged corpus with the same " +
+        "centroids — which is what the oracle floods. Centroid drift " +
+        "under arrivals moves recall-per-nprobe only (exact scoring of " +
+        "probed cells), reset by the periodic re-train + compact.",
+      Some(ivfOracleSqlCents("vec_id < 16 AND vec_id % 5 <> 4")),
+      (spark, dir) => IvfPhases.segProbe(spark, dir)
     )
   )
 }
@@ -602,5 +627,50 @@ object IvfPhases {
     graft.operators.Similarity.cosineTopKIvf(
       e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
       k = 5, nlist = 8, nprobe = 8, centroidsOpt = Some(cents.get(dir)))
+  }
+
+  // ---- q156 delta-segment family (own prefix: the base segment is the
+  // vec_id % 5 != 4 slice, NOT q79's full-corpus index) ----
+
+  private def segPrefix(dir: String) = s"graft_ivfseg_${Q.scratchTag(dir)}"
+  private val segBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Arrival batch for the delta segment: vec_id ≡ 4 (mod 5) — 20 % of
+    * the corpus at every sf; base = the other 80 %.
+    */
+  def segArrivals(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).filter(col("vec_id") % 5 === 4)
+
+  /** One-shot: base IVF index over the existing (non-arrival) slice. */
+  def segBaseBuild(spark: SparkSession, dir: String): Unit = {
+    graft.operators.IvfIndex.build(
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 5 =!= 4),
+      "vec_id", "embedding", nlist = 16, prefix = segPrefix(dir))
+    segBuilt.add(segPrefix(dir))
+  }
+
+  /** Per-ingest-batch: fold the arrivals into a delta segment against the
+    * FROZEN base centroids (the cost a vector store pays per batch — one
+    * broadcast-quantizer pass over the batch, base postings untouched).
+    */
+  def segDeltaAppend(spark: SparkSession, dir: String): Unit = {
+    if (!segBuilt.contains(segPrefix(dir))) segBaseBuild(spark, dir)
+    graft.operators.IvfIndex.appendDelta(
+      segArrivals(spark, dir), "vec_id", "embedding", prefix = segPrefix(dir))
+    segBuilt.add(graft.operators.IvfIndex.deltaTable(segPrefix(dir)))
+  }
+
+  def ensureSegments(spark: SparkSession, dir: String): Unit =
+    if (!segBuilt.contains(graft.operators.IvfIndex.deltaTable(segPrefix(dir))))
+      segDeltaAppend(spark, dir)
+
+  /** Probe base ∪ delta — identical semantics to a merged-corpus rebuild
+    * with the same centroids (q156's oracle floods exactly that).
+    */
+  def segProbe(spark: SparkSession, dir: String): DataFrame = {
+    ensureSegments(spark, dir)
+    graft.operators.IvfIndex.probeSegments(
+      spark, Tables.embeddings(spark, dir).filter(col("vec_id") < 8),
+      "vec_id", "embedding", k = 5, nprobe = 2, prefix = segPrefix(dir))
   }
 }

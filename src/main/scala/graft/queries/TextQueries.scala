@@ -1399,6 +1399,88 @@ object TextQueries {
               (col("n_docs").cast("double") * lit(4.0))).as("mean_quality"),
             col("n_dup_docs"))
       }
+    ),
+    Q(
+      "q157_benchmark_fold",
+      "Benchmark-VERSION fold — the third face of the incremental " +
+        "discipline (components: corpus arrivals; IVF delta segment: " +
+        "index arrivals; here the SCREEN side grows): a new benchmark " +
+        "version (doc_id % 10 = 5) folds into the stored v1 " +
+        "decontamination product (report + gram set, doc_id % 10 = 0) " +
+        "WITHOUT the v1 documents — novel grams = grams(v2) anti-joined " +
+        "against the stored gram set (benchmark-sized broadcast), and " +
+        "hit counts are additive across disjoint gram sets, so one " +
+        "corpus screen against the novel grams yields exactly the " +
+        "from-scratch union report (which the oracle floods). The " +
+        "corpus scan is not saved (screens are scan-shaped); saved: the " +
+        "archived v1 docs, the broadcast width, the stored counts. The " +
+        "corpus-arrival face is the streaming twin (decontaminated).",
+      Some("""
+        |WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 7, 0) + 1),
+        |    i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS g
+        |  FROM t
+        |), bench AS (
+        |  SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0 OR doc_id % 10 = 5
+        |), hits AS (
+        |  SELECT c.doc_id, COUNT(*) AS hits
+        |  FROM (SELECT doc_id, g FROM g WHERE doc_id % 10 <> 0 AND doc_id % 10 <> 5) c
+        |  JOIN bench b ON c.g = b.g
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(h.hits, 0) AS BIGINT) AS n_hits,
+        |       COALESCE(h.hits, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 10 <> 5) d
+        |LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        DecontamPhases.ensureStored(spark, dir)
+        val docs = Tables.documents(spark, dir)
+        Decontaminate.foldNewBenchmark(
+          spark.table(DecontamPhases.reportTable(dir)),
+          spark.table(DecontamPhases.gramTable(dir)),
+          corpus = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5),
+          newBenchmark = docs.filter(col("doc_id") % 10 === 5),
+          textCol = "text", idCol = "doc_id")._1
+      }
     )
   )
+}
+
+/** The stored v1 decontamination product behind q157: the per-doc report
+  * and the benchmark gram set (= the screen), materialized once per
+  * input dir — what a serving pipeline holds between benchmark releases.
+  * The bench times the v1 build as its own line so the FOLD's number is
+  * the per-release cost, not build+fold.
+  */
+object DecontamPhases {
+  import org.apache.spark.sql.SparkSession
+
+  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def reportTable(dir: String): String = s"graft_dcta_rep_${Q.scratchTag(dir)}"
+  def gramTable(dir: String): String = s"graft_dcta_grams_${Q.scratchTag(dir)}"
+
+  /** One-shot: v1 report (corpus screened against doc_id % 10 = 0) and
+    * the v1 gram set, both persisted. Report bucketed by doc id so the
+    * fold's count join reads it without an exchange on the stored side.
+    */
+  def buildStored(spark: SparkSession, dir: String): Unit = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
+    val v1 = docs.filter(col("doc_id") % 10 === 0)
+    val rep = Decontaminate.report(corpus, v1, "text", "doc_id")
+    graft.operators.Bucketing.writeBucketed(rep, reportTable(dir), "doc_id", 4)
+    val grams = Decontaminate.benchGramSet(v1, "text", "doc_id")
+    graft.operators.Bucketing.dropWithLocation(spark, gramTable(dir))
+    grams.write.format("parquet").saveAsTable(gramTable(dir))
+    built.add(reportTable(dir))
+  }
+
+  def ensureStored(spark: SparkSession, dir: String): Unit =
+    if (!built.contains(reportTable(dir))) buildStored(spark, dir)
 }

@@ -37,4 +37,30 @@ class IvfIndexSpec extends AnyFunSuite {
     // join directly (bucketed scan markers present in the scan node).
     assert(plan.contains("Bucketed: true"), plan.linesIterator.take(50).mkString("\n"))
   }
+
+  test("delta segment: probe(base ∪ delta) equals a merged-corpus rebuild with the same centroids") {
+    val e = Tables.embeddings(spark, SparkTestSession.sf0001)
+    val base = e.filter(col("vec_id") % 5 =!= 4)
+    val arrivals = e.filter(col("vec_id") % 5 === 4)
+    val q = e.filter(col("vec_id") < 8)
+    // segment path: base index built once, arrivals folded against the
+    // FROZEN base centroids at delta cost
+    IvfIndex.build(base, "vec_id", "embedding", nlist = 16, prefix = "graft_ivf_seg_spec")
+    IvfIndex.appendDelta(arrivals, "vec_id", "embedding", prefix = "graft_ivf_seg_spec")
+    val seg = IvfIndex.probeSegments(
+      spark, q, "vec_id", "embedding", k = 5, nprobe = 2, prefix = "graft_ivf_seg_spec")
+      .orderBy("q_id", "rank").collect()
+    // comparator: from-scratch rebuild over the merged corpus, SAME
+    // centroids (the base slice's first-16 quantizer)
+    val baseCents = Similarity.centroids(base, "vec_id", "embedding", nlist = 16)
+    val rebuilt = Similarity.cosineTopKIvf(
+      e, q, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 2,
+      centroidsOpt = Some(baseCents))
+      .orderBy("q_id", "rank").collect()
+    assert(seg.length > 0 && seg.sameElements(rebuilt))
+    // the delta segment holds exactly the arrival batch — the fold paid
+    // delta cost, not a corpus rebuild
+    assert(spark.table(IvfIndex.deltaTable("graft_ivf_seg_spec")).count() == arrivals.count())
+    assert(spark.table(IvfIndex.corpusTable("graft_ivf_seg_spec")).count() == base.count())
+  }
 }

@@ -56,6 +56,33 @@ class PiiDecontaminateSpec extends AnyFunSuite {
       == Seq((1L, 2L, true), (2L, 0L, false)))
   }
 
+  test("benchmark-version fold equals the from-scratch union report; gram set stays exact") {
+    val docs = graft.Tables.documents(spark, SparkTestSession.sf0001)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
+    val v1 = docs.filter(col("doc_id") % 10 === 0)
+    val v2 = docs.filter(col("doc_id") % 10 === 5)
+    val stored = Decontaminate.report(corpus, v1, "text", "doc_id")
+    val storedGrams = Decontaminate.benchGramSet(v1, "text", "doc_id")
+    val (updated, updatedGrams) = Decontaminate.foldNewBenchmark(
+      stored, storedGrams, corpus, v2, "text", "doc_id")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    // the additive fold == a full re-screen against v1 ∪ v2
+    val full = Decontaminate.report(
+      corpus, v1.unionByName(v2), "text", "doc_id")
+    assert(canon(updated) == canon(full))
+    assert(canon(updated) != canon(stored)) // v2 actually added contamination
+    // the updated gram set is exactly the union screen
+    val fullGrams = Decontaminate.benchGramSet(
+      v1.unionByName(v2), "text", "doc_id")
+    assert(updatedGrams.collect().map(_.getString(0)).sorted.toSeq
+      == fullGrams.collect().map(_.getString(0)).sorted.toSeq)
+    // scale shape: both benchmark-sized frames ride broadcasts; the
+    // corpus gram stream is never exchange-joined on the gram key
+    val plan = updated.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(50).mkString("\n"))
+  }
+
   test("wide simhash: identical docs collide, near-identical land within radius, distant do not") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
