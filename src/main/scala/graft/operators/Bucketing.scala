@@ -51,6 +51,22 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Append into a bucketed table (creating it on first use), SAME bucket
+    * spec — the per-micro-batch write an accumulating delta segment uses
+    * (e.g. streaming IVF maintenance: each arrival batch appends its
+    * bucket files; readers see base ∪ all appended batches). Unlike
+    * [[writeBucketed]] this is NOT idempotent per call — a replayed batch
+    * appends twice; exactly-once is the streaming engine's job
+    * (checkpointed foreachBatch ids).
+    */
+  def appendBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .mode("append")
+      .saveAsTable(table)
+
   /** Bucket both sides of a join on their keys and return the co-located
     * table handles. Same bucket count on both sides — the requirement for
     * the shuffle-free plan.

@@ -97,6 +97,29 @@ object IvfIndex {
     Bucketing.writeBucketed(assigned, deltaTable(prefix), "cell", buckets)
   }
 
+  /** The STREAMING face of [[appendDelta]]: fold one arrival micro-batch
+    * into an ACCUMULATING delta segment (append, not overwrite) — drive
+    * it from `writeStream.foreachBatch`, where the streaming engine's
+    * checkpointed batch ids give the exactly-once this append-mode write
+    * needs (a replayed batch would append twice; [[appendDelta]]'s
+    * overwrite form is the idempotent single-batch tool). Same frozen
+    * quantizer, same bucket spec, so [[probeSegments]] semantics are
+    * unchanged as batches accumulate; compaction = [[build]] over the
+    * merged corpus, exactly the vector-store segment lifecycle.
+    */
+  def appendDeltaBatch(
+      arrivals: DataFrame,
+      idCol: String,
+      embCol: String,
+      buckets: Int = 8,
+      prefix: String = "graft_ivf"): Unit = {
+    val spark = arrivals.sparkSession
+    val cents = spark.table(centroidTable(prefix))
+    val assigned = Similarity.assignCells(
+      arrivals, cents, idCol, embCol, "neighbor_id", keep = 1)
+    Bucketing.appendBucketed(assigned, deltaTable(prefix), "cell", buckets)
+  }
+
   /** Probe base + delta segments: identical semantics to [[probe]] over
     * the merged postings. Both segments are cell-bucketed with the same
     * layout; the query side is a broadcast, so neither segment ever

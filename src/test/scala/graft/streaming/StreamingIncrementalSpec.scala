@@ -72,6 +72,46 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming IVF delta maintenance: foreachBatch folds arrival batches, probe equals rebuild") {
+    import graft.operators.{IvfIndex, Similarity}
+    val e = graft.Tables.embeddings(spark, SparkTestSession.sf0001)
+    val basePart = e.filter(col("vec_id") % 5 =!= 4)
+    // arrivals in two micro-batches (the accumulating-segment case the
+    // overwrite-mode appendDelta cannot express)
+    val arr1 = e.filter(col("vec_id") % 10 === 4)
+    val arr2 = e.filter(col("vec_id") % 10 === 9)
+    val prefix = "graft_ivf_stream_spec"
+    IvfIndex.build(basePart, "vec_id", "embedding", nlist = 16, prefix = prefix)
+    graft.operators.Bucketing.dropWithLocation(spark, IvfIndex.deltaTable(prefix))
+    val dirStr = watchDirOf(Seq(arr1, arr2))
+    val stream = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dirStr)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IvfIndex.appendDeltaBatch(batch, "vec_id", "embedding", prefix = prefix)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // both batches landed in the accumulating segment
+      assert(spark.table(IvfIndex.deltaTable(prefix)).count()
+        == arr1.count() + arr2.count())
+      // probe(base ∪ accumulated deltas) == merged-corpus rebuild with the
+      // frozen base centroids — batch count and arrival order irrelevant
+      val seg = IvfIndex.probeSegments(
+        spark, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nprobe = 2, prefix = prefix)
+        .orderBy("q_id", "rank").collect()
+      val rebuilt = Similarity.cosineTopKIvf(
+        e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 2,
+        centroidsOpt = Some(Similarity.centroids(basePart, "vec_id", "embedding", 16)))
+        .orderBy("q_id", "rank").collect()
+      assert(seg.length > 0 && seg.sameElements(rebuilt))
+    } finally q.stop()
+  }
+
   test("canonicalRouted equals the batch mixed-pair routing; zero state") {
     import graft.operators.Components
     val sparkText = "completely different content about spark catalyst " +
