@@ -87,6 +87,54 @@ object Quantize {
       .filter(col("rank") <= k)
   }
 
+  /** Two-stage retrieval: int8 COARSE scoring -> exact fp32 RERANK — the
+    * production serving shape for compressed indexes (score the whole
+    * corpus on 4x-smaller codes, then re-score only a per-query
+    * shortlist at full precision). Stage 1 is [[cosineTopKInt8]] at
+    * k = `shortlist`; stage 2 fetches the float vectors for the
+    * shortlisted (query, candidate) pairs and takes the exact-cosine
+    * top-k.
+    *
+    * Scale shape: the corpus-sized work is ALL in the coarse stage
+    * (which is why it runs on codes); the rerank touches
+    * queries x shortlist rows — corpus-size-independent — and both
+    * rerank joins put the shortlist/query side on the broadcast build
+    * side, so the corpus float table streams in place, never shuffles.
+    * Quality: rerank CORRECTS the compression error inside the
+    * shortlist (final ordering is exact cosine), so recall@k of the
+    * two-stage result is >= the pure-int8 recall at the same k and
+    * approaches brute-force as `shortlist` grows — the
+    * shortlist-width-vs-recall curve is THE serving knob (q158 tracks
+    * the operating point; OperatorsSpec pins the >= property).
+    */
+  def twoStageTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      shortlist: Int = 20): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"need shortlist >= k >= 1, got k=$k shortlist=$shortlist")
+    graft.functions.DotProductFF.register(corpus.sparkSession)
+    import graft.operators.Similarity.{dotD, normD}
+    val coarse = cosineTopKInt8(corpus, queries, idCol, embCol, k = shortlist)
+      .select(col("q_id"), col("neighbor_id"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(embCol).as("__c_emb"), normD(col(embCol)).as("__c_norm"))
+    val q = queries.select(col(idCol).as("q_id"),
+      col(embCol).as("__q_emb"), normD(col(embCol)).as("__q_norm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(coarse), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        (dotD(col("__c_emb"), col("__q_emb")) /
+          (col("__c_norm") * col("__q_norm"))).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-vector symmetric int8 quantization of `embCol`
     * (`ArrayType(FloatType)`): output (idCol, scale, qvec, max_abs_err)
     * where `scale` = max |floor(v * 2^30)| (BIGINT; 0 for empty or

@@ -573,6 +573,67 @@ object SimilarityQueries {
         "probed cells), reset by the periodic re-train + compact.",
       Some(ivfOracleSqlCents("vec_id < 16 AND vec_id % 5 <> 4")),
       (spark, dir) => IvfPhases.segProbe(spark, dir)
+    ),
+    Q(
+      "q158_two_stage_rerank",
+      "Two-stage retrieval — the production serving shape for " +
+        "compressed indexes: the whole corpus is scored on 4x-smaller " +
+        "int8 codes (q122's exact-integer quantization; per-vector " +
+        "scale cancels in cosine so the coarse pass is all-integer), " +
+        "a per-query shortlist of 20 survives, and only those pairs " +
+        "are re-scored at exact fp32 cosine for the final top-5. The " +
+        "corpus-sized work is all in the coarse stage; the rerank is " +
+        "queries x shortlist — corpus-size-independent — with the " +
+        "shortlist and query sides broadcast, so the float table " +
+        "streams in place. Rerank corrects the compression error " +
+        "inside the shortlist (final ordering is exact), so recall@5 " +
+        ">= the pure-int8 recall and approaches brute force as the " +
+        "shortlist widens — the serving knob, tracked as a query.",
+      Some {
+        val code = "CASE WHEN scale = 0 THEN 0 WHEN x >= 0 THEN (x * 127) // scale ELSE -((-x * 127) // scale) END"
+        val dotCQ = duckDot.format("ce.embedding", "qe.embedding")
+        s"""WITH v AS (
+           |  SELECT vec_id,
+           |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1073741824.0) AS BIGINT)) AS iv
+           |  FROM embeddings
+           |), s AS (
+           |  SELECT vec_id, iv,
+           |         coalesce(list_max(list_transform(iv, x -> abs(x))), 0) AS scale
+           |  FROM v
+           |), n AS (
+           |  SELECT vec_id, q,
+           |         sqrt(CAST(list_sum(list_transform(list_zip(q, q), x -> x[1] * x[2])) AS DOUBLE)) AS nrm
+           |  FROM (SELECT vec_id, list_transform(iv, x -> $code) AS q FROM s WHERE scale > 0)
+           |), coarse AS (
+           |  SELECT q_id, neighbor_id FROM (
+           |    SELECT qq.vec_id AS q_id, c.vec_id AS neighbor_id,
+           |           ROW_NUMBER() OVER (PARTITION BY qq.vec_id ORDER BY
+           |             CAST(list_sum(list_transform(list_zip(c.q, qq.q), x -> x[1] * x[2])) AS DOUBLE)
+           |               / (c.nrm * qq.nrm) DESC, c.vec_id) AS rn
+           |    FROM n c JOIN n qq ON qq.vec_id < 8 AND c.vec_id != qq.vec_id)
+           |  WHERE rn <= 20
+           |), e AS (
+           |  SELECT vec_id, embedding,
+           |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+           |  FROM embeddings
+           |), rescored AS (
+           |  SELECT co.q_id, co.neighbor_id,
+           |         $dotCQ / (ce.norm * qe.norm) AS sim
+           |  FROM coarse co
+           |  JOIN e ce ON ce.vec_id = co.neighbor_id
+           |  JOIN e qe ON qe.vec_id = co.q_id
+           |)
+           |SELECT q_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank
+           |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rn
+           |      FROM rescored)
+           |WHERE rn <= 5""".stripMargin
+      },
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        graft.operators.Quantize.twoStageTopK(
+          e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, shortlist = 20)
+      }
     )
   )
 }

@@ -237,6 +237,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan.linesIterator.take(40).mkString("\n"))
   }
 
+  test("two-stage rerank: recall >= pure-int8, exact final ordering, wide shortlist = brute force") {
+    val e = graft.Tables.embeddings(spark, SparkTestSession.sf0001)
+    val q = e.filter(col("vec_id") < 8)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = ids(Similarity.cosineTopK(e, q, "vec_id", "embedding", k = 5))
+    val int8 = ids(Quantize.cosineTopKInt8(e, q, "vec_id", "embedding", k = 5))
+    val two = ids(Quantize.twoStageTopK(e, q, "vec_id", "embedding", k = 5, shortlist = 20))
+    // rerank corrects compression error INSIDE the shortlist: recall@5
+    // can only improve on the pure-int8 result
+    assert((two intersect brute).size >= (int8 intersect brute).size)
+    // a corpus-wide shortlist degenerates to exact brute force — the
+    // coarse stage then only gates zero-norm vectors, which the corpus
+    // fixture doesn't contain
+    val wide = ids(Quantize.twoStageTopK(e, q, "vec_id", "embedding",
+      k = 5, shortlist = e.count().toInt))
+    assert(wide == brute)
+    // final scores are exact fp32 cosine: for shortlisted pairs that are
+    // also brute-force winners, sims agree bit-for-bit
+    val bruteSims = Similarity.cosineTopK(e, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Quantize.twoStageTopK(e, q, "vec_id", "embedding", k = 5, shortlist = 20)
+      .collect().foreach { r =>
+        bruteSims.get((r.getLong(0), r.getLong(1))).foreach { s =>
+          assert(s == r.getDouble(2), s"sim mismatch at ${(r.getLong(0), r.getLong(1))}")
+        }
+      }
+  }
+
   test("text analysis: counts and ratios on a known sentence") {
     val df = docs((1L, "The cat, and the dog. In a box!"))
     val r = df.select(
