@@ -335,6 +335,55 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(reused >= 1, "expected the fanned-out curated pool to reuse exchanges")
   }
 
+  test("q154: the small-delta routing probe is a bucketed-table join — no mining, no propagation") {
+    val p = plan("q154_refresh_small_delta")
+    assert(p.contains(DupGraphPhases.smallDeltaServingTable(SparkTestSession.sf0001)),
+      p.linesIterator.take(60).mkString("\n"))
+    assert(!p.contains("Generate"), p.linesIterator.take(60).mkString("\n"))
+    assert(!p.contains("portable_hash32"), p.linesIterator.take(60).mkString("\n"))
+  }
+
+  test("q156: the segmented probe unions two bucketed scans; query side broadcasts; no cartesian") {
+    val df = SparkEntry.queries("q156_ivf_delta_probe")(spark, SparkTestSession.sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // both segments appear as bucketed scans, the corpus never exchanges
+    // on the join key (the query/cell side rides broadcasts), and the
+    // centroid assignment is a broadcast nested loop over the TINY
+    // centroid table only — never over corpus-sized inputs
+    assert(p.contains("Bucketed: true"), p.linesIterator.take(60).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.linesIterator.take(60).mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(60).mkString("\n"))
+  }
+
+  test("q157: the fold screens corpus grams through broadcasts; the stored report scans bucketed") {
+    val df = SparkEntry.queries("q157_benchmark_fold")(spark, SparkTestSession.sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // novel-gram anti-join and the corpus screen both ride broadcasts —
+    // the corpus gram stream is never exchange-joined on the gram key
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(60).mkString("\n"))
+    // the stored report streams in place: its fold join is a broadcast
+    // left-outer with the delta-sized hit counts on the BUILD side (AQE
+    // rightly disables bucketed reading — a broadcast join doesn't need
+    // the distribution), so the corpus-sized side has zero exchanges
+    assert(p.contains(DecontamPhases.reportTable(SparkTestSession.sf0001)),
+      p.linesIterator.take(60).mkString("\n"))
+    assert(p.contains("LeftOuter, BuildRight"), p.linesIterator.take(60).mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(60).mkString("\n"))
+  }
+
+  test("q158: rerank joins broadcast the shortlist/query sides; coarse+final top-k group-limit") {
+    val p = plan("q158_two_stage_rerank")
+    assert(p.contains("WindowGroupLimit"), p.linesIterator.take(60).mkString("\n"))
+    // the only nested-loop is the int8 coarse stage's broadcast of the
+    // 8-query set under the corpus stream (the q40/q69 ANN shape); the
+    // rerank itself is hash joins with broadcast build sides
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(60).mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(60).mkString("\n"))
+  }
+
   test("components shuffle path: the REAL iteration keys the edge join on dst (sort-merge capable)") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
