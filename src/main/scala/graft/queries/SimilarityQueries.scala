@@ -634,6 +634,74 @@ object SimilarityQueries {
           e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
           k = 5, shortlist = 20)
       }
+    ),
+    Q(
+      "q159_two_stage_recall",
+      "Recall@5 of the two-stage (int8 coarse -> fp32 rerank, q158) " +
+        "result against the brute-force truth — completing the tracked " +
+        "recall family (q121 LSH, q131 int8, q141 IVF, q159 two-stage). " +
+        "Reading q159 against q131 shows what the RERANK buys back of " +
+        "the compression loss at the same k; the shortlist width is the " +
+        "knob that closes the rest. Evaluation join is queries x k " +
+        "rows — corpus-size-independent.",
+      Some {
+        val code = "CASE WHEN scale = 0 THEN 0 WHEN x >= 0 THEN (x * 127) // scale ELSE -((-x * 127) // scale) END"
+        val dotCQ = duckDot.format("ce.embedding", "qe.embedding")
+        s"""WITH v AS (
+           |  SELECT vec_id,
+           |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1073741824.0) AS BIGINT)) AS iv
+           |  FROM embeddings
+           |), s AS (
+           |  SELECT vec_id, iv,
+           |         coalesce(list_max(list_transform(iv, x -> abs(x))), 0) AS scale
+           |  FROM v
+           |), n AS (
+           |  SELECT vec_id, q,
+           |         sqrt(CAST(list_sum(list_transform(list_zip(q, q), x -> x[1] * x[2])) AS DOUBLE)) AS nrm
+           |  FROM (SELECT vec_id, list_transform(iv, x -> $code) AS q FROM s WHERE scale > 0)
+           |), coarse AS (
+           |  SELECT q_id, neighbor_id FROM (
+           |    SELECT qq.vec_id AS q_id, c.vec_id AS neighbor_id,
+           |           ROW_NUMBER() OVER (PARTITION BY qq.vec_id ORDER BY
+           |             CAST(list_sum(list_transform(list_zip(c.q, qq.q), x -> x[1] * x[2])) AS DOUBLE)
+           |               / (c.nrm * qq.nrm) DESC, c.vec_id) AS rn
+           |    FROM n c JOIN n qq ON qq.vec_id < 8 AND c.vec_id != qq.vec_id)
+           |  WHERE rn <= 20
+           |), e AS (
+           |  SELECT vec_id, embedding,
+           |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+           |  FROM embeddings
+           |), rescored AS (
+           |  SELECT co.q_id, co.neighbor_id,
+           |         $dotCQ / (ce.norm * qe.norm) AS sim
+           |  FROM coarse co
+           |  JOIN e ce ON ce.vec_id = co.neighbor_id
+           |  JOIN e qe ON qe.vec_id = co.q_id
+           |), ap AS (
+           |  SELECT q_id, neighbor_id
+           |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rn
+           |        FROM rescored)
+           |  WHERE rn <= 5
+           |), ex AS (
+           |  SELECT q_id, neighbor_id FROM (
+           |    $bruteForceSql
+           |  )
+           |)
+           |SELECT ex.q_id,
+           |       CAST(COUNT(*) AS BIGINT) AS n_exact,
+           |       CAST(COUNT(ap.neighbor_id) AS BIGINT) AS n_hit,
+           |       CAST(COUNT(ap.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+           |FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.neighbor_id = ap.neighbor_id
+           |GROUP BY ex.q_id""".stripMargin
+      },
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        val q = e.filter(col("vec_id") < 8)
+        Similarity.topKRecall(
+          Similarity.cosineTopK(e, q, "vec_id", "embedding", k = 5),
+          graft.operators.Quantize.twoStageTopK(
+            e, q, "vec_id", "embedding", k = 5, shortlist = 20))
+      }
     )
   )
 }
