@@ -91,9 +91,37 @@ object Tables {
     * engine's event-time contract (the reference's own representation:
     * int64 ns operated on as BigInt, `/root/reference/main.js:158-162`).
     * Dtype-adaptive across fixture generations; see [[normalizeTsNs]].
+    *
+    * UNIT guard (once per dir per JVM): the dtype match alone cannot
+    * tell ns-decoded NANOS parquet from a hypothetical future fixture
+    * storing raw int64 µs/ms — both arrive as `LongType` — so the first
+    * load probes ONE row and fails loudly if the value is not a
+    * plausible ns epoch ([2000, 2100)), instead of letting every
+    * event-time query silently compute 1000x off. Cost: a single-row
+    * head on first touch of a dir; streaming reads can't probe
+    * (unbounded plans have no head), but they borrow this check because
+    * [[graft.streaming.EventStream.readEvents]] derives its schema from
+    * a batch load of the same fixture family.
     */
-  def eventsTsNs(spark: SparkSession, dir: String): DataFrame =
-    normalizeTsNs(eventsRaw(spark, dir))
+  def eventsTsNs(spark: SparkSession, dir: String): DataFrame = {
+    val df = normalizeTsNs(eventsRaw(spark, dir))
+    if (!unitChecked.contains(dir)) {
+      df.select(col("ts")).head(1).foreach { r =>
+        val ns = r.getLong(0)
+        val (lo, hi) = (946684800L * 1000000000L, 4102444800L * 1000000000L)
+        if (ns < lo || ns >= hi)
+          throw new IllegalStateException(
+            s"events.ts in $dir normalized to $ns, outside [2000, 2100) as int64 ns — " +
+              "the fixture likely stores a raw integer in a different unit (µs/ms). " +
+              "Extend graft.Tables.normalizeTsNs — the single adaptation point.")
+      }
+      unitChecked.add(dir)
+    }
+    df
+  }
+
+  private val unitChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** The engine's derived event-time columns over the contract `ts`
     * (int64 ns, what [[eventsTsNs]]/[[normalizeTsNs]] guarantee). ALL

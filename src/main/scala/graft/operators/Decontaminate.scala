@@ -57,7 +57,6 @@ object Decontaminate {
   def benchGramSet(
       benchmark: DataFrame,
       textCol: String,
-      idCol: String,
       n: Int = 8): DataFrame =
     benchmark.select(
       explode(array_distinct(
@@ -101,7 +100,7 @@ object Decontaminate {
       textCol: String,
       idCol: String,
       n: Int = 8): (DataFrame, DataFrame) = {
-    val novel = benchGramSet(newBenchmark, textCol, idCol, n)
+    val novel = benchGramSet(newBenchmark, textCol, n)
       .join(broadcast(storedGrams), Seq("g"), "left_anti")
     val deltaHits = corpus.select(
         col(idCol),

@@ -120,14 +120,18 @@ object Quantize {
     import graft.operators.Similarity.{dotD, normD}
     val coarse = cosineTopKInt8(corpus, queries, idCol, embCol, k = shortlist)
       .select(col("q_id"), col("neighbor_id"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(embCol).as("__c_emb"), normD(col(embCol)).as("__c_norm"))
+    // Join the corpus to the broadcast shortlist BEFORE deriving the fp32
+    // norm: the fold then runs on the queries x shortlist survivors only.
+    // (Projected before the join, Catalyst evaluates it corpus-wide — the
+    // semi-join-like filter can't push below a derived column it needs.)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__c_emb"))
+      .join(broadcast(coarse), Seq("neighbor_id"))
+      .withColumn("__c_norm", normD(col("__c_emb")))
     val q = queries.select(col(idCol).as("q_id"),
       col(embCol).as("__q_emb"), normD(col(embCol)).as("__q_norm"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(broadcast(coarse), Seq("neighbor_id"))
-      .join(broadcast(q), Seq("q_id"))
+    c.join(broadcast(q), Seq("q_id"))
       .select(col("q_id"), col("neighbor_id"),
         (dotD(col("__c_emb"), col("__q_emb")) /
           (col("__c_norm") * col("__q_norm"))).as("sim"))

@@ -1475,7 +1475,7 @@ object DecontamPhases {
     val v1 = docs.filter(col("doc_id") % 10 === 0)
     val rep = Decontaminate.report(corpus, v1, "text", "doc_id")
     graft.operators.Bucketing.writeBucketed(rep, reportTable(dir), "doc_id", 4)
-    val grams = Decontaminate.benchGramSet(v1, "text", "doc_id")
+    val grams = Decontaminate.benchGramSet(v1, "text")
     graft.operators.Bucketing.dropWithLocation(spark, gramTable(dir))
     grams.write.format("parquet").saveAsTable(gramTable(dir))
     built.add(reportTable(dir))

@@ -32,7 +32,8 @@ object EventStream {
     * the fixture generation's timestamp encoding.
     */
   def readEvents(spark: SparkSession, watchDir: String, schemaFrom: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // eventsRaw sets the session's nanosAsLong conf (needed for
+    // NANOS-generation fixtures) as well as supplying the raw schema.
     val schema = Tables.eventsRaw(spark, schemaFrom).schema
     Tables.normalizeTsNs(spark.readStream.schema(schema).parquet(watchDir))
   }

@@ -62,7 +62,7 @@ class PiiDecontaminateSpec extends AnyFunSuite {
     val v1 = docs.filter(col("doc_id") % 10 === 0)
     val v2 = docs.filter(col("doc_id") % 10 === 5)
     val stored = Decontaminate.report(corpus, v1, "text", "doc_id")
-    val storedGrams = Decontaminate.benchGramSet(v1, "text", "doc_id")
+    val storedGrams = Decontaminate.benchGramSet(v1, "text")
     val (updated, updatedGrams) = Decontaminate.foldNewBenchmark(
       stored, storedGrams, corpus, v2, "text", "doc_id")
     def canon(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id").collect()
@@ -74,7 +74,7 @@ class PiiDecontaminateSpec extends AnyFunSuite {
     assert(canon(updated) != canon(stored)) // v2 actually added contamination
     // the updated gram set is exactly the union screen
     val fullGrams = Decontaminate.benchGramSet(
-      v1.unionByName(v2), "text", "doc_id")
+      v1.unionByName(v2), "text")
     assert(updatedGrams.collect().map(_.getString(0)).sorted.toSeq
       == fullGrams.collect().map(_.getString(0)).sorted.toSeq)
     // scale shape: both benchmark-sized frames ride broadcasts; the
