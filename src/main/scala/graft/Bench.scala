@@ -189,7 +189,17 @@ object Bench {
             s.emptyDataFrame
           }),
           "q157_benchmark_fold" -> ((s: SparkSession, d: String) =>
-            SparkEntry.queries("q157_benchmark_fold")(s, d))))
+            SparkEntry.queries("q157_benchmark_fold")(s, d))),
+        // HLL sketch fold: the stored register build scans the existing
+        // corpus once; the q160 line is what one arrival batch costs
+        // (sketch the batch + cell-wise max against KB of state).
+        "q160_hll_sketch_fold" -> Seq(
+          "q160_hll_stored_build" -> ((s: SparkSession, d: String) => {
+            graft.queries.HllPhases.buildStored(s, d)
+            s.emptyDataFrame
+          }),
+          "q160_hll_sketch_fold" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q160_hll_sketch_fold")(s, d))))
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       phaseSplit.getOrElse(name, Seq(name -> fn)).map { case (n, f) =>
         (n, f, timeOne(n, f))

@@ -1401,6 +1401,47 @@ object TextQueries {
       }
     ),
     Q(
+      "q160_hll_sketch_fold",
+      "Incremental corpus statistics via sketch merge — the STATISTICS " +
+        "face of the incremental discipline, and the reason sketches " +
+        "are in the engine at all: the stored per-source HLL register " +
+        "table (q103's sketch over 'yesterday', even doc_ids) absorbs " +
+        "an arrival batch (odd ids) by sketching ONLY the arrivals and " +
+        "taking the cell-wise max — the sketch-union monoid. No raw " +
+        "re-scan of the existing corpus, constant-size state per " +
+        "source, and because registers are deterministic maxima the " +
+        "merged table EQUALS the sketch of the full corpus register " +
+        "for register (which is what the oracle computes from " +
+        "scratch). At 100 TB the stored registers are KB per source " +
+        "while the corpus they summarize is the 100 TB.",
+      Some("""
+        |WITH toks AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |), hr AS (
+        |  SELECT source,
+        |         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) & 63 AS bucket,
+        |         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) >> 6 AS w
+        |  FROM toks
+        |)
+        |SELECT source, bucket,
+        |       CAST(max(CASE WHEN w = 0 THEN 27
+        |                     ELSE 27 - length(bin(w)) END) AS INTEGER) AS register
+        |FROM hr GROUP BY 1, 2
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.operators.{HyperLogLog, TextAnalysis}
+        HllPhases.ensureStored(spark, dir)
+        val arrivals = Tables.documents(spark, dir)
+          .filter(col("doc_id") % 2 === 1)
+          .select(col("source"), explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
+        HyperLogLog.merge(
+          spark.table(HllPhases.registerTable(dir)),
+          HyperLogLog.registers(arrivals, "tok", Seq("source"), p = 6),
+          Seq("source"))
+      }
+    ),
+    Q(
       "q157_benchmark_fold",
       "Benchmark-VERSION fold — the third face of the incremental " +
         "discipline (components: corpus arrivals; IVF delta segment: " +
@@ -1457,6 +1498,33 @@ object TextQueries {
   * The bench times the v1 build as its own line so the FOLD's number is
   * the per-release cost, not build+fold.
   */
+/** The stored "yesterday" HLL register table behind q160: per-source
+  * registers over the even half of the corpus, persisted once per input
+  * dir — the constant-size statistics state a serving pipeline folds
+  * arrival sketches into (never re-scanning the summarized corpus).
+  */
+object HllPhases {
+  import org.apache.spark.sql.SparkSession
+  import graft.operators.{HyperLogLog, TextAnalysis}
+
+  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def registerTable(dir: String): String = s"graft_hllreg_${Q.scratchTag(dir)}"
+
+  def buildStored(spark: SparkSession, dir: String): Unit = {
+    val existing = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("source"), explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
+    graft.operators.Bucketing.dropWithLocation(spark, registerTable(dir))
+    HyperLogLog.registers(existing, "tok", Seq("source"), p = 6)
+      .write.format("parquet").saveAsTable(registerTable(dir))
+    built.add(registerTable(dir))
+  }
+
+  def ensureStored(spark: SparkSession, dir: String): Unit =
+    if (!built.contains(registerTable(dir))) buildStored(spark, dir)
+}
+
 object DecontamPhases {
   import org.apache.spark.sql.SparkSession
 
