@@ -561,6 +561,59 @@ object TraceQueries {
           Tables.eventsTsNs(spark, dir),
           userCol = "user_id", tsNsCol = "ts",
           idCol = "event_id", valueCol = "value")
+    ),
+    Q(
+      "q161_hll_hourly_users",
+      "Approximate distinct users per hour via HLL (p=6) beside the " +
+        "exact count — the canonical streaming-analytics sketch applied " +
+        "to the event side: per-hour registers are 64 cells whatever " +
+        "the event volume, merge across shards/batches by cell-wise " +
+        "max (the q160 monoid), and the estimate re-derives from the " +
+        "persisted registers without rescanning events. The harmonic " +
+        "sum stays in exact fixed point (s_scaled BIGINT), so the " +
+        "checked numbers are engine-portable; the exact count beside " +
+        "it is the standing error audit. One map-side-combined shuffle " +
+        "onto (hours x 64) cells + one tiny distinct-count.",
+      Some(s"""
+        |WITH e AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hour_idx,
+        |         CAST(user_id AS VARCHAR) AS uid
+        |  FROM events
+        |), hr AS (
+        |  SELECT hour_idx,
+        |         CAST('0x' || substr(md5(uid), 1, 8) AS BIGINT) & 63 AS bucket,
+        |         CAST('0x' || substr(md5(uid), 1, 8) AS BIGINT) >> 6 AS w
+        |  FROM e
+        |), regs AS (
+        |  SELECT hour_idx, bucket,
+        |         max(CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END) AS register
+        |  FROM hr GROUP BY 1, 2
+        |), est AS (
+        |  SELECT hour_idx,
+        |         CAST((64 - count(*)) * (CAST(1 AS BIGINT) << 27)
+        |           + sum(CAST(1 AS BIGINT) << (27 - register)) AS BIGINT) AS s_scaled
+        |  FROM regs GROUP BY 1
+        |)
+        |SELECT e2.hour_idx, e2.s_scaled,
+        |       (${graft.operators.HyperLogLog.alphaLiteral(6)}) * 549755813888.0
+        |         / CAST(e2.s_scaled AS DOUBLE) AS hll_raw,
+        |       x.n_exact
+        |FROM est e2
+        |JOIN (SELECT hour_idx, count(DISTINCT uid) AS n_exact
+        |      FROM e GROUP BY 1) x USING (hour_idx)
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.operators.HyperLogLog
+        val ev = Tables.eventsTsNs(spark, dir).select(
+          Tables.EventTime.hourIdx.as("hour_idx"),
+          col("user_id").cast("string").as("uid"))
+        val est = HyperLogLog.estimateRaw(
+          HyperLogLog.registers(ev, "uid", Seq("hour_idx"), p = 6),
+          Seq("hour_idx"), p = 6)
+        est.join(
+          ev.groupBy("hour_idx").agg(countDistinct("uid").as("n_exact")),
+          Seq("hour_idx"))
+      }
     )
   )
 }
