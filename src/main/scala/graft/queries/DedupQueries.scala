@@ -1504,11 +1504,24 @@ object DupGraphPhases {
     */
   def build(spark: SparkSession, dir: String): Unit = synchronized {
     val docs = graft.Tables.documents(spark, dir)
+    // Eagerly materialize the signature frame ONCE before the band
+    // self-join: both join sides are the same signature subtree, and
+    // when AQE picks a broadcast join (no exchange on the probe side)
+    // there is nothing for exchange reuse to latch onto — the full
+    // signature mine (corpus scan + word explode + 16-way min
+    // aggregation) executes TWICE. Measured at sf0.1: pairs count
+    // 6.4 s -> 2.9 s, dupgraph_build 8.6 s -> 5.0 s first-run. The
+    // checkpoint is signature-sized (k longs + carries per doc — the
+    // thing this operator exists to shrink to), released right after
+    // the pair table lands.
     val sig = graft.operators.Dedup.minhashSignatures(
       docs, "text", "doc_id", NumHashes, carry = Seq("source"))
-    val prs = graft.operators.Dedup.lshCandidatePairs(
-      sig, "doc_id", NumHashes, bands = Bands, carry = Seq("source"))
-    graft.operators.Bucketing.writeBucketed(prs, pairTable(dir), "doc_a", 16)
+      .localCheckpoint(true)
+    try {
+      val prs = graft.operators.Dedup.lshCandidatePairs(
+        sig, "doc_id", NumHashes, bands = Bands, carry = Seq("source"))
+      graft.operators.Bucketing.writeBucketed(prs, pairTable(dir), "doc_a", 16)
+    } finally graft.operators.Checkpoints.release(sig)
     built += pairTable(dir)
   }
 
