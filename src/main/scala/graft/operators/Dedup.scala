@@ -326,6 +326,19 @@ object Dedup {
       .select(col(idCol), col("simhash"),
         col("blk.bidx").as("bidx"), col("blk.bval").as("bval"))
     val a = exploded.as("a")
+    // KNOWN double-compute (measured, round 13): the self-join's two
+    // sides are the same sketch subtree, and neither broadcast (no
+    // exchange for reuse to latch onto) nor the SMJ path (AQE
+    // materializes both stages despite sameResult-identical exchanges —
+    // verified with graft.tools.TimeQuery2) dedupes it, so the vote
+    // aggregation runs twice per mine. The remedy at scale is the
+    // engine's build-once/probe-many pattern (materialize the sketch or
+    // the pair table, as DupGraphPhases.build does for the MinHash
+    // family with an eagerly-released localCheckpoint); it is NOT
+    // applied inside this lazy operator because a checkpoint created
+    // here could not be released at any principled point (the caller
+    // owns execution), and leaked checkpoint blocks degrade unrelated
+    // queries (the round-10 q13 regression).
     val b = exploded.as("b")
     a.join(b,
         col("a.bidx") === col("b.bidx") &&

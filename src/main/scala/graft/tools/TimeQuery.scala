@@ -1,30 +1,37 @@
 package graft.tools
 
-/** Dev tool: time selected registry queries N times in one session (noop
-  * sink, same methodology as Bench) to separate real plan cost from
-  * first-run JIT / host noise. Usage:
-  * runMain graft.tools.TimeQuery <sfDir> <repeats> <name> [name...]
+import org.apache.spark.sql.SparkSession
+
+/** Diagnostic: time registry queries by name (first run + warm re-run)
+  * and report executed-plan reuse markers — the generic form of the
+  * TimeBuild decomposition.
+  *
+  * Usage: runMain graft.tools.TimeQuery <sfDir> <queryName>...
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val repeats = args.lift(1).map(_.toInt).getOrElse(3)
-    val names = args.drop(2).toSeq
-    val spark = graft.GraftSession.get("timequery", 32)
-    spark.sparkContext.setLogLevel("WARN")
-    names.foreach { name =>
-      val fn = graft.SparkEntry.queries(name)
-      val times = (1 to repeats).map { _ =>
+    require(args.length >= 2, "usage: TimeQuery <sfDir> <queryName>...")
+    val dir = args.head
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    args.tail.foreach { name =>
+      def once(tag: String): Unit = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val df = graft.SparkEntry.queries(name)(spark, dir)
+        val n = df.count()
+        println(f"[timequery] $name $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        if (tag == "warm") {
+          val ep = df.queryExecution.executedPlan.toString
+          println(s"[timequery] $name reusedExchange=" +
+            "ReusedExchange".r.findAllIn(ep).length +
+            " broadcasts=" + "BroadcastExchange".r.findAllIn(ep).length)
+        }
       }
-      println(f"[time] $name: ${times.map(t => f"$t%.2f").mkString(" ")} (min ${times.min}%.2f)")
-      if (sys.env.contains("TIMEQUERY_PLAN")) {
-        val df = fn(spark, sfDir)
-        df.write.format("noop").mode("overwrite").save()
-        println(s"[plan] $name FINAL:\n${df.queryExecution.executedPlan}")
-      }
+      once("cold"); once("warm")
     }
     spark.stop()
   }
