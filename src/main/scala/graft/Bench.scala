@@ -199,7 +199,15 @@ object Bench {
             s.emptyDataFrame
           }),
           "q160_hll_sketch_fold" -> ((s: SparkSession, d: String) =>
-            SparkEntry.queries("q160_hll_sketch_fold")(s, d))))
+            SparkEntry.queries("q160_hll_sketch_fold")(s, d))),
+        // Count-min fold: same split as q160, additive monoid.
+        "q162_countmin_fold" -> Seq(
+          "q162_cm_stored_build" -> ((s: SparkSession, d: String) => {
+            graft.queries.CmPhases.buildStored(s, d)
+            s.emptyDataFrame
+          }),
+          "q162_countmin_fold" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q162_countmin_fold")(s, d))))
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       phaseSplit.getOrElse(name, Seq(name -> fn)).map { case (n, f) =>
         (n, f, timeOne(n, f))

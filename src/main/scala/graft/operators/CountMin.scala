@@ -41,6 +41,29 @@ object CountMin {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Merge two count-min matrices built over DISJOINT underlying
+    * multisets: cell-wise SUM — the additive monoid that lets per-shard /
+    * per-batch sketches fold into a served global sketch without
+    * touching raw data again (commutative and associative, so shard
+    * order never matters; absent cells are implicit zeros and pass
+    * through). The estimate bound is preserved exactly: counting a
+    * multiset union cell-by-cell IS counting the union, so
+    * merge(sketch(A), sketch(B)) == sketch(A ⊎ B) row for row.
+    *
+    * REPLAY CAVEAT (the one way this differs from the HLL max-merge,
+    * [[HyperLogLog.merge]]): max is idempotent — folding the same shard
+    * twice is harmless there — but sum is not, so each underlying item
+    * must be counted into exactly ONE input. In a streaming fold that is
+    * the engine's checkpointed-batch-id contract (the
+    * [[graft.operators.Bucketing.appendBucketed]] note); in a batch
+    * pipeline, disjoint input partitions (as q162's even/odd split).
+    */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("r"), col("c"), col("cnt"))
+      .unionByName(b.select(col("r"), col("c"), col("cnt")))
+      .groupBy(col("r"), col("c"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** Point-estimate item frequencies against a built sketch: min over
     * rows of the item's cell counts (the classic CMS upper bound — never
     * below the true count, above it only through collisions). The sketch

@@ -1401,6 +1401,43 @@ object TextQueries {
       }
     ),
     Q(
+      "q162_countmin_fold",
+      "Count-min sketch fold — the ADDITIVE-monoid counterpart of the " +
+        "q160 HLL fold: the stored 4x64 count matrix over 'yesterday' " +
+        "(even doc_ids) absorbs an arrival batch (odd ids) by " +
+        "sketching ONLY the arrivals and cell-wise SUMMING. Counting a " +
+        "disjoint multiset union cell by cell IS counting the union, " +
+        "so the merged matrix equals the full-corpus sketch cell for " +
+        "cell (the oracle recomputes it from scratch). Where the HLL " +
+        "max-merge is idempotent under replay, the sum-merge is not — " +
+        "each item counts into exactly one input, the exactly-once " +
+        "ingest contract (documented on CountMin.merge). Constant " +
+        "256-cell state however large the summarized corpus.",
+      Some("""
+        |WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |), cells AS (
+        |  SELECT CAST(r AS INTEGER) AS r,
+        |         CAST('0x' || substr(md5('cm' || CAST(r AS VARCHAR) || ':' || tok), 1, 8)
+        |              AS BIGINT) % 64 AS c
+        |  FROM toks, UNNEST(range(0, 4)) AS u(r)
+        |)
+        |SELECT r, c, count(*) AS cnt
+        |FROM cells GROUP BY 1, 2
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.operators.{CountMin, TextAnalysis}
+        CmPhases.ensureStored(spark, dir)
+        val arrivals = Tables.documents(spark, dir)
+          .filter(col("doc_id") % 2 === 1)
+          .select(explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
+        CountMin.merge(
+          spark.table(CmPhases.cmTable(dir)),
+          CountMin.sketch(arrivals, "tok", depth = 4, width = 64))
+      }
+    ),
+    Q(
       "q160_hll_sketch_fold",
       "Incremental corpus statistics via sketch merge — the STATISTICS " +
         "face of the incremental discipline, and the reason sketches " +
@@ -1523,6 +1560,32 @@ object HllPhases {
 
   def ensureStored(spark: SparkSession, dir: String): Unit =
     if (!built.contains(registerTable(dir))) buildStored(spark, dir)
+}
+
+/** The stored "yesterday" count-min matrix behind q162: the 4x64 count
+  * table over the even half of the corpus, persisted once per input dir
+  * — q160's discipline on the additive-monoid sketch.
+  */
+object CmPhases {
+  import org.apache.spark.sql.SparkSession
+  import graft.operators.{CountMin, TextAnalysis}
+
+  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def cmTable(dir: String): String = s"graft_cmsk_${Q.scratchTag(dir)}"
+
+  def buildStored(spark: SparkSession, dir: String): Unit = {
+    val existing = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 2 === 0)
+      .select(explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
+    graft.operators.Bucketing.dropWithLocation(spark, cmTable(dir))
+    CountMin.sketch(existing, "tok", depth = 4, width = 64)
+      .write.format("parquet").saveAsTable(cmTable(dir))
+    built.add(cmTable(dir))
+  }
+
+  def ensureStored(spark: SparkSession, dir: String): Unit =
+    if (!built.contains(cmTable(dir))) buildStored(spark, dir)
 }
 
 object DecontamPhases {

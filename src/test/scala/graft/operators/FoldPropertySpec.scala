@@ -52,6 +52,34 @@ class FoldPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("count-min merge: shard-merge == full sketch; commutative/associative; replay DOUBLES (not idempotent)") {
+    def toks(docs: Seq[(Long, String)]): DataFrame =
+      docs.toDF("doc_id", "text").select(explode(split(col("text"), " ")).as("tok"))
+    def sk(docs: Seq[(Long, String)]) = CountMin.sketch(toks(docs), "tok", depth = 4, width = 16)
+    def canon(df: DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(x => (x._1, x._2)).toSeq
+    (0 until 10).foreach { trial =>
+      val a = randomDocs(4 + rnd.nextInt(6), 100)
+      val b = randomDocs(4 + rnd.nextInt(6), 200)
+      val c = randomDocs(4 + rnd.nextInt(6), 300)
+      val ab = CountMin.merge(sk(a), sk(b))
+      assert(canon(ab) == canon(CountMin.merge(sk(b), sk(a))), s"commutativity, trial $trial")
+      assert(canon(CountMin.merge(ab, sk(c)))
+        == canon(CountMin.merge(sk(a), CountMin.merge(sk(b), sk(c)))),
+        s"associativity, trial $trial")
+      // the serving property q162 stands on: disjoint-shard merge == full sketch
+      assert(canon(CountMin.merge(ab, sk(c))) == canon(sk(a ++ b ++ c)),
+        s"merge == full, trial $trial")
+      // and the documented caveat: sum is NOT idempotent — replaying a
+      // shard doubles every one of its cells (why the streaming fold
+      // needs the engine's exactly-once batch ids where HLL's max would
+      // shrug a replay off)
+      val doubled = canon(CountMin.merge(sk(a), sk(a)))
+      assert(doubled == canon(sk(a)).map { case (r0, c0, n) => (r0, c0, 2 * n) },
+        s"replay doubling, trial $trial")
+    }
+  }
+
   test("HLL merge monoid laws on random shards: commutative, idempotent, associative, == full sketch") {
     def toks(docs: Seq[(Long, String)]): DataFrame =
       docs.toDF("doc_id", "text")
