@@ -67,4 +67,41 @@ object KMinSketch {
   /** Session registration so `kmin_sketch8(col)` works from plain SQL. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.udf.register(sqlName8, udaf8)
+
+  /** DataFrame-level register merge — the K-MIN monoid face of the
+    * sketch-serving discipline (HLL: cell-wise max, count-min/HDR:
+    * cell-wise sum; KMV: distinct-union-take-k). Inputs are register
+    * tables with columns `groupCols :+ kmin: array<long> :+ n_docs:
+    * long`; output has the same schema with the k smallest distinct
+    * hashes across both inputs and `n_docs` summed (`n_docs` is a
+    * COUNT, additive ONLY across disjoint shards — same exactly-once
+    * contract as [[graft.operators.CountMin.merge]]; the `kmin` array
+    * itself is idempotent under replay like HLL's max).
+    *
+    * kmin_k(A ∪ B) = kmin_k(kmin_k(A) ∪ kmin_k(B)) — the classic KMV
+    * union property — so folding an arrival shard's sketch into the
+    * stored registers EQUALS the full-corpus sketch, which is what
+    * makes the fold oracle-checkable against a from-scratch rebuild.
+    * Scale: both sides are (groups x k) longs; the explode/re-aggregate
+    * shuffles register-sized data only, never the summarized corpus.
+    */
+  def mergeRegisters(
+      a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String],
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, sum => fsum}
+    val cols = groupCols ++ Seq("kmin", "n_docs")
+    val both = a.select(cols.map(col): _*).unionByName(b.select(cols.map(col): _*))
+    // n_docs is per-register-row constant within a group on each side;
+    // exploding would multiply it by the array length, so split the two
+    // reductions: hashes re-sketch, counts sum over the ORIGINAL rows.
+    val hashes = both
+      .select(groupCols.map(col) :+ explode(col("kmin")).as("__h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(udaf(KMinSketch(k)).apply(col("__h")).as("kmin"))
+    val counts = both.groupBy(groupCols.map(col): _*)
+      .agg(fsum(col("n_docs")).as("n_docs"))
+    hashes.join(counts, groupCols)
+  }
 }

@@ -1525,8 +1525,149 @@ object TextQueries {
           newBenchmark = docs.filter(col("doc_id") % 10 === 5),
           textCol = "text", idCol = "doc_id")._1
       }
+    ),
+    Q(
+      "q163_hdr_sketch_fold",
+      "HDR histogram fold — the QUANTILE face of the sketch-serving " +
+        "discipline (q160 HLL max / q162 count-min sum / here cell-wise " +
+        "count addition on the (e, sub) key space): the stored q108 " +
+        "histogram over 'yesterday' (even doc_ids) absorbs an arrival " +
+        "batch (odd ids) by sketching ONLY the arrivals and summing " +
+        "cells. Counting a disjoint union cell by cell IS counting the " +
+        "union, so the merged histogram equals the full-corpus sketch " +
+        "cell for cell (the oracle recomputes it from scratch) — and " +
+        "every quantile (the q109 walk) re-derives from the merged " +
+        "sketch without touching raw data. Same exactly-once ingest " +
+        "contract as count-min (sum is not idempotent). Constant " +
+        "(source x cell) state however large the summarized corpus.",
+      Some("""
+        |WITH v AS (
+        |  SELECT source,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
+        |  FROM documents
+        |), cells AS (
+        |  SELECT source, toks,
+        |         CASE WHEN toks = 0 THEN -1
+        |              ELSE CAST(length(bin(toks)) AS INTEGER) - 1 END AS e
+        |  FROM v
+        |)
+        |SELECT source, e,
+        |       CASE WHEN e <= 4 THEN toks ELSE toks >> (e - 4) END AS sub,
+        |       count(*) AS cnt
+        |FROM cells GROUP BY 1, 2, 3
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.operators.{HdrSketch, TextAnalysis}
+        HdrPhases.ensureStored(spark, dir)
+        val arrivals = Tables.documents(spark, dir)
+          .filter(col("doc_id") % 2 === 1)
+          .select(col("source"), TextAnalysis.tokenCount(col("text")).as("toks"))
+        HdrSketch.merge(
+          spark.table(HdrPhases.hdrTable(dir)),
+          HdrSketch.sketch(arrivals, "toks", Seq("source"), subBits = 4),
+          Seq("source"))
+      }
+    ),
+    Q(
+      "q164_kmv_fold",
+      "KMV register fold — the DISTINCT-SAMPLE face of the " +
+        "sketch-serving discipline, and the fourth monoid in the family " +
+        "(HLL: max, count-min/HDR: sum, KMV: distinct-union-take-k): " +
+        "the stored q54 per-source registers over 'yesterday' (even " +
+        "doc_ids) absorb an arrival batch (odd ids) by sketching ONLY " +
+        "the arrivals and re-minimizing — kmin_k(A u B) = " +
+        "kmin_k(kmin_k(A) u kmin_k(B)), the classic KMV union " +
+        "property, so the fold equals the full-corpus sketch exactly " +
+        "(the oracle rebuilds it from scratch). The kmin array is " +
+        "idempotent under replay like HLL's max; the n_docs count is " +
+        "additive-only like count-min's cells — one operator carrying " +
+        "both replay contracts, which is why they are documented per " +
+        "column. Register-sized state and shuffle (k longs per " +
+        "source), corpus-size-independent.",
+      Some("""
+        |SELECT source,
+        |       array_to_string(list_slice(list_sort(list(DISTINCT h)), 1, 8), ',') AS kmin,
+        |       COUNT(*) AS n_docs
+        |FROM (
+        |  SELECT source, CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS h
+        |  FROM documents
+        |)
+        |GROUP BY source
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.functions.KMinSketch
+        KmvPhases.ensureStored(spark, dir)
+        val arrivals = Tables.documents(spark, dir)
+          .filter(col("doc_id") % 2 === 1)
+          .select(col("source"),
+            graft.operators.TextAnalysis.portableHash32(col("text")).as("h"))
+          .groupBy("source")
+          .agg(KMinSketch.kmin(col("h"), 8).as("kmin"),
+            count(lit(1)).as("n_docs"))
+        KMinSketch.mergeRegisters(
+          spark.table(KmvPhases.kmvTable(dir)), arrivals, Seq("source"), k = 8)
+          .select(col("source"),
+            array_join(col("kmin").cast("array<string>"), ",").as("kmin"),
+            col("n_docs"))
+      }
     )
   )
+}
+
+/** The stored "yesterday" HDR histogram behind q163: per-source (e, sub,
+  * cnt) cells over the even half of the corpus, persisted once per input
+  * dir — q160's discipline on the quantile sketch.
+  */
+object HdrPhases {
+  import org.apache.spark.sql.SparkSession
+  import graft.operators.{HdrSketch, TextAnalysis}
+
+  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def hdrTable(dir: String): String = s"graft_hdrsk_${Q.scratchTag(dir)}"
+
+  def buildStored(spark: SparkSession, dir: String): Unit = {
+    val existing = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).as("toks"))
+    graft.operators.Bucketing.dropWithLocation(spark, hdrTable(dir))
+    HdrSketch.sketch(existing, "toks", Seq("source"), subBits = 4)
+      .write.format("parquet").saveAsTable(hdrTable(dir))
+    built.add(hdrTable(dir))
+  }
+
+  def ensureStored(spark: SparkSession, dir: String): Unit =
+    if (!built.contains(hdrTable(dir))) buildStored(spark, dir)
+}
+
+/** The stored "yesterday" KMV registers behind q164: per-source
+  * (kmin array, n_docs) over the even half of the corpus, persisted once
+  * per input dir — the constant-size distinct-sample state a serving
+  * pipeline re-minimizes arrival sketches into.
+  */
+object KmvPhases {
+  import org.apache.spark.sql.SparkSession
+  import graft.functions.KMinSketch
+
+  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def kmvTable(dir: String): String = s"graft_kmvreg_${Q.scratchTag(dir)}"
+
+  def buildStored(spark: SparkSession, dir: String): Unit = {
+    val existing = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("source"),
+        graft.operators.TextAnalysis.portableHash32(col("text")).as("h"))
+      .groupBy("source")
+      .agg(KMinSketch.kmin(col("h"), 8).as("kmin"),
+        count(lit(1)).as("n_docs"))
+    graft.operators.Bucketing.dropWithLocation(spark, kmvTable(dir))
+    existing.write.format("parquet").saveAsTable(kmvTable(dir))
+    built.add(kmvTable(dir))
+  }
+
+  def ensureStored(spark: SparkSession, dir: String): Unit =
+    if (!built.contains(kmvTable(dir))) buildStored(spark, dir)
 }
 
 /** The stored v1 decontamination product behind q157: the per-doc report

@@ -80,6 +80,65 @@ class FoldPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("HDR merge: shard-merge == full sketch; commutative/associative; replay doubles (additive like count-min)") {
+    def vals(docs: Seq[(Long, String)]): DataFrame =
+      docs.toDF("doc_id", "text")
+        .select((col("doc_id") % 3).cast("string").as("g"),
+          size(split(col("text"), " ")).cast("long").as("v"))
+    def sk(docs: Seq[(Long, String)]) = HdrSketch.sketch(vals(docs), "v", Seq("g"), subBits = 2)
+    def canon(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2, x._3)).toSeq
+    (0 until 10).foreach { trial =>
+      val a = randomDocs(4 + rnd.nextInt(6), 100)
+      val b = randomDocs(4 + rnd.nextInt(6), 200)
+      val c = randomDocs(4 + rnd.nextInt(6), 300)
+      val ab = HdrSketch.merge(sk(a), sk(b), Seq("g"))
+      assert(canon(ab) == canon(HdrSketch.merge(sk(b), sk(a), Seq("g"))),
+        s"commutativity, trial $trial")
+      assert(canon(HdrSketch.merge(ab, sk(c), Seq("g")))
+        == canon(HdrSketch.merge(sk(a), HdrSketch.merge(sk(b), sk(c), Seq("g")), Seq("g"))),
+        s"associativity, trial $trial")
+      // the serving property q163 stands on: disjoint-shard merge == full sketch
+      assert(canon(HdrSketch.merge(ab, sk(c), Seq("g"))) == canon(sk(a ++ b ++ c)),
+        s"merge == full, trial $trial")
+      // additive-monoid caveat shared with count-min: replay doubles cells
+      assert(canon(HdrSketch.merge(sk(a), sk(a), Seq("g")))
+        == canon(sk(a)).map { case (g, e, s, n) => (g, e, s, 2 * n) },
+        s"replay doubling, trial $trial")
+    }
+  }
+
+  test("KMV mergeRegisters: shard-merge == full sketch; commutative/associative; kmin idempotent, n_docs doubles") {
+    import graft.functions.KMinSketch
+    def reg(docs: Seq[(Long, String)]): DataFrame =
+      docs.toDF("doc_id", "text")
+        .select((col("doc_id") % 3).cast("string").as("g"),
+          graft.operators.TextAnalysis.portableHash32(col("text")).as("h"))
+        .groupBy("g")
+        .agg(KMinSketch.kmin(col("h"), 4).as("kmin"), count(lit(1)).as("n_docs"))
+    def canon(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1).toList, r.getLong(2)))
+      .sortBy(_._1).toSeq
+    (0 until 10).foreach { trial =>
+      val a = randomDocs(4 + rnd.nextInt(6), 100)
+      val b = randomDocs(4 + rnd.nextInt(6), 200)
+      val c = randomDocs(4 + rnd.nextInt(6), 300)
+      def m(x: DataFrame, y: DataFrame) = KMinSketch.mergeRegisters(x, y, Seq("g"), k = 4)
+      val ab = m(reg(a), reg(b))
+      assert(canon(ab) == canon(m(reg(b), reg(a))), s"commutativity, trial $trial")
+      assert(canon(m(ab, reg(c))) == canon(m(reg(a), m(reg(b), reg(c)))),
+        s"associativity, trial $trial")
+      // the serving property q164 stands on: disjoint-shard merge == full sketch
+      assert(canon(m(ab, reg(c))) == canon(reg(a ++ b ++ c)), s"merge == full, trial $trial")
+      // the split replay contract: kmin shrugs a replay off (set-min,
+      // idempotent), n_docs doubles (count, additive-only)
+      assert(canon(m(reg(a), reg(a)))
+        == canon(reg(a)).map { case (g, km, n) => (g, km, 2 * n) },
+        s"replay contract, trial $trial")
+    }
+  }
+
   test("HLL merge monoid laws on random shards: commutative, idempotent, associative, == full sketch") {
     def toks(docs: Seq[(Long, String)]): DataFrame =
       docs.toDF("doc_id", "text")
