@@ -82,6 +82,37 @@ object HyperLogLog {
       .agg(max(col("register")).as("register"))
   }
 
+  /** The STREAMING face of the q160 fold: fold one arrival micro-batch's
+    * registers into a SERVED register table — drive it from
+    * `writeStream.foreachBatch`. Because the merge is a cell-wise MAX
+    * (idempotent), this refresh tolerates AT-LEAST-ONCE delivery: a
+    * replayed batch re-maxes the same registers and the table is
+    * unchanged — unlike the additive folds ([[CountMin.merge]],
+    * [[IvfIndex.appendDeltaBatch]]'s append), which need the engine's
+    * checkpointed batch ids for exactly-once. That asymmetry is the
+    * operational reason to prefer max-monoid sketches at the serving
+    * seam when both answer the question.
+    *
+    * The table is constant-size (groups x 2^p cells), so the
+    * read-merge-overwrite cycle is register-sized work per batch; the
+    * localCheckpoint pins the merged result BEFORE the overwrite drops
+    * the old table (a lazy plan reading the table it overwrites would
+    * race its own source), and is released after the write lands.
+    */
+  def refreshBatch(
+      batchRegisters: DataFrame,
+      table: String,
+      groupCols: Seq[String]): Unit = {
+    val spark = batchRegisters.sparkSession
+    val merged =
+      if (spark.catalog.tableExists(table))
+        merge(spark.table(table), batchRegisters, groupCols)
+      else batchRegisters
+    val pinned = merged.localCheckpoint()
+    try pinned.write.mode("overwrite").format("parquet").saveAsTable(table)
+    finally pinned.unpersist()
+  }
+
   /** Bias-correction constant `alpha_m` (Flajolet et al. §4) as a SQL
     * fragment with every literal cast to DOUBLE — bare decimal literals
     * parse as DECIMAL in both Spark and DuckDB and would pull the

@@ -614,6 +614,57 @@ object TraceQueries {
           ev.groupBy("hour_idx").agg(countDistinct("uid").as("n_exact")),
           Seq("hour_idx"))
       }
+    ),
+    Q(
+      "q165_ewma_value",
+      "Per-user EWMA of the event value — time-decayed trend smoothing " +
+        "with dyadic decay (alpha = 1/2), the monitoring primitive " +
+        "behind drift/quality dashboards: the k-th most recent event " +
+        "weighs 2^(16-k) over the last 16 events, so numerator and " +
+        "denominator are EXACT BIGINTs (values fixed-pointed by " +
+        "floor(v*100), weights are shifts — the q148 dyadic-alpha " +
+        "discipline applied to time decay) and the emitted ewma is one " +
+        "IEEE divide, engine-portable. Scale: the rn <= 16 filter is " +
+        "declarative, so InferWindowGroupLimit plans per-user top-16 " +
+        "HEAPS partial+final (never a retained per-user sort), then one " +
+        "16-row-per-user agg — the same shape as q13's rank filter, at " +
+        "any event volume.",
+      Some("""
+        |WITH r AS (
+        |  SELECT user_id,
+        |         CAST(floor(value * 100) AS BIGINT) AS v,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id,
+        |       COUNT(*) AS n_recent,
+        |       CAST(SUM(v << (16 - rn)) AS BIGINT) AS ewma_num,
+        |       CAST(SUM(CAST(1 AS BIGINT) << (16 - rn)) AS BIGINT) AS ewma_den,
+        |       CAST(SUM(v << (16 - rn)) AS DOUBLE)
+        |         / CAST(SUM(CAST(1 AS BIGINT) << (16 - rn)) AS DOUBLE) AS ewma_centi
+        |FROM r WHERE rn <= 16
+        |GROUP BY 1
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Tables.eventsTsNs(spark, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            floor(col("value") * lit(100)).cast("long").as("v"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 16)
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_recent"),
+            sum(call_function("shiftleft", col("v"),
+              (lit(16) - col("rn")).cast("int"))).as("ewma_num"),
+            sum(call_function("shiftleft", lit(1L),
+              (lit(16) - col("rn")).cast("int"))).as("ewma_den"))
+          .withColumn("ewma_centi",
+            col("ewma_num").cast("double") / col("ewma_den").cast("double"))
+      }
     )
   )
 }

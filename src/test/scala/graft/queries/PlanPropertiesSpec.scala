@@ -27,11 +27,13 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("LessThan(vec_id,1000)"), p.linesIterator.take(30).mkString("\n"))
   }
 
-  test("q13/q40/q82/q89: rank-filter becomes WindowGroupLimit (no full-partition sort retention)") {
+  test("q13/q40/q82/q89/q165: rank-filter becomes WindowGroupLimit (no full-partition sort retention)") {
     assert(plan("q13_window_rank").contains("WindowGroupLimit"))
     assert(plan("q40_ann_bruteforce").contains("WindowGroupLimit"))
     assert(plan("q82_latest_by_key").contains("WindowGroupLimit"))
     assert(plan("q89_weighted_sample").contains("WindowGroupLimit"))
+    // the EWMA's rn <= 16 recency cut plans as per-user top-16 heaps
+    assert(plan("q165_ewma_value").contains("WindowGroupLimit"))
   }
 
   test("q32: the probe is a bare bucketed-table read — no join, no mining, no shuffle") {

@@ -112,6 +112,52 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming HLL maintenance: foreachBatch re-max equals full sketch; replayed batch is a no-op") {
+    import graft.operators.HyperLogLog
+    val mk = (ids: Range, salt: String) =>
+      ids.map(i => (i.toLong, s"tok$salt${i % 7} shared$i common"))
+        .toDF("doc_id", "text")
+        .select((col("doc_id") % 2).cast("string").as("src"),
+          explode(split(col("text"), " ")).as("tok"))
+    val existing = mk(0 until 20, "a")
+    val b1 = mk(20 until 30, "b")
+    val b2 = mk(30 until 40, "c")
+    val table = "graft_hll_stream_spec"
+    graft.operators.Bucketing.dropWithLocation(spark, table)
+    HyperLogLog.refreshBatch(
+      HyperLogLog.registers(existing, "tok", Seq("src"), p = 4), table, Seq("src"))
+    val dirStr = watchDirOf(Seq(b1, b2))
+    val schema = StructType(Seq(
+      StructField("src", StringType), StructField("tok", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dirStr)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        HyperLogLog.refreshBatch(
+          HyperLogLog.registers(batch, "tok", Seq("src"), p = 4), table, Seq("src"))
+      }
+      .start()
+    def canon() = spark.table(table).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    try {
+      q.processAllAvailable()
+      // served table == from-scratch sketch of everything seen
+      val full = HyperLogLog.registers(
+        existing.unionByName(b1).unionByName(b2), "tok", Seq("src"), p = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      assert(canon() == full, "served registers diverge from full sketch")
+      // the max-monoid serving property: AT-LEAST-ONCE is enough — a
+      // replayed batch re-maxes the same cells, table unchanged (the
+      // additive folds need exactly-once batch ids here instead)
+      HyperLogLog.refreshBatch(
+        HyperLogLog.registers(b2, "tok", Seq("src"), p = 4), table, Seq("src"))
+      assert(canon() == full, "replayed batch changed the served registers")
+    } finally q.stop()
+  }
+
   test("canonicalRouted equals the batch mixed-pair routing; zero state") {
     import graft.operators.Components
     val sparkText = "completely different content about spark catalyst " +
