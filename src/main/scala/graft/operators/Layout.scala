@@ -49,4 +49,87 @@ object Layout {
       .repartitionByRange(partitions, col("z_value"))
       .sortWithinPartitions("z_value")
   }
+
+  /** Fixed z-range bucket: `z_value >> shiftBits` — DETERMINISTIC curve
+    * segments, unlike [[zOrderBy]]'s sampled range boundaries (which
+    * differ run to run). Stable bucket identity across writes is what
+    * makes the layout INCREMENTALLY maintainable: an arrival batch lands
+    * in exactly the buckets its z-values name, and compaction can
+    * rewrite those buckets without touching (or even listing) the rest.
+    * The cost of fixed-width segments is skew tolerance — a hot
+    * rectangle concentrates rows in few buckets — so `shiftBits` sets
+    * the granularity trade (smaller shift = more, finer buckets).
+    */
+  def zBucket(z: Column, shiftBits: Int): Column = {
+    require(shiftBits >= 1 && shiftBits <= 61, s"shiftBits out of range: $shiftBits")
+    call_function("shiftright", z, lit(shiftBits))
+  }
+
+  private def withZCols(
+      df: DataFrame, dimA: Column, dimB: Column, shiftBits: Int): DataFrame =
+    df.withColumn("z_value", ZOrderInterleave.zorderInterleave(dimA, dimB))
+      .withColumn("zbucket", zBucket(col("z_value"), shiftBits))
+
+  /** Write `df` as a zbucket-partitioned, z-sorted base layout: one
+    * parquet file per non-empty bucket (hash repartition on the bucket
+    * puts each bucket in one task; `partitionBy` splits directories),
+    * rows z-sorted within — so every file holds one compact curve
+    * segment and its min/max stats prune box predicates on either
+    * dimension, same as [[zOrderBy]]'s output.
+    */
+  def writeZBase(
+      df: DataFrame, dimA: Column, dimB: Column,
+      dir: String, shiftBits: Int): Unit =
+    withZCols(df, dimA, dimB, shiftBits)
+      .repartition(col("zbucket"))
+      .sortWithinPartitions("zbucket", "z_value")
+      .write.mode("overwrite").partitionBy("zbucket").parquet(dir)
+
+  /** Append an arrival batch into the bucketed layout (small files land
+    * INSIDE their bucket directories — readers stay correct immediately,
+    * just less pruned) and return the touched bucket ids. The returned
+    * set is bucket-geometry-bounded (distinct buckets, not rows) — the
+    * deliberate driver-side scalar the compaction plan needs, same class
+    * as BloomScreen's maxPlanBits-bounded collect.
+    */
+  def appendArrivals(
+      arrivals: DataFrame, dimA: Column, dimB: Column,
+      dir: String, shiftBits: Int): Seq[Long] = {
+    val keyed = withZCols(arrivals, dimA, dimB, shiftBits)
+    keyed.write.mode("append").partitionBy("zbucket").parquet(dir)
+    keyed.select("zbucket").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+  }
+
+  /** Re-compact ONLY the touched buckets: read them back (partition
+    * pruning keeps untouched directories unlisted in the scan), re-sort
+    * each bucket locally, and dynamic-partition-overwrite — untouched
+    * bucket files are never rewritten, so compaction cost scales with
+    * the ARRIVAL footprint, not the table. After compaction every
+    * touched bucket is again one z-sorted file; contents are identical
+    * to a from-scratch [[writeZBase]] of the full data (spec-pinned and
+    * oracle-checked via q166) because bucket identity is deterministic.
+    * At 100 TB this is the OPTIMIZE-ZORDER lifecycle: base write once,
+    * appends land bucket-local, compaction amortizes per touched
+    * segment.
+    */
+  def compactTouched(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, touched: Seq[Long]): Unit = {
+    if (touched.isEmpty) return
+    // localCheckpoint pins the touched rows (arrival-footprint-sized,
+    // never table-sized) before the overwrite: Spark refuses a write
+    // whose plan still reads the destination path, and the checkpoint
+    // also guarantees the old files aren't needed mid-rewrite. Block
+    // order survives checkpointing, so the per-bucket z-sort holds.
+    val compacted = spark.read.parquet(dir)
+      .filter(col("zbucket").isin(touched: _*))
+      .repartition(col("zbucket"))
+      .sortWithinPartitions("zbucket", "z_value")
+      .localCheckpoint()
+    try compacted.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("zbucket").parquet(dir)
+    finally compacted.unpersist()
+  }
 }

@@ -665,6 +665,75 @@ object TraceQueries {
           .withColumn("ewma_centi",
             col("ewma_num").cast("double") / col("ewma_den").cast("double"))
       }
+    ),
+    Q(
+      "q166_zorder_compaction",
+      "Incremental z-order compaction — the LAYOUT face of the " +
+        "incremental discipline (components: corpus arrivals; IVF " +
+        "delta: index arrivals; sketches: statistics arrivals; here the " +
+        "FILE LAYOUT absorbs arrivals): the base layout is written once " +
+        "into FIXED curve segments (zbucket = z >> 26 — deterministic, " +
+        "unlike sampled range boundaries, so bucket identity survives " +
+        "across writes), an arrival batch (odd event_ids) appends " +
+        "bucket-local small files, and compaction rewrites ONLY the " +
+        "touched buckets back to one z-sorted file each — cost scales " +
+        "with the arrival footprint, never the table (untouched files " +
+        "are never rewritten; LayoutSpec pins that by mtime). This " +
+        "query audits the compacted layout bucket by bucket (rows, " +
+        "curve extent) against the oracle's from-scratch derivation — " +
+        "equality holds because deterministic bucketing makes " +
+        "append+compact content-identical to a full rebuild.",
+      Some(s"""
+        |WITH z AS (
+        |  SELECT ${graft.functions.ZOrderInterleave.duckSql("user_id", "event_id")} AS z_value
+        |  FROM events
+        |)
+        |SELECT z_value >> 26 AS zbucket,
+        |       count(*) AS n_rows,
+        |       min(z_value) AS z_min,
+        |       max(z_value) AS z_max
+        |FROM z GROUP BY 1
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        ZCompactPhases.ensure(spark, dir)
+        spark.read.parquet(ZCompactPhases.layoutDir(dir))
+          .groupBy(col("zbucket").cast("long").as("zbucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            min("z_value").as("z_min"),
+            max("z_value").as("z_max"))
+      }
     )
   )
+}
+
+/** The compacted z-layout behind q166: base layout over even event_ids,
+  * one odd-id arrival append, one touched-bucket compaction — the
+  * OPTIMIZE-ZORDER lifecycle exercised once per input dir. The layout
+  * lives under java.io.tmpdir keyed by the dir tag (a filesystem
+  * artifact, not a catalog table — it IS the file layout under audit).
+  */
+object ZCompactPhases {
+  import org.apache.spark.sql.SparkSession
+  import graft.operators.Layout
+
+  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  val shiftBits = 26
+
+  def layoutDir(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_zinc_${Q.scratchTag(dir)}"
+
+  def build(spark: SparkSession, dir: String): Unit = {
+    val ev = Tables.eventsTsNs(spark, dir).select("user_id", "event_id")
+    val out = layoutDir(dir)
+    Layout.writeZBase(ev.filter(col("event_id") % 2 === 0),
+      col("user_id"), col("event_id"), out, shiftBits)
+    val touched = Layout.appendArrivals(ev.filter(col("event_id") % 2 === 1),
+      col("user_id"), col("event_id"), out, shiftBits)
+    Layout.compactTouched(spark, out, touched)
+    built.add(out)
+  }
+
+  def ensure(spark: SparkSession, dir: String): Unit =
+    if (!built.contains(layoutDir(dir))) build(spark, dir)
 }

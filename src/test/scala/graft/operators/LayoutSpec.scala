@@ -56,6 +56,55 @@ class LayoutSpec extends AnyFunSuite {
     assert(e.getMessage.contains("z_value"))
   }
 
+  test("incremental z-compaction: append+compact == full rebuild; untouched bucket files never rewritten") {
+    val n = 128
+    val grid = spark.range(n.toLong * n)
+      .select((col("id") / n).cast("long").as("x"), (col("id") % n).as("y"))
+    // arrivals confined to the high-x region: only part of the curve is touched
+    val base = grid.filter(col("x") < 96)
+    val arrivals = grid.filter(col("x") >= 96)
+    val dir = java.nio.file.Files.createTempDirectory("zinc").toString
+
+    def files(): Map[String, Long] = {
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach { p =>
+        val s = p.toString
+        if (s.endsWith(".parquet")) out(s.stripPrefix(dir)) =
+          java.nio.file.Files.getLastModifiedTime(p).toMillis
+      }
+      out.toMap
+    }
+
+    Layout.writeZBase(base, col("x"), col("y"), dir, shiftBits = 10)
+    val before = files()
+    val touched = Layout.appendArrivals(arrivals, col("x"), col("y"), dir, shiftBits = 10)
+    assert(touched.nonEmpty && touched.toSet.subsetOf(
+      (0L until 16L).toSet), s"touched: $touched")
+    Layout.compactTouched(spark, dir, touched)
+    val after = files()
+
+    // 1. logical content == from-scratch base write of the full data
+    val fullDir = java.nio.file.Files.createTempDirectory("zfull").toString
+    Layout.writeZBase(grid, col("x"), col("y"), fullDir, shiftBits = 10)
+    def canon(d: String) = spark.read.parquet(d)
+      .select(col("x"), col("y"), col("z_value"), col("zbucket").cast("long"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(canon(dir) == canon(fullDir), "compacted layout diverges from full rebuild")
+
+    // 2. untouched buckets: files carried over untouched (same path, same mtime)
+    val untouchedBefore = before.filterNot { case (p, _) =>
+      touched.exists(b => p.contains(s"zbucket=$b/")) }
+    assert(untouchedBefore.nonEmpty, "premise broken: every bucket was touched")
+    untouchedBefore.foreach { case (p, mtime) =>
+      assert(after.get(p).contains(mtime), s"untouched file rewritten: $p") }
+
+    // 3. every touched bucket is again exactly one z-sorted file
+    touched.foreach { b =>
+      val inBucket = after.keys.filter(_.contains(s"zbucket=$b/"))
+      assert(inBucket.size == 1, s"bucket $b has ${inBucket.size} files after compaction")
+    }
+  }
+
   test("z-layout prunes files on the non-leading dimension where a linear layout cannot") {
     val n = 256
     val grid = spark.range(n.toLong * n)
