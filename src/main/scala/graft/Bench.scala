@@ -207,7 +207,41 @@ object Bench {
             s.emptyDataFrame
           }),
           "q162_countmin_fold" -> ((s: SparkSession, d: String) =>
-            SparkEntry.queries("q162_countmin_fold")(s, d))))
+            SparkEntry.queries("q162_countmin_fold")(s, d))),
+        // HDR fold: same split as q160, additive monoid on the quantile
+        // histogram.
+        "q163_hdr_sketch_fold" -> Seq(
+          "q163_hdr_stored_build" -> ((s: SparkSession, d: String) => {
+            graft.queries.HdrPhases.buildStored(s, d)
+            s.emptyDataFrame
+          }),
+          "q163_hdr_sketch_fold" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q163_hdr_sketch_fold")(s, d))),
+        // KMV fold: same split, distinct-union-take-k monoid.
+        "q164_kmv_fold" -> Seq(
+          "q164_kmv_stored_build" -> ((s: SparkSession, d: String) => {
+            graft.queries.KmvPhases.buildStored(s, d)
+            s.emptyDataFrame
+          }),
+          "q164_kmv_fold" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q164_kmv_fold")(s, d))),
+        // Incremental z-compaction: base write is the one-shot layout
+        // cost; zingest (append + touched-bucket compaction) is what
+        // every arrival batch pays — it must stay arrival-sized as the
+        // table grows. The STATIC-overwrite base write resets the dir,
+        // so the (zbase, zingest) pair is idempotent under the global
+        // re-time order.
+        "q166_zorder_compaction" -> Seq(
+          "q166_zbase_write" -> ((s: SparkSession, d: String) => {
+            graft.queries.ZCompactPhases.buildBase(s, d)
+            s.emptyDataFrame
+          }),
+          "q166_zingest" -> ((s: SparkSession, d: String) => {
+            graft.queries.ZCompactPhases.ingest(s, d)
+            s.emptyDataFrame
+          }),
+          "q166_zorder_compaction" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q166_zorder_compaction")(s, d))))
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       phaseSplit.getOrElse(name, Seq(name -> fn)).map { case (n, f) =>
         (n, f, timeOne(n, f))

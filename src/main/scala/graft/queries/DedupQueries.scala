@@ -1370,6 +1370,52 @@ object DedupQueries {
             col("doc_id") === col("id"))
           .select(col("doc_id"), col("comp").as("canonical_id"))
       }
+    ),
+    Q(
+      "q167_dup_triangles",
+      "Per-document TRIANGLE participation in the near-dup graph — the " +
+        "cluster-density diagnostic components can't give: a tight " +
+        "paraphrase cluster is a near-clique (every member in many " +
+        "triangles) while a chain of borderline pairs has none, and " +
+        "that distinction drives whether a whole cluster collapses to " +
+        "one canonical or gets human review. Counted compact-forward " +
+        "(Triangles.vertexTriangleCounts): edges oriented low->high " +
+        "(degree, id), wedges formed only at each pair's low endpoint, " +
+        "closed by one equi-join — so a degree-d boilerplate hub " +
+        "contributes O(sqrt(m)) wedge pairs instead of d^2, the curse-" +
+        "of-the-last-reducer defense, with AQE skew-split behind it. " +
+        "Probes the materialized pair graph; the oracle re-mines pairs " +
+        "and counts by the id-ordered formulation — per-doc counts are " +
+        "orientation-invariant, so the two formulations must agree " +
+        "exactly.",
+      Some(
+        s"""$duckSignatureCte, bands AS (
+           |  SELECT doc_id, 0 AS band,
+           |         md5(concat_ws('_', ${(0 until 8).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band,
+           |         md5(concat_ws('_', ${(8 until 16).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |), pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |), tri AS (
+           |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+           |  FROM pairs e1
+           |  JOIN pairs e2 ON e1.doc_b = e2.doc_a
+           |  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+           |), m AS (
+           |  SELECT a AS doc_id FROM tri
+           |  UNION ALL SELECT b FROM tri
+           |  UNION ALL SELECT c FROM tri
+           |)
+           |SELECT doc_id, count(*) AS n_triangles FROM m GROUP BY 1""".stripMargin),
+      (spark, dir) =>
+        graft.operators.Triangles.vertexTriangleCounts(
+          DupGraphPhases.pairs(spark, dir).select("doc_a", "doc_b"),
+          "doc_a", "doc_b")
     )
   )
 

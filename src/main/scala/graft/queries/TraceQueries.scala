@@ -723,15 +723,33 @@ object ZCompactPhases {
   def layoutDir(dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_zinc_${Q.scratchTag(dir)}"
 
-  def build(spark: SparkSession, dir: String): Unit = {
-    val ev = Tables.eventsTsNs(spark, dir).select("user_id", "event_id")
+  private def events(spark: SparkSession, dir: String) =
+    Tables.eventsTsNs(spark, dir).select("user_id", "event_id")
+
+  /** One-shot base layout (even event_ids). STATIC overwrite resets the
+    * whole dir, so buildBase + ingest re-run as an idempotent PAIR —
+    * what the bench's min-of-2 re-timing needs.
+    */
+  def buildBase(spark: SparkSession, dir: String): Unit =
+    Layout.writeZBase(events(spark, dir).filter(col("event_id") % 2 === 0),
+      col("user_id"), col("event_id"), layoutDir(dir), shiftBits)
+
+  /** Per-ingest-batch cost: append the odd-id arrivals bucket-local,
+    * compact ONLY the touched buckets — the number that must stay
+    * arrival-footprint-sized (read it against buildBase).
+    */
+  def ingest(spark: SparkSession, dir: String): Unit = {
     val out = layoutDir(dir)
-    Layout.writeZBase(ev.filter(col("event_id") % 2 === 0),
-      col("user_id"), col("event_id"), out, shiftBits)
-    val touched = Layout.appendArrivals(ev.filter(col("event_id") % 2 === 1),
+    val touched = Layout.appendArrivals(
+      events(spark, dir).filter(col("event_id") % 2 === 1),
       col("user_id"), col("event_id"), out, shiftBits)
     Layout.compactTouched(spark, out, touched)
     built.add(out)
+  }
+
+  def build(spark: SparkSession, dir: String): Unit = {
+    buildBase(spark, dir)
+    ingest(spark, dir)
   }
 
   def ensure(spark: SparkSession, dir: String): Unit =
