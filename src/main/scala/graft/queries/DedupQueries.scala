@@ -1416,6 +1416,74 @@ object DedupQueries {
         graft.operators.Triangles.vertexTriangleCounts(
           DupGraphPhases.pairs(spark, dir).select("doc_a", "doc_b"),
           "doc_a", "doc_b")
+    ),
+    Q(
+      "q168_clustering_coefficient",
+      "Local clustering coefficient per document (deg >= 2): " +
+        "2*triangles / (deg*(deg-1)) — the normalized form of q167 " +
+        "that makes cluster tightness comparable ACROSS degrees (a " +
+        "20-triangle hub may be looser than a 1-triangle pair-of-" +
+        "pairs). lcc ~ 1 marks a paraphrase clique safe to collapse to " +
+        "one canonical; lcc ~ 0 marks a chain of borderline matches " +
+        "needing review. Numerator/denominator emitted as exact " +
+        "BIGINTs, the coefficient as one IEEE divide (the engine's " +
+        "rational-before-double discipline). Cost on top of q167: one " +
+        "node-sized degree agg and one node-sized join — the triangle " +
+        "stage dominates.",
+      Some(
+        s"""$duckSignatureCte, bands AS (
+           |  SELECT doc_id, 0 AS band,
+           |         md5(concat_ws('_', ${(0 until 8).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band,
+           |         md5(concat_ws('_', ${(8 until 16).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |), pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |), deg AS (
+           |  SELECT doc_id, count(*) AS deg
+           |  FROM (SELECT doc_a AS doc_id FROM pairs
+           |        UNION ALL SELECT doc_b FROM pairs)
+           |  GROUP BY 1
+           |), tri AS (
+           |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+           |  FROM pairs e1
+           |  JOIN pairs e2 ON e1.doc_b = e2.doc_a
+           |  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+           |), tc AS (
+           |  SELECT doc_id, count(*) AS n_triangles
+           |  FROM (SELECT a AS doc_id FROM tri
+           |        UNION ALL SELECT b FROM tri
+           |        UNION ALL SELECT c FROM tri)
+           |  GROUP BY 1
+           |)
+           |SELECT d.doc_id, d.deg,
+           |       COALESCE(t.n_triangles, 0) AS n_triangles,
+           |       CAST(2 * COALESCE(t.n_triangles, 0) AS BIGINT) AS lcc_num,
+           |       CAST(d.deg * (d.deg - 1) AS BIGINT) AS lcc_den,
+           |       CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+           |         / CAST(d.deg * (d.deg - 1) AS DOUBLE) AS lcc
+           |FROM deg d LEFT JOIN tc t USING (doc_id)
+           |WHERE d.deg >= 2""".stripMargin),
+      (spark, dir) => {
+        val e = DupGraphPhases.pairs(spark, dir).select("doc_a", "doc_b")
+        val deg = e.select(col("doc_a").as("doc_id"))
+          .unionAll(e.select(col("doc_b").as("doc_id")))
+          .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+        val tri = graft.operators.Triangles
+          .vertexTriangleCounts(e, "doc_a", "doc_b")
+        deg.filter(col("deg") >= 2)
+          .join(tri, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("deg"),
+            coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+            (coalesce(col("n_triangles"), lit(0L)) * 2).as("lcc_num"),
+            (col("deg") * (col("deg") - 1)).as("lcc_den"))
+          .withColumn("lcc",
+            col("lcc_num").cast("double") / col("lcc_den").cast("double"))
+      }
     )
   )
 
