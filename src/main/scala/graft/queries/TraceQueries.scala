@@ -674,7 +674,9 @@ object TraceQueries {
         "FILE LAYOUT absorbs arrivals): the base layout is written once " +
         "into FIXED curve segments (zbucket = z >> 26 — deterministic, " +
         "unlike sampled range boundaries, so bucket identity survives " +
-        "across writes), an arrival batch (odd event_ids) appends " +
+        "across writes), a ~2% arrival batch (event_id % 50 = 1, the " +
+        "q154 small-delta geometry — the regime incremental " +
+        "maintenance exists for) appends " +
         "bucket-local small files, and compaction rewrites ONLY the " +
         "touched buckets back to one z-sorted file each — cost scales " +
         "with the arrival footprint, never the table (untouched files " +
@@ -726,22 +728,25 @@ object ZCompactPhases {
   private def events(spark: SparkSession, dir: String) =
     Tables.eventsTsNs(spark, dir).select("user_id", "event_id")
 
-  /** One-shot base layout (even event_ids). STATIC overwrite resets the
-    * whole dir, so buildBase + ingest re-run as an idempotent PAIR —
-    * what the bench's min-of-2 re-timing needs.
+  /** One-shot base layout: the ~98% of events NOT in the arrival slice.
+    * STATIC overwrite resets the whole dir, so buildBase + ingest re-run
+    * as an idempotent PAIR — what the bench's min-of-2 re-timing needs.
     */
   def buildBase(spark: SparkSession, dir: String): Unit =
-    Layout.writeZBase(events(spark, dir).filter(col("event_id") % 2 === 0),
+    Layout.writeZBase(events(spark, dir).filter(col("event_id") % 50 =!= 1),
       col("user_id"), col("event_id"), layoutDir(dir), shiftBits)
 
-  /** Per-ingest-batch cost: append the odd-id arrivals bucket-local,
-    * compact ONLY the touched buckets — the number that must stay
-    * arrival-footprint-sized (read it against buildBase).
+  /** Per-ingest-batch cost: append the ~2% arrival slice (event_id % 50
+    * = 1 — the q154 small-delta geometry; a 50% "delta" would measure
+    * the incremental path outside its regime, the round-12 q152
+    * finding) bucket-local, compact ONLY the touched buckets — the
+    * number that must stay arrival-footprint-sized (read it against
+    * buildBase).
     */
   def ingest(spark: SparkSession, dir: String): Unit = {
     val out = layoutDir(dir)
     val touched = Layout.appendArrivals(
-      events(spark, dir).filter(col("event_id") % 2 === 1),
+      events(spark, dir).filter(col("event_id") % 50 === 1),
       col("user_id"), col("event_id"), out, shiftBits)
     Layout.compactTouched(spark, out, touched)
     built.add(out)
