@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level token statistics for vocabulary induction and curation
@@ -39,6 +39,53 @@ object CorpusStats {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
+  }
+
+  /** Collocation mining by PMI-style lift: adjacent token pairs whose
+    * observed frequency beats independence by `liftFloor`x —
+    * lift = p(xy) / (p(x) p(y)) = (n_xy * N^2) / (T * n_x * n_y) with N
+    * total tokens and T total bigram slots. The inner-loop vocabulary
+    * induction signal BPE's raw pair counts ([[pairCounts]]) miss:
+    * "of the" tops any count list but has lift ~ 1, while a true
+    * multiword term is rare-but-bound. The lift COMPARISON runs in
+    * exact DECIMAL(38,0) (the N^2-sized products overflow int64 on big
+    * corpora; the oracle mirrors with HUGEINT) so the emitted flag is
+    * engine-exact — counts ride along and the exact rational lift is
+    * derivable offline.
+    *
+    * Scale shape: bigram explode is narrow; ONE map-side-combined
+    * shuffle on the pair; the vocabulary-sized unigram table joins back
+    * token-keyed (broadcast while it fits, AQE decides above that), and
+    * the two 1-row totals broadcast — the corpus never reshuffles.
+    */
+  def collocationLift(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Long,
+      liftFloor: Int): DataFrame = {
+    require(minCount >= 1 && liftFloor >= 1)
+    val toks = TextAnalysis.wsTokens(col(textCol))
+    val m = size(toks) - 1
+    val pairs = zip_with(
+      slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => struct(a.as("x"), b.as("y")))
+    val bi = docs.select(explode(pairs).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+    val uni = docs.select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val totals = uni.agg(sum(col("n")).as("n_total"))
+      .crossJoin(bi.agg(sum(col("n_xy")).as("t_pairs")))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    bi.filter(col("n_xy") >= minCount)
+      .join(uni.select(col("tok").as("x"), col("n").as("n_x")), Seq("x"))
+      .join(uni.select(col("tok").as("y"), col("n").as("n_y")), Seq("y"))
+      .crossJoin(broadcast(totals))
+      .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+        col("n_total"), col("t_pairs"),
+        (dec(col("n_xy")) * dec(col("n_total")) * dec(col("n_total")) >
+          dec(lit(liftFloor)) * dec(col("t_pairs")) * dec(col("n_x")) * dec(col("n_y")))
+          .as("high_lift"))
   }
 
   /** Per-document n-gram novelty: the fraction of a document's distinct

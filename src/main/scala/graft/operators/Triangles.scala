@@ -32,11 +32,13 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  /** Per-vertex triangle participation counts over an undirected,
-    * deduplicated edge list (`aCol` < `bCol` convention, one row per
-    * edge). Output: (doc_id, n_triangles), vertices in >= 1 triangle.
+  /** All closed triangles of an undirected edge list as (a, lo, hi)
+    * rows — `a` the minimum-(deg, id)-rank vertex where the wedge
+    * formed, (lo, hi) its other two corners in rank order. Each
+    * triangle appears EXACTLY once; shared by the vertex-count and
+    * edge-support faces.
     */
-  def vertexTriangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+  private def closedTriangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     val e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
     val deg = e.select(col("u").as("id"))
       .unionAll(e.select(col("v").as("id")))
@@ -62,11 +64,52 @@ object Triangles {
           (col("x.ddst") < col("y.ddst") ||
             (col("x.ddst") === col("y.ddst") && col("x.dst") < col("y.dst"))))
       .select(col("x.src").as("a"), col("x.dst").as("lo"), col("y.dst").as("hi"))
-    val closed = wedges.join(
+    wedges.join(
       oriented.select(col("src").as("lo"), col("dst").as("hi")), Seq("lo", "hi"))
+      .select(col("a"), col("lo"), col("hi"))
+  }
+
+  /** Per-vertex triangle participation counts over an undirected,
+    * deduplicated edge list (`aCol` < `bCol` convention, one row per
+    * edge). Output: (doc_id, n_triangles), vertices in >= 1 triangle.
+    */
+  def vertexTriangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val closed = closedTriangles(edges, aCol, bCol)
     closed.select(col("a").as("doc_id"))
       .unionAll(closed.select(col("lo").as("doc_id")))
       .unionAll(closed.select(col("hi").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Per-EDGE triangle support in canonical (min-id, max-id) form: each
+    * closed triangle credits its three edges once. Support is the
+    * k-truss signal — an edge in >= k-2 triangles survives the k-truss
+    * — and the basis for [[trussEdges]].
+    */
+  def edgeSupport(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val canon = (u: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =>
+      struct(least(u, v).as("ea"), greatest(u, v).as("eb"))
+    closedTriangles(edges, aCol, bCol)
+      .select(explode(array(
+        canon(col("a"), col("lo")),
+        canon(col("a"), col("hi")),
+        canon(col("lo"), col("hi")))).as("e"))
+      .groupBy(col("e.ea").as(aCol), col("e.eb").as(bCol))
+      .agg(count(lit(1)).as("support"))
+  }
+
+  /** The edges surviving a k-truss cut: support >= minSupport (k-truss
+    * proper iterates this to a fixed point; ONE cut — support computed
+    * on the full graph — is the cheap first iteration, and is already
+    * the load-bearing dedup refinement: it severs zero-triangle bridge
+    * edges between otherwise-dense paraphrase cliques, the exact
+    * chain-vs-clique failure mode components alone cannot see. The
+    * single-cut semantics is what the oracle floods; iterate by feeding
+    * the output back when full truss peeling is wanted.)
+    */
+  def trussEdges(edges: DataFrame, aCol: String, bCol: String, minSupport: Long): DataFrame =
+    edges.select(col(aCol), col(bCol))
+      .join(edgeSupport(edges, aCol, bCol), Seq(aCol, bCol))
+      .filter(col("support") >= minSupport)
+      .select(col(aCol), col(bCol))
 }

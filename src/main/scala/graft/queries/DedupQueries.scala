@@ -1484,6 +1484,68 @@ object DedupQueries {
           .withColumn("lcc",
             col("lcc_num").cast("double") / col("lcc_den").cast("double"))
       }
+    ),
+    Q(
+      "q170_truss_canonicals",
+      "Truss-refined canonical assignment: drop every pair edge in ZERO " +
+        "triangles (the 3-truss cut, support from q167's closed-" +
+        "triangle stage), then re-component — severing the bridge edges " +
+        "that chain two dense paraphrase cliques through one borderline " +
+        "match, the transitive-merge failure mode plain connected " +
+        "components cannot see (one bad pair fuses two clusters and " +
+        "over-deletes under min-id survivorship). Docs keep a row only " +
+        "while a triangle-supported edge keeps them connected; " +
+        "singletons fall out rather than inheriting a chained " +
+        "canonical. One support agg + one node-sized filter on top of " +
+        "the q167 plan, then the standard O(log d) pointer-jumping " +
+        "rounds on the SMALLER graph.",
+      Some(
+        s"""$duckSignatureCte, bands AS (
+           |  SELECT doc_id, 0 AS band,
+           |         md5(concat_ws('_', ${(0 until 8).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band,
+           |         md5(concat_ws('_', ${(8 until 16).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |), pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |), tri AS (
+           |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+           |  FROM pairs e1
+           |  JOIN pairs e2 ON e1.doc_b = e2.doc_a
+           |  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+           |), sup AS (
+           |  SELECT ea, eb, count(*) AS support
+           |  FROM (SELECT a AS ea, b AS eb FROM tri
+           |        UNION ALL SELECT a, c FROM tri
+           |        UNION ALL SELECT b, c FROM tri)
+           |  GROUP BY 1, 2
+           |), truss AS (
+           |  SELECT p.doc_a, p.doc_b
+           |  FROM pairs p JOIN sup s ON s.ea = p.doc_a AND s.eb = p.doc_b
+           |  WHERE s.support >= 1
+           |), edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM truss
+           |  UNION SELECT doc_b, doc_a FROM truss
+           |), labels AS (
+           |  WITH RECURSIVE reach(id, lab) AS (
+           |    SELECT DISTINCT src, src FROM edges
+           |    UNION
+           |    SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+           |  )
+           |  SELECT id, MIN(lab) AS comp FROM reach GROUP BY id
+           |)
+           |SELECT id AS doc_id, comp AS canonical_id FROM labels""".stripMargin),
+      (spark, dir) => {
+        val e = DupGraphPhases.pairs(spark, dir).select("doc_a", "doc_b")
+        val truss = graft.operators.Triangles
+          .trussEdges(e, "doc_a", "doc_b", minSupport = 1L)
+        graft.operators.Components.connectedComponents(truss)
+          .select(col("id").as("doc_id"), col("comp").as("canonical_id"))
+      }
     )
   )
 

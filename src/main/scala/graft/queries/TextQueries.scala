@@ -1610,6 +1610,49 @@ object TextQueries {
             array_join(col("kmin").cast("array<string>"), ",").as("kmin"),
             col("n_docs"))
       }
+    ),
+    Q(
+      "q169_collocation_lift",
+      "Collocation mining by PMI-style lift: adjacent token pairs " +
+        "(n_xy >= 5) flagged when observed frequency beats independence " +
+        "10x — lift = n_xy*N^2 / (T*n_x*n_y). The vocabulary-induction " +
+        "signal q96's raw pair counts miss: 'of the' tops any count " +
+        "list at lift ~ 1 while a true multiword term is rare-but-" +
+        "bound. The comparison runs in exact DECIMAL(38,0) (N^2-sized " +
+        "products overflow int64 at real corpus sizes; the oracle " +
+        "mirrors in HUGEINT), so the flag is engine-exact; counts ride " +
+        "along for offline lift derivation. One map-side-combined " +
+        "shuffle on the pair; the vocab-sized unigram table joins back " +
+        "token-keyed; the 1-row totals broadcast — the corpus never " +
+        "reshuffles.",
+      Some("""
+        |WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), pr AS (
+        |  SELECT t[i] AS x, t[i+1] AS y
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        |), bi AS (
+        |  SELECT x, y, count(*) AS n_xy FROM pr GROUP BY 1, 2
+        |), uni AS (
+        |  SELECT tok, count(*) AS n
+        |  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+        |), tot AS (
+        |  SELECT (SELECT CAST(sum(n) AS BIGINT) FROM uni) AS n_total,
+        |         (SELECT CAST(sum(n_xy) AS BIGINT) FROM bi) AS t_pairs
+        |)
+        |SELECT b.x, b.y, b.n_xy, ux.n AS n_x, uy.n AS n_y,
+        |       tot.n_total, tot.t_pairs,
+        |       CAST(b.n_xy AS HUGEINT) * tot.n_total * tot.n_total >
+        |         10 * CAST(tot.t_pairs AS HUGEINT) * ux.n * uy.n AS high_lift
+        |FROM bi b
+        |JOIN uni ux ON ux.tok = b.x
+        |JOIN uni uy ON uy.tok = b.y
+        |CROSS JOIN tot
+        |WHERE b.n_xy >= 5
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        graft.operators.CorpusStats.collocationLift(
+          Tables.documents(spark, dir), "text", minCount = 5L, liftFloor = 10)
     )
   )
 }

@@ -43,6 +43,48 @@ class TrianglesSpec extends AnyFunSuite {
     }
   }
 
+  private def supportModel(edges: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+    val adj = edges.flatMap(e => Seq(e, e.swap)).groupMap(_._1)(_._2)
+    edges.map { case (a, b) =>
+      (a, b) -> adj(a).count(w => w != b && adj(b).contains(w)).toLong
+    }.filter(_._2 > 0).toMap
+  }
+
+  test("edgeSupport matches the common-neighbor model on random graphs") {
+    val rnd = new scala.util.Random(7)
+    (0 until 6).foreach { trial =>
+      val n = 10 + rnd.nextInt(15)
+      val edges = (for {
+        a <- 0L until n
+        b <- (a + 1) until n if rnd.nextDouble() < 0.3
+      } yield (a, b)).toSet
+      if (edges.nonEmpty) {
+        val got = Triangles.edgeSupport(
+            edges.toSeq.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+          .as[(Long, Long, Long)].collect()
+          .map { case (a, b, s) => (a, b) -> s }.toMap
+        assert(got == supportModel(edges), s"trial $trial, n=$n")
+      }
+    }
+  }
+
+  test("truss cut severs the bridge between two triangles; cliques survive intact") {
+    // two triangles {0,1,2} and {10,11,12} chained by bridge 2-10
+    val g = Set((0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (2L, 10L))
+    val truss = Triangles.trussEdges(g.toSeq.toDF("doc_a", "doc_b"),
+        "doc_a", "doc_b", minSupport = 1L)
+      .as[(Long, Long)].collect().toSet
+    assert(truss == g - ((2L, 10L)), "bridge edge must be cut, triangle edges kept")
+    // and the refined components split where plain components fuse
+    val comp = Components.connectedComponents(
+        truss.toSeq.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(comp.filterKeys(Set(0L, 1L, 2L)).values.toSet.size == 1)
+    assert(comp.filterKeys(Set(10L, 11L, 12L)).values.toSet.size == 1)
+    assert(comp(0L) != comp(10L), "truss components must not chain through the bridge")
+  }
+
   test("clique K5: every vertex in C(4,2)=6 triangles; chain has none; hub star has none") {
     val k5 = (for { a <- 0L until 5; b <- (a + 1) until 5 } yield (a, b)).toSet
     assert(run(k5) == (0L until 5L).map(_ -> 6L).toMap)
