@@ -225,6 +225,15 @@ object Bench {
           }),
           "q164_kmv_fold" -> ((s: SparkSession, d: String) =>
             SparkEntry.queries("q164_kmv_fold")(s, d))),
+        // Twin-collapse triangle products: counts + truss tables built
+        // once (shared twin-class frame), probed by q167/q168/q170.
+        "q167_dup_triangles" -> Seq(
+          "q167_tri_build" -> ((s: SparkSession, d: String) => {
+            graft.queries.TrianglePhases.build(s, d)
+            s.emptyDataFrame
+          }),
+          "q167_dup_triangles" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q167_dup_triangles")(s, d))),
         // Incremental z-compaction: base write is the one-shot layout
         // cost; zingest (append + touched-bucket compaction) is what
         // every arrival batch pays — it must stay arrival-sized as the

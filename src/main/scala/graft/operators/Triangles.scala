@@ -112,4 +112,162 @@ object Triangles {
       .join(edgeSupport(edges, aCol, bCol), Seq(aCol, bCol))
       .filter(col("support") >= minSupport)
       .select(col(aCol), col(bCol))
+
+  // ---------------------------------------------------------------------
+  // Twin-collapse (modular) formulation — the shape that survives dup
+  // graphs. Measured on the sf0.1 fixture: the LSH pair graph has 2.09M
+  // edges and 1.14 BILLION triangles (giant near-cliques of exact+near
+  // dups), so ANY enumerating algorithm — including the oriented
+  // compact-forward above — is Omega(#triangles) and dies exactly where
+  // dedup graphs live. TRUE TWINS fix it: vertices with identical CLOSED
+  // neighborhoods N[v] are structurally interchangeable; N[u] = N[v]
+  // implies u ~ v (u is in N[u]), so a twin class is a clique whose
+  // members share every outside adjacency — the quotient graph is
+  // class-complete and triangle counts expand combinatorially. The same
+  // fixture collapses 4533 vertices -> 1097 classes (largest 1027) and
+  // 2.09M edges -> ~6k quotient edges: the billion-triangle answer is
+  // computed from a 6k-edge enumeration plus class-size arithmetic. Cost
+  // is ONE adjacency-list shuffle (linear in |E|) + quotient work —
+  // corpus-scale-safe because exact-dup/boilerplate cliques are
+  // precisely what twin classes collapse.
+  // ---------------------------------------------------------------------
+
+  /** Twin classes of the undirected graph: (doc_id, cls, s) where `cls`
+    * is the class label (min member id — deterministic) and `s` the
+    * class size. One shuffle building sorted closed-adjacency lists
+    * (total volume 2|E| + |V| longs), one hash-keyed agg.
+    */
+  def twinClasses(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+    val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .unionAll(e.select(col("u"), col("u").as("v")))
+      .unionAll(e.select(col("v").as("u"), col("v").as("v")))
+    val nbh = und.groupBy(col("u").as("doc_id"))
+      .agg(md5(encode(
+        array_join(sort_array(collect_set(col("v"))).cast("array<string>"), ","),
+        "UTF-8")).as("nb"))
+    val classes = nbh.groupBy("nb")
+      .agg(min(col("doc_id")).as("cls"), count(lit(1)).as("s"))
+    nbh.join(classes, Seq("nb")).select(col("doc_id"), col("cls"), col("s"))
+  }
+
+  /** Quotient edges between DISTINCT twin classes, canonical
+    * (min, max) class labels, deduplicated. Class-complete by the twin
+    * property: one row here means EVERY cross pair exists below.
+    */
+  private def quotientEdges(e: DataFrame, vcls: DataFrame): DataFrame =
+    e.join(vcls.select(col("doc_id").as("u"), col("cls").as("ca")), Seq("u"))
+      .join(vcls.select(col("doc_id").as("v"), col("cls").as("cb")), Seq("v"))
+      .filter(col("ca") =!= col("cb"))
+      .select(least(col("ca"), col("cb")).as("qa"),
+        greatest(col("ca"), col("cb")).as("qb"))
+      .distinct()
+
+  /** [[vertexTriangleCounts]] by twin collapse — identical output,
+    * never enumerates a triangle. Per class C with size s and
+    * class-adjacency weight S = sum of adjacent class sizes:
+    * T(v in C) = C(s-1, 2)                (both others in C)
+    *           + (s-1) * S                (one other in C)
+    *           + sum over D adj C of C(s_D, 2)
+    *                                      (both others a pair in ONE
+    *                                       adjacent class — complete
+    *                                       bipartite + D's clique)
+    *           + sum over quotient triangles (C, D, E) of s_D * s_E
+    *                                      (one vertex in each class).
+    * The quotient triangle stage reuses the oriented compact-forward
+    * above on the (tiny) quotient.
+    */
+  def vertexTriangleCountsCollapsed(
+      edges: DataFrame, aCol: String, bCol: String,
+      vclsOpt: Option[DataFrame] = None): DataFrame = {
+    val e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+    val vcls = vclsOpt.getOrElse(twinClasses(edges, aCol, bCol))
+    val classes = vcls.select("cls", "s").distinct()
+    val q = quotientEdges(e, vcls)
+    // S_adj(C): sum of neighbor-class sizes in the quotient
+    val qund = q.select(col("qa").as("c"), col("qb").as("d"))
+      .unionAll(q.select(col("qb").as("c"), col("qa").as("d")))
+    val sAdj = qund
+      .join(classes.select(col("cls").as("d"), col("s").as("sd")), Seq("d"))
+      .groupBy(col("c").as("cls"))
+      .agg(sum(col("sd")).as("s_adj"),
+        sum(shiftright(col("sd") * (col("sd") - 1), 1)).as("pair_adj"))
+    // quotient triangles: per corner, the product of the OTHER two sizes
+    val qtri = closedTriangles(q, "qa", "qb")
+    val szs = classes.select(col("cls"), col("s"))
+    val qtriSized = qtri
+      .join(szs.select(col("cls").as("a"), col("s").as("sa")), Seq("a"))
+      .join(szs.select(col("cls").as("lo"), col("s").as("slo")), Seq("lo"))
+      .join(szs.select(col("cls").as("hi"), col("s").as("shi")), Seq("hi"))
+    val triW = qtriSized.select(col("a").as("cls"), (col("slo") * col("shi")).as("w"))
+      .unionAll(qtriSized.select(col("lo").as("cls"), (col("sa") * col("shi")).as("w")))
+      .unionAll(qtriSized.select(col("hi").as("cls"), (col("sa") * col("slo")).as("w")))
+      .groupBy("cls").agg(sum(col("w")).as("tri_w"))
+    val perClass = classes
+      .join(sAdj, Seq("cls"), "left")
+      .join(triW, Seq("cls"), "left")
+      .select(col("cls"),
+        // (s-1)(s-2) is even, so the >>1 is the exact C(s-1, 2) in pure
+        // long arithmetic (a `/` here would detour through DOUBLE)
+        (shiftright((col("s") - 1) * (col("s") - 2), 1) +
+          (col("s") - 1) * coalesce(col("s_adj"), lit(0L)) +
+          coalesce(col("pair_adj"), lit(0L)) +
+          coalesce(col("tri_w"), lit(0L))).as("n_triangles"))
+      .filter(col("n_triangles") > 0)
+    vcls.join(perClass, Seq("cls"))
+      .select(col("doc_id"), col("n_triangles"))
+  }
+
+  /** Per-edge triangle support by twin collapse — identical to
+    * [[edgeSupport]] (positive-support rows), never enumerates: an
+    * intra-class edge (u, v in C) has support (s-2) + S_adj(C); a
+    * cross-class edge (C, D) has support (s_C - 1) + (s_D - 1) + W(C,D)
+    * with W the size-weighted common quotient neighborhood — one wedge
+    * join on the tiny quotient.
+    */
+  def edgeSupportCollapsed(
+      edges: DataFrame, aCol: String, bCol: String,
+      vclsOpt: Option[DataFrame] = None): DataFrame = {
+    val e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+    val vcls = vclsOpt.getOrElse(twinClasses(edges, aCol, bCol))
+    val classes = vcls.select("cls", "s").distinct()
+    val q = quotientEdges(e, vcls)
+    val qund = q.select(col("qa").as("c"), col("qb").as("d"))
+      .unionAll(q.select(col("qb").as("c"), col("qa").as("d")))
+    val sAdj = qund
+      .join(classes.select(col("cls").as("d"), col("s").as("sd")), Seq("d"))
+      .groupBy(col("c").as("cls")).agg(sum(col("sd")).as("s_adj"))
+    // W(C, D): common quotient neighbors of C and D, size-weighted
+    val w = qund.select(col("c").as("qa"), col("d").as("e"))
+      .join(qund.select(col("c").as("qb"), col("d").as("e")), Seq("e"))
+      .filter(col("qa") < col("qb"))
+      .join(classes.select(col("cls").as("e"), col("s").as("se")), Seq("e"))
+      .groupBy("qa", "qb").agg(sum(col("se")).as("w_common"))
+    val tagged = e
+      .join(vcls.select(col("doc_id").as("u"), col("cls").as("cu"), col("s").as("su")), Seq("u"))
+      .join(vcls.select(col("doc_id").as("v"), col("cls").as("cv"), col("s").as("sv")), Seq("v"))
+    val intra = tagged.filter(col("cu") === col("cv"))
+      .join(sAdj.select(col("cls").as("cu"), col("s_adj")), Seq("cu"), "left")
+      .select(col("u"), col("v"),
+        (col("su") - 2 + coalesce(col("s_adj"), lit(0L))).as("support"))
+    val cross = tagged.filter(col("cu") =!= col("cv"))
+      .withColumn("qa", least(col("cu"), col("cv")))
+      .withColumn("qb", greatest(col("cu"), col("cv")))
+      .join(w, Seq("qa", "qb"), "left")
+      .select(col("u"), col("v"),
+        (col("su") - 1 + col("sv") - 1 + coalesce(col("w_common"), lit(0L))).as("support"))
+    intra.unionAll(cross)
+      .filter(col("support") > 0)
+      .select(col("u").as(aCol), col("v").as(bCol), col("support"))
+  }
+
+  /** [[trussEdges]] via the collapsed support — the form that survives
+    * billion-triangle dup graphs.
+    */
+  def trussEdgesCollapsed(
+      edges: DataFrame, aCol: String, bCol: String, minSupport: Long,
+      vclsOpt: Option[DataFrame] = None): DataFrame =
+    edgeSupportCollapsed(edges, aCol, bCol, vclsOpt)
+      .filter(col("support") >= minSupport)
+      .select(col(aCol), col(bCol))
 }

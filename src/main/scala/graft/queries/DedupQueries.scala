@@ -1378,16 +1378,18 @@ object DedupQueries {
         "paraphrase cluster is a near-clique (every member in many " +
         "triangles) while a chain of borderline pairs has none, and " +
         "that distinction drives whether a whole cluster collapses to " +
-        "one canonical or gets human review. Counted compact-forward " +
-        "(Triangles.vertexTriangleCounts): edges oriented low->high " +
-        "(degree, id), wedges formed only at each pair's low endpoint, " +
-        "closed by one equi-join — so a degree-d boilerplate hub " +
-        "contributes O(sqrt(m)) wedge pairs instead of d^2, the curse-" +
-        "of-the-last-reducer defense, with AQE skew-split behind it. " +
-        "Probes the materialized pair graph; the oracle re-mines pairs " +
-        "and counts by the id-ordered formulation — per-doc counts are " +
-        "orientation-invariant, so the two formulations must agree " +
-        "exactly.",
+        "one canonical or gets human review. Counted by TRUE-TWIN " +
+        "COLLAPSE (Triangles.vertexTriangleCountsCollapsed): the sf0.1 " +
+        "pair graph packs 1.14 BILLION triangles into 2M edges (giant " +
+        "near-cliques), so ANY enumerating algorithm — even the " +
+        "degree-oriented compact-forward — is Omega(#triangles) and " +
+        "dies exactly where dup graphs live; instead, vertices with " +
+        "identical closed neighborhoods collapse to classes (4533 -> " +
+        "1097 on that fixture), triangles are enumerated only on the " +
+        "~6k-edge quotient, and per-doc counts expand combinatorially " +
+        "from class sizes — one linear adjacency shuffle total. The " +
+        "oracle counts by brute enumeration over the re-mined pairs, " +
+        "so the collapse arithmetic is checked doc for doc.",
       Some(
         s"""$duckSignatureCte, bands AS (
            |  SELECT doc_id, 0 AS band,
@@ -1412,10 +1414,7 @@ object DedupQueries {
            |  UNION ALL SELECT c FROM tri
            |)
            |SELECT doc_id, count(*) AS n_triangles FROM m GROUP BY 1""".stripMargin),
-      (spark, dir) =>
-        graft.operators.Triangles.vertexTriangleCounts(
-          DupGraphPhases.pairs(spark, dir).select("doc_a", "doc_b"),
-          "doc_a", "doc_b")
+      (spark, dir) => TrianglePhases.counts(spark, dir)
     ),
     Q(
       "q168_clustering_coefficient",
@@ -1473,8 +1472,7 @@ object DedupQueries {
         val deg = e.select(col("doc_a").as("doc_id"))
           .unionAll(e.select(col("doc_b").as("doc_id")))
           .groupBy("doc_id").agg(count(lit(1)).as("deg"))
-        val tri = graft.operators.Triangles
-          .vertexTriangleCounts(e, "doc_a", "doc_b")
+        val tri = TrianglePhases.counts(spark, dir)
         deg.filter(col("deg") >= 2)
           .join(tri, Seq("doc_id"), "left")
           .select(col("doc_id"), col("deg"),
@@ -1496,9 +1494,11 @@ object DedupQueries {
         "over-deletes under min-id survivorship). Docs keep a row only " +
         "while a triangle-supported edge keeps them connected; " +
         "singletons fall out rather than inheriting a chained " +
-        "canonical. One support agg + one node-sized filter on top of " +
-        "the q167 plan, then the standard O(log d) pointer-jumping " +
-        "rounds on the SMALLER graph.",
+        "canonical. Support comes from the q167 twin collapse (per-" +
+        "edge closed-form from class sizes + one wedge join on the " +
+        "tiny quotient — never a triangle enumeration), then the " +
+        "standard O(log d) pointer-jumping rounds on the surviving " +
+        "graph.",
       Some(
         s"""$duckSignatureCte, bands AS (
            |  SELECT doc_id, 0 AS band,
@@ -1540,9 +1540,7 @@ object DedupQueries {
            |)
            |SELECT id AS doc_id, comp AS canonical_id FROM labels""".stripMargin),
       (spark, dir) => {
-        val e = DupGraphPhases.pairs(spark, dir).select("doc_a", "doc_b")
-        val truss = graft.operators.Triangles
-          .trussEdges(e, "doc_a", "doc_b", minSupport = 1L)
+        val truss = TrianglePhases.truss(spark, dir)
         graft.operators.Components.connectedComponents(truss)
           .select(col("id").as("doc_id"), col("comp").as("canonical_id"))
       }
@@ -2119,5 +2117,50 @@ object DupGraphPhases {
   def smallDeltaServing(spark: SparkSession, dir: String): DataFrame = {
     ensureSmallDelta(spark, dir)
     spark.table(smallDeltaServingTable(dir))
+  }
+}
+
+/** Materialized twin-collapse triangle products: the q167/q168/q170
+  * family probes ONE per-dir build (counts table + 3-truss edge table),
+  * the [[DupGraphPhases]] build-once discipline applied to the graph-
+  * density layer. The twin-class frame is computed ONCE inside the
+  * build and shared by both products (each operator takes it
+  * pre-computed), so the linear adjacency shuffle is paid once per
+  * refresh, not per query. Bench times the build as its own
+  * `tri_build` line at the family's first consumer in name order.
+  */
+object TrianglePhases {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import graft.operators.{Bucketing, Triangles}
+
+  private val built = scala.collection.mutable.Set[String]()
+
+  def cntTable(dir: String): String = s"graft_tricnt_${Q.scratchTag(dir)}"
+  def trussTable(dir: String): String = s"graft_truss_${Q.scratchTag(dir)}"
+
+  def build(spark: SparkSession, dir: String): Unit = synchronized {
+    val e = DupGraphPhases.pairs(spark, dir).select("doc_a", "doc_b")
+    val vcls = Triangles.twinClasses(e, "doc_a", "doc_b").localCheckpoint()
+    try {
+      Bucketing.dropWithLocation(spark, cntTable(dir))
+      Triangles.vertexTriangleCountsCollapsed(e, "doc_a", "doc_b", Some(vcls))
+        .write.format("parquet").saveAsTable(cntTable(dir))
+      Bucketing.dropWithLocation(spark, trussTable(dir))
+      Triangles.trussEdgesCollapsed(e, "doc_a", "doc_b", minSupport = 1L, Some(vcls))
+        .write.format("parquet").saveAsTable(trussTable(dir))
+    } finally vcls.unpersist()
+    built += cntTable(dir)
+  }
+
+  def ensure(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!built.contains(cntTable(dir))) build(spark, dir)
+  }
+
+  def counts(spark: SparkSession, dir: String): DataFrame = {
+    ensure(spark, dir); spark.table(cntTable(dir))
+  }
+
+  def truss(spark: SparkSession, dir: String): DataFrame = {
+    ensure(spark, dir); spark.table(trussTable(dir))
   }
 }

@@ -85,6 +85,52 @@ class TrianglesSpec extends AnyFunSuite {
     assert(comp(0L) != comp(10L), "truss components must not chain through the bridge")
   }
 
+  /** Random graph plus PLANTED true twins (each cloned vertex adjacent
+    * to its original and all its original's neighbors) — the structure
+    * dup graphs actually have and the collapse exists for.
+    */
+  private def randomWithTwins(rnd: scala.util.Random): Set[(Long, Long)] = {
+    val n = 8 + rnd.nextInt(10)
+    var edges = (for {
+      a <- 0L until n
+      b <- (a + 1) until n if rnd.nextDouble() < 0.3
+    } yield (a, b)).toSet
+    var next = n.toLong
+    (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+      val v = rnd.nextInt(n).toLong
+      val nb = edges.collect { case (a, b) if a == v => b; case (a, b) if b == v => a }
+      val clone = next; next += 1
+      edges ++= (nb + v).map(w => (math.min(w, clone), math.max(w, clone)))
+    }
+    edges
+  }
+
+  test("collapsed counts == enumerating counts on random graphs with planted twin cliques") {
+    val rnd = new scala.util.Random(11)
+    (0 until 6).foreach { trial =>
+      val edges = randomWithTwins(rnd)
+      val df = edges.toSeq.toDF("doc_a", "doc_b")
+      val enum0 = Triangles.vertexTriangleCounts(df, "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      val coll = Triangles.vertexTriangleCountsCollapsed(df, "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      assert(coll == enum0, s"trial $trial: collapsed diverges from enumeration")
+    }
+  }
+
+  test("collapsed edge support == enumerating support on random graphs with twins") {
+    val rnd = new scala.util.Random(13)
+    (0 until 6).foreach { trial =>
+      val edges = randomWithTwins(rnd)
+      val df = edges.toSeq.toDF("doc_a", "doc_b")
+      val enum0 = Triangles.edgeSupport(df, "doc_a", "doc_b")
+        .as[(Long, Long, Long)].collect().map { case (a, b, s) => (a, b) -> s }.toMap
+      val coll = Triangles.edgeSupportCollapsed(df, "doc_a", "doc_b")
+        .as[(Long, Long, Long)].collect().map { case (a, b, s) => (a, b) -> s }.toMap
+      assert(coll == enum0, s"trial $trial: collapsed support diverges")
+    }
+  }
+
   test("clique K5: every vertex in C(4,2)=6 triangles; chain has none; hub star has none") {
     val k5 = (for { a <- 0L until 5; b <- (a + 1) until 5 } yield (a, b)).toSet
     assert(run(k5) == (0L until 5L).map(_ -> 6L).toMap)
