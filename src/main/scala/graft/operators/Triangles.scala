@@ -270,4 +270,57 @@ object Triangles {
     edgeSupportCollapsed(edges, aCol, bCol, vclsOpt)
       .filter(col("support") >= minSupport)
       .select(col(aCol), col(bCol))
+
+  /** Connected components of the truss-cut graph WITHOUT ever expanding
+    * it: truss support is UNIFORM within a class (every intra-C edge has
+    * support s-2+S_adj) and within a class pair (every (C, D) edge has
+    * support (s_C-1)+(s_D-1)+W), so the cut acts at QUOTIENT level —
+    * survival of one expanded edge implies survival of its whole
+    * class-complete bundle. Components therefore run on the (tiny)
+    * quotient survivor graph and labels expand to members: a class with
+    * surviving intra edges is internally one clique-connected blob; a
+    * surviving cross pair fuses two blobs entirely. Labels match the
+    * vertex-level flooding exactly because a class label IS its minimum
+    * member id. On the sf0.1 fixture this replaces a 2M-edge pointer-
+    * jumping run with a ~1k-node one. Output: (doc_id, canonical_id)
+    * for every vertex on >= 1 surviving edge — identical to
+    * Components.connectedComponents over [[trussEdges]].
+    */
+  def trussCanonicalsCollapsed(
+      edges: DataFrame, aCol: String, bCol: String, minSupport: Long,
+      vclsOpt: Option[DataFrame] = None): DataFrame = {
+    val e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+    val vcls = vclsOpt.getOrElse(twinClasses(edges, aCol, bCol))
+    val classes = vcls.select("cls", "s").distinct()
+    val q = quotientEdges(e, vcls)
+    val qund = q.select(col("qa").as("c"), col("qb").as("d"))
+      .unionAll(q.select(col("qb").as("c"), col("qa").as("d")))
+    val sAdj = qund
+      .join(classes.select(col("cls").as("d"), col("s").as("sd")), Seq("d"))
+      .groupBy(col("c").as("cls")).agg(sum(col("sd")).as("s_adj"))
+    val w = qund.select(col("c").as("qa"), col("d").as("e"))
+      .join(qund.select(col("c").as("qb"), col("d").as("e")), Seq("e"))
+      .filter(col("qa") < col("qb"))
+      .join(classes.select(col("cls").as("e"), col("s").as("se")), Seq("e"))
+      .groupBy("qa", "qb").agg(sum(col("se")).as("w_common"))
+    val crossSurvive = q
+      .join(classes.select(col("cls").as("qa"), col("s").as("sa")), Seq("qa"))
+      .join(classes.select(col("cls").as("qb"), col("s").as("sb")), Seq("qb"))
+      .join(w, Seq("qa", "qb"), "left")
+      .filter(col("sa") - 1 + col("sb") - 1 +
+        coalesce(col("w_common"), lit(0L)) >= minSupport)
+      .select(col("qa"), col("qb"))
+    val intraSurvive = classes.filter(col("s") >= 2)
+      .join(sAdj, Seq("cls"), "left")
+      .filter(col("s") - 2 + coalesce(col("s_adj"), lit(0L)) >= minSupport)
+      .select(col("cls"))
+    val qcomp = Components.connectedComponents(crossSurvive, "qa", "qb")
+      .select(col("id").as("cls"), col("comp"))
+    // classes alive only through their intra clique keep their own label
+    val keep = qcomp.unionByName(
+      intraSurvive.join(qcomp.select("cls"), Seq("cls"), "left_anti")
+        .select(col("cls"), col("cls").as("comp")))
+    vcls.join(keep, Seq("cls"))
+      .select(col("doc_id"), col("comp").as("canonical_id"))
+  }
 }

@@ -1496,9 +1496,11 @@ object DedupQueries {
         "singletons fall out rather than inheriting a chained " +
         "canonical. Support comes from the q167 twin collapse (per-" +
         "edge closed-form from class sizes + one wedge join on the " +
-        "tiny quotient — never a triangle enumeration), then the " +
-        "standard O(log d) pointer-jumping rounds on the surviving " +
-        "graph.",
+        "tiny quotient — never a triangle enumeration), and because " +
+        "survival is UNIFORM per class bundle, even the component " +
+        "rounds run on the ~1k-node quotient survivor graph and labels " +
+        "expand to members — the 2M-edge truss graph is never " +
+        "materialized (Triangles.trussCanonicalsCollapsed).",
       Some(
         s"""$duckSignatureCte, bands AS (
            |  SELECT doc_id, 0 AS band,
@@ -1539,11 +1541,7 @@ object DedupQueries {
            |  SELECT id, MIN(lab) AS comp FROM reach GROUP BY id
            |)
            |SELECT id AS doc_id, comp AS canonical_id FROM labels""".stripMargin),
-      (spark, dir) => {
-        val truss = TrianglePhases.truss(spark, dir)
-        graft.operators.Components.connectedComponents(truss)
-          .select(col("id").as("doc_id"), col("comp").as("canonical_id"))
-      }
+      (spark, dir) => TrianglePhases.trussCanonicals(spark, dir)
     )
   )
 
@@ -2146,7 +2144,7 @@ object TrianglePhases {
       Triangles.vertexTriangleCountsCollapsed(e, "doc_a", "doc_b", Some(vcls))
         .write.format("parquet").saveAsTable(cntTable(dir))
       Bucketing.dropWithLocation(spark, trussTable(dir))
-      Triangles.trussEdgesCollapsed(e, "doc_a", "doc_b", minSupport = 1L, Some(vcls))
+      Triangles.trussCanonicalsCollapsed(e, "doc_a", "doc_b", minSupport = 1L, Some(vcls))
         .write.format("parquet").saveAsTable(trussTable(dir))
     } finally vcls.unpersist()
     built += cntTable(dir)
@@ -2160,7 +2158,8 @@ object TrianglePhases {
     ensure(spark, dir); spark.table(cntTable(dir))
   }
 
-  def truss(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, canonical_id) over the 3-truss survivor graph. */
+  def trussCanonicals(spark: SparkSession, dir: String): DataFrame = {
     ensure(spark, dir); spark.table(trussTable(dir))
   }
 }

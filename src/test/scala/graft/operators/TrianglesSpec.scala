@@ -131,6 +131,22 @@ class TrianglesSpec extends AnyFunSuite {
     }
   }
 
+  test("quotient-level truss canonicals == components over the expanded truss graph") {
+    val rnd = new scala.util.Random(17)
+    (0 until 6).foreach { trial =>
+      val edges = randomWithTwins(rnd)
+      val df = edges.toSeq.toDF("doc_a", "doc_b")
+      val expanded = Triangles.trussEdges(df, "doc_a", "doc_b", minSupport = 1L)
+      val want =
+        if (expanded.isEmpty) Map.empty[Long, Long]
+        else Components.connectedComponents(expanded)
+          .as[(Long, Long)].collect().toMap
+      val got = Triangles.trussCanonicalsCollapsed(df, "doc_a", "doc_b", minSupport = 1L)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial $trial: quotient canonicals diverge")
+    }
+  }
+
   test("clique K5: every vertex in C(4,2)=6 triangles; chain has none; hub star has none") {
     val k5 = (for { a <- 0L until 5; b <- (a + 1) until 5 } yield (a, b)).toSet
     assert(run(k5) == (0L until 5L).map(_ -> 6L).toMap)
