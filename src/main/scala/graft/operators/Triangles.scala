@@ -271,6 +271,23 @@ object Triangles {
       .filter(col("support") >= minSupport)
       .select(col(aCol), col(bCol))
 
+  /** The twin decomposition as an auditable product: one row per class
+    * with its label (min member id), size, and quotient degree — the
+    * collapse-health diagnostic (how much did the graph shrink, is one
+    * class dominating) and the direct verification surface for
+    * [[twinClasses]] itself, which three operators stand on.
+    */
+  def twinQuotientStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+    val vcls = twinClasses(edges, aCol, bCol)
+    val classes = vcls.select("cls", "s").distinct()
+    val q = quotientEdges(e, vcls)
+    val qDeg = q.select(col("qa").as("cls")).unionAll(q.select(col("qb").as("cls")))
+      .groupBy("cls").agg(count(lit(1)).as("q_deg"))
+    classes.join(qDeg, Seq("cls"), "left")
+      .select(col("cls"), col("s"), coalesce(col("q_deg"), lit(0L)).as("q_deg"))
+  }
+
   /** Connected components of the truss-cut graph WITHOUT ever expanding
     * it: truss support is UNIFORM within a class (every intra-C edge has
     * support s-2+S_adj) and within a class pair (every (C, D) edge has

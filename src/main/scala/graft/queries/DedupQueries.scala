@@ -1542,6 +1542,63 @@ object DedupQueries {
            |)
            |SELECT id AS doc_id, comp AS canonical_id FROM labels""".stripMargin),
       (spark, dir) => TrianglePhases.trussCanonicals(spark, dir)
+    ),
+    Q(
+      "q171_twin_quotient",
+      "The twin decomposition itself, audited: one row per twin class " +
+        "(label = min member id, size, quotient degree) — the collapse-" +
+        "health diagnostic behind the q167/q168/q170 family (how much " +
+        "did the graph shrink, is one boilerplate class dominating), " +
+        "and the DIRECT verification of the closed-neighborhood " +
+        "partition those three queries stand on: the oracle recomputes " +
+        "the md5 adjacency fingerprints from scratch, so any drift in " +
+        "the class structure hash-mismatches here before it silently " +
+        "skews a triangle count. Linear: one adjacency shuffle, one " +
+        "fingerprint agg, one edge double-join for the quotient.",
+      Some(
+        s"""$duckSignatureCte, bands AS (
+           |  SELECT doc_id, 0 AS band,
+           |         md5(concat_ws('_', ${(0 until 8).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band,
+           |         md5(concat_ws('_', ${(8 until 16).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |), pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |), und AS (
+           |  SELECT DISTINCT doc_id, n FROM (
+           |    SELECT doc_a AS doc_id, doc_b AS n FROM pairs
+           |    UNION ALL SELECT doc_b, doc_a FROM pairs
+           |    UNION ALL SELECT doc_a, doc_a FROM pairs
+           |    UNION ALL SELECT doc_b, doc_b FROM pairs)
+           |), adj AS (
+           |  SELECT doc_id, md5(string_agg(CAST(n AS VARCHAR), ',' ORDER BY n)) AS nb
+           |  FROM und GROUP BY 1
+           |), cls AS (
+           |  SELECT nb, CAST(min(doc_id) AS BIGINT) AS cls, count(*) AS s
+           |  FROM adj GROUP BY 1
+           |), vcls AS (
+           |  SELECT a.doc_id, c.cls FROM adj a JOIN cls c USING (nb)
+           |), qe AS (
+           |  SELECT DISTINCT least(x.cls, y.cls) AS qa, greatest(x.cls, y.cls) AS qb
+           |  FROM pairs p
+           |  JOIN vcls x ON x.doc_id = p.doc_a
+           |  JOIN vcls y ON y.doc_id = p.doc_b
+           |  WHERE x.cls <> y.cls
+           |), qd AS (
+           |  SELECT cls, count(*) AS q_deg
+           |  FROM (SELECT qa AS cls FROM qe UNION ALL SELECT qb FROM qe)
+           |  GROUP BY 1
+           |)
+           |SELECT c.cls, c.s, COALESCE(qd.q_deg, 0) AS q_deg
+           |FROM cls c LEFT JOIN qd ON qd.cls = c.cls""".stripMargin),
+      (spark, dir) =>
+        graft.operators.Triangles.twinQuotientStats(
+          DupGraphPhases.pairs(spark, dir).select("doc_a", "doc_b"),
+          "doc_a", "doc_b")
     )
   )
 
