@@ -109,6 +109,25 @@ object Multimodal {
     java.util.Arrays.copyOf(payload, newLen)
   }
 
+  /** Digest-first media dedup: group payloads by content md5 BEFORE any
+    * decode — the pipeline-ordering rule that matters at 100 TB, where
+    * the decode stage is the CPU bill and identical media (re-crawled
+    * images, mirrored videos) are common. Only the 16-byte digest and
+    * the byte count shuffle; payloads never move, and every duplicate
+    * copy skipped is its full decode cost saved (`bytes_dup` = the
+    * bytes the decode stage never sees). Same shape as text exact-dedup
+    * (q30): hash-keyed agg with map-side combine.
+    */
+  def dedupByDigest(media: Dataset[MediaRecord]): DataFrame =
+    media.toDF()
+      .select(org.apache.spark.sql.functions.md5(col("payload")).as("content_md5"),
+        col("doc_id"), length(col("payload")).as("n_bytes"))
+      .groupBy("content_md5")
+      .agg(
+        min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        (max(col("n_bytes")) * (count(lit(1)) - 1)).cast("long").as("bytes_dup"))
+
   /** Batched resize stage: same mapPartitions shape as [[extractMeta]]. */
   def resize(ds: Dataset[MediaRecord], maxW: Int, maxH: Int,
       batchSize: Int = 64): Dataset[MediaRecord] = {

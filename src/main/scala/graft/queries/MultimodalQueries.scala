@@ -145,6 +145,30 @@ object MultimodalQueries {
           .select(col("doc_id"), col("frame_idx"),
             col("frame").cast("string").as("frame_text"))
       }
+    ),
+    Q(
+      "q172_media_dedup",
+      "Digest-first media dedup: group payloads by content md5 BEFORE " +
+        "any decode — the pipeline-ordering rule that matters at 100 " +
+        "TB, where decode is the CPU bill and re-crawled/mirrored media " +
+        "are common. Only the 16-byte digest + byte count shuffle " +
+        "(payloads never move), and bytes_dup is exactly the byte " +
+        "volume the decode stage never has to touch. Same hash-keyed " +
+        "map-side-combined shape as text exact-dedup (q30), applied at " +
+        "the binary seam.",
+      Some("""
+        |SELECT md5(text) AS content_md5,
+        |       MIN(doc_id) AS keep_id,
+        |       COUNT(*) AS n_copies,
+        |       CAST(MAX(octet_length(encode(text))) * (COUNT(*) - 1) AS BIGINT) AS bytes_dup
+        |FROM documents GROUP BY 1
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        import spark.implicits._
+        Multimodal.dedupByDigest(
+          Multimodal.payloadFromText(Tables.documents(spark, dir), "doc_id", "text")
+            .as[MediaRecord])
+      }
     )
   )
 }
