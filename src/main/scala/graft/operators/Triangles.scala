@@ -154,8 +154,11 @@ object Triangles {
   /** Quotient edges between DISTINCT twin classes, canonical
     * (min, max) class labels, deduplicated. Class-complete by the twin
     * property: one row here means EVERY cross pair exists below.
+    * Public so a build-once caller can derive it alongside
+    * [[twinClasses]] and feed both into every collapsed product —
+    * paying the edge-stream pass once, not per operator.
     */
-  private def quotientEdges(e: DataFrame, vcls: DataFrame): DataFrame =
+  def quotientEdges(e: DataFrame, vcls: DataFrame): DataFrame =
     e.join(vcls.select(col("doc_id").as("u"), col("cls").as("ca")), Seq("u"))
       .join(vcls.select(col("doc_id").as("v"), col("cls").as("cb")), Seq("v"))
       .filter(col("ca") =!= col("cb"))
@@ -179,11 +182,12 @@ object Triangles {
     */
   def vertexTriangleCountsCollapsed(
       edges: DataFrame, aCol: String, bCol: String,
-      vclsOpt: Option[DataFrame] = None): DataFrame = {
+      vclsOpt: Option[DataFrame] = None,
+      qOpt: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
     val vcls = vclsOpt.getOrElse(twinClasses(edges, aCol, bCol))
     val classes = vcls.select("cls", "s").distinct()
-    val q = quotientEdges(e, vcls)
+    val q = qOpt.getOrElse(quotientEdges(e, vcls))
     // S_adj(C): sum of neighbor-class sizes in the quotient
     val qund = q.select(col("qa").as("c"), col("qb").as("d"))
       .unionAll(q.select(col("qb").as("c"), col("qa").as("d")))
@@ -227,11 +231,12 @@ object Triangles {
     */
   def edgeSupportCollapsed(
       edges: DataFrame, aCol: String, bCol: String,
-      vclsOpt: Option[DataFrame] = None): DataFrame = {
+      vclsOpt: Option[DataFrame] = None,
+      qOpt: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
     val vcls = vclsOpt.getOrElse(twinClasses(edges, aCol, bCol))
     val classes = vcls.select("cls", "s").distinct()
-    val q = quotientEdges(e, vcls)
+    val q = qOpt.getOrElse(quotientEdges(e, vcls))
     val qund = q.select(col("qa").as("c"), col("qb").as("d"))
       .unionAll(q.select(col("qb").as("c"), col("qa").as("d")))
     val sAdj = qund
@@ -277,11 +282,13 @@ object Triangles {
     * class dominating) and the direct verification surface for
     * [[twinClasses]] itself, which three operators stand on.
     */
-  def twinQuotientStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def twinQuotientStats(edges: DataFrame, aCol: String, bCol: String,
+      vclsOpt: Option[DataFrame] = None,
+      qOpt: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
-    val vcls = twinClasses(edges, aCol, bCol)
+    val vcls = vclsOpt.getOrElse(twinClasses(edges, aCol, bCol))
     val classes = vcls.select("cls", "s").distinct()
-    val q = quotientEdges(e, vcls)
+    val q = qOpt.getOrElse(quotientEdges(e, vcls))
     val qDeg = q.select(col("qa").as("cls")).unionAll(q.select(col("qb").as("cls")))
       .groupBy("cls").agg(count(lit(1)).as("q_deg"))
     classes.join(qDeg, Seq("cls"), "left")
@@ -305,11 +312,12 @@ object Triangles {
     */
   def trussCanonicalsCollapsed(
       edges: DataFrame, aCol: String, bCol: String, minSupport: Long,
-      vclsOpt: Option[DataFrame] = None): DataFrame = {
+      vclsOpt: Option[DataFrame] = None,
+      qOpt: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
     val vcls = vclsOpt.getOrElse(twinClasses(edges, aCol, bCol))
     val classes = vcls.select("cls", "s").distinct()
-    val q = quotientEdges(e, vcls)
+    val q = qOpt.getOrElse(quotientEdges(e, vcls))
     val qund = q.select(col("qa").as("c"), col("qb").as("d"))
       .unionAll(q.select(col("qb").as("c"), col("qa").as("d")))
     val sAdj = qund

@@ -1595,10 +1595,7 @@ object DedupQueries {
            |)
            |SELECT c.cls, c.s, COALESCE(qd.q_deg, 0) AS q_deg
            |FROM cls c LEFT JOIN qd ON qd.cls = c.cls""".stripMargin),
-      (spark, dir) =>
-        graft.operators.Triangles.twinQuotientStats(
-          DupGraphPhases.pairs(spark, dir).select("doc_a", "doc_b"),
-          "doc_a", "doc_b")
+      (spark, dir) => TrianglePhases.stats(spark, dir)
     )
   )
 
@@ -2192,18 +2189,30 @@ object TrianglePhases {
 
   def cntTable(dir: String): String = s"graft_tricnt_${Q.scratchTag(dir)}"
   def trussTable(dir: String): String = s"graft_truss_${Q.scratchTag(dir)}"
+  def statsTable(dir: String): String = s"graft_twinst_${Q.scratchTag(dir)}"
 
   def build(spark: SparkSession, dir: String): Unit = synchronized {
     val e = DupGraphPhases.pairs(spark, dir).select("doc_a", "doc_b")
+    // The twin-class frame AND the quotient edge set are derived once
+    // and pinned; all three products consume them — the edge stream is
+    // scanned once for the adjacency shuffle and once for the quotient,
+    // independent of how many products hang off the decomposition.
     val vcls = Triangles.twinClasses(e, "doc_a", "doc_b").localCheckpoint()
+    val q = Triangles.quotientEdges(
+      e.select(col("doc_a").as("u"), col("doc_b").as("v")), vcls).localCheckpoint()
     try {
       Bucketing.dropWithLocation(spark, cntTable(dir))
-      Triangles.vertexTriangleCountsCollapsed(e, "doc_a", "doc_b", Some(vcls))
+      Triangles.vertexTriangleCountsCollapsed(
+          e, "doc_a", "doc_b", Some(vcls), Some(q))
         .write.format("parquet").saveAsTable(cntTable(dir))
       Bucketing.dropWithLocation(spark, trussTable(dir))
-      Triangles.trussCanonicalsCollapsed(e, "doc_a", "doc_b", minSupport = 1L, Some(vcls))
+      Triangles.trussCanonicalsCollapsed(
+          e, "doc_a", "doc_b", minSupport = 1L, Some(vcls), Some(q))
         .write.format("parquet").saveAsTable(trussTable(dir))
-    } finally vcls.unpersist()
+      Bucketing.dropWithLocation(spark, statsTable(dir))
+      Triangles.twinQuotientStats(e, "doc_a", "doc_b", Some(vcls), Some(q))
+        .write.format("parquet").saveAsTable(statsTable(dir))
+    } finally { q.unpersist(); vcls.unpersist() }
     built += cntTable(dir)
   }
 
@@ -2218,5 +2227,10 @@ object TrianglePhases {
   /** (doc_id, canonical_id) over the 3-truss survivor graph. */
   def trussCanonicals(spark: SparkSession, dir: String): DataFrame = {
     ensure(spark, dir); spark.table(trussTable(dir))
+  }
+
+  /** (cls, s, q_deg) — the twin-decomposition audit table. */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    ensure(spark, dir); spark.table(statsTable(dir))
   }
 }
