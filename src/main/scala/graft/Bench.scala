@@ -234,6 +234,16 @@ object Bench {
           }),
           "q167_dup_triangles" -> ((s: SparkSession, d: String) =>
             SparkEntry.queries("q167_dup_triangles")(s, d))),
+        // Twin fold: the stored fingerprint build scans the even graph
+        // once; the q173 line is what one arrival batch costs (touched-
+        // vertex re-hash + node-sized regroup).
+        "q173_twin_fold" -> Seq(
+          "q173_twinfp_stored_build" -> ((s: SparkSession, d: String) => {
+            graft.queries.TwinFoldPhases.buildStored(s, d)
+            s.emptyDataFrame
+          }),
+          "q173_twin_fold" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q173_twin_fold")(s, d))),
         // Incremental z-compaction: base write is the one-shot layout
         // cost; zingest (append + touched-bucket compaction) is what
         // every arrival batch pays — it must stay arrival-sized as the

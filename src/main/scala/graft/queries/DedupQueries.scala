@@ -1596,6 +1596,59 @@ object DedupQueries {
            |SELECT c.cls, c.s, COALESCE(qd.q_deg, 0) AS q_deg
            |FROM cls c LEFT JOIN qd ON qd.cls = c.cls""".stripMargin),
       (spark, dir) => TrianglePhases.stats(spark, dir)
+    ),
+    Q(
+      "q173_twin_fold",
+      "Twin-decomposition FOLD — the incremental discipline applied to " +
+        "the graph-structure layer itself: a fingerprint depends only " +
+        "on N[v], so an arrival batch (the q154 ~2% small-delta pair " +
+        "geometry) re-hashes ONLY the delta edges' endpoints — their " +
+        "merged adjacency comes from one stored-edge pass pruned to " +
+        "the broadcast touched set — while every untouched fingerprint " +
+        "row carries over verbatim, and the class re-grouping is node-" +
+        "sized. Output: the merged graph's twin classes (label, size), " +
+        "which the oracle floods from scratch — so the fold's " +
+        "carry-over logic is checked class for class. At 100 TB the " +
+        "full rebuild re-shuffles every adjacency list; the fold " +
+        "shuffles the arrival footprint.",
+      Some(
+        s"""$duckSignatureCte, bands AS (
+           |  SELECT doc_id, 0 AS band,
+           |         md5(concat_ws('_', ${(0 until 8).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band,
+           |         md5(concat_ws('_', ${(8 until 16).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |), pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |  WHERE (a.doc_id % 2 = 0 OR a.doc_id % 50 = 1)
+           |    AND (b.doc_id % 2 = 0 OR b.doc_id % 50 = 1)
+           |), und AS (
+           |  SELECT DISTINCT doc_id, n FROM (
+           |    SELECT doc_a AS doc_id, doc_b AS n FROM pairs
+           |    UNION ALL SELECT doc_b, doc_a FROM pairs
+           |    UNION ALL SELECT doc_a, doc_a FROM pairs
+           |    UNION ALL SELECT doc_b, doc_b FROM pairs)
+           |), adj AS (
+           |  SELECT doc_id, md5(string_agg(CAST(n AS VARCHAR), ',' ORDER BY n)) AS nb
+           |  FROM und GROUP BY 1
+           |)
+           |SELECT CAST(min(doc_id) AS BIGINT) AS cls, count(*) AS s
+           |FROM adj GROUP BY nb""".stripMargin),
+      (spark, dir) => {
+        import graft.operators.Triangles
+        TwinFoldPhases.ensureStored(spark, dir)
+        val folded = Triangles.refreshFingerprints(
+          spark.table(TwinFoldPhases.fpTable(dir)),
+          TwinFoldPhases.evenPairs(spark, dir),
+          TwinFoldPhases.deltaPairs(spark, dir),
+          "doc_a", "doc_b")
+        Triangles.classesFromFingerprints(folded)
+          .select(col("cls"), col("s")).distinct()
+      }
     )
   )
 
@@ -2232,5 +2285,49 @@ object TrianglePhases {
   /** (cls, s, q_deg) — the twin-decomposition audit table. */
   def stats(spark: SparkSession, dir: String): DataFrame = {
     ensure(spark, dir); spark.table(statsTable(dir))
+  }
+}
+
+/** The stored "yesterday" adjacency-fingerprint table behind q173: one
+  * md5 closed-neighborhood fingerprint per vertex of the EVEN pair
+  * graph, persisted once per input dir — the node-sized structural
+  * state the twin fold re-hashes only at arrival-touched vertices.
+  */
+object TwinFoldPhases {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import graft.operators.{Bucketing, Triangles}
+
+  private val built = scala.collection.mutable.Set[String]()
+
+  def fpTable(dir: String): String = s"graft_twinfp_${Q.scratchTag(dir)}"
+
+  /** Yesterday's graph: pairs wholly within the even half. */
+  def evenPairs(spark: SparkSession, dir: String): DataFrame =
+    DupGraphPhases.pairs(spark, dir)
+      .filter(col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0)
+      .select("doc_a", "doc_b")
+
+  /** Arrival pair delta: the q154 small-delta geometry — every mined
+    * pair with >= 1 arrival endpoint (ids = 1 mod 50) whose other
+    * endpoint is in the merged corpus (even or arrival).
+    */
+  def deltaPairs(spark: SparkSession, dir: String): DataFrame = {
+    val member = (c: org.apache.spark.sql.Column) =>
+      (c % 2 === 0) || (c % 50 === 1)
+    DupGraphPhases.pairs(spark, dir)
+      .filter(((col("doc_a") % 50 === 1) || (col("doc_b") % 50 === 1)) &&
+        member(col("doc_a")) && member(col("doc_b")))
+      .select("doc_a", "doc_b")
+  }
+
+  def buildStored(spark: SparkSession, dir: String): Unit = synchronized {
+    Bucketing.dropWithLocation(spark, fpTable(dir))
+    Triangles.adjacencyFingerprints(evenPairs(spark, dir), "doc_a", "doc_b")
+      .write.format("parquet").saveAsTable(fpTable(dir))
+    built += fpTable(dir)
+  }
+
+  def ensureStored(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!built.contains(fpTable(dir))) buildStored(spark, dir)
   }
 }

@@ -147,6 +147,27 @@ class TrianglesSpec extends AnyFunSuite {
     }
   }
 
+  test("fingerprint fold == from-scratch fingerprints of the merged graph") {
+    val rnd = new scala.util.Random(19)
+    (0 until 6).foreach { trial =>
+      val all = randomWithTwins(rnd).toSeq
+      // split: ~80% stored, rest arrives as the delta batch
+      val (stored, delta) = all.partition(_ => rnd.nextDouble() < 0.8)
+      if (stored.nonEmpty && delta.nonEmpty) {
+        val sdf = stored.toDF("doc_a", "doc_b")
+        val ddf = delta.toDF("doc_a", "doc_b")
+        val folded = Triangles.refreshFingerprints(
+            Triangles.adjacencyFingerprints(sdf, "doc_a", "doc_b"),
+            sdf, ddf, "doc_a", "doc_b")
+          .as[(Long, String)].collect().toMap
+        val full = Triangles.adjacencyFingerprints(
+            all.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+          .as[(Long, String)].collect().toMap
+        assert(folded == full, s"trial $trial: folded fingerprints diverge")
+      }
+    }
+  }
+
   test("clique K5: every vertex in C(4,2)=6 triangles; chain has none; hub star has none") {
     val k5 = (for { a <- 0L until 5; b <- (a + 1) until 5 } yield (a, b)).toSet
     assert(run(k5) == (0L until 5L).map(_ -> 6L).toMap)
