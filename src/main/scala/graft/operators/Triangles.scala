@@ -203,6 +203,38 @@ object Triangles {
   def twinClasses(edges: DataFrame, aCol: String, bCol: String): DataFrame =
     classesFromFingerprints(adjacencyFingerprints(edges, aCol, bCol))
 
+  /** The STREAMING face of the twin fold — drive from
+    * `writeStream.foreachBatch`: fold one edge micro-batch into a
+    * SERVED fingerprint table and append the batch to the accumulated
+    * edge table. Like [[HyperLogLog.refreshBatch]] this tolerates
+    * AT-LEAST-ONCE delivery, and for the same algebraic reason:
+    * adjacency is a SET (collect_set), so replayed edges re-derive the
+    * identical fingerprints — the served TWIN STRUCTURE is exact under
+    * replay even though the edge table accumulates duplicate rows
+    * (storage-only; compact by deduplicating whenever convenient). The
+    * localCheckpoint pins the fold before the overwrite drops its own
+    * source; per-batch cost is the arrival footprint + a node-sized
+    * carry-over, never an edge-stream re-hash.
+    */
+  def refreshFingerprintsBatch(
+      batchEdges: DataFrame,
+      fpTable: String,
+      edgeTable: String,
+      aCol: String, bCol: String): Unit = {
+    val spark = batchEdges.sparkSession
+    val folded =
+      if (spark.catalog.tableExists(fpTable))
+        refreshFingerprints(
+          spark.table(fpTable), spark.table(edgeTable), batchEdges, aCol, bCol)
+      else adjacencyFingerprints(batchEdges, aCol, bCol)
+    val pinned = folded.localCheckpoint()
+    try {
+      pinned.write.mode("overwrite").format("parquet").saveAsTable(fpTable)
+      batchEdges.select(col(aCol), col(bCol))
+        .write.mode("append").format("parquet").saveAsTable(edgeTable)
+    } finally pinned.unpersist()
+  }
+
   /** Quotient edges between DISTINCT twin classes, canonical
     * (min, max) class labels, deduplicated. Class-complete by the twin
     * property: one row here means EVERY cross pair exists below.
