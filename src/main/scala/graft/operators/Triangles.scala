@@ -172,6 +172,18 @@ object Triangles {
     * [[adjacencyFingerprints]] of the merged graph row for row
     * (spec-pinned, and q173's oracle floods the merged graph from
     * scratch).
+    *
+    * REGIME (the q152/q154 lesson, measured here too): cost is
+    * proportional to the TOUCHED ADJACENCY VOLUME — sum of |N[v]| over
+    * delta endpoints — not to the arrival count. On near-clique dup
+    * graphs one arrival into a k-clique touches all k members, so a
+    * batch that lands in every large cluster re-hashes most of the
+    * graph and the fold ties or loses to a rebuild (the sf0.1 fixture's
+    * 2% slice does exactly that: fold 5.2 s vs rebuild 1.1 s — both
+    * cheap absolutely, but the ratio inverts). The fold wins when
+    * arrivals hit a bounded set of clusters — the production ingest
+    * shape, where a batch is minutes of crawl against a corpus of
+    * everything and most classes sleep untouched.
     */
   def refreshFingerprints(
       storedFp: DataFrame,
@@ -180,6 +192,11 @@ object Triangles {
       aCol: String, bCol: String): DataFrame = {
     val touched = deltaEdges.select(col(aCol).as("id"))
       .unionAll(deltaEdges.select(col(bCol).as("id"))).distinct()
+    // The two endpoint-side semi-joins each rescan the source edge
+    // streams; a checkpoint here would pin blocks with no principled
+    // release point inside a lazy operator (the round-10 leak class) —
+    // for stored edges in a bucketed table the rescan is one extra
+    // pruned columnar read, the cheaper trade.
     val merged = storedEdges.select(col(aCol), col(bCol))
       .unionAll(deltaEdges.select(col(aCol), col(bCol)))
     val touchedEdges = merged
