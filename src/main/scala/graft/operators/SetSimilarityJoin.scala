@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** EXACT set-similarity self-join with prefix filtering — the
+  * no-false-negative counterpart of MinHash-LSH banding (Bayardo,
+  * Ma & Srikant, "Scaling Up All Pairs Similarity Search", WWW'07;
+  * Chaudhuri et al.'s SSJoin prefix filter): every pair with
+  * Jaccard(A, B) >= t is emitted, with the exact intersection/union
+  * sizes, no probabilistic recall caveat. LSH trades recall for a
+  * smaller candidate set; this trades a (frequency-bounded) candidate
+  * set for a guarantee — curation uses LSH for the bulk sweep and the
+  * exact join where a miss is unacceptable (licensing/contamination
+  * audits).
+  *
+  * Prefix-filter guarantee: order each document's distinct tokens by
+  * ascending global document frequency (ties by token); with required
+  * Jaccard t = num/den, any qualifying pair's intersection must hit the
+  * first `n - ceil(t*n) + 1` tokens of EACH side (if it avoided A's
+  * prefix, the overlap would fit in the suffix of ceil(t*n)-1 tokens,
+  * but J >= t forces overlap >= t*|A| — contradiction). So joining
+  * PREFIX tokens of one side against ALL tokens of the other loses
+  * nothing; rare-first ordering makes prefix tokens the LOW-df ones,
+  * which is what bounds the candidate volume (sum over prefix tokens of
+  * df_prefix * df_all — hot boilerplate tokens never enter a prefix
+  * until a doc is mostly boilerplate).
+  *
+  * Exactness discipline: the threshold is a RATIONAL (num/den) and the
+  * accept test is integer cross-multiplication (den * inter >= num *
+  * uni) — no floating-point threshold, so the emitted pair set is
+  * bit-reproducible and the DuckDB oracle regenerates it by brute
+  * force, which is precisely the no-false-negative proof at fixture
+  * scale.
+  *
+  * Scale shape: token df is one map-side-combined agg; per-doc sorted
+  * token arrays build in one doc-keyed agg (no vocabulary-wide window
+  * — the global order is applied WITHIN each doc by sorting (df, tok)
+  * structs); the candidate join is token-keyed equi; verification
+  * touches only candidates, each verified with one array intersection
+  * over the two (deduplicated) token arrays.
+  */
+object SetSimilarityJoin {
+
+  /** All pairs (doc_a < doc_b) with Jaccard >= num/den over distinct
+    * whitespace tokens. Output: doc_a, doc_b, inter, uni, jaccard.
+    */
+  def selfJoin(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      num: Int,
+      den: Int): DataFrame = {
+    require(num >= 1 && den >= 1 && num <= den, s"threshold must be in (0,1]: $num/$den")
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextAnalysis.wsTokens(col(textCol)))).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // per-doc token list in (df asc, tok asc) order — struct sort gives
+    // the canonical global order without a vocabulary-wide window
+    val sorted = toks.join(dfreq, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("df"), col("tok")))),
+        s => s.getField("tok")).as("ts"))
+      .withColumn("n", size(col("ts")))
+      // prefix length n - ceil(t*n) + 1 in pure integer arithmetic
+      .withColumn("preflen",
+        col("n") - expr(s"(n * $num + ${den - 1}) div $den").cast("int") + 1)
+    // posexplode keeps the position so only prefix slots join
+    val pref = sorted.select(col("doc_id"), posexplode(col("ts")).as(Seq("pos", "tok")),
+        col("preflen"))
+      .filter(col("pos") < col("preflen"))
+      .select(col("doc_id").as("pd"), col("tok"))
+    val candidates = pref
+      .join(toks.select(col("doc_id").as("fd"), col("tok")), Seq("tok"))
+      .filter(col("pd") =!= col("fd"))
+      .select(least(col("pd"), col("fd")).as("doc_a"),
+        greatest(col("pd"), col("fd")).as("doc_b"))
+      .distinct()
+    val sets = sorted.select(col("doc_id"), col("ts"), col("n"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("ta"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("ts").as("tb"), col("n").as("nb")),
+        Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("uni", (col("na") + col("nb")).cast("long") - col("inter"))
+      .filter(col("inter") * den >= col("uni") * num)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
+        (col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
+  }
+}

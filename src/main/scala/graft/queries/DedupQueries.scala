@@ -1649,6 +1649,48 @@ object DedupQueries {
         Triangles.classesFromFingerprints(folded)
           .select(col("cls"), col("s")).distinct()
       }
+    ),
+    Q(
+      "q174_setsim_exact",
+      "EXACT set-similarity self-join (prefix filtering, Bayardo/" +
+        "SSJoin): every pair with token-set Jaccard >= 1/2, with exact " +
+        "intersection/union sizes — the NO-FALSE-NEGATIVE counterpart " +
+        "of MinHash-LSH banding for the audits where a miss is " +
+        "unacceptable (licensing, contamination). Each doc's tokens " +
+        "sort by ascending global df (applied within the doc — no " +
+        "vocabulary-wide window); a qualifying pair's intersection " +
+        "must hit each side's (n - ceil(n/2) + 1)-token prefix, so " +
+        "joining rare-first prefixes against full token sets loses " +
+        "nothing while hot boilerplate tokens never enter a prefix. " +
+        "The threshold is the rational 1/2 tested by integer cross-" +
+        "multiplication — and the oracle is a BRUTE all-pairs scan, so " +
+        "a hash match IS the no-false-negative proof at fixture scale. " +
+        "Gated to doc_id < 1000 (the q35 discipline): on a corpus " +
+        "that is 40% one near-clique, ANY exact join is Omega(true-" +
+        "pair-count) — prefix selectivity collapses when every cluster " +
+        "doc shares the same rare tokens (and the fixture's token sets " +
+        "are all distinct, so set-identity collapse cannot help) — so " +
+        "the exact join is the bounded AUDIT tool over a subset or a " +
+        "post-exact-dedup survivor stream, while q32's LSH banding " +
+        "remains the unbounded bulk path.",
+      Some("""
+        |WITH s AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS ts
+        |  FROM documents WHERE doc_id < 1000
+        |), pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+        |         CAST(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS BIGINT) AS uni
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, inter, uni,
+        |       CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+        |FROM pr WHERE inter * 2 >= uni
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        graft.operators.SetSimilarityJoin.selfJoin(
+          Tables.documents(spark, dir).filter(col("doc_id") < 1000),
+          "doc_id", "text", num = 1, den = 2)
     )
   )
 
