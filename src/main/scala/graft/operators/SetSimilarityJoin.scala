@@ -90,4 +90,56 @@ object SetSimilarityJoin {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
         (col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
   }
+
+  /** EXACT directional CONTAINMENT join: pairs (contained, container)
+    * with |A ∩ B| / |A| >= num/den — the asymmetric cousin of
+    * [[selfJoin]] that Jaccard cannot express (a 50-token excerpt
+    * inside a 5000-token page has Jaccard ~ 0.01 but containment ~
+    * 1.0). This is the quote/excerpt/partial-scrape detector: curation
+    * uses it to trace fragments back to their source documents and to
+    * catch near-total subsumption that span-level dedup misses when
+    * tokens reorder. Same prefix-filter guarantee, applied on the
+    * CONTAINED side only (inter >= t*|A| forces A's rare-first prefix
+    * to intersect B), same rational-threshold exactness — the oracle
+    * brute-forces all directed pairs, so the hash match is again the
+    * no-miss proof.
+    */
+  def containmentJoin(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      num: Int,
+      den: Int): DataFrame = {
+    require(num >= 1 && den >= 1 && num <= den, s"threshold must be in (0,1]: $num/$den")
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextAnalysis.wsTokens(col(textCol)))).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sorted = toks.join(dfreq, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("df"), col("tok")))),
+        s => s.getField("tok")).as("ts"))
+      .withColumn("n", size(col("ts")))
+      .withColumn("preflen",
+        col("n") - expr(s"(n * $num + ${den - 1}) div $den").cast("int") + 1)
+    val pref = sorted.select(col("doc_id"), posexplode(col("ts")).as(Seq("pos", "tok")),
+        col("preflen"))
+      .filter(col("pos") < col("preflen"))
+      .select(col("doc_id").as("pd"), col("tok"))
+    val candidates = pref
+      .join(toks.select(col("doc_id").as("fd"), col("tok")), Seq("tok"))
+      .filter(col("pd") =!= col("fd"))
+      .select(col("pd").as("doc_a"), col("fd").as("doc_b"))
+      .distinct()
+    val sets = sorted.select(col("doc_id"), col("ts"), col("n"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("ts").as("ta"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("ts").as("tb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .filter(col("inter") * den >= col("na").cast("long") * num)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na").cast("long").as("na"),
+        (col("inter").cast("double") / col("na").cast("double")).as("containment"))
+  }
 }

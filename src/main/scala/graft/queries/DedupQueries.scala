@@ -1691,6 +1691,36 @@ object DedupQueries {
         graft.operators.SetSimilarityJoin.selfJoin(
           Tables.documents(spark, dir).filter(col("doc_id") < 1000),
           "doc_id", "text", num = 1, den = 2)
+    ),
+    Q(
+      "q175_containment_join",
+      "Directional CONTAINMENT join at t = 3/4: pairs (contained, " +
+        "container) with |A n B| / |A| >= 3/4 — the quote/excerpt/" +
+        "partial-scrape detector Jaccard cannot express (a 50-token " +
+        "excerpt inside a 5000-token page is Jaccard ~ 0.01 but " +
+        "containment ~ 1), and the token-SET complement to span-level " +
+        "dedup (q110/q111), which needs contiguous order. Prefix " +
+        "filter applies on the contained side only (inter >= t*|A| " +
+        "forces A's rare-first prefix into B); rational threshold via " +
+        "integer cross-multiplication; brute directed-scan oracle = " +
+        "the no-miss proof. Same doc_id < 1000 audit gating as q174.",
+      Some("""
+        |WITH s AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS ts
+        |  FROM documents WHERE doc_id < 1000
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+        |       CAST(len(a.ts) AS BIGINT) AS na,
+        |       CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+        |         / CAST(len(a.ts) AS DOUBLE) AS containment
+        |FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        |WHERE len(list_intersect(a.ts, b.ts)) * 4 >= len(a.ts) * 3
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        graft.operators.SetSimilarityJoin.containmentJoin(
+          Tables.documents(spark, dir).filter(col("doc_id") < 1000),
+          "doc_id", "text", num = 3, den = 4)
     )
   )
 

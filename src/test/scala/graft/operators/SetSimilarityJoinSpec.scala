@@ -47,6 +47,43 @@ class SetSimilarityJoinSpec extends AnyFunSuite {
     }
   }
 
+  private def containModel(docs: Seq[(Long, String)], num: Int, den: Int) = {
+    val sets = docs.map { case (id, t) => id -> t.split("\\s+").toSet }.toMap
+    (for {
+      a <- sets.keys.toSeq
+      b <- sets.keys.toSeq if b != a
+      inter = (sets(a) & sets(b)).size.toLong
+      if inter * den >= sets(a).size.toLong * num
+    } yield (a, b, inter, sets(a).size.toLong)).toSet
+  }
+
+  test("containment join == exhaustive directed scan at t = 3/4, 1/2") {
+    (0 until 4).foreach { trial =>
+      val docs = randomDocs(15 + rnd.nextInt(15))
+      Seq((3, 4), (1, 2)).foreach { case (num, den) =>
+        val got = SetSimilarityJoin.containmentJoin(
+            docs.toDF("doc_id", "text"), "doc_id", "text", num, den)
+          .select("doc_a", "doc_b", "inter", "na")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(got == containModel(docs, num, den), s"trial $trial, t=$num/$den")
+      }
+    }
+  }
+
+  test("an excerpt is contained in its superset but not Jaccard-similar") {
+    val docs = Seq(
+      (1L, "alpha beta"),                                        // excerpt
+      (2L, "alpha beta gamma delta eps zeta eta theta iota"))    // page
+    val cont = SetSimilarityJoin.containmentJoin(
+        docs.toDF("doc_id", "text"), "doc_id", "text", num = 1, den = 1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cont == Set((1L, 2L)), "excerpt must be detected, directionally")
+    val jac = SetSimilarityJoin.selfJoin(
+        docs.toDF("doc_id", "text"), "doc_id", "text", num = 1, den = 2)
+      .count()
+    assert(jac == 0, "Jaccard at 1/2 must NOT pair an excerpt with its page")
+  }
+
   test("exact duplicates always qualify at t = 1; disjoint docs never pair") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"),
       (3L, "mu lambda kappa"))
