@@ -3,32 +3,35 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Distributed triangle counting over an undirected edge set — the
-  * cluster-density diagnostic for the near-dup graph (LSH banding emits
-  * near-cliques; triangle participation separates tight paraphrase
-  * clusters from chains of borderline pairs that components alone can't
-  * tell apart).
+/** Graph-density analytics for the near-dup graph — triangle counts,
+  * clustering coefficients, truss cuts, and the twin decomposition they
+  * all stand on (LSH banding emits near-cliques; triangle participation
+  * separates tight paraphrase clusters from chains of borderline pairs
+  * that components alone can't tell apart).
   *
-  * Algorithm: compact-forward (Latapy 2008; the standard distributed
-  * formulation, e.g. Suri & Vassilvitskii "Counting Triangles and the
-  * Curse of the Last Reducer", WWW'11). Each edge is ORIENTED from its
-  * lower- to its higher-(degree, id) endpoint; wedges form only at each
-  * edge pair's common LOW vertex, and a triangle {u,v,w} materializes
-  * exactly once — at its minimum-rank vertex, closed by the oriented
-  * (v,w) edge. The orientation is the skew defense: a degree-d hub
-  * generates wedges only from its OUT-edges, and out-degree under
-  * degree-ordering is bounded by O(sqrt(m)) on any graph — so the
-  * boilerplate hub that would explode an id-oriented wedge join
-  * quadratically contributes at most m^{1/2} pairs. Total work is
-  * O(m^{3/2}) worst case, vs O(sum deg^2) unoriented.
+  * TWO formulations live here, and the choice is the file's main
+  * lesson. The ENUMERATING form is compact-forward (Latapy 2008; Suri &
+  * Vassilvitskii WWW'11): edges oriented low->high (degree, id), wedges
+  * only at each pair's low endpoint, one equi-join closes — O(m^{3/2})
+  * worst case, the textbook distributed answer. It is still
+  * Omega(#triangles), and dup graphs break exactly that bound: the
+  * sf0.1 fixture packs 1.14 BILLION triangles into 2M edges, and the
+  * enumerating form timed out where the fixture lives. The PRODUCTION
+  * form is TRUE-TWIN COLLAPSE (`*Collapsed`): vertices with identical
+  * closed neighborhoods are structurally interchangeable (N[u] = N[v]
+  * forces u ~ v, so twin classes are cliques sharing every outside
+  * adjacency), the quotient graph is tiny (4533 -> 1097 classes, 2M ->
+  * ~6k edges on that fixture), and counts/supports/components expand
+  * combinatorially from class sizes — one linear adjacency shuffle
+  * total. The enumerating form survives as the quotient-stage engine
+  * and the spec cross-check (collapsed == enumerated on random graphs
+  * with planted twins), and every product is DuckDB-oracle-checked
+  * against brute enumeration.
   *
-  * Plan shape: one degree agg (node-sized), two hash joins tagging edge
-  * endpoints with degrees, one self-join on the low vertex (the wedge
-  * stage, partitioned by vertex), one equi-join against the oriented
-  * edge set to close wedges. Every join is key-equi — never a cross
-  * product — and AQE's skew split handles residual hot vertices. The
-  * per-doc output is orientation-invariant, which is what lets the
-  * DuckDB oracle recompute it with the simple id-ordered join.
+  * The decomposition itself is foldable ([[refreshFingerprints]]): a
+  * fingerprint depends only on N[v], so arrival batches re-hash only
+  * touched vertices — with a replay-TOLERANT streaming face
+  * ([[refreshFingerprintsBatch]]) because adjacency is a set.
   */
 object Triangles {
 
