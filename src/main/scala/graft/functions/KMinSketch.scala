@@ -52,17 +52,22 @@ case class KMinSketch(k: Int) extends Aggregator[java.lang.Long, Seq[Long], Seq[
 }
 
 object KMinSketch {
+  // udaf() derives encoders reflectively; memoize per k so every entry
+  // point (kmin, mergeRegisters, register) pays the derivation once per
+  // distinct k, not per call.
+  private val udafByK =
+    scala.collection.concurrent.TrieMap.empty[Int, org.apache.spark.sql.expressions.UserDefinedFunction]
+  private def udafFor(k: Int) = udafByK.getOrElseUpdate(k, udaf(KMinSketch(k)))
+
   /** Aggregation column: k smallest distinct values of `c` (LongType). */
-  def kmin(c: Column, k: Int): Column = udaf(KMinSketch(k)).apply(c)
+  def kmin(c: Column, k: Int): Column = udafFor(k).apply(c)
 
   /** SQL name for the fixed-k=8 variant (UDAFs take constructor params,
     * not SQL args, so the SQL surface pins one k).
     */
   val sqlName8 = "kmin_sketch8"
 
-  // Built once: udaf() derives encoders reflectively — per-call rebuilding
-  // would pay that on every operator invocation that re-registers.
-  private lazy val udaf8 = udaf(KMinSketch(8))
+  private def udaf8 = udafFor(8)
 
   /** Session registration so `kmin_sketch8(col)` works from plain SQL. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
@@ -99,7 +104,7 @@ object KMinSketch {
     val hashes = both
       .select(groupCols.map(col) :+ explode(col("kmin")).as("__h"): _*)
       .groupBy(groupCols.map(col): _*)
-      .agg(udaf(KMinSketch(k)).apply(col("__h")).as("kmin"))
+      .agg(KMinSketch.kmin(col("__h"), k).as("kmin"))
     val counts = both.groupBy(groupCols.map(col): _*)
       .agg(fsum(col("n_docs")).as("n_docs"))
     hashes.join(counts, groupCols)

@@ -75,7 +75,7 @@ object CorpusStats {
     val uni = docs.select(explode(toks).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
     val totals = uni.agg(sum(col("n")).as("n_total"))
-      .crossJoin(bi.agg(sum(col("n_xy")).as("t_pairs")))
+      .crossJoin(broadcast(bi.agg(sum(col("n_xy")).as("t_pairs"))))
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     bi.filter(col("n_xy") >= minCount)
       .join(uni.select(col("tok").as("x"), col("n").as("n_x")), Seq("x"))

@@ -74,7 +74,20 @@ object HdrSketch {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Merge two histograms: cell-wise count addition. */
+  /** Merge two histograms: cell-wise count addition — the same additive
+    * monoid as [[CountMin.merge]], with the SAME delivery-semantics
+    * contract: merge(sketch(A), sketch(B)) == sketch(A ⊎ B) holds for
+    * DISJOINT underlying multisets only.
+    *
+    * REPLAY CAVEAT (mirroring `CountMin.merge`, and unlike
+    * [[HyperLogLog.merge]]'s idempotent cell-wise max): sum is NOT
+    * idempotent, so folding the same shard twice double-counts every
+    * cell — counts inflate and every quantile walk shifts (spec-pinned
+    * in HdrSketchSpec). Each underlying value must be counted into
+    * exactly ONE merge input: in a streaming fold that is the engine's
+    * checkpointed-batch-id exactly-once contract; in a batch pipeline,
+    * disjoint input partitions.
+    */
   def merge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame = {
     val keys = groupCols ++ Seq("e", "sub")
     a.select((keys :+ "cnt").map(col): _*)

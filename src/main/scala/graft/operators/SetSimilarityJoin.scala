@@ -42,6 +42,20 @@ import org.apache.spark.sql.functions._
   */
 object SetSimilarityJoin {
 
+  /** (doc_id, tok) distinct-token stream. Zero-length tokens are
+    * dropped: `split(trim(text))` emits a single empty-string
+    * pseudo-token for blank/whitespace-only documents, which would make
+    * every pair of blank docs "identical" at Jaccard/containment 1.0 —
+    * a semantically meaningless audit pair. With the filter, blank docs
+    * have no tokens and vanish from both sides of the join entirely
+    * (the oracles apply the same filter, so the pair sets still match
+    * row for row).
+    */
+  private def tokenStream(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(
+        filter(TextAnalysis.wsTokens(col(textCol)), t => length(t) > 0))).as("tok"))
+
   /** All pairs (doc_a < doc_b) with Jaccard >= num/den over distinct
     * whitespace tokens. Output: doc_a, doc_b, inter, uni, jaccard.
     */
@@ -52,9 +66,7 @@ object SetSimilarityJoin {
       num: Int,
       den: Int): DataFrame = {
     require(num >= 1 && den >= 1 && num <= den, s"threshold must be in (0,1]: $num/$den")
-    val toks = docs
-      .select(col(idCol).as("doc_id"),
-        explode(array_distinct(TextAnalysis.wsTokens(col(textCol)))).as("tok"))
+    val toks = tokenStream(docs, idCol, textCol)
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     // per-doc token list in (df asc, tok asc) order — struct sort gives
     // the canonical global order without a vocabulary-wide window
@@ -111,9 +123,7 @@ object SetSimilarityJoin {
       num: Int,
       den: Int): DataFrame = {
     require(num >= 1 && den >= 1 && num <= den, s"threshold must be in (0,1]: $num/$den")
-    val toks = docs
-      .select(col(idCol).as("doc_id"),
-        explode(array_distinct(TextAnalysis.wsTokens(col(textCol)))).as("tok"))
+    val toks = tokenStream(docs, idCol, textCol)
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val sorted = toks.join(dfreq, Seq("tok"))
       .groupBy("doc_id")

@@ -242,17 +242,31 @@ object Triangles {
       edgeTable: String,
       aCol: String, bCol: String): Unit = {
     val spark = batchEdges.sparkSession
-    val folded =
-      if (spark.catalog.tableExists(fpTable))
-        refreshFingerprints(
-          spark.table(fpTable), spark.table(edgeTable), batchEdges, aCol, bCol)
-      else adjacencyFingerprints(batchEdges, aCol, bCol)
-    val pinned = folded.localCheckpoint()
+    // WRITE ORDER: edges FIRST, fingerprints second. A crash between the
+    // two writes then leaves a stale fpTable beside a complete edge
+    // stream — which the at-least-once replay of the same batch repairs
+    // exactly (adjacency is a set). The reverse order would lose the
+    // batch's edges from edgeTable while fpTable already claims them,
+    // and every later fold would silently re-hash touched vertices from
+    // an edge stream missing those edges — unrepairable by replay.
+    // Appending first is also fold-transparent: refreshFingerprints
+    // unions stored and delta edges anyway, so stored edges already
+    // containing the batch changes nothing.
+    val pinnedBatch = batchEdges.select(col(aCol), col(bCol)).localCheckpoint()
     try {
-      pinned.write.mode("overwrite").format("parquet").saveAsTable(fpTable)
-      batchEdges.select(col(aCol), col(bCol))
-        .write.mode("append").format("parquet").saveAsTable(edgeTable)
-    } finally pinned.unpersist()
+      pinnedBatch.write.mode("append").format("parquet").saveAsTable(edgeTable)
+      val folded =
+        if (spark.catalog.tableExists(fpTable))
+          refreshFingerprints(
+            spark.table(fpTable), spark.table(edgeTable), pinnedBatch, aCol, bCol)
+        // First batch (or a crash before the very first fp write): build
+        // from the FULL edge table, not just the batch — after the
+        // append above it holds everything ever delivered.
+        else adjacencyFingerprints(spark.table(edgeTable), aCol, bCol)
+      val pinned = folded.localCheckpoint()
+      try pinned.write.mode("overwrite").format("parquet").saveAsTable(fpTable)
+      finally pinned.unpersist()
+    } finally pinnedBatch.unpersist()
   }
 
   /** Quotient edges between DISTINCT twin classes, canonical
@@ -418,6 +432,12 @@ object Triangles {
       edges: DataFrame, aCol: String, bCol: String, minSupport: Long,
       vclsOpt: Option[DataFrame] = None,
       qOpt: Option[DataFrame] = None): DataFrame = {
+    // minSupport = 0 would admit zero-support edges here (the >= cuts
+    // below become vacuous) while the expanded path — components over
+    // [[trussEdges]], whose inner join against edgeSupport drops
+    // support-0 edges even at threshold 0 — would not; reject the
+    // degenerate threshold rather than silently diverge.
+    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
     val e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
     val vcls = vclsOpt.getOrElse(twinClasses(edges, aCol, bCol))
     val classes = vcls.select("cls", "s").distinct()

@@ -1674,9 +1674,13 @@ object DedupQueries {
         "post-exact-dedup survivor stream, while q32's LSH banding " +
         "remains the unbounded bulk path.",
       Some("""
-        |WITH s AS (
-        |  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS ts
+        |WITH s0 AS (
+        |  SELECT doc_id,
+        |         list_filter(list_distinct(string_split_regex(trim(text), '\s+')),
+        |                     t -> len(t) > 0) AS ts
         |  FROM documents WHERE doc_id < 1000
+        |), s AS (
+        |  SELECT doc_id, ts FROM s0 WHERE len(ts) > 0
         |), pr AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |         CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
@@ -1705,9 +1709,13 @@ object DedupQueries {
         "integer cross-multiplication; brute directed-scan oracle = " +
         "the no-miss proof. Same doc_id < 1000 audit gating as q174.",
       Some("""
-        |WITH s AS (
-        |  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS ts
+        |WITH s0 AS (
+        |  SELECT doc_id,
+        |         list_filter(list_distinct(string_split_regex(trim(text), '\s+')),
+        |                     t -> len(t) > 0) AS ts
         |  FROM documents WHERE doc_id < 1000
+        |), s AS (
+        |  SELECT doc_id, ts FROM s0 WHERE len(ts) > 0
         |)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,

@@ -57,6 +57,20 @@ class HdrSketchSpec extends AnyFunSuite {
     assert(merged == whole)
   }
 
+  test("REPLAY CAVEAT pinned: folding the same shard twice doubles every cell count") {
+    // sum-merge is NOT idempotent (unlike HLL's max): a replayed batch
+    // double-counts. This test pins the documented contract so the
+    // caveat on HdrSketch.merge stays measured, not just stated.
+    def sk(vs: Seq[Long]) = HdrSketch.sketch(
+      vs.toDF("v").withColumn("g", org.apache.spark.sql.functions.lit("all")),
+      "v", Seq("g"), subBits)
+    val once = sk(values).select("e", "sub", "cnt").as[(Int, Long, Long)].collect().toSet
+    val replayed = HdrSketch.merge(sk(values), sk(values), Seq("g"))
+      .select("e", "sub", "cnt").as[(Int, Long, Long)].collect().toSet
+    assert(replayed == once.map { case (e, s, c) => (e, s, 2 * c) })
+    assert(replayed != once) // the inflation is real, not vacuous
+  }
+
   test("randomized: estimates bracket exact order statistics within one bucket width") {
     val rnd = new scala.util.Random(42)
     // mixed regimes: small exact values, mid-range, heavy tail
