@@ -115,16 +115,52 @@ object SetSimilarityJoin {
     * to intersect B), same rational-threshold exactness — the oracle
     * brute-forces all directed pairs, so the hash match is again the
     * no-miss proof.
+    *
+    * `maxDocFreq`: stop-gram cap — the [[Dedup.ngramJaccardPairs]]
+    * scale-hygiene idiom. The prefix filter bounds candidates by df,
+    * but a doc that is MOSTLY hot boilerplate admits hot tokens into
+    * its prefix (the prefix must be n - ceil(t*n) + 1 of the doc's own
+    * tokens; when it has fewer rare ones than that, hot ones fill the
+    * gap) — worst case, a corpus of near-identical boilerplate
+    * degenerates to all-pairs candidate volume, unavoidable by any
+    * ordering because the TRUE qualifying-pair count is itself
+    * quadratic there. With the cap set, tokens whose document
+    * frequency exceeds it are removed from the REPRESENTATION before
+    * anything else — consistently, from prefixes, candidate keys, and
+    * the verification sets / |A| alike — so the result is EXACT
+    * containment over the filtered token sets, and per-token candidate
+    * fan-out is bounded: each surviving token contributes at most
+    * df_prefix * df <= cap^2 candidate rows. Docs whose entire set is
+    * boilerplate drop out (filtered set empty; 0/0 containment is
+    * meaningless). Ubiquitous tokens carry no pair-discriminating
+    * signal — containment driven by them is boilerplate coincidence,
+    * not excerpting — so the cap is a quality filter as much as a
+    * scale guard (spec-pinned: excerpt pairs sharing distinctive
+    * tokens survive, boilerplate-only pairs drop). The hot-token set
+    * is tiny by construction (> cap distinct docs each) and
+    * broadcasts — one map-side anti-join, no extra shuffle.
     */
   def containmentJoin(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       num: Int,
-      den: Int): DataFrame = {
+      den: Int,
+      maxDocFreq: Option[Int] = None): DataFrame = {
     require(num >= 1 && den >= 1 && num <= den, s"threshold must be in (0,1]: $num/$den")
-    val toks = tokenStream(docs, idCol, textCol)
-    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val rawToks = tokenStream(docs, idCol, textCol)
+    val rawDf = rawToks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // One df agg serves both the hot-token screen and the ordering:
+    // dropping whole tokens never changes another token's df, so the
+    // surviving tokens' dfs are just the raw table filtered to the cap.
+    val (toks, dfreq) = maxDocFreq match {
+      case Some(cap) =>
+        require(cap >= 1, s"maxDocFreq must be >= 1: $cap")
+        (rawToks.join(broadcast(rawDf.filter(col("df") > cap).select("tok")),
+          Seq("tok"), "left_anti"),
+          rawDf.filter(col("df") <= cap))
+      case None => (rawToks, rawDf)
+    }
     val sorted = toks.join(dfreq, Seq("tok"))
       .groupBy("doc_id")
       .agg(transform(

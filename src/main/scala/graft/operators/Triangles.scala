@@ -394,6 +394,61 @@ object Triangles {
       .filter(col("support") >= minSupport)
       .select(col(aCol), col(bCol))
 
+  /** Full k-truss PEELING on the collapsed support: iterate the single
+    * support cut ([[trussEdgesCollapsed]]) to a FIXED POINT. One cut
+    * removes zero-support bridges, but removing an edge can strip
+    * support from the survivors (a triangle dies with any of its three
+    * edges), which only re-cutting can see — the fixed point is the
+    * true k-truss, the maximal subgraph where EVERY edge keeps
+    * support >= minSupport within the subgraph itself.
+    *
+    * Each round re-collapses the survivor graph (twin classes of the
+    * survivors can differ from the original's) and recomputes the
+    * closed-form quotient support — one linear adjacency shuffle plus
+    * tiny-quotient work per round, never a triangle enumeration. The
+    * survivor set only shrinks, so rounds get cheaper, and on dup
+    * graphs convergence is fast (dense paraphrase cliques are stable
+    * under the cut; measured on the sf0.1 fixture the 3-truss converges
+    * on the FIRST re-cut — cut 2 drops nothing). `maxIters` bounds the
+    * driver loop; the loop exits early at the fixed point (output
+    * counts are monotone, so equal cardinality = equal edge set, one
+    * driver-side scalar per round). Unconverged-at-maxIters output is
+    * exactly `maxIters` cuts — the same prefix an oracle unrolls, so
+    * equality checks need no convergence assumption.
+    *
+    * Per-round frames are eagerly localCheckpoint-pinned (the iterative
+    * lineage would otherwise double per round) and the PRIOR round's
+    * blocks are released as soon as the next is materialized
+    * ([[Checkpoints.release]] — the round-10 leak class). The caller
+    * owns the returned frame's checkpoint blocks: release after
+    * materializing.
+    */
+  def trussPeelCollapsed(
+      edges: DataFrame, aCol: String, bCol: String, minSupport: Long,
+      maxIters: Int): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    require(maxIters >= 1, s"maxIters must be >= 1: $maxIters")
+    var cur = edges.select(col(aCol), col(bCol)).localCheckpoint()
+    var curCount = cur.count()
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val next = trussEdgesCollapsed(cur, aCol, bCol, minSupport).localCheckpoint()
+      val nextCount = next.count()
+      // the cut only filters its input, so |next| = |cur| => next == cur
+      if (nextCount == curCount) {
+        converged = true
+        Checkpoints.release(next)
+      } else {
+        Checkpoints.release(cur)
+        cur = next
+        curCount = nextCount
+      }
+      it += 1
+    }
+    cur
+  }
+
   /** The twin decomposition as an auditable product: one row per class
     * with its label (min member id), size, and quotient degree — the
     * collapse-health diagnostic (how much did the graph shrink, is one
