@@ -17,6 +17,13 @@ object DedupQueries {
     */
   private val SpanWindow = 8
 
+  /** q179's document-frequency cap — 64 over the 1000-doc audit slice:
+    * far above any discriminating token's df (a near-dup cluster's
+    * shared vocabulary stays), well below corpus-wide boilerplate.
+    * Declared before `all` (referenced during the Seq's construction).
+    */
+  private val ContainCap = 64
+
   /** DuckDB CTE producing (doc_id, h) = portable 32-bit word hashes of the
     * distinct (`distinctWords`=true) or full multiset of words.
     */
@@ -1729,8 +1736,188 @@ object DedupQueries {
         graft.operators.SetSimilarityJoin.containmentJoin(
           Tables.documents(spark, dir).filter(col("doc_id") < 1000),
           "doc_id", "text", num = 3, den = 4)
+    ),
+    Q(
+      "q176_truss_peel",
+      "TRUE 3-truss canonical assignment: iterate the support cut to " +
+        "its FIXED POINT (q170's table is the single cut — iteration " +
+        "1), then re-component. One cut removes zero-support bridges, " +
+        "but removing an edge can strip support from survivors (a " +
+        "triangle dies with any of its three edges) — only re-cutting " +
+        "sees that, and the fixed point is the maximal subgraph where " +
+        "every edge keeps support within the subgraph ITSELF. Each " +
+        "round re-collapses the survivor graph and recomputes closed-" +
+        "form quotient support (Triangles.trussPeelCollapsed) — one " +
+        "linear adjacency shuffle + tiny-quotient work per round, " +
+        "never a triangle enumeration; the loop exits early at the " +
+        "fixed point (edge count is monotone, so equal cardinality = " +
+        "equal set, one driver scalar per round). The oracle unrolls " +
+        "exactly PeelMaxIters + 1 support cuts (the +1 is the " +
+        "idempotent cut inside trussCanonicalsCollapsed), so operator " +
+        "and oracle compute the SAME prefix whether or not the graph " +
+        "converges within the bound — equality needs no convergence " +
+        "assumption.",
+      Some(duckTrussPeelSql),
+      (spark, dir) => TrianglePhases.peeledCanonicals(spark, dir)
+    ),
+    Q(
+      "q178_triangle_refresh",
+      "Incremental TRIANGLE-PRODUCT refresh: per-document triangle " +
+        "counts for the MERGED graph (stored even graph + the q154 " +
+        "bounded arrival delta) re-derived from the FOLDED adjacency " +
+        "fingerprints (q173's node-sized state) instead of re-hashing " +
+        "adjacency from scratch. The twin decomposition is the only " +
+        "node-sized state the collapsed products need: classes regroup " +
+        "from the folded fingerprint table, the quotient needs one " +
+        "pruned columnar pass over the merged edge stream (no " +
+        "adjacency shuffle — the rebuild's dominant cost), and the " +
+        "counts are class-arithmetic on the tiny quotient. Spec-pinned " +
+        "equal to a from-scratch build of the same merged graph " +
+        "(TrianglePhases.rebuildMerged, the bench comparator); the " +
+        "oracle floods merged-graph triangles by brute enumeration, so " +
+        "the fold + collapse arithmetic is checked doc for doc.",
+      Some(duckMergedTriangleSql),
+      (spark, dir) => TrianglePhases.refreshedCounts(spark, dir)
+    ),
+    Q(
+      "q179_containment_capped",
+      "q175's containment join with the STOP-GRAM CAP engaged " +
+        s"(maxDocFreq = $ContainCap): tokens appearing in more than " +
+        s"$ContainCap of the gated docs are removed from the " +
+        "representation before anything else — consistently from " +
+        "prefixes, candidate keys, and the verification sets / |A| — " +
+        "so the result is EXACT containment over the filtered token " +
+        "sets and per-token candidate fan-out is bounded by cap^2. " +
+        "Ubiquitous tokens carry no pair-discriminating signal " +
+        "(containment driven by them is boilerplate coincidence, not " +
+        "excerpting), so the cap is the quality filter AND the scale " +
+        "guard: on a boilerplate-heavy corpus the uncapped join " +
+        "degenerates toward all-pairs (q175's standing caveat) while " +
+        "this stays bounded. The oracle recomputes df, filters, and " +
+        "brute-forces all directed pairs over the SAME filtered sets — " +
+        "the no-miss proof for the capped semantics. Read its bench " +
+        "line against q175's: same corpus, cap on vs off.",
+      Some(duckContainCappedSql),
+      (spark, dir) =>
+        graft.operators.SetSimilarityJoin.containmentJoin(
+          Tables.documents(spark, dir).filter(col("doc_id") < 1000),
+          "doc_id", "text", num = 3, den = 4, maxDocFreq = Some(ContainCap))
     )
   )
+
+  /** q179 oracle: recompute df over the gated corpus, drop tokens with
+    * df > cap, then the q175 brute directed scan over the filtered
+    * sets (docs whose whole set was boilerplate vanish — len(ts) > 0
+    * after the filter).
+    */
+  private def duckContainCappedSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |           list_distinct(string_split_regex(trim(text), '\\s+')),
+       |           t -> len(t) > 0)) AS tok
+       |  FROM documents WHERE doc_id < 1000
+       |), dfq AS (
+       |  SELECT tok, count(*) AS df FROM tok GROUP BY 1
+       |), keep AS (
+       |  SELECT t.doc_id, t.tok FROM tok t JOIN dfq USING (tok)
+       |  WHERE dfq.df <= $ContainCap
+       |), s AS (
+       |  SELECT doc_id, list(tok) AS ts FROM keep GROUP BY 1
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+       |       CAST(len(a.ts) AS BIGINT) AS na,
+       |       CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+       |         / CAST(len(a.ts) AS DOUBLE) AS containment
+       |FROM s a JOIN s b ON a.doc_id <> b.doc_id
+       |WHERE len(list_intersect(a.ts, b.ts)) * 4 >= len(a.ts) * 3""".stripMargin
+
+  /** The 2-band LSH pair-mining CTE tail shared by the triangle-family
+    * oracles (assumes `sig` from [[duckSignatureCte]] is in scope).
+    */
+  private def duckBandsCte: String =
+    s"""bands AS (
+       |  SELECT doc_id, 0 AS band,
+       |         md5(concat_ws('_', ${(0 until 8).map(r => s"mh$r").mkString(", ")})) AS key
+       |  FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band,
+       |         md5(concat_ws('_', ${(8 until 16).map(r => s"mh$r").mkString(", ")})) AS key
+       |  FROM sig
+       |)""".stripMargin
+
+  /** q176 oracle: the banded pair graph, PeelMaxIters + 1 unrolled
+    * support cuts, then recursive component flooding over the final
+    * survivor set. Generated from [[TrianglePhases.PeelMaxIters]] so
+    * the unroll depth cannot drift from the operator's bound.
+    *
+    * Every peel-level CTE is AS MATERIALIZED: DuckDB inlines a CTE per
+    * reference, and with each p_k referenced 4 times by level k+1 the
+    * unrolled chain would expand ~4^depth scans of the base table —
+    * measured to exhaust even a 20k file-handle limit at sf0.001.
+    * Materialization pins each level to one evaluation.
+    */
+  private def duckTrussPeelSql: String = {
+    val cuts = (1 to TrianglePhases.PeelMaxIters + 1).map { k =>
+      s"""tri$k AS MATERIALIZED (
+         |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+         |  FROM p${k - 1} e1
+         |  JOIN p${k - 1} e2 ON e1.doc_b = e2.doc_a
+         |  JOIN p${k - 1} e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+         |), sup$k AS (
+         |  SELECT ea, eb FROM (
+         |    SELECT a AS ea, b AS eb FROM tri$k
+         |    UNION ALL SELECT a, c FROM tri$k
+         |    UNION ALL SELECT b, c FROM tri$k)
+         |  GROUP BY 1, 2 HAVING count(*) >= 1
+         |), p$k AS MATERIALIZED (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM p${k - 1} p JOIN sup$k s ON s.ea = p.doc_a AND s.eb = p.doc_b
+         |)""".stripMargin
+    }.mkString(",\n")
+    val last = s"p${TrianglePhases.PeelMaxIters + 1}"
+    s"""$duckSignatureCte, $duckBandsCte, p0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |),
+       |$cuts, edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM $last
+       |  UNION SELECT doc_b, doc_a FROM $last
+       |), labels AS (
+       |  WITH RECURSIVE reach(id, lab) AS (
+       |    SELECT DISTINCT src, src FROM edges
+       |    UNION
+       |    SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+       |  )
+       |  SELECT id, MIN(lab) AS comp FROM reach GROUP BY id
+       |)
+       |SELECT id AS doc_id, comp AS canonical_id FROM labels""".stripMargin
+  }
+
+  /** q178 oracle: brute triangle enumeration over the MERGED pair
+    * graph — the q167 oracle with membership restricted to the merged
+    * corpus (even ids ∪ the 1-mod-50 arrival slice), the same clause
+    * [[TwinFoldPhases.mergedPairs]] realizes as even ∪ delta.
+    */
+  private def duckMergedTriangleSql: String =
+    s"""$duckSignatureCte, $duckBandsCte, pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  WHERE (a.doc_id % 2 = 0 OR a.doc_id % 50 = 1)
+       |    AND (b.doc_id % 2 = 0 OR b.doc_id % 50 = 1)
+       |), tri AS (
+       |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+       |  FROM pairs e1
+       |  JOIN pairs e2 ON e1.doc_b = e2.doc_a
+       |  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+       |), m AS (
+       |  SELECT a AS doc_id FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri
+       |)
+       |SELECT doc_id, count(*) AS n_triangles FROM m GROUP BY 1""".stripMargin
 
   /** Shared q142/q143 oracle prefix: the doc_id < 1000 pair graph
     * (mirroring the DupGraphPhases build restricted to the sub-corpus),
@@ -2472,7 +2659,7 @@ object TrianglePhases {
   */
 object TwinFoldPhases {
   import org.apache.spark.sql.{DataFrame, SparkSession}
-  import graft.operators.{Bucketing, Triangles}
+  import graft.operators.{Bucketing, Checkpoints, Triangles}
 
   private val built = scala.collection.mutable.Set[String]()
 
@@ -2497,6 +2684,59 @@ object TwinFoldPhases {
       .select("doc_a", "doc_b")
   }
 
+  /** Degree cap defining the BOUNDED-cluster arrival regime for the
+    * q173 bench pair: fold cost is proportional to the TOUCHED
+    * ADJACENCY VOLUME (sum of |N[v]| over delta-edge endpoints — see
+    * Triangles.refreshFingerprints' REGIME note), and on a corpus that
+    * is 40% one near-clique the uniform 2% slice lands arrivals in
+    * every giant cluster, re-hashing most of the graph: the losing
+    * regime. A production ingest batch (minutes of crawl against a
+    * corpus of everything) mostly touches bounded neighborhoods; this
+    * geometry models it by keeping only delta pairs BOTH of whose
+    * endpoints have pair-graph degree <= the cap, so touched volume is
+    * <= |touched| * cap however large the corpus grows.
+    */
+  val BoundedDeg = 32L
+
+  /** The q154 arrival delta restricted to bounded neighborhoods: both
+    * endpoints' full pair-graph degree <= [[BoundedDeg]]. The degree
+    * frame is tiny (one count per bounded-degree vertex) and
+    * broadcasts into two semi-joins — no extra shuffle of the pair
+    * stream.
+    */
+  def boundedDeltaPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = DupGraphPhases.pairs(spark, dir).select("doc_a", "doc_b")
+    val deg = e.select(col("doc_a").as("id"))
+      .unionAll(e.select(col("doc_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val ok = org.apache.spark.sql.functions.broadcast(
+      deg.filter(col("deg") <= BoundedDeg).select("id"))
+    deltaPairs(spark, dir)
+      .join(ok.withColumnRenamed("id", "doc_a"), Seq("doc_a"), "left_semi")
+      .join(ok.withColumnRenamed("id", "doc_b"), Seq("doc_b"), "left_semi")
+  }
+
+  /** Bench probe (q173_bounded_fold): fold the bounded delta into the
+    * stored fingerprints — the delta-proportional path in its design
+    * regime. Caller materializes (noop); compare against
+    * [[boundedRebuild]] right beside it in the bench.
+    */
+  def boundedFold(spark: SparkSession, dir: String): DataFrame = {
+    ensureStored(spark, dir)
+    Triangles.refreshFingerprints(
+      spark.table(fpTable(dir)),
+      evenPairs(spark, dir), boundedDeltaPairs(spark, dir),
+      "doc_a", "doc_b")
+  }
+
+  /** The from-scratch comparator on the SAME merged graph: one full
+    * adjacency shuffle of even ∪ bounded-delta.
+    */
+  def boundedRebuild(spark: SparkSession, dir: String): DataFrame =
+    Triangles.adjacencyFingerprints(
+      evenPairs(spark, dir).unionByName(boundedDeltaPairs(spark, dir)),
+      "doc_a", "doc_b")
+
   def buildStored(spark: SparkSession, dir: String): Unit = synchronized {
     Bucketing.dropWithLocation(spark, fpTable(dir))
     Triangles.adjacencyFingerprints(evenPairs(spark, dir), "doc_a", "doc_b")
@@ -2506,5 +2746,42 @@ object TwinFoldPhases {
 
   def ensureStored(spark: SparkSession, dir: String): Unit = synchronized {
     if (!built.contains(fpTable(dir))) buildStored(spark, dir)
+  }
+
+  def foldedTable(dir: String): String = s"graft_twinffp_${Q.scratchTag(dir)}"
+
+  /** The merged graph the fold serves: stored even pairs ∪ the arrival
+    * delta. Equal to "every mined pair whose endpoints are both members
+    * (even or arrival)" — evenPairs covers even-even, deltaPairs covers
+    * everything touching an arrival — which is exactly the membership
+    * clause the q178 oracle floods. The distinct() is defensive (delta
+    * pairs always carry an odd endpoint, so the union is disjoint
+    * today) and cheap: the pair sets are canonical (doc_a < doc_b).
+    */
+  def mergedPairs(spark: SparkSession, dir: String): DataFrame =
+    evenPairs(spark, dir).unionByName(deltaPairs(spark, dir)).distinct()
+
+  /** Fold the arrival delta into the STORED fingerprints and persist
+    * the merged graph's fingerprint table — the node-sized state
+    * [[TrianglePhases.refresh]] regroups into twin classes. Spec-pinned
+    * row-for-row equal to re-hashing the merged graph from scratch
+    * (TwinFoldSpec); cost is the arrival footprint + one pruned stored-
+    * edge pass, never a full adjacency shuffle.
+    */
+  def buildFolded(spark: SparkSession, dir: String): Unit = synchronized {
+    ensureStored(spark, dir)
+    val folded = Triangles.refreshFingerprints(
+      spark.table(fpTable(dir)),
+      evenPairs(spark, dir), deltaPairs(spark, dir),
+      "doc_a", "doc_b").localCheckpoint()
+    try {
+      Bucketing.dropWithLocation(spark, foldedTable(dir))
+      folded.write.format("parquet").saveAsTable(foldedTable(dir))
+    } finally Checkpoints.release(folded)
+    built += foldedTable(dir)
+  }
+
+  def ensureFolded(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!built.contains(foldedTable(dir))) buildFolded(spark, dir)
   }
 }

@@ -168,6 +168,71 @@ class TrianglesSpec extends AnyFunSuite {
     }
   }
 
+  /** Scala model of the peel: iterate the support cut up to `iters`
+    * times with the same early exit (cut only filters, so set equality
+    * = cardinality equality) — the prefix semantics q176's oracle
+    * unrolls.
+    */
+  private def peelModel(
+      edges: Set[(Long, Long)], minSupport: Long, iters: Int): Set[(Long, Long)] = {
+    var cur = edges
+    var i = 0
+    var done = false
+    while (i < iters && !done) {
+      val sup = supportModel(cur)
+      val next = cur.filter(e => sup.getOrElse(e, 0L) >= minSupport)
+      if (next == cur) done = true else cur = next
+      i += 1
+    }
+    cur
+  }
+
+  test("trussPeelCollapsed: the cascade graph matches the model at EVERY maxIters prefix") {
+    // Triangle strip 0-1-2, 1-2-3, ...: interior (i, i+1) edges sit in
+    // two triangles (support 2), skip (i, i+2) edges in one (support 1).
+    // The 4-truss cut (minSupport = 2) CASCADES: round 1 keeps only the
+    // interior edges, which kills every triangle, so round 2 cuts
+    // everything — maxIters = 1 returns a genuine unconverged prefix
+    // (interior edges), not the fixed point (empty).
+    val strip = (0L until 10L).flatMap(i => Seq((i, i + 1), (i, i + 2)))
+      .filter(_._2 < 10L).toSet
+    (1 to 3).foreach { k =>
+      val got = Triangles.trussPeelCollapsed(
+        strip.toSeq.toDF("doc_a", "doc_b"), "doc_a", "doc_b",
+        minSupport = 2L, maxIters = k)
+      val gotSet = got.as[(Long, Long)].collect().toSet
+      Checkpoints.release(got)
+      assert(gotSet == peelModel(strip, 2L, k), s"maxIters=$k prefix diverges")
+    }
+    assert(peelModel(strip, 2L, 2).isEmpty, "strip must peel to empty by round 2")
+    assert(peelModel(strip, 2L, 1).nonEmpty, "round 1 must NOT already be the fixed point")
+  }
+
+  test("trussPeelCollapsed == iterated support cut on random graphs with twins") {
+    val rnd = new scala.util.Random(23)
+    (0 until 4).foreach { trial =>
+      val edges = randomWithTwins(rnd)
+      Seq(1L, 2L).foreach { ms =>
+        val got = Triangles.trussPeelCollapsed(
+          edges.toSeq.toDF("doc_a", "doc_b"), "doc_a", "doc_b",
+          minSupport = ms, maxIters = 6)
+        val gotSet = got.as[(Long, Long)].collect().toSet
+        Checkpoints.release(got)
+        assert(gotSet == peelModel(edges, ms, 6),
+          s"trial $trial minSupport=$ms: peel diverges from iterated cut")
+      }
+    }
+  }
+
+  test("minSupport = 1 peel converges after ONE cut (bridges are in no triangle)") {
+    // A support-0 edge is in no triangle, so removing it cannot change
+    // any surviving edge's support — the q170 single cut IS the 3-truss
+    // fixed point. Pin that so the peel's early exit is exercised.
+    val rnd = new scala.util.Random(29)
+    val edges = randomWithTwins(rnd)
+    assert(peelModel(edges, 1L, 1) == peelModel(edges, 1L, 8))
+  }
+
   test("clique K5: every vertex in C(4,2)=6 triangles; chain has none; hub star has none") {
     val k5 = (for { a <- 0L until 5; b <- (a + 1) until 5 } yield (a, b)).toSet
     assert(run(k5) == (0L until 5L).map(_ -> 6L).toMap)
