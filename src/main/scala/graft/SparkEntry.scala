@@ -21,7 +21,8 @@ object SparkEntry {
       SamplingQueries.all ++
       SimilarityQueries.all ++
       TextQueries.all ++
-      MultimodalQueries.all
+      MultimodalQueries.all ++
+      ModelQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own end-to-end pipeline (SURVEY.md §7 minimum slice).

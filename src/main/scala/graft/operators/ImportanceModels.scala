@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based data-selection primitives over `documents` — the curation
+  * stage a training-data pipeline runs AFTER rule filters (q51) and dedup:
+  * score every document against a learned picture of a target distribution,
+  * then sample/threshold on the score.
+  *
+  * Two classic shapes, both re-expressed as pure DataFrame aggregations:
+  *
+  *  - DSIR-style hashed-feature importance weighting ([[dsirWeights]]):
+  *    hash every word occurrence into a small fixed bucket space, estimate
+  *    target vs raw bucket masses corpus-wide, and weight each document by
+  *    how target-like its token mass is.
+  *  - Reference-n-gram-LM scoring ([[bigramLmScore]], CCNet-style): train
+  *    add-one-smoothed bigram counts on a reference slice and score every
+  *    document by its mean smoothed bigram probability.
+  *
+  * Cross-engine determinism: classic formulations sum LOG probabilities,
+  * but `ln` is a transcendental whose last-ulp rounding is not guaranteed
+  * identical across engines, so the DuckDB differential oracle could flap.
+  * Both scores here are therefore defined as exact integer-mass ratios —
+  * every aggregate is an integer SUM/COUNT and the score is ONE final
+  * double division (IEEE-exact on both engines). The ranking they induce
+  * serves the same selection purpose (arithmetic-mean likelihood instead
+  * of geometric-mean); the monotone log view can be taken downstream where
+  * bit-equality is not contractual.
+  *
+  * Scale shape (100 TB): the learned state is a constant-size bucket table
+  * (256 for DSIR, 65 536 for the LM) — broadcast to every executor, never
+  * shuffled; token/bigram occurrences shuffle exactly once, onto the
+  * document id, with map-side partial aggregation. No driver collect, no
+  * all-pairs stage, state independent of corpus size (the same monoid
+  * property the sketch family relies on).
+  */
+object ImportanceModels {
+
+  /** DSIR hashed-feature space: small on purpose (collisions act as the
+    * regularizer, per the published recipe) and broadcast-cheap.
+    */
+  val DsirBuckets = 256
+
+  /** Bigram-LM bucket space: 2^16 hashed bigrams — large enough that
+    * add-one smoothing dominates only unseen grams, still < 1 MB to
+    * broadcast as (bucket, cnt) longs.
+    */
+  val LmBuckets = 65536
+
+  /** Engine-portable bucket id in [0, m): md5-derived 32-bit word hash
+    * (see [[graft.functions.PortableHash32]]) mod a power-of-two space.
+    * Non-negative because the hash is an unsigned 32-bit value in a long.
+    */
+  private def hashBucket(c: Column, m: Int): Column =
+    TextAnalysis.portableHash32(c) % m
+
+  /** DSIR-style importance weight per document.
+    *
+    * Pass 1 estimates per-bucket token masses of the target slice
+    * (`targetPred`) and the raw remainder; pass 2 re-walks each document's
+    * tokens against the broadcast bucket table and aggregates the doc's
+    * target/raw masses. The weight is the smoothed mass ratio
+    * `(target_mass + n) / (raw_mass + n)` — > 1 means the document's
+    * vocabulary is more target-like than raw-like; feed it to weighted
+    * sampling (q89) for the selection step.
+    *
+    * Returns (idCol, n_toks, target_mass, raw_mass, dsir_weight).
+    */
+  def dsirWeights(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      targetPred: Column,
+      buckets: Int = DsirBuckets): DataFrame = {
+    val occ = docs
+      .select(
+        col(idCol),
+        targetPred.cast("boolean").as("is_target"),
+        explode(TextAnalysis.wsTokens(col(textCol))).as("w"))
+      .select(
+        col(idCol),
+        col("is_target"),
+        hashBucket(col("w"), buckets).as("bucket"))
+    // Constant-size model: `buckets` rows whatever the corpus size.
+    val stats = occ
+      .groupBy("bucket")
+      .agg(
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("target_cnt"),
+        sum(when(col("is_target"), 0L).otherwise(1L)).as("raw_cnt"))
+    occ
+      .join(broadcast(stats), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum("target_cnt").as("target_mass"),
+        sum("raw_cnt").as("raw_mass"))
+      .withColumn(
+        "dsir_weight",
+        (col("target_mass") + col("n_toks")).cast("double")
+          / (col("raw_mass") + col("n_toks")).cast("double"))
+  }
+
+  /** Reference-bigram-LM quality score per document.
+    *
+    * Trains hashed-bigram counts on the `trainPred` slice, then scores
+    * every document (with >= 1 bigram — sub-2-token docs have no bigram
+    * stream to score and are dropped, matching the exploded-gram
+    * semantics both engines share) by its mean add-one-smoothed bigram
+    * probability: `(lm_hits + n) / (n * (total + buckets))` where
+    * `lm_hits` is the summed training count of the doc's bigrams. Higher
+    * = closer to the reference distribution (the CCNet head/middle/tail
+    * split thresholds this score downstream).
+    *
+    * Returns (idCol, n_bigrams, lm_hits, lm_score).
+    */
+  def bigramLmScore(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      trainPred: Column,
+      buckets: Int = LmBuckets): DataFrame = {
+    val bi = docs
+      .select(
+        col(idCol),
+        trainPred.cast("boolean").as("is_train"),
+        explode(TextAnalysis.tokenNgrams(TextAnalysis.wsTokens(col(textCol)), 2))
+          .as("g"))
+      .select(
+        col(idCol),
+        col("is_train"),
+        hashBucket(col("g"), buckets).as("bucket"))
+    val train = bi.filter(col("is_train"))
+    val lm = train.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val tot = train.agg(count(lit(1)).as("total"))
+    bi
+      .join(broadcast(lm), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("cnt"), lit(0L))).as("lm_hits"))
+      // 1-row scalar joined in, not collect()ed: keeps the plan lazy and
+      // the pattern identical on a real cluster.
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "lm_score",
+        (col("lm_hits") + col("n_bigrams")).cast("double")
+          / (col("n_bigrams").cast("double")
+            * (col("total") + lit(buckets.toLong)).cast("double")))
+      .drop("total")
+  }
+
+  /** FineWeb-style filter-ensemble verdict: every rule filter the engine
+    * already exposes (length band, mean-word-length band, punctuation
+    * density, stopword density, bigram repetition, declared-vs-predicted
+    * language) evaluated per document, fused into one keep/drop with the
+    * failed checks named in a deterministic comma-joined `reasons` string
+    * (alphabetical label order; empty when kept). One narrow codegen'd
+    * projection — no shuffle at any corpus size; the per-check audit is
+    * what lets a pipeline report WHY mass was dropped, per source.
+    *
+    * Returns (idCol, keep, reasons).
+    */
+  def filterFusion(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      langCol: String): DataFrame = {
+    val text = col(textCol)
+    val chars = length(text).cast("double")
+    val toksD = TextAnalysis.tokenCount(text).cast("double")
+    val meanWord = chars / greatest(toksD, lit(1.0))
+    val punctRatio =
+      TextAnalysis.punctCount(text).cast("double") / greatest(toksD, lit(1.0))
+    val stopRatio =
+      TextAnalysis.stopwordCount(text).cast("double") / greatest(toksD, lit(1.0))
+    // Same bands as qualityScore (q51) / repetition (q49) / langid (q52)
+    // — the fusion reuses the exact published thresholds so its verdict
+    // is the conjunction of the standalone queries.
+    val checks: Seq[(String, Column)] = Seq(
+      "lang" -> (TextAnalysis.langIdHeuristic(text) === col(langCol)),
+      "length" -> (chars >= 50.0 && chars <= 100000.0),
+      "punct" -> (punctRatio <= 0.3),
+      "repetition" -> (TextAnalysis.bigramRepetitionRatio(text) <= 0.2),
+      "stopword" -> (stopRatio >= 0.05),
+      "word_len" -> (meanWord >= 3.0 && meanWord <= 10.0))
+    val keep = checks.map(_._2).reduce(_ && _)
+    // concat_ws skips NULLs (both engines), so passed checks vanish and
+    // the string is stable under any subset of failures.
+    val reasons = concat_ws(
+      ",",
+      checks.map { case (label, ok) =>
+        when(ok, lit(null: String)).otherwise(lit(label))
+      }: _*)
+    docs.select(
+      col(idCol),
+      keep.as("keep"),
+      reasons.as("reasons"))
+  }
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.ImportanceModels
+
+/** Model-based curation queries (q180-q182): importance weighting against
+  * a target distribution, reference-LM quality scoring, and the rule-filter
+  * ensemble verdict — the scoring stages between dedup and sampling in a
+  * training-data pipeline. Oracles mirror the integer-mass formulations
+  * literally (see [[graft.operators.ImportanceModels]] for why the scores
+  * avoid logs: cross-engine `ln` rounding is not contractual; integer sums
+  * with one final division are).
+  */
+object ModelQueries {
+
+  private val DsirB = ImportanceModels.DsirBuckets
+  private val LmB = ImportanceModels.LmBuckets
+
+  /** DuckDB fragment: (doc_id, is_target flag, bucket) per word occurrence
+    * — the md5 word hash (engine-portable, see q31) folded into `m`
+    * buckets; `flagSql` is the 0/1 target/train membership expression.
+    */
+  private def duckOccCte(m: Int, flagName: String, flagSql: String): String =
+    s"""SELECT doc_id, $flagSql AS $flagName,
+       |       CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % $m AS bucket
+       |FROM (SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |      FROM documents)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q180_dsir_weights",
+      "DSIR-style importance weights: every word occurrence hashed into " +
+        s"$DsirB buckets, per-bucket target (lang='en') vs raw masses " +
+        "estimated corpus-wide, each document scored by its smoothed " +
+        "mass ratio (target_mass+n)/(raw_mass+n). The learned state is a " +
+        s"constant $DsirB-row table broadcast to the probe pass — nothing " +
+        "but (doc_id)-keyed partial aggregates ever shuffles, at any " +
+        "corpus size. Feed dsir_weight to q89's weighted sampler for the " +
+        "selection step.",
+      Some(
+        s"""WITH occ AS (
+           |${duckOccCte(DsirB, "is_target", "CASE WHEN lang = 'en' THEN 1 ELSE 0 END")}
+           |), stats AS (
+           |  SELECT bucket,
+           |         CAST(SUM(is_target) AS BIGINT) AS target_cnt,
+           |         CAST(SUM(1 - is_target) AS BIGINT) AS raw_cnt
+           |  FROM occ GROUP BY bucket
+           |)
+           |SELECT occ.doc_id,
+           |       COUNT(*) AS n_toks,
+           |       CAST(SUM(s.target_cnt) AS BIGINT) AS target_mass,
+           |       CAST(SUM(s.raw_cnt) AS BIGINT) AS raw_mass,
+           |       CAST(SUM(s.target_cnt) + COUNT(*) AS DOUBLE)
+           |         / CAST(SUM(s.raw_cnt) + COUNT(*) AS DOUBLE) AS dsir_weight
+           |FROM occ JOIN stats s USING (bucket)
+           |GROUP BY occ.doc_id""".stripMargin),
+      (spark, dir) =>
+        ImportanceModels.dsirWeights(
+          Tables.documents(spark, dir), "text", "doc_id",
+          targetPred = col("lang") === "en")
+    ),
+    Q(
+      "q181_bigram_lm_score",
+      "Reference-bigram-LM scoring (CCNet-style): add-one-smoothed hashed-" +
+        s"bigram counts ($LmB buckets) trained on the lang='en' slice, " +
+        "every document (with >= 1 bigram) scored by mean smoothed bigram " +
+        "probability (lm_hits+n)/(n*(total+B)) — exact integer masses, one " +
+        "final division, so the differential oracle checks the score " +
+        "bit-for-bit. The LM is a sub-MB broadcast table; occurrences " +
+        "shuffle once onto doc_id with map-side combine.",
+      Some(
+        s"""WITH g AS (
+           |  SELECT doc_id, lang, array_to_string(t[i : i+1], ' ') AS gram
+           |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t
+           |        FROM documents),
+           |       UNNEST(range(1, len(t))) AS u(i)
+           |), b AS (
+           |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_train,
+           |         CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) % $LmB AS bucket
+           |  FROM g
+           |), lm AS (
+           |  SELECT bucket, COUNT(*) AS cnt FROM b WHERE is_train = 1 GROUP BY 1
+           |), tot AS (
+           |  SELECT COUNT(*) AS total FROM b WHERE is_train = 1
+           |)
+           |SELECT b.doc_id,
+           |       COUNT(*) AS n_bigrams,
+           |       CAST(SUM(COALESCE(lm.cnt, 0)) AS BIGINT) AS lm_hits,
+           |       CAST(SUM(COALESCE(lm.cnt, 0)) + COUNT(*) AS DOUBLE)
+           |         / (CAST(COUNT(*) AS DOUBLE) * CAST(tot.total + $LmB AS DOUBLE)) AS lm_score
+           |FROM b LEFT JOIN lm USING (bucket), tot
+           |GROUP BY b.doc_id, tot.total""".stripMargin),
+      (spark, dir) =>
+        ImportanceModels.bigramLmScore(
+          Tables.documents(spark, dir), "text", "doc_id",
+          trainPred = col("lang") === "en")
+    ),
+    Q(
+      "q182_filter_fusion",
+      "FineWeb-style rule-filter ensemble: the q49/q51/q52 signals fused " +
+        "into one keep/drop verdict per document with the failed checks " +
+        "named in a deterministic comma-joined reasons string — the " +
+        "drop-mass audit a pipeline reports per source. Pure codegen'd " +
+        "projection, no shuffle at any scale.",
+      Some(
+        """SELECT doc_id,
+          |       (lang_ok AND len_ok AND punct_ok AND rep_ok AND stop_ok AND wl_ok) AS keep,
+          |       concat_ws(',',
+          |         CASE WHEN lang_ok THEN NULL ELSE 'lang' END,
+          |         CASE WHEN len_ok THEN NULL ELSE 'length' END,
+          |         CASE WHEN punct_ok THEN NULL ELSE 'punct' END,
+          |         CASE WHEN rep_ok THEN NULL ELSE 'repetition' END,
+          |         CASE WHEN stop_ok THEN NULL ELSE 'stopword' END,
+          |         CASE WHEN wl_ok THEN NULL ELSE 'word_len' END) AS reasons
+          |FROM (
+          |  SELECT doc_id,
+          |         (CASE WHEN chars > 0 AND cjk / chars >= 0.05 THEN 'zh'
+          |               WHEN toks > 0 AND s_en / toks >= 1.0/12.0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+          |               WHEN toks > 0 AND s_de / toks >= 1.0/12.0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+          |               WHEN toks > 0 AND s_fr / toks >= 1.0/12.0 AND s_fr >= s_es THEN 'fr'
+          |               WHEN toks > 0 AND s_es / toks >= 1.0/12.0 THEN 'es'
+          |               WHEN letters > 0 THEN 'und'
+          |               ELSE 'zxx' END) = lang AS lang_ok,
+          |         chars BETWEEN 50.0 AND 100000.0 AS len_ok,
+          |         CAST(punct AS DOUBLE) / greatest(toks, 1.0) <= 0.3 AS punct_ok,
+          |         (CASE WHEN nb > 0 THEN CAST(nb - nd AS DOUBLE) / nb ELSE 0.0 END) <= 0.2 AS rep_ok,
+          |         CAST(stops AS DOUBLE) / greatest(toks, 1.0) >= 0.05 AS stop_ok,
+          |         chars / greatest(toks, 1.0) BETWEEN 3.0 AND 10.0 AS wl_ok
+          |  FROM (
+          |    SELECT doc_id, lang,
+          |           CAST(LENGTH(text) AS DOUBLE) AS chars,
+          |           CAST(len(tk) AS DOUBLE) AS toks,
+          |           CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS DOUBLE) AS cjk,
+          |           CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS DOUBLE) AS s_en,
+          |           CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|zu)\b')) AS DOUBLE) AS s_de,
+          |           CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|des|une)\b')) AS DOUBLE) AS s_fr,
+          |           CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|que|un)\b')) AS DOUBLE) AS s_es,
+          |           len(regexp_extract_all(text, '[A-Za-z]')) AS letters,
+          |           len(regexp_extract_all(text, '[.!?,;:]')) AS punct,
+          |           len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS stops,
+          |           len(tk) - 1 AS nb,
+          |           len(list_distinct(list_transform(range(1, len(tk)),
+          |             i -> tk[i] || ' ' || tk[i+1]))) AS nd
+          |    FROM (SELECT doc_id, lang, text,
+          |                 string_split_regex(trim(text), '\s+') AS tk
+          |          FROM documents)
+          |  )
+          |)""".stripMargin),
+      (spark, dir) =>
+        ImportanceModels.filterFusion(
+          Tables.documents(spark, dir), "text", "doc_id", "lang")
+    )
+  )
+}
