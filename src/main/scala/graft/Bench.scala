@@ -256,7 +256,24 @@ object Bench {
           "q173_bounded_fold" -> ((s: SparkSession, d: String) =>
             graft.queries.TwinFoldPhases.boundedFold(s, d)),
           "q173_bounded_rebuild" -> ((s: SparkSession, d: String) =>
-            graft.queries.TwinFoldPhases.boundedRebuild(s, d))),
+            graft.queries.TwinFoldPhases.boundedRebuild(s, d)),
+          // Crossover demonstration: same delta, stored graph 16x (id-
+          // shifted copies of the real even graph). The fixture alone
+          // is too small to separate fold from rebuild (both ~1-2 s,
+          // inside host noise; 4x moved the rebuild only +0.4 s); at
+          // 16x the rebuild's adjacency re-hash scales with the stored
+          // graph while the fold's touched volume does not —
+          // scaled16_fold flat vs scaled16_rebuild growing is the
+          // measured form of the 100 TB argument. The one-time scaled
+          // build is its own line (re-run like every build phase).
+          "q173_scaledfp_build" -> ((s: SparkSession, d: String) => {
+            graft.queries.TwinFoldPhases.buildScaled(s, d)
+            s.emptyDataFrame
+          }),
+          "q173_scaled16_fold" -> ((s: SparkSession, d: String) =>
+            graft.queries.TwinFoldPhases.scaledFold(s, d)),
+          "q173_scaled16_rebuild" -> ((s: SparkSession, d: String) =>
+            graft.queries.TwinFoldPhases.scaledRebuild(s, d))),
         // Truss peel: the fixed-point build is its own line (rounds of
         // re-collapse + quotient support), separate from the q167
         // single-cut family's build; the q176 line is the table probe.
@@ -348,13 +365,20 @@ object Bench {
       "q52_langid" -> (2 ->
         ("round-1 best is an artifact of a ~60-query session; " +
           "standalone reruns of current code cannot reach it")),
-      "q90_sequence_pack" -> (6 ->
-        ("pre-r6 best predates the intentional switch from the " +
-          "single-task-serializing window form to sharded two-phase " +
-          "packing (the 100 TB-safe shape)")),
-      "q91_mixture_interleave" -> (6 ->
-        ("pre-r6 best predates the same intentional one-phase -> " +
-          "sharded two-phase interleave switch")))
+      "q90_sequence_pack" -> (15 ->
+        ("r6 reset: pre-r6 best predates the intentional switch to " +
+          "sharded two-phase packing (the 100 TB-safe shape). r15 " +
+          "re-reset after the isolate re-measurement the r13 verdict " +
+          "asked for: SPARK_GRAFT_ONLY standalone min-of-2 gives 0.68 s " +
+          "vs the carried 0.273 s - that r8 number is a warm-session " +
+          "artifact current code cannot reach in ANY context measured " +
+          "since, and it also rode forward through later files' best " +
+          "maps (parse bug fixed alongside this reset)")),
+      "q91_mixture_interleave" -> (15 ->
+        ("r6 reset: pre-r6 best predates the same one-phase -> sharded " +
+          "two-phase interleave switch. r15 re-reset: standalone " +
+          "min-of-2 gives 0.43 s vs the carried 0.213 s (same r8 " +
+          "warm-session artifact + best-map ride-forward as q90)")))
     // Per-query best-so-far, merged from prior rounds' BENCH_r*.json in
     // the working directory: this host's CPU steal inflates single runs
     // 3-10x, so a round-over-round "regression" on an untouched path is
@@ -382,8 +406,24 @@ object Bench {
           val round = "BENCH_r(\\d+)\\.json".r
             .findFirstMatchIn(p.getFileName.toString)
             .map(_.group(1).toInt).getOrElse(0)
-          val txt = try java.nio.file.Files.readString(p) catch { case _: Throwable => "" }
-          if (txt.contains(sfTag))
+          val raw = try java.nio.file.Files.readString(p) catch { case _: Throwable => "" }
+          // MEASUREMENTS ONLY: cut each file at its `"best"` field before
+          // matching. A round's best map re-publishes the cross-round
+          // minimum, so harvesting it would let one number ride forward
+          // through every later file — which both double-counts it and
+          // silently defeats best-floor resets (the pre-reset value
+          // reappears via a post-reset file's best map; q90's r8 0.273
+          // persisted verbatim through r11 this way).
+          val txt = raw.indexOf("\\\"best\\\"") match {
+            case -1 => raw.indexOf("\"best\"") match {
+              case -1 => raw
+              case i  => raw.substring(0, i)
+            }
+            case i => raw.substring(0, i)
+          }
+          // sf guard reads the FULL text: the "sf" field sits after the
+          // best map, so it lives in the part the cut removed.
+          if (raw.contains(sfTag))
             rx.findAllMatchIn(txt).map(m => (round, m.group(1), m.group(2).toDouble))
           else Iterator.empty
         }

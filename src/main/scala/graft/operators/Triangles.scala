@@ -202,12 +202,21 @@ object Triangles {
     // pruned columnar read, the cheaper trade.
     val merged = storedEdges.select(col(aCol), col(bCol))
       .unionAll(deltaEdges.select(col(aCol), col(bCol)))
+    // ONE pass over the merged stream: two broadcast left-outer hash
+    // probes (is aCol touched? is bCol touched?) and an OR filter. The
+    // earlier overlapping-two-semi-join form scanned the stream twice
+    // and needed a touched-volume distinct() shuffle to undo the
+    // overlap — both costs the fold's fixed floor can't afford when the
+    // stored graph is small relative to its rehash.
+    val tFlagA = broadcast(
+      touched.withColumnRenamed("id", aCol).withColumn("_ta", lit(1)))
+    val tFlagB = broadcast(
+      touched.withColumnRenamed("id", bCol).withColumn("_tb", lit(1)))
     val touchedEdges = merged
-      .join(broadcast(touched).withColumnRenamed("id", aCol), Seq(aCol), "left_semi")
-      .unionAll(merged
-        .join(broadcast(touched).withColumnRenamed("id", bCol), Seq(bCol), "left_semi")
-        .select(col(aCol), col(bCol)))
-      .distinct()
+      .join(tFlagA, Seq(aCol), "left")
+      .join(tFlagB, Seq(bCol), "left")
+      .filter(col("_ta").isNotNull || col("_tb").isNotNull)
+      .select(col(aCol), col(bCol))
     val newFp = adjacencyFingerprints(touchedEdges, aCol, bCol)
       .join(broadcast(touched).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_semi")
     storedFp
@@ -426,27 +435,51 @@ object Triangles {
   def trussPeelCollapsed(
       edges: DataFrame, aCol: String, bCol: String, minSupport: Long,
       maxIters: Int): DataFrame = {
+    val (fixed, fixedVcls) =
+      trussPeelCollapsedWithDecomp(edges, aCol, bCol, minSupport, maxIters)
+    fixedVcls.foreach(Checkpoints.release)
+    fixed
+  }
+
+  /** [[trussPeelCollapsed]] plus the fixed point's OWN twin decomposition
+    * when the loop exited by convergence: the no-drop round computed its
+    * classes from exactly the graph being returned, so they ARE the fixed
+    * graph's decomposition — handing them to the next collapsed product
+    * (canonicals/counts/stats) skips that product's adjacency-fingerprint
+    * pass, the dominant cost of every collapsed derivation. None when the
+    * loop exhausted `maxIters` without converging (the last classes
+    * computed belong to the pre-cut graph, not the returned one). The
+    * caller owns the checkpoint blocks of BOTH returned frames.
+    */
+  def trussPeelCollapsedWithDecomp(
+      edges: DataFrame, aCol: String, bCol: String, minSupport: Long,
+      maxIters: Int): (DataFrame, Option[DataFrame]) = {
     require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
     require(maxIters >= 1, s"maxIters must be >= 1: $maxIters")
     var cur = edges.select(col(aCol), col(bCol)).localCheckpoint()
     var curCount = cur.count()
     var it = 0
-    var converged = false
-    while (it < maxIters && !converged) {
-      val next = trussEdgesCollapsed(cur, aCol, bCol, minSupport).localCheckpoint()
+    var fixedVcls: Option[DataFrame] = None
+    while (it < maxIters && fixedVcls.isEmpty) {
+      // Classes pinned per round (node-sized) so the convergence round's
+      // frame survives for the caller instead of being re-derived.
+      val vcls = twinClasses(cur, aCol, bCol).localCheckpoint()
+      val next = trussEdgesCollapsed(cur, aCol, bCol, minSupport, Some(vcls))
+        .localCheckpoint()
       val nextCount = next.count()
       // the cut only filters its input, so |next| = |cur| => next == cur
       if (nextCount == curCount) {
-        converged = true
+        fixedVcls = Some(vcls)
         Checkpoints.release(next)
       } else {
         Checkpoints.release(cur)
+        Checkpoints.release(vcls)
         cur = next
         curCount = nextCount
       }
       it += 1
     }
-    cur
+    (cur, fixedVcls)
   }
 
   /** The twin decomposition as an auditable product: one row per class

@@ -2564,12 +2564,17 @@ object TrianglePhases {
     */
   def buildPeeled(spark: SparkSession, dir: String): Unit = synchronized {
     val e = DupGraphPhases.pairs(spark, dir).select("doc_a", "doc_b")
-    val fixed = Triangles.trussPeelCollapsed(
+    // WithDecomp: on convergence (the measured case — see PeelMaxIters)
+    // the final round's twin classes are the fixed graph's own, so the
+    // canonicals product skips its adjacency-fingerprint pass entirely.
+    val (fixed, fixedVcls) = Triangles.trussPeelCollapsedWithDecomp(
       e, "doc_a", "doc_b", minSupport = 1L, maxIters = PeelMaxIters)
     Bucketing.dropWithLocation(spark, peeledTable(dir))
-    Triangles.trussCanonicalsCollapsed(fixed, "doc_a", "doc_b", minSupport = 1L)
+    Triangles.trussCanonicalsCollapsed(
+        fixed, "doc_a", "doc_b", minSupport = 1L, vclsOpt = fixedVcls)
       .write.format("parquet").saveAsTable(peeledTable(dir))
     Checkpoints.release(fixed)
+    fixedVcls.foreach(Checkpoints.release)
     built += peeledTable(dir)
   }
 
@@ -2716,32 +2721,130 @@ object TwinFoldPhases {
       .join(ok.withColumnRenamed("id", "doc_b"), Seq("doc_b"), "left_semi")
   }
 
+  def boundedDeltaTable(dir: String): String =
+    s"graft_twinbdl_${Q.scratchTag(dir)}"
+
+  /** Materialize [[boundedDeltaPairs]] once per dir. In production the
+    * ingest batch IS a materialized arrival table; deriving it lazily
+    * here instead made the fold re-run the degree aggregation at every
+    * one of refreshFingerprints' references to the delta frame (it
+    * appears under two semi-joins and two broadcasts), which is what
+    * put q173_bounded_fold BEHIND its own from-scratch comparator in
+    * the r15 bench (7.0 s vs 2.7 s). Phase products are tables, not
+    * lazy plans.
+    */
+  def buildBoundedDelta(spark: SparkSession, dir: String): Unit = synchronized {
+    Bucketing.dropWithLocation(spark, boundedDeltaTable(dir))
+    boundedDeltaPairs(spark, dir)
+      .write.format("parquet").saveAsTable(boundedDeltaTable(dir))
+    built += boundedDeltaTable(dir)
+  }
+
+  def ensureBoundedDelta(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!built.contains(boundedDeltaTable(dir))) buildBoundedDelta(spark, dir)
+  }
+
   /** Bench probe (q173_bounded_fold): fold the bounded delta into the
     * stored fingerprints — the delta-proportional path in its design
     * regime. Caller materializes (noop); compare against
-    * [[boundedRebuild]] right beside it in the bench.
+    * [[boundedRebuild]] right beside it in the bench. Both sides read
+    * the SAME materialized delta table, so the comparison isolates
+    * fold-vs-rehash, not delta derivation.
     */
   def boundedFold(spark: SparkSession, dir: String): DataFrame = {
     ensureStored(spark, dir)
+    ensureBoundedDelta(spark, dir)
     Triangles.refreshFingerprints(
       spark.table(fpTable(dir)),
-      evenPairs(spark, dir), boundedDeltaPairs(spark, dir),
+      evenPairs(spark, dir), spark.table(boundedDeltaTable(dir)),
       "doc_a", "doc_b")
   }
 
   /** The from-scratch comparator on the SAME merged graph: one full
     * adjacency shuffle of even ∪ bounded-delta.
     */
-  def boundedRebuild(spark: SparkSession, dir: String): DataFrame =
+  def boundedRebuild(spark: SparkSession, dir: String): DataFrame = {
+    ensureBoundedDelta(spark, dir)
     Triangles.adjacencyFingerprints(
-      evenPairs(spark, dir).unionByName(boundedDeltaPairs(spark, dir)),
+      evenPairs(spark, dir).unionByName(spark.table(boundedDeltaTable(dir))),
       "doc_a", "doc_b")
+  }
 
   def buildStored(spark: SparkSession, dir: String): Unit = synchronized {
     Bucketing.dropWithLocation(spark, fpTable(dir))
     Triangles.adjacencyFingerprints(evenPairs(spark, dir), "doc_a", "doc_b")
       .write.format("parquet").saveAsTable(fpTable(dir))
     built += fpTable(dir)
+  }
+
+  /** Crossover-demonstration geometry (q173_scaled4_* bench pair): the
+    * sf fixture is too small for the fold to beat a full rehash — at
+    * sf0.1 the whole even graph re-hashes in ~1 s, under the fold's
+    * fixed floor (two broadcast probes + the touched-adjacency hash) —
+    * so fold-vs-rebuild measures a tie there, not the asymptotics. The
+    * scaled pair makes the asymptotics measurable WITHOUT synthesizing
+    * new content: the stored graph is [[ScaleCopies]] id-shifted copies
+    * of the real even pair graph (disjoint id ranges, so structure per
+    * copy is exactly the fixture's), while the arrival delta stays the
+    * single-copy bounded batch. Rebuild must re-hash ScaleCopies x the
+    * adjacency volume; the fold's touched volume is unchanged — its
+    * cost should stay FLAT as the stored graph grows, which is the
+    * whole claim behind maintaining fingerprints incrementally at
+    * 100 TB.
+    */
+  val ScaleCopies = 16
+  val ScaleOffset = 10000000L
+
+  def scaledEvenTable(dir: String): String =
+    s"graft_twinsce_${Q.scratchTag(dir)}"
+  def scaledFpTable(dir: String): String =
+    s"graft_twinscfp_${Q.scratchTag(dir)}"
+
+  /** Scaled stored graph + its fingerprint table, built once per dir
+    * (ingest-time cost, amortized like every serving build).
+    */
+  def buildScaled(spark: SparkSession, dir: String): Unit = synchronized {
+    val even = evenPairs(spark, dir)
+    val scaled = (0 until ScaleCopies).map { k =>
+      val off = lit(k * ScaleOffset)
+      even.select((col("doc_a") + off).as("doc_a"),
+        (col("doc_b") + off).as("doc_b"))
+    }.reduce(_ unionByName _)
+    Bucketing.dropWithLocation(spark, scaledEvenTable(dir))
+    scaled.write.format("parquet").saveAsTable(scaledEvenTable(dir))
+    Bucketing.dropWithLocation(spark, scaledFpTable(dir))
+    Triangles.adjacencyFingerprints(
+        spark.table(scaledEvenTable(dir)), "doc_a", "doc_b")
+      .write.format("parquet").saveAsTable(scaledFpTable(dir))
+    built += scaledFpTable(dir)
+  }
+
+  def ensureScaled(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!built.contains(scaledFpTable(dir))) buildScaled(spark, dir)
+  }
+
+  /** Fold the (single-copy) bounded delta into the scaled stored
+    * fingerprints — same arrival batch as [[boundedFold]], stored graph
+    * ScaleCopies x larger.
+    */
+  def scaledFold(spark: SparkSession, dir: String): DataFrame = {
+    ensureScaled(spark, dir)
+    ensureBoundedDelta(spark, dir)
+    Triangles.refreshFingerprints(
+      spark.table(scaledFpTable(dir)),
+      spark.table(scaledEvenTable(dir)),
+      spark.table(boundedDeltaTable(dir)),
+      "doc_a", "doc_b")
+  }
+
+  /** From-scratch comparator on the scaled merged graph. */
+  def scaledRebuild(spark: SparkSession, dir: String): DataFrame = {
+    ensureScaled(spark, dir)
+    ensureBoundedDelta(spark, dir)
+    Triangles.adjacencyFingerprints(
+      spark.table(scaledEvenTable(dir))
+        .unionByName(spark.table(boundedDeltaTable(dir))),
+      "doc_a", "doc_b")
   }
 
   def ensureStored(spark: SparkSession, dir: String): Unit = synchronized {

@@ -224,6 +224,33 @@ class TrianglesSpec extends AnyFunSuite {
     }
   }
 
+  test("trussPeelCollapsedWithDecomp: converged decomp == twinClasses(fixed); None when unconverged") {
+    // Converged case: random twin graph, generous maxIters -> the
+    // returned classes must equal a fresh twinClasses of the fixed graph
+    // row for row (they feed collapsed products in buildPeeled).
+    val rnd = new scala.util.Random(31)
+    val edges = randomWithTwins(rnd)
+    val (fixed, vclsOpt) = Triangles.trussPeelCollapsedWithDecomp(
+      edges.toSeq.toDF("doc_a", "doc_b"), "doc_a", "doc_b",
+      minSupport = 1L, maxIters = 6)
+    assert(vclsOpt.nonEmpty, "generous maxIters must converge")
+    val gotCls = vclsOpt.get.collect().map(_.toSeq).toSet
+    val freshCls = Triangles.twinClasses(fixed, "doc_a", "doc_b")
+      .collect().map(_.toSeq).toSet
+    assert(gotCls == freshCls)
+    Checkpoints.release(fixed)
+    vclsOpt.foreach(Checkpoints.release)
+    // Unconverged case: the cascading strip at maxIters = 1 exits by
+    // exhaustion, so no decomposition may be claimed for the output.
+    val strip = (0L until 10L).flatMap(i => Seq((i, i + 1), (i, i + 2)))
+      .filter(_._2 < 10L).toSet
+    val (pre, none) = Triangles.trussPeelCollapsedWithDecomp(
+      strip.toSeq.toDF("doc_a", "doc_b"), "doc_a", "doc_b",
+      minSupport = 2L, maxIters = 1)
+    assert(none.isEmpty, "exhausted loop must not claim a decomposition")
+    Checkpoints.release(pre)
+  }
+
   test("minSupport = 1 peel converges after ONE cut (bridges are in no triangle)") {
     // A support-0 edge is in no triangle, so removing it cannot change
     // any surviving edge's support — the q170 single cut IS the 3-truss

@@ -49,6 +49,24 @@ class TriangleRefreshSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("scaled fold == from-scratch fingerprints of the scaled merged graph") {
+    // The q173_scaled4_* crossover pair must also compare equals: the
+    // fold over the 4x id-shifted stored graph produces exactly the
+    // rebuild's fingerprint table.
+    val got = canon(TwinFoldPhases.scaledFold(spark, dir))
+    val want = canon(TwinFoldPhases.scaledRebuild(spark, dir))
+    assert(got.nonEmpty && got == want)
+    // The id-shift keeps copies disjoint: every copy contributes the
+    // single-copy vertex count.
+    val base = TwinFoldPhases.evenPairs(spark, dir)
+    val baseV = base.select("doc_a").union(base.select("doc_b")).distinct().count()
+    val scaledV = spark.table(TwinFoldPhases.scaledEvenTable(dir))
+      .select("doc_a").union(
+        spark.table(TwinFoldPhases.scaledEvenTable(dir)).select("doc_b"))
+      .distinct().count()
+    assert(scaledV == TwinFoldPhases.ScaleCopies * baseV)
+  }
+
   test("refresh products == rebuildMerged products (counts, truss, stats)") {
     TrianglePhases.ensureRefreshed(spark, dir)
     TrianglePhases.rebuildMerged(spark, dir)
