@@ -27,6 +27,83 @@ object ModelQueries {
        |FROM (SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\\s+')) AS w
        |      FROM documents)""".stripMargin
 
+  /** q181's oracle body — a val (not inlined) because q184 re-embeds it
+    * as a subquery; the two sides can then never drift.
+    */
+  private val lmSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, lang, array_to_string(t[i : i+1], ' ') AS gram
+       |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t
+       |        FROM documents),
+       |       UNNEST(range(1, len(t))) AS u(i)
+       |), b AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_train,
+       |         CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) % $LmB AS bucket
+       |  FROM g
+       |), lm AS (
+       |  SELECT bucket, COUNT(*) AS cnt FROM b WHERE is_train = 1 GROUP BY 1
+       |), tot AS (
+       |  SELECT COUNT(*) AS total FROM b WHERE is_train = 1
+       |)
+       |SELECT b.doc_id,
+       |       COUNT(*) AS n_bigrams,
+       |       CAST(SUM(COALESCE(lm.cnt, 0)) AS BIGINT) AS lm_hits,
+       |       CAST(SUM(COALESCE(lm.cnt, 0)) + COUNT(*) AS DOUBLE)
+       |         / (CAST(COUNT(*) AS DOUBLE) * CAST(tot.total + $LmB AS DOUBLE)) AS lm_score
+       |FROM b LEFT JOIN lm USING (bucket), tot
+       |GROUP BY b.doc_id, tot.total""".stripMargin
+
+  /** q182's oracle body — a val because q183 re-embeds it as a
+    * subquery; the verdict and the audit can then never drift.
+    */
+  private val fusionSql: String =
+    """SELECT doc_id,
+          |       (lang_ok AND len_ok AND punct_ok AND rep_ok AND stop_ok AND wl_ok) AS keep,
+          |       concat_ws(',',
+          |         CASE WHEN lang_ok THEN NULL ELSE 'lang' END,
+          |         CASE WHEN len_ok THEN NULL ELSE 'length' END,
+          |         CASE WHEN punct_ok THEN NULL ELSE 'punct' END,
+          |         CASE WHEN rep_ok THEN NULL ELSE 'repetition' END,
+          |         CASE WHEN stop_ok THEN NULL ELSE 'stopword' END,
+          |         CASE WHEN wl_ok THEN NULL ELSE 'word_len' END) AS reasons
+          |FROM (
+          |  SELECT doc_id,
+          |         (CASE WHEN chars > 0 AND cjk / chars >= 0.05 THEN 'zh'
+          |               WHEN toks > 0 AND s_en / toks >= 1.0/12.0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+          |               WHEN toks > 0 AND s_de / toks >= 1.0/12.0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+          |               WHEN toks > 0 AND s_fr / toks >= 1.0/12.0 AND s_fr >= s_es THEN 'fr'
+          |               WHEN toks > 0 AND s_es / toks >= 1.0/12.0 THEN 'es'
+          |               WHEN letters > 0 THEN 'und'
+          |               ELSE 'zxx' END) = lang AS lang_ok,
+          |         chars BETWEEN 50.0 AND 100000.0 AS len_ok,
+          |         CAST(punct AS DOUBLE) / greatest(toks, 1.0) <= 0.3 AS punct_ok,
+          |         (CASE WHEN nb > 0 THEN CAST(nb - nd AS DOUBLE) / nb ELSE 0.0 END) <= 0.2 AS rep_ok,
+          |         CAST(stops AS DOUBLE) / greatest(toks, 1.0) >= 0.05 AS stop_ok,
+          |         chars / greatest(toks, 1.0) BETWEEN 3.0 AND 10.0 AS wl_ok
+          |  FROM (
+          |    SELECT doc_id, lang,
+          |           CAST(LENGTH(text) AS DOUBLE) AS chars,
+          |           CAST(len(tk) AS DOUBLE) AS toks,
+          |           CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS DOUBLE) AS cjk,
+          |           CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS DOUBLE) AS s_en,
+          |           CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|zu)\b')) AS DOUBLE) AS s_de,
+          |           CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|des|une)\b')) AS DOUBLE) AS s_fr,
+          |           CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|que|un)\b')) AS DOUBLE) AS s_es,
+          |           len(regexp_extract_all(text, '[A-Za-z]')) AS letters,
+          |           len(regexp_extract_all(text, '[.!?,;:]')) AS punct,
+          |           len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS stops,
+          |           len(tk) - 1 AS nb,
+          |           len(list_distinct(list_transform(range(1, len(tk)),
+          |             i -> tk[i] || ' ' || tk[i+1]))) AS nd
+          |    FROM (SELECT doc_id, lang, text,
+          |                 string_split_regex(trim(text), '\s+') AS tk
+          |          FROM documents)
+          |  )
+          |)""".stripMargin
+
+  private def indent(sql: String, pad: String): String =
+    sql.linesIterator.map(pad + _).mkString("\n")
+
   val all: Seq[Q] = Seq(
     Q(
       "q180_dsir_weights",
@@ -69,28 +146,7 @@ object ModelQueries {
         "final division, so the differential oracle checks the score " +
         "bit-for-bit. The LM is a sub-MB broadcast table; occurrences " +
         "shuffle once onto doc_id with map-side combine.",
-      Some(
-        s"""WITH g AS (
-           |  SELECT doc_id, lang, array_to_string(t[i : i+1], ' ') AS gram
-           |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t
-           |        FROM documents),
-           |       UNNEST(range(1, len(t))) AS u(i)
-           |), b AS (
-           |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_train,
-           |         CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) % $LmB AS bucket
-           |  FROM g
-           |), lm AS (
-           |  SELECT bucket, COUNT(*) AS cnt FROM b WHERE is_train = 1 GROUP BY 1
-           |), tot AS (
-           |  SELECT COUNT(*) AS total FROM b WHERE is_train = 1
-           |)
-           |SELECT b.doc_id,
-           |       COUNT(*) AS n_bigrams,
-           |       CAST(SUM(COALESCE(lm.cnt, 0)) AS BIGINT) AS lm_hits,
-           |       CAST(SUM(COALESCE(lm.cnt, 0)) + COUNT(*) AS DOUBLE)
-           |         / (CAST(COUNT(*) AS DOUBLE) * CAST(tot.total + $LmB AS DOUBLE)) AS lm_score
-           |FROM b LEFT JOIN lm USING (bucket), tot
-           |GROUP BY b.doc_id, tot.total""".stripMargin),
+      Some(lmSql),
       (spark, dir) =>
         ImportanceModels.bigramLmScore(
           Tables.documents(spark, dir), "text", "doc_id",
@@ -103,53 +159,71 @@ object ModelQueries {
         "named in a deterministic comma-joined reasons string — the " +
         "drop-mass audit a pipeline reports per source. Pure codegen'd " +
         "projection, no shuffle at any scale.",
-      Some(
-        """SELECT doc_id,
-          |       (lang_ok AND len_ok AND punct_ok AND rep_ok AND stop_ok AND wl_ok) AS keep,
-          |       concat_ws(',',
-          |         CASE WHEN lang_ok THEN NULL ELSE 'lang' END,
-          |         CASE WHEN len_ok THEN NULL ELSE 'length' END,
-          |         CASE WHEN punct_ok THEN NULL ELSE 'punct' END,
-          |         CASE WHEN rep_ok THEN NULL ELSE 'repetition' END,
-          |         CASE WHEN stop_ok THEN NULL ELSE 'stopword' END,
-          |         CASE WHEN wl_ok THEN NULL ELSE 'word_len' END) AS reasons
-          |FROM (
-          |  SELECT doc_id,
-          |         (CASE WHEN chars > 0 AND cjk / chars >= 0.05 THEN 'zh'
-          |               WHEN toks > 0 AND s_en / toks >= 1.0/12.0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-          |               WHEN toks > 0 AND s_de / toks >= 1.0/12.0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
-          |               WHEN toks > 0 AND s_fr / toks >= 1.0/12.0 AND s_fr >= s_es THEN 'fr'
-          |               WHEN toks > 0 AND s_es / toks >= 1.0/12.0 THEN 'es'
-          |               WHEN letters > 0 THEN 'und'
-          |               ELSE 'zxx' END) = lang AS lang_ok,
-          |         chars BETWEEN 50.0 AND 100000.0 AS len_ok,
-          |         CAST(punct AS DOUBLE) / greatest(toks, 1.0) <= 0.3 AS punct_ok,
-          |         (CASE WHEN nb > 0 THEN CAST(nb - nd AS DOUBLE) / nb ELSE 0.0 END) <= 0.2 AS rep_ok,
-          |         CAST(stops AS DOUBLE) / greatest(toks, 1.0) >= 0.05 AS stop_ok,
-          |         chars / greatest(toks, 1.0) BETWEEN 3.0 AND 10.0 AS wl_ok
-          |  FROM (
-          |    SELECT doc_id, lang,
-          |           CAST(LENGTH(text) AS DOUBLE) AS chars,
-          |           CAST(len(tk) AS DOUBLE) AS toks,
-          |           CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS DOUBLE) AS cjk,
-          |           CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS DOUBLE) AS s_en,
-          |           CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|zu)\b')) AS DOUBLE) AS s_de,
-          |           CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|des|une)\b')) AS DOUBLE) AS s_fr,
-          |           CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|que|un)\b')) AS DOUBLE) AS s_es,
-          |           len(regexp_extract_all(text, '[A-Za-z]')) AS letters,
-          |           len(regexp_extract_all(text, '[.!?,;:]')) AS punct,
-          |           len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS stops,
-          |           len(tk) - 1 AS nb,
-          |           len(list_distinct(list_transform(range(1, len(tk)),
-          |             i -> tk[i] || ' ' || tk[i+1]))) AS nd
-          |    FROM (SELECT doc_id, lang, text,
-          |                 string_split_regex(trim(text), '\s+') AS tk
-          |          FROM documents)
-          |  )
-          |)""".stripMargin),
+      Some(fusionSql),
       (spark, dir) =>
         ImportanceModels.filterFusion(
           Tables.documents(spark, dir), "text", "doc_id", "lang")
+    ),
+    Q(
+      "q183_drop_mass_report",
+      "Per-source drop-mass audit over the q182 verdicts: how many " +
+        "documents each source loses to each failed check (a document " +
+        "failing k checks counts once per check — the per-rule view a " +
+        "pipeline tunes thresholds against). Verdicts are a narrow " +
+        "projection; the only shuffle is the (source, reason)-keyed " +
+        "count, output size = sources x rules regardless of corpus size.",
+      Some(
+        """SELECT source, reason, COUNT(*) AS n_docs
+          |FROM (
+          |  SELECT source, unnest(string_split(reasons, ',')) AS reason
+          |  FROM (
+          |""".stripMargin +
+          indent(fusionSql, "    ") +
+          """
+          |  ) v JOIN documents USING (doc_id)
+          |  WHERE NOT keep
+          |)
+          |GROUP BY source, reason""".stripMargin),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        ImportanceModels.filterFusion(docs, "text", "doc_id", "lang")
+          .filter(!col("keep"))
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+          .select(col("source"),
+            explode(split(col("reasons"), ",")).as("reason"))
+          .groupBy("source", "reason")
+          .agg(count(lit(1)).as("n_docs"))
+      }
+    ),
+    Q(
+      "q184_lm_quality_tiers",
+      "CCNet-style quality tiers: per-language deciles of the q181 " +
+        "reference-LM score (NTILE(10) over (lm_score, doc_id) — the " +
+        "id tiebreak makes tier assignment deterministic). Partitioned " +
+        "window, so each language sorts independently — no global " +
+        "single-task sort at any corpus size; downstream keeps the top " +
+        "tiers per language (the head/middle/tail split).",
+      Some(
+        """SELECT doc_id, lang, lm_score,
+          |       CAST(NTILE(10) OVER (PARTITION BY lang
+          |                            ORDER BY lm_score, doc_id) AS INTEGER) AS tier
+          |FROM (
+          |""".stripMargin +
+          indent(lmSql, "  ") +
+          """
+          |) s JOIN documents USING (doc_id)""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(spark, dir)
+        ImportanceModels
+          .bigramLmScore(docs, "text", "doc_id", trainPred = col("lang") === "en")
+          .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("lm_score"),
+            ntile(10).over(
+              Window.partitionBy("lang").orderBy("lm_score", "doc_id"))
+              .as("tier"))
+      }
     )
   )
+
 }
