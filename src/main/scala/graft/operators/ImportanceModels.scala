@@ -131,9 +131,35 @@ object ImportanceModels {
         col("is_train"),
         hashBucket(col("g"), buckets).as("bucket"))
     val train = bi.filter(col("is_train"))
-    val lm = train.groupBy("bucket").agg(count(lit(1)).as("cnt"))
-    val tot = train.agg(count(lit(1)).as("total"))
-    bi
+    scoreAgainstLm(
+      bi.select(col(idCol), col("bucket")), idCol,
+      train.groupBy("bucket").agg(count(lit(1)).as("cnt")),
+      train.agg(count(lit(1)).as("total")),
+      buckets)
+  }
+
+  /** (idCol, bucket) hashed-bigram occurrence stream of `docs` — the
+    * shared front half of batch scoring and the streaming fold.
+    */
+  def bigramBucketStream(
+      docs: DataFrame, textCol: String, idCol: String,
+      buckets: Int = LmBuckets): DataFrame =
+    docs
+      .select(
+        col(idCol),
+        explode(TextAnalysis.tokenNgrams(TextAnalysis.wsTokens(col(textCol)), 2))
+          .as("g"))
+      .select(col(idCol), hashBucket(col("g"), buckets).as("bucket"))
+
+  /** Score a bucket-occurrence stream against a TRAINED model: `lm` is
+    * (bucket, cnt), `tot` the 1-row (total). The back half of
+    * [[bigramLmScore]], shared with the folded-model path so the two
+    * are the same arithmetic by construction.
+    */
+  def scoreAgainstLm(
+      docBuckets: DataFrame, idCol: String,
+      lm: DataFrame, tot: DataFrame, buckets: Int): DataFrame =
+    docBuckets
       .join(broadcast(lm), Seq("bucket"), "left")
       .groupBy(col(idCol))
       .agg(
@@ -148,6 +174,61 @@ object ImportanceModels {
           / (col("n_bigrams").cast("double")
             * (col("total") + lit(buckets.toLong)).cast("double")))
       .drop("total")
+
+  /** STREAMING face of the reference-LM trainer — drive from
+    * `writeStream.foreachBatch`: fold one micro-batch of TRAINING
+    * documents into a partition-per-batch bucket-count table. Counts
+    * are additive (not idempotent under replay like the set-based
+    * folds), so exactly-once comes from the layout instead: each batch
+    * writes ONLY its own `batch_id=` partition with dynamic partition
+    * overwrite — an at-least-once redelivery REPLACES its partition
+    * with identical rows, and the served model ([[lmFromFolds]], the
+    * bucket-summed view) is exact under replay. Per-batch state is the
+    * batch's own bucket footprint; the table stays
+    * O(buckets x batches) and compacts to O(buckets) whenever
+    * convenient (sum-regroup preserves the model).
+    */
+  def foldLmBatch(
+      batchDocs: DataFrame,
+      batchId: Long,
+      lmTable: String,
+      textCol: String,
+      idCol: String,
+      buckets: Int = LmBuckets): Unit = {
+    val spark = batchDocs.sparkSession
+    val counts = bigramBucketStream(batchDocs, textCol, idCol, buckets)
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("batch_id", lit(batchId))
+    if (!spark.catalog.tableExists(lmTable))
+      counts.write.partitionBy("batch_id").format("parquet").saveAsTable(lmTable)
+    else {
+      // insertInto, NOT saveAsTable: overwrite-mode saveAsTable replaces
+      // the whole table; insertInto under DYNAMIC partitionOverwriteMode
+      // replaces exactly the partitions present in this batch — the
+      // replay-exactness contract. The mode must be the SESSION conf:
+      // catalog insertInto does not read the per-writer option (measured
+      // — the option form silently fell back to static overwrite and
+      // truncated every prior batch). Saved/restored around the write.
+      // (Position-based insert: counts' column order matches the table's
+      // data-then-partition layout.)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.get(key, "STATIC")
+      spark.conf.set(key, "dynamic")
+      try counts.write.mode("overwrite").insertInto(lmTable)
+      finally spark.conf.set(key, prev)
+    }
+  }
+
+  /** The served model from the fold table: ((bucket, cnt), (total)) —
+    * exactly the pair [[bigramLmScore]] trains in one shot when the
+    * fold batches partition the same training slice.
+    */
+  def lmFromFolds(
+      spark: org.apache.spark.sql.SparkSession,
+      lmTable: String): (DataFrame, DataFrame) = {
+    val folds = spark.table(lmTable)
+    (folds.groupBy("bucket").agg(sum("cnt").as("cnt")),
+      folds.agg(coalesce(sum("cnt"), lit(0L)).as("total")))
   }
 
   /** FineWeb-style filter-ensemble verdict: every rule filter the engine

@@ -193,6 +193,57 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LM fold: foreachBatch-trained model scores equal the batch twin; replay exact") {
+    import graft.operators.ImportanceModels
+    // Training docs stream in micro-batches; scoring corpus is static.
+    val train1 = Seq((1L, "the cat sat on the mat"), (2L, "the dog sat on the rug"))
+    val train2 = Seq((3L, "a cat and a dog sat together on the mat"))
+    val corpus = (train1 ++ train2 ++ Seq(
+      (10L, "the cat sat quietly"),
+      (11L, "quantum flux capacitors hum softly")))
+      .toDF("doc_id", "text")
+    val lmT = "graft_lmfold_stream_spec"
+    graft.operators.Bucketing.dropWithLocation(spark, lmT)
+    val dirStr = watchDirOf(Seq(
+      train1.toDF("doc_id", "text"), train2.toDF("doc_id", "text")))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dirStr)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ImportanceModels.foldLmBatch(batch, id, lmT, "text", "doc_id")
+      }
+      .start()
+    def servedScores() = {
+      val (lm, tot) = ImportanceModels.lmFromFolds(spark, lmT)
+      ImportanceModels.scoreAgainstLm(
+          ImportanceModels.bigramBucketStream(corpus, "text", "doc_id"),
+          "doc_id", lm, tot, ImportanceModels.LmBuckets)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    }
+    try {
+      q.processAllAvailable()
+      // folded-model scores == one-shot training on the union (the
+      // batch twin): counts are additive across disjoint batches and
+      // the scoring arithmetic is shared code.
+      val trainIds = (train1 ++ train2).map(_._1).toSet
+      val batchTwin = ImportanceModels.bigramLmScore(
+          corpus, "text", "doc_id",
+          trainPred = col("doc_id").isInCollection(trainIds))
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+      val got = servedScores()
+      assert(got.nonEmpty && got == batchTwin,
+        "folded-model scores diverge from the batch-trained twin")
+      // exactly-once under at-least-once delivery: a replayed batch
+      // overwrites ONLY its own batch_id partition with identical rows
+      ImportanceModels.foldLmBatch(
+        train2.toDF("doc_id", "text"), 1L, lmT, "text", "doc_id")
+      assert(servedScores() == batchTwin,
+        "replayed batch changed the served model")
+    } finally q.stop()
+  }
+
   test("canonicalRouted equals the batch mixed-pair routing; zero state") {
     import graft.operators.Components
     val sparkText = "completely different content about spark catalyst " +
