@@ -398,8 +398,9 @@ object Triangles {
     */
   def trussEdgesCollapsed(
       edges: DataFrame, aCol: String, bCol: String, minSupport: Long,
-      vclsOpt: Option[DataFrame] = None): DataFrame =
-    edgeSupportCollapsed(edges, aCol, bCol, vclsOpt)
+      vclsOpt: Option[DataFrame] = None,
+      qOpt: Option[DataFrame] = None): DataFrame =
+    edgeSupportCollapsed(edges, aCol, bCol, vclsOpt, qOpt)
       .filter(col("support") >= minSupport)
       .select(col(aCol), col(bCol))
 
@@ -453,18 +454,45 @@ object Triangles {
     */
   def trussPeelCollapsedWithDecomp(
       edges: DataFrame, aCol: String, bCol: String, minSupport: Long,
-      maxIters: Int): (DataFrame, Option[DataFrame]) = {
+      maxIters: Int,
+      firstVcls: Option[DataFrame] = None,
+      firstQ: Option[DataFrame] = None): (DataFrame, Option[DataFrame]) = {
     require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
     require(maxIters >= 1, s"maxIters must be >= 1: $maxIters")
     var cur = edges.select(col(aCol), col(bCol)).localCheckpoint()
+    // minSupport = 1 shortcut: the cut removes exactly the support-0
+    // edges, and a support-0 edge is in NO triangle — removing it cannot
+    // change any other edge's support, so ONE cut is provably the fixed
+    // point (TrianglesSpec pins the theorem against the iterated model).
+    // Skipping the confirmation round saves a full re-collapse +
+    // quotient-support pass that would only discover "nothing dropped".
+    // No decomposition is claimed: the returned graph's classes differ
+    // from the input's (degrees changed at cut survivors' neighbors).
+    if (minSupport == 1L) {
+      val vcls0 = firstVcls.getOrElse(twinClasses(cur, aCol, bCol))
+        .localCheckpoint()
+      val fixed = trussEdgesCollapsed(
+        cur, aCol, bCol, minSupport, Some(vcls0), firstQ).localCheckpoint()
+      fixed.count() // materialize before releasing inputs
+      Checkpoints.release(cur)
+      Checkpoints.release(vcls0)
+      return (fixed, None)
+    }
     var curCount = cur.count()
     var it = 0
     var fixedVcls: Option[DataFrame] = None
     while (it < maxIters && fixedVcls.isEmpty) {
       // Classes pinned per round (node-sized) so the convergence round's
       // frame survives for the caller instead of being re-derived.
-      val vcls = twinClasses(cur, aCol, bCol).localCheckpoint()
-      val next = trussEdgesCollapsed(cur, aCol, bCol, minSupport, Some(vcls))
+      // Round 0 accepts a caller-supplied decomposition (+ quotient) of
+      // the INPUT graph (persisted phase products) and skips its
+      // fingerprint pass; later rounds always re-derive (the cut
+      // changed degrees).
+      val vcls = (if (it == 0) firstVcls else None)
+        .getOrElse(twinClasses(cur, aCol, bCol)).localCheckpoint()
+      val next = trussEdgesCollapsed(
+          cur, aCol, bCol, minSupport, Some(vcls),
+          if (it == 0) firstQ else None)
         .localCheckpoint()
       val nextCount = next.count()
       // the cut only filters its input, so |next| = |cur| => next == cur

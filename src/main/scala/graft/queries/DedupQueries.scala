@@ -2526,6 +2526,9 @@ object TrianglePhases {
     */
   val PeelMaxIters = 3
 
+  def vclsTable(dir: String): String = s"graft_twincls_${Q.scratchTag(dir)}"
+  def qTable(dir: String): String = s"graft_twinq_${Q.scratchTag(dir)}"
+
   def build(spark: SparkSession, dir: String): Unit = synchronized {
     val e = DupGraphPhases.pairs(spark, dir).select("doc_a", "doc_b")
     // The twin-class frame AND the quotient edge set are derived once
@@ -2533,8 +2536,14 @@ object TrianglePhases {
     // scanned once for the adjacency shuffle and once for the quotient,
     // independent of how many products hang off the decomposition.
     val vcls = Triangles.twinClasses(e, "doc_a", "doc_b").localCheckpoint()
+    // The decomposition itself is a phase product: the peel build's
+    // FIRST cut runs on exactly this graph, so persisting (doc_id, cls,
+    // s) lets it skip its round-0 adjacency-fingerprint pass.
+    Bucketing.dropWithLocation(spark, vclsTable(dir))
+    vcls.write.format("parquet").saveAsTable(vclsTable(dir))
     writeProducts(spark, e, vcls,
-      cntTable(dir), trussTable(dir), statsTable(dir))
+      cntTable(dir), trussTable(dir), statsTable(dir),
+      persistQTo = Some(qTable(dir)))
     built += cntTable(dir)
   }
 
@@ -2563,12 +2572,23 @@ object TrianglePhases {
     * than inflating the single-cut family's build.
     */
   def buildPeeled(spark: SparkSession, dir: String): Unit = synchronized {
+    // The single-cut family's build persists the base graph's twin
+    // decomposition (vclsTable); round 0 of the peel runs on exactly
+    // that graph, so seeding it skips the first adjacency-fingerprint
+    // pass. ensure() is amortized serving state either way — q167's
+    // products are built before any peel consumer runs.
+    ensure(spark, dir)
     val e = DupGraphPhases.pairs(spark, dir).select("doc_a", "doc_b")
-    // WithDecomp: on convergence (the measured case — see PeelMaxIters)
-    // the final round's twin classes are the fixed graph's own, so the
-    // canonicals product skips its adjacency-fingerprint pass entirely.
+    // At minSupport = 1 the peel takes the theorem-backed single-cut
+    // shortcut (no confirmation round) and claims no decomposition, so
+    // the canonicals product re-derives the cut graph's classes — one
+    // fingerprint pass total instead of the former two-rounds-plus-one.
+    // At higher thresholds WithDecomp hands the converged round's
+    // classes over and canonicals skips its pass entirely.
     val (fixed, fixedVcls) = Triangles.trussPeelCollapsedWithDecomp(
-      e, "doc_a", "doc_b", minSupport = 1L, maxIters = PeelMaxIters)
+      e, "doc_a", "doc_b", minSupport = 1L, maxIters = PeelMaxIters,
+      firstVcls = Some(spark.table(vclsTable(dir))),
+      firstQ = Some(spark.table(qTable(dir))))
     Bucketing.dropWithLocation(spark, peeledTable(dir))
     Triangles.trussCanonicalsCollapsed(
         fixed, "doc_a", "doc_b", minSupport = 1L, vclsOpt = fixedVcls)
@@ -2638,10 +2658,17 @@ object TrianglePhases {
     */
   private def writeProducts(
       spark: SparkSession, e: DataFrame, vcls: DataFrame,
-      cnt: String, truss: String, stats: String): Unit = {
+      cnt: String, truss: String, stats: String,
+      persistQTo: Option[String] = None): Unit = {
     val q = Triangles.quotientEdges(
       e.select(col("doc_a").as("u"), col("doc_b").as("v")), vcls).localCheckpoint()
     try {
+      // Optionally persist the quotient beside the products: the peel
+      // build seeds its round 0 from it (same base graph).
+      persistQTo.foreach { qt =>
+        Bucketing.dropWithLocation(spark, qt)
+        q.write.format("parquet").saveAsTable(qt)
+      }
       Bucketing.dropWithLocation(spark, cnt)
       Triangles.vertexTriangleCountsCollapsed(
           e, "doc_a", "doc_b", Some(vcls), Some(q))

@@ -225,14 +225,20 @@ class TrianglesSpec extends AnyFunSuite {
   }
 
   test("trussPeelCollapsedWithDecomp: converged decomp == twinClasses(fixed); None when unconverged") {
-    // Converged case: random twin graph, generous maxIters -> the
-    // returned classes must equal a fresh twinClasses of the fixed graph
-    // row for row (they feed collapsed products in buildPeeled).
-    val rnd = new scala.util.Random(31)
-    val edges = randomWithTwins(rnd)
+    // Converged case (minSupport = 2, so the loop — not the
+    // single-cut shortcut — runs): K5 survives the 4-truss cut intact
+    // while the attached strip peels away; once only the clique
+    // remains, the next cut drops nothing and the loop returns that
+    // round's classes, which must equal a fresh twinClasses of the
+    // fixed graph row for row (they feed collapsed products in
+    // buildPeeled).
+    val k5 = (0L until 5L).flatMap(i => ((i + 1) until 5L).map(j => (i, j)))
+    val strip = (10L until 18L).flatMap(i => Seq((i, i + 1), (i, i + 2)))
+      .filter(_._2 < 18L) ++ Seq((4L, 10L)) // bridge clique -> strip
+    val edges = (k5 ++ strip).toSet
     val (fixed, vclsOpt) = Triangles.trussPeelCollapsedWithDecomp(
       edges.toSeq.toDF("doc_a", "doc_b"), "doc_a", "doc_b",
-      minSupport = 1L, maxIters = 6)
+      minSupport = 2L, maxIters = 8)
     assert(vclsOpt.nonEmpty, "generous maxIters must converge")
     val gotCls = vclsOpt.get.collect().map(_.toSeq).toSet
     val freshCls = Triangles.twinClasses(fixed, "doc_a", "doc_b")
@@ -242,13 +248,33 @@ class TrianglesSpec extends AnyFunSuite {
     vclsOpt.foreach(Checkpoints.release)
     // Unconverged case: the cascading strip at maxIters = 1 exits by
     // exhaustion, so no decomposition may be claimed for the output.
-    val strip = (0L until 10L).flatMap(i => Seq((i, i + 1), (i, i + 2)))
+    val strip2 = (0L until 10L).flatMap(i => Seq((i, i + 1), (i, i + 2)))
       .filter(_._2 < 10L).toSet
     val (pre, none) = Triangles.trussPeelCollapsedWithDecomp(
-      strip.toSeq.toDF("doc_a", "doc_b"), "doc_a", "doc_b",
+      strip2.toSeq.toDF("doc_a", "doc_b"), "doc_a", "doc_b",
       minSupport = 2L, maxIters = 1)
     assert(none.isEmpty, "exhausted loop must not claim a decomposition")
     Checkpoints.release(pre)
+  }
+
+  test("trussPeelCollapsedWithDecomp: seeding round 0 with the input's decomposition changes nothing") {
+    val rnd = new scala.util.Random(37)
+    val edges = randomWithTwins(rnd)
+    val df = edges.toSeq.toDF("doc_a", "doc_b")
+    Seq(1L, 2L).foreach { ms =>
+      val (plainE, plainV) = Triangles.trussPeelCollapsedWithDecomp(
+        df, "doc_a", "doc_b", minSupport = ms, maxIters = 6)
+      val seed = Triangles.twinClasses(df, "doc_a", "doc_b").localCheckpoint()
+      val (seededE, seededV) = Triangles.trussPeelCollapsedWithDecomp(
+        df, "doc_a", "doc_b", minSupport = ms, maxIters = 6,
+        firstVcls = Some(seed))
+      assert(plainE.collect().map(_.toSeq).toSet ==
+        seededE.collect().map(_.toSeq).toSet, s"minSupport=$ms edges diverge")
+      assert(plainV.map(_.collect().map(_.toSeq).toSet) ==
+        seededV.map(_.collect().map(_.toSeq).toSet), s"minSupport=$ms decomp diverges")
+      Seq(Some(plainE), Some(seededE), plainV, seededV).flatten
+        .foreach(Checkpoints.release)
+    }
   }
 
   test("minSupport = 1 peel converges after ONE cut (bridges are in no triangle)") {
