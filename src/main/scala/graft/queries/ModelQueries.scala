@@ -27,6 +27,27 @@ object ModelQueries {
        |FROM (SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\\s+')) AS w
        |      FROM documents)""".stripMargin
 
+  /** q180's oracle body — a val because q185 re-embeds it as a
+    * derived table; weights and selection can then never drift.
+    */
+  private val dsirSql: String =
+    s"""WITH occ AS (
+       |${duckOccCte(ImportanceModels.DsirBuckets, "is_target", "CASE WHEN lang = 'en' THEN 1 ELSE 0 END")}
+       |), stats AS (
+       |  SELECT bucket,
+       |         CAST(SUM(is_target) AS BIGINT) AS target_cnt,
+       |         CAST(SUM(1 - is_target) AS BIGINT) AS raw_cnt
+       |  FROM occ GROUP BY bucket
+       |)
+       |SELECT occ.doc_id,
+       |       COUNT(*) AS n_toks,
+       |       CAST(SUM(s.target_cnt) AS BIGINT) AS target_mass,
+       |       CAST(SUM(s.raw_cnt) AS BIGINT) AS raw_mass,
+       |       CAST(SUM(s.target_cnt) + COUNT(*) AS DOUBLE)
+       |         / CAST(SUM(s.raw_cnt) + COUNT(*) AS DOUBLE) AS dsir_weight
+       |FROM occ JOIN stats s USING (bucket)
+       |GROUP BY occ.doc_id""".stripMargin
+
   /** q181's oracle body — a val (not inlined) because q184 re-embeds it
     * as a subquery; the two sides can then never drift.
     */
@@ -115,23 +136,7 @@ object ModelQueries {
         "but (doc_id)-keyed partial aggregates ever shuffles, at any " +
         "corpus size. Feed dsir_weight to q89's weighted sampler for the " +
         "selection step.",
-      Some(
-        s"""WITH occ AS (
-           |${duckOccCte(DsirB, "is_target", "CASE WHEN lang = 'en' THEN 1 ELSE 0 END")}
-           |), stats AS (
-           |  SELECT bucket,
-           |         CAST(SUM(is_target) AS BIGINT) AS target_cnt,
-           |         CAST(SUM(1 - is_target) AS BIGINT) AS raw_cnt
-           |  FROM occ GROUP BY bucket
-           |)
-           |SELECT occ.doc_id,
-           |       COUNT(*) AS n_toks,
-           |       CAST(SUM(s.target_cnt) AS BIGINT) AS target_mass,
-           |       CAST(SUM(s.raw_cnt) AS BIGINT) AS raw_mass,
-           |       CAST(SUM(s.target_cnt) + COUNT(*) AS DOUBLE)
-           |         / CAST(SUM(s.raw_cnt) + COUNT(*) AS DOUBLE) AS dsir_weight
-           |FROM occ JOIN stats s USING (bucket)
-           |GROUP BY occ.doc_id""".stripMargin),
+      Some(dsirSql),
       (spark, dir) =>
         ImportanceModels.dsirWeights(
           Tables.documents(spark, dir), "text", "doc_id",
@@ -222,6 +227,40 @@ object ModelQueries {
             ntile(10).over(
               Window.partitionBy("lang").orderBy("lm_score", "doc_id"))
               .as("tier"))
+      }
+    ),
+    Q(
+      "q185_dsir_budget",
+      "DSIR-weighted selection under a token budget: per source, keep " +
+        "the most target-like documents (q180 weights, (weight DESC, " +
+        "doc_id) total order) until an 800-token budget fills — the " +
+        "domain-mixture assembly step DSIR exists for. Selection runs " +
+        "through the exact two-phase SHARDED prefix sum (the q92 " +
+        "primitive), so no source serializes through a single window " +
+        "task at any corpus size.",
+      Some(
+        s"""SELECT doc_id, source, dsir_weight, ws_tokens, cum_tokens FROM (
+           |  SELECT w.doc_id, d.source, w.dsir_weight,
+           |         w.n_toks AS ws_tokens,
+           |         CAST(SUM(w.n_toks) OVER (
+           |           PARTITION BY d.source
+           |           ORDER BY w.dsir_weight DESC, w.doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+           |  FROM (
+           |${indent(dsirSql, "  ")}
+           |  ) w JOIN documents d USING (doc_id)
+           |)
+           |WHERE cum_tokens <= 800""".stripMargin),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val scored = ImportanceModels
+          .dsirWeights(docs, "text", "doc_id", targetPred = col("lang") === "en")
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("dsir_weight"),
+            col("n_toks").as("ws_tokens"))
+        graft.operators.Sampling.fillTokenBudgetSharded(
+            scored, "source", "dsir_weight", "doc_id", "ws_tokens", budget = 800L)
+          .select("doc_id", "source", "dsir_weight", "ws_tokens", "cum_tokens")
       }
     )
   )
