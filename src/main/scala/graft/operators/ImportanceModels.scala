@@ -88,6 +88,25 @@ object ImportanceModels {
       .agg(
         sum(when(col("is_target"), 1L).otherwise(0L)).as("target_cnt"),
         sum(when(col("is_target"), 0L).otherwise(1L)).as("raw_cnt"))
+    scoreAgainstDsirStats(occ.select(col(idCol), col("bucket")), idCol, stats)
+  }
+
+  /** (idCol, bucket) hashed-word occurrence stream — the shared front
+    * half of batch DSIR weighting and the streaming stats fold.
+    */
+  def dsirOccurrences(
+      docs: DataFrame, textCol: String, idCol: String,
+      buckets: Int = DsirBuckets): DataFrame =
+    docs
+      .select(col(idCol), explode(TextAnalysis.wsTokens(col(textCol))).as("w"))
+      .select(col(idCol), hashBucket(col("w"), buckets).as("bucket"))
+
+  /** Weight an occurrence stream against TRAINED bucket stats
+    * (bucket, target_cnt, raw_cnt) — the back half of [[dsirWeights]],
+    * shared with the folded-stats path.
+    */
+  def scoreAgainstDsirStats(
+      occ: DataFrame, idCol: String, stats: DataFrame): DataFrame =
     occ
       .join(broadcast(stats), Seq("bucket"))
       .groupBy(col(idCol))
@@ -99,7 +118,6 @@ object ImportanceModels {
         "dsir_weight",
         (col("target_mass") + col("n_toks")).cast("double")
           / (col("raw_mass") + col("n_toks")).cast("double"))
-  }
 
   /** Reference-bigram-LM quality score per document.
     *
@@ -195,28 +213,103 @@ object ImportanceModels {
       textCol: String,
       idCol: String,
       buckets: Int = LmBuckets): Unit = {
-    val spark = batchDocs.sparkSession
-    val counts = bigramBucketStream(batchDocs, textCol, idCol, buckets)
-      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
-      .withColumn("batch_id", lit(batchId))
-    if (!spark.catalog.tableExists(lmTable))
-      counts.write.partitionBy("batch_id").format("parquet").saveAsTable(lmTable)
+    writeBatchPartition(
+      bigramBucketStream(batchDocs, textCol, idCol, buckets)
+        .groupBy("bucket").agg(count(lit(1)).as("cnt")),
+      batchId, lmTable)
+  }
+
+  /** Shared exactly-once fold writer: land `counts` (any per-bucket
+    * count columns) as the `batch_id` partition of `table`.
+    *
+    * insertInto, NOT saveAsTable: overwrite-mode saveAsTable replaces
+    * the whole table; insertInto under DYNAMIC partitionOverwriteMode
+    * replaces exactly the partitions present in this batch — the
+    * replay-exactness contract. The mode must be the SESSION conf:
+    * catalog insertInto does not read the per-writer option (measured —
+    * the option form silently fell back to static overwrite and
+    * truncated every prior batch). Saved/restored around the write.
+    * (Position-based insert: counts' column order must match the
+    * table's data-then-partition layout, which the first-write path
+    * here establishes.)
+    */
+  private def writeBatchPartition(
+      counts: DataFrame, batchId: Long, table: String): Unit = {
+    val spark = counts.sparkSession
+    val withBatch = counts.withColumn("batch_id", lit(batchId))
+    if (!spark.catalog.tableExists(table))
+      withBatch.write.partitionBy("batch_id").format("parquet").saveAsTable(table)
     else {
-      // insertInto, NOT saveAsTable: overwrite-mode saveAsTable replaces
-      // the whole table; insertInto under DYNAMIC partitionOverwriteMode
-      // replaces exactly the partitions present in this batch — the
-      // replay-exactness contract. The mode must be the SESSION conf:
-      // catalog insertInto does not read the per-writer option (measured
-      // — the option form silently fell back to static overwrite and
-      // truncated every prior batch). Saved/restored around the write.
-      // (Position-based insert: counts' column order matches the table's
-      // data-then-partition layout.)
       val key = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.get(key, "STATIC")
       spark.conf.set(key, "dynamic")
-      try counts.write.mode("overwrite").insertInto(lmTable)
+      try withBatch.write.mode("overwrite").insertInto(table)
       finally spark.conf.set(key, prev)
     }
+  }
+
+  /** STREAMING face of the DSIR stats estimator — the [[foldLmBatch]]
+    * idiom applied to the (target_cnt, raw_cnt) bucket table: each
+    * corpus micro-batch lands its own bucket stats as a batch_id
+    * partition; the served stats ([[dsirFromFolds]]) are the
+    * bucket-summed view, exact under at-least-once redelivery.
+    */
+  def foldDsirBatch(
+      batchDocs: DataFrame,
+      batchId: Long,
+      statsTable: String,
+      textCol: String,
+      idCol: String,
+      targetPred: Column,
+      buckets: Int = DsirBuckets): Unit = {
+    val counts = batchDocs
+      .select(
+        targetPred.cast("boolean").as("is_target"),
+        explode(TextAnalysis.wsTokens(col(textCol))).as("w"))
+      .select(col("is_target"), hashBucket(col("w"), buckets).as("bucket"))
+      .groupBy("bucket")
+      .agg(
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("target_cnt"),
+        sum(when(col("is_target"), 0L).otherwise(1L)).as("raw_cnt"))
+    writeBatchPartition(counts, batchId, statsTable)
+  }
+
+  /** Served DSIR stats from the fold table: (bucket, target_cnt,
+    * raw_cnt) — exactly what [[dsirWeights]] estimates in one shot when
+    * the folds partition the same corpus. NOTE: scoring drops
+    * occurrences of buckets absent from the stats (inner join — same
+    * as the batch path, where the stats cover the scored corpus by
+    * construction); fold the full scored corpus before serving.
+    */
+  def dsirFromFolds(
+      spark: org.apache.spark.sql.SparkSession,
+      statsTable: String): DataFrame =
+    spark.table(statsTable)
+      .groupBy("bucket")
+      .agg(sum("target_cnt").as("target_cnt"), sum("raw_cnt").as("raw_cnt"))
+
+  /** Compact a fold table (LM or DSIR) to a single `batch_id = -1`
+    * partition holding the bucket-summed counts — bounds the table at
+    * O(buckets) after any number of batches. ONLY safe when the stream
+    * is quiesced past every folded batch: a batch REPLAYED after
+    * compaction would re-insert its partition beside the compacted
+    * row and double-count. (The served view is sum-regroup invariant,
+    * so compaction never changes what [[lmFromFolds]]/[[dsirFromFolds]]
+    * serve.)
+    */
+  def compactFolds(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val folds = spark.table(table)
+    val dataCols = folds.columns.filter(c => c != "bucket" && c != "batch_id")
+    val compacted = folds.groupBy("bucket")
+      .agg(dataCols.map(c => sum(c).as(c)).toSeq.head,
+        dataCols.map(c => sum(c).as(c)).toSeq.tail: _*)
+      .localCheckpoint() // pin before overwriting the source table
+    try {
+      compacted.withColumn("batch_id", lit(-1L))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .format("parquet").saveAsTable(table)
+    } finally compacted.unpersist()
   }
 
   /** The served model from the fold table: ((bucket, cnt), (total)) —

@@ -244,6 +244,54 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming DSIR fold: served stats score equal to the batch twin; replay and compaction exact") {
+    import graft.operators.ImportanceModels
+    val b1 = Seq((1L, "the cat sat on the mat", "en"), (2L, "le chat noir dort", "fr"))
+    val b2 = Seq((3L, "the dog and the cat play", "en"), (4L, "der hund schlaeft tief", "de"))
+    val corpus = (b1 ++ b2).toDF("doc_id", "text", "lang")
+    val statsT = "graft_dsirfold_stream_spec"
+    graft.operators.Bucketing.dropWithLocation(spark, statsT)
+    ImportanceModels.foldDsirBatch(
+      b1.toDF("doc_id", "text", "lang"), 0L, statsT, "text", "doc_id",
+      targetPred = col("lang") === "en")
+    ImportanceModels.foldDsirBatch(
+      b2.toDF("doc_id", "text", "lang"), 1L, statsT, "text", "doc_id",
+      targetPred = col("lang") === "en")
+    def served() = ImportanceModels.scoreAgainstDsirStats(
+        ImportanceModels.dsirOccurrences(corpus, "text", "doc_id"),
+        "doc_id", ImportanceModels.dsirFromFolds(spark, statsT))
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val twin = ImportanceModels.dsirWeights(
+        corpus, "text", "doc_id", targetPred = col("lang") === "en")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(twin.nonEmpty && served() == twin,
+      "folded stats score diverges from the batch twin")
+    // replay: batch 1 re-lands its own partition with identical rows
+    ImportanceModels.foldDsirBatch(
+      b2.toDF("doc_id", "text", "lang"), 1L, statsT, "text", "doc_id",
+      targetPred = col("lang") === "en")
+    assert(served() == twin, "replayed batch changed the served stats")
+    // compaction (quiesced stream): one batch_id = -1 partition, same view
+    ImportanceModels.compactFolds(spark, statsT)
+    assert(spark.table(statsT).select("batch_id").distinct()
+      .as[Long].collect().toSeq == Seq(-1L))
+    assert(served() == twin, "compaction changed the served stats")
+    // post-compaction batches keep folding into the same table
+    ImportanceModels.foldDsirBatch(
+      Seq((5L, "the sun is warm", "en")).toDF("doc_id", "text", "lang"),
+      2L, statsT, "text", "doc_id", targetPred = col("lang") === "en")
+    val grown = (b1 ++ b2 ++ Seq((5L, "the sun is warm", "en")))
+      .toDF("doc_id", "text", "lang")
+    val twin2 = ImportanceModels.dsirWeights(
+        grown, "text", "doc_id", targetPred = col("lang") === "en")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val served2 = ImportanceModels.scoreAgainstDsirStats(
+        ImportanceModels.dsirOccurrences(grown, "text", "doc_id"),
+        "doc_id", ImportanceModels.dsirFromFolds(spark, statsT))
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(served2 == twin2, "post-compaction fold diverges from the batch twin")
+  }
+
   test("canonicalRouted equals the batch mixed-pair routing; zero state") {
     import graft.operators.Components
     val sparkText = "completely different content about spark catalyst " +
