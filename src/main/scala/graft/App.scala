@@ -82,7 +82,7 @@ object App {
         try TracePipeline.read(spark, cfg.trace)
         catch {
           case e: org.apache.spark.sql.AnalysisException
-              if e.getErrorClass == "PATH_NOT_FOUND" =>
+              if e.getCondition == "PATH_NOT_FOUND" =>
             println(s"[graft] no input files match ${cfg.inputGlob}; nothing to do")
             return outDir
         }

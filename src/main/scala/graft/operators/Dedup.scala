@@ -194,7 +194,7 @@ object Dedup {
       idCol, numHashes, bands)
     val nearIds = inBands
       .join(exBands.select("band", "key"), Seq("band", "key"), "left_semi")
-      .select(col(idCol)).distinct
+      .select(col(idCol)).distinct()
       .withColumn("__near", lit(true))
     incoming.select(col(idCol))
       .join(exactIds, Seq(idCol), "left")

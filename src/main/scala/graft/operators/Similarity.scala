@@ -81,7 +81,7 @@ object Similarity {
     */
   def lshBucket(embCol: Column, planes: Array[Array[Double]]): Column = {
     val terms = planes.zipWithIndex.map { case (p, j) =>
-      val planeCol = array(p.map(lit): _*)
+      val planeCol = array(p.toIndexedSeq.map(lit): _*)
       when(dotD(embCol, planeCol) > 0.0, lit(1L << j)).otherwise(lit(0L))
     }
     terms.reduce(_ + _).as("bucket")
