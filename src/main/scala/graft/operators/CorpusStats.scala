@@ -248,6 +248,77 @@ object CorpusStats {
           .as("mean_rarity"))
   }
 
+  /** Cell-count cap for [[tokenRaritySketch]]'s plan-literal matrix —
+    * the sketch is collected to the driver and baked into the plan (the
+    * [[BloomScreen]] bounded-collect convention), so its size must be a
+    * construction-time contract, not an input-dependent surprise.
+    */
+  val MaxPlanCells: Int = 1 << 16
+
+  /** [[tokenRarity]]'s sketch swap, made real: per-document rarity with
+    * the exact vocabulary-sized count table replaced by a count-min
+    * matrix ([[CountMin]], same md5-salted hash family as q98) baked
+    * into the plan as a dense literal. The exact form's one structural
+    * cost at 100 TB is the token-keyed hash join of the token stream
+    * against the FULL vocabulary; here the estimate is ROW-LOCAL — each
+    * token instance hashes into its depth cells and takes the min of
+    * depth literal-array lookups inside whole-stage codegen — so the
+    * ONLY exchange left is the doc-keyed rollup. The corpus is scanned
+    * twice (once to build the constant-size sketch, once to score);
+    * nothing token-keyed ever shuffles.
+    *
+    * Conservatism contract (why the swap is safe for screening): CMS
+    * never under-counts, so est >= c_t pointwise, so
+    * N div est <= N div c_t summand for summand — sketch rarity is a
+    * LOWER bound on exact rarity and a rarity-floor screen stays
+    * conservative (it only ever keeps extra docs, never drops a doc the
+    * exact score would keep). N itself is exact: every instance lands in
+    * row 0 exactly once, so row 0's cell sum IS the corpus token count.
+    *
+    * Determinism: the matrix is deterministic (md5 hashes), every
+    * aggregate is an integer SUM/COUNT, and the one division is final —
+    * the oracle rebuilds matrix, estimates, and rarity bit for bit.
+    */
+  def tokenRaritySketch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      depth: Int,
+      width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, s"bad sketch shape: $depth x $width")
+    require(depth.toLong * width <= MaxPlanCells,
+      s"$depth x $width cells exceed MaxPlanCells = $MaxPlanCells: the " +
+        "matrix is a plan literal; raise the cap only with a measured " +
+        "plan-size check")
+    val tok = docs.select(col(idCol),
+      explode(TextAnalysis.wsTokens(col(textCol))).as("__t"))
+    // Bounded driver-side collect of the CONSTANT-size matrix (<= depth x
+    // width cells by construction — enforced above): the degenerate
+    // broadcast. A broadcast-join form would reference the sketch
+    // aggregate depth times and Catalyst re-expands expression subtrees
+    // per reference (the q108 lesson) — depth+1 corpus scans; the
+    // literal keeps the probe a pure narrow projection.
+    val dense = Array.fill(depth, width)(0L)
+    CountMin.sketch(tok.select("__t"), "__t", depth, width)
+      .collect()
+      .foreach(r => dense(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
+    val nTotal = dense(0).sum
+    val matrix = typedLit(dense.map(_.toSeq).toSeq)
+    val est = least((0 until depth).map(r =>
+      element_at(element_at(matrix, r + 1),
+        (CountMin.cellExpr(col("__t"), r, width) + 1).cast("int"))): _*)
+    tok
+      .withColumn("__est", est)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(expr(s"${nTotal}L div __est")).as("rarity_sum"))
+      .select(
+        col(idCol), col("n_tokens"), col("rarity_sum"),
+        (col("rarity_sum").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_rarity"))
+  }
+
   /** Per-source unigram-distribution drift: the total-variation distance
     * between each source's token distribution and the whole corpus —
     * tv = 0.5 * sum_t |c_{s,t}/N_s - C_t/N| — the mixture-design

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Count-min sketch over an item stream, materialized as its count
@@ -19,10 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object CountMin {
 
-  private def cellCol(itemCol: String, r: Int, width: Int) =
+  /** Row `r`'s cell index for an item: the salted portable hash mod
+    * `width` — public so row-local probes ([[CorpusStats
+    * .tokenRaritySketch]]) evaluate the identical hash family without
+    * duplicating the formula.
+    */
+  def cellExpr(item: Column, r: Int, width: Int): Column =
     pmod(
-      TextAnalysis.portableHash32(concat(lit(s"cm$r:"), col(itemCol))),
+      TextAnalysis.portableHash32(concat(lit(s"cm$r:"), item)),
       lit(width.toLong))
+
+  private def cellCol(itemCol: String, r: Int, width: Int) =
+    cellExpr(col(itemCol), r, width)
 
   /** Build the sketch: one row per non-empty cell, (r, c, cnt).
     * Cells never touched by the stream are absent (implicitly zero) —

@@ -416,4 +416,64 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Recall/precision of the MinHash-LSH operating point against EXACT
+    * word-set Jaccard truth: one row of confusion counts — n_truth
+    * (pairs with Jaccard >= num/den over distinct word sets),
+    * n_candidates (pairs sharing any LSH band), n_hits (both), and the
+    * two final divisions. The dedup-side answer to q121/q141's ANN
+    * recall tracking: every approximate pair-mining operating point
+    * (numHashes, bands) becomes a regression-guarded number instead of
+    * a banding-probability anecdote.
+    *
+    * The exact-truth side is a word-keyed self-join — co-occurring
+    * words form the only pairs, but a ubiquitous word still fans out
+    * quadratically, so this is an AUDIT-scale operator by contract
+    * (the [[Similarity]] brute-force-oracle precedent): callers bound
+    * the corpus (the registry gates doc_id < 1000). The threshold
+    * compare is all-integer (inter * den vs union * num) — the only
+    * doubles are the two final ratios.
+    */
+  def lshRecallReport(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      bands: Int = 2,
+      num: Int = 1,
+      den: Int = 2): DataFrame = {
+    require(num >= 1 && den >= num,
+      s"threshold num/den must satisfy 1 <= num <= den: $num/$den")
+    val w = docs.select(
+      col(idCol).as("doc_id"),
+      explode(array_distinct(TextAnalysis.wsTokens(col(textCol)))).as("w"))
+    val sizes = w.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = w.select(col("doc_id").as("doc_a"), col("w"))
+      .join(w.select(col("doc_id").as("doc_b"), col("w")), Seq("w"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    val truth = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(col("inter") * den >=
+        (col("na") + col("nb") - col("inter")) * num)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("__t"))
+    val cand = lshCandidatePairs(
+      minhashSignatures(docs, textCol, idCol, numHashes),
+      idCol, numHashes, bands)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("__c"))
+    truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("__t"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("__c"), lit(0L))).as("n_candidates"),
+        sum(when(col("__t").isNotNull && col("__c").isNotNull, 1L)
+          .otherwise(0L)).as("n_hits"))
+      .select(
+        col("n_truth"), col("n_candidates"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_truth").cast("double"))
+          .as("recall"),
+        (col("n_hits").cast("double") / col("n_candidates").cast("double"))
+          .as("precision"))
+  }
 }

@@ -1802,6 +1802,155 @@ object DedupQueries {
         graft.operators.SetSimilarityJoin.containmentJoin(
           Tables.documents(spark, dir).filter(col("doc_id") < 1000),
           "doc_id", "text", num = 3, den = 4, maxDocFreq = Some(ContainCap))
+    ),
+    Q(
+      "q187_cdc_chunks",
+      "Content-defined chunking: documents split where the rolling " +
+        "3-token window hash is 0 mod 8 (expected chunk ~8 tokens) — " +
+        "the storage-dedup boundary rule (Rabin chunking as in " +
+        "LBFS/restic) on token streams. Boundaries depend only on " +
+        "LOCAL content, so near-copies re-synchronize at the first " +
+        "shared boundary and chunk fingerprints align across an " +
+        "insertion — where fixed-offset passages (q95) lose all " +
+        "alignment (spec-pinned). The boundary scan is a narrow " +
+        "position explode with the hash codegen'd on exploded rows; " +
+        "assembly is one doc-keyed lag window over ~n/8 boundary " +
+        "rows. The oracle re-renders boundaries, spans, and chunk " +
+        "md5s value for value.",
+      Some("""
+        |WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), b AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS e
+        |  FROM toks, UNNEST(range(3, len(t) + 1)) AS u(i)
+        |  WHERE CAST('0x' || substr(md5(array_to_string(t[i-2 : i], ' ')), 1, 8)
+        |             AS BIGINT) % 8 = 0
+        |), ends AS (
+        |  SELECT DISTINCT doc_id, e FROM (
+        |    SELECT doc_id, e FROM b
+        |    UNION ALL
+        |    SELECT doc_id, CAST(len(t) AS INTEGER) AS e FROM toks WHERE len(t) > 0)
+        |), spans AS (
+        |  SELECT doc_id,
+        |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS s, e
+        |  FROM ends
+        |)
+        |SELECT spans.doc_id,
+        |       CAST(s AS BIGINT) AS chunk_start,
+        |       CAST(e AS BIGINT) AS chunk_end,
+        |       CAST(e - s AS BIGINT) AS n_chunk_tokens,
+        |       md5(array_to_string(t[s+1 : e], ' ')) AS fp
+        |FROM spans JOIN toks USING (doc_id)
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        graft.operators.CdcChunks.chunks(
+          Tables.documents(spark, dir), "doc_id", "text",
+          window = 3, modulus = 8)
+    ),
+    Q(
+      "q188_cdc_dedup",
+      "Chunk-level dedup over the q187 CDC stream: a chunk is a " +
+        "duplicate iff its text occurs as a chunk in >= 2 DISTINCT " +
+        "documents (the min != max two-long aggregate — hot " +
+        "fingerprints combine map-side, never a doc-id set per " +
+        "fingerprint), rolled up to per-document duplicated token " +
+        "mass. The q110 span pipeline finds the same text exactly at " +
+        "stride 1; this trades sub-chunk duplicates for a shuffle " +
+        "~modulus x smaller (one row per ~8-token chunk, not per " +
+        "token) — the screening-scan face of substring dedup.",
+      Some("""
+        |WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), b AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS e
+        |  FROM toks, UNNEST(range(3, len(t) + 1)) AS u(i)
+        |  WHERE CAST('0x' || substr(md5(array_to_string(t[i-2 : i], ' ')), 1, 8)
+        |             AS BIGINT) % 8 = 0
+        |), ends AS (
+        |  SELECT DISTINCT doc_id, e FROM (
+        |    SELECT doc_id, e FROM b
+        |    UNION ALL
+        |    SELECT doc_id, CAST(len(t) AS INTEGER) AS e FROM toks WHERE len(t) > 0)
+        |), spans AS (
+        |  SELECT doc_id,
+        |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS s, e
+        |  FROM ends
+        |), ch AS (
+        |  SELECT spans.doc_id, e - s AS n_chunk_tokens,
+        |         md5(array_to_string(t[s+1 : e], ' ')) AS fp
+        |  FROM spans JOIN toks USING (doc_id)
+        |), dup AS (
+        |  SELECT fp, 1 AS isdup FROM ch GROUP BY fp
+        |  HAVING min(doc_id) <> max(doc_id)
+        |)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+        |       CAST(sum(coalesce(isdup, 0)) AS BIGINT) AS n_dup_chunks,
+        |       CAST(sum(CASE WHEN isdup = 1 THEN n_chunk_tokens ELSE 0 END)
+        |            AS BIGINT) AS dup_tokens,
+        |       CAST(sum(CASE WHEN isdup = 1 THEN n_chunk_tokens ELSE 0 END)
+        |            AS DOUBLE)
+        |         / CAST(sum(n_chunk_tokens) AS DOUBLE) AS dup_ratio
+        |FROM ch LEFT JOIN dup USING (fp)
+        |GROUP BY doc_id
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        graft.operators.CdcChunks.dupReport(
+          Tables.documents(spark, dir), "doc_id", "text",
+          window = 3, modulus = 8)
+    ),
+    Q(
+      "q189_lsh_dedup_recall",
+      "Recall/precision of the production LSH operating point (16 " +
+        "hashes x 2 bands — q32's constants) against EXACT word-set " +
+        "Jaccard >= 1/2 truth on the bounded audit corpus: one row of " +
+        "confusion counts with the two final divisions. The dedup-side " +
+        "face of the tracked-recall family (LSH-ANN q121, int8 q131, " +
+        "IVF q141): the banding probability 1-(1-j^8)^2 stops being an " +
+        "anecdote in a docstring and becomes a regression-guarded " +
+        "number. Truth is the audit-scale word-keyed self-join (the " +
+        "brute-force-oracle precedent, gated doc_id < 1000); the " +
+        "threshold compare is all-integer.",
+      Some(
+        s"""${duckSignatureCte.replace("FROM documents", "FROM documents WHERE doc_id < 1000")}, bands AS (
+           |  SELECT doc_id, 0 AS band,
+           |         md5(concat_ws('_', ${(0 until 8).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band,
+           |         md5(concat_ws('_', ${(8 until 16).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |), s AS (
+           |  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS ts
+           |  FROM documents WHERE doc_id < 1000
+           |), truth AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.ts, b.ts)) * 2
+           |        >= (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) * 1
+           |)
+           |SELECT CAST(count(t.doc_a) AS BIGINT) AS n_truth,
+           |       CAST(count(c.doc_a) AS BIGINT) AS n_candidates,
+           |       CAST(count(CASE WHEN t.doc_a IS NOT NULL AND c.doc_a IS NOT NULL
+           |                       THEN 1 END) AS BIGINT) AS n_hits,
+           |       CAST(count(CASE WHEN t.doc_a IS NOT NULL AND c.doc_a IS NOT NULL
+           |                       THEN 1 END) AS DOUBLE)
+           |         / CAST(count(t.doc_a) AS DOUBLE) AS recall,
+           |       CAST(count(CASE WHEN t.doc_a IS NOT NULL AND c.doc_a IS NOT NULL
+           |                       THEN 1 END) AS DOUBLE)
+           |         / CAST(count(c.doc_a) AS DOUBLE) AS precision
+           |FROM truth t FULL OUTER JOIN cand c
+           |  ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b""".stripMargin),
+      (spark, dir) =>
+        graft.operators.Dedup.lshRecallReport(
+          Tables.documents(spark, dir).filter(col("doc_id") < 1000),
+          "doc_id", "text", numHashes = NumHashes, bands = 2,
+          num = 1, den = 2)
     )
   )
 

@@ -1340,6 +1340,54 @@ object TextQueries {
           Tables.documents(spark, dir), "doc_id", "text")
     ),
     Q(
+      "q186_rarity_sketch",
+      "q137's documented sketch swap made real: token rarity with the " +
+        "exact vocabulary count table replaced by a 4x64 count-min " +
+        "matrix (q98's md5-salted hash family) baked into the plan as " +
+        "a dense literal — the estimate is ROW-LOCAL (min of 4 " +
+        "literal-array lookups inside codegen), so the token-keyed " +
+        "hash join q137 pays against the FULL vocabulary disappears " +
+        "and the only exchange is the doc rollup. CMS never " +
+        "under-counts, so sketch rarity is a conservative LOWER bound " +
+        "on exact rarity (spec-pinned); the matrix, estimates, and " +
+        "the one final division are all deterministic integers, so " +
+        "the oracle rebuilds the whole path bit for bit.",
+      Some("""
+        |WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents
+        |), cells AS (
+        |  SELECT CAST(r AS INTEGER) AS r,
+        |         CAST('0x' || substr(md5('cm' || CAST(r AS VARCHAR) || ':' || t), 1, 8)
+        |              AS BIGINT) % 64 AS c,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tok, UNNEST(range(0, 4)) AS u(r)
+        |  GROUP BY 1, 2
+        |), n AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cells WHERE r = 0
+        |), vr AS (
+        |  SELECT t, CAST(r AS INTEGER) AS r,
+        |         CAST('0x' || substr(md5('cm' || CAST(r AS VARCHAR) || ':' || t), 1, 8)
+        |              AS BIGINT) % 64 AS c
+        |  FROM (SELECT DISTINCT t FROM tok), UNNEST(range(0, 4)) AS u(r)
+        |), e0 AS (
+        |  SELECT vr.t AS t, min(coalesce(cells.cnt, 0)) AS est
+        |  FROM vr LEFT JOIN cells ON cells.r = vr.r AND cells.c = vr.c
+        |  GROUP BY 1
+        |)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(n_total // est) AS BIGINT) AS rarity_sum,
+        |       CAST(sum(n_total // est) AS DOUBLE) / count(*) AS mean_rarity
+        |FROM tok JOIN e0 USING (t) CROSS JOIN n
+        |GROUP BY doc_id
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        graft.operators.CorpusStats.tokenRaritySketch(
+          Tables.documents(spark, dir), "doc_id", "text",
+          depth = 4, width = 64)
+    ),
+    Q(
       "q129_corpus_report",
       "Per-source dataset card: doc/token counts, mean length, mean " +
         "quality, and the count of docs duplicated ANYWHERE in the " +

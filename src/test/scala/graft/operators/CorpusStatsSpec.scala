@@ -138,6 +138,46 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got.map(_._4) == got.map(_._4).sorted) // rarer vocab -> higher mean
   }
 
+  test("tokenRaritySketch is a conservative lower bound on exact rarity, tight without collisions") {
+    val docs = Seq(
+      (1L, "alpha alpha alpha alpha beta"),
+      (2L, "beta gamma"),
+      (3L, "gamma delta epsilon")
+    ).toDF("doc_id", "text")
+    val exact = CorpusStats.tokenRarity(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // 5 distinct tokens into 4x64 cells: the deterministic md5 hashes
+    // happen to be collision-free in at least one row per token, so the
+    // sketch reproduces the exact counts and the rarity is EQUAL
+    val wide = CorpusStats.tokenRaritySketch(docs, "doc_id", "text",
+      depth = 4, width = 64)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(wide == exact)
+    // width 1 forces every token into one cell: est = N for all, so the
+    // summand N div N = 1 and rarity_sum degenerates to n_tokens — the
+    // extreme of the conservative bound, pinned exactly
+    val tiny = CorpusStats.tokenRaritySketch(docs, "doc_id", "text",
+      depth = 2, width = 1)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(tiny.map(r => (r._1, r._2, r._3)) ==
+      exact.map(r => (r._1, r._2, r._2)))
+    // general bound: sketch rarity never exceeds exact (est >= true count)
+    tiny.zip(exact).foreach { case (s, e) =>
+      assert(s._3 <= e._3 && s._2 == e._2)
+    }
+  }
+
+  test("tokenRaritySketch plan: no join anywhere — the probe is a narrow literal lookup") {
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val p = CorpusStats.tokenRaritySketch(docs, "doc_id", "text", 4, 64)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Join"), p.linesIterator.take(30).mkString("\n"))
+    // the matrix cap is a construction-time contract
+    intercept[IllegalArgumentException] {
+      CorpusStats.tokenRaritySketch(docs, "doc_id", "text", 1024, 1024)
+    }
+  }
+
   test("oovRate plan: vocab joins broadcast and the top-V is TakeOrdered") {
     val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
     val p = CorpusStats.oovRate(docs, "doc_id", "text", 2)

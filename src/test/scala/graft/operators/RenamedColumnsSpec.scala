@@ -106,6 +106,12 @@ class RenamedColumnsSpec extends AnyFunSuite {
       docsD, docsR)
     check("ngramJaccardPairs")(df => Dedup.ngramJaccardPairs(
       df, df.columns(1), df.columns(0), maxDocFreq = Some(15)), docsD, docsR)
+    check("cdcChunks")(df => CdcChunks.chunks(
+      df, df.columns(0), df.columns(1), window = 3, modulus = 8),
+      docsD, docsR)
+    check("cdcDupReport")(df => CdcChunks.dupReport(
+      df, df.columns(0), df.columns(1), window = 3, modulus = 8),
+      docsD, docsR)
   }
 
   test("Components / PageRank graph ops resolve renamed columns") {
@@ -133,6 +139,9 @@ class RenamedColumnsSpec extends AnyFunSuite {
       CorpusStats.oovRate(df, df.columns(0), df.columns(1), 10), docsD, docsR)
     check("tokenRarity")(df =>
       CorpusStats.tokenRarity(df, df.columns(0), df.columns(1)), docsD, docsR)
+    check("tokenRaritySketch")(df =>
+      CorpusStats.tokenRaritySketch(df, df.columns(0), df.columns(1), 4, 64),
+      docsD, docsR)
     check("sourceDrift")(df =>
       CorpusStats.sourceDrift(df, df.columns(2), df.columns(1)), docsD, docsR)
     check("chunkByTokens")(df =>
