@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -100,6 +100,82 @@ object CdcChunks {
         md5(array_join(
           slice(col("__t"), col("s") + 1, col("e") - col("s")), " ")
           .cast("binary")).as("fp"))
+  }
+
+  /** The whole CDC chunk computation as ONE row-local array expression:
+    * array<struct<chunk_start, chunk_end, n_chunk_tokens, fp>> from a
+    * token-array column — value-identical to [[chunks]] (spec-pinned).
+    * This is the STREAMING-face form: Structured Streaming cannot run
+    * [[chunks]]'s per-doc lag window, and a micro-batch of arrivals is
+    * delta-sized, so the interpreted HOF lambdas here (filter/zip_with
+    * are CodegenFallback — the round-8 rule) price in where they are
+    * affordable; the batch path keeps the exploded codegen form for
+    * corpus-sized scans.
+    */
+  def chunkStructsExpr(toks: Column, window: Int, modulus: Int): Column = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(modulus >= 1, s"modulus must be >= 1: $modulus")
+    val n = size(toks)
+    // guard the sequence: start > stop would DESCEND (the range-join
+    // inverted-interval hazard), not produce an empty list
+    val bs = when(n >= window,
+      filter(sequence(lit(window), n), i =>
+        pmod(
+          TextAnalysis.portableHash32(
+            array_join(slice(toks, i - lit(window) + 1, lit(window)), " ")),
+          lit(modulus.toLong)) === 0))
+      .otherwise(array().cast("array<int>"))
+    // boundaries ascend and are <= n, so appending n keeps order;
+    // array_union also dedups a boundary landing on the last token
+    val ends = array_union(bs, array(n))
+    val starts = concat(array(lit(0)), slice(ends, lit(1), size(ends) - 1))
+    zip_with(starts, ends, (s, e) =>
+      struct(
+        s.cast("long").as("chunk_start"),
+        e.cast("long").as("chunk_end"),
+        (e - s).cast("long").as("n_chunk_tokens"),
+        md5(array_join(slice(toks, s + 1, e - s), " ").cast("binary"))
+          .as("fp")))
+  }
+
+  /** Ingest-time probe: each ARRIVING document's chunks checked against
+    * the EXISTING corpus's chunk-fingerprint set — (doc_id, n_chunks,
+    * n_tokens, n_dup_chunks, dup_tokens, dup_ratio) per arrival, where
+    * a chunk is a duplicate iff its fingerprint appears among the
+    * existing corpus's CDC chunks. The operational question at ingest
+    * ("how much of this batch is already in the corpus?") answered at
+    * batch-proportional probe cost: the arrival side is chunked fresh
+    * (delta-sized); the existing side contributes one distinct 32-char
+    * fingerprint per chunk, a hash equi-join on the fingerprint. At
+    * steady state the existing fingerprints persist as a bucketed table
+    * (the q79/q156 build/probe discipline) so the corpus is not
+    * re-chunked per batch — recomputing here keeps the registry oracle
+    * self-contained (the q126 note).
+    */
+  def ingestReport(
+      existing: DataFrame,
+      arrivals: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      modulus: Int): DataFrame = {
+    val ex = chunks(existing, idCol, textCol, window, modulus)
+      .select(col("fp")).distinct()
+      .withColumn("__hit", lit(1L))
+    chunks(arrivals, idCol, textCol, window, modulus)
+      .join(ex, Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_chunk_tokens")).as("n_tokens"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_dup_chunks"),
+        sum(when(col("__hit").isNotNull, col("n_chunk_tokens"))
+          .otherwise(lit(0L))).as("dup_tokens"))
+      .select(
+        col("doc_id"), col("n_chunks"), col("n_tokens"),
+        col("n_dup_chunks"), col("dup_tokens"),
+        (col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("dup_ratio"))
   }
 
   /** Chunk-level dedup report per document: (doc_id, n_chunks, n_tokens,

@@ -285,30 +285,19 @@ object CorpusStats {
       textCol: String,
       depth: Int,
       width: Int): DataFrame = {
-    require(depth >= 1 && width >= 1, s"bad sketch shape: $depth x $width")
-    require(depth.toLong * width <= MaxPlanCells,
-      s"$depth x $width cells exceed MaxPlanCells = $MaxPlanCells: the " +
-        "matrix is a plan literal; raise the cap only with a measured " +
-        "plan-size check")
     val tok = docs.select(col(idCol),
       explode(TextAnalysis.wsTokens(col(textCol))).as("__t"))
     // Bounded driver-side collect of the CONSTANT-size matrix (<= depth x
-    // width cells by construction — enforced above): the degenerate
-    // broadcast. A broadcast-join form would reference the sketch
-    // aggregate depth times and Catalyst re-expands expression subtrees
-    // per reference (the q108 lesson) — depth+1 corpus scans; the
-    // literal keeps the probe a pure narrow projection.
-    val dense = Array.fill(depth, width)(0L)
-    CountMin.sketch(tok.select("__t"), "__t", depth, width)
-      .collect()
-      .foreach(r => dense(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
+    // width cells by construction — enforced in densePlanMatrix): the
+    // degenerate broadcast. A broadcast-join form would reference the
+    // sketch aggregate depth times and Catalyst re-expands expression
+    // subtrees per reference (the q108 lesson) — depth+1 corpus scans;
+    // the literal keeps the probe a pure narrow projection.
+    val dense = CountMin.densePlanMatrix(
+      tok.select("__t"), "__t", depth, width, MaxPlanCells)
     val nTotal = dense(0).sum
-    val matrix = typedLit(dense.map(_.toSeq).toSeq)
-    val est = least((0 until depth).map(r =>
-      element_at(element_at(matrix, r + 1),
-        (CountMin.cellExpr(col("__t"), r, width) + 1).cast("int"))): _*)
     tok
-      .withColumn("__est", est)
+      .withColumn("__est", CountMin.estimateExpr(dense, col("__t"), width))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_tokens"),

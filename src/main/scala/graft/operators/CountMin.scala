@@ -72,6 +72,74 @@ object CountMin {
       .groupBy(col("r"), col("c"))
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Build the sketch and collect it into a dense depth x width matrix —
+    * the plan-literal form row-local probes bake into codegen. The
+    * collect is bounded by construction (the [[BloomScreen]]
+    * bounded-collect convention): at most `maxPlanCells` cells ever
+    * cross to the driver, enforced before any job runs.
+    */
+  def densePlanMatrix(
+      items: DataFrame,
+      itemCol: String,
+      depth: Int,
+      width: Int,
+      maxPlanCells: Int = 1 << 16): Array[Array[Long]] = {
+    require(depth >= 1 && width >= 1, s"bad sketch shape: $depth x $width")
+    require(depth.toLong * width <= maxPlanCells,
+      s"$depth x $width cells exceed maxPlanCells = $maxPlanCells: the " +
+        "matrix is a plan literal; raise the cap only with a measured " +
+        "plan-size check")
+    val dense = Array.fill(depth, width)(0L)
+    sketch(items, itemCol, depth, width)
+      .collect()
+      .foreach(r => dense(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
+    dense
+  }
+
+  /** The row-local CMS estimate against a dense plan-literal matrix:
+    * min over rows of a literal-array lookup at the item's cell — pure
+    * narrow projection inside whole-stage codegen, no join, no shuffle.
+    */
+  def estimateExpr(
+      matrix: Array[Array[Long]],
+      item: Column,
+      width: Int): Column = {
+    val lit2d = typedLit(matrix.map(_.toSeq).toSeq)
+    least(matrix.indices.map(r =>
+      element_at(element_at(lit2d, r + 1),
+        (cellExpr(item, r, width) + 1).cast("int"))): _*)
+  }
+
+  /** Two-pass exact heavy hitters: every item value with true count
+    * >= `minCount`, found by a row-local CMS screen followed by exact
+    * counting of only the SURVIVING rows — output provably identical
+    * to the direct group-count (the oracle runs the direct form).
+    *
+    * Why the screen is lossless: CMS never under-counts, so
+    * est >= c_t pointwise and every true heavy hitter passes; false
+    * positives (collision-inflated estimates) are removed by the exact
+    * second filter. What the screen buys at 100 TB: the exact count's
+    * reducer key space and partial-aggregate state shrink from the FULL
+    * vocabulary (every task holds a hash map over every distinct value
+    * it sees — the dominant memory/shuffle cost for web-scale n-gram
+    * vocabularies) to the screened sliver, while the screen itself is a
+    * narrow codegen'd filter at scan bandwidth.
+    */
+  def heavyHitters(
+      items: DataFrame,
+      itemCol: String,
+      depth: Int,
+      width: Int,
+      minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val m = densePlanMatrix(items, itemCol, depth, width)
+    items
+      .filter(estimateExpr(m, col(itemCol), width) >= minCount)
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
   /** Point-estimate item frequencies against a built sketch: min over
     * rows of the item's cell counts (the classic CMS upper bound — never
     * below the true count, above it only through collisions). The sketch

@@ -1951,8 +1951,74 @@ object DedupQueries {
           Tables.documents(spark, dir).filter(col("doc_id") < 1000),
           "doc_id", "text", numHashes = NumHashes, bands = 2,
           num = 1, den = 2)
+    ),
+    Q(
+      "q190_cdc_ingest",
+      "The CDC family's ingest probe (the q126/q144 parity discipline): " +
+        "each ARRIVING document's chunks (odd ids) checked against the " +
+        "EXISTING corpus's chunk-fingerprint set (even ids) — how much " +
+        "of this batch is already in the corpus, at batch-proportional " +
+        "probe cost. The arrival side chunks fresh (delta-sized); the " +
+        "existing side contributes one distinct 32-char fingerprint per " +
+        "chunk into a hash equi-join. At steady state the existing " +
+        "fingerprints persist bucketed (the q79/q156 build/probe " +
+        "discipline); recomputing here keeps the oracle self-contained.",
+      Some(
+        s"""WITH ${duckCdcCte("ex", "doc_id % 2 = 0")},
+           |${duckCdcCte("ar", "doc_id % 2 = 1")},
+           |exfp AS (
+           |  SELECT DISTINCT fp, 1 AS hit FROM ex_ch
+           |)
+           |SELECT doc_id,
+           |       CAST(count(*) AS BIGINT) AS n_chunks,
+           |       CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+           |       CAST(sum(coalesce(hit, 0)) AS BIGINT) AS n_dup_chunks,
+           |       CAST(sum(CASE WHEN hit = 1 THEN n_chunk_tokens ELSE 0 END)
+           |            AS BIGINT) AS dup_tokens,
+           |       CAST(sum(CASE WHEN hit = 1 THEN n_chunk_tokens ELSE 0 END)
+           |            AS DOUBLE)
+           |         / CAST(sum(n_chunk_tokens) AS DOUBLE) AS dup_ratio
+           |FROM ar_ch LEFT JOIN exfp USING (fp)
+           |GROUP BY doc_id""".stripMargin),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        graft.operators.CdcChunks.ingestReport(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", window = 3, modulus = 8)
+      }
     )
   )
+
+  /** The q187/q188 CDC chunk pipeline as a prefixed CTE chain, rendered
+    * per corpus slice so the q190 ingest oracle chunks existing and
+    * arriving docs independently with the same constants (window 3,
+    * modulus 8). Exposes `<alias>_ch(doc_id, n_chunk_tokens, fp)`.
+    */
+  private def duckCdcCte(alias: String, wherePred: String): String =
+    s"""${alias}_toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents WHERE $wherePred
+       |), ${alias}_b AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS e
+       |  FROM ${alias}_toks, UNNEST(range(3, len(t) + 1)) AS u(i)
+       |  WHERE CAST('0x' || substr(md5(array_to_string(t[i-2 : i], ' ')), 1, 8)
+       |             AS BIGINT) % 8 = 0
+       |), ${alias}_ends AS (
+       |  SELECT DISTINCT doc_id, e FROM (
+       |    SELECT doc_id, e FROM ${alias}_b
+       |    UNION ALL
+       |    SELECT doc_id, CAST(len(t) AS INTEGER) AS e
+       |    FROM ${alias}_toks WHERE len(t) > 0)
+       |), ${alias}_spans AS (
+       |  SELECT doc_id,
+       |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS s, e
+       |  FROM ${alias}_ends
+       |), ${alias}_ch AS (
+       |  SELECT sp.doc_id, e - s AS n_chunk_tokens,
+       |         md5(array_to_string(t[s+1 : e], ' ')) AS fp
+       |  FROM ${alias}_spans sp JOIN ${alias}_toks USING (doc_id)
+       |)""".stripMargin
 
   /** q179 oracle: recompute df over the gated corpus, drop tokens with
     * df > cap, then the q175 brute directed scan over the filtered

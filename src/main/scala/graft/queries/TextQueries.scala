@@ -588,6 +588,41 @@ object TextQueries {
           "tok", depth = 4, width = 64)
     ),
     Q(
+      "q191_heavy_hitters",
+      "Two-pass exact heavy hitters over the corpus bigram stream: a " +
+        "row-local CMS screen (q98's 4x64 matrix as a plan literal — " +
+        "the q186 device) admits only rows whose estimate reaches the " +
+        "count floor, then the exact group-count runs on the surviving " +
+        "sliver. The screen is provably lossless (CMS never " +
+        "under-counts, so every true heavy hitter passes; collisions " +
+        "only over-admit and the exact second filter prunes them) — " +
+        "the ORACLE is the direct one-pass group-count, so the gate " +
+        "proves output identity. What the screen buys at 100 TB: " +
+        "partial-aggregate state per task shrinks from the full " +
+        "vocabulary (the dominant cost for web-scale n-gram vocabs) " +
+        "to the screened sliver, at scan-bandwidth screen cost.",
+      Some("""
+        |WITH t AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents
+        |), g AS (
+        |  SELECT array_to_string(t[i : i+1], ' ') AS pair
+        |  FROM t, UNNEST(range(1, len(t))) AS u(i)
+        |)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+        |FROM g GROUP BY pair HAVING count(*) >= 40
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        val toks = graft.operators.TextAnalysis.wsTokens(col("text"))
+        val m = size(toks) - lit(1)
+        val pairs = zip_with(
+          slice(toks, lit(1), m), slice(toks, lit(2), m),
+          (a, b) => concat_ws(" ", a, b))
+        graft.operators.CountMin.heavyHitters(
+          Tables.documents(spark, dir).select(explode(pairs).as("pair")),
+          "pair", depth = 4, width = 64, minCount = 40L)
+      }
+    ),
+    Q(
       "q99_zorder_value",
       "Z-order (Morton) curve key over (user_id, event_id): the codegen'd " +
         "bit-interleave expression behind multi-dimensional data layout " +

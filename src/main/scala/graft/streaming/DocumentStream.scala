@@ -585,6 +585,57 @@ object DocumentStream {
       }
   }
 
+  /** Streaming CDC ingest screen — the chunk-level face of q190: each
+    * arriving document is content-defined-chunked ROW-LOCALLY
+    * ([[graft.operators.CdcChunks.chunkStructsExpr]] — no per-doc
+    * window, which Structured Streaming could not run), exploded to
+    * one row per chunk, and flagged against the EXISTING corpus's
+    * chunk-fingerprint set via a broadcast stream-static left join.
+    * Zero state, append mode; the per-doc dup-mass rollup is the batch
+    * q190's job downstream (a streaming aggregate would need a
+    * watermark this screen has no event time for). Fed the same
+    * arrivals, the (doc, chunk, flag) set equals the batch
+    * [[graft.operators.CdcChunks.ingestReport]] intermediate
+    * (StreamingIncrementalSpec pins it).
+    *
+    * `maxPlanFps` bounds the broadcast side (the fingerprint table
+    * ships to every executor each trigger). A corpus-sized existing
+    * set is a contract violation, not a tuning knob: production
+    * screens it with [[bloomScreened]] over chunk fingerprints
+    * (fixed-size, FP-only) plus a periodic batch q190 for exact mass.
+    */
+  def cdcChunkFlagged(
+      docs: DataFrame,
+      existingFps: DataFrame,
+      fpCol: String = "fp",
+      window: Int = 3,
+      modulus: Int = 8,
+      maxPlanFps: Int = 100000): DataFrame = {
+    val ex = existingFps.select(col(fpCol).as("__efp"))
+      .distinct().localCheckpoint(true)
+    val nFps = ex.count()
+    require(nFps <= maxPlanFps,
+      s"existing chunk-fingerprint set has $nFps entries > " +
+        s"maxPlanFps=$maxPlanFps — screen corpus-sized sets with " +
+        "bloomScreened + a periodic batch q190 instead of a " +
+        "per-trigger broadcast")
+    val chunks = graft.operators.CdcChunks.chunkStructsExpr(
+      TextAnalysis.wsTokens(col("text")), window, modulus)
+    docs
+      .select(col("doc_id"), posexplode(chunks).as(Seq("__ci", "__c")))
+      .select(
+        col("doc_id"),
+        col("__c.chunk_start").as("chunk_start"),
+        col("__c.chunk_end").as("chunk_end"),
+        col("__c.n_chunk_tokens").as("n_chunk_tokens"),
+        col("__c.fp").as("fp"))
+      .join(broadcast(ex), col("fp") === col("__efp"), "left")
+      .select(
+        col("doc_id"), col("chunk_start"), col("chunk_end"),
+        col("n_chunk_tokens"), col("fp"),
+        col("__efp").isNotNull.as("is_dup"))
+  }
+
   /** Shared row-local screen: cut into `window`-token passages, drop
     * those whose `keyOf` lands in the cap set, reassemble in order. The
     * cap set arrives as `capsRow` — a one-row (__caps array, __k = 1)

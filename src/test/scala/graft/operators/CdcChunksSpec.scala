@@ -118,6 +118,54 @@ class CdcChunksSpec extends AnyFunSuite {
     assert(got.find(_._1 == 1L).get._5 > 0L)  // sharer: positive dup mass
   }
 
+  test("ingestReport charges arrivals only for chunks already in the existing corpus") {
+    val existing = Seq(
+      (0L, longText),
+      (2L, "completely separate existing body with its own words")
+    ).toDF("doc_id", "text")
+    val arrivals = Seq(
+      (1L, "zz0 zz1 zz2 zz3 zz4 " + longText), // resyncs into doc 0's chunks
+      (3L, "a novel arrival sharing nothing with the corpus")
+    ).toDF("doc_id", "text")
+    val exFps = CdcChunks.chunks(existing, "doc_id", "text", W, M)
+      .as[(Long, Long, Long, Long, String)].collect().map(_._5).toSet
+    val arCh = CdcChunks.chunks(arrivals, "doc_id", "text", W, M)
+      .as[(Long, Long, Long, Long, String)].collect()
+    val expect = arCh.groupBy(_._1).view.mapValues { rows =>
+      val dups = rows.filter(r => exFps(r._5))
+      (rows.length.toLong, rows.map(_._4).sum,
+        dups.length.toLong, dups.map(_._4).sum)
+    }.toMap
+    val got = CdcChunks.ingestReport(existing, arrivals, "doc_id", "text", W, M)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSet == Set(1L, 3L)) // only arrivals report
+    got.foreach { case (id, nc, nt, ndc, dt, _) =>
+      assert((nc, nt, ndc, dt) == expect(id), s"doc $id")
+    }
+    // the resyncing arrival is charged, the novel one is clean
+    assert(got.find(_._1 == 1L).get._5 > 0L)
+    assert(got.find(_._1 == 3L).get._5 == 0L)
+  }
+
+  test("chunkStructsExpr (the row-local streaming face) equals the exploded batch chunker") {
+    import org.apache.spark.sql.functions.{col, posexplode}
+    val docs = Seq(
+      (1L, longText),
+      (2L, "zz0 zz1 zz2 zz3 zz4 " + longText),
+      (3L, "a b"),
+      (4L, "x")
+    ).toDF("doc_id", "text")
+    val batch = CdcChunks.chunks(docs, "doc_id", "text", W, M)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val rowLocal = docs
+      .select(col("doc_id"), posexplode(CdcChunks.chunkStructsExpr(
+        TextAnalysis.wsTokens(col("text")), W, M)).as(Seq("i", "c")))
+      .select(col("doc_id"), col("c.chunk_start"), col("c.chunk_end"),
+        col("c.n_chunk_tokens"), col("c.fp"))
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(rowLocal == batch)
+  }
+
   test("plan: boundary scan is equi-only — no cartesian anywhere") {
     val docs = Seq((1L, longText), (2L, longText)).toDF("doc_id", "text")
     val p = CdcChunks.dupReport(docs, "doc_id", "text", W, M)

@@ -64,4 +64,29 @@ class CountMinSpec extends AnyFunSuite {
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
     assert(merged == cells(stream))
   }
+
+  test("heavyHitters equals the direct group-count — the screen is lossless") {
+    val df = stream.toDF("item")
+    val direct = exact.filter(_._2 >= 5L)
+    // normal shape: collisions may over-admit, the exact pass prunes
+    val got = CountMin.heavyHitters(df, "item", depth, width, minCount = 5L)
+      .as[(String, Long)].collect().toMap
+    assert(got == direct)
+    // degenerate width 1: EVERY row passes the screen (est = stream
+    // size for all) and the result is still exact — the no-miss
+    // theorem holds at maximal collision
+    val crowded = CountMin.heavyHitters(df, "item", 2, 1, minCount = 5L)
+      .as[(String, Long)].collect().toMap
+    assert(crowded == direct)
+    // a floor above the max count returns empty, not an error
+    assert(CountMin.heavyHitters(df, "item", depth, width, 10000L).count() == 0L)
+  }
+
+  test("heavyHitters plan: the screen is a narrow filter — no join, exactly one exchange") {
+    val p = CountMin.heavyHitters(stream.toDF("item"), "item", depth, width, 5L)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Join"), p.linesIterator.take(25).mkString("\n"))
+    val exchanges = p.sliding("Exchange (".length).count(_ == "Exchange (")
+    assert(exchanges == 1, p.linesIterator.take(25).mkString("\n"))
+  }
 }

@@ -516,4 +516,43 @@ class StreamingIncrementalSpec extends AnyFunSuite {
         q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
     } finally q.stop()
   }
+
+  test("streaming CDC chunk screen equals the batch ingest intermediate; zero state") {
+    import graft.operators.CdcChunks
+    val existing = Seq(
+      (0L, base),
+      (2L, "wholly separate existing corpus body with distinct words only"))
+      .toDF("doc_id", "text")
+    val batch1 = Seq((11L, "prefix tokens here " + base)) // resyncs into doc 0
+    val batch2 = Seq((13L, "an arrival with entirely novel content and no shared chunks"))
+    val exFps = CdcChunks.chunks(existing, "doc_id", "text", 3, 8)
+      .select(col("fp"))
+    val dirStr = watchDirOf(Seq(
+      batch1.toDF("doc_id", "text"), batch2.toDF("doc_id", "text")))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dirStr)
+    val q = EventStream.runToMemory(
+      DocumentStream.cdcChunkFlagged(stream, exFps),
+      "cdc_flags", OutputMode.Append())
+    try {
+      val got = spark.sql(
+          "SELECT doc_id, chunk_start, chunk_end, n_chunk_tokens, fp, is_dup FROM cdc_flags")
+        .as[(Long, Long, Long, Long, String, Boolean)].collect().toSet
+      // batch twin: chunk the union of arrivals, flag against existing fps
+      val exSet = exFps.as[String].collect().toSet
+      val want = CdcChunks.chunks(
+          (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text", 3, 8)
+        .as[(Long, Long, Long, Long, String)].collect()
+        .map(c => (c._1, c._2, c._3, c._4, c._5, exSet(c._5))).toSet
+      assert(got == want, "stream chunk flags diverge from batch twin")
+      // the resyncing arrival has dup chunks, the novel one none
+      assert(got.exists(c => c._1 == 11L && c._6))
+      assert(got.filter(_._1 == 13L).forall(!_._6))
+      // zero-state screen
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
 }
