@@ -203,6 +203,46 @@ object CorpusStats {
           .as("oov_ratio"))
   }
 
+  /** Top-V vocabulary coverage curve: for each of the `vocabSize` most
+    * frequent tokens (count DESC, token ASC — the [[oovRate]] tiebreak),
+    * the cumulative fraction of corpus token MASS a vocabulary truncated
+    * at that rank covers — the curve a tokenizer design reads to CHOOSE
+    * V, where [[oovRate]] audits one already-chosen V. Returns
+    * (rank, tok, cnt, cum_cnt, coverage).
+    *
+    * Shape: one map-side-combined token count; the corpus total reduces
+    * FROM the counts table (the [[sourceDrift]] discipline — no second
+    * corpus pass); top-V plans as TakeOrderedAndProject; the cumulative
+    * sum is a single-partition window over AT MOST V rows — bounded by
+    * the parameter, never by the corpus, which is what makes the
+    * one-task window acceptable here (the ShardedPrefix rule bars
+    * corpus-sized single-task windows, not V-sized ones). Integer
+    * cumulative mass; the one division is final.
+    */
+  def vocabCoverage(
+      docs: DataFrame,
+      textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    val counts = docs
+      .select(explode(TextAnalysis.wsTokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("__total"))
+    val top = counts.orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("tok"))
+    top
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("cum_cnt", sum("cnt").over(
+        ord.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(total))
+      .select(
+        col("rank"), col("tok"), col("cnt"), col("cum_cnt"),
+        (col("cum_cnt").cast("double") / col("__total").cast("double"))
+          .as("coverage"))
+  }
+
   /** Per-document token rarity: the sum over token INSTANCES of the
     * integer inverse frequency N div c_t (N = total corpus tokens,
     * c_t = the token's corpus count) — a log-free surprisal proxy (the

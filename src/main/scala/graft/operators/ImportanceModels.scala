@@ -371,4 +371,59 @@ object ImportanceModels {
       keep.as("keep"),
       reasons.as("reasons"))
   }
+
+  /** Per-source rank agreement between the two scoring models: Spearman
+    * correlation of the [[dsirWeights]] and [[bigramLmScore]] rankings —
+    * the model-validation query a curation pipeline reads before trusting
+    * either score alone (high agreement = the cheap score can gate for
+    * the expensive one; low agreement = the models see different things
+    * and a fused verdict needs both). Returns (source, n_docs, sum_d2,
+    * spearman) with spearman = 1 - 6*sum(d^2)/(n(n^2-1)), NULL for
+    * single-doc sources.
+    *
+    * Determinism: both scores are already bit-exact across engines
+    * (integer masses, one final division), so ranking on (score DESC,
+    * id) is engine-exact; sum_d2 is BIGINT; the correlation is one
+    * multiply + one divide + one subtract on exactly-representable
+    * operands. Scale shape: both scoring passes are their own operators'
+    * plans; the rank windows PARTITION BY source (never a corpus-wide
+    * single-task window) and share one exchange; the rollup is
+    * source-sized.
+    */
+  def modelRankAgreement(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      sourceCol: String,
+      targetPred: Column,
+      trainPred: Column,
+      dsirBuckets: Int = DsirBuckets,
+      lmBuckets: Int = LmBuckets): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = dsirWeights(docs, textCol, idCol, targetPred, dsirBuckets)
+      .select(col(idCol), col("dsir_weight"))
+    val l = bigramLmScore(docs, textCol, idCol, trainPred, lmBuckets)
+      .select(col(idCol), col("lm_score"))
+    val j = d.join(l, Seq(idCol))
+      .join(docs.select(col(idCol), col(sourceCol).as("source")), Seq(idCol))
+    val bySrc = Window.partitionBy("source")
+    j.select(
+        col("source"),
+        row_number().over(
+          bySrc.orderBy(col("dsir_weight").desc, col(idCol))).as("__r1"),
+        row_number().over(
+          bySrc.orderBy(col("lm_score").desc, col(idCol))).as("__r2"))
+      .select(col("source"),
+        ((col("__r1") - col("__r2")) * (col("__r1") - col("__r2")))
+          .cast("long").as("__d2"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("__d2").as("sum_d2"))
+      .select(
+        col("source"), col("n_docs"), col("sum_d2"),
+        when(col("n_docs") >= 2,
+          lit(1.0) - (lit(6.0) * col("sum_d2").cast("double")) /
+            (col("n_docs") * (col("n_docs") * col("n_docs") - 1))
+              .cast("double"))
+          .as("spearman"))
+  }
 }

@@ -262,6 +262,46 @@ object ModelQueries {
             scored, "source", "dsir_weight", "doc_id", "ws_tokens", budget = 800L)
           .select("doc_id", "source", "dsir_weight", "ws_tokens", "cum_tokens")
       }
+    ),
+    Q(
+      "q193_model_agreement",
+      "Per-source Spearman rank agreement between the two scoring " +
+        "models (q180 DSIR weights vs q181 reference-LM scores) — the " +
+        "model-validation query read before trusting either score " +
+        "alone: high agreement lets the cheap score gate for the " +
+        "expensive one, low agreement says a fused verdict needs both. " +
+        "Both scores are bit-exact integers-plus-one-division, so the " +
+        "(score DESC, id) rankings are engine-exact; sum_d2 is BIGINT; " +
+        "the correlation is one multiply, one divide, one subtract on " +
+        "exactly-representable operands. The rank windows PARTITION BY " +
+        "source (no corpus-wide single-task window) and the oracle " +
+        "re-embeds the q180/q181 bodies so the three can never drift.",
+      Some(
+        s"""WITH dw AS (
+           |${indent(dsirSql, "  ")}
+           |), ls AS (
+           |${indent(lmSql, "  ")}
+           |), j AS (
+           |  SELECT d.source,
+           |         row_number() OVER (PARTITION BY d.source
+           |                            ORDER BY dw.dsir_weight DESC, dw.doc_id) AS r1,
+           |         row_number() OVER (PARTITION BY d.source
+           |                            ORDER BY ls.lm_score DESC, ls.doc_id) AS r2
+           |  FROM dw JOIN ls USING (doc_id) JOIN documents d USING (doc_id)
+           |)
+           |SELECT source,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2,
+           |       CASE WHEN count(*) >= 2 THEN
+           |         1.0 - (6.0 * CAST(sum((r1 - r2) * (r1 - r2)) AS DOUBLE))
+           |             / CAST(count(*) * (count(*) * count(*) - 1) AS DOUBLE)
+           |       ELSE NULL END AS spearman
+           |FROM j GROUP BY source""".stripMargin),
+      (spark, dir) =>
+        ImportanceModels.modelRankAgreement(
+          Tables.documents(spark, dir), "text", "doc_id", "source",
+          targetPred = col("lang") === "en",
+          trainPred = col("lang") === "en")
     )
   )
 

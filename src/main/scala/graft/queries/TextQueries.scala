@@ -623,6 +623,40 @@ object TextQueries {
       }
     ),
     Q(
+      "q192_vocab_coverage",
+      "Top-20 vocabulary coverage curve: cumulative fraction of corpus " +
+        "token mass covered at each vocabulary rank — the curve a " +
+        "tokenizer design reads to CHOOSE V, where q127's OOV audit " +
+        "checks one already-chosen V. One map-side-combined count, the " +
+        "total reduced FROM the counts table (no second corpus pass), " +
+        "TakeOrderedAndProject top-V, and a single-partition window " +
+        "bounded by V rows — by the parameter, never the corpus. " +
+        "Integer cumulative mass, one final division.",
+      Some("""
+        |WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+        |), c AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c
+        |), top AS (
+        |  SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 20
+        |), r AS (
+        |  SELECT tok, cnt,
+        |         CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank,
+        |         CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+        |  FROM top
+        |)
+        |SELECT rank, tok, cnt, cum_cnt,
+        |       CAST(cum_cnt AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+        |FROM r, tot
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        graft.operators.CorpusStats.vocabCoverage(
+          Tables.documents(spark, dir), "text", vocabSize = 20)
+    ),
+    Q(
       "q99_zorder_value",
       "Z-order (Morton) curve key over (user_id, event_id): the codegen'd " +
         "bit-interleave expression behind multi-dimensional data layout " +

@@ -138,6 +138,23 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got.map(_._4) == got.map(_._4).sorted) // rarer vocab -> higher mean
   }
 
+  test("vocabCoverage equals a scalar cumulative recount; curve is monotone to 1.0") {
+    val docs = Seq("a a a b b c", "a b d", "e").toDF("text")
+    // counts: a:4 b:3 c:1 d:1 e:1, total 10; order a,b,c,d,e (cnt desc, tok)
+    val got = CorpusStats.vocabCoverage(docs, "text", vocabSize = 10)
+      .as[(Long, String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "a", 4L, 4L, 0.4),
+      (2L, "b", 3L, 7L, 0.7),
+      (3L, "c", 1L, 8L, 0.8),
+      (4L, "d", 1L, 9L, 0.9),
+      (5L, "e", 1L, 10L, 1.0)))
+    // truncation keeps the prefix; coverage stays < 1 when vocab is cut
+    val cut = CorpusStats.vocabCoverage(docs, "text", vocabSize = 2)
+      .as[(Long, String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(cut == got.take(2))
+  }
+
   test("tokenRaritySketch is a conservative lower bound on exact rarity, tight without collisions") {
     val docs = Seq(
       (1L, "alpha alpha alpha alpha beta"),

@@ -114,4 +114,49 @@ class ImportanceModelsSpec extends AnyFunSuite {
       .queryExecution.explainString(FormattedMode)
     assert(!fus.contains("Exchange"), fus.linesIterator.take(30).mkString("\n"))
   }
+
+  test("modelRankAgreement equals a scalar Spearman over the two model rankings") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat quietly today", "en", "s1"),
+      (2L, "the dog sat on the rug quietly today", "en", "s1"),
+      (3L, "quantum flux capacitors hum in the lab", "en", "s1"),
+      (4L, "der hund sitzt auf dem teppich heute", "de", "s1"),
+      (5L, "the cat sat on the mat", "en", "s2"),
+      (6L, "unrelated words entirely here now", "de", "s2"),
+      (7L, "solo", "en", "s3") // 1 token: no bigram -> absent from join
+    ).toDF("doc_id", "text", "lang", "source")
+    val d = ImportanceModels
+      .dsirWeights(docs, "text", "doc_id", col("lang") === "en")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    val l = ImportanceModels
+      .bigramLmScore(docs, "text", "doc_id", col("lang") === "en")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    val srcOf = Map(1L -> "s1", 2L -> "s1", 3L -> "s1", 4L -> "s1",
+      5L -> "s2", 6L -> "s2", 7L -> "s3")
+    val both = d.keySet intersect l.keySet
+    val expect = both.groupBy(srcOf).map { case (src, ids) =>
+      val byD = ids.toSeq.sortBy(id => (-d(id), id)).zipWithIndex
+        .map { case (id, i) => id -> (i + 1) }.toMap
+      val byL = ids.toSeq.sortBy(id => (-l(id), id)).zipWithIndex
+        .map { case (id, i) => id -> (i + 1) }.toMap
+      val sumD2 = ids.toSeq.map(id =>
+        math.pow(byD(id).toDouble - byL(id), 2).toLong).sum
+      val n = ids.size.toLong
+      val rho = if (n >= 2)
+        Some(1.0 - (6.0 * sumD2) / (n * (n * n - 1)).toDouble) else None
+      src -> ((n, sumD2, rho))
+    }
+    val got = ImportanceModels.modelRankAgreement(
+        docs, "text", "doc_id", "source",
+        col("lang") === "en", col("lang") === "en")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expect)
+    // doc 7 has no bigram: s3 vanishes entirely (absent from both maps)
+    assert(!got.contains("s3"))
+    got.values.foreach { case (_, _, rho) =>
+      rho.foreach(r => assert(r >= -1.0 && r <= 1.0)) }
+  }
 }

@@ -142,6 +142,14 @@ class RenamedColumnsSpec extends AnyFunSuite {
     check("tokenRaritySketch")(df =>
       CorpusStats.tokenRaritySketch(df, df.columns(0), df.columns(1), 4, 64),
       docsD, docsR)
+    check("vocabCoverage")(df =>
+      CorpusStats.vocabCoverage(df, df.columns(1), 10), docsD, docsR)
+    check("modelRankAgreement")(df =>
+      ImportanceModels.modelRankAgreement(
+        df, df.columns(1), df.columns(0), df.columns(2),
+        targetPred = col(df.columns(2)) === "s1",
+        trainPred = col(df.columns(2)) === "s1"),
+      docsD, docsR)
     check("sourceDrift")(df =>
       CorpusStats.sourceDrift(df, df.columns(2), df.columns(1)), docsD, docsR)
     check("chunkByTokens")(df =>
