@@ -48,6 +48,20 @@ object CdcChunks {
       modulus: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1: $window")
     require(modulus >= 1, s"modulus must be >= 1: $modulus")
+    boundaryRows(docs, idCol, textCol, window, modulus)
+      .select(col("doc_id"), col("e"))
+  }
+
+  /** Exploded boundary rows with the token array still attached —
+    * shared by [[boundaries]] and [[chunks]] so the hash rule lives in
+    * one place.
+    */
+  private def boundaryRows(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      modulus: Int): DataFrame = {
     val toks = TextAnalysis.wsTokens(col(textCol))
     docs
       .select(col(idCol).as("doc_id"), toks.as("__t"))
@@ -63,7 +77,6 @@ object CdcChunks {
               slice(col("__t"), col("e") - lit(window) + 1, lit(window)),
               " ")),
           lit(modulus.toLong)) === 0)
-      .select(col("doc_id"), col("e"))
   }
 
   /** The chunk stream: (doc_id, chunk_start, chunk_end, n_chunk_tokens,
@@ -83,11 +96,15 @@ object CdcChunks {
     val base = docs
       .select(col(idCol).as("doc_id"), toks.as("__t"))
       .filter(size(col("__t")) > 0)
-    val ends = boundaries(docs, idCol, textCol, window, modulus)
-      // the final chunk always ends at n — distinct because a boundary
-      // may itself land on the last token
+    // The final chunk always ends at n. A boundary AT the last token
+    // would duplicate that row, so interior boundaries (e < n) union
+    // the per-doc end — set-equal to distinct(all boundaries ∪ {n}),
+    // the form the oracle writes, without paying a distinct exchange
+    // for a narrow-derivable property.
+    val ends = boundaryRows(docs, idCol, textCol, window, modulus)
+      .filter(col("e") < size(col("__t")))
+      .select(col("doc_id"), col("e"))
       .unionByName(base.select(col("doc_id"), size(col("__t")).as("e")))
-      .distinct()
     val byDoc = Window.partitionBy("doc_id").orderBy("e")
     ends
       .withColumn("s", coalesce(lag("e", 1).over(byDoc), lit(0)))
@@ -176,6 +193,54 @@ object CdcChunks {
         col("n_dup_chunks"), col("dup_tokens"),
         (col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
           .as("dup_ratio"))
+  }
+
+  /** Directed source-containment matrix over CDC chunks: for every
+    * ordered source pair (a, b), the fraction of a's DISTINCT chunk
+    * token mass that also occurs as a chunk of b — "how much of source
+    * a's content is present in source b", the directed question q106's
+    * symmetric minhash overlap matrix cannot answer (a small source
+    * wholly copied from a big one shows containment ~1 in one
+    * direction, ~0 in the other). Returns (source_a, source_b,
+    * shared_mass, total_mass, containment); pairs sharing nothing are
+    * absent.
+    *
+    * Shape: chunks dedup to DISTINCT (source, fp) first — n_chunk_tokens
+    * is determined by the fingerprint, so the mass is well-defined —
+    * and the pair former is an fp-keyed equi-join whose fan-out is
+    * bounded by the number of SOURCES holding a chunk (never document
+    * counts); the rollup is source-pair-sized. The q123 template:
+    * aggregate to per-group structure first, do quadratic-prone work on
+    * the bounded table.
+    */
+  def sourceContainment(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      window: Int,
+      modulus: Int): DataFrame = {
+    val s = chunks(docs, idCol, textCol, window, modulus)
+      .join(
+        docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source")),
+        Seq("doc_id"))
+      .select(col("source"), col("fp"), col("n_chunk_tokens"))
+      .distinct()
+    val totals = s.groupBy("source")
+      .agg(sum("n_chunk_tokens").as("total_mass"))
+    s.select(col("source").as("source_a"), col("fp"), col("n_chunk_tokens"))
+      .join(s.select(col("source").as("source_b"), col("fp")), Seq("fp"))
+      .filter(col("source_a") =!= col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(sum("n_chunk_tokens").as("shared_mass"))
+      .join(
+        totals.select(col("source").as("source_a"), col("total_mass")),
+        Seq("source_a"))
+      .select(
+        col("source_a"), col("source_b"), col("shared_mass"),
+        col("total_mass"),
+        (col("shared_mass").cast("double") / col("total_mass").cast("double"))
+          .as("containment"))
   }
 
   /** Chunk-level dedup report per document: (doc_id, n_chunks, n_tokens,

@@ -227,7 +227,14 @@ object CorpusStats {
     val counts = docs
       .select(explode(TextAnalysis.wsTokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum("cnt").as("__total"))
+    // The total CANNOT reduce from `counts` here: counts is referenced
+    // by the top-V branch already, and a second reference re-expands the
+    // whole explode+aggregate subtree (the q108 plan lesson). A narrow
+    // size-sum over the raw scan costs no explode and no exchange — the
+    // second corpus pass is scan-bandwidth only.
+    val total = docs
+      .select(size(TextAnalysis.wsTokens(col(textCol))).as("__n"))
+      .agg(sum("__n").cast("long").as("__total"))
     val top = counts.orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
     val ord = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("tok"))

@@ -1987,6 +1987,40 @@ object DedupQueries {
           docs.filter(col("doc_id") % 2 === 1),
           "doc_id", "text", window = 3, modulus = 8)
       }
+    ),
+    Q(
+      "q194_source_containment",
+      "Directed source-containment matrix over CDC chunks: per ordered " +
+        "source pair, the fraction of a's DISTINCT chunk token mass " +
+        "also present in b — the directed question q106's symmetric " +
+        "minhash overlap cannot answer (a small source wholly copied " +
+        "from a big one reads ~1 one way, ~0 the other). Chunks dedup " +
+        "to (source, fp) FIRST, so the pair join's fan-out is bounded " +
+        "by sources-per-chunk, never document counts — the q123 " +
+        "template: aggregate to per-group structure, then do the " +
+        "quadratic-prone work on the bounded table.",
+      Some(
+        s"""WITH ${duckCdcCte("c", "TRUE")},
+           |s AS (
+           |  SELECT DISTINCT d.source, ch.fp, ch.n_chunk_tokens
+           |  FROM c_ch ch JOIN documents d USING (doc_id)
+           |), t AS (
+           |  SELECT source, CAST(sum(n_chunk_tokens) AS BIGINT) AS total_mass
+           |  FROM s GROUP BY 1
+           |), p AS (
+           |  SELECT a.source AS source_a, b.source AS source_b,
+           |         CAST(sum(a.n_chunk_tokens) AS BIGINT) AS shared_mass
+           |  FROM s a JOIN s b ON a.fp = b.fp AND a.source <> b.source
+           |  GROUP BY 1, 2
+           |)
+           |SELECT source_a, source_b, shared_mass, total_mass,
+           |       CAST(shared_mass AS DOUBLE) / CAST(total_mass AS DOUBLE)
+           |         AS containment
+           |FROM p JOIN t ON t.source = p.source_a""".stripMargin),
+      (spark, dir) =>
+        graft.operators.CdcChunks.sourceContainment(
+          Tables.documents(spark, dir), "doc_id", "text", "source",
+          window = 3, modulus = 8)
     )
   )
 

@@ -147,6 +147,38 @@ class CdcChunksSpec extends AnyFunSuite {
     assert(got.find(_._1 == 3L).get._5 == 0L)
   }
 
+  test("sourceContainment is directed: the copying source reads high, the copied-from low") {
+    val bigExtra = (1 to 40).map(i => s"own${i * 3 % 17}x$i").mkString(" ")
+    val docs = Seq(
+      (1L, longText, "big"),          // big source: the copied text...
+      (2L, bigExtra, "big"),          // ...plus plenty of its own content
+      (3L, longText, "small"),        // small source: nothing but the copy
+      (4L, "totally unrelated third corpus", "other")
+    ).toDF("doc_id", "text", "source")
+    // scalar model over the operator's own chunk stream
+    val ch = CdcChunks.chunks(docs, "doc_id", "text", W, M)
+      .as[(Long, Long, Long, Long, String)].collect()
+    val srcOf = Map(1L -> "big", 2L -> "big", 3L -> "small", 4L -> "other")
+    val s = ch.map(c => (srcOf(c._1), c._5, c._4)).distinct
+    val totals = s.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val fpsBySrc = s.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = (for {
+      (sa, fa) <- fpsBySrc.toSeq; (sb, fb) <- fpsBySrc.toSeq if sa != sb
+      shared = s.filter(x => x._1 == sa && fb(x._2)).map(_._3).sum
+      if shared > 0
+    } yield (sa, sb) -> ((shared, totals(sa),
+      shared.toDouble / totals(sa)))).toMap
+    val got = CdcChunks.sourceContainment(
+        docs, "doc_id", "text", "source", W, M)
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got == expect)
+    // directionality: small is fully contained in big; big only partly in small
+    assert(got(("small", "big"))._3 == 1.0)
+    assert(got(("big", "small"))._3 < 1.0)
+    assert(!got.keys.exists(p => p._1 == "other" || p._2 == "other"))
+  }
+
   test("chunkStructsExpr (the row-local streaming face) equals the exploded batch chunker") {
     import org.apache.spark.sql.functions.{col, posexplode}
     val docs = Seq(

@@ -112,6 +112,9 @@ class RenamedColumnsSpec extends AnyFunSuite {
     check("cdcDupReport")(df => CdcChunks.dupReport(
       df, df.columns(0), df.columns(1), window = 3, modulus = 8),
       docsD, docsR)
+    check("cdcSourceContainment")(df => CdcChunks.sourceContainment(
+      df, df.columns(0), df.columns(1), df.columns(2), window = 3, modulus = 8),
+      docsD, docsR)
   }
 
   test("Components / PageRank graph ops resolve renamed columns") {
