@@ -702,6 +702,39 @@ object SimilarityQueries {
           graft.operators.Quantize.twoStageTopK(
             e, q, "vec_id", "embedding", k = 5, shortlist = 20))
       }
+    ),
+    Q(
+      "q195_random_projection",
+      "Deterministic Rademacher random projection (the JL sketch): " +
+        "each 64-float embedding onto 8 pseudo-random +-1 directions — " +
+        "the dimensionality reduction upstream of LSH/clustering when " +
+        "the native width is too wide to shuffle (256 bytes -> 64 per " +
+        "row). Doubly deterministic: the sign matrix derives from the " +
+        "portable md5 hash, and the arithmetic is the q117 floor-shift " +
+        "device, so the sketch is exact BIGINT and the oracle renders " +
+        "the identical +-chains from the same sign walk. The signs " +
+        "bake into the expression as constants — each output dim is an " +
+        "unrolled +-chain inside codegen: no HOF on the hot path, no " +
+        "join, no shuffle; a 100 TB projection is a map pass at scan " +
+        "bandwidth.",
+      Some {
+        val terms = graft.operators.RandomProjection
+          .duckProjTerms("iv", inDim = 64, outDim = 8)
+          .mkString(",\n       ")
+        s"""WITH v AS (
+           |  SELECT vec_id,
+           |         list_transform(embedding,
+           |           v -> CAST(floor(CAST(v AS DOUBLE) * ${graft.operators.RandomProjection.Shift}) AS BIGINT)) AS iv
+           |  FROM embeddings
+           |)
+           |SELECT vec_id,
+           |       $terms
+           |FROM v""".stripMargin
+      },
+      (spark, dir) =>
+        graft.operators.RandomProjection.project(
+          Tables.embeddings(spark, dir), "vec_id", "embedding",
+          inDim = 64, outDim = 8)
     )
   )
 }

@@ -233,6 +233,12 @@ class RenamedColumnsSpec extends AnyFunSuite {
       df, queries(df), df.columns(0), df.columns(1), 3), embD, embR)
   }
 
+  test("random projection resolves renamed columns") {
+    check("randomProjection")(df =>
+      RandomProjection.project(df, df.columns(0), df.columns(1), 4, 2),
+      embD, embR)
+  }
+
   test("IVF index build/probe resolves renamed columns") {
     def run(df: DataFrame): DataFrame = {
       val prefix = s"graft_mtx_ivf_${df.columns(0)}"
