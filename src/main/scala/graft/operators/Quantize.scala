@@ -116,27 +116,9 @@ object Quantize {
       shortlist: Int = 20): DataFrame = {
     require(k >= 1 && shortlist >= k,
       s"need shortlist >= k >= 1, got k=$k shortlist=$shortlist")
-    graft.functions.DotProductFF.register(corpus.sparkSession)
-    import graft.operators.Similarity.{dotD, normD}
     val coarse = cosineTopKInt8(corpus, queries, idCol, embCol, k = shortlist)
       .select(col("q_id"), col("neighbor_id"))
-    // Join the corpus to the broadcast shortlist BEFORE deriving the fp32
-    // norm: the fold then runs on the queries x shortlist survivors only.
-    // (Projected before the join, Catalyst evaluates it corpus-wide — the
-    // semi-join-like filter can't push below a derived column it needs.)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__c_emb"))
-      .join(broadcast(coarse), Seq("neighbor_id"))
-      .withColumn("__c_norm", normD(col("__c_emb")))
-    val q = queries.select(col(idCol).as("q_id"),
-      col(embCol).as("__q_emb"), normD(col(embCol)).as("__q_norm"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(broadcast(q), Seq("q_id"))
-      .select(col("q_id"), col("neighbor_id"),
-        (dotD(col("__c_emb"), col("__q_emb")) /
-          (col("__c_norm") * col("__q_norm"))).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    Similarity.rerankExactTopK(corpus, queries, idCol, embCol, coarse, k)
   }
 
   /** Per-vector symmetric int8 quantization of `embCol`

@@ -67,6 +67,77 @@ object RandomProjection {
     base.select(col(idCol) +: projCols: _*)
   }
 
+  /** Down-shift applied to projections before coarse dot products:
+    * |p| <= dim * |v|max * 2^30 (~2^39 on these fixtures), so a raw
+    * p*p product would overflow Long; floor-dividing by 2^15 first
+    * bounds each component near 2^24 and the 8-term dot near 2^51 —
+    * exact. Floor (not truncating) division so Spark matches DuckDB's
+    * `//` on negatives.
+    */
+  val CoarseShift: Long = 32768L
+
+  /** Projections down-shifted for coarse scoring: (idCol, ps0..psN). */
+  def projectedCoarse(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      inDim: Int,
+      outDim: Int): DataFrame =
+    project(df, idCol, embCol, inDim, outDim).select(
+      col(idCol) +: (0 until outDim).map(k =>
+        expr(Resample.floorDivSql(s"p$k", CoarseShift)).as(s"ps$k")): _*)
+
+  /** Two-stage retrieval with the JL projection as the coarse
+    * representation — the 8x-smaller sibling of the int8 two-stage
+    * ([[Quantize.twoStageTopK]]): the whole corpus is scored on the
+    * 8-long integer projections (normalized projected cosine — exact
+    * integer dot, one sqrt and one divide, both correctly-rounded
+    * IEEE), a per-query shortlist survives, and only those pairs
+    * re-score at exact fp32 cosine via the SHARED rerank stage
+    * ([[Similarity.rerankExactTopK]]), so the final ordering is exact
+    * and recall approaches brute force as the shortlist widens. Rows
+    * whose shifted projection is all-zero are excluded from coarse
+    * scoring (a zero norm would make the cosine NaN and NaN ordering
+    * is not cross-engine contractual).
+    */
+  def twoStageTopKProjected(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      shortlist: Int,
+      inDim: Int,
+      outDim: Int): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"need shortlist >= k >= 1, got k=$k shortlist=$shortlist")
+    def side(df: DataFrame, outId: String, pfx: String) = {
+      val ps = projectedCoarse(df, idCol, embCol, inDim, outDim)
+      val n2 = (0 until outDim).map(i =>
+        col(s"ps$i") * col(s"ps$i")).reduce(_ + _)
+      ps.select(
+        col(idCol).as(outId) +:
+          (0 until outDim).map(i => col(s"ps$i").as(s"$pfx$i")) :+
+          n2.as(s"${pfx}n2"): _*)
+        .filter(col(s"${pfx}n2") > 0)
+        .withColumn(s"${pfx}nrm", sqrt(col(s"${pfx}n2").cast("double")))
+    }
+    val c = side(corpus, "neighbor_id", "__c")
+    val q = side(queries, "q_id", "__q")
+    val dot = (0 until outDim).map(i =>
+      col(s"__c$i") * col(s"__q$i")).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("__cd").desc, col("neighbor_id"))
+    val coarse = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .withColumn("__cd",
+        dot.cast("double") / (col("__cnrm") * col("__qnrm")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= shortlist)
+      .select(col("q_id"), col("neighbor_id"))
+    Similarity.rerankExactTopK(corpus, queries, idCol, embCol, coarse, k)
+  }
+
   /** The identical projection rendered as DuckDB SQL terms: for output
     * dim k, a ±chain over `iv[j+1]` (1-based list indexing), generated
     * from the SAME sign walk so operator and oracle cannot drift.

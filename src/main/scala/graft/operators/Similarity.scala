@@ -137,6 +137,37 @@ object Similarity {
     * n_exact is the per-query truth size (< k when the corpus is small),
     * so recall is well-defined at any corpus size.
     */
+  /** The exact fp32 rerank stage shared by every two-stage retriever
+    * (int8 coarse — [[Quantize.twoStageTopK]] — and the JL-projection
+    * coarse): re-score a (q_id, neighbor_id) shortlist at exact cosine
+    * and keep the top `k` per query. The corpus joins the BROADCAST
+    * shortlist BEFORE the fp32 norm derives, so the fold runs on the
+    * queries x shortlist survivors only — never corpus-wide.
+    */
+  def rerankExactTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      coarse: DataFrame,
+      k: Int): DataFrame = {
+    graft.functions.DotProductFF.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__c_emb"))
+      .join(broadcast(coarse.select(col("q_id"), col("neighbor_id"))),
+        Seq("neighbor_id"))
+      .withColumn("__c_norm", normD(col("__c_emb")))
+    val q = queries.select(col(idCol).as("q_id"),
+      col(embCol).as("__q_emb"), normD(col(embCol)).as("__q_norm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        (dotD(col("__c_emb"), col("__q_emb")) /
+          (col("__c_norm") * col("__q_norm"))).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   def topKRecall(exact: DataFrame, approx: DataFrame): DataFrame =
     exact.select(col("q_id"), col("neighbor_id"))
       .join(

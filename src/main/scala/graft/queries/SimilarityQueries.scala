@@ -735,8 +735,124 @@ object SimilarityQueries {
         graft.operators.RandomProjection.project(
           Tables.embeddings(spark, dir), "vec_id", "embedding",
           inDim = 64, outDim = 8)
+    ),
+    Q(
+      "q196_projection_two_stage",
+      "Two-stage retrieval with the q195 JL projection as the coarse " +
+        "representation — the 8x-smaller sibling of the int8 two-stage " +
+        "(q158): the corpus is scored on 8-long integer projections " +
+        "(exact integer dot, normalized by one correctly-rounded sqrt), " +
+        "a 20-shortlist survives per query, and only those pairs " +
+        "re-score at exact fp32 cosine through the SHARED rerank stage " +
+        "(Similarity.rerankExactTopK — q158 now runs the identical " +
+        "code). Projections down-shift by 2^15 before the dot so the " +
+        "products stay inside exact Long; the oracle re-renders the " +
+        "whole chain — sign walk, floor shifts, coarse window, rerank " +
+        "— from the same constants.",
+      Some(duckProjTwoStageSql),
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        graft.operators.RandomProjection.twoStageTopKProjected(
+          e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, shortlist = 20, inDim = 64, outDim = 8)
+      }
+    ),
+    Q(
+      "q197_projection_recall",
+      "Recall@5 of the projection two-stage (q196) against brute-force " +
+        "cosine — the sixth tracked operating point in the recall " +
+        "family (q121 LSH, q131 int8, q141 IVF, q159 int8 two-stage). " +
+        "Reading q197 against q159 prices the representations: the " +
+        "projection is 4x smaller than int8 codes (64 bytes vs 256 per " +
+        "row at dim 64) and this row says what that compression costs " +
+        "in shortlist recall at the same rerank budget.",
+      Some(
+        s"""WITH ap AS (
+           |  SELECT q_id, neighbor_id FROM (
+           |${indentSql(duckProjTwoStageSql, "  ")}
+           |  )
+           |), ex AS (
+           |  SELECT q_id, neighbor_id FROM (
+           |    $bruteForceSql
+           |  )
+           |)
+           |SELECT ex.q_id,
+           |       CAST(COUNT(*) AS BIGINT) AS n_exact,
+           |       CAST(COUNT(ap.neighbor_id) AS BIGINT) AS n_hit,
+           |       CAST(COUNT(ap.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+           |FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.neighbor_id = ap.neighbor_id
+           |GROUP BY ex.q_id""".stripMargin),
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        val q = e.filter(col("vec_id") < 8)
+        Similarity.topKRecall(
+          Similarity.cosineTopK(e, q, "vec_id", "embedding", k = 5),
+          graft.operators.RandomProjection.twoStageTopKProjected(
+            e, q, "vec_id", "embedding",
+            k = 5, shortlist = 20, inDim = 64, outDim = 8))
+      }
     )
   )
+
+  private def indentSql(sql: String, pad: String): String =
+    sql.linesIterator.map(l => pad + l).mkString("\n")
+
+  /** q196's oracle body (a def rendered from RandomProjection's own
+    * sign walk and constants; q197 re-embeds it, so the pair cannot
+    * drift). Mirrors the operator stage for stage: integer projection,
+    * 2^15 floor down-shift, normalized coarse window (zero-norm rows
+    * excluded — NaN ordering is not cross-engine contractual), exact
+    * fp32 rerank.
+    */
+  private def duckProjTwoStageSql: String = {
+    import graft.operators.RandomProjection
+    val outDim = 8
+    val projTerms = RandomProjection.duckProjTerms("iv", 64, outDim)
+      .mkString(",\n       ")
+    val shiftTerms = (0 until outDim)
+      .map(k => s"p$k // ${RandomProjection.CoarseShift} AS s$k")
+      .mkString(", ")
+    val sq = (0 until outDim).map(k => s"s$k * s$k").mkString(" + ")
+    val dotCS = (0 until outDim).map(k => s"c.s$k * qq.s$k").mkString(" + ")
+    val sCols = (0 until outDim).map(k => s"s$k").mkString(", ")
+    val dotCQ = duckDot.format("ce.embedding", "qe.embedding")
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           v -> CAST(floor(CAST(v AS DOUBLE) * ${RandomProjection.Shift}) AS BIGINT)) AS iv
+       |  FROM embeddings
+       |), pr AS (
+       |  SELECT vec_id,
+       |       $projTerms
+       |  FROM v
+       |), ps AS (
+       |  SELECT vec_id, $shiftTerms FROM pr
+       |), nn AS (
+       |  SELECT vec_id, $sCols, sqrt(CAST($sq AS DOUBLE)) AS nrm
+       |  FROM ps WHERE $sq > 0
+       |), coarse AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT qq.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY qq.vec_id ORDER BY
+       |             CAST($dotCS AS DOUBLE) / (c.nrm * qq.nrm) DESC, c.vec_id) AS rn
+       |    FROM nn c JOIN nn qq ON qq.vec_id < 8 AND c.vec_id != qq.vec_id)
+       |  WHERE rn <= 20
+       |), e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+       |  FROM embeddings
+       |), rescored AS (
+       |  SELECT co.q_id, co.neighbor_id,
+       |         $dotCQ / (ce.norm * qe.norm) AS sim
+       |  FROM coarse co
+       |  JOIN e ce ON ce.vec_id = co.neighbor_id
+       |  JOIN e qe ON qe.vec_id = co.q_id
+       |)
+       |SELECT q_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rn
+       |      FROM rescored)
+       |WHERE rn <= 5""".stripMargin
+  }
 }
 
 /** Build/probe phase functions behind q79/q85 — shared by the registry

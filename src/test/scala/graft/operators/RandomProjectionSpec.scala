@@ -67,6 +67,27 @@ class RandomProjectionSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("two-stage projected retrieval degenerates to brute force when the shortlist covers the corpus") {
+    val e = graft.Tables.embeddings(spark, SparkTestSession.sf0001)
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 4)
+    val exact = Similarity.cosineTopK(e, q, "vec_id", "embedding", k = 5)
+    val full = RandomProjection.twoStageTopKProjected(
+      e, q, "vec_id", "embedding",
+      k = 5, shortlist = 499, inDim = 64, outDim = 8)
+    val rec = Similarity.topKRecall(exact, full)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rec.length == 4)
+    rec.foreach { case (qid, _, _, r) => assert(r == 1.0, s"q $qid recall $r") }
+    // and the narrow shortlist is a genuine operating point below 1.0
+    // on this fixture (the coarse 8-dim representation is lossy)
+    val narrow = Similarity.topKRecall(exact,
+      RandomProjection.twoStageTopKProjected(
+        e, q, "vec_id", "embedding",
+        k = 5, shortlist = 20, inDim = 64, outDim = 8))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(narrow.exists(_._4 < 1.0))
+  }
+
   test("plan: pure narrow projection — no join, no exchange, one transform evaluation") {
     // the parquet fixture: a local Seq relation constant-folds to a
     // LocalTableScan and there would be no plan to inspect
