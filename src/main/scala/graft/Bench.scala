@@ -123,6 +123,17 @@ object Bench {
           }),
           "q149_incremental_ranks" -> ((s: SparkSession, d: String) =>
             SparkEntry.queries("q149_incremental_ranks")(s, d))),
+        // The persisted CDC fingerprint index: the one-shot bucketed
+        // write is the amortized ingest cost; the probe line is what a
+        // repeat arrival batch pays (q190 recomputes the build inline
+        // every run — read the two against each other).
+        "q198_cdc_stored_probe" -> Seq(
+          "cdcfp_build" -> ((s: SparkSession, d: String) => {
+            graft.queries.CdcPhases.buildStored(s, d)
+            s.emptyDataFrame
+          }),
+          "q198_cdc_stored_probe" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q198_cdc_stored_probe")(s, d))),
         // Serving-map REFRESH: the delta-cost fold of an arrival batch
         // into the serving component map (vs buildServing's full
         // rebuild) — timed separately from the q152 routing probe.

@@ -243,6 +243,48 @@ object CdcChunks {
           .as("containment"))
   }
 
+  /** [[ingestReport]] against a PERSISTED fingerprint table — the probe
+    * face of the stored CDC index (build/probe/fold, the q79/q156
+    * discipline). Same output contract as ingestReport; two structural
+    * differences tuned to the serving seam:
+    *  - the membership test is a LEFT-SEMI join, so duplicate rows in
+    *    the stored table (an at-least-once appended batch — see
+    *    [[graft.operators.Bucketing.appendBucketed]]) can never
+    *    duplicate arrival rows: fingerprint membership is a set
+    *    question and semi-join asks exactly that, making the stored
+    *    table replay-TOLERANT without a dedup pass;
+    *  - the arrival chunk stream is referenced twice (totals + dup
+    *    rollup, re-expanded per reference) — the delta side, where
+    *    double-chunking is cheap; the corpus-sized stored side is
+    *    scanned once, in place.
+    */
+  def probeStoredReport(
+      storedFps: DataFrame,
+      arrivals: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      modulus: Int): DataFrame = {
+    val ar = chunks(arrivals, idCol, textCol, window, modulus)
+    val dup = ar
+      .join(storedFps.select(col("fp")), Seq("fp"), "left_semi")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_dup_chunks"),
+        sum(col("n_chunk_tokens")).as("dup_tokens"))
+    ar.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_chunk_tokens")).as("n_tokens"))
+      .join(dup, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_chunks", "dup_tokens"))
+      .select(
+        col("doc_id"), col("n_chunks"), col("n_tokens"),
+        col("n_dup_chunks"), col("dup_tokens"),
+        (col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("dup_ratio"))
+  }
+
   /** Chunk-level dedup report per document: (doc_id, n_chunks, n_tokens,
     * n_dup_chunks, dup_tokens, dup_ratio) where a chunk is a duplicate
     * iff its text occurs (as a CDC chunk) in >= 2 DISTINCT documents —

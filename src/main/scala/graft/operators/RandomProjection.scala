@@ -96,9 +96,15 @@ object RandomProjection {
     * re-score at exact fp32 cosine via the SHARED rerank stage
     * ([[Similarity.rerankExactTopK]]), so the final ordering is exact
     * and recall approaches brute force as the shortlist widens. Rows
-    * whose shifted projection is all-zero are excluded from coarse
-    * scoring (a zero norm would make the cosine NaN and NaN ordering
-    * is not cross-engine contractual).
+    * whose shifted projection is all-zero score a constant -2 (below
+    * any cosine) so they rank last deterministically — a zero norm
+    * would make the cosine NaN and NaN ordering is not cross-engine
+    * contractual. GUARDED AS AN EXPRESSION, not a filter: a filter on
+    * a computed column pushes below the projection by SUBSTITUTING the
+    * whole expression tree — measured here re-evaluating the
+    * integer-widening transform ~1000x per row (2 norm references x 8
+    * squares x 64 element_at terms), 17 s where the guarded form runs
+    * in 2 — the q102 lesson's filter-pushdown face.
     */
   def twoStageTopKProjected(
       corpus: DataFrame,
@@ -119,7 +125,6 @@ object RandomProjection {
         col(idCol).as(outId) +:
           (0 until outDim).map(i => col(s"ps$i").as(s"$pfx$i")) :+
           n2.as(s"${pfx}n2"): _*)
-        .filter(col(s"${pfx}n2") > 0)
         .withColumn(s"${pfx}nrm", sqrt(col(s"${pfx}n2").cast("double")))
     }
     val c = side(corpus, "neighbor_id", "__c")
@@ -131,7 +136,9 @@ object RandomProjection {
     val coarse = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("q_id"))
       .withColumn("__cd",
-        dot.cast("double") / (col("__cnrm") * col("__qnrm")))
+        when(col("__cnrm") * col("__qnrm") > 0,
+          dot.cast("double") / (col("__cnrm") * col("__qnrm")))
+          .otherwise(lit(-2.0)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= shortlist)
       .select(col("q_id"), col("neighbor_id"))

@@ -1963,23 +1963,7 @@ object DedupQueries {
         "chunk into a hash equi-join. At steady state the existing " +
         "fingerprints persist bucketed (the q79/q156 build/probe " +
         "discipline); recomputing here keeps the oracle self-contained.",
-      Some(
-        s"""WITH ${duckCdcCte("ex", "doc_id % 2 = 0")},
-           |${duckCdcCte("ar", "doc_id % 2 = 1")},
-           |exfp AS (
-           |  SELECT DISTINCT fp, 1 AS hit FROM ex_ch
-           |)
-           |SELECT doc_id,
-           |       CAST(count(*) AS BIGINT) AS n_chunks,
-           |       CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
-           |       CAST(sum(coalesce(hit, 0)) AS BIGINT) AS n_dup_chunks,
-           |       CAST(sum(CASE WHEN hit = 1 THEN n_chunk_tokens ELSE 0 END)
-           |            AS BIGINT) AS dup_tokens,
-           |       CAST(sum(CASE WHEN hit = 1 THEN n_chunk_tokens ELSE 0 END)
-           |            AS DOUBLE)
-           |         / CAST(sum(n_chunk_tokens) AS DOUBLE) AS dup_ratio
-           |FROM ar_ch LEFT JOIN exfp USING (fp)
-           |GROUP BY doc_id""".stripMargin),
+      Some(duckCdcIngestSql),
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
         graft.operators.CdcChunks.ingestReport(
@@ -2021,8 +2005,47 @@ object DedupQueries {
         graft.operators.CdcChunks.sourceContainment(
           Tables.documents(spark, dir), "doc_id", "text", "source",
           window = 3, modulus = 8)
+    ),
+    Q(
+      "q198_cdc_stored_probe",
+      "q190's probe against the PERSISTED chunk-fingerprint index — " +
+        "the serving face of the CDC family (build/probe/fold, the " +
+        "q79/q156 discipline): the even slice's distinct fingerprints " +
+        "are written ONCE as an fp-bucketed table; each arrival batch " +
+        "probes it at delta cost. The membership test is a LEFT-SEMI " +
+        "join, so at-least-once appended batches (duplicate stored " +
+        "rows) can never duplicate arrival rows — the stored table is " +
+        "replay-TOLERANT without a dedup pass (where q190's left-join " +
+        "form needs its build side distinct). Same semantics as q190 " +
+        "by design; the oracle is literally the same SQL body.",
+      Some(duckCdcIngestSql),
+      (spark, dir) => CdcPhases.probe(spark, dir)
     )
   )
+
+  /** The shared q190/q198 oracle: the stored-index probe's semantics
+    * are BY DESIGN identical to the self-contained ingest report (the
+    * stored table holds exactly the even slice's distinct chunk
+    * fingerprints), so one SQL body serves both and the pair cannot
+    * drift.
+    */
+  private def duckCdcIngestSql: String =
+    s"""WITH ${duckCdcCte("ex", "doc_id % 2 = 0")},
+       |${duckCdcCte("ar", "doc_id % 2 = 1")},
+       |exfp AS (
+       |  SELECT DISTINCT fp, 1 AS hit FROM ex_ch
+       |)
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_chunks,
+       |       CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(sum(coalesce(hit, 0)) AS BIGINT) AS n_dup_chunks,
+       |       CAST(sum(CASE WHEN hit = 1 THEN n_chunk_tokens ELSE 0 END)
+       |            AS BIGINT) AS dup_tokens,
+       |       CAST(sum(CASE WHEN hit = 1 THEN n_chunk_tokens ELSE 0 END)
+       |            AS DOUBLE)
+       |         / CAST(sum(n_chunk_tokens) AS DOUBLE) AS dup_ratio
+       |FROM ar_ch LEFT JOIN exfp USING (fp)
+       |GROUP BY doc_id""".stripMargin
 
   /** The q187/q188 CDC chunk pipeline as a prefixed CTE chain, rendered
     * per corpus slice so the q190 ingest oracle chunks existing and
@@ -3162,5 +3185,62 @@ object TwinFoldPhases {
 
   def ensureFolded(spark: SparkSession, dir: String): Unit = synchronized {
     if (!built.contains(foldedTable(dir))) buildFolded(spark, dir)
+  }
+}
+
+/** Session-memoized build/probe phases for the persisted CDC
+  * chunk-fingerprint index (q198): the even slice's distinct chunk
+  * fingerprints live in an fp-bucketed table, built once per input dir
+  * and probed by every arrival batch — the ingest-side serving seam.
+  * `appendBatch` is the fold face (at-least-once appends are tolerated
+  * by the probe's semi-join; see
+  * [[graft.operators.CdcChunks.probeStoredReport]]).
+  */
+object CdcPhases {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  private def table(dir: String) = s"graft_cdcfp_${Q.scratchTag(dir)}"
+  private val built =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** One-shot: drop + write the even slice's distinct fingerprints,
+    * bucketed and sorted by fp (idempotent; the amortized ingest cost
+    * the bench times as its own line).
+    */
+  def buildStored(spark: SparkSession, dir: String): Unit = synchronized {
+    graft.operators.Bucketing.dropWithLocation(spark, table(dir))
+    graft.operators.Bucketing.writeBucketed(
+      graft.operators.CdcChunks.chunks(
+        Tables.documents(spark, dir).filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", window = 3, modulus = 8)
+        .select(col("fp")).distinct(),
+      table(dir), "fp", buckets = 8)
+    built.add(table(dir))
+  }
+
+  def ensureStored(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!built.contains(table(dir))) buildStored(spark, dir)
+  }
+
+  /** Fold face: append one arrival batch's distinct fingerprints (the
+    * per-batch distinct bounds the append; cross-batch duplicates are
+    * the probe's semi-join's job).
+    */
+  def appendBatch(spark: SparkSession, batch: DataFrame, dir: String): Unit = {
+    ensureStored(spark, dir)
+    graft.operators.Bucketing.appendBucketed(
+      graft.operators.CdcChunks.chunks(
+        batch, "doc_id", "text", window = 3, modulus = 8)
+        .select(col("fp")).distinct(),
+      table(dir), "fp", buckets = 8)
+  }
+
+  /** Probe the stored index with the odd slice (q198's registry face). */
+  def probe(spark: SparkSession, dir: String): DataFrame = {
+    ensureStored(spark, dir)
+    graft.operators.CdcChunks.probeStoredReport(
+      spark.table(table(dir)),
+      Tables.documents(spark, dir).filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", window = 3, modulus = 8)
   }
 }

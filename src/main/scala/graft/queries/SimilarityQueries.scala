@@ -829,12 +829,14 @@ object SimilarityQueries {
        |  SELECT vec_id, $shiftTerms FROM pr
        |), nn AS (
        |  SELECT vec_id, $sCols, sqrt(CAST($sq AS DOUBLE)) AS nrm
-       |  FROM ps WHERE $sq > 0
+       |  FROM ps
        |), coarse AS (
        |  SELECT q_id, neighbor_id FROM (
        |    SELECT qq.vec_id AS q_id, c.vec_id AS neighbor_id,
        |           ROW_NUMBER() OVER (PARTITION BY qq.vec_id ORDER BY
-       |             CAST($dotCS AS DOUBLE) / (c.nrm * qq.nrm) DESC, c.vec_id) AS rn
+       |             CASE WHEN c.nrm * qq.nrm > 0
+       |                  THEN CAST($dotCS AS DOUBLE) / (c.nrm * qq.nrm)
+       |                  ELSE -2.0 END DESC, c.vec_id) AS rn
        |    FROM nn c JOIN nn qq ON qq.vec_id < 8 AND c.vec_id != qq.vec_id)
        |  WHERE rn <= 20
        |), e AS (

@@ -147,6 +147,29 @@ class CdcChunksSpec extends AnyFunSuite {
     assert(got.find(_._1 == 3L).get._5 == 0L)
   }
 
+  test("probeStoredReport equals ingestReport and tolerates duplicate stored rows (replay)") {
+    val existing = Seq(
+      (0L, longText),
+      (2L, "wholly separate existing body with distinct words only")
+    ).toDF("doc_id", "text")
+    val arrivals = Seq(
+      (1L, "zz0 zz1 zz2 zz3 zz4 " + longText),
+      (3L, "a novel arrival sharing nothing with the corpus")
+    ).toDF("doc_id", "text")
+    val fps = CdcChunks.chunks(existing, "doc_id", "text", W, M).select("fp")
+    val want = CdcChunks.ingestReport(existing, arrivals, "doc_id", "text", W, M)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val got = CdcChunks.probeStoredReport(fps, arrivals, "doc_id", "text", W, M)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(got == want, "stored probe diverges from the inline ingest report")
+    // an at-least-once appended batch = the same fps twice: the
+    // semi-join membership test must be invariant under duplication
+    val replayed = CdcChunks.probeStoredReport(
+        fps.unionAll(fps), arrivals, "doc_id", "text", W, M)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(replayed == want, "duplicate stored rows changed the probe result")
+  }
+
   test("sourceContainment is directed: the copying source reads high, the copied-from low") {
     val bigExtra = (1 to 40).map(i => s"own${i * 3 % 17}x$i").mkString(" ")
     val docs = Seq(
