@@ -125,6 +125,173 @@ object ModelQueries {
   private def indent(sql: String, pad: String): String =
     sql.linesIterator.map(pad + _).mkString("\n")
 
+  /** Unrolled batch-perceptron oracle (q199/q200): the K training
+    * rounds of [[graft.operators.Perceptron]] as a CTE chain — round r
+    * derives margins `m{r}` under the entering weights, the
+    * misclassified set `mis{r}` (boundary counted wrong), the merged
+    * per-bucket weights `w{r}` and bias `b{r}`. Everything is BIGINT,
+    * so the chain reproduces the trained model bit-for-bit. Returns
+    * (cteChain, finalMarginCte) with margins under the FINAL weights
+    * in CTE `m{rounds + 1}`.
+    *
+    * Every CTE is `AS MATERIALIZED`: the chain references each prior
+    * level more than once (`w{r}` feeds both `m{r+1}` and `w{r+1}`),
+    * and DuckDB's default inlining re-evaluates each reference — a
+    * 2^rounds blowup that turns a sub-second oracle into minutes.
+    * Materialization makes the chain linear; it is a pure evaluation
+    * hint with identical results.
+    */
+  private def duckPerceptronCtes(buckets: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH occ AS MATERIALIZED (
+         |  SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt, y FROM (
+         |    SELECT doc_id,
+         |           CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % $buckets AS bucket,
+         |           CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y
+         |    FROM (SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |          FROM documents)
+         |  ) GROUP BY doc_id, bucket, y
+         |), lab AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, y FROM occ
+         |)""".stripMargin
+    for (r <- 1 to rounds + 1) {
+      // Margins entering round r (round 1: all-zero weights).
+      if (r == 1)
+        sb ++=
+          s""", m1 AS MATERIALIZED (
+             |  SELECT doc_id, y, CAST(0 AS BIGINT) AS margin FROM lab
+             |)""".stripMargin
+      else
+        sb ++=
+          s""", m$r AS MATERIALIZED (
+             |  SELECT l.doc_id, l.y,
+             |         CAST(COALESCE(SUM(o.cnt * w.w), 0)
+             |              + (SELECT wb FROM b${r - 1}) AS BIGINT) AS margin
+             |  FROM lab l
+             |  LEFT JOIN occ o ON o.doc_id = l.doc_id
+             |  LEFT JOIN w${r - 1} w ON w.bucket = o.bucket
+             |  GROUP BY 1, 2
+             |)""".stripMargin
+      if (r <= rounds) {
+        sb ++=
+          s""", mis$r AS MATERIALIZED (
+             |  SELECT doc_id, y FROM m$r WHERE y * margin <= 0
+             |), u$r AS MATERIALIZED (
+             |  SELECT o.bucket, CAST(SUM(o.y * o.cnt) AS BIGINT) AS dw
+             |  FROM occ o JOIN mis$r USING (doc_id) GROUP BY 1
+             |)""".stripMargin
+        if (r == 1)
+          sb ++=
+            s""", w1 AS MATERIALIZED (
+               |  SELECT bucket, dw AS w FROM u1
+               |), b1 AS MATERIALIZED (
+               |  SELECT CAST(COALESCE(SUM(y), 0) AS BIGINT) AS wb FROM mis1
+               |)""".stripMargin
+        else
+          sb ++=
+            s""", w$r AS MATERIALIZED (
+               |  SELECT COALESCE(p.bucket, u.bucket) AS bucket,
+               |         CAST(COALESCE(p.w, 0) + COALESCE(u.dw, 0) AS BIGINT) AS w
+               |  FROM w${r - 1} p FULL JOIN u$r u ON p.bucket = u.bucket
+               |), b$r AS MATERIALIZED (
+               |  SELECT (SELECT wb FROM b${r - 1})
+               |         + CAST(COALESCE(SUM(y), 0) AS BIGINT) AS wb
+               |  FROM mis$r
+               |)""".stripMargin
+      }
+    }
+    sb.toString
+  }
+
+  private val PerceptronFinalSql: String =
+    duckPerceptronCtes(
+      graft.operators.Perceptron.Buckets,
+      graft.operators.Perceptron.Rounds) +
+      s"""
+         |SELECT doc_id, y, margin,
+         |       CAST(CASE WHEN margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+         |FROM m${graft.operators.Perceptron.Rounds + 1}""".stripMargin
+
+  private val PerceptronTraceSql: String =
+    duckPerceptronCtes(
+      graft.operators.Perceptron.Buckets,
+      graft.operators.Perceptron.Rounds) + "\n" +
+      (1 to graft.operators.Perceptron.Rounds).map { r =>
+        s"""SELECT CAST($r AS INTEGER) AS round,
+           |       (SELECT CAST(COUNT(*) AS BIGINT) FROM mis$r) AS n_mis,
+           |       (SELECT CAST(COUNT(*) AS BIGINT) FROM lab) AS n_docs""".stripMargin
+      }.mkString("\nUNION ALL\n")
+
+  /** Unrolled BPE-trainer oracle (q201/q202): the K count-argmax-apply
+    * rounds of [[graft.operators.BpeTrainer]] as a CTE chain — round r
+    * derives pair counts `p{r}` over the entering vocab, the argmax
+    * merge `b{r}` (max count, ties ascending lft/rgt), and the
+    * rewritten vocab `v{r}` via the same two literal left-to-right
+    * replaces over the space-padded symbol string. Counts are BIGINT
+    * and rewrites are literal string ops, so the chain reproduces the
+    * learned merges bit-for-bit. The COALESCE(chr(1)) guard makes an
+    * exhausted round (no pairs left — never on the fixture corpus) a
+    * no-op rewrite instead of a NULL-poisoned vocab.
+    *
+    * Every CTE is `AS MATERIALIZED` — same 2^rounds-inlining hazard as
+    * the perceptron chain (`v{r-1}` feeds both `p{r}` and `v{r}`), and
+    * measured at sf0.01: 0.5 s materialized vs >12 min inlined.
+    */
+  private def duckBpeCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH words AS MATERIALIZED (
+         |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+         |    FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1
+         |), v0 AS MATERIALIZED (
+         |  SELECT array_to_string(
+         |           list_transform(range(1, length(word) + 1), i -> word[i:i]),
+         |           ' ') AS syms,
+         |         cnt
+         |  FROM words
+         |)""".stripMargin
+    for (r <- 1 to rounds) {
+      val pat =
+        s"COALESCE((SELECT ' ' || lft || ' ' || rgt || ' ' FROM b$r), chr(1))"
+      val rep = s"COALESCE((SELECT ' ' || lft || rgt || ' ' FROM b$r), '')"
+      sb ++=
+        s""", p$r AS MATERIALIZED (
+           |  SELECT s[i] AS lft, s[i + 1] AS rgt,
+           |         CAST(SUM(cnt) AS BIGINT) AS pair_count
+           |  FROM (SELECT string_split(syms, ' ') AS s, cnt FROM v${r - 1}),
+           |       UNNEST(range(1, len(s))) AS u(i)
+           |  GROUP BY 1, 2
+           |), b$r AS MATERIALIZED (
+           |  SELECT lft, rgt, pair_count FROM p$r
+           |  ORDER BY pair_count DESC, lft, rgt LIMIT 1
+           |), v$r AS MATERIALIZED (
+           |  SELECT trim(replace(replace(' ' || syms || ' ', $pat, $rep),
+           |              $pat, $rep)) AS syms,
+           |         cnt
+           |  FROM v${r - 1}
+           |)""".stripMargin
+    }
+    sb.toString
+  }
+
+  private val BpeMergeSql: String =
+    duckBpeCtes(graft.operators.BpeTrainer.Rounds) + "\n" +
+      (1 to graft.operators.BpeTrainer.Rounds).map { r =>
+        s"""SELECT CAST($r AS INTEGER) AS round, lft, rgt,
+           |       lft || rgt AS merged, pair_count
+           |FROM b$r""".stripMargin
+      }.mkString("\nUNION ALL\n")
+
+  private val BpeVocabSql: String =
+    duckBpeCtes(graft.operators.BpeTrainer.Rounds) + "\n" +
+      s"""SELECT token, CAST(SUM(cnt) AS BIGINT) AS total_cnt FROM (
+         |  SELECT unnest(string_split(syms, ' ')) AS token, cnt
+         |  FROM v${graft.operators.BpeTrainer.Rounds})
+         |GROUP BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q(
       "q180_dsir_weights",
@@ -302,6 +469,76 @@ object ModelQueries {
           Tables.documents(spark, dir), "text", "doc_id", "source",
           targetPred = col("lang") === "en",
           trainPred = col("lang") === "en")
+    ),
+    Q(
+      "q199_perceptron_score",
+      "Trained discriminative classifier (batch perceptron, " +
+        s"${graft.operators.Perceptron.Rounds} rounds over " +
+        s"${graft.operators.Perceptron.Buckets} hashed token-count " +
+        "features + bias): the fastText-style quality/language gate " +
+        "beside DSIR (q180) and the reference LM (q181). All-integer " +
+        "training — misclassified means y*(w.x+b) <= 0, updates are " +
+        "integer count sums — so the unrolled-round oracle checks the " +
+        "TRAINED model bit-for-bit, margins included. The model is " +
+        "buckets+1 longs collected per round (bounded plan scalars, " +
+        "never data); the feature table shuffles twice per round " +
+        "(doc-keyed margins with map-side combine, bucket-keyed " +
+        "update), and scoring is one more margin pass — nothing " +
+        "driver-side scales with the corpus.",
+      Some(PerceptronFinalSql),
+      (spark, dir) =>
+        graft.operators.Perceptron.trainScore(
+          Tables.documents(spark, dir), "text", "doc_id",
+          targetPred = col("lang") === "en")
+    ),
+    Q(
+      "q200_perceptron_trace",
+      "Per-round perceptron training-error trace (round, n_mis, " +
+        "n_docs), measured under the weights ENTERING each round — " +
+        "the convergence audit read before trusting q199's gate " +
+        "(round 1 is all-misclassified by construction: zero weights " +
+        "put every doc on the boundary and the boundary counts as " +
+        "wrong). Same unrolled integer chain as q199's oracle, so the " +
+        "two can never drift.",
+      Some(PerceptronTraceSql),
+      (spark, dir) =>
+        graft.operators.Perceptron.errorTrace(
+          Tables.documents(spark, dir), "text", "doc_id",
+          targetPred = col("lang") === "en")
+    ),
+    Q(
+      "q201_bpe_train",
+      "Trained subword tokenizer (iterated BPE merge learning, " +
+        s"${graft.operators.BpeTrainer.Rounds} rounds): the " +
+        "vocabulary-building stage beside the trained classifier " +
+        "(q199) — q96 counts symbol pairs once; this LEARNS the merge " +
+        "table by iterating count-argmax-apply over the (distinct " +
+        "word, count) vocabulary. All-integer counts and literal " +
+        "string rewrites, so the unrolled-round oracle checks the " +
+        "learned merges bit-for-bit (ties broken ascending lft/rgt; " +
+        "application is two left-to-right literal replaces — see " +
+        "BpeTrainer's scaladoc for the exact-greedy caveat on 3+ " +
+        "same-symbol runs). Scale: the corpus is scanned ONCE for " +
+        "word counts; every round is a vocab-level aggregation " +
+        "(Zipf-bounded) plus a LIMIT-1 collect (the model row, never " +
+        "data).",
+      Some(BpeMergeSql),
+      (spark, dir) =>
+        graft.operators.BpeTrainer.mergeTable(
+          Tables.documents(spark, dir), "text")
+    ),
+    Q(
+      "q202_bpe_vocab",
+      "Corpus token frequencies under the FINAL learned BPE " +
+        "vocabulary (token, total_cnt) — the tokenizer artifact a " +
+        "training pipeline ships: the token space is alphabet + " +
+        "learned merges, bounded by construction at any corpus size. " +
+        "Same unrolled chain as q201's oracle, so the two can never " +
+        "drift.",
+      Some(BpeVocabSql),
+      (spark, dir) =>
+        graft.operators.BpeTrainer.tokenFrequencies(
+          Tables.documents(spark, dir), "text")
     )
   )
 

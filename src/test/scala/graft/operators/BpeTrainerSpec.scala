@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Ground truth for [[BpeTrainer]]: a scalar re-implementation of the
+  * same count-argmax-apply recurrence (same tie-break, same two-pass
+  * literal-replace application — Java `String.replace` has the
+  * identical left-to-right non-overlapping semantics as Spark's
+  * `replace` expression) must reproduce the learned merge table and the
+  * final token frequencies exactly; every quantity is an integer or a
+  * string, so equality is strict.
+  */
+class BpeTrainerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Scalar twin of [[BpeTrainer.train]] over (word -> cnt). */
+  private def scalarTrain(
+      words: Map[String, Long],
+      rounds: Int): (Seq[(Int, String, String, String, Long)], Map[String, Long]) = {
+    var vocab: Map[String, Long] = words.toSeq
+      .map { case (w, c) => (w.toCharArray.mkString(" "), c) }
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, cnt) <- vocab) {
+        val s = syms.split(" ")
+        for (i <- 0 until s.length - 1)
+          counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + cnt
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, g), c) = counts.toSeq
+          .sortBy { case ((l, g), c) => (-c, l, g) }.head
+        merges += ((r, l, g, l + g, c))
+        val pat = s" $l $g "
+        val rep = s" $l$g "
+        vocab = vocab.toSeq
+          .map { case (syms, cnt) =>
+            ((" " + syms + " ").replace(pat, rep).replace(pat, rep).trim, cnt)
+          }
+          .groupBy(_._1).map { case (s2, grp) => s2 -> grp.map(_._2).sum }
+      }
+      r += 1
+    }
+    (merges.result(), vocab)
+  }
+
+  private def scalarWords(texts: Seq[String]): Map[String, Long] =
+    texts
+      .flatMap(_.toLowerCase.trim.split("\\s+"))
+      .filter(_.matches("^[a-z]+$"))
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+
+  private val texts = Seq(
+    "low low lower",
+    "lowest low lower",
+    "newer new newest",
+    "wider wide new")
+  private val docs =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("mergeTable equals the scalar recurrence (order, ties, counts)") {
+    val (merges, _) = scalarTrain(scalarWords(texts), BpeTrainer.Rounds)
+    val got = BpeTrainer.mergeTable(docs, "text")
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == merges)
+  }
+
+  test("tokenFrequencies equals the scalar final vocabulary") {
+    val (_, vocab) = scalarTrain(scalarWords(texts), BpeTrainer.Rounds)
+    val expected = vocab.toSeq
+      .flatMap { case (syms, cnt) => syms.split(" ").map((_, cnt)) }
+      .groupBy(_._1).map { case (t, g) => (t, g.map(_._2).sum) }
+    val got = BpeTrainer.tokenFrequencies(docs, "text")
+      .as[(String, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("stops early when every word is fully merged") {
+    val tiny = Seq((1L, "ab ab b a")).toDF("doc_id", "text")
+    // Round 1 merges (a,b) -> "ab"; afterwards no word has 2+ symbols.
+    val got = BpeTrainer.mergeTable(tiny, "text")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", "b", "ab", 2L)))
+  }
+
+  test("two-pass replace merges back-to-back occurrences in one round") {
+    // "abab" -> "a b a b"; pair (a,b) wins round 1. A single replace
+    // pass would leave "ab a b" (the match consumes the shared boundary
+    // space); the second pass must yield "ab ab".
+    val tiny = Seq((1L, "abab")).toDF("doc_id", "text")
+    val got = BpeTrainer.tokenFrequencies(tiny, "text", rounds = 1)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("ab" -> 2L))
+  }
+}
