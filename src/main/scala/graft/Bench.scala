@@ -297,13 +297,23 @@ object Bench {
           }),
           "q176_truss_peel" -> ((s: SparkSession, d: String) =>
             SparkEntry.queries("q176_truss_peel")(s, d))),
-        // Incremental triangle refresh vs rebuild: the fold line is what
-        // one arrival batch pays to update the fingerprint state
-        // (touched re-hash; stored build already timed under q173), the
-        // refresh line re-derives counts/truss/stats from the folded
-        // node-sized state (no adjacency shuffle), and the rebuild line
-        // is the from-scratch comparator on the SAME merged graph —
-        // read refresh against rebuild; refresh < rebuild is the win.
+        // Incremental triangle refresh: the fold line is what one
+        // arrival batch pays to update the fingerprint state (touched
+        // re-hash; stored build already timed under q173), the refresh
+        // line re-derives counts/truss/stats from the folded node-sized
+        // state (no adjacency shuffle). The refresh-vs-rebuild
+        // COMPARISON lives at the scaled16 geometry below (the r15
+        // verdict: at fixture scale the shared quotient + product tail
+        // dominates both sides and the pair measures a tie, 9.05 vs
+        // 9.39 s — not the asymptotics); the fixture-scale rebuild
+        // comparator line was retired with it, its equality still
+        // spec-pinned (TriangleRefreshSpec). At scaled16 the rebuild's
+        // adjacency shuffle grows ScaleCopies x while the refresh
+        // regroups a node-sized fingerprint table — read the scaled
+        // pair's DIFFERENCE (shared tail scales identically on both
+        // sides); scaled16_refresh < scaled16_rebuild by roughly the
+        // q173 fingerprint-level margin is the product-level form of
+        // the 100 TB claim.
         "q178_triangle_refresh" -> Seq(
           "q178_twinffp_fold" -> ((s: SparkSession, d: String) => {
             graft.queries.TwinFoldPhases.buildFolded(s, d)
@@ -313,12 +323,20 @@ object Bench {
             graft.queries.TrianglePhases.refresh(s, d)
             s.emptyDataFrame
           }),
-          "q178_tri_rebuild" -> ((s: SparkSession, d: String) => {
-            graft.queries.TrianglePhases.rebuildMerged(s, d)
+          "q178_triangle_refresh" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q178_triangle_refresh")(s, d)),
+          "q178_scaledffp_fold" -> ((s: SparkSession, d: String) => {
+            graft.queries.TwinFoldPhases.buildFoldedScaled(s, d)
             s.emptyDataFrame
           }),
-          "q178_triangle_refresh" -> ((s: SparkSession, d: String) =>
-            SparkEntry.queries("q178_triangle_refresh")(s, d))),
+          "q178_scaled16_refresh" -> ((s: SparkSession, d: String) => {
+            graft.queries.TrianglePhases.scaledRefresh(s, d)
+            s.emptyDataFrame
+          }),
+          "q178_scaled16_rebuild" -> ((s: SparkSession, d: String) => {
+            graft.queries.TrianglePhases.scaledRebuildMerged(s, d)
+            s.emptyDataFrame
+          })),
         // Incremental z-compaction: base write is the one-shot layout
         // cost; zingest (append + touched-bucket compaction) is what
         // every arrival batch pays — it must stay arrival-sized as the
@@ -351,15 +369,40 @@ object Bench {
         (n, f, timeOne(n, f))
       }
     }
+    // Single-timed lines (r15 verdict item 6 — bench wall-time budget):
+    // pure BUILD/COMPARATOR phases, where the measurement is a one-shot
+    // ingest or demonstration cost, run ONCE instead of min-of-2 — the
+    // re-run doubled the bench wall for numbers whose round-to-round
+    // drift is already audited by the cross-round `best` column (every
+    // line here is idempotent and its floor survives in the best map).
+    // The trade is explicit: a CPU-steal spike on one of these lines
+    // shows in that round's number, so they are EXCLUDED from
+    // regressed_vs_best (a single-run spike is noise by protocol) and
+    // listed in the JSON line as "single_timed" so the exclusion is
+    // auditable. PROBE lines and headline fold-cost lines (what a
+    // repeat query / arrival batch pays) keep min-of-2.
+    val singleTimed: Set[String] = Set(
+      "dupgraph_build", "dupgraph_derive", "dupgraph_serving",
+      "dupgraph_touched", "cdcfp_build", "q64_bucketed_build",
+      "q79_ivf_build", "q85_kmeans_train", "q156_ivf_base_build",
+      "q157_decontam_v1_build", "q160_hll_stored_build",
+      "q162_cm_stored_build", "q163_hdr_stored_build",
+      "q164_kmv_stored_build", "q166_zbase_write",
+      "q173_twinfp_stored_build", "q173_scaledfp_build",
+      "q178_scaledffp_fold", "q178_scaled16_refresh",
+      "q178_scaled16_rebuild")
     // Noise protocol (round-9 VERDICT): this host shows intermittent CPU
-    // steal that can inflate a single run 3-10x, so EVERY query is timed
-    // twice within the run and reports min-of-2 — the mechanical version
-    // of "early-round totals are representative". Build phases re-run
-    // their (idempotent) build; memoized probes stay probes.
+    // steal that can inflate a single run 3-10x, so every NON-build query
+    // is timed twice within the run and reports min-of-2 — the mechanical
+    // version of "early-round totals are representative". Build phases
+    // re-run their (idempotent) build; memoized probes stay probes.
     val results = firstPass.map { case (name, fn, t1) =>
-      // A failed retry must not clobber a valid first measurement.
-      val t2 = timeOne(name, fn)
-      name -> (if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
+      if (singleTimed(name) && t1 >= 0) name -> t1
+      else {
+        // A failed retry must not clobber a valid first measurement.
+        val t2 = timeOne(name, fn)
+        name -> (if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
+      }
     }
     def fmt(v: Double): String =
       if (v < 0) "-1"
@@ -509,7 +552,8 @@ object Bench {
     // output with its round + reason), so every entry below is a genuine
     // investigation candidate.
     val regressed = results.collect {
-      case (k, v) if v >= 0 && priorBest.get(k).exists(b => v > 1.5 * b) => k
+      case (k, v) if v >= 0 && !singleTimed(k) &&
+        priorBest.get(k).exists(b => v > 1.5 * b) => k
     }
     val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val floorJson = bestFloorReset.toSeq.sortBy(_._1).map {
@@ -523,8 +567,10 @@ object Bench {
     // An isolation run is marked and writes to its own file: its total is
     // meaningless and must never shadow a round's full map.
     val onlyTag = if (only.isDefined) "\"only\":true," else ""
+    val singleTimedJson = results.collect { case (k, _) if singleTimed(k) => k }
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{$onlyTag"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"best":$fullBest,"regressed_vs_best":$regressedJson,"best_floor_reset":$floorJson$zorderMetrics,"sf":"$sfDir"}"""
+      s"""{$onlyTag"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"best":$fullBest,"regressed_vs_best":$regressedJson,"single_timed":$singleTimedJson,"best_floor_reset":$floorJson$zorderMetrics,"sf":"$sfDir"}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
@@ -538,7 +584,7 @@ object Bench {
     val slowestBest = slowTail
       .map { case (k, _) => "\"" + k + "\":" + fmt(best(k)) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"best":$slowestBest,"regressed_vs_best":$regressedJson,"best_floor_reset":$floorJson$zorderMetrics,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"best":$slowestBest,"regressed_vs_best":$regressedJson,"single_timed":$singleTimedJson,"best_floor_reset":$floorJson$zorderMetrics,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

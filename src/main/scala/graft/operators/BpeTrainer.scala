@@ -45,7 +45,13 @@ object BpeTrainer {
 
   /** Training rounds: enough to learn real digraph merges on the
     * fixture corpus, small enough that the unrolled oracle SQL stays
-    * readable.
+    * readable. DESIGN BOUND (the `maxId` pattern): [[train]] is
+    * one-merge-per-round — exact greedy BPE, the audit-grade face whose
+    * oracle unrolls bit-for-bit — so a production vocabulary (~32k
+    * merges) would cost ~2 Spark jobs per merge under it. The
+    * throughput face is [[trainBatched]], which amortizes K
+    * non-overlapping merges per round at the standard cost of a
+    * coarser merge order.
     */
   val Rounds = 6
 
@@ -122,6 +128,111 @@ object BpeTrainer {
       r += 1
     }
     (merges.toSeq, v)
+  }
+
+  /** Batched-rounds config (see [[trainBatched]]): merges accepted per
+    * round, and the fixed candidate window the greedy disjoint
+    * selection scans. The window is part of the CONTRACT (the oracle
+    * truncates identically), not a tuning knob: both engines rank the
+    * full pair-count table, keep the top [[BatchCandidates]], and
+    * greedily accept disjoint merges from that prefix.
+    */
+  val BatchK = 2
+  val BatchRounds = 3
+  val BatchCandidates = 16
+
+  /** One merge of a batched round: `slot` is its 1-based acceptance
+    * position within the round's greedy scan.
+    */
+  final case class BatchMerge(
+      round: Int, slot: Int, lft: String, rgt: String, pairCount: Long)
+
+  /** Batched BPE training — the MERGE-THROUGHPUT face of [[train]]:
+    * each round accepts up to [[BatchK]] merges instead of one, so a
+    * production vocabulary (~32k merges) needs rounds/K Spark jobs
+    * rather than one per merge — the standard non-overlapping-batch
+    * trick. A candidate (l, r) joins the batch only if l, r, AND the
+    * concatenation l+r are all unused by earlier acceptances in the
+    * round (symbols OR concatenations): disjoint symbols mean neither
+    * rewrite can create, destroy, or consume the other's token-aligned
+    * ` l r ` occurrences (replacements re-supply their boundary
+    * spaces), and the concatenation guard keeps a later merge from
+    * swallowing tokens the earlier one just produced — so each
+    * accepted merge's recorded pair_count is exact at its application
+    * point and the batch result is independent of application order.
+    * Batched-greedy is a DIFFERENT (coarser) merge order than
+    * one-per-round exact greedy — the standard trade; at batchK = 1
+    * it degenerates to [[train]] exactly (spec-pinned).
+    *
+    * The greedy scan reads only the top [[BatchCandidates]] candidates
+    * (by count desc, lft, rgt) — a bounded collect per round even when
+    * the symbol-pair space grows with the learned vocabulary, and the
+    * oracle truncates at the same window so both engines pick from the
+    * identical prefix. A round that finds fewer than K disjoint
+    * candidates merges fewer; a round with no pairs stops training.
+    */
+  def trainBatched(
+      docs: DataFrame,
+      textCol: String,
+      rounds: Int = BatchRounds,
+      batchK: Int = BatchK,
+      candN: Int = BatchCandidates): (Seq[BatchMerge], DataFrame) = {
+    require(batchK >= 1 && candN >= batchK,
+      s"need candN >= batchK >= 1, got batchK=$batchK candN=$candN")
+    var v = vocab(docs, textCol).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[BatchMerge]()
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val cands = pairCounts(v)
+        .orderBy(desc("pair_count"), asc("lft"), asc("rgt"))
+        .limit(candN)
+        .collect()
+      if (cands.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set[String]()
+        val picked =
+          scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        for (row <- cands if picked.size < batchK) {
+          val l = row.getAs[String]("lft")
+          val g = row.getAs[String]("rgt")
+          if (!used(l) && !used(g) && !used(l + g)) {
+            picked += ((l, g, row.getAs[Long]("pair_count")))
+            used ++= Seq(l, g, l + g)
+          }
+        }
+        picked.zipWithIndex.foreach { case ((l, g, c), i) =>
+          merges += BatchMerge(r, i + 1, l, g, c)
+        }
+        val rewritten = picked.foldLeft(col("syms")) {
+          case (acc, (l, g, _)) => applyMerge(acc, l, g)
+        }
+        val nv = v.select(rewritten.as("syms"), col("cnt"))
+          .localCheckpoint(true)
+        Checkpoints.release(v)
+        v = nv
+      }
+      r += 1
+    }
+    (merges.toSeq, v)
+  }
+
+  /** The batched merge table: (round, slot, lft, rgt, merged,
+    * pair_count) — up to [[BatchK]] rows per round in acceptance order.
+    */
+  def mergeTableBatched(
+      docs: DataFrame,
+      textCol: String,
+      rounds: Int = BatchRounds,
+      batchK: Int = BatchK,
+      candN: Int = BatchCandidates): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, v) = trainBatched(docs, textCol, rounds, batchK, candN)
+    Checkpoints.release(v)
+    merges
+      .map(m => (m.round, m.slot, m.lft, m.rgt, m.lft + m.rgt, m.pairCount))
+      .toDF("round", "slot", "lft", "rgt", "merged", "pair_count")
   }
 
   /** The learned merge table: (round, lft, rgt, merged, pair_count),

@@ -115,29 +115,37 @@ object Perceptron {
     val trace = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
     val nDocs = feat.select(col(idCol)).distinct().count()
     for (r <- 1 to rounds) {
-      val m = margins(feat, idCol, w, bias)
-      val mis = m
+      // The misclassified set feeds the update plan THREE times (the
+      // feature join + both synthetic-bucket branches); left lazy, only
+      // the shuffle exchange under the margin aggregation is reused and
+      // the post-shuffle agg + filter recompute per reference.
+      // Materialize it once per round — it is at most doc-count-sized
+      // (id, y), the same node-sized budget as `feat`'s checkpoint.
+      val mis = margins(feat, idCol, w, bias)
         .filter(col("y") * col("margin") <= 0)
         .select(col(idCol), col("y").as("mis_y"))
-      // Bias update (constant-1 feature) rides as bucket -1; the error
-      // count rides as bucket -2 — one job collects model + trace row.
-      val updates = feat
-        .join(mis.select(col(idCol)), idCol)
-        .select(col("bucket"), (col("y") * col("cnt")).as("d"))
-        .unionByName(mis.select(lit(-1L).as("bucket"), col("mis_y").as("d")))
-        .unionByName(mis.select(lit(-2L).as("bucket"), lit(1L).as("d")))
-        .groupBy("bucket")
-        .agg(sum("d").as("dw"))
-        .collect()
-      var nMis = 0L
-      for (row <- updates) {
-        val b = row.getLong(0)
-        val d = row.getLong(1)
-        if (b == -2L) nMis = d
-        else if (b == -1L) bias += d
-        else w(b.toInt) = w(b.toInt) + d
-      }
-      trace += ((r, nMis, nDocs))
+        .localCheckpoint(true)
+      try {
+        // Bias update (constant-1 feature) rides as bucket -1; the error
+        // count rides as bucket -2 — one job collects model + trace row.
+        val updates = feat
+          .join(mis.select(col(idCol)), idCol)
+          .select(col("bucket"), (col("y") * col("cnt")).as("d"))
+          .unionByName(mis.select(lit(-1L).as("bucket"), col("mis_y").as("d")))
+          .unionByName(mis.select(lit(-2L).as("bucket"), lit(1L).as("d")))
+          .groupBy("bucket")
+          .agg(sum("d").as("dw"))
+          .collect()
+        var nMis = 0L
+        for (row <- updates) {
+          val b = row.getLong(0)
+          val d = row.getLong(1)
+          if (b == -2L) nMis = d
+          else if (b == -1L) bias += d
+          else w(b.toInt) = w(b.toInt) + d
+        }
+        trace += ((r, nMis, nDocs))
+      } finally Checkpoints.release(mis)
     }
     Model(w, bias, trace.toSeq)
   }

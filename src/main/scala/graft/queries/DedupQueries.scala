@@ -2837,36 +2837,35 @@ object TrianglePhases {
     ensure(spark, dir); spark.table(statsTable(dir))
   }
 
-  /** TRUE truss decomposition: peel the support cut to its fixed point
-    * (q170's table is the single cut — iteration 1), then re-component
-    * at quotient level. Built on demand, separately from [[build]], so
-    * the peel rounds bench as their own `q176_peel_build` line rather
-    * than inflating the single-cut family's build.
+  /** TRUE truss decomposition at the q176 operating point
+    * (minSupport = 1): the table of the peel's FIXED POINT, derived
+    * entirely from the PERSISTED base decomposition. The theorem
+    * TrianglesSpec pins ("minSupport = 1 peel converges after ONE
+    * cut") makes the single cut provably the fixed point — a support-0
+    * edge is in no triangle, so removing it changes no survivor's
+    * support — and therefore the peel's canonicals EQUAL the
+    * single-cut canonicals computed with the base graph's own
+    * decomposition. Every input to that computation is an already-
+    * persisted phase product (vclsTable + qTable): survive conditions
+    * are class arithmetic on the tiny quotient, components run at
+    * quotient level, and the only node-sized work is the final
+    * expansion join — NO pass over the multi-million-row edge stream
+    * at all. (Until r16 this build ran the peel loop and then
+    * re-collapsed the cut graph from scratch — 14.5 s at sf0.1 — to
+    * derive a provably identical table; TriangleRefreshSpec pins the
+    * shortcut against that general-path ground truth. The general
+    * peel, [[Triangles.trussPeelCollapsedWithDecomp]], remains the
+    * operator for thresholds >= 2, where the cut genuinely cascades.)
     */
   def buildPeeled(spark: SparkSession, dir: String): Unit = synchronized {
-    // The single-cut family's build persists the base graph's twin
-    // decomposition (vclsTable); round 0 of the peel runs on exactly
-    // that graph, so seeding it skips the first adjacency-fingerprint
-    // pass. ensure() is amortized serving state either way — q167's
-    // products are built before any peel consumer runs.
     ensure(spark, dir)
     val e = DupGraphPhases.pairs(spark, dir).select("doc_a", "doc_b")
-    // At minSupport = 1 the peel takes the theorem-backed single-cut
-    // shortcut (no confirmation round) and claims no decomposition, so
-    // the canonicals product re-derives the cut graph's classes — one
-    // fingerprint pass total instead of the former two-rounds-plus-one.
-    // At higher thresholds WithDecomp hands the converged round's
-    // classes over and canonicals skips its pass entirely.
-    val (fixed, fixedVcls) = Triangles.trussPeelCollapsedWithDecomp(
-      e, "doc_a", "doc_b", minSupport = 1L, maxIters = PeelMaxIters,
-      firstVcls = Some(spark.table(vclsTable(dir))),
-      firstQ = Some(spark.table(qTable(dir))))
     Bucketing.dropWithLocation(spark, peeledTable(dir))
     Triangles.trussCanonicalsCollapsed(
-        fixed, "doc_a", "doc_b", minSupport = 1L, vclsOpt = fixedVcls)
+        e, "doc_a", "doc_b", minSupport = 1L,
+        vclsOpt = Some(spark.table(vclsTable(dir))),
+        qOpt = Some(spark.table(qTable(dir))))
       .write.format("parquet").saveAsTable(peeledTable(dir))
-    Checkpoints.release(fixed)
-    fixedVcls.foreach(Checkpoints.release)
     built += peeledTable(dir)
   }
 
@@ -2923,6 +2922,53 @@ object TrianglePhases {
     writeProducts(spark, e, vcls,
       s"graft_tricntx_$tag", s"graft_trussx_$tag", s"graft_twinstx_$tag")
   }
+
+  def scRefCntTable(dir: String): String = s"graft_tricnts_${Q.scratchTag(dir)}"
+  def scRefTrussTable(dir: String): String = s"graft_trusss_${Q.scratchTag(dir)}"
+  def scRefStatsTable(dir: String): String = s"graft_twinsts_${Q.scratchTag(dir)}"
+
+  /** [[refresh]] at the SCALED-STORED geometry (the q173_scaled16
+    * device, applied to the full products): stored graph =
+    * [[TwinFoldPhases.ScaleCopies]] id-shifted copies of the even pair
+    * graph, arrival = the single-copy bounded delta. The r15 verdict's
+    * point: at fixture scale refresh and rebuild tie (9.05 vs 9.39 s —
+    * the shared quotient + product tail dominates both), so the margin
+    * the refresh exists for — skipping the full adjacency shuffle —
+    * needs a geometry where that shuffle GROWS while the fold's
+    * touched volume does not. Here the rebuild's twinClasses must
+    * re-hash ScaleCopies x the adjacency volume; the refresh regroups
+    * the (node-sized) folded fingerprint table. The shared tail
+    * (quotient pass + class-arithmetic products) scales identically on
+    * both sides, so read the PAIR's difference, not either line alone.
+    * Spec-pinned equal to [[scaledRebuildMerged]] (TriangleRefreshSpec).
+    */
+  def scaledRefresh(spark: SparkSession, dir: String): Unit = synchronized {
+    TwinFoldPhases.ensureFoldedScaled(spark, dir)
+    val e = TwinFoldPhases.scaledMergedPairs(spark, dir)
+    val vcls = Triangles.classesFromFingerprints(
+      spark.table(TwinFoldPhases.foldedScaledTable(dir))).localCheckpoint()
+    writeProducts(spark, e, vcls,
+      scRefCntTable(dir), scRefTrussTable(dir), scRefStatsTable(dir))
+    built += scRefCntTable(dir)
+  }
+
+  def ensureScaledRefreshed(spark: SparkSession, dir: String): Unit =
+    synchronized {
+      if (!built.contains(scRefCntTable(dir))) scaledRefresh(spark, dir)
+    }
+
+  /** The from-scratch comparator for [[scaledRefresh]]: full adjacency
+    * shuffle of the scaled merged graph, identical product tail,
+    * throwaway tables so both sides pay the same materialization.
+    */
+  def scaledRebuildMerged(spark: SparkSession, dir: String): Unit =
+    synchronized {
+      val e = TwinFoldPhases.scaledMergedPairs(spark, dir)
+      val vcls = Triangles.twinClasses(e, "doc_a", "doc_b").localCheckpoint()
+      val tag = Q.scratchTag(dir)
+      writeProducts(spark, e, vcls,
+        s"graft_tricntsx_$tag", s"graft_trusssx_$tag", s"graft_twinstsx_$tag")
+    }
 
   /** Shared product-materialization tail of [[build]]/[[refresh]]/
     * [[rebuildMerged]]: quotient once, three collapsed products, all
@@ -3186,6 +3232,43 @@ object TwinFoldPhases {
   def ensureFolded(spark: SparkSession, dir: String): Unit = synchronized {
     if (!built.contains(foldedTable(dir))) buildFolded(spark, dir)
   }
+
+  def foldedScaledTable(dir: String): String =
+    s"graft_twinsffp_${Q.scratchTag(dir)}"
+
+  /** The merged graph at the scaled geometry: scaled stored copies ∪
+    * the single-copy bounded delta. PROVABLY disjoint (no defensive
+    * distinct): every scaled-even endpoint is even (the id shift is a
+    * multiple of [[ScaleOffset]], itself even), while every bounded-
+    * delta pair carries an endpoint ≡ 1 mod 50 — odd.
+    */
+  def scaledMergedPairs(spark: SparkSession, dir: String): DataFrame = {
+    ensureScaled(spark, dir)
+    ensureBoundedDelta(spark, dir)
+    spark.table(scaledEvenTable(dir))
+      .unionByName(spark.table(boundedDeltaTable(dir)))
+  }
+
+  /** Fold the bounded delta into the SCALED stored fingerprints and
+    * persist — the node-sized state [[TrianglePhases.scaledRefresh]]
+    * regroups. Same fold as the q173_scaled16_fold bench line, kept as
+    * a table so the product refresh starts from served state exactly as
+    * the fixture-scale [[buildFolded]] does.
+    */
+  def buildFoldedScaled(spark: SparkSession, dir: String): Unit =
+    synchronized {
+      val folded = scaledFold(spark, dir).localCheckpoint()
+      try {
+        Bucketing.dropWithLocation(spark, foldedScaledTable(dir))
+        folded.write.format("parquet").saveAsTable(foldedScaledTable(dir))
+      } finally Checkpoints.release(folded)
+      built += foldedScaledTable(dir)
+    }
+
+  def ensureFoldedScaled(spark: SparkSession, dir: String): Unit =
+    synchronized {
+      if (!built.contains(foldedScaledTable(dir))) buildFoldedScaled(spark, dir)
+    }
 }
 
 /** Session-memoized build/probe phases for the persisted CDC

@@ -292,6 +292,112 @@ object ModelQueries {
          |  FROM v${graft.operators.BpeTrainer.Rounds})
          |GROUP BY 1""".stripMargin
 
+  /** q177's oracle: the corpus ENCODE under the trained tokenizer.
+    * Reuses the q201/q202 training chain verbatim, then rebuilds the
+    * lexicon from the final vocab (`replace(syms, ' ', '')` is
+    * lossless — symbols never contain spaces) and joins the exploded
+    * corpus words onto it, exactly as
+    * [[graft.operators.BpeTrainer.encode]] broadcast-joins.
+    */
+  private val BpeEncodeSql: String = {
+    val R = graft.operators.BpeTrainer.Rounds
+    duckBpeCtes(R) + "\n" +
+      s""", lex AS MATERIALIZED (
+         |  SELECT replace(syms, ' ', '') AS word,
+         |         CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_tokens_w
+         |  FROM v$R
+         |), dw AS (
+         |  SELECT doc_id, w AS word FROM (
+         |    SELECT doc_id,
+         |           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+         |    FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+$$')
+         |)
+         |SELECT dw.doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(lex.n_tokens_w) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(length(dw.word)) AS BIGINT) AS n_chars
+         |FROM dw JOIN lex ON lex.word = dw.word
+         |GROUP BY dw.doc_id""".stripMargin
+  }
+
+  /** Unrolled BATCHED-BPE oracle (q203): per round, pair counts `p{r}`
+    * truncate to the top-[[graft.operators.BpeTrainer.BatchCandidates]]
+    * window `c{r}` (count desc, lft, rgt — the same fixed window the
+    * operator collects), slot 1 `ba{r}` is the window's argmax, slot 2
+    * `bb{r}` the best window row DISJOINT from slot 1 (neither symbol
+    * nor its concatenation may equal slot 1's lft, rgt, or lft||rgt),
+    * and `v{r}` applies slot 1's two-pass rewrite then slot 2's —
+    * composed exactly as the operator folds [[graft.operators
+    * .BpeTrainer.applyMerge]], trim-and-repad between merges included.
+    * NOT IN over an empty `bb{r}`/`ba{r}` is vacuously true and the
+    * COALESCE(chr(1)) guard turns a missing slot into a no-op rewrite,
+    * so short rounds degrade identically in both engines.
+    */
+  private def duckBpeBatchedCtes(rounds: Int): String = {
+    val candN = graft.operators.BpeTrainer.BatchCandidates
+    def applied(inner: String, b: String): String = {
+      val pat = s"COALESCE((SELECT ' ' || lft || ' ' || rgt || ' ' FROM $b), chr(1))"
+      val rep = s"COALESCE((SELECT ' ' || lft || rgt || ' ' FROM $b), '')"
+      s"trim(replace(replace(' ' || $inner || ' ', $pat, $rep), $pat, $rep))"
+    }
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH words AS MATERIALIZED (
+         |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+         |    FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1
+         |), v0 AS MATERIALIZED (
+         |  SELECT array_to_string(
+         |           list_transform(range(1, length(word) + 1), i -> word[i:i]),
+         |           ' ') AS syms,
+         |         cnt
+         |  FROM words
+         |)""".stripMargin
+    for (r <- 1 to rounds) {
+      val usedA =
+        s"(SELECT lft FROM ba$r UNION SELECT rgt FROM ba$r UNION SELECT lft || rgt FROM ba$r)"
+      sb ++=
+        s""", p$r AS MATERIALIZED (
+           |  SELECT s[i] AS lft, s[i + 1] AS rgt,
+           |         CAST(SUM(cnt) AS BIGINT) AS pair_count
+           |  FROM (SELECT string_split(syms, ' ') AS s, cnt FROM v${r - 1}),
+           |       UNNEST(range(1, len(s))) AS u(i)
+           |  GROUP BY 1, 2
+           |), c$r AS MATERIALIZED (
+           |  SELECT lft, rgt, pair_count FROM p$r
+           |  ORDER BY pair_count DESC, lft, rgt LIMIT $candN
+           |), ba$r AS MATERIALIZED (
+           |  SELECT lft, rgt, pair_count FROM c$r
+           |  ORDER BY pair_count DESC, lft, rgt LIMIT 1
+           |), bb$r AS MATERIALIZED (
+           |  SELECT lft, rgt, pair_count FROM c$r
+           |  WHERE lft NOT IN $usedA
+           |    AND rgt NOT IN $usedA
+           |    AND lft || rgt NOT IN $usedA
+           |  ORDER BY pair_count DESC, lft, rgt LIMIT 1
+           |), v$r AS MATERIALIZED (
+           |  SELECT ${applied(applied("syms", s"ba$r"), s"bb$r")} AS syms,
+           |         cnt
+           |  FROM v${r - 1}
+           |)""".stripMargin
+    }
+    sb.toString
+  }
+
+  private val BpeBatchedSql: String =
+    duckBpeBatchedCtes(graft.operators.BpeTrainer.BatchRounds) + "\n" +
+      (1 to graft.operators.BpeTrainer.BatchRounds).flatMap { r =>
+        Seq(
+          s"""SELECT CAST($r AS INTEGER) AS round, CAST(1 AS INTEGER) AS slot,
+             |       lft, rgt, lft || rgt AS merged, pair_count
+             |FROM ba$r""".stripMargin,
+          s"""SELECT CAST($r AS INTEGER) AS round, CAST(2 AS INTEGER) AS slot,
+             |       lft, rgt, lft || rgt AS merged, pair_count
+             |FROM bb$r""".stripMargin)
+      }.mkString("\nUNION ALL\n")
+
   val all: Seq[Q] = Seq(
     Q(
       "q180_dsir_weights",
@@ -538,6 +644,44 @@ object ModelQueries {
       Some(BpeVocabSql),
       (spark, dir) =>
         graft.operators.BpeTrainer.tokenFrequencies(
+          Tables.documents(spark, dir), "text")
+    ),
+    Q(
+      "q177_bpe_encode",
+      "Corpus ENCODE under the trained tokenizer — the production step " +
+        "a pipeline runs after q201's training: per doc (n_words, " +
+        "n_tokens, n_chars) where n_tokens counts each ^[a-z]+$ word's " +
+        "tokens under the final merged vocabulary, the integer " +
+        "numerator/denominator of the tokens-per-word and chars-per-" +
+        "token compression ratios. The lexicon (distinct word -> token " +
+        "count) is rebuilt LOSSLESSLY from the trained vocab " +
+        "(replace(syms, ' ', '') — symbols never contain spaces) and " +
+        "broadcast-hash-joined from the exploded corpus words: training " +
+        "never re-runs per doc, and nothing but (doc_id)-keyed partial " +
+        "aggregates ever shuffles, at any corpus size. (This id also " +
+        "closes the registry's historical q176 -> q178 numbering skip.)",
+      Some(BpeEncodeSql),
+      (spark, dir) =>
+        graft.operators.BpeTrainer.encode(
+          Tables.documents(spark, dir), "text", "doc_id")
+    ),
+    Q(
+      "q203_bpe_batched",
+      "BATCHED BPE training — the merge-throughput face of q201: each " +
+        s"round accepts up to ${graft.operators.BpeTrainer.BatchK} " +
+        "pairwise-DISJOINT merges (neither symbol nor the concatenation " +
+        "may collide with an earlier acceptance's symbols or " +
+        "concatenation) from a fixed top-" +
+        s"${graft.operators.BpeTrainer.BatchCandidates} candidate " +
+        "window, so a production vocabulary costs rounds/K Spark jobs " +
+        "instead of one per merge. Disjointness makes the batch " +
+        "order-independent and every recorded pair_count exact at its " +
+        "application point; batchK = 1 degenerates to q201's exact " +
+        "greedy (spec-pinned). The oracle unrolls window, both slots, " +
+        "and the composed two-pass rewrites bit-for-bit.",
+      Some(BpeBatchedSql),
+      (spark, dir) =>
+        graft.operators.BpeTrainer.mergeTableBatched(
           Tables.documents(spark, dir), "text")
     )
   )

@@ -99,4 +99,109 @@ class BpeTrainerSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(got == Map("ab" -> 2L))
   }
+
+  /** Scalar twin of [[BpeTrainer.trainBatched]]: candidate window,
+    * greedy disjoint acceptance (symbols AND concatenations unused),
+    * merges applied in acceptance order, each as the two-pass replace.
+    */
+  private def scalarTrainBatched(
+      words: Map[String, Long],
+      rounds: Int,
+      batchK: Int,
+      candN: Int): (Seq[(Int, Int, String, String, String, Long)], Map[String, Long]) = {
+    var vocab: Map[String, Long] = words.toSeq
+      .map { case (w, c) => (w.toCharArray.mkString(" "), c) }
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+    val merges = Seq.newBuilder[(Int, Int, String, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, cnt) <- vocab) {
+        val s = syms.split(" ")
+        for (i <- 0 until s.length - 1)
+          counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + cnt
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val cands = counts.toSeq
+          .sortBy { case ((l, g), c) => (-c, l, g) }.take(candN)
+        val used = scala.collection.mutable.Set[String]()
+        val picked = Seq.newBuilder[(String, String, Long)]
+        var n = 0
+        for (((l, g), c) <- cands if n < batchK) {
+          if (!used(l) && !used(g) && !used(l + g)) {
+            picked += ((l, g, c)); used ++= Seq(l, g, l + g); n += 1
+          }
+        }
+        val ps = picked.result()
+        ps.zipWithIndex.foreach { case ((l, g, c), i) =>
+          merges += ((r, i + 1, l, g, l + g, c))
+        }
+        vocab = vocab.toSeq
+          .map { case (syms, cnt) =>
+            val out = ps.foldLeft(syms) { case (acc, (l, g, _)) =>
+              val pat = s" $l $g "
+              val rep = s" $l$g "
+              (" " + acc + " ").replace(pat, rep).replace(pat, rep).trim
+            }
+            (out, cnt)
+          }
+          .groupBy(_._1).map { case (s2, grp) => s2 -> grp.map(_._2).sum }
+      }
+      r += 1
+    }
+    (merges.result(), vocab)
+  }
+
+  test("mergeTableBatched equals the scalar batched recurrence") {
+    val (merges, _) = scalarTrainBatched(
+      scalarWords(texts), BpeTrainer.BatchRounds,
+      BpeTrainer.BatchK, BpeTrainer.BatchCandidates)
+    val got = BpeTrainer.mergeTableBatched(docs, "text")
+      .as[(Int, Int, String, String, String, Long)]
+      .collect().toSeq.sortBy(m => (m._1, m._2))
+    assert(got == merges)
+    // The fixture must actually exercise batching: at least one round
+    // accepts 2 disjoint merges (merges/job > 1, the point of the face).
+    assert(merges.groupBy(_._1).exists(_._2.size == BpeTrainer.BatchK))
+  }
+
+  test("trainBatched at batchK = 1 degenerates to the sequential trainer") {
+    val (seqMerges, _) = BpeTrainer.train(docs, "text")
+    val (batched, v) = BpeTrainer.trainBatched(
+      docs, "text", rounds = BpeTrainer.Rounds, batchK = 1)
+    graft.operators.Checkpoints.release(v)
+    assert(batched.map(m => (m.round, m.lft, m.rgt, m.pairCount)) ==
+      seqMerges.map(m => (m.round, m.lft, m.rgt, m.pairCount)))
+    assert(batched.forall(_.slot == 1))
+  }
+
+  test("disjointness guard defers an overlapping runner-up to the next round") {
+    // "a b c": round 1 counts (a,b) = (b,c) = 3; ties break ascending so
+    // slot 1 takes (a,b), and (b,c) shares b -> rejected. Round 2 then
+    // merges (ab, c) on the rewritten vocab.
+    val tiny = Seq((1L, "abc abc abc")).toDF("doc_id", "text")
+    val got = BpeTrainer.mergeTableBatched(tiny, "text")
+      .as[(Int, Int, String, String, String, Long)]
+      .collect().toSeq.sortBy(m => (m._1, m._2))
+    assert(got == Seq(
+      (1, 1, "a", "b", "ab", 3L),
+      (2, 1, "ab", "c", "abc", 3L)))
+  }
+
+  test("encode equals the scalar lexicon join") {
+    val (_, vocab) = scalarTrain(scalarWords(texts), BpeTrainer.Rounds)
+    val lex = vocab.keys
+      .map(s => s.replace(" ", "") -> s.split(" ").length.toLong).toMap
+    val expected = texts.zipWithIndex.flatMap { case (t, i) =>
+      val ws = t.toLowerCase.trim.split("\\s+").filter(_.matches("^[a-z]+$"))
+      if (ws.isEmpty) None
+      else Some((i.toLong, ws.length.toLong,
+        ws.map(lex).sum, ws.map(_.length.toLong).sum))
+    }.toSet
+    val got = BpeTrainer.encode(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
 }

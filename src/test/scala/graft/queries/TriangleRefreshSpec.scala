@@ -67,6 +67,42 @@ class TriangleRefreshSpec extends AnyFunSuite {
     assert(scaledV == TwinFoldPhases.ScaleCopies * baseV)
   }
 
+  test("peeled canonicals (decomposition shortcut) == general peel path") {
+    // r16's buildPeeled derives the q176 table straight from the
+    // persisted base decomposition (single cut == fixed point at
+    // minSupport = 1, the TrianglesSpec theorem); this pins it against
+    // the pre-r16 ground truth — run the general peel loop, then
+    // collapse the returned fixed graph from scratch.
+    TrianglePhases.ensurePeeled(spark, dir)
+    val got = canon(spark.table(TrianglePhases.peeledTable(dir)))
+    val e = DupGraphPhases.pairs(spark, dir).select("doc_a", "doc_b")
+    val (fixed, fixedVcls) = Triangles.trussPeelCollapsedWithDecomp(
+      e, "doc_a", "doc_b", minSupport = 1L,
+      maxIters = TrianglePhases.PeelMaxIters)
+    val want = canon(Triangles.trussCanonicalsCollapsed(
+      fixed, "doc_a", "doc_b", minSupport = 1L, vclsOpt = fixedVcls))
+    graft.operators.Checkpoints.release(fixed)
+    fixedVcls.foreach(graft.operators.Checkpoints.release)
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("scaled refresh products == scaled rebuild products (counts, truss, stats)") {
+    // The q178_scaled16_refresh / q178_scaled16_rebuild bench pair must
+    // compare equals, like its fixture-scale sibling below.
+    TrianglePhases.ensureScaledRefreshed(spark, dir)
+    TrianglePhases.scaledRebuildMerged(spark, dir)
+    val tag = Q.scratchTag(dir)
+    val pairs = Seq(
+      TrianglePhases.scRefCntTable(dir) -> s"graft_tricntsx_$tag",
+      TrianglePhases.scRefTrussTable(dir) -> s"graft_trusssx_$tag",
+      TrianglePhases.scRefStatsTable(dir) -> s"graft_twinstsx_$tag")
+    pairs.foreach { case (ref, rebuilt) =>
+      val got = canon(spark.table(ref))
+      val want = canon(spark.table(rebuilt))
+      assert(got.nonEmpty && got == want, s"$ref diverges from $rebuilt")
+    }
+  }
+
   test("refresh products == rebuildMerged products (counts, truss, stats)") {
     TrianglePhases.ensureRefreshed(spark, dir)
     TrianglePhases.rebuildMerged(spark, dir)
