@@ -432,7 +432,14 @@ object Bench {
         ("r6 reset: pre-r6 best predates the same one-phase -> sharded " +
           "two-phase interleave switch. r15 re-reset: standalone " +
           "min-of-2 gives 0.43 s vs the carried 0.213 s (same r8 " +
-          "warm-session artifact + best-map ride-forward as q90)")))
+          "warm-session artifact + best-map ride-forward as q90)")),
+      "q167_tri_build" -> (16 ->
+        ("r16 reset after the isolate re-measurement the r15 verdict " +
+          "asked for: SPARK_GRAFT_ONLY min-of-2 gives 11.3-13.5 s " +
+          "across two fresh sessions vs the carried r13 7.92 s - the " +
+          "same warm-session-artifact class as q90/q91 (operator " +
+          "unchanged; r15's in-run 10.1 s was inside the real " +
+          "envelope, not a drift)")))
     // Per-query best-so-far, merged from prior rounds' BENCH_r*.json in
     // the working directory: this host's CPU steal inflates single runs
     // 3-10x, so a round-over-round "regression" on an untouched path is

@@ -294,4 +294,77 @@ object TextAnalysis {
     val lenOk = when(chars >= 50.0 && chars <= 100000.0, 1.0).otherwise(0.0)
     (wordLenOk + punctOk + stopOk + lenOk) / lit(4.0)
   }
+
+  /** Per-document REPETITION metrics — the Gopher/MassiveText
+    * "repetition removal" filter family (Rae et al. 2021 §A1.1) on
+    * token streams: documents dominated by one word or by repeated
+    * n-grams are low-quality loops (boilerplate, keyword stuffing,
+    * scraper glitches) that survive the q50-style composite score
+    * because their MEAN statistics look normal. Output per doc:
+    *
+    *   - n_toks                  whitespace token count
+    *   - top_word_cnt            occurrences of the most frequent word
+    *   - dup2_mass / dup3_mass   total occurrences of every 2-/3-gram
+    *                             that occurs >= 2 times in the doc
+    *                             (ALL its occurrences count — the mass
+    *                             of looped text, not just the excess)
+    *   - top_word_frac           top_word_cnt / n_toks
+    *   - dup2_frac / dup3_frac   dup mass over the g-gram POSITION
+    *                             count (n_toks - g + 1; 0.0 when the
+    *                             doc is too short to have positions)
+    *   - keep                    the screen verdict at the registered
+    *                             thresholds
+    *
+    * Every numerator and denominator is an exact integer count; each
+    * fraction is ONE exact-operand double division, so the oracle
+    * reproduces the doubles bit for bit (the q-family device). Scale
+    * shape: one narrow gram explode per size, each aggregated by
+    * (doc_id, gram) with map-side combine, then doc-keyed rollups —
+    * nothing but doc-keyed partials ever shuffles, at any corpus size.
+    */
+  def repetitionStats(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      topWordMax: Double,
+      dup3Max: Double): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), wsTokens(col(textCol)).as("__t"))
+    val base = toks.select(col(idCol), size(col("__t")).cast("long").as("n_toks"))
+    val topWord = toks
+      .select(col(idCol), explode(col("__t")).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(max(col("__c")).as("top_word_cnt"))
+    // sequence(1, 0) DESCENDS in Spark ([1, 0]) rather than being
+    // empty, so a doc shorter than g needs the explicit empty-array
+    // branch (slice at position 0 throws).
+    def dupMass(g: Int, out: String) = toks
+      .select(col(idCol), explode(expr(
+        s"CASE WHEN size(__t) >= $g THEN " +
+          s"transform(sequence(1, size(__t) - ${g - 1}), " +
+          s"i -> array_join(slice(__t, i, $g), ' ')) " +
+          "ELSE array() END")).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+      .groupBy(col(idCol)).agg(sum(col("__c")).as(out))
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+    base
+      .join(topWord, Seq(idCol), "left")
+      .join(dupMass(2, "dup2_mass"), Seq(idCol), "left")
+      .join(dupMass(3, "dup3_mass"), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_toks"),
+        coalesce(col("top_word_cnt"), lit(0L)).as("top_word_cnt"),
+        coalesce(col("dup2_mass"), lit(0L)).as("dup2_mass"),
+        coalesce(col("dup3_mass"), lit(0L)).as("dup3_mass"))
+      .withColumn("top_word_frac",
+        frac(col("top_word_cnt"), col("n_toks")))
+      .withColumn("dup2_frac",
+        frac(col("dup2_mass"), greatest(col("n_toks") - 1, lit(0L))))
+      .withColumn("dup3_frac",
+        frac(col("dup3_mass"), greatest(col("n_toks") - 2, lit(0L))))
+      .withColumn("keep",
+        col("top_word_frac") <= topWordMax && col("dup3_frac") <= dup3Max)
+  }
 }

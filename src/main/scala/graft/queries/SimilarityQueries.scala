@@ -748,7 +748,16 @@ object SimilarityQueries {
         "code). Projections down-shift by 2^15 before the dot so the " +
         "products stay inside exact Long; the oracle re-renders the " +
         "whole chain — sign walk, floor shifts, coarse window, rerank " +
-        "— from the same constants.",
+        "— from the same constants. MEASURED VERDICT (r16 sweep, " +
+        "sf0.1): at native width 64 this tier is DOMINATED by the " +
+        "int8 two-stage on both axes (int8 recall 1.0 in 2.3 s; best " +
+        "JL point outDim=32/shortlist=256 recall 0.775 in 8.8 s) — " +
+        "the 64 x outDim sign-chain costs more than the full int8 dot " +
+        "it was meant to shortcut, and JL distortion swamps the " +
+        "corpus's neighbor margins. Retired as a production " +
+        "recommendation at this width (PLANS.md r16); kept as the " +
+        "correctness face of the JL primitive, whose payoff regime is " +
+        "native widths far above 64.",
       Some(duckProjTwoStageSql),
       (spark, dir) => {
         val e = Tables.embeddings(spark, dir)
@@ -765,7 +774,13 @@ object SimilarityQueries {
         "Reading q197 against q159 prices the representations: the " +
         "projection is 4x smaller than int8 codes (64 bytes vs 256 per " +
         "row at dim 64) and this row says what that compression costs " +
-        "in shortlist recall at the same rerank budget.",
+        "in shortlist recall at the same rerank budget. The r16 sweep " +
+        "answered it: at this native width the compression buys " +
+        "nothing — every (outDim, shortlist) point is dominated by " +
+        "int8 on cost AND recall (see q196's verdict note) — so this " +
+        "row now serves as the tier's retirement evidence, tracked so " +
+        "a regression in the EVIDENCE (not the operating point) would " +
+        "surface.",
       Some(
         s"""WITH ap AS (
            |  SELECT q_id, neighbor_id FROM (

@@ -42,6 +42,17 @@ object TextQueries {
       |        + (CASE WHEN stops / greatest(toks, 1.0) >= 0.05 THEN 1.0 ELSE 0.0 END)
       |        + (CASE WHEN chars BETWEEN 50.0 AND 100000.0 THEN 1.0 ELSE 0.0 END)) / 4.0""".stripMargin
 
+  /** q204 screen thresholds: chosen against the fixture distribution
+    * (top-word-frac p50 = .093 / p90 = .14 / p99 = .21; dup3-frac p99 =
+    * .036 measured at sf0.01) so both clauses reject a real tail
+    * rather than rubber-stamping the corpus. Declared BEFORE `all`:
+    * the oracle SQL interpolates them at initialization, and a forward
+    * reference would bake 0.0 into the oracle while the operator gets
+    * the real value at run time.
+    */
+  val RepTopWordMax = 0.125
+  val RepDup3Max = 0.01
+
   val all: Seq[Q] = Seq(
     Q(
       "q50_token_count",
@@ -1770,6 +1781,74 @@ object TextQueries {
       (spark, dir) =>
         graft.operators.CorpusStats.collocationLift(
           Tables.documents(spark, dir), "text", minCount = 5L, liftFloor = 10)
+    ),
+    Q(
+      "q204_repetition_screen",
+      "Gopher-style REPETITION screen (Rae et al. 2021 A1.1): per-doc " +
+        "top-word fraction and duplicated 2-/3-gram mass fractions — " +
+        "the looped-text signal (boilerplate loops, keyword stuffing, " +
+        "scraper glitches) that mean-statistic quality scores (q50) " +
+        "cannot see. Every numerator/denominator is an exact integer " +
+        "count and each fraction one exact-operand double division, so " +
+        "the oracle reproduces the doubles bit for bit; keep = " +
+        s"top_word_frac <= $RepTopWordMax AND dup3_frac <= $RepDup3Max " +
+        "(thresholds sit at ~p85/p97 of the fixture distribution, so " +
+        "the screen genuinely splits the corpus). One narrow gram " +
+        "explode per size, aggregated (doc_id, gram) with map-side " +
+        "combine, then doc-keyed rollups — nothing but doc-keyed " +
+        "partials ever shuffles, at any corpus size.",
+      Some(s"""
+        |WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+        |), base AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks FROM toks
+        |), w AS (
+        |  SELECT doc_id, MAX(c) AS top_word_cnt FROM (
+        |    SELECT doc_id, COUNT(*) AS c
+        |    FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY doc_id, w)
+        |  GROUP BY doc_id
+        |), g2 AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dup2_mass FROM (
+        |    SELECT doc_id, COUNT(*) AS c FROM (
+        |      SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        |      FROM toks, UNNEST(range(1, len(t))) AS u(i)) GROUP BY doc_id, g)
+        |  WHERE c >= 2 GROUP BY doc_id
+        |), g3 AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dup3_mass FROM (
+        |    SELECT doc_id, COUNT(*) AS c FROM (
+        |      SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        |      FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)) GROUP BY doc_id, g)
+        |  WHERE c >= 2 GROUP BY doc_id
+        |)
+        |SELECT b.doc_id, b.n_toks,
+        |       CAST(COALESCE(w.top_word_cnt, 0) AS BIGINT) AS top_word_cnt,
+        |       CAST(COALESCE(g2.dup2_mass, 0) AS BIGINT) AS dup2_mass,
+        |       CAST(COALESCE(g3.dup3_mass, 0) AS BIGINT) AS dup3_mass,
+        |       CASE WHEN b.n_toks > 0
+        |            THEN CAST(COALESCE(w.top_word_cnt, 0) AS DOUBLE) / CAST(b.n_toks AS DOUBLE)
+        |            ELSE 0.0 END AS top_word_frac,
+        |       CASE WHEN b.n_toks - 1 > 0
+        |            THEN CAST(COALESCE(g2.dup2_mass, 0) AS DOUBLE) / CAST(b.n_toks - 1 AS DOUBLE)
+        |            ELSE 0.0 END AS dup2_frac,
+        |       CASE WHEN b.n_toks - 2 > 0
+        |            THEN CAST(COALESCE(g3.dup3_mass, 0) AS DOUBLE) / CAST(b.n_toks - 2 AS DOUBLE)
+        |            ELSE 0.0 END AS dup3_frac,
+        |       (CASE WHEN b.n_toks > 0
+        |             THEN CAST(COALESCE(w.top_word_cnt, 0) AS DOUBLE) / CAST(b.n_toks AS DOUBLE)
+        |             ELSE 0.0 END) <= $RepTopWordMax
+        |         AND
+        |       (CASE WHEN b.n_toks - 2 > 0
+        |             THEN CAST(COALESCE(g3.dup3_mass, 0) AS DOUBLE) / CAST(b.n_toks - 2 AS DOUBLE)
+        |             ELSE 0.0 END) <= $RepDup3Max AS keep
+        |FROM base b
+        |LEFT JOIN w USING (doc_id)
+        |LEFT JOIN g2 USING (doc_id)
+        |LEFT JOIN g3 USING (doc_id)
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        graft.operators.TextAnalysis.repetitionStats(
+          Tables.documents(spark, dir), "doc_id", "text",
+          topWordMax = RepTopWordMax, dup3Max = RepDup3Max)
     )
   )
 }

@@ -64,4 +64,51 @@ class TextPropertySpec extends AnyFunSuite {
       assert(r.getInt(3) == 0, s"residual PII in: ${r.getString(1)}")
     }
   }
+
+  test("repetitionStats matches the scalar model on 150 random + crafted loop docs") {
+    // Random token streams from a small vocab (forces real duplicate
+    // grams) + crafted extremes: a pure loop, a no-repeat doc, and a
+    // single-token doc (no gram positions -> fracs 0.0 by contract).
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "fff", "g", "hh")
+    val cases = (0 until 150).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq(
+      (900L, Seq.fill(12)("spam ham").mkString(" ")), // pure loop
+      (901L, (1 to 9).map(k => s"w$k").mkString(" ")), // all-unique
+      (902L, "solo"))                                  // no gram positions
+    val topMax = 0.5
+    val d3Max = 0.25
+    val expected = cases.map { case (id, text) =>
+      val t = text.trim.split("\\s+").toSeq
+      val n = t.length.toLong
+      val top = if (t.isEmpty) 0L else t.groupBy(identity).map(_._2.size).max.toLong
+      def mass(g: Int) =
+        if (t.length < g) 0L
+        else t.sliding(g).map(_.mkString(" ")).toSeq
+          .groupBy(identity).values.map(_.size.toLong).filter(_ >= 2L).sum
+      val (m2, m3) = (mass(2), mass(3))
+      def frac(num: Long, den: Long) = if (den > 0) num.toDouble / den else 0.0
+      val twf = frac(top, n)
+      val d3f = frac(m3, n - 2)
+      id -> ((n, top, m2, m3, twf, frac(m2, n - 1), d3f,
+        twf <= topMax && d3f <= d3Max))
+    }.toMap
+    val got = TextAnalysis.repetitionStats(
+        cases.toDF("doc_id", "text"), "doc_id", "text",
+        topWordMax = topMax, dup3Max = d3Max)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getBoolean(8))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, want) =>
+      assert(got(id) == want, s"doc $id: got ${got(id)}, want $want")
+    }
+    // The crafted extremes must land on the intended sides of the screen.
+    assert(!got(900L)._8, "pure loop must be rejected")
+    assert(got(901L)._8, "all-unique doc must pass")
+    assert(got(902L) == ((1L, 1L, 0L, 0L, 1.0, 0.0, 0.0, false)),
+      "single-token doc: top_word_frac 1.0, gram fracs 0.0 by contract")
+  }
 }
