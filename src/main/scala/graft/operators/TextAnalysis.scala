@@ -367,4 +367,59 @@ object TextAnalysis {
       .withColumn("keep",
         col("top_word_frac") <= topWordMax && col("dup3_frac") <= dup3Max)
   }
+
+  /** ROW-LOCAL twin of [[repetitionStats]] — identical output columns
+    * computed purely with higher-order array expressions, no shuffle at
+    * all: every metric of the repetition screen is doc-local, so a
+    * single row carries everything needed. Cost is O(len^2) string
+    * compares per row (each gram's multiplicity probes the gram array),
+    * which is the right trade exactly where this face is used: the
+    * STREAMING screen (`DocumentStream.repetitionScreened`), where docs
+    * arrive row-at-a-time and a groupBy would force state the append
+    * contract forbids. The batch face's (doc_id, gram) shuffle is the
+    * scale shape for corpus-wide passes over long documents.
+    * Spec-pinned equal to the shuffle form (TextPropertySpec).
+    *
+    * Staged projections keep each intermediate (token array, gram
+    * arrays) an ATTRIBUTE reference downstream — CollapseProject leaves
+    * multiply-referenced non-trivial aliases in place, so nothing
+    * re-derives the arrays per reference (the q57 alias-inlining trap).
+    */
+  def repetitionStatsRowLocal(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      topWordMax: Double,
+      dup3Max: Double): org.apache.spark.sql.DataFrame = {
+    def grams(t: Column, g: Int): Column =
+      when(size(t) >= g,
+        transform(sequence(lit(1), size(t) - (g - 1)),
+          i => array_join(slice(t, i, lit(g)), " ")))
+        .otherwise(array().cast("array<string>"))
+    def dupMass(gs: Column): Column =
+      (size(gs) -
+        size(filter(gs, x => size(filter(gs, y => y === x)) === 1)))
+        .cast("long")
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+    df.select(col(idCol), wsTokens(col(textCol)).as("__t"))
+      .select(col(idCol), col("__t"),
+        grams(col("__t"), 2).as("__g2"), grams(col("__t"), 3).as("__g3"))
+      .select(
+        col(idCol),
+        size(col("__t")).cast("long").as("n_toks"),
+        coalesce(
+          array_max(transform(array_distinct(col("__t")),
+            w => size(filter(col("__t"), x => x === w)))),
+          lit(0)).cast("long").as("top_word_cnt"),
+        dupMass(col("__g2")).as("dup2_mass"),
+        dupMass(col("__g3")).as("dup3_mass"))
+      .withColumn("top_word_frac", frac(col("top_word_cnt"), col("n_toks")))
+      .withColumn("dup2_frac",
+        frac(col("dup2_mass"), greatest(col("n_toks") - 1, lit(0L))))
+      .withColumn("dup3_frac",
+        frac(col("dup3_mass"), greatest(col("n_toks") - 2, lit(0L))))
+      .withColumn("keep",
+        col("top_word_frac") <= topWordMax && col("dup3_frac") <= dup3Max)
+  }
 }

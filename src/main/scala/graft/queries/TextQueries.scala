@@ -1849,6 +1849,37 @@ object TextQueries {
         graft.operators.TextAnalysis.repetitionStats(
           Tables.documents(spark, dir), "doc_id", "text",
           topWordMax = RepTopWordMax, dup3Max = RepDup3Max)
+    ),
+    Q(
+      "q205_corpus_rollup",
+      "Corpus composition report with SUBTOTALS — doc/token/char mass " +
+        "by (source, lang), per-source subtotals, and the grand total " +
+        "in ONE pass via ROLLUP (the dataset-card table every training " +
+        "pipeline publishes). First grouping-sets operator in the " +
+        "registry: Spark plans it as a single Expand + hash aggregate " +
+        "(each input row replicated once per grouping set, all three " +
+        "levels map-side combined — one shuffle regardless of level " +
+        "count, vs three self-unioned scans by hand). grouping_id " +
+        "disambiguates subtotal NULLs from data NULLs, pinned against " +
+        "DuckDB's GROUPING(source, lang) bit order.",
+      Some("""
+        |SELECT source, lang,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |       CAST(GROUPING(source, lang) AS BIGINT) AS gid
+        |FROM documents
+        |GROUP BY ROLLUP (source, lang)
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .rollup("source", "lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(graft.operators.TextAnalysis.tokenCount(col("text"))
+              .cast("long")).as("n_tokens"),
+            sum(length(col("text")).cast("long")).as("n_chars"),
+            grouping_id().as("gid"))
     )
   )
 }

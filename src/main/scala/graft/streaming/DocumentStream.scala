@@ -294,6 +294,24 @@ object DocumentStream {
     screen(docs, window, capsRow, identity)
   }
 
+  /** Streaming REPETITION screen (q204's zero-state twin): every metric
+    * of the Gopher-style screen — top-word fraction, duplicated 2-/3-
+    * gram mass — is DOC-LOCAL, so the stream face needs no state, no
+    * watermark, no cap-set refresh: it is the row-local expression form
+    * ([[TextAnalysis.repetitionStatsRowLocal]]) applied to arrivals
+    * as-is, append-mode clean by construction. Spec-pinned equal to the
+    * batch shuffle form on the same corpus (DocumentStreamSpec); the
+    * batch form remains the scale shape for corpus-wide passes over
+    * long documents (its gram counting shuffles (doc_id, gram) partials
+    * instead of probing the gram array O(len^2) per row).
+    */
+  def repetitionScreened(
+      docs: DataFrame,
+      topWordMax: Double,
+      dup3Max: Double): DataFrame =
+    TextAnalysis.repetitionStatsRowLocal(
+      docs, "doc_id", "text", topWordMax, dup3Max)
+
   /** [[boilerplateScreened]] for the NORMALIZED cap key (the q101 near-miss
     * screen): the cap set carries the batch job's over-cap `key` column
     * (portable hashes of lowercase + digit-folded passages — 8-byte plan

@@ -110,5 +110,15 @@ class TextPropertySpec extends AnyFunSuite {
     assert(got(901L)._8, "all-unique doc must pass")
     assert(got(902L) == ((1L, 1L, 0L, 0L, 1.0, 0.0, 0.0, false)),
       "single-token doc: top_word_frac 1.0, gram fracs 0.0 by contract")
+    // The row-local expression form (the streaming face) must equal the
+    // shuffle form row for row — same columns, same values.
+    val rowLocal = TextAnalysis.repetitionStatsRowLocal(
+        cases.toDF("doc_id", "text"), "doc_id", "text",
+        topWordMax = topMax, dup3Max = d3Max)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getBoolean(8))))
+      .toMap
+    assert(rowLocal == got, "row-local form diverges from shuffle form")
   }
 }

@@ -396,4 +396,24 @@ class PlanPropertiesSpec extends AnyFunSuite {
     // runtime for tiny inputs — the guard is that we don't force it)
     assert(!p.contains("ResolvedHint"), p)
   }
+
+  test("q204: repetition screen joins are doc-keyed hash joins; scan pruned to (doc_id, text)") {
+    val p = plan("q204_repetition_screen")
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(40).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoop"), p.linesIterator.take(40).mkString("\n"))
+    // column pruning must reach the parquet scan: the screen reads only
+    // the id and the text, never lang/source/n_chars
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+    // every aggregation is map-side combined (partial HashAggregates
+    // under the (doc_id, gram/word) exchanges)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q205: rollup plans as ONE Expand feeding ONE exchange (all levels, one pass)") {
+    val p = plan("q205_corpus_rollup")
+    assert(p.contains("Expand"), p.linesIterator.take(30).mkString("\n"))
+    val exchanges = p.sliding("Exchange (".length).count(_ == "Exchange (")
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+  }
 }

@@ -62,6 +62,27 @@ class DocumentStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming repetition screen equals the batch twin, zero state") {
+    import org.apache.spark.sql.functions._
+    val (topMax, d3Max) =
+      (graft.queries.TextQueries.RepTopWordMax, graft.queries.TextQueries.RepDup3Max)
+    val stream = DocumentStream.readDocuments(spark, watchDir, SparkTestSession.sf0001)
+    val screened = DocumentStream.repetitionScreened(stream, topMax, d3Max)
+    val q = EventStream.runToMemory(screened, "docs_rep", OutputMode.Append())
+    try {
+      val streamed = spark.sql("SELECT * FROM docs_rep ORDER BY doc_id").collect()
+      val batch = graft.operators.TextAnalysis.repetitionStats(
+          Tables.documents(spark, SparkTestSession.sf0001),
+          "doc_id", "text", topMax, d3Max)
+        .orderBy("doc_id").collect()
+      assert(streamed.length > 0 && streamed.sameElements(batch))
+      // doc-local screen: nothing may register in the state store
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("streaming NORMALIZED boilerplate screen (hashed cap keys) equals the batch twin, zero state") {
     import org.apache.spark.sql.functions._
     val window = 3
