@@ -439,7 +439,14 @@ object Bench {
           "across two fresh sessions vs the carried r13 7.92 s - the " +
           "same warm-session-artifact class as q90/q91 (operator " +
           "unchanged; r15's in-run 10.1 s was inside the real " +
-          "envelope, not a drift)")))
+          "envelope, not a drift)")),
+      "q77_simhash_wide" -> (16 ->
+        ("r16 reset: the carried 0.854 s best is an r8 recording - the " +
+          "round whose warm-session artifacts already forced the " +
+          "q90/q91 resets. Every measurement before and since sits at " +
+          "1.1-1.4 s in-run, and r16 standalone isolates give 1.8/2.0 " +
+          "min-of-2; the operator is unchanged and 0.854 is " +
+          "unreachable in any context measured since r8")))
     // Per-query best-so-far, merged from prior rounds' BENCH_r*.json in
     // the working directory: this host's CPU steal inflates single runs
     // 3-10x, so a round-over-round "regression" on an untouched path is

@@ -398,6 +398,14 @@ object ModelQueries {
              |FROM bb$r""".stripMargin)
       }.mkString("\nUNION ALL\n")
 
+  /** q206 per-source budget in learned tokens (~5 docs/source on the
+    * fixture at ~600 learned tokens/doc — the selection genuinely
+    * cuts). Declared BEFORE `all`: its doc string interpolates at
+    * initialization (the q204-threshold lesson — a forward reference
+    * would bake 0 into the rendered doc).
+    */
+  private val BpeBudget = 3000L
+
   val all: Seq[Q] = Seq(
     Q(
       "q180_dsir_weights",
@@ -683,7 +691,80 @@ object ModelQueries {
       (spark, dir) =>
         graft.operators.BpeTrainer.mergeTableBatched(
           Tables.documents(spark, dir), "text")
+    ),
+    Q(
+      "q206_bpe_token_budget",
+      "Token-budget curation measured in LEARNED tokenizer tokens: " +
+        "q87's greedy per-source budget fill, but the cost of a " +
+        "document is its q177 encode count under the trained BPE " +
+        "vocabulary — the production semantic (a context window holds " +
+        "real tokenizer tokens, not whitespace words; budgeting in " +
+        s"ws-tokens misprices every doc). Budget $BpeBudget per " +
+        "source, (quality DESC, doc_id) total order, docs with no " +
+        "encodable word absent by the encode contract. The trained " +
+        "lexicon is corpus-derived ONCE and broadcast; the selection " +
+        "itself is one source-keyed window — same scale shape as " +
+        "q87/q92 (the sharded two-phase form applies unchanged when a " +
+        "source outgrows one task).",
+      Some(BpeBudgetSql),
+      (spark, dir) => {
+        import graft.operators.TextAnalysis
+        val docs = Tables.documents(spark, dir)
+        val enc = graft.operators.BpeTrainer.encode(docs, "text", "doc_id")
+          .select(col("doc_id"), col("n_tokens"))
+        val scored = docs.select(
+            col("doc_id"), col("source"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+          .join(enc, Seq("doc_id"))
+        graft.operators.Sampling.fillTokenBudget(
+          scored, "source", "quality", "doc_id", "n_tokens",
+          budget = BpeBudget)
+      }
     )
   )
 
+  /** q206's oracle: the q201 training chain -> lexicon -> per-doc
+    * learned token counts, joined with q87's quality CTE and run
+    * through the same budget window.
+    */
+  private lazy val BpeBudgetSql: String = {
+    val R = graft.operators.BpeTrainer.Rounds
+    duckBpeCtes(R) + "\n" +
+      s""", lex AS MATERIALIZED (
+         |  SELECT replace(syms, ' ', '') AS word,
+         |         CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_tokens_w
+         |  FROM v$R
+         |), dw AS (
+         |  SELECT doc_id, w AS word FROM (
+         |    SELECT doc_id,
+         |           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+         |    FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+$$')
+         |), enc AS (
+         |  SELECT dw.doc_id, CAST(SUM(lex.n_tokens_w) AS BIGINT) AS n_tokens
+         |  FROM dw JOIN lex ON lex.word = dw.word
+         |  GROUP BY dw.doc_id
+         |), tq AS (
+         |  SELECT doc_id, source,
+         |         CAST(LENGTH(text) AS DOUBLE) AS chars,
+         |         CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS toks,
+         |         len(regexp_extract_all(text, '[.!?,;:]')) AS punct,
+         |         len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a)\\b')) AS stops
+         |  FROM documents
+         |), sq AS (
+         |  SELECT doc_id, source,
+         |         ((CASE WHEN chars / greatest(toks, 1.0) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+         |          + (CASE WHEN CAST(punct AS DOUBLE) / greatest(toks, 1.0) <= 0.3 THEN 1.0 ELSE 0.0 END)
+         |          + (CASE WHEN CAST(stops AS DOUBLE) / greatest(toks, 1.0) >= 0.05 THEN 1.0 ELSE 0.0 END)
+         |          + (CASE WHEN chars BETWEEN 50.0 AND 100000.0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+         |  FROM tq
+         |)
+         |SELECT doc_id, source, quality, n_tokens, cum_tokens FROM (
+         |  SELECT sq.doc_id, sq.source, sq.quality, enc.n_tokens,
+         |         CAST(SUM(enc.n_tokens) OVER (
+         |           PARTITION BY sq.source ORDER BY sq.quality DESC, sq.doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM sq JOIN enc ON enc.doc_id = sq.doc_id)
+         |WHERE cum_tokens <= $BpeBudget""".stripMargin
+  }
 }
