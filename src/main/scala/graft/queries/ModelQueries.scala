@@ -693,6 +693,37 @@ object ModelQueries {
           Tables.documents(spark, dir), "text")
     ),
     Q(
+      "q207_curation_capstone_v2",
+      "Second capstone — the r16 curation chain end-to-end in ONE " +
+        "oracle-checked query: the q204 repetition screen gates the " +
+        "corpus (looped/stuffed docs out), survivors score with the " +
+        "q50 quality stack, and each source fills its q206 budget in " +
+        "LEARNED tokenizer tokens, so the running total only counts " +
+        "documents that survived every upstream screen. Shape: two " +
+        "doc-keyed gram shuffles (screen) + the one-shot broadcast " +
+        "lexicon + one source-keyed window - the corpus itself " +
+        "shuffles once, on the selection key.",
+      Some(CurationV2Sql),
+      (spark, dir) => {
+        import graft.operators.TextAnalysis
+        val docs = Tables.documents(spark, dir)
+        val keep = TextAnalysis.repetitionStats(
+            docs, "doc_id", "text",
+            TextQueries.RepTopWordMax, TextQueries.RepDup3Max)
+          .filter(col("keep")).select("doc_id")
+        val enc = graft.operators.BpeTrainer.encode(docs, "text", "doc_id")
+          .select(col("doc_id"), col("n_tokens"))
+        val scored = docs.select(
+            col("doc_id"), col("source"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+          .join(keep, Seq("doc_id"), "left_semi")
+          .join(enc, Seq("doc_id"))
+        graft.operators.Sampling.fillTokenBudget(
+          scored, "source", "quality", "doc_id", "n_tokens",
+          budget = BpeBudget)
+      }
+    ),
+    Q(
       "q206_bpe_token_budget",
       "Token-budget curation measured in LEARNED tokenizer tokens: " +
         "q87's greedy per-source budget fill, but the cost of a " +
@@ -727,7 +758,63 @@ object ModelQueries {
     * learned token counts, joined with q87's quality CTE and run
     * through the same budget window.
     */
-  private lazy val BpeBudgetSql: String = {
+  private lazy val BpeBudgetSql: String =
+    bpeEncQualityCtes + "\n" + s"""SELECT doc_id, source, quality, n_tokens, cum_tokens FROM (
+         |  SELECT sq.doc_id, sq.source, sq.quality, enc.n_tokens,
+         |         CAST(SUM(enc.n_tokens) OVER (
+         |           PARTITION BY sq.source ORDER BY sq.quality DESC, sq.doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM sq JOIN enc ON enc.doc_id = sq.doc_id)
+         |WHERE cum_tokens <= $BpeBudget""".stripMargin
+
+  /** q207's oracle: the SAME encode + quality chain, but the budget
+    * window runs only over the q204 repetition screen's keep set
+    * (rk_* CTEs — the compact keep-only form of the q204 formula,
+    * thresholds shared via the TextQueries constants so the two
+    * renderings cannot drift on the operating point). SQL WHERE applies
+    * before window functions, so the running total counts survivors
+    * only — exactly the Spark side's semi-join-then-window.
+    */
+  private lazy val CurationV2Sql: String =
+    bpeEncQualityCtes + "\n" +
+      s""", rk_t AS MATERIALIZED (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+         |), rk_base AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks FROM rk_t
+         |), rk_w AS (
+         |  SELECT doc_id, MAX(c) AS topw FROM (
+         |    SELECT doc_id, COUNT(*) AS c
+         |    FROM (SELECT doc_id, unnest(t) AS w FROM rk_t) GROUP BY doc_id, w)
+         |  GROUP BY doc_id
+         |), rk_g3 AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS m3 FROM (
+         |    SELECT doc_id, COUNT(*) AS c FROM (
+         |      SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+         |      FROM rk_t, UNNEST(range(1, len(t) - 1)) AS u(i)) GROUP BY doc_id, g)
+         |  WHERE c >= 2 GROUP BY doc_id
+         |), rk_keep AS (
+         |  SELECT b.doc_id
+         |  FROM rk_base b LEFT JOIN rk_w USING (doc_id) LEFT JOIN rk_g3 USING (doc_id)
+         |  WHERE (CASE WHEN b.n_toks > 0
+         |              THEN CAST(COALESCE(rk_w.topw, 0) AS DOUBLE) / CAST(b.n_toks AS DOUBLE)
+         |              ELSE 0.0 END) <= ${graft.queries.TextQueries.RepTopWordMax}
+         |    AND (CASE WHEN b.n_toks - 2 > 0
+         |              THEN CAST(COALESCE(rk_g3.m3, 0) AS DOUBLE) / CAST(b.n_toks - 2 AS DOUBLE)
+         |              ELSE 0.0 END) <= ${graft.queries.TextQueries.RepDup3Max}
+         |)
+         |SELECT doc_id, source, quality, n_tokens, cum_tokens FROM (
+         |  SELECT sq.doc_id, sq.source, sq.quality, enc.n_tokens,
+         |         CAST(SUM(enc.n_tokens) OVER (
+         |           PARTITION BY sq.source ORDER BY sq.quality DESC, sq.doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM sq JOIN enc ON enc.doc_id = sq.doc_id
+         |  WHERE sq.doc_id IN (SELECT doc_id FROM rk_keep))
+         |WHERE cum_tokens <= $BpeBudget""".stripMargin
+
+  /** Shared q206/q207 oracle prefix: training chain -> lexicon -> enc
+    * (per-doc learned token counts) -> tq/sq (q87's quality CTE).
+    */
+  private lazy val bpeEncQualityCtes: String = {
     val R = graft.operators.BpeTrainer.Rounds
     duckBpeCtes(R) + "\n" +
       s""", lex AS MATERIALIZED (
@@ -758,13 +845,6 @@ object ModelQueries {
          |          + (CASE WHEN CAST(stops AS DOUBLE) / greatest(toks, 1.0) >= 0.05 THEN 1.0 ELSE 0.0 END)
          |          + (CASE WHEN chars BETWEEN 50.0 AND 100000.0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
          |  FROM tq
-         |)
-         |SELECT doc_id, source, quality, n_tokens, cum_tokens FROM (
-         |  SELECT sq.doc_id, sq.source, sq.quality, enc.n_tokens,
-         |         CAST(SUM(enc.n_tokens) OVER (
-         |           PARTITION BY sq.source ORDER BY sq.quality DESC, sq.doc_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-         |  FROM sq JOIN enc ON enc.doc_id = sq.doc_id)
-         |WHERE cum_tokens <= $BpeBudget""".stripMargin
+         |)""".stripMargin
   }
 }

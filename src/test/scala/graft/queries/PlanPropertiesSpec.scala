@@ -410,6 +410,12 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q207: capstone v2 joins stay hash-based — no cartesian, no nested loop") {
+    val p = plan("q207_curation_capstone_v2")
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(40).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoop"), p.linesIterator.take(40).mkString("\n"))
+  }
+
   test("q205: rollup plans as ONE Expand feeding ONE exchange (all levels, one pass)") {
     val p = plan("q205_corpus_rollup")
     assert(p.contains("Expand"), p.linesIterator.take(30).mkString("\n"))
