@@ -285,16 +285,35 @@ object BpeTrainer {
     * and training is never re-run per doc. Docs with no `^[a-z]+$`
     * word have no row (inner-join semantics), matching the oracle.
     */
+  /** The trained LEXICON as a standalone artifact: (word, n_tokens_w)
+    * — each distinct corpus word's token count under the final merged
+    * vocabulary, rebuilt losslessly from the trained vocab
+    * (`replace(syms, ' ', '')`; symbols never contain spaces). This is
+    * the serving table [[encode]] broadcast-joins and the plan-literal
+    * state of the streaming token quota
+    * ([[graft.streaming.DocumentStream]]). Caller releases via
+    * [[Checkpoints.release]].
+    */
+  def lexicon(
+      docs: DataFrame,
+      textCol: String,
+      rounds: Int = Rounds): DataFrame = {
+    val (_, v) = train(docs, textCol, rounds)
+    try {
+      v.select(
+        regexp_replace(col("syms"), " ", "").as("word"),
+        size(split(col("syms"), " ")).cast("long").as("n_tokens_w"))
+        .localCheckpoint(true)
+    } finally Checkpoints.release(v)
+  }
+
   def encode(
       docs: DataFrame,
       textCol: String,
       idCol: String,
       rounds: Int = Rounds): DataFrame = {
-    val (_, v) = train(docs, textCol, rounds)
+    val lex = lexicon(docs, textCol, rounds)
     try {
-      val lex = v.select(
-        regexp_replace(col("syms"), " ", "").as("word"),
-        size(split(col("syms"), " ")).cast("long").as("n_tokens_w"))
       val docWords = docs
         .select(
           col(idCol),
@@ -308,6 +327,6 @@ object BpeTrainer {
           sum("n_tokens_w").as("n_tokens"),
           sum(length(col("word")).cast("long")).as("n_chars"))
         .localCheckpoint(true)
-    } finally Checkpoints.release(v)
+    } finally Checkpoints.release(lex)
   }
 }

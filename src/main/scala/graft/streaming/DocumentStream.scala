@@ -603,6 +603,85 @@ object DocumentStream {
       }
   }
 
+  /** One token-quota-admitted document: source, id, its learned token
+    * count, and the source's running token total INCLUDING this doc.
+    */
+  final case class TokenQuotaDoc(
+      source: String, doc_id: Long, n_tokens: Long, cum_tokens: Long)
+
+  /** Streaming per-source TOKEN budget — the crawl-time face of q206's
+    * learned-token curation: each arriving document's cost is its token
+    * count under the TRAINED tokenizer, computed ROW-LOCALLY from the
+    * lexicon as a plan-literal map (no join, no pre-state aggregation —
+    * both would break the append-mode stateful contract), and each
+    * source admits documents while its running token total stays
+    * within `budget`. PREFIX semantics, exactly the batch window's
+    * (`cum_tokens <= budget` over ascending id): the running total
+    * counts every doc SEEN — an overflowing doc closes its source even
+    * though a later smaller doc would still fit — so the admitted set
+    * equals the batch twin row for row (greedy bin-packing is
+    * [[packedBySource]]'s job, not a quota's). Keyed state is ONE long
+    * per source.
+    *
+    * Encode-contract parity with [[graft.operators.BpeTrainer.encode]]:
+    * only `^[a-z]+$` words of `lower(trim(text))` count, out-of-lexicon
+    * words contribute 0 (the batch inner join drops them), and a doc
+    * with NO lexicon word is absent entirely.
+    *
+    * `maxPlanWords` bounds the plan literal (it ships to every executor
+    * inside the expression). The real tokenizer artifact is
+    * vocabulary-sized (alphabet + learned merges) but THIS lexicon is
+    * corpus-vocab-sized — Zipf-bounded, not constant — so a corpus
+    * whose vocabulary outgrows the guard is a contract violation:
+    * serve it batch-side (q206's broadcast join) instead.
+    */
+  def tokenQuotaCapped(
+      docs: DataFrame,
+      lexicon: DataFrame,
+      budget: Long,
+      maxPlanWords: Int = 100000): Dataset[TokenQuotaDoc] = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lex = lexicon
+      .select(col("word").cast("string"), col("n_tokens_w").cast("long"))
+      .distinct().localCheckpoint(true)
+    try {
+      val nWords = lex.count()
+      require(nWords <= maxPlanWords,
+        s"lexicon has $nWords words > maxPlanWords=$maxPlanWords — a " +
+          "plan literal that large would weigh on every trigger; serve " +
+          "corpus-scale lexicons through the batch broadcast join (q206)")
+      val entries = lex.collect()
+      val lexMap = map(entries.flatMap(r =>
+        Seq(lit(r.getString(0)), lit(r.getLong(1)))).toIndexedSeq: _*)
+      val words = filter(
+        TextAnalysis.wsTokens(lower(trim(col("text")))),
+        w => w.rlike("^[a-z]+$"))
+      val nTok = aggregate(words, lit(0L),
+        (acc, w) => acc + coalesce(element_at(lexMap, w), lit(0L)))
+      docs
+        .select(col("source"), col("doc_id"), nTok.as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (src: String, rows: Iterator[(String, Long, Long)],
+           state: GroupState[Long]) =>
+            var cum = state.getOption.getOrElse(0L)
+            val admitted = rows.toSeq.sortBy(_._2).flatMap {
+              case (_, id, n) =>
+                cum += n
+                if (cum <= budget) Some(TokenQuotaDoc(src, id, n, cum))
+                else None
+            }
+            state.update(cum)
+            admitted.iterator
+        }
+    } finally graft.operators.Checkpoints.release(lex)
+  }
+
   /** Streaming CDC ingest screen — the chunk-level face of q190: each
     * arriving document is content-defined-chunked ROW-LOCALLY
     * ([[graft.operators.CdcChunks.chunkStructsExpr]] — no per-doc

@@ -472,6 +472,88 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("tokenQuotaCapped: prefix token budget within AND across batches; OOV and empty docs per the encode contract") {
+    // lexicon: aa -> 1 token, bbb -> 2, cc -> 3. Docs mix lexicon words,
+    // OOV words (zz - contribute 0), non-[a-z] tokens (dropped), and one
+    // doc with no lexicon word at all (absent from output entirely).
+    val lex = Seq(("aa", 1L), ("bbb", 2L), ("cc", 3L)).toDF("word", "n_tokens_w")
+    val batches = Seq(
+      Seq(("a", 1L, "aa bbb"), ("a", 2L, "cc zz"), ("b", 10L, "aa aa")),
+      Seq(("a", 3L, "aa X9"), ("a", 4L, "aa"), ("b", 11L, "zz 42")),
+      Seq(("b", 12L, "bbb cc")))
+    val dirStr = watchDirOf(batches.map(_.toDF("source", "doc_id", "text")))
+    val schema = StructType(Seq(
+      StructField("source", StringType), StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dirStr)
+    val q = EventStream.runToMemory(
+      DocumentStream.tokenQuotaCapped(stream, lex, budget = 7L).toDF(),
+      "tok_quota", OutputMode.Append())
+    try {
+      val got = spark.sql(
+        "SELECT source, doc_id, n_tokens, cum_tokens FROM tok_quota")
+        .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      // a: doc1 = 3 (aa+bbb), doc2 = 3 (cc, zz OOV -> 0), doc3 = 1,
+      //    doc4 = 1 -> cum 3, 6, 7, 8: doc4 overflows (prefix semantics).
+      // b: doc10 = 2, doc11 absent (no lexicon word), doc12 = 5 -> cum 2, 7.
+      assert(got == Seq(
+        ("a", 1L, 3L, 3L), ("a", 2L, 3L, 6L), ("a", 3L, 1L, 7L),
+        ("b", 10L, 2L, 2L), ("b", 12L, 5L, 7L)))
+      // equals the batch prefix twin fed the same arrivals: cum over id
+      // order INCLUDES every seen doc, keep cum <= budget.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Long.MinValue, 0)
+      val ntok = Map("aa" -> 1L, "bbb" -> 2L, "cc" -> 3L)
+      val want = batches.flatten
+        .map { case (s, id, text) =>
+          (s, id, text.split("\\s+").toSeq
+            .filter(_.matches("^[a-z]+$")).map(ntok.getOrElse(_, 0L)).sum)
+        }
+        .filter(_._3 > 0)
+        .toDF("source", "doc_id", "n_tokens")
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= 7L)
+        .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(got == want)
+      // O(sources) state: one long per source
+      assert(q.lastProgress.stateOperators.map(_.numRowsTotal).sum == 2)
+    } finally q.stop()
+  }
+
+  test("tokenQuotaCapped with the TRAINED lexicon equals the q206-style batch window") {
+    // Integration face: stream the fixture corpus against
+    // BpeTrainer.lexicon and pin equality with the batch encode +
+    // prefix window at the same budget.
+    val docs = graft.Tables.documents(spark, graft.SparkTestSession.sf0001)
+      .select("source", "doc_id", "text")
+    val lex = graft.operators.BpeTrainer.lexicon(docs, "text")
+    try {
+      val dirStr = watchDirOf(Seq(docs.toDF()))
+      val stream = spark.readStream.schema(docs.schema).parquet(dirStr)
+      val budget = 2000L
+      val q = EventStream.runToMemory(
+        DocumentStream.tokenQuotaCapped(stream, lex, budget).toDF(),
+        "tok_quota_fix", OutputMode.Append())
+      try {
+        val got = spark.sql(
+          "SELECT source, doc_id, n_tokens, cum_tokens FROM tok_quota_fix")
+          .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Long.MinValue, 0)
+        val want = graft.operators.BpeTrainer.encode(docs, "text", "doc_id")
+          .join(docs.select("source", "doc_id"), Seq("doc_id"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .filter(col("cum_tokens") <= budget)
+          .select("source", "doc_id", "n_tokens", "cum_tokens")
+          .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+        assert(got.nonEmpty && got == want)
+      } finally q.stop()
+    } finally graft.operators.Checkpoints.release(lex)
+  }
+
   test("anomalyScored equals the batch z-scores fed the same stats; zero state") {
     import graft.operators.Anomaly
     // 16 inliers + outlier per the sqrt(n-1) bound; one constant group
