@@ -329,4 +329,38 @@ object BpeTrainer {
         .localCheckpoint(true)
     } finally Checkpoints.release(lex)
   }
+
+  /** Fertility-screen threshold: kept iff chars-per-token >=
+    * [[FertilityNum]]/[[FertilityDen]] = 1.1. Under the fixture's
+    * 6-round vocabulary that sits at ~p4 of the corpus ratio
+    * distribution (range 1.03-1.33), so the screen genuinely cuts
+    * (the q204 discipline); a production 32k-merge vocabulary shifts
+    * the whole distribution up and the threshold recalibrates with it.
+    */
+  val FertilityNum = 11
+  val FertilityDen = 10
+
+  /** Tokenizer-fertility quality screen — the "perplexity-lite"
+    * gibberish filter a pipeline runs with its own trained tokenizer:
+    * text that compresses badly under the corpus's learned merges
+    * (few chars per token = high token fertility) is structurally
+    * unlike the corpus that trained the vocabulary. Per doc:
+    * (n_chars, n_tokens) from [[encode]] and the kept verdict as the
+    * cross-multiplied INTEGER compare n_chars*den >= n_tokens*num —
+    * no ratio division at the boundary, so the oracle cannot flap.
+    * Same scale shape as encode itself: one broadcast lexicon join +
+    * doc-keyed partial aggregates; the verdict is a narrow map on top.
+    */
+  def fertilityScreen(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      num: Int = FertilityNum,
+      den: Int = FertilityDen): DataFrame = {
+    require(num > 0 && den > 0, s"threshold must be positive: $num/$den")
+    encode(docs, textCol, idCol)
+      .select(
+        col(idCol), col("n_chars"), col("n_tokens"),
+        (col("n_chars") * den >= col("n_tokens") * num).as("kept"))
+  }
 }

@@ -751,8 +751,42 @@ object ModelQueries {
           scored, "source", "quality", "doc_id", "n_tokens",
           budget = BpeBudget)
       }
+    ),
+    Q(
+      "q209_token_fertility_screen",
+      "Tokenizer-fertility quality screen — the perplexity-lite " +
+        "gibberish filter run with the pipeline's OWN trained " +
+        "tokenizer: per doc, q177's (n_chars, n_tokens) and a kept " +
+        "verdict at chars-per-token >= " +
+        s"${graft.operators.BpeTrainer.FertilityNum}/" +
+        s"${graft.operators.BpeTrainer.FertilityDen} as the " +
+        "cross-multiplied integer compare (no ratio division at the " +
+        "boundary). Text that compresses badly under the corpus's " +
+        "learned merges is structurally unlike the corpus that " +
+        "trained them — a quality signal the q50 surface statistics " +
+        "can't see. Threshold sits at ~p4 of the fixture ratio " +
+        "distribution, so the screen cuts. Scale shape = q177's: " +
+        "broadcast lexicon, doc-keyed partials, narrow verdict map.",
+      Some(BpeFertilitySql),
+      (spark, dir) =>
+        graft.operators.BpeTrainer.fertilityScreen(
+          Tables.documents(spark, dir), "text", "doc_id")
     )
   )
+
+  /** q209's oracle: q177's encode chain with the integer fertility
+    * verdict on top — rendered from the same [[BpeEncodeSql]] text, so
+    * the two can never drift.
+    */
+  private lazy val BpeFertilitySql: String = {
+    val num = graft.operators.BpeTrainer.FertilityNum
+    val den = graft.operators.BpeTrainer.FertilityDen
+    s"""SELECT doc_id, n_chars, n_tokens,
+       |       n_chars * $den >= n_tokens * $num AS kept
+       |FROM (
+       |$BpeEncodeSql
+       |)""".stripMargin
+  }
 
   /** q206's oracle: the q201 training chain -> lexicon -> per-doc
     * learned token counts, joined with q87's quality CTE and run

@@ -806,8 +806,125 @@ object SimilarityQueries {
             e, q, "vec_id", "embedding",
             k = 5, shortlist = 20, inDim = 64, outDim = 8))
       }
+    ),
+    Q(
+      "q208_semdedup",
+      "SemDeDup (Abbas et al. 2023): semantic dedup in embedding space " +
+        "— cluster the corpus into cells (q42's deterministic first-16 " +
+        "quantizer over the int8 CODES), then inside each cell drop " +
+        "every vector with a lower-id neighbor at cosine >= " +
+        s"${graft.operators.SemDedup.TauNum}/${graft.operators.SemDedup.TauDen}" +
+        " — the greedy one-keeper-per-ball policy under the id total " +
+        "order. The dedup predicate is INTEGER-EXACT (d^2*dot^2 >= " +
+        "n^2*|a|^2*|b|^2 on exact int8 codes — no sqrt/division at the " +
+        "boundary); the quadratic risk is confined inside cells " +
+        "(cell-equi self-join, never a corpus cross product), and a hot " +
+        "cell is the AQE skew-join case. Production swaps in trained " +
+        "centroids via centroidsOpt with the identical plan (q85's " +
+        "pattern). Threshold sits at ~p99.2 of the fixture's in-cell " +
+        "pair cosines: 62 of 500 vectors drop.",
+      Some(semDedupSql),
+      (spark, dir) =>
+        graft.operators.SemDedup.screen(
+          Tables.embeddings(spark, dir), "vec_id", "embedding")
+    ),
+    Q(
+      "q210_d4_prototype_prune",
+      "D4 prototype prune (Tirumala et al. 2023): the stage D4 chains " +
+        "AFTER q208's SemDeDup — within each cell, rank the surviving " +
+        "vectors by prototypicality (cosine to their own centroid DESC, " +
+        "vec_id tie-break: the q42 argmax determinism argument) and " +
+        "drop the most-prototypical " +
+        s"${graft.operators.SemDedup.DropNum}/${graft.operators.SemDedup.DropDen}" +
+        " of the cell at the INTEGER-EXACT boundary kept = " +
+        "proto_rank*dropDen > n_cell*dropNum. Once exact tau-ball dups " +
+        "are gone, the points most like their centroid carry the least " +
+        "marginal information; what survives is each cell's diverse " +
+        "shell. One cell-partitioned window on top of q208's plan — " +
+        "rank and cell-count share the exchange; centroid vectors " +
+        "themselves (csim = 1) prune first, the paper's intent. The " +
+        "oracle renders from q208's own CTE prefix, so the two faces " +
+        "cannot drift.",
+      Some(d4PruneSql),
+      (spark, dir) =>
+        graft.operators.SemDedup.prototypePrune(
+          Tables.embeddings(spark, dir), "vec_id", "embedding")
     )
   )
+
+  /** The SemDeDup CTE prefix shared by q208 and q210: the q122
+    * int8-code chain, q42's argmax cell assignment (on codes, keeping
+    * csim), then the integer-exact in-cell lower-id tau evidence —
+    * every constant interpolated from [[graft.operators.SemDedup]].
+    */
+  private lazy val semDedupPrefixSql: String = {
+    val code = "CASE WHEN scale = 0 THEN 0 WHEN x >= 0 THEN (x * 127) // scale ELSE -((-x * 127) // scale) END"
+    val n2 = graft.operators.SemDedup.TauNum.toLong * graft.operators.SemDedup.TauNum
+    val d2 = graft.operators.SemDedup.TauDen.toLong * graft.operators.SemDedup.TauDen
+    val nlist = graft.operators.SemDedup.Nlist
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1073741824.0) AS BIGINT)) AS iv
+       |  FROM embeddings
+       |), s AS (
+       |  SELECT vec_id, iv,
+       |         coalesce(list_max(list_transform(iv, x -> abs(x))), 0) AS scale
+       |  FROM v
+       |), n AS (
+       |  SELECT vec_id, q,
+       |         list_sum(list_transform(list_zip(q, q), x -> x[1] * x[2])) AS nsq
+       |  FROM (SELECT vec_id, list_transform(iv, x -> $code) AS q FROM s WHERE scale > 0)
+       |), cents AS (
+       |  SELECT vec_id AS cell, q AS cq, sqrt(CAST(nsq AS DOUBLE)) AS cnrm
+       |  FROM n WHERE vec_id < $nlist
+       |), asg AS (
+       |  SELECT vec_id, q, nsq, cell, csim FROM (
+       |    SELECT n.vec_id, n.q, n.nsq, c.cell,
+       |           CAST(list_sum(list_transform(list_zip(n.q, c.cq), x -> x[1] * x[2])) AS DOUBLE)
+       |             / (sqrt(CAST(n.nsq AS DOUBLE)) * c.cnrm) AS csim,
+       |           ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |             CAST(list_sum(list_transform(list_zip(n.q, c.cq), x -> x[1] * x[2])) AS DOUBLE)
+       |               / (sqrt(CAST(n.nsq AS DOUBLE)) * c.cnrm) DESC, c.cell) AS cr
+       |    FROM n, cents c) WHERE cr = 1
+       |), dup AS (
+       |  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dup_lower FROM (
+       |    SELECT b.vec_id,
+       |           list_sum(list_transform(list_zip(a.q, b.q), x -> x[1] * x[2])) AS d,
+       |           a.nsq AS na, b.nsq AS nb
+       |    FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |  WHERE d > 0 AND $d2 * d * d >= $n2 * na * nb
+       |  GROUP BY 1
+       |)""".stripMargin
+  }
+
+  /** q208's oracle: the shared prefix plus the evidence-join verdict. */
+  private lazy val semDedupSql: String =
+    s"""$semDedupPrefixSql
+       |SELECT asg.vec_id, asg.cell,
+       |       coalesce(dup.n_dup_lower, 0) AS n_dup_lower,
+       |       coalesce(dup.n_dup_lower, 0) = 0 AS kept
+       |FROM asg LEFT JOIN dup ON dup.vec_id = asg.vec_id""".stripMargin
+
+  /** q210's oracle: the shared prefix, survivors only, the in-cell
+    * prototypicality rank and the integer drop boundary.
+    */
+  private lazy val d4PruneSql: String = {
+    val dn = graft.operators.SemDedup.DropNum
+    val dd = graft.operators.SemDedup.DropDen
+    s"""$semDedupPrefixSql,
+       |surv AS (
+       |  SELECT asg.vec_id, asg.cell, asg.csim
+       |  FROM asg LEFT JOIN dup ON dup.vec_id = asg.vec_id
+       |  WHERE coalesce(dup.n_dup_lower, 0) = 0
+       |)
+       |SELECT vec_id, cell, proto_rank, n_cell,
+       |       proto_rank * $dd > n_cell * $dn AS kept
+       |FROM (
+       |  SELECT vec_id, cell,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY cell ORDER BY csim DESC, vec_id) AS BIGINT) AS proto_rank,
+       |         CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n_cell
+       |  FROM surv)""".stripMargin
+  }
 
   private def indentSql(sql: String, pad: String): String =
     sql.linesIterator.map(l => pad + l).mkString("\n")

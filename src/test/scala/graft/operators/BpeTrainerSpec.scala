@@ -204,4 +204,18 @@ class BpeTrainerSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == expected)
   }
+
+  test("fertilityScreen is the integer cross-multiplied verdict over encode") {
+    val enc = BpeTrainer.encode(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, _, nt, nc) => id -> ((nc, nt)) }.toMap
+    val got = BpeTrainer.fertilityScreen(docs, "text", "doc_id", num = 3, den = 2)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(got.map(_._1).toSet == enc.keySet) // same coverage as encode
+    assert(got.forall { case (id, nc, nt, kept) =>
+      enc(id) == ((nc, nt)) && kept == (nc * 2 >= nt * 3)
+    })
+    // threshold 3/2 genuinely splits this corpus both ways
+    assert(got.exists(_._4) && got.exists(!_._4))
+  }
 }

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Ground truth for [[SemDedup.screen]]: a scalar twin (quantize ->
+  * argmax cell -> integer tau predicate) reproduces the whole output on
+  * a planted-dup fixture; the survivor set is exactly the greedy
+  * lowest-id keepers; trained-centroid plumbing preserves the output
+  * contract.
+  */
+class SemDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ids < nlist are the deterministic centroids (orthogonal axes);
+  // planted dups live at ids >= nlist: 4/5 collapse onto centroid 0,
+  // 8 onto centroid 2 (after rescale — cosine ignores magnitude), 6 is
+  // an in-cell NON-dup (assigns to cell 1 at cosine ~0.25 < tau), and
+  // 7 is the zero vector (excluded: cosine undefined).
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 0.0f, 1.0f)),
+    (4L, Array(0.99f, 0.02f, 0.0f, 0.0f)),   // dup of 0
+    (5L, Array(0.98f, -0.01f, 0.01f, 0.0f)), // dup of 0 AND 4
+    (6L, Array(-0.2f, 0.3f, -0.8f, -0.8f)),  // cell 1, below tau: kept
+    (7L, Array(0.0f, 0.0f, 0.0f, 0.0f)),     // zero: excluded
+    (8L, Array(0.0f, 2.0f, 2.01f, 0.0f))     // dup of centroid 2
+  )
+
+  private val Nlist = 4
+  private val TauNum = 7
+  private val TauDen = 20
+
+  /** Scalar re-implementation of the full chain on int8 codes. */
+  private def scalarScreen(
+      vs: Seq[(Long, Array[Float])]): Map[Long, (Long, Long, Boolean)] = {
+    def codesOf(v: Array[Float]): Array[Long] = {
+      val iv = v.map(x => math.floor(x.toDouble * Quantize.Shift).toLong)
+      val s = if (iv.isEmpty) 0L else iv.map(math.abs).max
+      iv.map { x =>
+        if (s == 0L) 0L
+        else if (x >= 0L) x * 127 / s
+        else -((-x * 127) / s)
+      }
+    }
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val nz = vs.map { case (id, v) => (id, codesOf(v)) }
+      .filter { case (_, q) => q.exists(_ != 0L) }
+    val cents = nz.filter(_._1 < Nlist)
+    val asg = nz.map { case (id, q) =>
+      val nrm = math.sqrt(dot(q, q).toDouble)
+      val cell = cents
+        .map { case (cid, cq) =>
+          (cid, dot(q, cq).toDouble / (nrm * math.sqrt(dot(cq, cq).toDouble)))
+        }
+        .sortBy { case (cid, csim) => (-csim, cid) }
+        .head._1
+      (id, q, dot(q, q), cell)
+    }
+    asg.map { case (id, q, nsq, cell) =>
+      val nd = asg.count { case (id2, q2, nsq2, cell2) =>
+        val d = dot(q2, q)
+        cell2 == cell && id2 < id && d > 0 &&
+          TauDen.toLong * TauDen * d * d >= TauNum.toLong * TauNum * nsq2 * nsq
+      }
+      id -> ((cell, nd.toLong, nd == 0))
+    }.toMap
+  }
+
+  private def runScreen(centroidsOpt: Option[org.apache.spark.sql.DataFrame] = None) =
+    SemDedup.screen(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      nlist = Nlist, tauNum = TauNum, tauDen = TauDen,
+      centroidsOpt = centroidsOpt)
+
+  test("screen equals the scalar twin on the planted-dup fixture") {
+    val got = runScreen().collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got == scalarScreen(vecs))
+  }
+
+  test("planted dups drop, keepers and in-cell non-dups survive, zero vector is excluded") {
+    val got = runScreen().collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L, 8L)) // 7 excluded
+    assert(got.filter(_._2).keySet == Set(0L, 1L, 2L, 3L, 6L)) // lowest-id keepers
+  }
+
+  test("transitive dup evidence: 5 counts both 0 and 4 as lower-id tau-neighbors") {
+    val got = runScreen().collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(5L) == 2L)
+  }
+
+  test("greedy self-consistency: no survivor has a lower-id tau-neighbor in its cell") {
+    // kept=false rows all carry evidence; kept=true rows carry none.
+    val rows = runScreen().collect()
+    assert(rows.forall(r => (r.getLong(2) == 0L) == r.getBoolean(3)))
+  }
+
+  /** Scalar twin of the D4 chain: survivors of [[scalarScreen]], ranked
+    * in-cell by (csim to own centroid DESC, id), integer drop boundary.
+    */
+  private def scalarPrune(
+      vs: Seq[(Long, Array[Float])],
+      dropNum: Int, dropDen: Int): Map[Long, (Long, Long, Long, Boolean)] = {
+    def codesOf(v: Array[Float]): Array[Long] = {
+      val iv = v.map(x => math.floor(x.toDouble * Quantize.Shift).toLong)
+      val s = if (iv.isEmpty) 0L else iv.map(math.abs).max
+      iv.map { x =>
+        if (s == 0L) 0L
+        else if (x >= 0L) x * 127 / s
+        else -((-x * 127) / s)
+      }
+    }
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val nz = vs.map { case (id, v) => (id, codesOf(v)) }
+      .filter { case (_, q) => q.exists(_ != 0L) }
+    val cents = nz.filter(_._1 < Nlist)
+      .map { case (cid, cq) => (cid, cq, math.sqrt(dot(cq, cq).toDouble)) }
+    val screen = scalarScreen(vs)
+    val surv = nz
+      .filter { case (id, _) => screen(id)._3 } // kept by the tau screen
+      .map { case (id, q) =>
+        val nrm = math.sqrt(dot(q, q).toDouble)
+        val (cell, csim) = cents
+          .map { case (cid, cq, cnrm) =>
+            (cid, dot(q, cq).toDouble / (nrm * cnrm))
+          }
+          .sortBy { case (cid, cs) => (-cs, cid) }
+          .head
+        (id, cell, csim)
+      }
+    surv.groupBy(_._2).toSeq.flatMap { case (_, cellVs) =>
+      val ranked = cellVs.sortBy { case (id, _, cs) => (-cs, id) }
+      val n = ranked.size.toLong
+      ranked.zipWithIndex.map { case ((id, cell, _), i) =>
+        val rank = i + 1L
+        id -> ((cell, rank, n, rank * dropDen > n * dropNum))
+      }
+    }.toMap
+  }
+
+  test("prototypePrune equals the scalar D4 twin on the planted-dup fixture") {
+    val got = SemDedup.prototypePrune(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      nlist = Nlist, tauNum = TauNum, tauDen = TauDen,
+      dropNum = 1, dropDen = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got == scalarPrune(vecs, 1, 3))
+  }
+
+  test("prune covers exactly the screen survivors; centroids rank most prototypical") {
+    val pruned = SemDedup.prototypePrune(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      nlist = Nlist, tauNum = TauNum, tauDen = TauDen,
+      dropNum = 1, dropDen = 3).collect()
+    assert(pruned.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L, 6L))
+    // each centroid sits in its own cell at csim = 1 -> proto_rank 1
+    val rankOf = pruned.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(Seq(0L, 1L, 2L, 3L).forall(rankOf(_) == 1L))
+    // cell 1 holds {1, 6}: the centroid is pruned at drop=1/3 (rank
+    // 1*3 <= 2*1 is false... boundary check below), 6 survives
+    val keptOf = pruned.map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    // n_cell=2, dropNum/dropDen=1/3: rank*3 > 2 holds for both ranks ->
+    // nothing drops in 2-vector cells; singleton cells keep their only
+    // member (rank*3 > 1). The integer boundary never over-drops.
+    assert(keptOf.values.forall(identity))
+    val strict = SemDedup.prototypePrune(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      nlist = Nlist, tauNum = TauNum, tauDen = TauDen,
+      dropNum = 1, dropDen = 2).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    // at drop=1/2 the 2-vector cell {1, 6} drops its rank-1 member (the
+    // centroid, csim = 1) and keeps the diverse shell member 6
+    assert(!strict(1L) && strict(6L))
+    // singletons still survive: rank 1*2 > 1*1
+    assert(strict(0L) && strict(2L) && strict(3L))
+  }
+
+  test("trained-centroid plumbing: same coverage and schema, verdicts re-derive") {
+    val cents = Similarity.trainedCentroids(
+      Quantize.int8(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+        .filter(col("scale") > 0)
+        .select(col("vec_id"), col("qvec").cast("array<float>").as("q")),
+      "vec_id", "q", nlist = 2, seed = 7L, maxIter = 5)
+    val got = runScreen(Some(cents))
+    assert(got.columns.toSeq ==
+      Seq("vec_id", "cell", "n_dup_lower", "kept"))
+    val rows = got.collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L, 8L))
+    assert(rows.forall(r => (r.getLong(2) == 0L) == r.getBoolean(3)))
+  }
+}
