@@ -124,6 +124,89 @@ object SemDedup {
       .withColumn("kept", col("n_dup_lower") === 0)
   }
 
+  /** The centroid artifact a serving deployment persists beside the
+    * kept-vector index: (cell, cent_emb, cent_norm) — the deterministic
+    * first-`nlist` quantizer by default (production swaps in
+    * [[Similarity.trainedCentroids]]; every consumer takes this table,
+    * so the swap is a one-liner). `cent_norm` is the correctly-rounded
+    * double both the batch argmax and the streaming row-local argmax
+    * divide by — persisting it (rather than recomputing) is what makes
+    * the two faces agree bit-for-bit.
+    */
+  def centroidTable(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      nlist: Int = Nlist): DataFrame = {
+    require(nlist >= 1, s"nlist must be >= 1: $nlist")
+    graft.functions.DotProductFF.register(emb.sparkSession)
+    codes(emb, idCol, embCol)
+      .filter(col(idCol) < nlist)
+      .select(col(idCol).as("cell"), col("q").as("cent_emb"),
+        sqrt(col("nsq")).as("cent_norm"))
+  }
+
+  /** The kept-vector INDEX artifact: the [[screen]] survivors with the
+    * probe-side columns a stored-index deployment needs — (vec_id, q,
+    * nsq, cell). This is what [[probeIndex]] and the streaming face
+    * probe arrivals against; it shrinks with every dedup pass (only
+    * survivors are stored) and is int8 codes, 4x smaller than floats.
+    */
+  def keptCodes(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      nlist: Int = Nlist,
+      tauNum: Int = TauNum,
+      tauDen: Int = TauDen,
+      centroidsOpt: Option[DataFrame] = None): DataFrame =
+    withDupEvidence(
+      assigned(emb, idCol, embCol, nlist, centroidsOpt), tauNum, tauDen)
+      .filter(col("kept"))
+      .select(col("vec_id"), col("q"), col("nsq"), col("cell"))
+
+  /** Probe a persisted kept-vector index with NEW arrivals — the
+    * incremental face of [[screen]] (the q198 stored-probe pattern, in
+    * embedding space): each arrival is cell-assigned against the SAME
+    * persisted centroid table the index was built with, then counted
+    * against the index members of its cell under the identical
+    * integer-exact tau predicate. Unlike [[screen]]'s lower-id order,
+    * the index side is logically ALL-prior — an arrival drops if ANY
+    * indexed vector sits in its tau-ball. Output: (vec_id, cell,
+    * n_dup_index, kept) for every nonzero arrival.
+    *
+    * Scale shape: arrivals shuffle once on cell; the index is probed
+    * cell-equi (bucket-colocated when the index is bucketed by cell);
+    * nothing is quadratic in the corpus — only in the arrival-batch x
+    * cell-population product, the same bound the batch screen carries.
+    */
+  def probeIndex(
+      newEmb: DataFrame,
+      keptIdx: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      embCol: String,
+      tauNum: Int = TauNum,
+      tauDen: Int = TauDen): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"tau must be in (0, 1]: $tauNum/$tauDen")
+    val asg = assigned(newEmb, idCol, embCol, nlist = 1, Some(centroids))
+    val idx = keptIdx.select(col("q").as("qi"), col("nsq").as("ni"),
+      col("cell"))
+    val d = dotD(col("qi"), col("q"))
+    val nd = lit(tauDen.toLong * tauDen) * d * d >=
+      lit(tauNum.toLong * tauNum) * col("ni") * col("nsq")
+    val hits = asg.join(idx, Seq("cell"))
+      .filter(d > 0 && nd)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dup_index"))
+    asg.join(hits, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"), col("cell"),
+        coalesce(col("n_dup_index"), lit(0L)).as("n_dup_index"))
+      .withColumn("kept", col("n_dup_index") === 0)
+  }
+
   /** The screen: (vec_id, cell, n_dup_lower, kept) for every nonzero
     * vector — `n_dup_lower` = how many lower-id same-cell vectors sit
     * within the tau-ball (the integer evidence column), `kept` = that

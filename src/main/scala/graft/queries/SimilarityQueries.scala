@@ -849,35 +849,66 @@ object SimilarityQueries {
       (spark, dir) =>
         graft.operators.SemDedup.prototypePrune(
           Tables.embeddings(spark, dir), "vec_id", "embedding")
+    ),
+    Q(
+      "q211_semdedup_index_probe",
+      "Stored-index semantic-dedup probe — the incremental face of " +
+        "q208 (the q198 stored-probe pattern in embedding space): the " +
+        "even-id half of the corpus builds the persisted artifacts " +
+        "(SemDedup.centroidTable + keptCodes, the survivors' int8 " +
+        "codes), and the odd-id half arrives LATER and is probed " +
+        "against them — cell-assigned with the SAME persisted " +
+        "centroids, then counted against its cell's index members " +
+        "under the identical integer-exact tau predicate. An arrival " +
+        "drops if ANY indexed vector sits in its tau-ball (the index " +
+        "is logically all-prior — no id order). Scale shape: arrivals " +
+        "shuffle once on cell, the index is probed cell-equi, nothing " +
+        "is quadratic in the corpus. The streaming twin " +
+        "(EmbeddingStream.semDedupScreened) is spec-pinned equal row " +
+        "for row; the oracle renders from the same code-chain/argmax " +
+        "templates as q208/q210, so the family cannot drift.",
+      Some(semDedupProbeSql),
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        val idxSide = e.filter(col("vec_id") % 2 === 0)
+        val arrivals = e.filter(col("vec_id") % 2 === 1)
+        val cents = graft.operators.SemDedup.centroidTable(
+          idxSide, "vec_id", "embedding")
+        val kept = graft.operators.SemDedup.keptCodes(
+          idxSide, "vec_id", "embedding", centroidsOpt = Some(cents))
+        graft.operators.SemDedup.probeIndex(
+          arrivals, kept, cents, "vec_id", "embedding")
+      }
     )
   )
 
-  /** The SemDeDup CTE prefix shared by q208 and q210: the q122
-    * int8-code chain, q42's argmax cell assignment (on codes, keeping
-    * csim), then the integer-exact in-cell lower-id tau evidence —
-    * every constant interpolated from [[graft.operators.SemDedup]].
+  /** The q122 int8-code chain over a filtered slice of `embeddings`,
+    * as CTE text `${p}v/${p}s/${p}n` ending with (vec_id, q, nsq) —
+    * the shared building block of every SemDeDup-family oracle.
     */
-  private lazy val semDedupPrefixSql: String = {
+  private def semDedupCodeChainSql(p: String, where: String): String = {
     val code = "CASE WHEN scale = 0 THEN 0 WHEN x >= 0 THEN (x * 127) // scale ELSE -((-x * 127) // scale) END"
-    val n2 = graft.operators.SemDedup.TauNum.toLong * graft.operators.SemDedup.TauNum
-    val d2 = graft.operators.SemDedup.TauDen.toLong * graft.operators.SemDedup.TauDen
-    val nlist = graft.operators.SemDedup.Nlist
-    s"""WITH v AS (
+    s"""${p}v AS (
        |  SELECT vec_id,
        |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1073741824.0) AS BIGINT)) AS iv
-       |  FROM embeddings
-       |), s AS (
+       |  FROM embeddings WHERE $where
+       |), ${p}s AS (
        |  SELECT vec_id, iv,
        |         coalesce(list_max(list_transform(iv, x -> abs(x))), 0) AS scale
-       |  FROM v
-       |), n AS (
+       |  FROM ${p}v
+       |), ${p}n AS (
        |  SELECT vec_id, q,
        |         list_sum(list_transform(list_zip(q, q), x -> x[1] * x[2])) AS nsq
-       |  FROM (SELECT vec_id, list_transform(iv, x -> $code) AS q FROM s WHERE scale > 0)
-       |), cents AS (
-       |  SELECT vec_id AS cell, q AS cq, sqrt(CAST(nsq AS DOUBLE)) AS cnrm
-       |  FROM n WHERE vec_id < $nlist
-       |), asg AS (
+       |  FROM (SELECT vec_id, list_transform(iv, x -> $code) AS q FROM ${p}s WHERE scale > 0)
+       |)""".stripMargin
+  }
+
+  /** q42's argmax cell assignment as CTE text: `$out` = (vec_id, q,
+    * nsq, cell, csim) assigning every `$src` row to its best `cents`
+    * cell (csim DESC, cell tie-break).
+    */
+  private def semDedupArgmaxSql(src: String, out: String): String =
+    s"""$out AS (
        |  SELECT vec_id, q, nsq, cell, csim FROM (
        |    SELECT n.vec_id, n.q, n.nsq, c.cell,
        |           CAST(list_sum(list_transform(list_zip(n.q, c.cq), x -> x[1] * x[2])) AS DOUBLE)
@@ -885,8 +916,25 @@ object SimilarityQueries {
        |           ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
        |             CAST(list_sum(list_transform(list_zip(n.q, c.cq), x -> x[1] * x[2])) AS DOUBLE)
        |               / (sqrt(CAST(n.nsq AS DOUBLE)) * c.cnrm) DESC, c.cell) AS cr
-       |    FROM n, cents c) WHERE cr = 1
-       |), dup AS (
+       |    FROM $src n, cents c) WHERE cr = 1
+       |)""".stripMargin
+
+  /** The SemDeDup CTE prefix shared by q208/q210/q211: the code chain,
+    * the first-nlist centroid table, the argmax assignment (keeping
+    * csim), then the integer-exact in-cell lower-id tau evidence —
+    * every constant interpolated from [[graft.operators.SemDedup]].
+    * `where` filters the corpus slice the screen runs over.
+    */
+  private def semDedupPrefixFor(where: String): String = {
+    val n2 = graft.operators.SemDedup.TauNum.toLong * graft.operators.SemDedup.TauNum
+    val d2 = graft.operators.SemDedup.TauDen.toLong * graft.operators.SemDedup.TauDen
+    val nlist = graft.operators.SemDedup.Nlist
+    s"""WITH ${semDedupCodeChainSql("", where)},
+       |cents AS (
+       |  SELECT vec_id AS cell, q AS cq, sqrt(CAST(nsq AS DOUBLE)) AS cnrm
+       |  FROM n WHERE vec_id < $nlist
+       |), ${semDedupArgmaxSql("n", "asg")},
+       |dup AS (
        |  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dup_lower FROM (
        |    SELECT b.vec_id,
        |           list_sum(list_transform(list_zip(a.q, b.q), x -> x[1] * x[2])) AS d,
@@ -896,6 +944,8 @@ object SimilarityQueries {
        |  GROUP BY 1
        |)""".stripMargin
   }
+
+  private lazy val semDedupPrefixSql: String = semDedupPrefixFor("TRUE")
 
   /** q208's oracle: the shared prefix plus the evidence-join verdict. */
   private lazy val semDedupSql: String =
@@ -924,6 +974,37 @@ object SimilarityQueries {
        |         CAST(ROW_NUMBER() OVER (PARTITION BY cell ORDER BY csim DESC, vec_id) AS BIGINT) AS proto_rank,
        |         CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n_cell
        |  FROM surv)""".stripMargin
+  }
+
+  /** q211's oracle: the q208 prefix over the even-id index half (its
+    * survivors are the stored index), the arrival code chain + argmax
+    * over the odd-id half against the SAME centroid table, then the
+    * all-prior tau hit count.
+    */
+  private lazy val semDedupProbeSql: String = {
+    val n2 = graft.operators.SemDedup.TauNum.toLong * graft.operators.SemDedup.TauNum
+    val d2 = graft.operators.SemDedup.TauDen.toLong * graft.operators.SemDedup.TauDen
+    s"""${semDedupPrefixFor("vec_id % 2 = 0")},
+       |kept AS (
+       |  SELECT asg.vec_id, asg.q, asg.nsq, asg.cell
+       |  FROM asg LEFT JOIN dup ON dup.vec_id = asg.vec_id
+       |  WHERE coalesce(dup.n_dup_lower, 0) = 0
+       |),
+       |${semDedupCodeChainSql("ar", "vec_id % 2 = 1")},
+       |${semDedupArgmaxSql("arn", "aasg")},
+       |hits AS (
+       |  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dup_index FROM (
+       |    SELECT a.vec_id,
+       |           list_sum(list_transform(list_zip(k.q, a.q), x -> x[1] * x[2])) AS d,
+       |           k.nsq AS ni, a.nsq AS nb
+       |    FROM aasg a JOIN kept k ON a.cell = k.cell)
+       |  WHERE d > 0 AND $d2 * d * d >= $n2 * ni * nb
+       |  GROUP BY 1
+       |)
+       |SELECT aasg.vec_id, aasg.cell,
+       |       coalesce(hits.n_dup_index, 0) AS n_dup_index,
+       |       coalesce(hits.n_dup_index, 0) = 0 AS kept
+       |FROM aasg LEFT JOIN hits ON hits.vec_id = aasg.vec_id""".stripMargin
   }
 
   private def indentSql(sql: String, pad: String): String =

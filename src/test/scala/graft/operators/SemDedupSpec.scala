@@ -188,6 +188,78 @@ class SemDedupSpec extends AnyFunSuite {
     assert(strict(0L) && strict(2L) && strict(3L))
   }
 
+  // Arrivals for the stored-index probe: 100 sits in 0's tau-ball
+  // (dropped against the index), 101 spreads across +/- axes so its
+  // best-centroid csim ties between cells 0 and 1 (exercising the
+  // lowest-cell tie-break) and stays below tau everywhere (kept), 102
+  // is the zero vector (excluded).
+  private val arrivals = Seq(
+    (100L, Array(0.97f, 0.03f, 0.0f, 0.0f)),
+    (101L, Array(0.1f, 0.1f, -1.0f, -1.0f)),
+    (102L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+  )
+
+  /** Scalar twin of the stored-index probe: kept index members (from
+    * [[scalarScreen]]) probed by each arrival under the all-prior rule.
+    */
+  private def scalarProbe(
+      idx: Seq[(Long, Array[Float])],
+      arr: Seq[(Long, Array[Float])]): Map[Long, (Long, Long, Boolean)] = {
+    def codesOf(v: Array[Float]): Array[Long] = {
+      val iv = v.map(x => math.floor(x.toDouble * Quantize.Shift).toLong)
+      val s = if (iv.isEmpty) 0L else iv.map(math.abs).max
+      iv.map { x =>
+        if (s == 0L) 0L
+        else if (x >= 0L) x * 127 / s
+        else -((-x * 127) / s)
+      }
+    }
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val nzIdx = idx.map { case (id, v) => (id, codesOf(v)) }
+      .filter { case (_, q) => q.exists(_ != 0L) }
+    val cents = nzIdx.filter(_._1 < Nlist)
+      .map { case (cid, cq) => (cid, cq, math.sqrt(dot(cq, cq).toDouble)) }
+    def cellOf(q: Array[Long]): Long = {
+      val nrm = math.sqrt(dot(q, q).toDouble)
+      cents.map { case (cid, cq, cnrm) => (cid, dot(q, cq).toDouble / (nrm * cnrm)) }
+        .sortBy { case (cid, cs) => (-cs, cid) }.head._1
+    }
+    val screen = scalarScreen(idx)
+    val keptIdx = nzIdx.filter { case (id, _) => screen(id)._3 }
+      .map { case (id, q) => (q, dot(q, q), cellOf(q)) }
+    arr.map { case (id, v) => (id, codesOf(v)) }
+      .filter { case (_, q) => q.exists(_ != 0L) }
+      .map { case (id, q) =>
+        val nsq = dot(q, q)
+        val cell = cellOf(q)
+        val n = keptIdx.count { case (qi, ni, ci) =>
+          val d = dot(qi, q)
+          ci == cell && d > 0 &&
+            TauDen.toLong * TauDen * d * d >= TauNum.toLong * TauNum * ni * nsq
+        }
+        id -> ((cell, n.toLong, n == 0))
+      }.toMap
+  }
+
+  test("probeIndex screens arrivals against the persisted artifacts (all-prior rule)") {
+    val idxDf = vecs.toDF("vec_id", "embedding")
+    val cents = SemDedup.centroidTable(idxDf, "vec_id", "embedding", nlist = Nlist)
+    val kept = SemDedup.keptCodes(
+      idxDf, "vec_id", "embedding", nlist = Nlist,
+      tauNum = TauNum, tauDen = TauDen)
+    val got = SemDedup.probeIndex(
+      arrivals.toDF("vec_id", "embedding"), kept, cents,
+      "vec_id", "embedding", tauNum = TauNum, tauDen = TauDen).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got == scalarProbe(vecs, arrivals))
+    // the fixture exercises all three verdicts
+    assert(got.keySet == Set(100L, 101L)) // zero vector excluded
+    assert(!got(100L)._3 && got(100L)._2 >= 1L) // in 0's tau-ball: dropped
+    assert(got(101L)._3 && got(101L)._1 == 0L)  // tie-broken to cell 0, kept
+  }
+
   test("trained-centroid plumbing: same coverage and schema, verdicts re-derive") {
     val cents = Similarity.trainedCentroids(
       Quantize.int8(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
