@@ -207,6 +207,69 @@ object SemDedup {
       .withColumn("kept", col("n_dup_index") === 0)
   }
 
+  /** Default audit-slice bound for [[cellMissAudit]] (the `maxId`
+    * device of `Similarity.cosineDupPairs`: the exact face is
+    * all-pairs, so it only ever runs id-gated).
+    */
+  val AuditMaxId = 256L
+
+  /** Cell-confinement MISS audit — the tracked approximation-quality
+    * number for the SemDeDup family (the q121/q189 discipline: every
+    * approximation ships with a regression-guarded measurement).
+    * SemDeDup only compares vectors INSIDE a cell, so a tau-pair whose
+    * members argmax into different cells is invisible to the screen —
+    * the paper accepts this; this audit MEASURES it. Over the bounded
+    * slice `vec_id < maxId`: the exact all-pairs tau graph (broadcast
+    * self-join — quadratic, which is WHY the id gate is mandatory, not
+    * a knob) against the same-cell subset. Output is one row:
+    * (n_pairs_exact, n_pairs_in_cell, n_missed, miss_rate) — the first
+    * three are exact BIGINTs; miss_rate is their one double quotient.
+    * On the isotropic fixture the boundary miss rate is high (random
+    * directions sit between cells); on real clustered corpora — where
+    * dups are dense near centroids — it is the small number the paper
+    * reports. Tracking it is what tells you when your corpus is NOT
+    * behaving like that and nlist/tau need recalibration.
+    */
+  def cellMissAudit(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      nlist: Int = Nlist,
+      tauNum: Int = TauNum,
+      tauDen: Int = TauDen,
+      maxId: Long = AuditMaxId,
+      centroidsOpt: Option[DataFrame] = None): DataFrame = {
+    require(maxId > 0, s"maxId must be positive: $maxId")
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"tau must be in (0, 1]: $tauNum/$tauDen")
+    val slice = emb.filter(col(idCol) < maxId)
+    val asg = assigned(slice, idCol, embCol, nlist, centroidsOpt)
+    val a = asg.select(col("vec_id").as("ia"), col("q").as("qa"),
+      col("nsq").as("na"), col("cell").as("ca"))
+    val b = asg.select(col("vec_id").as("ib"), col("q").as("qb"),
+      col("nsq").as("nb"), col("cell").as("cb"))
+    val d = dotD(col("qa"), col("qb"))
+    val taued = lit(tauDen.toLong * tauDen) * d * d >=
+      lit(tauNum.toLong * tauNum) * col("na") * col("nb")
+    // Exact all-pairs tau graph on the gated slice: broadcast the
+    // (bounded) right side, never a shuffle of pairs.
+    val pairs = a.join(broadcast(b), col("ia") < col("ib"))
+      .filter(d > 0 && taued)
+    pairs.agg(
+      count(lit(1)).as("n_pairs_exact"),
+      sum(when(col("ca") === col("cb"), 1L).otherwise(0L))
+        .as("n_pairs_in_cell"))
+      .select(
+        col("n_pairs_exact"),
+        coalesce(col("n_pairs_in_cell"), lit(0L)).as("n_pairs_in_cell"),
+        (col("n_pairs_exact") - coalesce(col("n_pairs_in_cell"), lit(0L)))
+          .as("n_missed"))
+      .withColumn("miss_rate",
+        when(col("n_pairs_exact") === 0, lit(0.0))
+          .otherwise(col("n_missed").cast("double") /
+            col("n_pairs_exact").cast("double")))
+  }
+
   /** The screen: (vec_id, cell, n_dup_lower, kept) for every nonzero
     * vector — `n_dup_lower` = how many lower-id same-cell vectors sit
     * within the tau-ball (the integer evidence column), `kept` = that

@@ -879,6 +879,26 @@ object SimilarityQueries {
         graft.operators.SemDedup.probeIndex(
           arrivals, kept, cents, "vec_id", "embedding")
       }
+    ),
+    Q(
+      "q212_semdedup_miss_audit",
+      "Cell-confinement miss audit — the SemDeDup family's TRACKED " +
+        "approximation-quality number (the q121/q189 discipline): " +
+        "q208 only compares vectors inside a cell, so a tau-pair " +
+        "straddling a cell boundary is invisible to the screen. Over " +
+        s"the id-gated slice (vec_id < ${graft.operators.SemDedup.AuditMaxId}" +
+        " — the exact face is all-pairs, so the gate is mandatory, the " +
+        "cosineDupPairs maxId device), the exact broadcast all-pairs " +
+        "tau graph vs its same-cell subset: one row of exact BIGINT " +
+        "counts (n_pairs_exact / n_pairs_in_cell / n_missed) plus " +
+        "their one double quotient. The isotropic fixture's miss rate " +
+        "is HIGH by construction (random directions straddle cells); " +
+        "on clustered corpora it is the paper's small number — " +
+        "tracking it is what says when nlist/tau need recalibration.",
+      Some(semDedupMissAuditSql),
+      (spark, dir) =>
+        graft.operators.SemDedup.cellMissAudit(
+          Tables.embeddings(spark, dir), "vec_id", "embedding")
     )
   )
 
@@ -1005,6 +1025,37 @@ object SimilarityQueries {
        |       coalesce(hits.n_dup_index, 0) AS n_dup_index,
        |       coalesce(hits.n_dup_index, 0) = 0 AS kept
        |FROM aasg LEFT JOIN hits ON hits.vec_id = aasg.vec_id""".stripMargin
+  }
+
+  /** q212's oracle: the gated code chain + argmax, then the exact
+    * all-pairs tau graph against its same-cell subset.
+    */
+  private lazy val semDedupMissAuditSql: String = {
+    val n2 = graft.operators.SemDedup.TauNum.toLong * graft.operators.SemDedup.TauNum
+    val d2 = graft.operators.SemDedup.TauDen.toLong * graft.operators.SemDedup.TauDen
+    val nlist = graft.operators.SemDedup.Nlist
+    val maxId = graft.operators.SemDedup.AuditMaxId
+    val inCell = "coalesce(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END), 0)"
+    s"""WITH ${semDedupCodeChainSql("", s"vec_id < $maxId")},
+       |cents AS (
+       |  SELECT vec_id AS cell, q AS cq, sqrt(CAST(nsq AS DOUBLE)) AS cnrm
+       |  FROM n WHERE vec_id < $nlist
+       |), ${semDedupArgmaxSql("n", "asg")},
+       |tp AS (
+       |  SELECT ca, cb FROM (
+       |    SELECT a.cell AS ca, b.cell AS cb,
+       |           list_sum(list_transform(list_zip(a.q, b.q), x -> x[1] * x[2])) AS d,
+       |           a.nsq AS na, b.nsq AS nb
+       |    FROM asg a JOIN asg b ON a.vec_id < b.vec_id)
+       |  WHERE d > 0 AND $d2 * d * d >= $n2 * na * nb
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_pairs_exact,
+       |       CAST($inCell AS BIGINT) AS n_pairs_in_cell,
+       |       CAST(count(*) - $inCell AS BIGINT) AS n_missed,
+       |       CASE WHEN count(*) = 0 THEN 0.0
+       |            ELSE CAST(count(*) - $inCell AS DOUBLE) / count(*)
+       |       END AS miss_rate
+       |FROM tp""".stripMargin
   }
 
   private def indentSql(sql: String, pad: String): String =

@@ -36,20 +36,22 @@ class SemDedupSpec extends AnyFunSuite {
   private val TauNum = 7
   private val TauDen = 20
 
+  /** Shared scalar-twin primitives: int8 codes + exact integer dot. */
+  private def codesOf(v: Array[Float]): Array[Long] = {
+    val iv = v.map(x => math.floor(x.toDouble * Quantize.Shift).toLong)
+    val s = if (iv.isEmpty) 0L else iv.map(math.abs).max
+    iv.map { x =>
+      if (s == 0L) 0L
+      else if (x >= 0L) x * 127 / s
+      else -((-x * 127) / s)
+    }
+  }
+  private def dot(a: Array[Long], b: Array[Long]): Long =
+    a.zip(b).map { case (x, y) => x * y }.sum
+
   /** Scalar re-implementation of the full chain on int8 codes. */
   private def scalarScreen(
       vs: Seq[(Long, Array[Float])]): Map[Long, (Long, Long, Boolean)] = {
-    def codesOf(v: Array[Float]): Array[Long] = {
-      val iv = v.map(x => math.floor(x.toDouble * Quantize.Shift).toLong)
-      val s = if (iv.isEmpty) 0L else iv.map(math.abs).max
-      iv.map { x =>
-        if (s == 0L) 0L
-        else if (x >= 0L) x * 127 / s
-        else -((-x * 127) / s)
-      }
-    }
-    def dot(a: Array[Long], b: Array[Long]): Long =
-      a.zip(b).map { case (x, y) => x * y }.sum
     val nz = vs.map { case (id, v) => (id, codesOf(v)) }
       .filter { case (_, q) => q.exists(_ != 0L) }
     val cents = nz.filter(_._1 < Nlist)
@@ -111,17 +113,6 @@ class SemDedupSpec extends AnyFunSuite {
   private def scalarPrune(
       vs: Seq[(Long, Array[Float])],
       dropNum: Int, dropDen: Int): Map[Long, (Long, Long, Long, Boolean)] = {
-    def codesOf(v: Array[Float]): Array[Long] = {
-      val iv = v.map(x => math.floor(x.toDouble * Quantize.Shift).toLong)
-      val s = if (iv.isEmpty) 0L else iv.map(math.abs).max
-      iv.map { x =>
-        if (s == 0L) 0L
-        else if (x >= 0L) x * 127 / s
-        else -((-x * 127) / s)
-      }
-    }
-    def dot(a: Array[Long], b: Array[Long]): Long =
-      a.zip(b).map { case (x, y) => x * y }.sum
     val nz = vs.map { case (id, v) => (id, codesOf(v)) }
       .filter { case (_, q) => q.exists(_ != 0L) }
     val cents = nz.filter(_._1 < Nlist)
@@ -205,17 +196,6 @@ class SemDedupSpec extends AnyFunSuite {
   private def scalarProbe(
       idx: Seq[(Long, Array[Float])],
       arr: Seq[(Long, Array[Float])]): Map[Long, (Long, Long, Boolean)] = {
-    def codesOf(v: Array[Float]): Array[Long] = {
-      val iv = v.map(x => math.floor(x.toDouble * Quantize.Shift).toLong)
-      val s = if (iv.isEmpty) 0L else iv.map(math.abs).max
-      iv.map { x =>
-        if (s == 0L) 0L
-        else if (x >= 0L) x * 127 / s
-        else -((-x * 127) / s)
-      }
-    }
-    def dot(a: Array[Long], b: Array[Long]): Long =
-      a.zip(b).map { case (x, y) => x * y }.sum
     val nzIdx = idx.map { case (id, v) => (id, codesOf(v)) }
       .filter { case (_, q) => q.exists(_ != 0L) }
     val cents = nzIdx.filter(_._1 < Nlist)
@@ -258,6 +238,64 @@ class SemDedupSpec extends AnyFunSuite {
     assert(got.keySet == Set(100L, 101L)) // zero vector excluded
     assert(!got(100L)._3 && got(100L)._2 >= 1L) // in 0's tau-ball: dropped
     assert(got(101L)._3 && got(101L)._1 == 0L)  // tie-broken to cell 0, kept
+  }
+
+  /** Scalar twin of the cell-confinement miss audit: exact all-pairs
+    * tau graph on the slice vs its same-cell subset.
+    */
+  private def scalarMissAudit(
+      vs: Seq[(Long, Array[Float])]): (Long, Long, Long, Double) = {
+    val nz = vs.map { case (id, v) => (id, codesOf(v)) }
+      .filter { case (_, q) => q.exists(_ != 0L) }
+    val cents = nz.filter(_._1 < Nlist)
+      .map { case (cid, cq) => (cid, cq, math.sqrt(dot(cq, cq).toDouble)) }
+    def cellOf(q: Array[Long]): Long = {
+      val nrm = math.sqrt(dot(q, q).toDouble)
+      cents.map { case (cid, cq, cnrm) =>
+        (cid, dot(q, cq).toDouble / (nrm * cnrm))
+      }.sortBy { case (cid, cs) => (-cs, cid) }.head._1
+    }
+    val asg = nz.map { case (id, q) => (id, q, dot(q, q), cellOf(q)) }
+    val tp = for {
+      (ia, qa, na, ca) <- asg
+      (ib, qb, nb, cb) <- asg
+      if ia < ib
+      d = dot(qa, qb)
+      if d > 0 &&
+        TauDen.toLong * TauDen * d * d >= TauNum.toLong * TauNum * na * nb
+    } yield (ca, cb)
+    val nEx = tp.size.toLong
+    val nIn = tp.count { case (ca, cb) => ca == cb }.toLong
+    val miss = nEx - nIn
+    (nEx, nIn, miss, if (nEx == 0) 0.0 else miss.toDouble / nEx.toDouble)
+  }
+
+  test("cellMissAudit counts boundary-straddling tau pairs the screen cannot see") {
+    // 9/10 are a planted tau-pair straddling the cell 0 / cell 1
+    // boundary (cos ~0.994, but they argmax into different cells) —
+    // exactly the miss class the audit exists to count.
+    val aud = vecs ++ Seq(
+      (9L, Array(0.9f, 1.0f, 0.0f, 0.0f)),  // cell 1
+      (10L, Array(1.0f, 0.9f, 0.0f, 0.0f))) // cell 0
+    val got = SemDedup.cellMissAudit(
+      aud.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      nlist = Nlist, tauNum = TauNum, tauDen = TauDen, maxId = 100L)
+      .collect().head
+    val exp = scalarMissAudit(aud)
+    assert(
+      (got.getLong(0), got.getLong(1), got.getLong(2), got.getDouble(3)) == exp)
+    assert(got.getLong(2) >= 1L) // the planted boundary pair IS missed
+    assert(got.getLong(1) >= 1L) // and in-cell tau pairs are NOT counted as missed
+  }
+
+  test("cellMissAudit with no tau pairs reports zeros, not division artifacts") {
+    // orthogonal axes only: every cross pair has dot = 0 (excluded by d > 0)
+    val got = SemDedup.cellMissAudit(
+      vecs.take(4).toDF("vec_id", "embedding"), "vec_id", "embedding",
+      nlist = Nlist, tauNum = TauNum, tauDen = TauDen, maxId = 100L)
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getDouble(3))
+      == ((0L, 0L, 0L, 0.0)))
   }
 
   test("trained-centroid plumbing: same coverage and schema, verdicts re-derive") {
