@@ -724,6 +724,46 @@ object ModelQueries {
       }
     ),
     Q(
+      "q213_curation_capstone_v3",
+      "Third capstone — the first CROSS-MODAL selection: the q207 " +
+        "chain (q204 repetition screen -> q50 quality -> q206 " +
+        "learned-token budget) with the q208 SEMANTIC gate added — a " +
+        "document survives only if its embedding also survives " +
+        "SemDeDup, so the budget window counts documents screened in " +
+        "BOTH modalities (surface text AND meaning). Shape: v2's plan " +
+        "plus one more left-semi probe (the semantic kept set is " +
+        "doc-keyed like the repetition keep set, and the two semis " +
+        "share the doc_id exchange); the embedding side never " +
+        "shuffles its vectors into the text plan — only the kept ids " +
+        "cross. Oracle: the v2 text with the sd* kept-set CTEs " +
+        "rendered from SimilarityQueries' own q208 templates, so the " +
+        "capstone cannot drift from the standalone faces.",
+      Some(CurationV3Sql),
+      (spark, dir) => {
+        import graft.operators.TextAnalysis
+        val docs = Tables.documents(spark, dir)
+        val keep = TextAnalysis.repetitionStats(
+            docs, "doc_id", "text",
+            TextQueries.RepTopWordMax, TextQueries.RepDup3Max)
+          .filter(col("keep")).select("doc_id")
+        val semKept = graft.operators.SemDedup.screen(
+            Tables.embeddings(spark, dir), "vec_id", "embedding")
+          .filter(col("kept"))
+          .select(col("vec_id").as("doc_id"))
+        val enc = graft.operators.BpeTrainer.encode(docs, "text", "doc_id")
+          .select(col("doc_id"), col("n_tokens"))
+        val scored = docs.select(
+            col("doc_id"), col("source"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+          .join(keep, Seq("doc_id"), "left_semi")
+          .join(semKept, Seq("doc_id"), "left_semi")
+          .join(enc, Seq("doc_id"))
+        graft.operators.Sampling.fillTokenBudget(
+          scored, "source", "quality", "doc_id", "n_tokens",
+          budget = BpeBudget)
+      }
+    ),
+    Q(
       "q206_bpe_token_budget",
       "Token-budget curation measured in LEARNED tokenizer tokens: " +
         "q87's greedy per-source budget fill, but the cost of a " +
@@ -810,33 +850,8 @@ object ModelQueries {
     * only — exactly the Spark side's semi-join-then-window.
     */
   private lazy val CurationV2Sql: String =
-    bpeEncQualityCtes + "\n" +
-      s""", rk_t AS MATERIALIZED (
-         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
-         |), rk_base AS (
-         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks FROM rk_t
-         |), rk_w AS (
-         |  SELECT doc_id, MAX(c) AS topw FROM (
-         |    SELECT doc_id, COUNT(*) AS c
-         |    FROM (SELECT doc_id, unnest(t) AS w FROM rk_t) GROUP BY doc_id, w)
-         |  GROUP BY doc_id
-         |), rk_g3 AS (
-         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS m3 FROM (
-         |    SELECT doc_id, COUNT(*) AS c FROM (
-         |      SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
-         |      FROM rk_t, UNNEST(range(1, len(t) - 1)) AS u(i)) GROUP BY doc_id, g)
-         |  WHERE c >= 2 GROUP BY doc_id
-         |), rk_keep AS (
-         |  SELECT b.doc_id
-         |  FROM rk_base b LEFT JOIN rk_w USING (doc_id) LEFT JOIN rk_g3 USING (doc_id)
-         |  WHERE (CASE WHEN b.n_toks > 0
-         |              THEN CAST(COALESCE(rk_w.topw, 0) AS DOUBLE) / CAST(b.n_toks AS DOUBLE)
-         |              ELSE 0.0 END) <= ${graft.queries.TextQueries.RepTopWordMax}
-         |    AND (CASE WHEN b.n_toks - 2 > 0
-         |              THEN CAST(COALESCE(rk_g3.m3, 0) AS DOUBLE) / CAST(b.n_toks - 2 AS DOUBLE)
-         |              ELSE 0.0 END) <= ${graft.queries.TextQueries.RepDup3Max}
-         |)
-         |SELECT doc_id, source, quality, n_tokens, cum_tokens FROM (
+    bpeEncQualityCtes + "\n" + repetitionKeepCtes + "\n" +
+      s"""SELECT doc_id, source, quality, n_tokens, cum_tokens FROM (
          |  SELECT sq.doc_id, sq.source, sq.quality, enc.n_tokens,
          |         CAST(SUM(enc.n_tokens) OVER (
          |           PARTITION BY sq.source ORDER BY sq.quality DESC, sq.doc_id
@@ -844,6 +859,59 @@ object ModelQueries {
          |  FROM sq JOIN enc ON enc.doc_id = sq.doc_id
          |  WHERE sq.doc_id IN (SELECT doc_id FROM rk_keep))
          |WHERE cum_tokens <= $BpeBudget""".stripMargin
+
+  /** q213's oracle: the v2 chain with the q208 semantic gate added —
+    * the sd* kept-set CTEs render from SimilarityQueries' own
+    * templates, so the capstone cannot drift from the standalone q208
+    * face; both gates apply in the WHERE (before the window), so the
+    * running budget total counts documents that survived every screen
+    * in BOTH modalities.
+    */
+  private lazy val CurationV3Sql: String =
+    bpeEncQualityCtes + "\n" + repetitionKeepCtes + ",\n" +
+      SimilarityQueries.semDedupKeptCteSql + "\n" +
+      s"""SELECT doc_id, source, quality, n_tokens, cum_tokens FROM (
+         |  SELECT sq.doc_id, sq.source, sq.quality, enc.n_tokens,
+         |         CAST(SUM(enc.n_tokens) OVER (
+         |           PARTITION BY sq.source ORDER BY sq.quality DESC, sq.doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM sq JOIN enc ON enc.doc_id = sq.doc_id
+         |  WHERE sq.doc_id IN (SELECT doc_id FROM rk_keep)
+         |    AND sq.doc_id IN (SELECT vec_id FROM sdkept))
+         |WHERE cum_tokens <= $BpeBudget""".stripMargin
+
+  /** The q204 repetition screen's keep set as a composable CTE block
+    * (rk_* — the compact keep-only form of the q204 formula,
+    * thresholds shared via the TextQueries constants so renderings
+    * cannot drift on the operating point). Shared by the v2/v3
+    * capstone oracles.
+    */
+  private lazy val repetitionKeepCtes: String =
+    s""", rk_t AS MATERIALIZED (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+       |), rk_base AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks FROM rk_t
+       |), rk_w AS (
+       |  SELECT doc_id, MAX(c) AS topw FROM (
+       |    SELECT doc_id, COUNT(*) AS c
+       |    FROM (SELECT doc_id, unnest(t) AS w FROM rk_t) GROUP BY doc_id, w)
+       |  GROUP BY doc_id
+       |), rk_g3 AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS m3 FROM (
+       |    SELECT doc_id, COUNT(*) AS c FROM (
+       |      SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+       |      FROM rk_t, UNNEST(range(1, len(t) - 1)) AS u(i)) GROUP BY doc_id, g)
+       |  WHERE c >= 2 GROUP BY doc_id
+       |), rk_keep AS (
+       |  SELECT b.doc_id
+       |  FROM rk_base b LEFT JOIN rk_w USING (doc_id) LEFT JOIN rk_g3 USING (doc_id)
+       |  WHERE (CASE WHEN b.n_toks > 0
+       |              THEN CAST(COALESCE(rk_w.topw, 0) AS DOUBLE) / CAST(b.n_toks AS DOUBLE)
+       |              ELSE 0.0 END) <= ${graft.queries.TextQueries.RepTopWordMax}
+       |    AND (CASE WHEN b.n_toks - 2 > 0
+       |              THEN CAST(COALESCE(rk_g3.m3, 0) AS DOUBLE) / CAST(b.n_toks - 2 AS DOUBLE)
+       |              ELSE 0.0 END) <= ${graft.queries.TextQueries.RepDup3Max}
+       |)""".stripMargin
 
   /** Shared q206/q207 oracle prefix: training chain -> lexicon -> enc
     * (per-doc learned token counts) -> tq/sq (q87's quality CTE).

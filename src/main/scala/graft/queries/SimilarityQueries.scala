@@ -924,10 +924,11 @@ object SimilarityQueries {
   }
 
   /** q42's argmax cell assignment as CTE text: `$out` = (vec_id, q,
-    * nsq, cell, csim) assigning every `$src` row to its best `cents`
-    * cell (csim DESC, cell tie-break).
+    * nsq, cell, csim) assigning every `$src` row to its best
+    * `$centsName` cell (csim DESC, cell tie-break).
     */
-  private def semDedupArgmaxSql(src: String, out: String): String =
+  private def semDedupArgmaxSql(
+      src: String, out: String, centsName: String = "cents"): String =
     s"""$out AS (
        |  SELECT vec_id, q, nsq, cell, csim FROM (
        |    SELECT n.vec_id, n.q, n.nsq, c.cell,
@@ -936,8 +937,40 @@ object SimilarityQueries {
        |           ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
        |             CAST(list_sum(list_transform(list_zip(n.q, c.cq), x -> x[1] * x[2])) AS DOUBLE)
        |               / (sqrt(CAST(n.nsq AS DOUBLE)) * c.cnrm) DESC, c.cell) AS cr
-       |    FROM $src n, cents c) WHERE cr = 1
+       |    FROM $src n, $centsName c) WHERE cr = 1
        |)""".stripMargin
+
+  /** The q208 kept-set as a COMPOSABLE CTE fragment (no WITH keyword,
+    * every CTE `sd`-prefixed so it nests into another query's WITH
+    * chain without collisions): `sdkept` = the semantic-dedup
+    * survivors' vec_ids. Rendered from the same templates as q208's
+    * own oracle, so a consumer (q213's capstone) cannot drift from
+    * the standalone face.
+    */
+  private[queries] lazy val semDedupKeptCteSql: String = {
+    val n2 = graft.operators.SemDedup.TauNum.toLong * graft.operators.SemDedup.TauNum
+    val d2 = graft.operators.SemDedup.TauDen.toLong * graft.operators.SemDedup.TauDen
+    val nlist = graft.operators.SemDedup.Nlist
+    s"""${semDedupCodeChainSql("sd", "TRUE")},
+       |sdcents AS (
+       |  SELECT vec_id AS cell, q AS cq, sqrt(CAST(nsq AS DOUBLE)) AS cnrm
+       |  FROM sdn WHERE vec_id < $nlist
+       |), ${semDedupArgmaxSql("sdn", "sdasg", "sdcents")},
+       |sddup AS (
+       |  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dup_lower FROM (
+       |    SELECT b.vec_id,
+       |           list_sum(list_transform(list_zip(a.q, b.q), x -> x[1] * x[2])) AS d,
+       |           a.nsq AS na, b.nsq AS nb
+       |    FROM sdasg a JOIN sdasg b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |  WHERE d > 0 AND $d2 * d * d >= $n2 * na * nb
+       |  GROUP BY 1
+       |),
+       |sdkept AS (
+       |  SELECT sdasg.vec_id
+       |  FROM sdasg LEFT JOIN sddup ON sddup.vec_id = sdasg.vec_id
+       |  WHERE coalesce(sddup.n_dup_lower, 0) = 0
+       |)""".stripMargin
+  }
 
   /** The SemDeDup CTE prefix shared by q208/q210/q211: the code chain,
     * the first-nlist centroid table, the argmax assignment (keeping
