@@ -635,14 +635,17 @@ object DocumentStream {
     * whose vocabulary outgrows the guard is a contract violation:
     * serve it batch-side (q206's broadcast join) instead.
     */
-  def tokenQuotaCapped(
-      docs: DataFrame,
-      lexicon: DataFrame,
-      budget: Long,
-      maxPlanWords: Int = 100000): Dataset[TokenQuotaDoc] = {
-    require(budget > 0, s"budget must be positive: $budget")
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** The trained lexicon as a guarded plan-literal map column
+    * (word -> n_tokens_w) — the device shared by every lexicon-costed
+    * stream face (append mode forbids joins/aggregations before a
+    * stateful operator, and a zero-state screen should not pay a join
+    * at all). The guard bounds the literal (it ships to every executor
+    * inside the expression); a corpus whose vocabulary outgrows it is
+    * a contract violation — serve it batch-side (q206's broadcast
+    * join) instead.
+    */
+  private def lexiconPlanLiteral(
+      lexicon: DataFrame, maxPlanWords: Int): org.apache.spark.sql.Column = {
     val lex = lexicon
       .select(col("word").cast("string"), col("n_tokens_w").cast("long"))
       .distinct().localCheckpoint(true)
@@ -653,33 +656,86 @@ object DocumentStream {
           "plan literal that large would weigh on every trigger; serve " +
           "corpus-scale lexicons through the batch broadcast join (q206)")
       val entries = lex.collect()
-      val lexMap = map(entries.flatMap(r =>
+      map(entries.flatMap(r =>
         Seq(lit(r.getString(0)), lit(r.getLong(1)))).toIndexedSeq: _*)
-      val words = filter(
-        TextAnalysis.wsTokens(lower(trim(col("text")))),
-        w => w.rlike("^[a-z]+$"))
-      val nTok = aggregate(words, lit(0L),
-        (acc, w) => acc + coalesce(element_at(lexMap, w), lit(0L)))
-      docs
-        .select(col("source"), col("doc_id"), nTok.as("n_tokens"))
-        .filter(col("n_tokens") > 0)
-        .as[(String, Long, Long)]
-        .groupByKey(_._1)
-        .flatMapGroupsWithState(
-          OutputMode.Append, GroupStateTimeout.NoTimeout) {
-          (src: String, rows: Iterator[(String, Long, Long)],
-           state: GroupState[Long]) =>
-            var cum = state.getOption.getOrElse(0L)
-            val admitted = rows.toSeq.sortBy(_._2).flatMap {
-              case (_, id, n) =>
-                cum += n
-                if (cum <= budget) Some(TokenQuotaDoc(src, id, n, cum))
-                else None
-            }
-            state.update(cum)
-            admitted.iterator
-        }
     } finally graft.operators.Checkpoints.release(lex)
+  }
+
+  /** The encode contract's word stream as a row-local expression: the
+    * `^[a-z]+$` words of `lower(trim(text))` (what
+    * [[graft.operators.BpeTrainer.encode]] explodes and joins).
+    */
+  private def lexWords: org.apache.spark.sql.Column = filter(
+    TextAnalysis.wsTokens(lower(trim(col("text")))),
+    w => w.rlike("^[a-z]+$"))
+
+  def tokenQuotaCapped(
+      docs: DataFrame,
+      lexicon: DataFrame,
+      budget: Long,
+      maxPlanWords: Int = 100000): Dataset[TokenQuotaDoc] = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lexMap = lexiconPlanLiteral(lexicon, maxPlanWords)
+    val nTok = aggregate(lexWords, lit(0L),
+      (acc, w) => acc + coalesce(element_at(lexMap, w), lit(0L)))
+    docs
+      .select(col("source"), col("doc_id"), nTok.as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val admitted = rows.toSeq.sortBy(_._2).flatMap {
+            case (_, id, n) =>
+              cum += n
+              if (cum <= budget) Some(TokenQuotaDoc(src, id, n, cum))
+              else None
+          }
+          state.update(cum)
+          admitted.iterator
+      }
+  }
+
+  /** Streaming tokenizer-fertility screen — q209's zero-state twin:
+    * the per-doc (n_chars, n_tokens) of the encode contract computed
+    * ROW-LOCALLY from the plan-literal lexicon (the [[tokenQuotaCapped]]
+    * device — no join, no state, append-mode clean), with the same
+    * cross-multiplied integer verdict. Encode-contract parity: only
+    * `^[a-z]+$` words of `lower(trim(text))` count, out-of-lexicon
+    * words contribute 0 to BOTH sums (the batch inner join drops
+    * them), and a doc with NO lexicon word is absent entirely. Fed the
+    * same corpus and lexicon, output equals
+    * [[graft.operators.BpeTrainer.fertilityScreen]] row for row
+    * (DocumentStreamSpec pins it).
+    */
+  def fertilityScreened(
+      docs: DataFrame,
+      lexicon: DataFrame,
+      num: Int = graft.operators.BpeTrainer.FertilityNum,
+      den: Int = graft.operators.BpeTrainer.FertilityDen,
+      maxPlanWords: Int = 100000): DataFrame = {
+    require(num > 0 && den > 0, s"threshold must be positive: $num/$den")
+    val lexMap = lexiconPlanLiteral(lexicon, maxPlanWords)
+    val inLex = (w: org.apache.spark.sql.Column) =>
+      element_at(lexMap, w).isNotNull
+    val nTok = aggregate(lexWords, lit(0L),
+      (acc, w) => acc + coalesce(element_at(lexMap, w), lit(0L)))
+    val nChars = aggregate(lexWords, lit(0L),
+      (acc, w) => acc +
+        when(inLex(w), length(w).cast("long")).otherwise(lit(0L)))
+    docs
+      .select(
+        col("doc_id"), nChars.as("n_chars"), nTok.as("n_tokens"),
+        size(filter(lexWords, inLex)).as("__nw"))
+      .filter(col("__nw") > 0)
+      .select(
+        col("doc_id"), col("n_chars"), col("n_tokens"),
+        (col("n_chars") * den >= col("n_tokens") * num).as("kept"))
   }
 
   /** Streaming CDC ingest screen — the chunk-level face of q190: each

@@ -554,6 +554,35 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     } finally graft.operators.Checkpoints.release(lex)
   }
 
+  test("fertilityScreened equals the batch fertility screen; zero state") {
+    // q209's streaming twin: same corpus, same trained lexicon, row-local
+    // plan-literal costing — output must match the batch join form
+    // row for row, with nothing in the state store.
+    val docs = graft.Tables.documents(spark, graft.SparkTestSession.sf0001)
+      .select("source", "doc_id", "text")
+    val lex = graft.operators.BpeTrainer.lexicon(docs, "text")
+    try {
+      val dirStr = watchDirOf(Seq(docs.toDF()))
+      val stream = spark.readStream.schema(docs.schema).parquet(dirStr)
+      val q = EventStream.runToMemory(
+        DocumentStream.fertilityScreened(stream, lex),
+        "fert_scr", OutputMode.Append())
+      try {
+        val got = spark.sql(
+          "SELECT doc_id, n_chars, n_tokens, kept FROM fert_scr")
+          .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+        val want = graft.operators.BpeTrainer
+          .fertilityScreen(docs, "text", "doc_id")
+          .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+        assert(got.nonEmpty && got == want)
+        // zero state: the screen is pure row-local expressions
+        assert(q.lastProgress == null ||
+          q.lastProgress.stateOperators.isEmpty ||
+          q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+      } finally q.stop()
+    } finally graft.operators.Checkpoints.release(lex)
+  }
+
   test("anomalyScored equals the batch z-scores fed the same stats; zero state") {
     import graft.operators.Anomaly
     // 16 inliers + outlier per the sqrt(n-1) bound; one constant group
