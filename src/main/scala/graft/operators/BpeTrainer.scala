@@ -104,8 +104,21 @@ object BpeTrainer {
   def train(
       docs: DataFrame,
       textCol: String,
+      rounds: Int = Rounds): (Seq[Merge], DataFrame) =
+    trainFromVocab(vocab(docs, textCol), rounds)
+
+  /** [[train]] from an already-built RAW (pre-merge) vocabulary — the
+    * entry point of the incremental face: the (syms, cnt) word-count
+    * table is the trainer's whole dependence on the corpus, and it is
+    * ADDITIVE, so a stored vocab folds with a new batch's at delta
+    * scan cost ([[vocabFold]]) and retraining runs at vocabulary cost —
+    * never a rescan of the served corpus. `v0` must be RAW char-split
+    * syms (what [[vocab]] emits), not a post-merge rewrite.
+    */
+  def trainFromVocab(
+      v0: DataFrame,
       rounds: Int = Rounds): (Seq[Merge], DataFrame) = {
-    var v = vocab(docs, textCol).localCheckpoint(true)
+    var v = v0.localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer[Merge]()
     var r = 1
     var exhausted = false
@@ -241,10 +254,39 @@ object BpeTrainer {
   def mergeTable(
       docs: DataFrame,
       textCol: String,
+      rounds: Int = Rounds): DataFrame =
+    mergeTableFromVocab(vocab(docs, textCol), rounds)
+
+  /** Fold a NEW batch of documents into a stored RAW vocabulary — the
+    * tokenizer-training arm of the engine's incremental discipline
+    * (components: corpus arrivals; IVF delta segments: index arrivals;
+    * stored sketches: additive folds; here: the trainer's word-count
+    * state). Word counts are additive and the char-split `syms` key is
+    * a pure function of the word, so
+    * `vocabFold(vocab(A), B) == vocab(A ++ B)` EXACTLY — retraining
+    * from the folded table reproduces the from-scratch merge table
+    * bit-for-bit (q214 pins it against q201's own oracle). Cost: one
+    * scan of the NEW batch plus a vocab-keyed (Zipf-bounded) sum —
+    * the served corpus is never rescanned.
+    */
+  def vocabFold(
+      stored: DataFrame,
+      newDocs: DataFrame,
+      textCol: String): DataFrame =
+    stored.select(col("syms"), col("cnt"))
+      .unionByName(vocab(newDocs, textCol))
+      .groupBy("syms")
+      .agg(sum("cnt").as("cnt"))
+
+  /** [[mergeTable]] from an already-built raw vocabulary (the
+    * incremental face's retrain step — see [[vocabFold]]).
+    */
+  def mergeTableFromVocab(
+      v0: DataFrame,
       rounds: Int = Rounds): DataFrame = {
-    val spark = docs.sparkSession
+    val spark = v0.sparkSession
     import spark.implicits._
-    val (merges, v) = train(docs, textCol, rounds)
+    val (merges, v) = trainFromVocab(v0, rounds)
     Checkpoints.release(v)
     merges
       .map(m => (m.round, m.lft, m.rgt, m.lft + m.rgt, m.pairCount))

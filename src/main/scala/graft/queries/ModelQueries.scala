@@ -642,6 +642,31 @@ object ModelQueries {
           Tables.documents(spark, dir), "text")
     ),
     Q(
+      "q214_bpe_incremental",
+      "Incremental tokenizer maintenance — the trainer joins the " +
+        "engine's incremental discipline (components / IVF delta " +
+        "segments / stored-sketch folds): the even-id half of the " +
+        "corpus is the SERVED state (its raw word-count vocabulary, " +
+        "the trainer's whole dependence on the corpus), the odd-id " +
+        "half arrives later and FOLDS in at delta scan cost " +
+        "(word counts are additive, the char-split syms key is a pure " +
+        "function of the word), and retraining runs at vocabulary " +
+        "cost — the served corpus is never rescanned. The oracle is " +
+        "q201's OWN unrolled full-corpus SQL verbatim: fold-then-train " +
+        "must reproduce the from-scratch merge table bit-for-bit, the " +
+        "strongest differential check the registry has (the q145/q154 " +
+        "refresh==rebuild device, applied to the tokenizer).",
+      Some(BpeMergeSql),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val stored = graft.operators.BpeTrainer.vocab(
+          docs.filter(col("doc_id") % 2 === 0), "text")
+        graft.operators.BpeTrainer.mergeTableFromVocab(
+          graft.operators.BpeTrainer.vocabFold(
+            stored, docs.filter(col("doc_id") % 2 === 1), "text"))
+      }
+    ),
+    Q(
       "q202_bpe_vocab",
       "Corpus token frequencies under the FINAL learned BPE " +
         "vocabulary (token, total_cnt) — the tokenizer artifact a " +

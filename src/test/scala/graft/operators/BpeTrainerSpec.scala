@@ -205,6 +205,27 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("vocabFold is exact: fold(vocab(A), B) == vocab(A ++ B), and retrain matches from-scratch") {
+    val a = docs.filter($"doc_id" % 2 === 0)
+    val b = docs.filter($"doc_id" % 2 === 1)
+    val folded = BpeTrainer.vocabFold(BpeTrainer.vocab(a, "text"), b, "text")
+    val full = BpeTrainer.vocab(docs, "text")
+    assert(
+      folded.as[(String, Long)].collect().toMap ==
+        full.as[(String, Long)].collect().toMap)
+    // the differential check the registry's q214 pins at scale:
+    // fold-then-train == from-scratch merge table, bit for bit
+    val got = BpeTrainer.mergeTableFromVocab(folded)
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val want = BpeTrainer.mergeTable(docs, "text")
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == want && got.nonEmpty)
+    // both slices genuinely contribute words the other lacks
+    val va = BpeTrainer.vocab(a, "text").as[(String, Long)].collect().toMap
+    val vb = BpeTrainer.vocab(b, "text").as[(String, Long)].collect().toMap
+    assert((vb.keySet -- va.keySet).nonEmpty && (va.keySet -- vb.keySet).nonEmpty)
+  }
+
   test("fertilityScreen is the integer cross-multiplied verdict over encode") {
     val enc = BpeTrainer.encode(docs, "text", "doc_id")
       .as[(Long, Long, Long, Long)].collect()
