@@ -278,6 +278,31 @@ object BpeTrainer {
       .groupBy("syms")
       .agg(sum("cnt").as("cnt"))
 
+  /** Streaming arm of the incremental trainer: land one micro-batch's
+    * raw word counts as the `batch_id` partition of `table` — the
+    * engine's shared exactly-once fold device
+    * ([[ImportanceModels.writeBatchPartition]]: dynamic partition
+    * overwrite, so a replayed batch rewrites ONLY its own partition
+    * with identical rows — the additive-fold replay contract, same as
+    * the LM/DSIR folds). Retrain any time from [[vocabFromFolds]].
+    */
+  def foldVocabBatch(
+      batchDocs: DataFrame,
+      batchId: Long,
+      table: String,
+      textCol: String): Unit =
+    ImportanceModels.writeBatchPartition(
+      vocab(batchDocs, textCol), batchId, table)
+
+  /** The served raw vocabulary from a fold table: counts summed across
+    * batch partitions — equals [[vocab]] of the union corpus exactly
+    * (additivity, see [[vocabFold]]).
+    */
+  def vocabFromFolds(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame =
+    spark.table(table).groupBy("syms").agg(sum("cnt").as("cnt"))
+
   /** [[mergeTable]] from an already-built raw vocabulary (the
     * incremental face's retrain step — see [[vocabFold]]).
     */

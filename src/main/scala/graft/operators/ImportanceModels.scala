@@ -233,7 +233,7 @@ object ImportanceModels {
     * table's data-then-partition layout, which the first-write path
     * here establishes.)
     */
-  private def writeBatchPartition(
+  private[operators] def writeBatchPartition(
       counts: DataFrame, batchId: Long, table: String): Unit = {
     val spark = counts.sparkSession
     val withBatch = counts.withColumn("batch_id", lit(batchId))

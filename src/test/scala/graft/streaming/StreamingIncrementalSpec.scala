@@ -554,6 +554,43 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     } finally graft.operators.Checkpoints.release(lex)
   }
 
+  test("streaming BPE vocab fold: foreachBatch-folded retrain equals from-scratch; replay exact") {
+    import graft.operators.BpeTrainer
+    // Two micro-batches of training text; the folded vocabulary must
+    // retrain to the same merge table as one-shot training on the union.
+    val batch1 = Seq((1L, "low low lower"), (2L, "lowest low lower"))
+    val batch2 = Seq((3L, "newer new newest"), (4L, "wider wide new"))
+    val all = (batch1 ++ batch2).toDF("doc_id", "text")
+    val vT = "graft_bpefold_stream_spec"
+    graft.operators.Bucketing.dropWithLocation(spark, vT)
+    val dirStr = watchDirOf(Seq(
+      batch1.toDF("doc_id", "text"), batch2.toDF("doc_id", "text")))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dirStr)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        BpeTrainer.foldVocabBatch(batch, id, vT, "text")
+      }
+      .start()
+    def servedMerges() = BpeTrainer
+      .mergeTableFromVocab(BpeTrainer.vocabFromFolds(spark, vT))
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    try {
+      q.processAllAvailable()
+      val want = BpeTrainer.mergeTable(all, "text")
+        .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+      val got = servedMerges()
+      assert(got.nonEmpty && got == want,
+        "folded-vocab retrain diverges from the from-scratch merge table")
+      // exactly-once under at-least-once delivery: a replayed batch
+      // overwrites ONLY its own batch_id partition with identical rows
+      BpeTrainer.foldVocabBatch(batch2.toDF("doc_id", "text"), 1L, vT, "text")
+      assert(servedMerges() == want, "replayed batch changed the served model")
+    } finally q.stop()
+  }
+
   test("fertilityScreened equals the batch fertility screen; zero state") {
     // q209's streaming twin: same corpus, same trained lexicon, row-local
     // plan-literal costing — output must match the batch join form
