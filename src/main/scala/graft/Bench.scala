@@ -362,12 +362,43 @@ object Bench {
     // run are meaningless and the JSON line says so via "only".
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // This round's number, derived from the prior rounds' artifacts on
+    // disk (driver-written BENCH_r*.json + our own tracked bench_full/
+    // r*.json): used to name this run's full-map file and to decide the
+    // comparator cadence below.
+    def roundsIn(dir: String, pat: String): List[Int] =
+      try {
+        import scala.jdk.CollectionConverters._
+        val rx = pat.r
+        java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+          .flatMap(p => rx.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt))
+          .toList
+      } catch { case _: Throwable => Nil }
+    val thisRound: Int =
+      (roundsIn(".", "BENCH_r(\\d+)\\.json") ++
+        roundsIn("bench_full", "r(\\d+)\\.json")).foldLeft(0)(math.max) + 1
+    // Settled-comparator cadence (r16 verdict item 4): the scaled16
+    // REBUILD comparators exist only to be beaten by the refresh/fold
+    // lines — a margin proven in r15/r16 (fold 1.6 vs rebuild 2.6 s;
+    // refresh 8.2 vs rebuild 11.8 s) and spec-pinned for equality
+    // (TriangleRefreshSpec/TwinFoldSpec). Re-proving it cost ~14 s of
+    // bench wall every round, so the rebuild lines now run every 4th
+    // round (or on demand via SPARK_GRAFT_COMPARATORS=1); the refresh/
+    // fold lines — the numbers that must stay delta-sized — run every
+    // round, as does q173_scaledfp_build (the amortized build whose
+    // stored state those lines probe; it is a hard dependency, not a
+    // comparator). Their floors persist in the best column across the
+    // skipped rounds, so a drift still surfaces at the next cadence run.
+    val comparatorsThisRound: Boolean =
+      sys.env.get("SPARK_GRAFT_COMPARATORS").contains("1") || thisRound % 4 == 0
+    val cadencedComparators: Set[String] =
+      Set("q178_scaled16_rebuild", "q173_scaled16_rebuild")
     val firstPass = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy(_._1).flatMap { case (name, fn) =>
-      phaseSplit.getOrElse(name, Seq(name -> fn)).map { case (n, f) =>
-        (n, f, timeOne(n, f))
-      }
+      phaseSplit.getOrElse(name, Seq(name -> fn))
+        .filter { case (n, _) => comparatorsThisRound || !cadencedComparators(n) }
+        .map { case (n, f) => (n, f, timeOne(n, f)) }
     }
     // Single-timed lines (r15 verdict item 6 — bench wall-time budget):
     // pure BUILD/COMPARATOR phases, where the measurement is a one-shot
@@ -459,19 +490,28 @@ object Bench {
       // (dupgraph_*), so phase costs get the same cross-round best /
       // regression tracking as queries.
       val rx = "\\\\?\"((?:q[0-9]|dupgraph_)[A-Za-z0-9_]*)\\\\?\":(-?[0-9]+(?:\\.[0-9]+)?)".r
-      val files =
+      // Two sources, same parse: the driver's BENCH_r*.json (whose tail
+      // capture may hold only a fragment — any (query, seconds) pairs in
+      // the fragment still count) and our own tracked bench_full/r*.json
+      // full maps (written below each round — the fix for r16, whose
+      // floors existed only in an untracked target/ file after the
+      // driver's 2 KB tail cut the stdout line mid-map).
+      def listFiles(dir: String, namePat: String) =
         try {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.list(java.nio.file.Paths.get(".")).iterator().asScala
-            .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json")).toList
+          java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+            .filter(_.getFileName.toString.matches(namePat)).toList
         } catch { case _: Throwable => Nil }
+      val files = listFiles(".", "BENCH_r\\d+\\.json") ++
+        listFiles("bench_full", "r\\d+\\.json")
       // Same-scale guard: a prior round's numbers only merge when it ran
       // the same sf directory (the tag rides the file's recorded sf dir)
       // — an sf0.01 dev run must never pollute the sf0.1 best column.
       val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
       files
         .flatMap { p =>
-          val round = "BENCH_r(\\d+)\\.json".r
+          // Matches both naming schemes: BENCH_r16.json and bench_full/r16.json.
+          val round = "r(\\d+)\\.json".r
             .findFirstMatchIn(p.getFileName.toString)
             .map(_.group(1).toInt).getOrElse(0)
           val raw = try java.nio.file.Files.readString(p) catch { case _: Throwable => "" }
@@ -584,13 +624,33 @@ object Bench {
     val singleTimedJson = results.collect { case (k, _) if singleTimed(k) => k }
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{$onlyTag"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"best":$fullBest,"regressed_vs_best":$regressedJson,"single_timed":$singleTimedJson,"best_floor_reset":$floorJson$zorderMetrics,"sf":"$sfDir"}"""
+      s"""{$onlyTag"round":$thisRound,"comparators_run":$comparatorsThisRound,"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"best":$fullBest,"regressed_vs_best":$regressedJson,"single_timed":$singleTimedJson,"best_floor_reset":$floorJson$zorderMetrics,"sf":"$sfDir"}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         if (only.isDefined) "target/bench_queries_only.json"
         else "target/bench_queries.json"), fullLine + "\n")
+    // The tracked cross-round record (r16 verdict item 1b): the full
+    // per-query map lands in bench_full/r<N>.json, which the floor
+    // scanner above reads alongside the driver's BENCH_r*.json — so
+    // floors survive even when the driver's bounded tail capture
+    // truncates the stdout line. Guarded to the canonical bench scale
+    // and full runs only: an sf0.01 dev run or an isolation run must
+    // never overwrite a round's record (the scanner's sf guard would
+    // drop it, but the file itself would be lost).
+    if (only.isEmpty &&
+        java.nio.file.Paths.get(sfDir).getFileName.toString == "sf0.1") {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench_full"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"bench_full/r$thisRound.json"), fullLine + "\n")
+    }
     System.err.println(s"[bench] full per-query map: $fullLine")
+    // The stdout line is the driver's artifact and its tail capture is
+    // ~2 KB (r16's line outgrew it → BENCH_r16.json parsed:null). Keep
+    // it small by construction: total + slowest-12 (+best) + regression
+    // verdicts; floor resets as name->round only (prose lives in
+    // PLANS.md §bench and in the bench_full line); single_timed as a
+    // count (the full list is in the bench_full line).
     val slowTail = results.sortBy(-_._2).take(12)
     val slowest = slowTail
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -598,7 +658,11 @@ object Bench {
     val slowestBest = slowTail
       .map { case (k, _) => "\"" + k + "\":" + fmt(best(k)) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"best":$slowestBest,"regressed_vs_best":$regressedJson,"single_timed":$singleTimedJson,"best_floor_reset":$floorJson$zorderMetrics,"sf":"$sfDir"}""")
+    val floorCompact = bestFloorReset.toSeq.sortBy(_._1)
+      .map { case (k, (round, _)) => "\"" + k + "\":" + round }
+      .mkString("{", ",", "}")
+    val singleTimedN = results.count { case (k, _) => singleTimed(k) }
+    println(s"""{$onlyTag"round":$thisRound,"comparators_run":$comparatorsThisRound,"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"best":$slowestBest,"regressed_vs_best":$regressedJson,"single_timed_n":$singleTimedN,"best_floor_reset":$floorCompact$zorderMetrics,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
