@@ -87,6 +87,18 @@ object SemDedup {
       c.filter(col(idCol) < nlist)
         .select(col(idCol).as("cell"), col("q").as("cent_emb"),
           sqrt(col("nsq")).as("cent_norm")))
+    // Fail loudly on an empty quantizer (r16 ADVICE): with the default
+    // first-`nlist` device an id-offset corpus (no ids < nlist) derives
+    // ZERO centroids, and a caller-supplied table can be empty the same
+    // way — either would silently turn every downstream face
+    // (screen/keptCodes/probeIndex/prototypePrune) into zero rows. The
+    // check is one bounded job over a tiny frame (the same cost class
+    // as the localCheckpoint below).
+    require(!cents.isEmpty,
+      "SemDedup: empty centroid table — with the default quantizer the " +
+        s"corpus must contain ids in [0, $nlist) (id-offset corpora need " +
+        "an explicit centroidsOpt); a supplied centroid table must be " +
+        "non-empty")
     val scored = c
       .select(col(idCol).as("vec_id"), col("q"), col("nsq"))
       .crossJoin(broadcast(cents))
@@ -314,6 +326,61 @@ object SemDedup {
     * Centroid vectors themselves (csim = 1) rank most prototypical and
     * are pruned first, which is exactly the paper's intent.
     */
+  /** Planted-cluster blend weights: 7/8 anchor + 1/8 self. The anchor
+    * weight dominates so members of a cluster share most of their
+    * direction (in-cluster cosine ~0.98 on the isotropic fixture, far
+    * above tau); 1/8 of the member's own vector keeps every row
+    * distinct. Both weights are exact binary fractions, so each blended
+    * element is two correctly-rounded double ops (one product each,
+    * one sum) — bit-identical in any IEEE engine, which is what lets
+    * the DuckDB oracle re-derive the fixture verbatim.
+    */
+  val BlendAnchorNum = 7
+  val BlendDen = 8
+
+  /** Deterministic PLANTED-CLUSTER fixture device (r16 verdict item 2):
+    * derive a clustered corpus from an isotropic one so the
+    * [[cellMissAudit]] number can be measured in SemDeDup's OPERATING
+    * regime. The paper's claim (arXiv:2303.09540) is that semantic dups
+    * concentrate near shared directions, so cell confinement misses few
+    * tau-pairs; on isotropic random embeddings the miss rate is high by
+    * construction (cross-cell boundary pairs dominate) and the tracked
+    * number cannot regress meaningfully. This device plants the
+    * clustered regime FROM the existing fixture, no synthetic data:
+    * each gated row blends toward an anchor row (`anchor = id % k`,
+    * anchors are the first k rows — the same rows the default quantizer
+    * uses as centroids, so cells align with planted clusters by
+    * construction): `v' = 7/8 * v_anchor + 1/8 * v_self`, elementwise
+    * in double. Output: (idCol, embCol) with embCol the blended
+    * array<double> — shaped to feed [[cellMissAudit]]/[[screen]]
+    * directly.
+    *
+    * Scale shape: the k anchor rows broadcast; the blend is one
+    * codegen'd `zip_with` over the gated slice — no shuffle.
+    */
+  def plantClusters(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int = Nlist,
+      maxId: Long = AuditMaxId): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxId > k, s"maxId must exceed k: $maxId <= $k")
+    val slice = emb.filter(col(idCol) < maxId)
+    val anchors = slice.filter(col(idCol) < k)
+      .select(col(idCol).as("anchor_id"), col(embCol).as("anchor_emb"))
+    val wa = lit(BlendAnchorNum.toDouble / BlendDen) // 0.875, exact
+    val ws = lit(1.0 - BlendAnchorNum.toDouble / BlendDen) // 0.125, exact
+    slice
+      .select(col(idCol), (col(idCol) % k).as("anchor_id"),
+        col(embCol).as("self_emb"))
+      .join(broadcast(anchors), Seq("anchor_id"))
+      .select(col(idCol),
+        zip_with(col("anchor_emb"), col("self_emb"),
+          (a, s) => wa * a.cast("double") + ws * s.cast("double"))
+          .as(embCol))
+  }
+
   def prototypePrune(
       emb: DataFrame,
       idCol: String,

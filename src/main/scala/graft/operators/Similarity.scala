@@ -209,16 +209,32 @@ object Similarity {
       nlist: Int,
       seed: Long = 42L,
       maxIter: Int = 20): DataFrame = {
+    require(nlist >= 1, s"nlist must be >= 1: $nlist")
     val spark = corpus.sparkSession
     graft.functions.DotProductFF.register(spark)
     val feats = corpus.select(
       org.apache.spark.ml.functions.array_to_vector(
         col(embCol).cast("array<double>")).as("features"))
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(maxIter)
-      .fit(feats)
-    val rows = model.clusterCenters.toIndexedSeq.zipWithIndex.map { case (v, i) =>
-      (i.toLong, v.toArray.map(_.toFloat))
+    // nlist = 1 short-circuits to the exact fixed point: one-cluster
+    // k-means converges to the corpus mean in a single step whatever
+    // the init (the unique minimizer of within-cluster SSE), and Spark
+    // ML's KMeans refuses k < 2 — so the closed form IS the trained
+    // result. This is the exhaustive-cell geometry q216 pins with an
+    // exact centroid-independent oracle (the q85 device). One bounded
+    // driver-side row, the same scalar class as `clusterCenters`.
+    val centers: IndexedSeq[Array[Double]] =
+      if (nlist == 1)
+        IndexedSeq(feats
+          .select(org.apache.spark.ml.stat.Summarizer.mean(col("features")))
+          .head().getAs[org.apache.spark.ml.linalg.Vector](0).toArray)
+      else {
+        val model = new org.apache.spark.ml.clustering.KMeans()
+          .setK(nlist).setSeed(seed).setMaxIter(maxIter)
+          .fit(feats)
+        model.clusterCenters.toIndexedSeq.map(_.toArray)
+      }
+    val rows = centers.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.map(_.toFloat))
     }
     import spark.implicits._
     rows.toDF("cell", "cent_emb")

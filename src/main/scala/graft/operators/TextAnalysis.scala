@@ -385,23 +385,30 @@ object TextAnalysis {
     * multiply-referenced non-trivial aliases in place, so nothing
     * re-derives the arrays per reference (the q57 alias-inlining trap).
     */
+  // Row-local gram/dup-mass/fraction devices shared by the stats face
+  // below and [[repetitionGate]] (identical expressions, one source of
+  // truth).
+  private def gramsRL(t: Column, g: Int): Column =
+    when(size(t) >= g,
+      transform(sequence(lit(1), size(t) - (g - 1)),
+        i => array_join(slice(t, i, lit(g)), " ")))
+      .otherwise(array().cast("array<string>"))
+  private def dupMassRL(gs: Column): Column =
+    (size(gs) -
+      size(filter(gs, x => size(filter(gs, y => y === x)) === 1)))
+      .cast("long")
+  private def fracRL(num: Column, den: Column): Column =
+    when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+
   def repetitionStatsRowLocal(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String,
       topWordMax: Double,
       dup3Max: Double): org.apache.spark.sql.DataFrame = {
-    def grams(t: Column, g: Int): Column =
-      when(size(t) >= g,
-        transform(sequence(lit(1), size(t) - (g - 1)),
-          i => array_join(slice(t, i, lit(g)), " ")))
-        .otherwise(array().cast("array<string>"))
-    def dupMass(gs: Column): Column =
-      (size(gs) -
-        size(filter(gs, x => size(filter(gs, y => y === x)) === 1)))
-        .cast("long")
-    def frac(num: Column, den: Column): Column =
-      when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+    def grams(t: Column, g: Int): Column = gramsRL(t, g)
+    def dupMass(gs: Column): Column = dupMassRL(gs)
+    def frac(num: Column, den: Column): Column = fracRL(num, den)
     df.select(col(idCol), wsTokens(col(textCol)).as("__t"))
       .select(col(idCol), col("__t"),
         grams(col("__t"), 2).as("__g2"), grams(col("__t"), 3).as("__g3"))
@@ -422,4 +429,32 @@ object TextAnalysis {
       .withColumn("keep",
         col("top_word_frac") <= topWordMax && col("dup3_frac") <= dup3Max)
   }
+
+  /** Row-local repetition GATE: `df` filtered to the keep verdict of
+    * [[repetitionStatsRowLocal]] with every caller column untouched —
+    * the COMPOSITION form streaming faces need (a derived stats stream
+    * cannot join back onto its own source stream, so the verdict must
+    * ride the original rows). Same staged-projection discipline as the
+    * stats face (each intermediate array is an attribute reference, not
+    * a re-derived alias); only the 3-gram mass is computed — the keep
+    * verdict never reads dup2. Spec-pinned against the stats face's
+    * verdict column (TextPropertySpec).
+    */
+  def repetitionGate(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      topWordMax: Double,
+      dup3Max: Double): org.apache.spark.sql.DataFrame =
+    df.withColumn("__rg_t", wsTokens(col(textCol)))
+      .withColumn("__rg_g3", gramsRL(col("__rg_t"), 3))
+      .withColumn("__rg_n", size(col("__rg_t")).cast("long"))
+      .withColumn("__rg_top", coalesce(
+        array_max(transform(array_distinct(col("__rg_t")),
+          w => size(filter(col("__rg_t"), x => x === w)))),
+        lit(0)).cast("long"))
+      .filter(
+        fracRL(col("__rg_top"), col("__rg_n")) <= topWordMax &&
+          fracRL(dupMassRL(col("__rg_g3")),
+            greatest(col("__rg_n") - 2, lit(0L))) <= dup3Max)
+      .drop("__rg_t", "__rg_g3", "__rg_n", "__rg_top")
 }

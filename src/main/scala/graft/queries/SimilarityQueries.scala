@@ -899,6 +899,59 @@ object SimilarityQueries {
       (spark, dir) =>
         graft.operators.SemDedup.cellMissAudit(
           Tables.embeddings(spark, dir), "vec_id", "embedding")
+    ),
+    Q(
+      "q215_semdedup_clustered_miss",
+      "q212's miss audit in SemDeDup's OPERATING regime (r16 verdict: " +
+        "the isotropic fixture's 0.69 is high by construction — " +
+        "boundary pairs dominate random directions — so the one number " +
+        "meant to flag nlist/tau drift started at its ceiling). " +
+        "SemDedup.plantClusters derives a clustered corpus from the " +
+        "SAME fixture, no synthetic data: each gated row blends 7/8 " +
+        "toward its anchor row (anchor = id % 16 — the first-16 rows, " +
+        "which are also the default quantizer's centroids, so cells " +
+        "align with planted clusters by construction) + 1/8 itself. " +
+        "Exact binary blend weights make the fixture bit-reproducible " +
+        "in DuckDB. In-cluster cosine ~0.98 >> tau, cross-cluster " +
+        "~isotropic — the paper's small-miss regime, where the tracked " +
+        "rate CAN regress: read this row beside q212 (same audit, " +
+        "adversarial regime) for the family's approximation evidence.",
+      Some(semDedupClusteredMissSql),
+      (spark, dir) =>
+        graft.operators.SemDedup.cellMissAudit(
+          graft.operators.SemDedup.plantClusters(
+            Tables.embeddings(spark, dir), "vec_id", "embedding"),
+          "vec_id", "embedding")
+    ),
+    Q(
+      "q216_semdedup_trained",
+      "Trained-centroid SemDeDup face with an EXACT centroid-independent " +
+        "oracle — the q85 device applied to the dedup family: " +
+        "Similarity.trainedCentroids (seeded Spark ML k-means over the " +
+        "int8 codes, the production quantizer) feeds screen via " +
+        "centroidsOpt, with k = 1 — the exhaustive-cell geometry, where " +
+        "every vector lands in the single trained cell and the screen " +
+        "verdict is exactly the gated all-pairs lower-id tau dedup " +
+        "WHATEVER the learned center is. That pins the whole trained " +
+        "path (train -> centroid table -> broadcast argmax -> in-cell " +
+        "tau evidence) end to end with an exact oracle; trained-vs-" +
+        "default cell QUALITY at k > 1 is spec-pinned separately " +
+        "(SemDedupSpec trained-centroid plumbing). Id-gated because one " +
+        "cell is all-pairs — the audit-face geometry, not production " +
+        "(nlist ~ sqrt(N)); the registry face q208 carries the " +
+        "production plan shape.",
+      Some(semDedupTrainedSql),
+      (spark, dir) => {
+        val gated = Tables.embeddings(spark, dir)
+          .filter(col("vec_id") < graft.operators.SemDedup.AuditMaxId)
+        val codes = graft.operators.Quantize.int8(gated, "vec_id", "embedding")
+          .filter(col("scale") > 0)
+          .select(col("vec_id"), col("qvec").cast("array<float>").as("q"))
+        val cents = Similarity.trainedCentroids(
+          codes, "vec_id", "q", nlist = 1, seed = 42L, maxIter = 5)
+        graft.operators.SemDedup.screen(
+          gated, "vec_id", "embedding", centroidsOpt = Some(cents))
+      }
     )
   )
 
@@ -906,12 +959,13 @@ object SimilarityQueries {
     * as CTE text `${p}v/${p}s/${p}n` ending with (vec_id, q, nsq) —
     * the shared building block of every SemDeDup-family oracle.
     */
-  private def semDedupCodeChainSql(p: String, where: String): String = {
+  private def semDedupCodeChainSql(
+      p: String, where: String, from: String = "embeddings"): String = {
     val code = "CASE WHEN scale = 0 THEN 0 WHEN x >= 0 THEN (x * 127) // scale ELSE -((-x * 127) // scale) END"
     s"""${p}v AS (
        |  SELECT vec_id,
        |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1073741824.0) AS BIGINT)) AS iv
-       |  FROM embeddings WHERE $where
+       |  FROM $from WHERE $where
        |), ${p}s AS (
        |  SELECT vec_id, iv,
        |         coalesce(list_max(list_transform(iv, x -> abs(x))), 0) AS scale
@@ -1089,6 +1143,71 @@ object SimilarityQueries {
        |            ELSE CAST(count(*) - $inCell AS DOUBLE) / count(*)
        |       END AS miss_rate
        |FROM tp""".stripMargin
+  }
+
+  /** q215's oracle: re-derive the planted-cluster fixture (exact
+    * binary blend weights — see [[graft.operators.SemDedup.plantClusters]])
+    * as a CTE, then q212's audit body verbatim over it.
+    */
+  private lazy val semDedupClusteredMissSql: String = {
+    val n2 = graft.operators.SemDedup.TauNum.toLong * graft.operators.SemDedup.TauNum
+    val d2 = graft.operators.SemDedup.TauDen.toLong * graft.operators.SemDedup.TauDen
+    val nlist = graft.operators.SemDedup.Nlist
+    val maxId = graft.operators.SemDedup.AuditMaxId
+    val wa = graft.operators.SemDedup.BlendAnchorNum.toDouble /
+      graft.operators.SemDedup.BlendDen
+    val ws = 1.0 - wa
+    val inCell = "coalesce(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END), 0)"
+    s"""WITH pc AS (
+       |  SELECT e.vec_id,
+       |         list_transform(list_zip(a.embedding, e.embedding),
+       |           x -> $wa * CAST(x[1] AS DOUBLE) + $ws * CAST(x[2] AS DOUBLE)) AS embedding
+       |  FROM embeddings e JOIN embeddings a ON a.vec_id = e.vec_id % $nlist
+       |  WHERE e.vec_id < $maxId
+       |), ${semDedupCodeChainSql("", "TRUE", "pc")},
+       |cents AS (
+       |  SELECT vec_id AS cell, q AS cq, sqrt(CAST(nsq AS DOUBLE)) AS cnrm
+       |  FROM n WHERE vec_id < $nlist
+       |), ${semDedupArgmaxSql("n", "asg")},
+       |tp AS (
+       |  SELECT ca, cb FROM (
+       |    SELECT a.cell AS ca, b.cell AS cb,
+       |           list_sum(list_transform(list_zip(a.q, b.q), x -> x[1] * x[2])) AS d,
+       |           a.nsq AS na, b.nsq AS nb
+       |    FROM asg a JOIN asg b ON a.vec_id < b.vec_id)
+       |  WHERE d > 0 AND $d2 * d * d >= $n2 * na * nb
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_pairs_exact,
+       |       CAST($inCell AS BIGINT) AS n_pairs_in_cell,
+       |       CAST(count(*) - $inCell AS BIGINT) AS n_missed,
+       |       CASE WHEN count(*) = 0 THEN 0.0
+       |            ELSE CAST(count(*) - $inCell AS DOUBLE) / count(*)
+       |       END AS miss_rate
+       |FROM tp""".stripMargin
+  }
+
+  /** q216's oracle: the gated code chain, then the all-pairs lower-id
+    * tau verdict with the single trained cell as a constant — exactly
+    * what `screen` computes when k = 1, whatever center k-means learns.
+    */
+  private lazy val semDedupTrainedSql: String = {
+    val n2 = graft.operators.SemDedup.TauNum.toLong * graft.operators.SemDedup.TauNum
+    val d2 = graft.operators.SemDedup.TauDen.toLong * graft.operators.SemDedup.TauDen
+    val maxId = graft.operators.SemDedup.AuditMaxId
+    s"""WITH ${semDedupCodeChainSql("", s"vec_id < $maxId")},
+       |dup AS (
+       |  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dup_lower FROM (
+       |    SELECT b.vec_id,
+       |           list_sum(list_transform(list_zip(a.q, b.q), x -> x[1] * x[2])) AS d,
+       |           a.nsq AS na, b.nsq AS nb
+       |    FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       |  WHERE d > 0 AND $d2 * d * d >= $n2 * na * nb
+       |  GROUP BY 1
+       |)
+       |SELECT n.vec_id, CAST(0 AS BIGINT) AS cell,
+       |       coalesce(dup.n_dup_lower, 0) AS n_dup_lower,
+       |       coalesce(dup.n_dup_lower, 0) = 0 AS kept
+       |FROM n LEFT JOIN dup ON dup.vec_id = n.vec_id""".stripMargin
   }
 
   private def indentSql(sql: String, pad: String): String =

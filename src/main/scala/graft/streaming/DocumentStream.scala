@@ -634,6 +634,21 @@ object DocumentStream {
     * corpus-vocab-sized — Zipf-bounded, not constant — so a corpus
     * whose vocabulary outgrows the guard is a contract violation:
     * serve it batch-side (q206's broadcast join) instead.
+    *
+    * DELIVERY-ORDER PRECONDITION (r16 ADVICE, an explicit contract):
+    * ids are sorted only WITHIN each micro-batch, so batch-twin
+    * equality ("cum_tokens over ascending id") additionally requires
+    * that arrivals never cross micro-batch boundaries out of id order —
+    * every id in batch k+1 must exceed every id in batch k for its
+    * source. Ingest-time sequence ids (crawl offsets, log positions)
+    * satisfy this by construction; a replayed/reordered feed does NOT,
+    * and under one the admitted set is prefix-in-arrival-order, not
+    * prefix-in-id-order — same budget arithmetic, different doc set.
+    * The divergence is inherent to single-pass streaming (an
+    * already-admitted doc cannot be unadmitted when a lower id arrives
+    * late), which is why the contract is documented rather than
+    * state-repaired; feeds without ordered ids belong on the batch
+    * window (q206).
     */
   /** The trained lexicon as a guarded plan-literal map column
     * (word -> n_tokens_w) — the device shared by every lexicon-costed
@@ -736,6 +751,89 @@ object DocumentStream {
       .select(
         col("doc_id"), col("n_chars"), col("n_tokens"),
         (col("n_chars") * den >= col("n_tokens") * num).as("kept"))
+  }
+
+  /** One cross-modal-admitted document: source, id, its q50 quality
+    * score, learned token count, and the source's running token total
+    * INCLUDING this doc.
+    */
+  final case class CrossModalDoc(
+      source: String, doc_id: Long, quality: Double,
+      n_tokens: Long, cum_tokens: Long)
+
+  /** Streaming CROSS-MODAL curation — q213's crawl-time face (r16
+    * verdict item 5), closing the capstone family: every screen the
+    * batch v3 capstone composes is applied per arrival with the
+    * streaming device it already has, in the same order —
+    *
+    *  - the q204 repetition gate, row-local
+    *    ([[graft.operators.TextAnalysis.repetitionGate]] — the
+    *    [[repetitionScreened]] verdict riding the original rows);
+    *  - the SEMANTIC gate as a broadcast stream-static LEFT-SEMI join
+    *    against the batch SemDeDup survivors' doc ids (`semKeptIds` =
+    *    the q208 kept set, the artifact a serving deployment persists
+    *    and periodically refreshes exactly like
+    *    [[EmbeddingStream.semDedupScreened]]'s index; only ids cross
+    *    the modality boundary — vectors never enter the text plan,
+    *    the batch capstone's own shape);
+    *  - q50 quality + the learned token cost, row-local from the
+    *    plan-literal lexicon (the [[tokenQuotaCapped]] device, OOV
+    *    words cost 0, docs with no lexicon word absent);
+    *  - the per-source token budget with the batch capstone's
+    *    (quality DESC, doc_id) selection order and prefix semantics
+    *    (every seen doc counts toward the running total). Keyed state
+    *    is ONE long per source.
+    *
+    * DELIVERY-ORDER PRECONDITION (the [[tokenQuotaCapped]] contract,
+    * quality-ordered): rows sort by (quality DESC, doc_id) only WITHIN
+    * a micro-batch, so equality with the batch selection additionally
+    * requires that a source's arrivals never cross micro-batch
+    * boundaries out of that order. This face's production shape is the
+    * priority-ordered re-curation replay (score backlog drained
+    * best-first), which satisfies it by construction; a crawl-ordered
+    * feed belongs on the batch window (q213). Fed ordered arrivals,
+    * the admitted set equals the batch capstone row for row
+    * (DocumentStreamSpec pins it).
+    */
+  def crossModalCurated(
+      docs: DataFrame,
+      semKeptIds: DataFrame,
+      lexicon: DataFrame,
+      budget: Long,
+      topWordMax: Double,
+      dup3Max: Double,
+      maxPlanWords: Int = 100000): Dataset[CrossModalDoc] = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lexMap = lexiconPlanLiteral(lexicon, maxPlanWords)
+    val nTok = aggregate(lexWords, lit(0L),
+      (acc, w) => acc + coalesce(element_at(lexMap, w), lit(0L)))
+    val sem = semKeptIds.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct().localCheckpoint(true)
+    TextAnalysis.repetitionGate(docs, "text", topWordMax, dup3Max)
+      .join(broadcast(sem), Seq("doc_id"), "left_semi")
+      .select(col("source"), col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        nTok.as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .as[(String, Long, Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(String, Long, Double, Long)],
+         state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val admitted = rows.toSeq
+            .sortBy { case (_, id, qual, _) => (-qual, id) }
+            .flatMap { case (_, id, qual, n) =>
+              cum += n
+              if (cum <= budget) Some(CrossModalDoc(src, id, qual, n, cum))
+              else None
+            }
+          state.update(cum)
+          admitted.iterator
+      }
   }
 
   /** Streaming CDC ingest screen — the chunk-level face of q190: each

@@ -55,6 +55,17 @@ object EmbeddingStream {
     val n2 = tauNum.toLong * tauNum
     val d2 = tauDen.toLong * tauDen
 
+    // Fail loudly on an empty centroid table (r16 ADVICE): the fold
+    // below would assign cell = -1 to every arrival and the left join
+    // would KEEP them all, while the spec-pinned batch twin
+    // (SemDedup.probeIndex, itself require-guarded now) emits no rows —
+    // a silent divergence in a degenerate case that is always a caller
+    // bug (an index refresh that lost its centroids).
+    require(!centroids.isEmpty,
+      "semDedupScreened: empty centroid table — the stream screen " +
+        "needs the same persisted centroids the kept-vector index was " +
+        "built with")
+
     // The centroid table as one broadcast row: cell-ascending struct
     // array (struct ordering is lexicographic on the leading field).
     val centsRow = centroids

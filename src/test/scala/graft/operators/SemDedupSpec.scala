@@ -311,4 +311,127 @@ class SemDedupSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L, 8L))
     assert(rows.forall(r => (r.getLong(2) == 0L) == r.getBoolean(3)))
   }
+
+  /** [[codesOf]] for the double-typed blended vectors
+    * [[SemDedup.plantClusters]] emits.
+    */
+  private def codesOfD(v: Array[Double]): Array[Long] = {
+    val iv = v.map(x => math.floor(x * Quantize.Shift).toLong)
+    val s = if (iv.isEmpty) 0L else iv.map(math.abs).max
+    iv.map { x =>
+      if (s == 0L) 0L
+      else if (x >= 0L) x * 127 / s
+      else -((-x * 127) / s)
+    }
+  }
+
+  test("plantClusters reproduces the scalar blend bit for bit; the planted audit equals its scalar twin") {
+    val k = 2
+    val plantedDf = SemDedup.plantClusters(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      k = k, maxId = 100L)
+    val planted = plantedDf.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // 7/8 + 1/8 are exact binary fractions: the Spark zip_with and this
+    // scalar loop must agree to the last bit (that is what lets the
+    // DuckDB oracle re-derive the q215 fixture verbatim).
+    val exp = vecs.map { case (id, v) =>
+      val a = vecs.find(_._1 == id % k).get._2
+      id -> a.zip(v).map { case (x, y) =>
+        0.875 * x.toDouble + 0.125 * y.toDouble }
+    }.toMap
+    assert(planted.keySet == exp.keySet)
+    assert(planted.forall { case (id, arr) => arr.sameElements(exp(id)) })
+    // the zero vector blends to 7/8 of its anchor: clustered, nonzero
+    assert(planted(7L).exists(_ != 0.0))
+
+    // audit over the planted corpus at nlist = k vs a scalar twin on
+    // the scalar blend (codes, argmax, all-pairs tau, cell subset)
+    val got = SemDedup.cellMissAudit(
+      plantedDf, "vec_id", "embedding",
+      nlist = k, tauNum = TauNum, tauDen = TauDen, maxId = 100L)
+      .collect().head
+    val nz = exp.toSeq.sortBy(_._1)
+      .map { case (id, v) => (id, codesOfD(v)) }
+      .filter { case (_, q) => q.exists(_ != 0L) }
+    val cents = nz.filter(_._1 < k)
+      .map { case (cid, cq) => (cid, cq, math.sqrt(dot(cq, cq).toDouble)) }
+    def cellOf(q: Array[Long]): Long = {
+      val nrm = math.sqrt(dot(q, q).toDouble)
+      cents.map { case (cid, cq, cnrm) =>
+        (cid, dot(q, cq).toDouble / (nrm * cnrm))
+      }.sortBy { case (cid, cs) => (-cs, cid) }.head._1
+    }
+    val asg = nz.map { case (id, q) => (id, q, dot(q, q), cellOf(q)) }
+    val tp = for {
+      (ia, qa, na, ca) <- asg
+      (ib, qb, nb, cb) <- asg
+      if ia < ib
+      d = dot(qa, qb)
+      if d > 0 &&
+        TauDen.toLong * TauDen * d * d >= TauNum.toLong * TauNum * na * nb
+    } yield (ca, cb)
+    val nEx = tp.size.toLong
+    val nIn = tp.count { case (ca, cb) => ca == cb }.toLong
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      ((nEx, nIn, nEx - nIn)))
+    // the planted regime is tau-pair-RICH (in-cluster cosines ~0.9+):
+    // the audit has real pairs to confine, unlike sparse isotropic toys
+    assert(nEx >= 10L)
+    assert(nIn >= 10L)
+  }
+
+  test("trainedCentroids k=1 is the corpus mean; screen with it is the exhaustive all-pairs verdict") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val codes = Quantize.int8(df, "vec_id", "embedding")
+      .filter(col("scale") > 0)
+      .select(col("vec_id"), col("qvec").cast("array<float>").as("q"))
+    val cents = Similarity.trainedCentroids(codes, "vec_id", "q", nlist = 1)
+    val crow = cents.collect()
+    assert(crow.length == 1 && crow.head.getLong(0) == 0L)
+    // the k=1 fixed point: the elementwise mean of the code rows (codes
+    // are small exact integers, 8 nonzero rows — the double sum and the
+    // /8 are both exact, so equality is bit-level, no tolerance)
+    val codeRows = codes.collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val mean = codeRows.transpose.map(c => (c.sum / codeRows.length).toFloat)
+    assert(crow.head.getSeq[Float](1).toArray.sameElements(mean))
+
+    // screen with the single trained cell = gated all-pairs lower-id
+    // tau dedup with cell constant 0, whatever the learned center is —
+    // the q216 oracle device
+    val got = runScreen(Some(cents)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val nz = vecs.map { case (id, v) => (id, codesOf(v)) }
+      .filter { case (_, q) => q.exists(_ != 0L) }
+    val expScreen = nz.map { case (id, q) =>
+      val nsq = dot(q, q)
+      val nd = nz.count { case (id2, q2) =>
+        val d = dot(q2, q)
+        id2 < id && d > 0 &&
+          TauDen.toLong * TauDen * d * d >=
+            TauNum.toLong * TauNum * dot(q2, q2) * nsq
+      }
+      id -> ((0L, nd.toLong, nd == 0))
+    }.toMap
+    assert(got == expScreen)
+    // one cell sees strictly more dup evidence than cell-confined q208:
+    // every tau pair counts, none escapes across a boundary
+    val confined = runScreen()
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(nz.map(_._1).forall(id => got(id)._2 >= confined(id)))
+  }
+
+  test("an empty derived centroid table fails loudly instead of emitting zero rows") {
+    // id-offset corpus: no ids < nlist, so the default first-nlist
+    // quantizer derives nothing — the r16 ADVICE silent-zero case
+    val shifted = vecs.map { case (id, v) => (id + 1000L, v) }
+    val e = intercept[IllegalArgumentException] {
+      SemDedup.screen(
+        shifted.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        nlist = Nlist, tauNum = TauNum, tauDen = TauDen)
+    }
+    assert(e.getMessage.contains("empty centroid table"))
+  }
 }

@@ -64,4 +64,16 @@ class EmbeddingStreamSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("maxPlanVecsPerCell"))
   }
+
+  test("an empty centroid table fails loudly instead of keeping every arrival") {
+    // without the guard the fold assigns cell = -1 and keeps everything
+    // while the batch twin emits no rows — the r16 ADVICE divergence
+    val schema = spark.read.parquet(watchDir).schema
+    val stream = spark.readStream.schema(schema).parquet(watchDir)
+    val e = intercept[IllegalArgumentException] {
+      EmbeddingStream.semDedupScreened(
+        stream, kept, cents.filter(col("cell") < 0))
+    }
+    assert(e.getMessage.contains("empty centroid table"))
+  }
 }

@@ -703,4 +703,59 @@ class StreamingIncrementalSpec extends AnyFunSuite {
         q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
     } finally q.stop()
   }
+
+  test("crossModalCurated equals the batch q213 capstone selection on ordered arrivals") {
+    import graft.operators.{BpeTrainer, SemDedup, TextAnalysis, Sampling}
+    import graft.queries.TextQueries
+    val docs = graft.Tables.documents(spark, graft.SparkTestSession.sf0001)
+      .select("source", "doc_id", "text")
+    val emb = graft.Tables.embeddings(spark, graft.SparkTestSession.sf0001)
+    val lex = BpeTrainer.lexicon(docs, "text")
+    val budget = 3000L // the q213 registry's BpeBudget
+    try {
+      val semKept = SemDedup.screen(emb, "vec_id", "embedding")
+        .filter(col("kept")).select(col("vec_id").as("doc_id"))
+        .localCheckpoint(true)
+      // batch twin: the q213 registry body verbatim
+      val keep = TextAnalysis.repetitionStats(
+          docs, "doc_id", "text",
+          TextQueries.RepTopWordMax, TextQueries.RepDup3Max)
+        .filter(col("keep")).select("doc_id")
+      val enc = BpeTrainer.encode(docs, "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens"))
+      val scored = docs.select(
+          col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .join(keep, Seq("doc_id"), "left_semi")
+        .join(semKept, Seq("doc_id"), "left_semi")
+        .join(enc, Seq("doc_id"))
+      val want = Sampling.fillTokenBudget(
+          scored, "source", "quality", "doc_id", "n_tokens", budget)
+        .select("source", "doc_id", "quality", "n_tokens", "cum_tokens")
+        .as[(String, Long, Double, Long, Long)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+
+      // one file = one micro-batch: the in-batch (quality DESC, id)
+      // sort makes the arrivals trivially ordered per the contract
+      val dirStr = watchDirOf(Seq(docs.toDF()))
+      val stream = spark.readStream.schema(docs.schema).parquet(dirStr)
+      val q = EventStream.runToMemory(
+        DocumentStream.crossModalCurated(
+          stream, semKept, lex, budget,
+          TextQueries.RepTopWordMax, TextQueries.RepDup3Max).toDF(),
+        "xmodal_cur", OutputMode.Append())
+      try {
+        val got = spark.sql(
+          "SELECT source, doc_id, quality, n_tokens, cum_tokens FROM xmodal_cur")
+          .as[(String, Long, Double, Long, Long)].collect()
+          .sortBy(r => (r._1, r._2)).toSeq
+        assert(got.nonEmpty && got == want)
+        // the gates genuinely cut: admitted set is a strict subset
+        assert(got.size < docs.count())
+        // O(sources) state: one long per source that admitted anything
+        assert(q.lastProgress.stateOperators.map(_.numRowsTotal).sum ==
+          got.map(_._1).distinct.size)
+      } finally q.stop()
+    } finally graft.operators.Checkpoints.release(lex)
+  }
 }
