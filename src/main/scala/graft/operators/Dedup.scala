@@ -155,6 +155,71 @@ object Dedup {
         col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
   }
 
+  /** Default id gate for [[minhashJaccardAudit]] — the exact side is
+    * all-pairs, so the gate is mandatory (the q35/q212 audit-face
+    * discipline), never a tuning knob.
+    */
+  val JaccardAuditMaxId = 64L
+
+  /** MinHash ESTIMATION-ERROR audit — the tracked approximation-quality
+    * number for the minhash family (the q121/q212 discipline: every
+    * approximation ships with a regression-guarded measurement). The
+    * q31 signatures estimate word-set Jaccard as matching-permutation
+    * fraction; this measures that estimate against the EXACT Jaccard,
+    * per pair, over the id-gated slice: (doc_a, doc_b, n_match, inter,
+    * uni) are exact integers (n_match of `numHashes` signature slots
+    * agree; inter/uni from the same distinct-word universe the
+    * signatures hash), `jac_est` = n_match/numHashes (exact — the
+    * default divisor is a power of two), `jac_true` their one
+    * quotient, `abs_err` one subtract. Pairs with zero overlap stay in
+    * the universe — hash-collision OVER-estimates are exactly what the
+    * audit exists to see; a drift in mean abs_err is the signal that
+    * numHashes no longer fits the corpus' similarity profile.
+    *
+    * Docs with no word are absent (no signature — same universe as
+    * q31). Scale shape: everything pair-wise is gated + broadcast; the
+    * production path never runs this corpus-wide (signatures + banding
+    * are the scale faces; this is their evidence).
+    */
+  def minhashJaccardAudit(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 16,
+      maxId: Long = JaccardAuditMaxId): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1: $numHashes")
+    require(maxId > 0, s"maxId must be positive: $maxId")
+    val slice = df.filter(col(idCol) < maxId)
+    val sig = minhashSignatures(slice, textCol, idCol, numHashes)
+    val words = slice.select(col(idCol).as("__id"),
+      explode(array_distinct(TextAnalysis.wsTokens(col(textCol)))).as("w"))
+    val counts = words.groupBy(col("__id")).agg(count(lit(1)).as("n_w"))
+    val inter = words.select(col("__id").as("ia"), col("w"))
+      .join(words.select(col("__id").as("ib"), col("w")), Seq("w"))
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
+    val a = sig.select(col(idCol).as("ia") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"__a$i")): _*)
+    val b = sig.select(col(idCol).as("ib") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"__b$i")): _*)
+    val nMatch = (0 until numHashes)
+      .map(i => when(col(s"__a$i") === col(s"__b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = col("n_match").cast("double") / lit(numHashes)
+    val tru = col("inter").cast("double") / col("uni").cast("double")
+    a.join(broadcast(b), col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), nMatch.as("n_match"))
+      .join(broadcast(counts.select(col("__id").as("ia"), col("n_w").as("__na"))), Seq("ia"))
+      .join(broadcast(counts.select(col("__id").as("ib"), col("n_w").as("__nb"))), Seq("ib"))
+      .join(inter, Seq("ia", "ib"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("uni", col("__na") + col("__nb") - col("inter"))
+      .select(col("ia").as("doc_a"), col("ib").as("doc_b"),
+        col("n_match"), col("inter"), col("uni"),
+        est.as("jac_est"), tru.as("jac_true"),
+        abs(est - tru).as("abs_err"))
+  }
+
   /** Incremental corpus update: classify each INCOMING document against
     * an EXISTING corpus as `exact_dup` (content hash already present),
     * `near_dup` (shares a MinHash LSH band bucket with an existing

@@ -168,6 +168,36 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Position-sensitive retrieval evidence per query: where the TRUE
+    * nearest neighbor (the exact rank-1 row of `exact`) lands in the
+    * approximate top-k — the 1-indexed rank and its reciprocal, 0 when
+    * the approximate list misses it entirely. Complements
+    * [[topKRecall]]: recall@k credits position k like position 1; the
+    * reciprocal rank is what moves when an index returns the right SET
+    * in the wrong ORDER (the serving-quality number for retrieval
+    * pipelines, whose downstream consumer reads results top-first —
+    * its mean over queries is MRR). `rank_approx` and the rank itself
+    * are exact integers; `rr` is their one double quotient.
+    *
+    * Inputs as produced by [[cosineTopK]] (exact, any k >= 1) and an
+    * approximate variant. Both are queries x k rows — the evaluation
+    * join is corpus-size-independent, like [[topKRecall]]'s.
+    */
+  def nnReciprocalRank(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val ex = exact.filter(col("rank") === 1)
+      .select(col("q_id"), col("neighbor_id").as("nn_id"))
+    val ap = approx.select(
+      col("q_id").as("__aq"), col("neighbor_id"), col("rank"))
+    ex.join(ap,
+        ex("q_id") === col("__aq") && col("nn_id") === col("neighbor_id"),
+        "left")
+      .select(
+        ex("q_id"), col("nn_id"),
+        coalesce(col("rank").cast("long"), lit(0L)).as("rank_approx"),
+        when(col("rank").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("rank").cast("double")).as("rr"))
+  }
+
   def topKRecall(exact: DataFrame, approx: DataFrame): DataFrame =
     exact.select(col("q_id"), col("neighbor_id"))
       .join(

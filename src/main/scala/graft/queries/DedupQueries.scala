@@ -2020,8 +2020,71 @@ object DedupQueries {
         "by design; the oracle is literally the same SQL body.",
       Some(duckCdcIngestSql),
       (spark, dir) => CdcPhases.probe(spark, dir)
+    ),
+    Q(
+      "q219_minhash_error_audit",
+      "MinHash estimation-error audit — the q121/q212 discipline " +
+        "applied to the minhash family itself: over the id-gated " +
+        s"slice (doc_id < ${graft.operators.Dedup.JaccardAuditMaxId}" +
+        ", mandatory — the exact side is all-pairs), every pair's " +
+        "matching-permutation fraction (the q31 signatures' Jaccard " +
+        "estimate) against the EXACT distinct-word Jaccard: n_match/" +
+        "inter/uni exact integers, jac_est = n_match/16 (exact — " +
+        "power-of-two divisor), jac_true one quotient, abs_err one " +
+        "subtract. Zero-overlap pairs stay in: hash-collision " +
+        "OVER-estimates are precisely what the audit must see. A " +
+        "drift in abs_err is the recalibrate-numHashes signal, the " +
+        "way q212/q215 guard nlist/tau.",
+      Some(duckMinhashAuditSql),
+      (spark, dir) =>
+        Dedup.minhashJaccardAudit(
+          Tables.documents(spark, dir), "text", "doc_id", NumHashes)
     )
   )
+
+  /** q219's oracle: the q31 signature chain over the gated slice (word
+    * column carried so the exact side shares the hash universe), the
+    * per-slot match count, and the exact distinct-word Jaccard.
+    */
+  private lazy val duckMinhashAuditSql: String = {
+    val maxId = graft.operators.Dedup.JaccardAuditMaxId
+    val matches = (0 until NumHashes)
+      .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH wh AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h, w
+       |  FROM (SELECT doc_id,
+       |               unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS w
+       |        FROM documents WHERE doc_id < $maxId)
+       |), sig AS (
+       |  SELECT doc_id,
+       |       $duckMinhashAggs
+       |  FROM wh GROUP BY doc_id
+       |), cnt AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_w FROM wh GROUP BY doc_id
+       |), itr AS (
+       |  SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM wh a JOIN wh b ON a.w = b.w AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST($matches AS BIGINT) AS n_match
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, n_match, inter, uni,
+       |       CAST(n_match AS DOUBLE) / $NumHashes AS jac_est,
+       |       CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jac_true,
+       |       abs(CAST(n_match AS DOUBLE) / $NumHashes
+       |           - CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)) AS abs_err
+       |FROM (
+       |  SELECT p.doc_a, p.doc_b, p.n_match,
+       |         CAST(COALESCE(itr.inter, 0) AS BIGINT) AS inter,
+       |         CAST(ca.n_w + cb.n_w - COALESCE(itr.inter, 0) AS BIGINT) AS uni
+       |  FROM p
+       |  JOIN cnt ca ON ca.doc_id = p.doc_a
+       |  JOIN cnt cb ON cb.doc_id = p.doc_b
+       |  LEFT JOIN itr ON itr.ia = p.doc_a AND itr.ib = p.doc_b)""".stripMargin
+  }
 
   /** The shared q190/q198 oracle: the stored-index probe's semantics
     * are BY DESIGN identical to the self-contained ingest report (the

@@ -836,6 +836,75 @@ object ModelQueries {
       (spark, dir) =>
         graft.operators.BpeTrainer.fertilityScreen(
           Tables.documents(spark, dir), "text", "doc_id")
+    ),
+    Q(
+      "q217_curation_funnel",
+      "Stage-survival funnel over the q213 cross-modal chain — the " +
+        "pipeline-observability rollup a curation run publishes: one " +
+        "row per stage (encodable corpus -> q204 repetition screen -> " +
+        "q208 semantic gate -> q206 learned-token budget) with " +
+        "surviving doc count and learned-token mass, so 'where did my " +
+        "tokens go' is a tracked number instead of four ad-hoc " +
+        "queries. All counts exact BIGINTs; token mass is the budget " +
+        "currency (q177 encode counts). Shape: q213's probes become " +
+        "flag joins on the SAME single doc_id exchange, the budget " +
+        "verdict is one conditional-sum window over survivors (sum " +
+        "ignores non-survivor nulls, so the running total equals the " +
+        "filtered window's), and all four stages aggregate in ONE " +
+        "pass exploded to tall rows — the corpus is never re-scanned " +
+        "per stage. Oracle renders from the same CTE templates as " +
+        "q206/q207/q213, so the funnel cannot drift from the faces " +
+        "it summarizes.",
+      Some(CurationFunnelSql),
+      (spark, dir) => {
+        import graft.operators.TextAnalysis
+        val docs = Tables.documents(spark, dir)
+        val rep = TextAnalysis.repetitionStats(
+            docs, "doc_id", "text",
+            TextQueries.RepTopWordMax, TextQueries.RepDup3Max)
+          .select(col("doc_id"), col("keep").as("rep_keep"))
+        val sem = graft.operators.SemDedup.screen(
+            Tables.embeddings(spark, dir), "vec_id", "embedding")
+          .select(col("vec_id").as("doc_id"), col("kept").as("sem_keep"))
+        val enc = graft.operators.BpeTrainer.encode(docs, "text", "doc_id")
+          .select(col("doc_id"), col("n_tokens"))
+        val surv = col("rep_keep") && col("sem_keep")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val marked = docs.select(
+            col("doc_id"), col("source"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+          .join(enc, Seq("doc_id"))
+          .join(rep, Seq("doc_id"))
+          .join(sem, Seq("doc_id"), "left")
+          .withColumn("sem_keep", coalesce(col("sem_keep"), lit(false)))
+          .withColumn("admitted",
+            surv && sum(when(surv, col("n_tokens"))).over(w) <= BpeBudget)
+        def cnt(c: org.apache.spark.sql.Column) =
+          count(when(c, lit(1)))
+        def tok(c: org.apache.spark.sql.Column) =
+          coalesce(sum(when(c, col("n_tokens"))), lit(0L))
+        marked.agg(
+            cnt(lit(true)).as("c1"), tok(lit(true)).as("t1"),
+            cnt(col("rep_keep")).as("c2"), tok(col("rep_keep")).as("t2"),
+            cnt(surv).as("c3"), tok(surv).as("t3"),
+            cnt(col("admitted")).as("c4"), tok(col("admitted")).as("t4"))
+          .select(explode(array(
+            struct(lit("1_encodable").as("stage"),
+              col("c1").as("n_docs"), col("t1").as("n_tokens")),
+            struct(lit("2_repetition").as("stage"),
+              col("c2").as("n_docs"), col("t2").as("n_tokens")),
+            struct(lit("3_semantic").as("stage"),
+              col("c3").as("n_docs"), col("t3").as("n_tokens")),
+            struct(lit("4_budget").as("stage"),
+              col("c4").as("n_docs"), col("t4").as("n_tokens")))).as("s"))
+          .select(col("s.stage").as("stage"),
+            col("s.n_docs").as("n_docs"), col("s.n_tokens").as("n_tokens"))
+      }
     )
   )
 
@@ -904,6 +973,41 @@ object ModelQueries {
          |  WHERE sq.doc_id IN (SELECT doc_id FROM rk_keep)
          |    AND sq.doc_id IN (SELECT vec_id FROM sdkept))
          |WHERE cum_tokens <= $BpeBudget""".stripMargin
+
+  /** q217's oracle: the same encode/quality/repetition/semantic CTE
+    * templates as q206/q207/q213 (so the funnel cannot drift from the
+    * faces it summarizes), flag-joined once, with the budget stage's
+    * running total windowed over survivors and all four stages
+    * UNION ALL'd.
+    */
+  private lazy val CurationFunnelSql: String =
+    bpeEncQualityCtes + "\n" + repetitionKeepCtes + ",\n" +
+      SimilarityQueries.semDedupKeptCteSql + ",\n" +
+      s"""fl AS (
+         |  SELECT sq.doc_id, sq.source, sq.quality, enc.n_tokens,
+         |         sq.doc_id IN (SELECT doc_id FROM rk_keep) AS rep_keep,
+         |         sq.doc_id IN (SELECT vec_id FROM sdkept) AS sem_keep
+         |  FROM sq JOIN enc ON enc.doc_id = sq.doc_id
+         |), adm AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(SUM(n_tokens) OVER (
+         |           PARTITION BY source ORDER BY quality DESC, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM fl WHERE rep_keep AND sem_keep
+         |)
+         |SELECT stage, n_docs, n_tokens FROM (
+         |  SELECT '1_encodable' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens FROM fl
+         |  UNION ALL
+         |  SELECT '2_repetition', CAST(COUNT(*) AS BIGINT),
+         |         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM fl WHERE rep_keep
+         |  UNION ALL
+         |  SELECT '3_semantic', CAST(COUNT(*) AS BIGINT),
+         |         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM fl WHERE rep_keep AND sem_keep
+         |  UNION ALL
+         |  SELECT '4_budget', CAST(COUNT(*) AS BIGINT),
+         |         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM adm WHERE cum_tokens <= $BpeBudget
+         |)""".stripMargin
 
   /** The q204 repetition screen's keep set as a composable CTE block
     * (rk_* — the compact keep-only form of the q204 formula,

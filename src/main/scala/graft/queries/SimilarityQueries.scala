@@ -952,6 +952,32 @@ object SimilarityQueries {
         graft.operators.SemDedup.screen(
           gated, "vec_id", "embedding", centroidsOpt = Some(cents))
       }
+    ),
+    Q(
+      "q218_ann_mrr",
+      "Reciprocal rank of the TRUE nearest neighbor inside the IVF " +
+        "top-5 (nprobe=2) — the position-sensitive companion to the " +
+        "recall family (recall@k credits position k like position 1; " +
+        "this number moves when the index returns the right set in " +
+        "the wrong order, the serving-quality failure a top-first " +
+        "consumer actually feels; its mean over queries is MRR). Per " +
+        "query: the exact rank-1 neighbor, its 1-indexed rank in the " +
+        "approximate list (0 = missed), and the one double quotient " +
+        "1/rank. Measured on the IVF probe — the index whose fixture " +
+        "recall (q141, ~0.9) leaves the number ROOM TO MOVE both " +
+        "ways; the LSH face is degenerate here (q121 recall 0 on " +
+        "isotropic vectors — the q212-vs-q215 regime lesson). Both " +
+        "sides are queries x k rows, so the evaluation join is " +
+        "corpus-size-independent — free next to the searches.",
+      Some(annMrrSql),
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+        val qs = e.filter(col("vec_id") < 8)
+        Similarity.nnReciprocalRank(
+          Similarity.cosineTopK(e, qs, "vec_id", "embedding", k = 1),
+          Similarity.cosineTopKIvf(
+            e, qs, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 2))
+      }
     )
   )
 
@@ -1209,6 +1235,27 @@ object SimilarityQueries {
        |       coalesce(dup.n_dup_lower, 0) = 0 AS kept
        |FROM n LEFT JOIN dup ON dup.vec_id = n.vec_id""".stripMargin
   }
+
+  /** q218's oracle: brute rank-1 truth (the q40 template) and the IVF
+    * top-5 (q42's own oracle text, verbatim as a subquery), left-joined
+    * on the true neighbor.
+    */
+  private lazy val annMrrSql: String =
+    s"""WITH apr AS (
+       |  SELECT q_id, neighbor_id, CAST(rank AS BIGINT) AS rn FROM (
+       |${indentSql(ivfOracleSql, "  ")}
+       |  )
+       |), exr AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    $bruteForceSql
+       |  ) WHERE rank = 1
+       |)
+       |SELECT exr.q_id, exr.neighbor_id AS nn_id,
+       |       CAST(COALESCE(apr.rn, 0) AS BIGINT) AS rank_approx,
+       |       CASE WHEN apr.rn IS NULL THEN 0.0
+       |            ELSE CAST(1.0 AS DOUBLE) / apr.rn END AS rr
+       |FROM exr LEFT JOIN apr
+       |  ON apr.q_id = exr.q_id AND apr.neighbor_id = exr.neighbor_id""".stripMargin
 
   private def indentSql(sql: String, pad: String): String =
     sql.linesIterator.map(l => pad + l).mkString("\n")

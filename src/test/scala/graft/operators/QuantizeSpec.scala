@@ -121,4 +121,37 @@ class QuantizeSpec extends AnyFunSuite {
       assert(recall == nHit.toDouble / nExact)
     }
   }
+
+  test("nnReciprocalRank: found-at-rank, missed, and self cases") {
+    // exact carries rank (cosineTopK's shape); q1's NN sits at rank 3
+    // in the approx list, q2's NN is absent, q3's approx == exact
+    val exact = Seq((1L, 10L, 1), (2L, 20L, 1), (3L, 30L, 1))
+      .toDF("q_id", "neighbor_id", "rank")
+    val approx = Seq(
+      (1L, 99L, 1), (1L, 98L, 2), (1L, 10L, 3),
+      (2L, 97L, 1), (2L, 96L, 2),
+      (3L, 30L, 1))
+      .toDF("q_id", "neighbor_id", "rank")
+    val got = Similarity.nnReciprocalRank(exact, approx)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 10L, 3L, 1.0 / 3.0), (2L, 20L, 0L, 0.0), (3L, 30L, 1L, 1.0)))
+  }
+
+  test("nnReciprocalRank: every exact query gets a verdict on the LSH fixture; rr consistent with rank") {
+    val e = (1L to 120L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(8)((rnd.nextFloat() - 0.5f) * 2f))
+    }.toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 4)
+    val r = Similarity.nnReciprocalRank(
+        Similarity.cosineTopK(e, q, "vec_id", "embedding", 1),
+        Similarity.cosineTopKLsh(e, q, "vec_id", "embedding", 5, numPlanes = 4, dim = 8))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r.length == 3)
+    r.foreach { case (_, _, rank, rr) =>
+      assert(rank >= 0L && rank <= 5L)
+      assert(if (rank == 0L) rr == 0.0 else rr == 1.0 / rank)
+    }
+  }
 }
