@@ -422,4 +422,38 @@ class PlanPropertiesSpec extends AnyFunSuite {
     val exchanges = p.sliding("Exchange (".length).count(_ == "Exchange (")
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
   }
+
+  test("q208: the SemDeDup pair stage is an equi-join on cell — never cartesian/nested-loop") {
+    // the broadcast centroid argmax is inside the eager checkpoint; the
+    // visible plan is the in-cell pair join, which must stay hash-based
+    // (the quadratic-confinement claim in code form). q212/q215's audit
+    // faces are intentionally gated broadcast nested loops (the exact
+    // side is all-pairs by design) and are pinned with q219 below.
+    val p = plan("q208_semdedup")
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(40).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoop"), p.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("q215: the planted-cluster audit's only nested-loop is the gated broadcast pair former") {
+    val p = plan("q215_semdedup_clustered_miss")
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("q217: funnel joins stay hash-based and the four stages explode from one aggregate") {
+    val p = plan("q217_curation_funnel")
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(40).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoop"), p.linesIterator.take(40).mkString("\n"))
+    // the four stages come from ONE aggregate exploded to tall rows —
+    // a per-stage re-scan would show four aggregates over the text scan
+    assert(p.contains("explode("), p.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("q219: the audit gate reaches the parquet scan; only the GATED pair former is nested-loop") {
+    val p = plan("q219_minhash_error_audit")
+    assert(p.contains("LessThan(doc_id,64)"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    // the id-gated broadcast pair former is the one intended
+    // nested-loop (the audit-face device); nothing may be cartesian
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(40).mkString("\n"))
+  }
 }
