@@ -155,6 +155,40 @@ object Dedup {
         col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
   }
 
+  /** Punctuation/case/whitespace-insensitive canonical dedup key: sha256
+    * of `lower(text)` with every non-alphanumeric run collapsed to one
+    * space. The "fuzzy-exact" tier between raw-hash dedup (q30 — misses
+    * a re-punctuated copy entirely) and MinHash (q31 — probabilistic,
+    * banded): reformatting, smart quotes, case drift, and spacing churn
+    * — the most common mirror-site mutations — all land on one key,
+    * while any WORD change still splits it. Pure codegen'd regex chain,
+    * no UDF; the 32-byte key is the shuffle unit, bodies never move
+    * (the q30 discipline).
+    */
+  def canonicalTextKey(text: Column): Column =
+    sha2(trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " ")), 256)
+
+  /** Canonical-key dedup groups: (canon_sha, keep_id, n_copies,
+    * n_raw_distinct) — `n_raw_distinct` counts the distinct RAW content
+    * hashes inside each canonical group, so `n_raw_distinct > 1` rows
+    * are exactly the duplicates q30's raw-hash pass missed (the
+    * canonicalization's measured catch, the q121-style evidence column
+    * for this tier). Same scale shape as [[exactGroups]]: one digest
+    * shuffle, map-side combined; the distinct-count is two-phase on the
+    * same key.
+    */
+  def canonicalGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+        canonicalTextKey(col(textCol)).as("canon_sha"),
+        col(idCol),
+        sha2(col(textCol), 256).as("__raw_sha"))
+      .groupBy(col("canon_sha"))
+      .agg(
+        min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("__raw_sha")).as("n_raw_distinct"))
+
   /** Default id gate for [[minhashJaccardAudit]] — the exact side is
     * all-pairs, so the gate is mandatory (the q35/q212 audit-face
     * discipline), never a tuning knob.

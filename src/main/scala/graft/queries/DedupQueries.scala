@@ -2039,6 +2039,28 @@ object DedupQueries {
       (spark, dir) =>
         Dedup.minhashJaccardAudit(
           Tables.documents(spark, dir), "text", "doc_id", NumHashes)
+    ),
+    Q(
+      "q220_dedup_canonical",
+      "Canonical-text dedup — the fuzzy-exact tier between q30's raw " +
+        "hash and q31's MinHash: sha256 of the case-folded, " +
+        "punctuation-stripped, whitespace-collapsed text, so " +
+        "reformatting / smart quotes / case drift / spacing churn (the " +
+        "common mirror-site mutations) land on ONE key while any word " +
+        "change still splits it. n_raw_distinct counts the distinct " +
+        "RAW hashes per canonical group — rows with n_raw_distinct > 1 " +
+        "are exactly the dups the raw pass missed, the tier's measured " +
+        "catch. One digest shuffle (map-side combined), bodies never " +
+        "move; the distinct-count is two-phase on the same key.",
+      Some(
+        """|SELECT sha256(trim(regexp_replace(regexp_replace(lower(text),
+           |         '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS canon_sha,
+           |       MIN(doc_id) AS keep_id,
+           |       COUNT(*) AS n_copies,
+           |       CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_raw_distinct
+           |FROM documents GROUP BY 1""".stripMargin),
+      (spark, dir) =>
+        Dedup.canonicalGroups(Tables.documents(spark, dir), "text", "doc_id")
     )
   )
 

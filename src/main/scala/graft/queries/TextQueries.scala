@@ -1880,6 +1880,56 @@ object TextQueries {
               .cast("long")).as("n_tokens"),
             sum(length(col("text")).cast("long")).as("n_chars"),
             grouping_id().as("gid"))
+    ),
+    Q(
+      "q221_langid_confusion",
+      "Language-label CONFUSION MATRIX — the metadata-trust audit on " +
+        "top of q52: declared `lang` column vs the heuristic's verdict, " +
+        "counted per (declared, predicted) cell. Off-diagonal mass is " +
+        "metadata rot or heuristic drift; either way a per-language " +
+        "mixture built on the declared column is mispriced, and this " +
+        "matrix is the number that says by how much. The fixture makes " +
+        "the audit's point for it: declared labels are synthetic-random " +
+        "while the text is English-profiled, and the matrix exposes " +
+        "exactly that disagreement (LangConsistencySpec carries the " +
+        "heuristic's own accuracy pins on labeled fixtures). One " +
+        "map-side-combined shuffle on the tiny (lang x lang) key " +
+        "space; the prediction is the same codegen'd expression as " +
+        "q52, computed in the scan projection.",
+      Some("""
+        |SELECT lang_declared, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM (
+        |  SELECT lang AS lang_declared,
+        |       CASE WHEN chars > 0 AND cjk / chars >= 0.05 THEN 'zh'
+        |            WHEN toks > 0 AND s_en / toks >= 1.0/12.0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |            WHEN toks > 0 AND s_de / toks >= 1.0/12.0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |            WHEN toks > 0 AND s_fr / toks >= 1.0/12.0 AND s_fr >= s_es THEN 'fr'
+        |            WHEN toks > 0 AND s_es / toks >= 1.0/12.0 THEN 'es'
+        |            WHEN letters > 0 THEN 'und'
+        |            ELSE 'zxx' END AS lang_pred
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |           CAST(LENGTH(text) AS DOUBLE) AS chars,
+        |           CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS toks,
+        |           CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS DOUBLE) AS cjk,
+        |           CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS DOUBLE) AS s_en,
+        |           CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|zu)\b')) AS DOUBLE) AS s_de,
+        |           CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|des|une)\b')) AS DOUBLE) AS s_fr,
+        |           CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|que|un)\b')) AS DOUBLE) AS s_es,
+        |           len(regexp_extract_all(text, '[A-Za-z]')) AS letters
+        |    FROM documents
+        |  )
+        |)
+        |GROUP BY 1, 2
+        |""".stripMargin.trim),
+      (spark, dir) =>
+        Tables.documents(spark, dir)
+          .select(
+            col("lang").as("lang_declared"),
+            graft.operators.TextAnalysis.langIdHeuristic(col("text"))
+              .as("lang_pred"))
+          .groupBy("lang_declared", "lang_pred")
+          .agg(count(lit(1)).as("n_docs"))
     )
   )
 }

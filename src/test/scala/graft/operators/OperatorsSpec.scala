@@ -21,6 +21,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(g.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("canonicalGroups: punctuation/case/whitespace mutations land on one key; word changes split it") {
+    val df = docs(
+      (1L, "The cat sat, on the mat."),
+      (2L, "the  cat sat on\tthe mat"),    // spacing + case + punct drift
+      (3L, "THE CAT — SAT on the mat!!"),  // smart punct + shouting
+      (4L, "the cat sat on the rug"),      // word change: different doc
+      (5L, "the cat sat on the rug"))      // raw dup of 4
+    val g = Dedup.canonicalGroups(df, "text", "doc_id")
+      .orderBy("keep_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // group {1,2,3}: three RAW-distinct texts on one canonical key —
+    // exactly the dups the q30 raw pass misses (n_raw_distinct = 3);
+    // group {4,5}: raw dups stay together, n_raw_distinct = 1
+    assert(g == Seq((1L, 3L, 3L), (4L, 2L, 1L)))
+  }
+
   test("exactGroupsByKey over a precomputed sha equals exactGroups over the text") {
     import org.apache.spark.sql.functions.{col, sha2}
     val df = docs(
