@@ -362,10 +362,13 @@ object Bench {
     // run are meaningless and the JSON line says so via "only".
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // This round's number, derived from the prior rounds' artifacts on
-    // disk (driver-written BENCH_r*.json + our own tracked bench_full/
-    // r*.json): used to name this run's full-map file and to decide the
-    // comparator cadence below.
+    // This round's number: max driver-written BENCH_r*.json + 1. ONLY
+    // the driver's artifacts count — deriving from our own bench_full/
+    // r*.json files would make the number drift +1 on every in-round
+    // run (each write raises the max the next run sees), skewing both
+    // the file naming and the comparator cadence. Within one round,
+    // every run (ours and the driver's) re-derives the SAME number and
+    // overwrites the same bench_full file — the intended idempotence.
     def roundsIn(dir: String, pat: String): List[Int] =
       try {
         import scala.jdk.CollectionConverters._
@@ -375,8 +378,7 @@ object Bench {
           .toList
       } catch { case _: Throwable => Nil }
     val thisRound: Int =
-      (roundsIn(".", "BENCH_r(\\d+)\\.json") ++
-        roundsIn("bench_full", "r(\\d+)\\.json")).foldLeft(0)(math.max) + 1
+      roundsIn(".", "BENCH_r(\\d+)\\.json").foldLeft(0)(math.max) + 1
     // Settled-comparator cadence (r16 verdict item 4): the scaled16
     // REBUILD comparators exist only to be beaten by the refresh/fold
     // lines — a margin proven in r15/r16 (fold 1.6 vs rebuild 2.6 s;

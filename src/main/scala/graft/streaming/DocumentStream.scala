@@ -69,6 +69,23 @@ object DocumentStream {
       .dropDuplicatesWithinWatermark("text_sha")
       .select("doc_id", "text_sha")
 
+  /** [[dedupedByContent]] on the CANONICAL key (q220's fuzzy-exact
+    * tier): reformatting / case / spacing mutations of already-seen
+    * content drop at the ingest seam too, not just in the batch pass.
+    * Same bounded-state watermark shape; the key is still a 32-byte
+    * digest, computed row-side by the same codegen'd regex chain as
+    * the batch face ([[graft.operators.Dedup.canonicalTextKey]]), so
+    * the stream and batch tiers cannot drift.
+    */
+  def dedupedByCanonical(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.operators.Dedup.canonicalTextKey(col("text")).as("canon_sha"))
+      .withColumn("ingest_time", current_timestamp())
+      .withWatermark("ingest_time", horizon)
+      .dropDuplicatesWithinWatermark("canon_sha")
+      .select("doc_id", "canon_sha")
+
   final case class BandPair(doc_a: Long, doc_b: Long, band: Int)
 
   /** One packed document: its source, id, token count, and the

@@ -59,6 +59,38 @@ class StreamingHygieneSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming canonical dedup collapses punct/case/spacing mutations across batches") {
+    val dirStr = watchDirOf(Seq(
+      Seq((1L, "The cat sat, on the mat."), (2L, "delta text")),
+      // raw-distinct mutations of doc 1 (the q220 tier's catch) + one
+      // genuinely new doc
+      Seq((3L, "the  cat sat on\tthe mat"), (4L, "THE CAT — SAT on the mat!!"),
+        (5L, "the cat sat on the rug"))))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dirStr)
+    val q = EventStream.runToMemory(
+      DocumentStream.dedupedByCanonical(stream), "docs_canon_dedup",
+      OutputMode.Append())
+    try {
+      val got = spark.sql("SELECT doc_id, canon_sha FROM docs_canon_dedup")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      // 3 canonical classes survive: {1,3,4} collapse (raw sha would
+      // keep all three), plus doc 2 and doc 5
+      assert(got.map(_._1).toSet == Set(1L, 2L, 5L), got.mkString(", "))
+      // stream keys equal the batch face's canonical keys exactly
+      import spark.implicits._
+      val batchKeys = graft.operators.Dedup.canonicalGroups(
+          Seq((1L, "The cat sat, on the mat."), (2L, "delta text"),
+            (5L, "the cat sat on the rug")).toDF("doc_id", "text"),
+          "text", "doc_id")
+        .collect().map(_.getString(0)).toSet
+      assert(got.map(_._2).toSet == batchKeys)
+    } finally q.stop()
+  }
+
   test("streaming decontamination screen equals its batch twin (q63 semantics)") {
     val fixture = SparkTestSession.sf0001
     val all = Tables.documents(spark, fixture)
