@@ -1930,6 +1930,97 @@ object TextQueries {
               .as("lang_pred"))
           .groupBy("lang_declared", "lang_pred")
           .agg(count(lit(1)).as("n_docs"))
+    ),
+    Q(
+      "q222_quality_calibration",
+      "Score-calibration audit: per quality DECILE, the fraction of " +
+        "documents the q204 repetition screen keeps — do the two " +
+        "quality signals agree, and where? A score that is flat (or " +
+        "inverted) against an independent screen is mispricing the " +
+        "corpus; this is the diagnostic a pipeline publishes before " +
+        "trusting q50's score as a budget-fill key (q206/q213 order by " +
+        "it). Deciles come from the exact corpus-wide rank — " +
+        "ShardedPrefix.globalRank over the (quality4, doc_id) " +
+        "composite key, NEVER a single-task global window — with " +
+        "decile = (rank-1)*10 div N, an integer boundary both engines " +
+        "compute identically. n_docs/n_kept exact BIGINTs, keep_rate " +
+        "their one double quotient.",
+      Some(s"""
+        |WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+        |), base AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks FROM toks
+        |), w AS (
+        |  SELECT doc_id, MAX(c) AS top_word_cnt FROM (
+        |    SELECT doc_id, COUNT(*) AS c
+        |    FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY doc_id, w)
+        |  GROUP BY doc_id
+        |), g3 AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dup3_mass FROM (
+        |    SELECT doc_id, COUNT(*) AS c FROM (
+        |      SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        |      FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)) GROUP BY doc_id, g)
+        |  WHERE c >= 2 GROUP BY doc_id
+        |), kp AS (
+        |  SELECT b.doc_id,
+        |         (CASE WHEN b.n_toks > 0
+        |               THEN CAST(COALESCE(w.top_word_cnt, 0) AS DOUBLE) / CAST(b.n_toks AS DOUBLE)
+        |               ELSE 0.0 END) <= $RepTopWordMax
+        |           AND
+        |         (CASE WHEN b.n_toks - 2 > 0
+        |               THEN CAST(COALESCE(g3.dup3_mass, 0) AS DOUBLE) / CAST(b.n_toks - 2 AS DOUBLE)
+        |               ELSE 0.0 END) <= $RepDup3Max AS keep
+        |  FROM base b LEFT JOIN w USING (doc_id) LEFT JOIN g3 USING (doc_id)
+        |), sc AS (
+        |  SELECT doc_id, CAST(($qualitySql) * 4 AS BIGINT) AS q4 FROM (
+        |    SELECT doc_id,
+        |           CAST(LENGTH(text) AS DOUBLE) AS chars,
+        |           CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS toks,
+        |           CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) AS punct,
+        |           CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a)\\b')) AS DOUBLE) AS stops
+        |    FROM documents
+        |  )
+        |), rk AS (
+        |  SELECT kp.keep,
+        |         ROW_NUMBER() OVER (ORDER BY sc.q4, sc.doc_id) AS rnk,
+        |         COUNT(*) OVER () AS n
+        |  FROM sc JOIN kp USING (doc_id)
+        |)
+        |SELECT decile,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(*) FILTER (keep) AS BIGINT) AS n_kept,
+        |       CAST(COUNT(*) FILTER (keep) AS DOUBLE) / COUNT(*) AS keep_rate
+        |FROM (SELECT keep, CAST((rnk - 1) * 10 // n + 1 AS BIGINT) AS decile FROM rk)
+        |GROUP BY decile
+        |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.operators.{ShardedPrefix, TextAnalysis}
+        val docs = Tables.documents(spark, dir)
+        val rep = TextAnalysis.repetitionStats(
+            docs, "doc_id", "text", RepTopWordMax, RepDup3Max)
+          .select(col("doc_id"), col("keep"))
+        // quality is k/4 by construction, so quality*4 casts exactly;
+        // the composite (q4 << 40) + doc_id key makes the rank order
+        // (quality ASC, doc_id ASC) with a unique orderable long
+        val scored = docs.select(
+            col("doc_id"),
+            (TextAnalysis.qualityScore(col("text")) * 4).cast("long").as("q4"))
+          .join(rep, Seq("doc_id"))
+          .withColumn("__g", lit(1))
+          .withColumn("__okey", col("q4") * lit(1L << 40) + col("doc_id"))
+        val ranked = ShardedPrefix.globalRank(scored, "__g", "__okey", "__rank")
+        val nRow = docs.agg(count(lit(1)).as("__n"))
+        ranked.crossJoin(broadcast(nRow))
+          // `div`, not `/`: Spark's `/` on longs is DOUBLE division —
+          // the integer boundary must be integer arithmetic end to end
+          .withColumn("decile", expr("((__rank - 1) * 10) div __n") + 1L)
+          .groupBy("decile")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count(when(col("keep"), lit(1))).as("n_kept"))
+          .withColumn("keep_rate",
+            col("n_kept").cast("double") / col("n_docs").cast("double"))
+      }
     )
   )
 }
