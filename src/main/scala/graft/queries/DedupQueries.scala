@@ -2061,6 +2061,45 @@ object DedupQueries {
            |FROM documents GROUP BY 1""".stripMargin),
       (spark, dir) =>
         Dedup.canonicalGroups(Tables.documents(spark, dir), "text", "doc_id")
+    ),
+    Q(
+      "q223_lsh_bucket_histogram",
+      "LSH bucket-size histogram — the pre-flight SKEW profile of the " +
+        "q32 banding join: per band, how many buckets hold 1, 2, ... " +
+        "members. The banding join's candidate-pair cost is " +
+        "sum(size^2) over this table and its hottest bucket is the AQE " +
+        "skew-join case, so this is the number that says whether the " +
+        "banding width fits the corpus BEFORE the pair stage runs (a " +
+        "boilerplate-heavy crawl shows a fat tail here first — the " +
+        "capacity-planning read the q135 degree histogram gives per " +
+        "DOC, taken per BUCKET). Histogram over key-equality classes, " +
+        "so the struct-key Spark side and the md5-key oracle agree by " +
+        "construction. Two map-side-combined shuffles, both on " +
+        "narrow keys; bodies never move.",
+      Some(
+        s"""$duckSignatureCte, bands AS (
+           |  SELECT doc_id, 0 AS band,
+           |         md5(concat_ws('_', ${(0 until 8).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band,
+           |         md5(concat_ws('_', ${(8 until 16).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |), bs AS (
+           |  SELECT band, key, CAST(COUNT(*) AS BIGINT) AS bucket_size
+           |  FROM bands GROUP BY 1, 2
+           |)
+           |SELECT band, bucket_size, CAST(COUNT(*) AS BIGINT) AS n_buckets
+           |FROM bs GROUP BY 1, 2""".stripMargin),
+      (spark, dir) => {
+        val sig = Dedup.minhashSignatures(
+          Tables.documents(spark, dir), "text", "doc_id", NumHashes)
+        Dedup.bandKeys(sig, "doc_id", NumHashes, bands = 2)
+          .groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("bucket_size"))
+          .groupBy(col("band"), col("bucket_size"))
+          .agg(count(lit(1)).as("n_buckets"))
+      }
     )
   )
 
