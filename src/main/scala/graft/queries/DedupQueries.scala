@@ -2100,18 +2100,51 @@ object DedupQueries {
           .groupBy(col("band"), col("bucket_size"))
           .agg(count(lit(1)).as("n_buckets"))
       }
+    ),
+    Q(
+      "q224_lsh_scurve",
+      "EMPIRICAL LSH S-curve — the banding knob's tuning artifact, " +
+        "measured instead of assumed: over the q219 gated slice, every " +
+        "pair's candidacy under the q32 banding (shares >= 1 band key) " +
+        "rolled up by EXACT-Jaccard bucket, jac_bucket = (inter*10) " +
+        "div uni — an integer boundary, no float flap. The theoretical " +
+        "curve 1-(1-s^r)^b says WHERE detection should rise; this " +
+        "table says where it ACTUALLY rises on this corpus with these " +
+        "hash constants — the number that justifies (bands, rows) " +
+        "before a 100 TB pair stage commits to them, and the " +
+        "regression guard that catches a hash/banding change shifting " +
+        "recall (hit_rate at high-jaccard buckets is the recall the " +
+        "q32 production path silently relies on). Gated all-pairs + " +
+        "broadcast, the q219 audit-face discipline.",
+      Some(duckLshScurveSql),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val slice = docs.filter(
+          col("doc_id") < graft.operators.Dedup.JaccardAuditMaxId)
+        val sig = Dedup.minhashSignatures(slice, "text", "doc_id", NumHashes)
+        val cand = Dedup.lshCandidatePairs(sig, "doc_id", NumHashes, bands = 2)
+          .select(col("doc_a"), col("doc_b"), lit(1L).as("__is_cand"))
+        Dedup.minhashJaccardAudit(docs, "text", "doc_id", NumHashes)
+          .join(cand, Seq("doc_a", "doc_b"), "left")
+          .withColumn("__is_cand", coalesce(col("__is_cand"), lit(0L)))
+          .withColumn("jac_bucket", expr("(inter * 10) div uni"))
+          .groupBy(col("jac_bucket"))
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            sum(col("__is_cand")).as("n_candidates"))
+          .withColumn("hit_rate",
+            col("n_candidates").cast("double") / col("n_pairs").cast("double"))
+      }
     )
   )
 
-  /** q219's oracle: the q31 signature chain over the gated slice (word
-    * column carried so the exact side shares the hash universe), the
-    * per-slot match count, and the exact distinct-word Jaccard.
+  /** The gated signature/word-set CTE prefix shared by the q219 error
+    * audit and the q224 empirical S-curve: wh (gated distinct-word
+    * hashes, word carried), sig (q31's minhash aggs), cnt (distinct
+    * word counts), itr (exact pairwise intersections).
     */
-  private lazy val duckMinhashAuditSql: String = {
+  private lazy val duckGatedMinhashCtes: String = {
     val maxId = graft.operators.Dedup.JaccardAuditMaxId
-    val matches = (0 until NumHashes)
-      .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
-      .mkString(" + ")
     s"""WITH wh AS (
        |  SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h, w
        |  FROM (SELECT doc_id,
@@ -2127,7 +2160,18 @@ object DedupQueries {
        |  SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(COUNT(*) AS BIGINT) AS inter
        |  FROM wh a JOIN wh b ON a.w = b.w AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
-       |), p AS (
+       |)""".stripMargin
+  }
+
+  /** q219's oracle: the q31 signature chain over the gated slice (word
+    * column carried so the exact side shares the hash universe), the
+    * per-slot match count, and the exact distinct-word Jaccard.
+    */
+  private lazy val duckMinhashAuditSql: String = {
+    val matches = (0 until NumHashes)
+      .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""$duckGatedMinhashCtes, p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         CAST($matches AS BIGINT) AS n_match
        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -2146,6 +2190,41 @@ object DedupQueries {
        |  JOIN cnt cb ON cb.doc_id = p.doc_b
        |  LEFT JOIN itr ON itr.ia = p.doc_a AND itr.ib = p.doc_b)""".stripMargin
   }
+
+  /** q224's oracle: the shared gated prefix, q32's banding over the
+    * gated sig, pair candidacy as a left join, exact-Jaccard buckets
+    * by integer division.
+    */
+  private lazy val duckLshScurveSql: String =
+    s"""$duckGatedMinhashCtes, bands AS (
+       |  SELECT doc_id, 0 AS band,
+       |         md5(concat_ws('_', ${(0 until 8).map(r => s"mh$r").mkString(", ")})) AS key
+       |  FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band,
+       |         md5(concat_ws('_', ${(8 until 16).map(r => s"mh$r").mkString(", ")})) AS key
+       |  FROM sig
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |), j AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |         CAST(COALESCE(itr.inter, 0) AS BIGINT) AS inter,
+       |         CAST(ca.n_w + cb.n_w - COALESCE(itr.inter, 0) AS BIGINT) AS uni,
+       |         CASE WHEN cand.doc_a IS NULL THEN 0 ELSE 1 END AS is_cand
+       |  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |        FROM sig a JOIN sig b ON a.doc_id < b.doc_id) p
+       |  JOIN cnt ca ON ca.doc_id = p.doc_a
+       |  JOIN cnt cb ON cb.doc_id = p.doc_b
+       |  LEFT JOIN itr ON itr.ia = p.doc_a AND itr.ib = p.doc_b
+       |  LEFT JOIN cand ON cand.doc_a = p.doc_a AND cand.doc_b = p.doc_b
+       |)
+       |SELECT (inter * 10) // uni AS jac_bucket,
+       |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |       CAST(SUM(is_cand) AS BIGINT) AS n_candidates,
+       |       CAST(SUM(is_cand) AS DOUBLE) / COUNT(*) AS hit_rate
+       |FROM j GROUP BY 1""".stripMargin
 
   /** The shared q190/q198 oracle: the stored-index probe's semantics
     * are BY DESIGN identical to the self-contained ingest report (the
