@@ -905,6 +905,57 @@ object ModelQueries {
           .select(col("s.stage").as("stage"),
             col("s.n_docs").as("n_docs"), col("s.n_tokens").as("n_tokens"))
       }
+    ),
+    Q(
+      "q225_rejection_reasons",
+      "Rejection-reason OVERLAP matrix — the screen-redundancy " +
+        "diagnostic q217's sequential funnel cannot show: per document " +
+        "the BITMASK of independent screens it fails (1 = q204 " +
+        "repetition, 2 = q50 quality < 0.5, 4 = q208 semantic, 8 = " +
+        "q209 fertility), rolled up to (reason_mask, n_docs, " +
+        "n_tokens). Mask 0 is the every-screen survivor pool; " +
+        "single-bit masks are documents ONLY that screen catches — a " +
+        "screen whose unique-catch mass is ~0 is redundant and its " +
+        "cost is free to cut, which is how a pipeline decides what to " +
+        "run at 100 TB. All verdicts are the standalone faces' own " +
+        "integer-exact predicates on one flag-joined frame (single " +
+        "doc_id exchange, the q213/q217 shape); at most 16 output " +
+        "rows. Oracle renders from the same CTE templates as the " +
+        "faces, so the matrix cannot drift from them.",
+      Some(RejectionReasonsSql),
+      (spark, dir) => {
+        import graft.operators.TextAnalysis
+        val docs = Tables.documents(spark, dir)
+        val rep = TextAnalysis.repetitionStats(
+            docs, "doc_id", "text",
+            TextQueries.RepTopWordMax, TextQueries.RepDup3Max)
+          .select(col("doc_id"), col("keep").as("rep_keep"))
+        val sem = graft.operators.SemDedup.screen(
+            Tables.embeddings(spark, dir), "vec_id", "embedding")
+          .select(col("vec_id").as("doc_id"), col("kept").as("sem_keep"))
+        val enc = graft.operators.BpeTrainer.encode(docs, "text", "doc_id")
+          .select(col("doc_id"), col("n_tokens"), col("n_chars"))
+        val fn = graft.operators.BpeTrainer.FertilityNum
+        val fd = graft.operators.BpeTrainer.FertilityDen
+        docs.select(
+            col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+          .join(enc, Seq("doc_id"))
+          .join(rep, Seq("doc_id"))
+          .join(sem, Seq("doc_id"), "left")
+          .withColumn("sem_keep", coalesce(col("sem_keep"), lit(false)))
+          .select(
+            col("n_tokens"),
+            (when(!col("rep_keep"), 1L).otherwise(0L)
+              + when(col("quality") < 0.5, 2L).otherwise(0L)
+              + when(!col("sem_keep"), 4L).otherwise(0L)
+              + when(col("n_chars") * fd < col("n_tokens") * fn, 8L)
+                .otherwise(0L)).as("reason_mask"))
+          .groupBy(col("reason_mask"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"))
+      }
     )
   )
 
@@ -1009,6 +1060,29 @@ object ModelQueries {
          |         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM adm WHERE cum_tokens <= $BpeBudget
          |)""".stripMargin
 
+  /** q225's oracle: the shared encode/quality CTEs + the repetition
+    * keep set + the q208 semantic kept set, flag-joined once, bitmask
+    * by the same integer predicates, 16-row rollup.
+    */
+  private lazy val RejectionReasonsSql: String = {
+    val fn = graft.operators.BpeTrainer.FertilityNum
+    val fd = graft.operators.BpeTrainer.FertilityDen
+    bpeEncQualityCtes + "\n" + repetitionKeepCtes + ",\n" +
+      SimilarityQueries.semDedupKeptCteSql + "\n" +
+      s"""SELECT CAST(reason_mask AS BIGINT) AS reason_mask,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM (
+         |  SELECT enc.n_tokens,
+         |         (CASE WHEN sq.doc_id IN (SELECT doc_id FROM rk_keep) THEN 0 ELSE 1 END)
+         |         + (CASE WHEN sq.quality < 0.5 THEN 2 ELSE 0 END)
+         |         + (CASE WHEN sq.doc_id IN (SELECT vec_id FROM sdkept) THEN 0 ELSE 4 END)
+         |         + (CASE WHEN enc.n_chars * $fd < enc.n_tokens * $fn THEN 8 ELSE 0 END)
+         |           AS reason_mask
+         |  FROM sq JOIN enc ON enc.doc_id = sq.doc_id)
+         |GROUP BY 1""".stripMargin
+  }
+
   /** The q204 repetition screen's keep set as a composable CTE block
     * (rk_* — the compact keep-only form of the q204 formula,
     * thresholds shared via the TextQueries constants so renderings
@@ -1059,7 +1133,8 @@ object ModelQueries {
          |    FROM documents)
          |  WHERE regexp_matches(w, '^[a-z]+$$')
          |), enc AS (
-         |  SELECT dw.doc_id, CAST(SUM(lex.n_tokens_w) AS BIGINT) AS n_tokens
+         |  SELECT dw.doc_id, CAST(SUM(lex.n_tokens_w) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(length(dw.word)) AS BIGINT) AS n_chars
          |  FROM dw JOIN lex ON lex.word = dw.word
          |  GROUP BY dw.doc_id
          |), tq AS (
