@@ -120,5 +120,45 @@ class TextPropertySpec extends AnyFunSuite {
           r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getBoolean(8))))
       .toMap
     assert(rowLocal == got, "row-local form diverges from shuffle form")
+    // The GATE form (the composition face streams use) must keep
+    // exactly the keep=true ids and leave caller columns untouched.
+    val gated = TextAnalysis.repetitionGate(
+        cases.toDF("doc_id", "text"), "text",
+        topWordMax = topMax, dup3Max = d3Max)
+    assert(gated.columns.toSeq == Seq("doc_id", "text"))
+    assert(gated.collect().map(_.getLong(0)).toSet ==
+      got.filter(_._2._8).keySet, "gate diverges from the stats verdict")
+  }
+
+  test("canonicalTextKey: invariant under case/punct/spacing mutations, split by word changes (120 random docs)") {
+    val rnd = new scala.util.Random(7)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    def doc(): String =
+      Seq.fill(3 + rnd.nextInt(10))(words(rnd.nextInt(words.size))).mkString(" ")
+    def mutate(s: String): String = {
+      // case flips, injected punctuation, and whitespace churn — the
+      // mutation classes the canonical key must erase
+      val cased = s.map(c => if (rnd.nextBoolean()) c.toUpper else c)
+      val punct = cased.flatMap { c =>
+        if (c == ' ' && rnd.nextInt(4) == 0) ",  " else c.toString
+      }
+      "  " + punct.replace(" ", if (rnd.nextBoolean()) "\t" else "  ") + "!"
+    }
+    val base = (1 to 120).map(i => (i.toLong, doc()))
+    val rows = base.flatMap { case (id, t) =>
+      Seq((id * 10, t), (id * 10 + 1, mutate(t)))
+    }
+    val keys = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.canonicalTextKey(col("text")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    base.foreach { case (id, t) =>
+      assert(keys(id * 10) == keys(id * 10 + 1),
+        s"mutation of doc $id changed the canonical key: '$t'")
+    }
+    // distinct word sequences keep distinct keys
+    val byText = base.groupBy(_._2).map { case (t, g) => t -> keys(g.head._1 * 10) }
+    assert(byText.values.toSeq.distinct.size == byText.size,
+      "distinct texts collided on the canonical key")
   }
 }
