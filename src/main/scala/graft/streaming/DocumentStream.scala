@@ -743,7 +743,7 @@ object DocumentStream {
     * them), and a doc with NO lexicon word is absent entirely. Fed the
     * same corpus and lexicon, output equals
     * [[graft.operators.BpeTrainer.fertilityScreen]] row for row
-    * (DocumentStreamSpec pins it).
+    * (StreamingIncrementalSpec pins it).
     */
   def fertilityScreened(
       docs: DataFrame,
@@ -810,7 +810,7 @@ object DocumentStream {
     * best-first), which satisfies it by construction; a crawl-ordered
     * feed belongs on the batch window (q213). Fed ordered arrivals,
     * the admitted set equals the batch capstone row for row
-    * (DocumentStreamSpec pins it).
+    * (StreamingIncrementalSpec pins it).
     */
   def crossModalCurated(
       docs: DataFrame,
