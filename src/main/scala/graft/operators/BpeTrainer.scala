@@ -423,11 +423,23 @@ object BpeTrainer {
       textCol: String,
       idCol: String,
       num: Int = FertilityNum,
+      den: Int = FertilityDen): DataFrame =
+    fertilityFromEncode(encode(docs, textCol, idCol), idCol, num, den)
+
+  /** The fertility verdict over an ALREADY-ENCODED frame — the face a
+    * pipeline runs against its stored tokenizer pass (the encode is
+    * materialized once; see `graft.queries.BpeEncPhases`): same
+    * integer cross-multiplied boundary, no re-training, no re-scan.
+    * [[fertilityScreen]] is this composed with a fresh [[encode]].
+    */
+  def fertilityFromEncode(
+      enc: DataFrame,
+      idCol: String,
+      num: Int = FertilityNum,
       den: Int = FertilityDen): DataFrame = {
     require(num > 0 && den > 0, s"threshold must be positive: $num/$den")
-    encode(docs, textCol, idCol)
-      .select(
-        col(idCol), col("n_chars"), col("n_tokens"),
-        (col("n_chars") * den >= col("n_tokens") * num).as("kept"))
+    enc.select(
+      col(idCol), col("n_chars"), col("n_tokens"),
+      (col("n_chars") * den >= col("n_tokens") * num).as("kept"))
   }
 }
