@@ -127,6 +127,76 @@ object Dedup {
       .agg(count(lit(1)).as("shared_bands"))
   }
 
+  /** Hot-bucket STAR-COLLAPSE pair former — [[lshCandidatePairs]] with
+    * the quadratic failure mode removed for the CLUSTERING consumer. A
+    * band bucket of B members emits B(B-1)/2 candidate pairs; at corpus
+    * scale a boilerplate/near-clique key puts millions of documents in
+    * one bucket and the pair stage dies on that bucket alone (the q223
+    * histogram is the pre-flight read of exactly this risk — sum(size^2)
+    * is the join's output). AQE skew-join spreads a hot bucket across
+    * tasks but cannot shrink its B^2 output; this operator can, because
+    * the DOWNSTREAM consumer (connected components -> canonical dedup)
+    * only needs connectivity, not the full clique:
+    *
+    *  - buckets with <= maxBucket members pair exactly as
+    *    [[lshCandidatePairs]] does;
+    *  - buckets over the cap emit a STAR instead — (hub, member) edges
+    *    with hub = the bucket's min id — B-1 edges in place of
+    *    B(B-1)/2. Within a bucket the star spans the same vertex set,
+    *    so the connected components of the capped edge set EQUAL the
+    *    components of the uncapped pair set exactly, for every graph
+    *    (StarCapSpec pins it; q227's oracle floods the UNCAPPED graph
+    *    and hash-matches the capped Spark side cross-engine).
+    *
+    * What is genuinely given up: per-pair evidence INSIDE hot buckets —
+    * `shared_bands` counts surviving evidence rows (cold-band
+    * co-occurrences plus hot-bucket hub adjacencies), so non-hub member
+    * pairs of a hot bucket never appear as rows. Pairwise-weight
+    * consumers (the q138 PageRank graph, the q106 overlap matrix) read
+    * the uncapped former; the cluster/canonical path reads this one.
+    *
+    * Shape: the bucket profile is one map-side-combined aggregation on
+    * (band, key); the over-cap set is tiny by construction (only keys
+    * hot enough to matter exceed the cap), so both the cold-side screen
+    * and the hub attach are broadcast joins — no new shuffle beyond
+    * [[lshCandidatePairs]]'s own, and the band self-join now runs on a
+    * stream whose largest bucket is bounded by maxBucket.
+    */
+  def lshCandidatePairsStarCapped(
+      signatures: DataFrame,
+      idCol: String,
+      numHashes: Int = 16,
+      bands: Int = 2,
+      maxBucket: Int): DataFrame = {
+    require(maxBucket >= 2,
+      s"maxBucket ($maxBucket) must be >= 2 — a 2-member bucket already " +
+        "emits its single pair; capping below that drops all pairs")
+    val exploded = bandKeys(signatures, idCol, numHashes, bands)
+    val hot = exploded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__sz"), min(col(idCol)).as("__hub"))
+      .filter(col("__sz") > maxBucket)
+    val cold = exploded.join(
+      broadcast(hot.select(col("band"), col("key"))),
+      Seq("band", "key"), "left_anti")
+    val a = cold.as("a")
+    val b = cold.as("b")
+    val coldEdges = a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.key") === col("b.key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+    // hub = min member, so hub < member and the star rows keep the
+    // doc_a < doc_b orientation of the cold arm.
+    val starEdges = exploded.join(
+        broadcast(hot.select(col("band"), col("key"), col("__hub"))),
+        Seq("band", "key"))
+      .filter(col(idCol) =!= col("__hub"))
+      .select(col("__hub").as("doc_a"), col(idCol).as("doc_b"))
+    coldEdges.unionByName(starEdges)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_bands"))
+  }
+
   /** The LSH band-key explode shared by the pair former and the
     * cross-corpus screens: each signature row emits `bands` rows of
     * (idCol, carry..., band, key), key the RAW signature slice as a

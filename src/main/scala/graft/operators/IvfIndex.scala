@@ -138,6 +138,40 @@ object IvfIndex {
         .unionByName(spark.table(deltaTable(prefix))),
       queries, idCol, embCol, k, nprobe, prefix)
 
+  /** SEGMENT COMPACTION — fold the accumulated delta back into the base:
+    * the periodic maintenance step the [[appendDelta]] lifecycle promises
+    * ("compaction = the batch path over the merged corpus"), made a
+    * first-class operator. Base and delta carry identical cell-bucketed
+    * layouts and were assigned by the SAME frozen centroid table, so the
+    * merge is a union rewrite — no re-assignment pass, centroids
+    * untouched — and afterwards [[probe]] of the new base EQUALS the
+    * pre-compaction [[probeSegments]] row for row (IvfIndexSpec pins it;
+    * q228's oracle floods the merged corpus exactly as q156's does).
+    * What compaction buys at serving time: probes stop paying the
+    * delta-union scan and the per-cell file count drops back to one
+    * segment's worth — the LSM-style read-amplification reset.
+    *
+    * Staged via rename swap: the merged table is written to a staging
+    * name first, then swapped in, so a crash mid-write never leaves a
+    * half-written base as the live index. The delta is reset to an
+    * EMPTY table with the same schema and bucket spec — the segment
+    * lifecycle continues with the next [[appendDeltaBatch]].
+    */
+  def compact(
+      spark: SparkSession,
+      buckets: Int = 8,
+      prefix: String = "graft_ivf"): Unit = {
+    val staging = s"${corpusTable(prefix)}_compacting"
+    val merged = spark.table(corpusTable(prefix))
+      .unionByName(spark.table(deltaTable(prefix)))
+    Bucketing.writeBucketed(merged, staging, "cell", buckets)
+    Bucketing.dropWithLocation(spark, corpusTable(prefix))
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `${corpusTable(prefix)}`")
+    Bucketing.writeBucketed(
+      spark.table(corpusTable(prefix)).limit(0),
+      deltaTable(prefix), "cell", buckets)
+  }
+
   private def probeCells(
       spark: SparkSession,
       corpusCells: DataFrame,

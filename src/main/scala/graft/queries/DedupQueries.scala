@@ -24,6 +24,14 @@ object DedupQueries {
     */
   private val ContainCap = 64
 
+  /** q226/q227's hot-bucket cap — 64 over the 1000-doc gated slice: the
+    * fixture's near-clique band bucket (171 members at sf0.01, the q223
+    * histogram's fat tail) collapses to a star while every ordinary
+    * bucket pairs exactly. Declared before `all` (referenced during the
+    * Seq's construction).
+    */
+  private val StarCap = 64
+
   /** DuckDB CTE producing (doc_id, h) = portable 32-bit word hashes of the
     * distinct (`distinctWords`=true) or full multiset of words.
     */
@@ -2134,6 +2142,114 @@ object DedupQueries {
             sum(col("__is_cand")).as("n_candidates"))
           .withColumn("hit_rate",
             col("n_candidates").cast("double") / col("n_pairs").cast("double"))
+      }
+    ),
+    Q(
+      "q226_lsh_star_capped",
+      "Hot-bucket STAR-COLLAPSE pair former — the q32 banding join " +
+        "with its quadratic failure mode removed for the clustering " +
+        "consumer: a band bucket over the cap (here " + StarCap +
+        " on the gated slice; the fixture's near-clique bucket holds " +
+        "171 members at sf0.01 — exactly the q223 fat tail) emits " +
+        "B-1 (hub=min-id, member) STAR edges instead of B(B-1)/2 " +
+        "pairs, while every under-cap bucket pairs exactly as q32 " +
+        "does. Within a bucket the star spans the same vertex set, so " +
+        "downstream connectivity is EXACTLY preserved (q227 proves it " +
+        "cross-engine); what is given up is pairwise evidence inside " +
+        "hot buckets — shared_bands counts surviving evidence rows, " +
+        "and non-hub member pairs of a hot bucket do not appear. " +
+        "Shape: the bucket profile is the q223 aggregate reused (one " +
+        "map-side-combined shuffle), the over-cap set is tiny by " +
+        "construction so the cold screen and hub attach are both " +
+        "broadcast joins, and the band self-join's largest bucket is " +
+        "bounded by the cap — at 100 TB this is the difference " +
+        "between a pair stage bounded by cap^2 per bucket and one " +
+        "that dies on a million-member boilerplate bucket.",
+      Some(
+        s"""${duckSignatureCte.replace("FROM documents", "FROM documents WHERE doc_id < 1000")}, bands AS (
+           |  SELECT doc_id, 0 AS band,
+           |         md5(concat_ws('_', ${(0 until 8).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band,
+           |         md5(concat_ws('_', ${(8 until 16).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |), bs AS (
+           |  SELECT band, key, CAST(COUNT(*) AS BIGINT) AS sz, MIN(doc_id) AS hub
+           |  FROM bands GROUP BY 1, 2
+           |), hot AS (
+           |  SELECT band, key, hub FROM bs WHERE sz > $StarCap
+           |), cold AS (
+           |  SELECT b.doc_id, b.band, b.key
+           |  FROM bands b LEFT JOIN hot h ON b.band = h.band AND b.key = h.key
+           |  WHERE h.key IS NULL
+           |), ev AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM cold a JOIN cold b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |  UNION ALL
+           |  SELECT h.hub AS doc_a, b.doc_id AS doc_b
+           |  FROM bands b JOIN hot h ON b.band = h.band AND b.key = h.key
+           |  WHERE b.doc_id <> h.hub
+           |)
+           |SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS shared_bands
+           |FROM ev GROUP BY 1, 2""".stripMargin),
+      (spark, dir) => {
+        val sig = Dedup.minhashSignatures(
+          Tables.documents(spark, dir).filter(col("doc_id") < 1000),
+          "text", "doc_id", NumHashes)
+        Dedup.lshCandidatePairsStarCapped(
+          sig, "doc_id", NumHashes, bands = 2, maxBucket = StarCap)
+      }
+    ),
+    Q(
+      "q227_star_components",
+      "The star-collapse EXACTNESS proof, cross-engine: connected " +
+        "components over q226's CAPPED edge set, hash-checked against " +
+        "an oracle that floods the UNCAPPED q32 candidate graph (the " +
+        "q36 flooding text verbatim). A hub connects every member of " +
+        "its over-cap bucket, so the capped graph spans the same " +
+        "vertices with the same connectivity — components equal for " +
+        "EVERY input, not just this fixture (StarCapSpec pins the " +
+        "property in-engine at an adversarial cap) — while the edge " +
+        "stream into the components loop shrinks from clique-quadratic " +
+        "to member-linear on every hot bucket. This is the pair the " +
+        "canonical-dedup path (q36/q37) runs at 100 TB: same cluster " +
+        "map, pair stage bounded.",
+      Some(
+        s"""${duckSignatureCte.replace("FROM documents", "FROM documents WHERE doc_id < 1000")}, bands AS (
+           |  SELECT doc_id, 0 AS band,
+           |         md5(concat_ws('_', ${(0 until 8).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band,
+           |         md5(concat_ws('_', ${(8 until 16).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |), pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |), edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION SELECT doc_b, doc_a FROM pairs
+           |), labels AS (
+           |  WITH RECURSIVE reach(id, lab) AS (
+           |    SELECT DISTINCT src, src FROM edges
+           |    UNION
+           |    SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+           |  )
+           |  SELECT id, MIN(lab) AS comp FROM reach GROUP BY id
+           |)
+           |SELECT id AS doc_id, comp FROM labels""".stripMargin),
+      (spark, dir) => {
+        val sig = Dedup.minhashSignatures(
+          Tables.documents(spark, dir).filter(col("doc_id") < 1000),
+          "text", "doc_id", NumHashes)
+        val capped = Dedup.lshCandidatePairsStarCapped(
+          sig, "doc_id", NumHashes, bands = 2, maxBucket = StarCap)
+        Components.connectedComponents(
+            capped, numPartitions = Some(8))
+          .select(col("id").as("doc_id"), col("comp"))
       }
     )
   )

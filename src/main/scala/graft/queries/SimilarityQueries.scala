@@ -978,6 +978,25 @@ object SimilarityQueries {
           Similarity.cosineTopKIvf(
             e, qs, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 2))
       }
+    ),
+    Q(
+      "q228_ivf_compacted_probe",
+      "IVF segment COMPACTION — the closing step of the q156 delta " +
+        "lifecycle, first-class: base ∪ delta is rewritten as ONE " +
+        "cell-bucketed base segment (no re-assignment pass — both " +
+        "segments were assigned by the same frozen centroids, so the " +
+        "merge is a union rewrite, staged behind a rename swap), and " +
+        "the delta resets to empty for the next ingest cycle. This " +
+        "probe reads the compacted single segment with q156's query " +
+        "slice and knobs; its oracle is q156's VERBATIM (flood the " +
+        "merged corpus under the frozen base centroids), so the hash " +
+        "match is the cross-engine proof that compaction changed the " +
+        "index's layout and read amplification — one segment's file " +
+        "count per cell, no delta-union scan — and nothing else. " +
+        "IvfIndexSpec pins the same equality in-engine (probeSegments " +
+        "before == probe after, and the reset delta is empty).",
+      Some(ivfOracleSqlCents("vec_id < 16 AND vec_id % 5 <> 4")),
+      (spark, dir) => IvfPhases.cmpProbe(spark, dir)
     )
   )
 
@@ -1415,5 +1434,41 @@ object IvfPhases {
     graft.operators.IvfIndex.probeSegments(
       spark, Tables.embeddings(spark, dir).filter(col("vec_id") < 8),
       "vec_id", "embedding", k = 5, nprobe = 2, prefix = segPrefix(dir))
+  }
+
+  // ---- q228 compaction family (own prefix: compaction RESETS the
+  // delta, so it cannot share q156's live base ∪ delta segments — q156
+  // measures the probe WITH a delta, q228 the probe after the merge) ----
+
+  private def cmpPrefix(dir: String) = s"graft_ivfcmp_${Q.scratchTag(dir)}"
+  private val cmpDone = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** One-shot: the q156 segment lifecycle carried to its closing step —
+    * base build over the non-arrival slice, delta fold of the arrivals,
+    * then [[graft.operators.IvfIndex.compact]]. Afterwards the live
+    * index is ONE segment whose contents equal the merged corpus under
+    * the frozen base centroids.
+    */
+  def ensureCompacted(spark: SparkSession, dir: String): Unit =
+    if (!cmpDone.contains(cmpPrefix(dir))) {
+      graft.operators.IvfIndex.build(
+        Tables.embeddings(spark, dir).filter(col("vec_id") % 5 =!= 4),
+        "vec_id", "embedding", nlist = 16, prefix = cmpPrefix(dir))
+      graft.operators.IvfIndex.appendDelta(
+        segArrivals(spark, dir), "vec_id", "embedding", prefix = cmpPrefix(dir))
+      graft.operators.IvfIndex.compact(spark, prefix = cmpPrefix(dir))
+      cmpDone.add(cmpPrefix(dir))
+    }
+
+  /** Probe the COMPACTED base — a plain single-segment [[probe]], no
+    * delta union — with q156's query slice and knobs, so the result
+    * (and the oracle) match q156's row for row by the frozen-quantizer
+    * argument compact's scaladoc states.
+    */
+  def cmpProbe(spark: SparkSession, dir: String): DataFrame = {
+    ensureCompacted(spark, dir)
+    graft.operators.IvfIndex.probe(
+      spark, Tables.embeddings(spark, dir).filter(col("vec_id") < 8),
+      "vec_id", "embedding", k = 5, nprobe = 2, prefix = cmpPrefix(dir))
   }
 }

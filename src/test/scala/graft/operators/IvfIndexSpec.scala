@@ -63,4 +63,44 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(spark.table(IvfIndex.deltaTable("graft_ivf_seg_spec")).count() == arrivals.count())
     assert(spark.table(IvfIndex.corpusTable("graft_ivf_seg_spec")).count() == base.count())
   }
+
+  test("compact folds the delta into the base and changes nothing a probe can see") {
+    val e = Tables.embeddings(spark, SparkTestSession.sf0001)
+    val base = e.filter(col("vec_id") % 5 =!= 4)
+    val arrivals = e.filter(col("vec_id") % 5 === 4)
+    val q = e.filter(col("vec_id") < 8)
+    val p = "graft_ivf_cmp_spec"
+    IvfIndex.build(base, "vec_id", "embedding", nlist = 16, prefix = p)
+    IvfIndex.appendDelta(arrivals, "vec_id", "embedding", prefix = p)
+    val before = IvfIndex.probeSegments(
+      spark, q, "vec_id", "embedding", k = 5, nprobe = 2, prefix = p)
+      .orderBy("q_id", "rank").collect()
+    val centsBefore = spark.table(IvfIndex.centroidTable(p))
+      .orderBy("cell").collect()
+    IvfIndex.compact(spark, prefix = p)
+    // the live base is now the merged corpus; the delta reset to empty
+    assert(spark.table(IvfIndex.corpusTable(p)).count() ==
+      base.count() + arrivals.count())
+    assert(spark.table(IvfIndex.deltaTable(p)).count() == 0)
+    // centroids untouched — compaction is a layout rewrite, not a re-train
+    assert(spark.table(IvfIndex.centroidTable(p)).orderBy("cell").collect()
+      .sameElements(centsBefore))
+    // single-segment probe == pre-compaction base ∪ delta probe, row for row
+    val after = IvfIndex.probe(
+      spark, q, "vec_id", "embedding", k = 5, nprobe = 2, prefix = p)
+      .orderBy("q_id", "rank").collect()
+    assert(after.length > 0 && after.sameElements(before))
+    // probeSegments still works over the reset (empty) delta — the
+    // lifecycle continues with the next appendDeltaBatch
+    val afterSeg = IvfIndex.probeSegments(
+      spark, q, "vec_id", "embedding", k = 5, nprobe = 2, prefix = p)
+      .orderBy("q_id", "rank").collect()
+    assert(afterSeg.sameElements(before))
+    // and the compacted base kept its bucketed layout (the probe's
+    // zero-exchange premise)
+    val plan = IvfIndex.probe(
+      spark, q, "vec_id", "embedding", k = 5, nprobe = 2, prefix = p)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), plan.linesIterator.take(50).mkString("\n"))
+  }
 }
