@@ -230,6 +230,64 @@ object DocumentStream {
       }
   }
 
+  /** STAR mode of [[lshPairsStream]] — the streaming twin of
+    * [[graft.operators.Dedup.lshCandidatePairsStarCapped]]'s degradation
+    * policy. While a bucket holds fewer than `maxBucket` members,
+    * arrivals pair against every earlier member exactly as
+    * [[lshPairsStream]] does; once the bucket is at the cap, each
+    * further arrival emits ONE edge — to the bucket's hub, its smallest
+    * stored member — where [[lshPairsStream]] keeps emitting `maxBucket`
+    * edges per arrival forever. For the clustering consumer nothing is
+    * lost: stored members are fully interconnected and every later
+    * arrival hangs off the hub, so components over the streamed edge set
+    * equal components over the batch UNCAPPED band join on the union
+    * (StreamingLshSpec pins it — the same connectivity argument as the
+    * batch star collapse, replayed incrementally). On a lifetime stream
+    * hitting a boilerplate bucket, per-arrival emission drops from
+    * O(maxBucket) pair rows to one; state stays bounded exactly as in
+    * [[lshPairsStream]]. The hub differs from the batch twin's (first
+    * `maxBucket` arrivals' min vs global min) — components are
+    * hub-choice-independent, per-edge output is not, which is why the
+    * pinned equality is at the component level.
+    */
+  def lshPairsStreamStarCapped(
+      spark: SparkSession,
+      docs: DataFrame,
+      numHashes: Int = 16,
+      bands: Int = 2,
+      maxBucket: Int = 64): Dataset[BandPair] = {
+    require(maxBucket >= 2,
+      s"maxBucket ($maxBucket) must be >= 2 — the hub must be a stored " +
+        "member for over-cap arrivals to attach to")
+    import spark.implicits._
+    bandKeys(docs, numHashes, bands)
+      .select(col("doc_id"), col("band"), col("key"))
+      .as[(Long, Int, String)]
+      .groupByKey { case (_, band, key) => (band, key) }
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bk: (Int, String), rows: Iterator[(Long, Int, String)],
+         state: GroupState[List[Long]]) =>
+          val prior = state.getOption.getOrElse(Nil)
+          val arrivals = rows.map(_._1).toList.distinct.sorted
+          val fresh = arrivals.filterNot(prior.contains)
+          var members = prior
+          val out = List.newBuilder[BandPair]
+          fresh.foreach { n =>
+            if (members.size < maxBucket) {
+              members.foreach(p =>
+                out += BandPair(math.min(p, n), math.max(p, n), bk._1))
+              members = members :+ n
+            } else {
+              val hub = members.min
+              out += BandPair(math.min(hub, n), math.max(hub, n), bk._1)
+            }
+          }
+          state.update(members)
+          out.result().distinct.iterator
+      }
+  }
+
   /** Streaming decontamination — the incremental face of q63. The batch
     * path broadcasts the benchmark n-gram set under a join + per-doc
     * aggregation; an aggregation is STATE in streaming, so the streaming

@@ -79,4 +79,41 @@ class StreamingLshSpec extends AnyFunSuite {
       assert(q.lastProgress.stateOperators.nonEmpty)
     } finally q.stop()
   }
+
+  test("star-capped streaming pairs preserve components while emitting one edge per over-cap arrival") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dirStr = watchDirOf(Seq(batch1, batch2))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dirStr)
+    // cap 2: docs 1/2/4 share identical text, so their bucket reaches the
+    // cap at doc 2 and doc 4 arrives over-cap in a LATER micro-batch
+    val q = EventStream.runToMemory(
+      DocumentStream.lshPairsStreamStarCapped(
+        spark, stream, maxBucket = 2).toDF(), "lsh_star_pairs",
+      OutputMode.Append())
+    try {
+      val streamed = spark.sql("SELECT doc_a, doc_b FROM lsh_star_pairs")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the over-cap arrival attached to the hub only — the (2,4) edge
+      // lshPairsStream would emit is the one star mode saves
+      assert(streamed.contains((1L, 2L)) && streamed.contains((1L, 4L)))
+      assert(!streamed.contains((2L, 4L)))
+      // component equality with the batch UNCAPPED band join on the union
+      val union = (batch1 ++ batch2).toDF("doc_id", "text")
+      val batchPairs = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(union, "text", "doc_id", 16), "doc_id", 16, 2)
+      val batchComps = graft.operators.Components.connectedComponents(
+          batchPairs, numPartitions = Some(2))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val streamEdges = spark.sql(
+        "SELECT DISTINCT doc_a, doc_b FROM lsh_star_pairs")
+      val streamComps = graft.operators.Components.connectedComponents(
+          streamEdges, numPartitions = Some(2))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamComps == batchComps && batchComps.nonEmpty)
+    } finally q.stop()
+  }
 }
