@@ -213,6 +213,24 @@ object Bench {
           }),
           "q156_ivf_delta_probe" -> ((s: SparkSession, d: String) =>
             graft.queries.IvfPhases.segProbe(s, d))),
+        // Star-collapse at PRODUCTION geometry: the registry q226 gates
+        // at doc_id < 1000 for oracle tractability; the full-corpus
+        // mine is where the operator's claim lives (at sf0.1 the
+        // near-clique bucket holds ~2000 docs — quadratic for the
+        // uncapped former, linear for the star). Identical stages on
+        // both faces; the uncapped twin is a settled comparator and
+        // runs on the every-4th-round cadence.
+        "q226_lsh_star_capped" -> Seq(
+          "q226_sig_mine_full" -> ((s: SparkSession, d: String) => {
+            graft.queries.DedupQueries.ensureFullSignatures(s, d)
+            s.emptyDataFrame
+          }),
+          "q226_star_mine_full" -> ((s: SparkSession, d: String) =>
+            graft.queries.DedupQueries.starFullMine(s, d)),
+          "q226_uncapped_mine_full" -> ((s: SparkSession, d: String) =>
+            graft.queries.DedupQueries.uncappedFullMine(s, d)),
+          "q226_lsh_star_capped" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q226_lsh_star_capped")(s, d))),
         // Compaction family: the one-shot lifecycle (base build + delta
         // fold + compact, own prefix) is the stored product's cost; the
         // q228 line is what a probe pays AFTER compaction — read it
@@ -436,7 +454,8 @@ object Bench {
     // cadence runs; correctness coverage is unchanged.
     val cadencedComparators: Set[String] =
       Set("q178_scaled16_rebuild", "q173_scaled16_rebuild",
-        "q174_setsim_exact", "q175_containment_join")
+        "q174_setsim_exact", "q175_containment_join",
+        "q226_uncapped_mine_full")
     val firstPass = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy(_._1).flatMap { case (name, fn) =>
@@ -461,7 +480,7 @@ object Bench {
       "dupgraph_touched", "cdcfp_build", "bpeenc_build", "semkept_build",
       "q64_bucketed_build",
       "q79_ivf_build", "q85_kmeans_train", "q156_ivf_base_build",
-      "q228_ivf_compact",
+      "q228_ivf_compact", "q226_sig_mine_full", "q226_uncapped_mine_full",
       "q157_decontam_v1_build", "q160_hll_stored_build",
       "q162_cm_stored_build", "q163_hdr_stored_build",
       "q164_kmv_stored_build", "q166_zbase_write",

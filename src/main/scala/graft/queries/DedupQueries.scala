@@ -32,6 +32,47 @@ object DedupQueries {
     */
   private val StarCap = 64
 
+  /** Bench faces for the star collapse at PRODUCTION geometry — the
+    * FULL corpus, ungated (registry q226 gates at doc_id < 1000 for
+    * oracle tractability; these exist only as bench lines). At sf0.1
+    * the fixture's near-clique is ~40% of 5000 docs, so the uncapped
+    * band join's hot bucket alone emits ~2M candidate pairs while the
+    * star mine emits one edge per member. The signature mine is the
+    * shared per-corpus cost (materialized ONCE as a table, its own
+    * single-timed line — the production shape: a pair former never
+    * re-mines signatures, and timing the mine inside both faces
+    * measured the mine 3x/2x instead of the stage under comparison),
+    * so the star and uncapped lines time the PAIR-FORMING stage alone,
+    * identical input, identical materialization; the uncapped twin
+    * runs on the settled-comparator cadence.
+    */
+  private def fullSigTable(dir: String) = s"graft_fullsig_${Q.scratchTag(dir)}"
+  private val fullSigDone =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def ensureFullSignatures(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    if (!fullSigDone.contains(fullSigTable(dir))) {
+      graft.operators.Bucketing.dropWithLocation(spark, fullSigTable(dir))
+      Dedup.minhashSignatures(
+          Tables.documents(spark, dir), "text", "doc_id", NumHashes)
+        .write.format("parquet").saveAsTable(fullSigTable(dir))
+      fullSigDone.add(fullSigTable(dir))
+    }
+
+  def starFullMine(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    ensureFullSignatures(spark, dir)
+    Dedup.lshCandidatePairsStarCapped(
+      spark.table(fullSigTable(dir)),
+      "doc_id", NumHashes, bands = 2, maxBucket = StarCap)
+  }
+
+  def uncappedFullMine(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    ensureFullSignatures(spark, dir)
+    Dedup.lshCandidatePairs(
+      spark.table(fullSigTable(dir)),
+      "doc_id", NumHashes, bands = 2)
+  }
+
   /** DuckDB CTE producing (doc_id, h) = portable 32-bit word hashes of the
     * distinct (`distinctWords`=true) or full multiset of words.
     */
