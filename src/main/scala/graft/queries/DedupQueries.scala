@@ -2292,6 +2292,56 @@ object DedupQueries {
             capped, numPartitions = Some(8))
           .select(col("id").as("doc_id"), col("comp"))
       }
+    ),
+    Q(
+      "q229_star_canonical",
+      "The star collapse's END CONSUMER: q37's canonical dedup (drop " +
+        "every non-min-label cluster member, singletons survive) fed " +
+        "by the CAPPED pair former — and q37's oracle text VERBATIM, " +
+        "which floods the uncapped graph. The family's exactness claim " +
+        "lands where it pays: the surviving document set at 100 TB is " +
+        "IDENTICAL whether the pair stage shipped hot-bucket cliques " +
+        "or stars, so the cap is free for the canonical path — pairs " +
+        "(q226) -> components (q227) -> keep set (here), each leg " +
+        "hash-checked against the uncapped rendering cross-engine.",
+      Some(
+        s"""${duckSignatureCte.replace("FROM documents", "FROM documents WHERE doc_id < 1000")}, bands AS (
+           |  SELECT doc_id, 0 AS band,
+           |         md5(concat_ws('_', ${(0 until 8).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band,
+           |         md5(concat_ws('_', ${(8 until 16).map(r => s"mh$r").mkString(", ")})) AS key
+           |  FROM sig
+           |), prs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |), edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM prs
+           |  UNION SELECT doc_b, doc_a FROM prs
+           |), labels AS (
+           |  WITH RECURSIVE reach(id, lab) AS (
+           |    SELECT DISTINCT src, src FROM edges
+           |    UNION
+           |    SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+           |  )
+           |  SELECT id, MIN(lab) AS comp FROM reach GROUP BY id
+           |)
+           |SELECT doc_id, n_chars FROM documents
+           |WHERE doc_id < 1000
+           |  AND doc_id NOT IN (SELECT id FROM labels WHERE id != comp)""".stripMargin),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
+        val sig = Dedup.minhashSignatures(docs, "text", "doc_id", NumHashes)
+        val capped = Dedup.lshCandidatePairsStarCapped(
+          sig, "doc_id", NumHashes, bands = 2, maxBucket = StarCap)
+        val losers = Components.connectedComponents(
+            capped, numPartitions = Some(8))
+          .filter(col("id") =!= col("comp")).select(col("id"))
+        docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
+          .select("doc_id", "n_chars")
+      }
     )
   )
 

@@ -772,6 +772,91 @@ object RelationalQueries {
             col("l_discount"), col("l_tax")),
           variableColumnName = "measure",
           valueColumnName = "value")
+    ),
+    Q(
+      "q230_table_profile",
+      "ANALYZE-grade table profile — per column of lineitem: row " +
+        "count, null count, exact distinct count. The stats surface a " +
+        "planner (broadcast thresholds, skew detection, partition " +
+        "sizing) reads before touching a table; columns come from the " +
+        "frame's own schema, so the operator profiles ANY table " +
+        "(Profile.tableProfile). ONE scan whatever the column count: " +
+        "all aggregates ride one partial+final pass and the per-column " +
+        "rows explode out of the single aggregate row (the q217 " +
+        "device). The exact-ndv face plans Spark's multi-distinct " +
+        "Expand — its documented cost, linear in column count; the " +
+        "corpus-scale face is tableProfileApprox (HLL ndv, no Expand, " +
+        "one narrow pass) whose per-column error ProfileSpec pins " +
+        "within the configured rsd against this exact face. Oracle: " +
+        "one UNION ALL branch per column, rendered from the same " +
+        "column list.",
+      Some(Seq(
+          "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate")
+        .map(c =>
+          s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |       CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+             |       CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv
+             |FROM lineitem""".stripMargin)
+        .mkString("\nUNION ALL\n")),
+      (spark, dir) =>
+        graft.operators.Profile.tableProfile(Tables.lineitem(spark, dir))
+    ),
+    Q(
+      "q231_join_cardinality",
+      "The profiler's CONSUMER — why q230's stats exist: the System-R " +
+        "join-cardinality estimate |A JOIN B| = nA*nB div " +
+        "max(ndvA, ndvB) computed from per-table stats, beside the " +
+        "TRUE join size, for three equi-joins. On foreign-key joins " +
+        "with full key coverage the estimate is exact (every fact key " +
+        "hits one dimension row — the fixture shows it), and a " +
+        "divergence here is the signal that drives runtime re-planning " +
+        "(AQE) when the uniformity assumption breaks. Stats sides are " +
+        "one aggregate per table (1-row frames, broadcast cross of " +
+        "three singletons); the actual is the join's own count — the " +
+        "evaluation is table-scan-bounded, never pair-bounded.",
+      Some(Seq(
+          ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+          ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"))
+        .map { case (nm, l, lk, r, rk) =>
+          s"""SELECT '$nm' AS join_name, n_left, n_right, ndv_left, ndv_right,
+             |       (n_left * n_right) // greatest(ndv_left, ndv_right) AS predicted,
+             |       actual
+             |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_left,
+             |             CAST(COUNT(DISTINCT $lk) AS BIGINT) AS ndv_left FROM $l),
+             |     (SELECT CAST(COUNT(*) AS BIGINT) AS n_right,
+             |             CAST(COUNT(DISTINCT $rk) AS BIGINT) AS ndv_right FROM $r),
+             |     (SELECT CAST(COUNT(*) AS BIGINT) AS actual
+             |      FROM $l JOIN $r ON $lk = $rk)""".stripMargin }
+        .mkString("\nUNION ALL\n")),
+      (spark, dir) => {
+        def one(nm: String, l: org.apache.spark.sql.DataFrame, lk: String,
+                r: org.apache.spark.sql.DataFrame, rk: String) = {
+          val ls = l.agg(count(lit(1)).as("n_left"),
+            countDistinct(col(lk)).as("ndv_left"))
+          val rs = r.agg(count(lit(1)).as("n_right"),
+            countDistinct(col(rk)).as("ndv_right"))
+          val act = l.join(r, col(lk) === col(rk))
+            .agg(count(lit(1)).as("actual"))
+          ls.crossJoin(broadcast(rs)).crossJoin(broadcast(act))
+            .select(lit(nm).as("join_name"),
+              col("n_left"), col("n_right"),
+              col("ndv_left"), col("ndv_right"),
+              expr("n_left * n_right div greatest(ndv_left, ndv_right)")
+                .as("predicted"),
+              col("actual"))
+        }
+        one("lineitem_orders", Tables.lineitem(spark, dir), "l_orderkey",
+            Tables.orders(spark, dir), "o_orderkey")
+          .unionByName(
+            one("lineitem_part", Tables.lineitem(spark, dir), "l_partkey",
+              Tables.part(spark, dir), "p_partkey"))
+          .unionByName(
+            one("customer_nation", Tables.customer(spark, dir), "c_nationkey",
+              Tables.nation(spark, dir), "n_nationkey"))
+      }
     )
   )
 }
