@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** ANALYZE-grade per-column table profiling — the statistics surface a
@@ -52,5 +52,122 @@ object Profile {
       (col("__n") - col(s"__nn_$c")).as("n_nulls"),
       col(s"__ndv_$c").as("ndv")))
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** Equi-width value histogram — the DISTRIBUTION stat beside the ndv
+    * counts: `buckets` equal-width cells over the column's [min, max],
+    * each row `(bucket, lo, hi, n_rows)`. Two scan-bounded passes (the
+    * bounds, then the counted assignment — at parquet scale pass one is
+    * footer min/max, i.e. free); the bounds ride a broadcast 1-row
+    * cross, never a shuffle. The top boundary value clamps into the
+    * last bucket (the standard closed-top convention). Bucket math is
+    * plain IEEE arithmetic both engines reproduce bit for bit, so the
+    * oracle renders the identical formula.
+    */
+  def equiWidthHistogram(
+      df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val v = col(valueCol)
+    val bounds = df.filter(v.isNotNull)
+      .agg(min(v).cast("double").as("__mn"), max(v).cast("double").as("__mx"))
+    val mn = col("__mn"); val mx = col("__mx")
+    val bucket = when(mx === mn, lit(0L)).otherwise(
+      least(lit(buckets - 1L),
+        floor((v.cast("double") - mn) * buckets / (mx - mn))))
+    df.filter(v.isNotNull).crossJoin(broadcast(bounds))
+      .groupBy(bucket.as("bucket"), mn, mx)
+      .agg(count(lit(1)).as("n_rows"))
+      .select(
+        col("bucket"),
+        (mn + col("bucket") * (mx - mn) / buckets).as("lo"),
+        (mn + (col("bucket") + 1) * (mx - mn) / buckets).as("hi"),
+        col("n_rows"))
+  }
+
+  /** Range-selectivity estimate from a stored [[equiWidthHistogram]] —
+    * the PREDICATE half of System-R costing beside q231's join half:
+    * for each cutoff c, predicted |v >= c| = full buckets above c plus
+    * the uniform-within-bucket interpolation of c's own bucket,
+    * `n_k * (hi_k - c) / (hi_k - lo_k)`. The evaluation reads the
+    * HISTOGRAM (buckets rows), not the table — the whole point of
+    * storing it: costing a predicate over 100 TB from KBs of stats.
+    * Per-bucket contributions go through exact DECIMAL accumulation
+    * (the registry's double-sum determinism rule) so the fold is
+    * order-independent. Output: (cutoff, predicted).
+    */
+  def rangeSelectivity(hist: DataFrame, cutoffs: Seq[Double]): DataFrame = {
+    val c = col("cutoff")
+    val contrib: Column =
+      when(c <= col("lo"), col("n_rows").cast("double"))
+        .when(c >= col("hi"), lit(0.0))
+        .otherwise(col("n_rows") * (col("hi") - c) / (col("hi") - col("lo")))
+    val cuts = cutoffs.map(x => struct(lit(x).as("cutoff")))
+    hist.crossJoin(
+        broadcast(hist.sparkSession.range(1).select(
+          explode(array(cuts: _*)).as("q")).select("q.*")))
+      .groupBy(c)
+      .agg(sum(contrib.cast("decimal(28,6)")).cast("double").as("predicted"))
+  }
+
+  /** Long-form (column, value-as-string) pairs for sketch-based profile
+    * maintenance: ONE scan whatever the column count (each row explodes
+    * into its per-column struct), nulls dropped per column (the profile
+    * counts them separately and exactly). Restricted to column types
+    * whose canonical string rendering is engine-portable (string /
+    * integral) — the hash input contract of the portable HLL.
+    */
+  def columnValues(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val rows = cols.map(c =>
+      struct(lit(c).as("column"), col(c).cast("string").as("v")))
+    df.select(explode(array(rows: _*)).as("p")).select("p.*")
+      .filter(col("v").isNotNull)
+  }
+
+  /** Per-column HLL register table — the profile stat that stays
+    * maintainable at 100 TB: `(column, bucket, register)` cells whose
+    * cell-wise max-merge ([[HyperLogLog.merge]]) folds shard profiles
+    * into the corpus profile without rescanning anything. Constant
+    * `cols x 2^p` state however large the table.
+    */
+  def profileSketch(df: DataFrame, cols: Seq[String], p: Int): DataFrame =
+    HyperLogLog.registers(columnValues(df, cols), "v", Seq("column"), p)
+
+  /** Exact count half of the incremental profile: per-column
+    * `(n_rows, n_nulls)` in one scan — these fold ADDITIVELY across
+    * disjoint shards (each row counts into exactly one shard; the
+    * exactly-once contract documented on CountMin.merge), so the
+    * served profile's exact counts need no sketch at all.
+    */
+  def countStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("__n") +:
+      cols.map(c => count(col(c)).as(s"__nn_$c"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map(c => struct(
+      lit(c).as("column"),
+      col("__n").as("n_rows"),
+      (col("__n") - col(s"__nn_$c")).as("n_nulls")))
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** The served incremental profile: fold shard count-stats (additive)
+    * and shard register tables (max-merge) into the corpus-level
+    * ANALYZE surface `(column, n_rows, n_nulls, s_scaled, hll_raw)` —
+    * counts exact, ndv as the fixed-point HLL raw estimate (the q104
+    * device: no transcendental in the checked path). Because both folds
+    * are the monoids of their stats, the folded profile EQUALS the
+    * from-scratch profile stat for stat — which is what the oracle
+    * recomputes. Nothing here touches raw data: shards arrive already
+    * reduced to KB-scale stats.
+    */
+  def foldProfiles(
+      counts: Seq[DataFrame],
+      sketches: Seq[DataFrame],
+      p: Int): DataFrame = {
+    val cnt = counts.reduce(_ unionByName _)
+      .groupBy("column")
+      .agg(sum("n_rows").as("n_rows"), sum("n_nulls").as("n_nulls"))
+    val regs = sketches.reduce((a, b) => HyperLogLog.merge(a, b, Seq("column")))
+    cnt.join(
+      HyperLogLog.estimateRaw(regs, Seq("column"), p), Seq("column"))
   }
 }

@@ -18,6 +18,38 @@ import graft.Tables
   */
 object RelationalQueries {
 
+  /** q232/q233 histogram geometry and probe cutoffs — shared between the
+    * Spark plan and the oracle rendering (declared before `all`: these
+    * interpolate into oracle strings). */
+  private val HistBuckets = 16
+  private val SelCutoffs = Seq(10.0, 25.0, 40.0)
+
+  /** The q232 histogram's bucket assignment + boundary formulas as SQL,
+    * rendered once so q232 and q233 share them verbatim. */
+  private def histCtes(b: Int): String =
+    s"""WITH bnd AS (
+       |  SELECT CAST(MIN(l_quantity) AS DOUBLE) AS mn,
+       |         CAST(MAX(l_quantity) AS DOUBLE) AS mx
+       |  FROM lineitem WHERE l_quantity IS NOT NULL
+       |), asg AS (
+       |  SELECT CASE WHEN mx = mn THEN 0
+       |              ELSE LEAST(${b - 1}, CAST(FLOOR(
+       |                (CAST(l_quantity AS DOUBLE) - mn) * $b / (mx - mn))
+       |                AS BIGINT)) END AS bucket,
+       |         mn, mx
+       |  FROM lineitem, bnd WHERE l_quantity IS NOT NULL
+       |), hist AS (
+       |  SELECT bucket,
+       |         mn + bucket * (mx - mn) / $b AS lo,
+       |         mn + (bucket + 1) * (mx - mn) / $b AS hi,
+       |         CAST(COUNT(*) AS BIGINT) AS n_rows
+       |  FROM asg GROUP BY 1, 2, 3
+       |)""".stripMargin
+
+  /** q234's per-column profile geometry — the (name, portable string
+    * rendering) list shared by the Spark plan and the oracle. */
+  private val ProfCols = Seq("doc_id", "lang", "source", "n_chars")
+
   val all: Seq[Q] = Seq(
     Q(
       "q10_tpch1_agg",
@@ -856,6 +888,134 @@ object RelationalQueries {
           .unionByName(
             one("customer_nation", Tables.customer(spark, dir), "c_nationkey",
               Tables.nation(spark, dir), "n_nationkey"))
+      }
+    ),
+    Q(
+      "q232_column_histogram",
+      s"Equi-width value histogram of lineitem.l_quantity ($HistBuckets " +
+        "buckets over [min, max]) — the DISTRIBUTION stat beside q230's " +
+        "counts (Profile.equiWidthHistogram). Two scan-bounded passes " +
+        "(bounds, then counted assignment; at parquet scale pass one is " +
+        "footer min/max, i.e. free), bounds ride a broadcast 1-row " +
+        "cross — never a shuffle of the data on anything but the " +
+        "bucket key. Top boundary clamps into the last bucket; bucket " +
+        "and boundary math is plain IEEE arithmetic the oracle renders " +
+        "verbatim, so the histogram is EXACT cross-engine, not an " +
+        "approximation.",
+      Some(s"""${histCtes(HistBuckets)}
+         |SELECT bucket, lo, hi, n_rows FROM hist""".stripMargin),
+      (spark, dir) =>
+        graft.operators.Profile.equiWidthHistogram(
+          Tables.lineitem(spark, dir), "l_quantity", HistBuckets)
+    ),
+    Q(
+      "q233_selectivity_estimate",
+      "Range-predicate selectivity from the q232 histogram beside the " +
+        "TRUE count — the PREDICATE half of System-R costing (q231 is " +
+        "the join half): predicted |v >= c| = full buckets above c " +
+        "plus uniform-within-bucket interpolation of c's bucket " +
+        "(Profile.rangeSelectivity). The prediction reads the " +
+        s"$HistBuckets-row histogram, NOT the table — costing a " +
+        "predicate over 100 TB from KBs of stored stats; the actuals " +
+        "for all cutoffs ride ONE conditional-aggregate scan, exploded " +
+        "from the single row (the q230 device). Per-bucket " +
+        "contributions accumulate in exact DECIMAL (the registry's " +
+        "double-sum rule), so the fold is order-independent " +
+        "cross-engine.",
+      Some(s"""${histCtes(HistBuckets)}, cuts AS (
+         |  SELECT UNNEST([${SelCutoffs.map(c => s"CAST($c AS DOUBLE)").mkString(", ")}]) AS cutoff
+         |), pred AS (
+         |  SELECT cutoff,
+         |         CAST(SUM(CAST(
+         |           CASE WHEN cutoff <= lo THEN CAST(n_rows AS DOUBLE)
+         |                WHEN cutoff >= hi THEN CAST(0 AS DOUBLE)
+         |                ELSE n_rows * (hi - cutoff) / (hi - lo) END
+         |           AS DECIMAL(28,6))) AS DOUBLE) AS predicted
+         |  FROM hist, cuts GROUP BY 1
+         |), act AS (
+         |  SELECT cutoff,
+         |         CAST(COUNT(CASE WHEN l_quantity >= cutoff THEN 1 END)
+         |              AS BIGINT) AS actual
+         |  FROM lineitem, cuts GROUP BY 1
+         |)
+         |SELECT cutoff, predicted, actual FROM pred JOIN act USING (cutoff)""".stripMargin),
+      (spark, dir) => {
+        import graft.operators.Profile
+        val li = Tables.lineitem(spark, dir)
+        val hist = Profile.equiWidthHistogram(li, "l_quantity", HistBuckets)
+        val pred = Profile.rangeSelectivity(hist, SelCutoffs)
+        val actAggs = SelCutoffs.zipWithIndex.map { case (c, i) =>
+          sum(when(col("l_quantity") >= c, 1L).otherwise(0L)).as(s"__a_$i") }
+        val actRows = SelCutoffs.zipWithIndex.map { case (c, i) =>
+          struct(lit(c).as("cutoff"), col(s"__a_$i").as("actual")) }
+        val act = li.agg(actAggs.head, actAggs.tail: _*)
+          .select(explode(array(actRows: _*)).as("a")).select("a.*")
+        pred.join(broadcast(act), Seq("cutoff"))
+          .select("cutoff", "predicted", "actual")
+      }
+    ),
+    Q(
+      "q234_incremental_profile",
+      "Incremental ANALYZE — the q230 profile surface maintained the " +
+        "q160 way: per-column (n_rows, n_nulls, HLL registers) computed " +
+        "per arrival shard (even / odd doc_ids) and FOLDED — counts " +
+        "additively (each row lands in exactly one shard), registers by " +
+        "cell-wise max (the sketch-union monoid) — into the corpus " +
+        "profile (column, n_rows, n_nulls, s_scaled, hll_raw). Both " +
+        "folds are the monoids of their stats, so the folded profile " +
+        "EQUALS the from-scratch profile stat for stat (the oracle " +
+        "floods exactly that). Column values hash through their " +
+        "portable string rendering from ONE scan per shard (per-column " +
+        "structs exploded per row); ndv is the fixed-point raw HLL " +
+        "estimate (q104 device: no transcendental in the checked " +
+        "path). At 100 TB the stored profile is cols x 64 cells per " +
+        "shard — stats stay fresh under arrivals without ever " +
+        "rescanning the corpus (Profile.profileSketch / countStats / " +
+        "foldProfiles).",
+      Some {
+        val vals = ProfCols.map(c =>
+          s"""SELECT '$c' AS "column", CAST($c AS VARCHAR) AS v
+             |  FROM documents WHERE $c IS NOT NULL""".stripMargin)
+          .mkString("\n  UNION ALL\n  ")
+        val cnts = ProfCols.map(c =>
+          s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |         CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls
+             |  FROM documents""".stripMargin)
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH vals AS (
+           |  $vals
+           |), hr AS (
+           |  SELECT "column",
+           |         CAST('0x' || substr(md5(v), 1, 8) AS BIGINT) & 63 AS bucket,
+           |         CAST('0x' || substr(md5(v), 1, 8) AS BIGINT) >> 6 AS w
+           |  FROM vals
+           |), regs AS (
+           |  SELECT "column", bucket,
+           |         max(CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END) AS register
+           |  FROM hr GROUP BY 1, 2
+           |), est AS (
+           |  SELECT "column",
+           |         CAST((64 - count(*)) * (CAST(1 AS BIGINT) << 27)
+           |           + sum(CAST(1 AS BIGINT) << (27 - register)) AS BIGINT) AS s_scaled
+           |  FROM regs GROUP BY 1
+           |), cnts AS (
+           |  $cnts
+           |)
+           |SELECT c."column", c.n_rows, c.n_nulls, e.s_scaled,
+           |       (${graft.operators.HyperLogLog.alphaLiteral(6)}) * 549755813888.0
+           |         / CAST(e.s_scaled AS DOUBLE) AS hll_raw
+           |FROM cnts c JOIN est e USING ("column")""".stripMargin
+      },
+      (spark, dir) => {
+        import graft.operators.Profile
+        val docs = Tables.documents(spark, dir)
+        val shards = Seq(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1))
+        Profile.foldProfiles(
+          shards.map(Profile.countStats(_, ProfCols)),
+          shards.map(Profile.profileSketch(_, ProfCols, p = 6)),
+          p = 6)
       }
     )
   )

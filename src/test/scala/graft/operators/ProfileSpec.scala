@@ -48,6 +48,57 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("equi-width histogram: hand-computed buckets, top clamp, null exclusion") {
+    import spark.implicits._
+    // range [0, 8], 4 buckets of width 2: [0,2) [2,4) [4,6) [6,8]
+    val df = Seq[java.lang.Double](0.0, 1.0, 2.0, 3.0, 3.5, 6.0, 8.0, 8.0, null)
+      .toDF("v")
+    val h = Profile.equiWidthHistogram(df, "v", 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(h(0L) == ((0.0, 2.0, 2L)))
+    assert(h(1L) == ((2.0, 4.0, 3L)))
+    assert(h.get(2L).isEmpty) // empty buckets are absent rows
+    assert(h(3L) == ((6.0, 8.0, 3L))) // max values clamp into the top bucket
+  }
+
+  test("degenerate single-value column lands wholly in bucket 0") {
+    import spark.implicits._
+    val df = Seq(5.0, 5.0, 5.0).toDF("v")
+    val rows = Profile.equiWidthHistogram(df, "v", 4).collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 0L &&
+      rows(0).getLong(3) == 3L)
+  }
+
+  test("range selectivity: exact on bucket boundaries, interpolated inside") {
+    import spark.implicits._
+    // 8 values uniform over [0,8): buckets [0,2)[2,4)[4,6)[6,8] hold 2 each
+    val df = Seq(0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 8.0).toDF("v")
+    val hist = Profile.equiWidthHistogram(df, "v", 4)
+    val p = Profile.rangeSelectivity(hist, Seq(4.0, 5.0, 9.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(p(4.0) == 4.0) // boundary cutoff: the two upper buckets whole
+    assert(p(5.0) == 3.0) // half of [4,6)'s 2 rows + all of [6,8]'s 2
+    assert(p(9.0) == 0.0) // past the top
+  }
+
+  test("incremental profile fold equals the from-scratch profile stat for stat") {
+    val docs = Tables.documents(spark, SparkTestSession.sf0001)
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    val folded = Profile.foldProfiles(
+      Seq(docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+        .map(Profile.countStats(_, cols)),
+      Seq(docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+        .map(Profile.profileSketch(_, cols, p = 6)),
+      p = 6)
+    val scratch = Profile.foldProfiles(
+      Seq(Profile.countStats(docs, cols)),
+      Seq(Profile.profileSketch(docs, cols, p = 6)), p = 6)
+    val f = folded.collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val s = scratch.collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(f == s)
+  }
+
   test("one scan feeds the whole profile; the exact face carries the documented Expand") {
     val li = Tables.lineitem(spark, SparkTestSession.sf0001)
     val exactPlan = Profile.tableProfile(li)
