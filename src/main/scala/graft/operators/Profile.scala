@@ -170,4 +170,52 @@ object Profile {
     cnt.join(
       HyperLogLog.estimateRaw(regs, Seq("column"), p), Seq("column"))
   }
+
+  /** The STREAMING face of q234's fold — drive from
+    * `writeStream.foreachBatch`: one micro-batch's rows fold into the
+    * served stats tables. Registers go through
+    * [[HyperLogLog.refreshBatch]] (cell-wise max — idempotent, so
+    * AT-LEAST-ONCE delivery is already safe); counts are ADDITIVE, so
+    * this side carries the exactly-once ingest contract (the engine's
+    * checkpointed batch ids — same contract as CountMin.merge; a
+    * replayed batch would double-count rows, which the max side would
+    * shrug off). Both tables are constant-size (cols rows / cols x 2^p
+    * cells): the read-merge-overwrite cycle is stats-sized work per
+    * batch, and the localCheckpoint pins the merged counts BEFORE the
+    * overwrite drops the table they were read from.
+    */
+  def refreshBatch(
+      batch: DataFrame,
+      cols: Seq[String],
+      p: Int,
+      cntTable: String,
+      regTable: String): Unit = {
+    val spark = batch.sparkSession
+    HyperLogLog.refreshBatch(
+      profileSketch(batch, cols, p), regTable, Seq("column"))
+    val batchCnt = countStats(batch, cols)
+    val merged =
+      if (spark.catalog.tableExists(cntTable))
+        spark.table(cntTable).unionByName(batchCnt)
+          .groupBy("column")
+          .agg(sum("n_rows").as("n_rows"), sum("n_nulls").as("n_nulls"))
+      else batchCnt
+    val pinned = merged.localCheckpoint()
+    try pinned.write.mode("overwrite").format("parquet").saveAsTable(cntTable)
+    finally pinned.unpersist()
+  }
+
+  /** Derive the q234 ANALYZE surface from the SERVED tables — the read
+    * side of [[refreshBatch]]: stats-table-sized work, the corpus is
+    * never touched. Equals the batch [[foldProfiles]] over everything
+    * ingested (StreamingIncrementalSpec pins it across micro-batches).
+    */
+  def servedProfile(
+      spark: org.apache.spark.sql.SparkSession,
+      cntTable: String,
+      regTable: String,
+      p: Int): DataFrame =
+    spark.table(cntTable).join(
+      HyperLogLog.estimateRaw(spark.table(regTable), Seq("column"), p),
+      Seq("column"))
 }

@@ -112,6 +112,53 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming profile maintenance: served ANALYZE surface equals the batch fold; replay moves only the additive side") {
+    import graft.operators.{Bucketing, Profile}
+    val cols = Seq("doc_id", "lang")
+    val mk = (ids: Range) => ids.map(i =>
+      (i.toLong, if (i % 3 == 0) null else s"l${i % 4}")).toDF("doc_id", "lang")
+    val existing = mk(0 until 20)
+    val b1 = mk(20 until 30)
+    val b2 = mk(30 until 40)
+    val cntT = "graft_prof_cnt_stream_spec"
+    val regT = "graft_prof_reg_stream_spec"
+    Bucketing.dropWithLocation(spark, cntT)
+    Bucketing.dropWithLocation(spark, regT)
+    Profile.refreshBatch(existing, cols, p = 6, cntT, regT)
+    val dirStr = watchDirOf(Seq(b1, b2))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dirStr)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Profile.refreshBatch(batch, cols, p = 6, cntT, regT)
+      }
+      .start()
+    def served() = Profile.servedProfile(spark, cntT, regT, p = 6)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    try {
+      q.processAllAvailable()
+      val all = existing.unionByName(b1).unionByName(b2)
+      val scratch = Profile.foldProfiles(
+        Seq(Profile.countStats(all, cols)),
+        Seq(Profile.profileSketch(all, cols, p = 6)), p = 6)
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+      assert(served() == scratch,
+        "served profile diverges from the from-scratch batch fold")
+      // replay contract: the register side is a max-monoid (no-op under
+      // replay); the count side is additive and DOES move — which is why
+      // it carries the exactly-once batch-id contract
+      Profile.refreshBatch(b2, cols, p = 6, cntT, regT)
+      val after = served()
+      assert(after("doc_id")(2) == scratch("doc_id")(2),
+        "replay changed s_scaled: the max side must be idempotent")
+      assert(after("doc_id").head == 50L,
+        "replayed additive side should double-count (40 + 10 rows)")
+    } finally q.stop()
+  }
+
   test("streaming HLL maintenance: foreachBatch re-max equals full sketch; replayed batch is a no-op") {
     import graft.operators.HyperLogLog
     val mk = (ids: Range, salt: String) =>
