@@ -132,4 +132,49 @@ object Layout {
       .partitionBy("zbucket").parquet(dir)
     finally compacted.unpersist()
   }
+
+  /** File-skipping audit — the number that justifies paying for a
+    * layout: simulate the file geometry a writer would produce (fixed
+    * `chunkSize`-row files cut along the layout's total order `okeyCol`),
+    * record each file's min/max of `valueCol` (exactly what parquet
+    * footers store), and evaluate a range predicate `[lo, hi]` the way a
+    * footer-pruning reader does — a file is READ iff its [min, max]
+    * overlaps the range. One row: total files, files read, rows read
+    * (the I/O actually paid), rows matched (the useful part). Run it
+    * once over a clustered okey and once over a scattered one and the
+    * gap between rows_read and rows_matched IS the layout's value.
+    *
+    * The rank that cuts files is [[ShardedPrefix.globalRank]] over one
+    * corpus-wide group — the two-phase sharded device, never a
+    * single-task window; per-file stats are one groupBy on the file id.
+    * `okeyCol` must be a unique non-null long (the rank contract; the
+    * audit's chunk stats inherit determinism from it).
+    */
+  def skippingAudit(
+      df: DataFrame,
+      okeyCol: String,
+      valueCol: String,
+      layout: String,
+      chunkSize: Long,
+      lo: Long,
+      hi: Long): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive: $chunkSize")
+    val v = col(valueCol)
+    val chunks = ShardedPrefix.globalRank(
+        df.withColumn("__g", lit(1)), "__g", okeyCol, "__rank")
+      .withColumn("__chunk", expr(s"(__rank - 1) div ${chunkSize}L"))
+      .groupBy("__chunk")
+      .agg(
+        min(v).as("__mn"), max(v).as("__mx"),
+        count(lit(1)).as("__n"),
+        sum(when(v.between(lo, hi), 1L).otherwise(0L)).as("__matched"))
+    val read = col("__mx") >= lo && col("__mn") <= hi
+    chunks.agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(read, 1L).otherwise(0L)).as("chunks_read"),
+        sum(when(read, col("__n")).otherwise(0L)).as("rows_read"),
+        sum(col("__matched")).as("rows_matched"))
+      .select(lit(layout).as("layout"), col("n_chunks"),
+        col("chunks_read"), col("rows_read"), col("rows_matched"))
+  }
 }

@@ -50,6 +50,11 @@ object RelationalQueries {
     * rendering) list shared by the Spark plan and the oracle. */
   private val ProfCols = Seq("doc_id", "lang", "source", "n_chars")
 
+  /** q235's range predicate in epoch seconds (1998-01-01 .. 1998-06-30
+    * 23:59:59) — shared by the Spark plan and the oracle. */
+  private val SkipLo = 883612800L
+  private val SkipHi = 899251199L
+
   val all: Seq[Q] = Seq(
     Q(
       "q10_tpch1_agg",
@@ -1016,6 +1021,75 @@ object RelationalQueries {
           shards.map(Profile.countStats(_, ProfCols)),
           shards.map(Profile.profileSketch(_, ProfCols, p = 6)),
           p = 6)
+      }
+    ),
+    Q(
+      "q235_skipping_audit",
+      "File-skipping audit — the number that justifies paying for a " +
+        "layout (q99/q166's Z-order, any sort): simulate the file " +
+        "geometry a writer produces (4096-row files cut along a " +
+        "layout's total order), record per-file min/max of the ship " +
+        "date (exactly what parquet footers store), and evaluate a " +
+        "half-year range predicate the way a footer-pruning reader " +
+        "does — a file is READ iff its [min,max] overlaps. Two layouts " +
+        "of the SAME rows: clustered (shipdate-major order) reads only " +
+        "the files the matches live in; scattered (hash-major) reads " +
+        "everything — the rows_read gap IS the layout's value at " +
+        "100 TB, where rows_read is the I/O bill. File cuts come from " +
+        "ShardedPrefix.globalRank (two-phase, never a single-task " +
+        "window); per-file stats are one groupBy (Layout." +
+        "skippingAudit). Order keys are unique injective composites " +
+        "(sec*2^30 + uid, uid = orderkey*8+linenumber < 2^30), so both " +
+        "engines cut identical files.",
+      Some {
+        val (lo, hi) = (SkipLo, SkipHi)
+        def one(layout: String, okey: String) =
+          s"""SELECT '$layout' AS layout,
+             |       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             |       CAST(SUM(CASE WHEN mx >= $lo AND mn <= $hi THEN 1 ELSE 0 END) AS BIGINT) AS chunks_read,
+             |       CAST(SUM(CASE WHEN mx >= $lo AND mn <= $hi THEN n ELSE 0 END) AS BIGINT) AS rows_read,
+             |       CAST(SUM(matched) AS BIGINT) AS rows_matched
+             |FROM (
+             |  SELECT MIN(ship_sec) AS mn, MAX(ship_sec) AS mx,
+             |         COUNT(*) AS n,
+             |         SUM(CASE WHEN ship_sec BETWEEN $lo AND $hi THEN 1 ELSE 0 END) AS matched
+             |  FROM (SELECT ship_sec,
+             |               (row_number() OVER (ORDER BY $okey) - 1) // 4096 AS chunk
+             |        FROM keyed)
+             |  GROUP BY chunk
+             |)""".stripMargin
+        s"""WITH base AS (
+           |  SELECT CAST(epoch(l_shipdate) AS BIGINT) AS ship_sec,
+           |         l_orderkey * 8 + l_linenumber AS uid
+           |  FROM lineitem
+           |), keyed AS (
+           |  SELECT ship_sec,
+           |         ship_sec * 1073741824 + uid AS okc,
+           |         CAST('0x' || substr(md5(CAST(uid AS VARCHAR)), 1, 8) AS BIGINT)
+           |           * 1073741824 + uid AS oks
+           |  FROM base
+           |)
+           |${one("clustered", "okc")}
+           |UNION ALL
+           |${one("scattered", "oks")}""".stripMargin
+      },
+      (spark, dir) => {
+        import graft.operators.{Layout, TextAnalysis}
+        val (lo, hi) = (SkipLo, SkipHi)
+        val keyed = Tables.lineitem(spark, dir)
+          .select(
+            expr("unix_micros(CAST(l_shipdate AS TIMESTAMP_LTZ)) div 1000000")
+              .as("ship_sec"),
+            (col("l_orderkey") * 8 + col("l_linenumber")).as("uid"))
+          .select(
+            col("ship_sec"),
+            (col("ship_sec") * lit(1073741824L) + col("uid")).as("okc"),
+            (TextAnalysis.portableHash32(col("uid").cast("string"))
+              * lit(1073741824L) + col("uid")).as("oks"))
+        Layout.skippingAudit(
+            keyed, "okc", "ship_sec", "clustered", 4096L, lo, hi)
+          .unionByName(Layout.skippingAudit(
+            keyed, "oks", "ship_sec", "scattered", 4096L, lo, hi))
       }
     )
   )

@@ -105,6 +105,23 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("skipping audit: hand-computed file cuts, overlap rule, and the clustered-vs-scattered gap") {
+    // 12 rows, files of 4. Clustered okey = v: files [0..3][4..7][8..11];
+    // predicate [5, 6] overlaps only the middle file -> 4 rows read, 2 matched.
+    val df = (0L until 12L).map(v => (v, v)).toDF("v", "okc")
+      .withColumn("oks", expr("(v * 7) % 12")) // a 12-cycle scatter, unique
+    val c = Layout.skippingAudit(df, "okc", "v", "clustered", 4L, 5L, 6L)
+      .collect()(0)
+    assert((c.getLong(1), c.getLong(2), c.getLong(3), c.getLong(4)) ==
+      ((3L, 1L, 4L, 2L)))
+    // scattered: 5 and 6 land in different files, each file's minmax
+    // straddles the range -> more rows read for the same 2 matches
+    val s = Layout.skippingAudit(df, "oks", "v", "scattered", 4L, 5L, 6L)
+      .collect()(0)
+    assert(s.getLong(4) == 2L && s.getLong(3) > c.getLong(3))
+    assert(s.getString(0) == "scattered" && c.getString(0) == "clustered")
+  }
+
   test("z-layout prunes files on the non-leading dimension where a linear layout cannot") {
     val n = 256
     val grid = spark.range(n.toLong * n)
