@@ -109,6 +109,38 @@ object Profile {
       .agg(sum(contrib.cast("decimal(28,6)")).cast("double").as("predicted"))
   }
 
+  /** Equi-DEPTH histogram — what production optimizers actually store:
+    * `buckets` cells of (near-)equal ROW count cut along the value
+    * order, boundaries = each cell's observed min/max. Under skew the
+    * equi-width face ([[equiWidthHistogram]]) piles most rows into few
+    * cells and its uniform-interpolation error is unbounded; equi-depth
+    * bounds any range predicate's error at ±1 bucket = ±n/buckets rows
+    * by construction. Cost: one total-order rank over `okeyCol`
+    * (ShardedPrefix.globalRank — the two-phase device, never a
+    * single-task window) + one groupBy on the cell id; the row count
+    * rides a broadcast 1-row cross. `okeyCol` must be a unique non-null
+    * long whose order refines the value order (value-major composite) —
+    * that is what makes the cuts deterministic cross-engine.
+    */
+  def equiDepthHistogram(
+      df: DataFrame,
+      valueCol: String,
+      okeyCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val cnt = df.agg(count(lit(1)).as("__n"))
+    ShardedPrefix.globalRank(
+        df.withColumn("__g", lit(1)), "__g", okeyCol, "__rank")
+      .crossJoin(broadcast(cnt))
+      .withColumn("__bucket",
+        expr(s"(__rank - 1) div ((__n + ${buckets - 1}) div ${buckets}L)"))
+      .groupBy(col("__bucket").as("bucket"))
+      .agg(
+        min(col(valueCol)).as("lo"),
+        max(col(valueCol)).as("hi"),
+        count(lit(1)).as("n_rows"))
+  }
+
   /** Long-form (column, value-as-string) pairs for sketch-based profile
     * maintenance: ONE scan whatever the column count (each row explodes
     * into its per-column struct), nulls dropped per column (the profile

@@ -39,4 +39,24 @@ object Skew {
       .join(replicated, Seq(keyCol, "__salt"))
       .drop("__salt")
   }
+
+  /** Pre-flight skew profile of a join key — the signal that decides
+    * whether [[saltedJoin]] (or an AQE skew threshold) pays: one row of
+    * `(n, ndv, top_cnt)` — total rows, distinct keys, and the hottest
+    * key's row count. The consumer compares `top_cnt` against the
+    * uniform expectation `n/ndv`; `top_cnt * ndv > factor * n` is the
+    * integer-exact salting trigger (no float compare in the decision).
+    *
+    * Cost shape: one groupBy on the key (the same exchange the join
+    * itself would pay) then a 3-scalar rollup of the per-key counts. At
+    * stats-collection time over 100 TB the sketch face is the
+    * count-min heavy-hitter pass (q191) — this exact face is what the
+    * sketch's estimates are audited against.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+      .agg(
+        sum(col("__c")).as("n"),
+        count(lit(1)).as("ndv"),
+        max(col("__c")).as("top_cnt"))
 }

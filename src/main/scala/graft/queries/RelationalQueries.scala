@@ -1091,6 +1091,90 @@ object RelationalQueries {
           .unionByName(Layout.skippingAudit(
             keyed, "oks", "ship_sec", "scattered", 4096L, lo, hi))
       }
+    ),
+    Q(
+      "q236_skew_advisor",
+      "Join-key skew advisor — the pre-flight that decides q59's " +
+        "salting (and AQE skew thresholds): per candidate key, total " +
+        "rows, distinct keys, the hottest key's count, its ratio to the " +
+        "uniform expectation n/ndv, and the salting trigger evaluated " +
+        "INTEGER-EXACT (top_cnt * ndv > 4 * n — no float compare in the " +
+        "decision; the reported ratio is diagnostic). One groupBy per " +
+        "key (the exchange the join itself would pay) + a 3-scalar " +
+        "rollup; at 100 TB stats time the sketch face is q191's " +
+        "count-min heavy hitters, audited against this exact face " +
+        "(Skew.keySkewProfile). The fixture's keys are honestly mild " +
+        "(ratios 1.3-2.5, nothing trips 4x) — the advisor's value is " +
+        "that the number exists BEFORE the join is planned.",
+      Some(Seq(
+          ("lineitem", "l_suppkey"), ("lineitem", "l_partkey"),
+          ("orders", "o_custkey"), ("events", "user_id"))
+        .map { case (t, k) =>
+          s"""SELECT '$t.$k' AS key_name, n, ndv, top_cnt,
+             |       CAST(top_cnt AS DOUBLE) * ndv / n AS skew_ratio,
+             |       top_cnt * ndv > 4 * n AS salt_recommended
+             |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |             CAST(COUNT(DISTINCT $k) AS BIGINT) AS ndv,
+             |             (SELECT CAST(MAX(c) AS BIGINT) FROM
+             |               (SELECT COUNT(*) AS c FROM $t GROUP BY $k)) AS top_cnt
+             |      FROM $t)""".stripMargin }
+        .mkString("\nUNION ALL\n")),
+      (spark, dir) => {
+        import graft.operators.Skew
+        val keys = Seq(
+          ("lineitem.l_suppkey", Tables.lineitem(spark, dir), "l_suppkey"),
+          ("lineitem.l_partkey", Tables.lineitem(spark, dir), "l_partkey"),
+          ("orders.o_custkey", Tables.orders(spark, dir), "o_custkey"),
+          ("events.user_id", Tables.eventsTsNs(spark, dir), "user_id"))
+        keys.map { case (nm, df, k) =>
+          Skew.keySkewProfile(df, k)
+            .select(lit(nm).as("key_name"), col("n"), col("ndv"),
+              col("top_cnt"),
+              (col("top_cnt").cast("double") * col("ndv") / col("n"))
+                .as("skew_ratio"),
+              (col("top_cnt") * col("ndv") > lit(4L) * col("n"))
+                .as("salt_recommended"))
+        }.reduce(_ unionByName _)
+      }
+    ),
+    Q(
+      "q237_equidepth_histogram",
+      "Equi-DEPTH histogram of lineitem.l_extendedprice — what " +
+        "production optimizers store instead of q232's equi-width " +
+        "cells: 16 cells of equal ROW count cut along the value order, " +
+        "boundaries = observed per-cell min/max. Under skew equi-width " +
+        "piles rows into few cells and its interpolation error is " +
+        "unbounded; equi-depth bounds ANY range predicate's error at " +
+        "+-1 cell = +-n/16 rows by construction " +
+        "(Profile.equiDepthHistogram). The cut order is the sharded " +
+        "global rank over a value-major unique composite " +
+        "(round(price*100)*2^30 + rowuid — cents are integral, so the " +
+        "composite refines the price order injectively and both " +
+        "engines cut identical cells); never a single-task window.",
+      Some("""
+         |WITH u AS (
+         |  SELECT l_extendedprice AS v,
+         |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 1073741824
+         |           + l_orderkey * 8 + l_linenumber AS okey
+         |  FROM lineitem
+         |), n AS (SELECT COUNT(*) AS n FROM u),
+         |r AS (
+         |  SELECT v, (row_number() OVER (ORDER BY okey) - 1)
+         |            // ((n + 15) // 16) AS bucket
+         |  FROM u, n
+         |)
+         |SELECT bucket, MIN(v) AS lo, MAX(v) AS hi,
+         |       CAST(COUNT(*) AS BIGINT) AS n_rows
+         |FROM r GROUP BY 1""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.operators.Profile
+        val u = Tables.lineitem(spark, dir).select(
+          col("l_extendedprice").as("v"),
+          (expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
+            * lit(1073741824L)
+            + col("l_orderkey") * 8 + col("l_linenumber")).as("okey"))
+        Profile.equiDepthHistogram(u, "v", "okey", buckets = 16)
+      }
     )
   )
 }

@@ -82,6 +82,23 @@ class ProfileSpec extends AnyFunSuite {
     assert(p(9.0) == 0.0) // past the top
   }
 
+  test("equi-depth histogram: equal cells under skew where equi-width piles up") {
+    import spark.implicits._
+    // heavy skew: 12 ones, then 2, 3, 4 — 4 buckets of depth 4
+    val df = (Seq.fill(12)(1.0) ++ Seq(2.0, 3.0, 4.0)).zipWithIndex
+      .map { case (v, i) => (v, v.toLong * 1000 + i) }.toDF("v", "okey")
+    val d = Profile.equiDepthHistogram(df, "v", "okey", 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(d(0L) == ((1.0, 1.0, 4L)) && d(1L) == ((1.0, 1.0, 4L)))
+    assert(d(2L) == ((1.0, 1.0, 4L)))
+    assert(d(3L) == ((2.0, 4.0, 3L))) // the tail cell holds the remainder
+    // equi-width over the same rows: 12/15 of the mass in one cell
+    val w = Profile.equiWidthHistogram(df, "v", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(w(0L) == 12L)
+  }
+
   test("incremental profile fold equals the from-scratch profile stat for stat") {
     val docs = Tables.documents(spark, SparkTestSession.sf0001)
     val cols = Seq("doc_id", "lang", "source", "n_chars")

@@ -77,4 +77,14 @@ class SkewSpec extends AnyFunSuite {
     assert(salts.forall(s => s >= 0 && s < 8))
     assert(salts.distinct.length > 4) // actually spreads
   }
+
+  test("keySkewProfile: hand-computed stats; the integer trigger fires exactly past the factor") {
+    // key 1 x 10 rows, keys 2..6 x 1 row: n=15, ndv=6, top=10
+    val df = (Seq.fill(10)(1L) ++ (2L to 6L)).toDF("k")
+    val r = Skew.keySkewProfile(df, "k").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((15L, 6L, 10L)))
+    // trigger: top*ndv > 4*n -> 60 > 60 is false at factor 4, true at 3
+    assert(!(r.getLong(2) * r.getLong(1) > 4 * r.getLong(0)))
+    assert(r.getLong(2) * r.getLong(1) > 3 * r.getLong(0))
+  }
 }
