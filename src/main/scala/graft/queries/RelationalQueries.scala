@@ -25,19 +25,19 @@ object RelationalQueries {
   private val SelCutoffs = Seq(10.0, 25.0, 40.0)
 
   /** The q232 histogram's bucket assignment + boundary formulas as SQL,
-    * rendered once so q232 and q233 share them verbatim. */
-  private def histCtes(b: Int): String =
+    * rendered once so q232/q233/q238 share them verbatim. */
+  private def histCtes(b: Int, c: String = "l_quantity"): String =
     s"""WITH bnd AS (
-       |  SELECT CAST(MIN(l_quantity) AS DOUBLE) AS mn,
-       |         CAST(MAX(l_quantity) AS DOUBLE) AS mx
-       |  FROM lineitem WHERE l_quantity IS NOT NULL
+       |  SELECT CAST(MIN($c) AS DOUBLE) AS mn,
+       |         CAST(MAX($c) AS DOUBLE) AS mx
+       |  FROM lineitem WHERE $c IS NOT NULL
        |), asg AS (
        |  SELECT CASE WHEN mx = mn THEN 0
        |              ELSE LEAST(${b - 1}, CAST(FLOOR(
-       |                (CAST(l_quantity AS DOUBLE) - mn) * $b / (mx - mn))
+       |                (CAST($c AS DOUBLE) - mn) * $b / (mx - mn))
        |                AS BIGINT)) END AS bucket,
        |         mn, mx
-       |  FROM lineitem, bnd WHERE l_quantity IS NOT NULL
+       |  FROM lineitem, bnd WHERE $c IS NOT NULL
        |), hist AS (
        |  SELECT bucket,
        |         mn + bucket * (mx - mn) / $b AS lo,
@@ -45,6 +45,18 @@ object RelationalQueries {
        |         CAST(COUNT(*) AS BIGINT) AS n_rows
        |  FROM asg GROUP BY 1, 2, 3
        |)""".stripMargin
+
+  /** The q233 selectivity rule rendered over an arbitrary histogram CTE
+    * (bucket, lo, hi, n_rows) — shared by the equi-width and equi-depth
+    * estimator faces so both cost the predicate with the same formula. */
+  private def selSql(histName: String, outName: String): String =
+    s"""SELECT cutoff,
+       |       CAST(SUM(CAST(
+       |         CASE WHEN cutoff <= lo THEN CAST(n_rows AS DOUBLE)
+       |              WHEN cutoff >= hi THEN CAST(0 AS DOUBLE)
+       |              ELSE n_rows * (hi - cutoff) / (hi - lo) END
+       |         AS DECIMAL(28,6))) AS DOUBLE) AS $outName
+       |FROM $histName, cuts GROUP BY 1""".stripMargin
 
   /** q234's per-column profile geometry — the (name, portable string
     * rendering) list shared by the Spark plan and the oracle. */
@@ -930,13 +942,7 @@ object RelationalQueries {
       Some(s"""${histCtes(HistBuckets)}, cuts AS (
          |  SELECT UNNEST([${SelCutoffs.map(c => s"CAST($c AS DOUBLE)").mkString(", ")}]) AS cutoff
          |), pred AS (
-         |  SELECT cutoff,
-         |         CAST(SUM(CAST(
-         |           CASE WHEN cutoff <= lo THEN CAST(n_rows AS DOUBLE)
-         |                WHEN cutoff >= hi THEN CAST(0 AS DOUBLE)
-         |                ELSE n_rows * (hi - cutoff) / (hi - lo) END
-         |           AS DECIMAL(28,6))) AS DOUBLE) AS predicted
-         |  FROM hist, cuts GROUP BY 1
+         |  ${selSql("hist", "predicted")}
          |), act AS (
          |  SELECT cutoff,
          |         CAST(COUNT(CASE WHEN l_quantity >= cutoff THEN 1 END)
@@ -1174,6 +1180,78 @@ object RelationalQueries {
             * lit(1073741824L)
             + col("l_orderkey") * 8 + col("l_linenumber")).as("okey"))
         Profile.equiDepthHistogram(u, "v", "okey", buckets = 16)
+      }
+    ),
+    Q(
+      "q238_estimator_faceoff",
+      "The two histogram estimators head to head against the truth: " +
+        "|l_extendedprice >= c| predicted from the 16-cell equi-WIDTH " +
+        "histogram, from the 16-cell equi-DEPTH histogram (both through " +
+        "the SAME q233 interpolation rule — Profile.rangeSelectivity " +
+        "costs ANY (bucket, lo, hi, n_rows) table), and the actual " +
+        "count, per cutoff. Equi-depth's error is bounded at one " +
+        "cell's mass (n/16) by construction whatever the distribution; " +
+        "equi-width's depends on within-cell uniformity — THE number a " +
+        "planner reads when choosing which stat to maintain. Both " +
+        "predictions read 16-row stats tables, never the data; the " +
+        "actuals ride one conditional-aggregate scan.",
+      Some {
+        val cuts = Seq(20000.0, 53000.0, 90000.0)
+        s"""${histCtes(HistBuckets, "l_extendedprice")}, u AS (
+           |  SELECT l_extendedprice AS v,
+           |         CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 1073741824
+           |           + l_orderkey * 8 + l_linenumber AS okey
+           |  FROM lineitem
+           |), n AS (SELECT COUNT(*) AS n FROM u),
+           |r AS (
+           |  SELECT v, (row_number() OVER (ORDER BY okey) - 1)
+           |            // ((n + 15) // 16) AS bucket
+           |  FROM u, n
+           |), dhist AS (
+           |  SELECT bucket, MIN(v) AS lo, MAX(v) AS hi,
+           |         CAST(COUNT(*) AS BIGINT) AS n_rows
+           |  FROM r GROUP BY 1
+           |), cuts AS (
+           |  SELECT UNNEST([${cuts.map(c => s"CAST($c AS DOUBLE)").mkString(", ")}]) AS cutoff
+           |), pw AS (
+           |  ${selSql("hist", "predicted_width")}
+           |), pd AS (
+           |  ${selSql("dhist", "predicted_depth")}
+           |), act AS (
+           |  SELECT cutoff,
+           |         CAST(COUNT(CASE WHEN l_extendedprice >= cutoff THEN 1 END)
+           |              AS BIGINT) AS actual
+           |  FROM lineitem, cuts GROUP BY 1
+           |)
+           |SELECT cutoff, predicted_width, predicted_depth, actual
+           |FROM pw JOIN pd USING (cutoff) JOIN act USING (cutoff)""".stripMargin
+      },
+      (spark, dir) => {
+        import graft.operators.Profile
+        val cuts = Seq(20000.0, 53000.0, 90000.0)
+        val li = Tables.lineitem(spark, dir)
+        val u = li.select(
+          col("l_extendedprice").as("v"),
+          (expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
+            * lit(1073741824L)
+            + col("l_orderkey") * 8 + col("l_linenumber")).as("okey"))
+        val pw = Profile.rangeSelectivity(
+            Profile.equiWidthHistogram(li, "l_extendedprice", HistBuckets),
+            cuts)
+          .withColumnRenamed("predicted", "predicted_width")
+        val pd = Profile.rangeSelectivity(
+            Profile.equiDepthHistogram(u, "v", "okey", HistBuckets), cuts)
+          .withColumnRenamed("predicted", "predicted_depth")
+        val actAggs = cuts.zipWithIndex.map { case (c, i) =>
+          sum(when(col("l_extendedprice") >= c, 1L).otherwise(0L))
+            .as(s"__a_$i") }
+        val actRows = cuts.zipWithIndex.map { case (c, i) =>
+          struct(lit(c).as("cutoff"), col(s"__a_$i").as("actual")) }
+        val act = li.agg(actAggs.head, actAggs.tail: _*)
+          .select(explode(array(actRows: _*)).as("a")).select("a.*")
+        pw.join(broadcast(pd), Seq("cutoff"))
+          .join(broadcast(act), Seq("cutoff"))
+          .select("cutoff", "predicted_width", "predicted_depth", "actual")
       }
     )
   )
