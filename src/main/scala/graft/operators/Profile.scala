@@ -65,11 +65,31 @@ object Profile {
     * oracle renders the identical formula.
     */
   def equiWidthHistogram(
-      df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
+      df: DataFrame, valueCol: String, buckets: Int): DataFrame =
+    equiWidthHistogramWithBounds(
+      df, valueCol, buckets, columnBounds(df, valueCol))
+
+  /** The [min, max] the histogram spans, as a 1-row `(__mn, __mx)`
+    * frame. Split out because the bounds and the counted assignment are
+    * SEPARATE stats in production: parquet footers give min/max for
+    * free, and a sampled count ([[sampledHistogram]]'s device) must
+    * bucket against the FULL bounds, not the sample's.
+    */
+  def columnBounds(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    df.filter(v.isNotNull)
+      .agg(min(v).cast("double").as("__mn"), max(v).cast("double").as("__mx"))
+  }
+
+  /** [[equiWidthHistogram]] against externally supplied bounds (a 1-row
+    * `(__mn, __mx)` frame — footer stats, a stored profile, or
+    * [[columnBounds]] of a DIFFERENT frame than the counted one).
+    */
+  def equiWidthHistogramWithBounds(
+      df: DataFrame, valueCol: String, buckets: Int,
+      bounds: DataFrame): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
     val v = col(valueCol)
-    val bounds = df.filter(v.isNotNull)
-      .agg(min(v).cast("double").as("__mn"), max(v).cast("double").as("__mx"))
     val mn = col("__mn"); val mx = col("__mx")
     val bucket = when(mx === mn, lit(0L)).otherwise(
       least(lit(buckets - 1L),
@@ -82,6 +102,29 @@ object Profile {
         (mn + col("bucket") * (mx - mn) / buckets).as("lo"),
         (mn + (col("bucket") + 1) * (mx - mn) / buckets).as("hi"),
         col("n_rows"))
+  }
+
+  /** Sample-estimated histogram beside the truth — the stats-COLLECTION
+    * cost story: a deterministic 1-in-`rate` hash sample of the rows
+    * (sampleCol), bucketed against the FULL bounds (footers give those
+    * free), scaled back by `rate`. At 100 TB the estimate face scans
+    * 1/rate of the data (or a maintained sample table); this audit
+    * query pays for both faces to put the per-cell error on record.
+    * Output: (bucket, n_true, n_est) — both exact integers, the scale-up
+    * is arithmetic, so the comparison is engine-portable with no float.
+    */
+  def sampledHistogram(
+      df: DataFrame, valueCol: String, buckets: Int,
+      sampleCol: Column, rate: Long): DataFrame = {
+    val bounds = columnBounds(df, valueCol)
+    val t = equiWidthHistogramWithBounds(df, valueCol, buckets, bounds)
+      .select(col("bucket"), col("n_rows").as("n_true"))
+    val s = equiWidthHistogramWithBounds(
+        df.filter(sampleCol), valueCol, buckets, bounds)
+      .select(col("bucket"), (col("n_rows") * rate).as("n_est"))
+    t.join(s, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_true"),
+        coalesce(col("n_est"), lit(0L)).as("n_est"))
   }
 
   /** Range-selectivity estimate from a stored [[equiWidthHistogram]] —

@@ -67,6 +67,30 @@ object RelationalQueries {
   private val SkipLo = 883612800L
   private val SkipHi = 899251199L
 
+  /** q231/q239's join catalog: (join_name, left table, left key, right
+    * table, right key) — shared so the stored-catalog face costs the
+    * identical joins. */
+  private[queries] val JoinCardSpecs = Seq(
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"))
+
+  /** The q231 oracle rendering, shared verbatim with q239 (whose stored
+    * catalog is built deterministically from the same tables, so the
+    * from-scratch flood IS its oracle too). */
+  private def joinCardOracle: String = JoinCardSpecs
+    .map { case (nm, l, lk, r, rk) =>
+      s"""SELECT '$nm' AS join_name, n_left, n_right, ndv_left, ndv_right,
+         |       (n_left * n_right) // greatest(ndv_left, ndv_right) AS predicted,
+         |       actual
+         |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_left,
+         |             CAST(COUNT(DISTINCT $lk) AS BIGINT) AS ndv_left FROM $l),
+         |     (SELECT CAST(COUNT(*) AS BIGINT) AS n_right,
+         |             CAST(COUNT(DISTINCT $rk) AS BIGINT) AS ndv_right FROM $r),
+         |     (SELECT CAST(COUNT(*) AS BIGINT) AS actual
+         |      FROM $l JOIN $r ON $lk = $rk)""".stripMargin }
+    .mkString("\nUNION ALL\n")
+
   val all: Seq[Q] = Seq(
     Q(
       "q10_tpch1_agg",
@@ -865,21 +889,7 @@ object RelationalQueries {
         "one aggregate per table (1-row frames, broadcast cross of " +
         "three singletons); the actual is the join's own count — the " +
         "evaluation is table-scan-bounded, never pair-bounded.",
-      Some(Seq(
-          ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
-          ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
-          ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"))
-        .map { case (nm, l, lk, r, rk) =>
-          s"""SELECT '$nm' AS join_name, n_left, n_right, ndv_left, ndv_right,
-             |       (n_left * n_right) // greatest(ndv_left, ndv_right) AS predicted,
-             |       actual
-             |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_left,
-             |             CAST(COUNT(DISTINCT $lk) AS BIGINT) AS ndv_left FROM $l),
-             |     (SELECT CAST(COUNT(*) AS BIGINT) AS n_right,
-             |             CAST(COUNT(DISTINCT $rk) AS BIGINT) AS ndv_right FROM $r),
-             |     (SELECT CAST(COUNT(*) AS BIGINT) AS actual
-             |      FROM $l JOIN $r ON $lk = $rk)""".stripMargin }
-        .mkString("\nUNION ALL\n")),
+      Some(joinCardOracle),
       (spark, dir) => {
         def one(nm: String, l: org.apache.spark.sql.DataFrame, lk: String,
                 r: org.apache.spark.sql.DataFrame, rk: String) = {
@@ -1253,8 +1263,116 @@ object RelationalQueries {
           .join(broadcast(act), Seq("cutoff"))
           .select("cutoff", "predicted_width", "predicted_depth", "actual")
       }
+    ),
+    Q(
+      "q239_stats_catalog_costing",
+      "q231's join costing re-run the way a real planner runs it: the " +
+        "per-(table, key) stats live in a STORED CATALOG (StatsPhases — " +
+        "built once, six rows, the ANALYZE artifact q230/q234 maintain) " +
+        "and costing READS the catalog (broadcast row lookups, ZERO " +
+        "data-table scans on the predicted side; only the audit's " +
+        "actual-count joins touch data). Predicted values equal q231's " +
+        "inline computation row for row — the catalog is deterministic, " +
+        "so the from-scratch flood is this face's oracle verbatim " +
+        "(joinCardOracle, shared). At 100 TB this seam is the whole " +
+        "point of the stats layer: collect once, cost every query from " +
+        "KBs.",
+      Some(joinCardOracle),
+      (spark, dir) => {
+        StatsPhases.ensureStored(spark, dir)
+        val cat = spark.table(StatsPhases.statsTable(dir))
+        JoinCardSpecs.map { case (nm, l, lk, r, rk) =>
+          val ls = cat.filter(col("tbl") === l && col("key") === lk)
+            .select(col("n").as("n_left"), col("ndv").as("ndv_left"))
+          val rs = cat.filter(col("tbl") === r && col("key") === rk)
+            .select(col("n").as("n_right"), col("ndv").as("ndv_right"))
+          val act = Tables(spark, dir, l)
+            .join(Tables(spark, dir, r), col(lk) === col(rk))
+            .agg(count(lit(1)).as("actual"))
+          ls.crossJoin(broadcast(rs)).crossJoin(broadcast(act))
+            .select(lit(nm).as("join_name"),
+              col("n_left"), col("n_right"),
+              col("ndv_left"), col("ndv_right"),
+              expr("n_left * n_right div greatest(ndv_left, ndv_right)")
+                .as("predicted"),
+              col("actual"))
+        }.reduce(_ unionByName _)
+      }
+    ),
+    Q(
+      "q240_sampled_stats",
+      "Stats collection at sample cost — the 100 TB ANALYZE reality: " +
+        "the q232 histogram estimated from a deterministic 1-in-16 " +
+        "hash sample (portable row-uid hash, so both engines draw the " +
+        "IDENTICAL sample), bucketed against the FULL bounds (parquet " +
+        "footers give min/max free — Profile.columnBounds is a " +
+        "separate stat for exactly this reason), scaled back by 16, " +
+        "beside the true per-cell counts. Scale-up is integer " +
+        "arithmetic — no float in the comparison. The estimate face " +
+        "scans 1/16 of the data in production; this audit pays for " +
+        "both faces to put the per-cell sampling error on record " +
+        "(Profile.sampledHistogram).",
+      Some(s"""WITH bnd AS (
+         |  SELECT CAST(MIN(l_quantity) AS DOUBLE) AS mn,
+         |         CAST(MAX(l_quantity) AS DOUBLE) AS mx
+         |  FROM lineitem WHERE l_quantity IS NOT NULL
+         |), asg AS (
+         |  SELECT CASE WHEN mx = mn THEN 0
+         |              ELSE LEAST(${HistBuckets - 1}, CAST(FLOOR(
+         |                (CAST(l_quantity AS DOUBLE) - mn) * $HistBuckets / (mx - mn))
+         |                AS BIGINT)) END AS bucket,
+         |         CAST('0x' || substr(md5(CAST(l_orderkey * 8 + l_linenumber
+         |           AS VARCHAR)), 1, 8) AS BIGINT) % 16 = 0 AS samp
+         |  FROM lineitem, bnd WHERE l_quantity IS NOT NULL
+         |)
+         |SELECT t.bucket, t.n_true, COALESCE(s.n_est, 0) AS n_est
+         |FROM (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_true
+         |      FROM asg GROUP BY 1) t
+         |LEFT JOIN (SELECT bucket, CAST(COUNT(*) * 16 AS BIGINT) AS n_est
+         |           FROM asg WHERE samp GROUP BY 1) s
+         |ON t.bucket = s.bucket""".stripMargin),
+      (spark, dir) => {
+        import graft.operators.{Profile, TextAnalysis}
+        val li = Tables.lineitem(spark, dir)
+        val uid = col("l_orderkey") * 8 + col("l_linenumber")
+        Profile.sampledHistogram(
+          li, "l_quantity", HistBuckets,
+          TextAnalysis.portableHash32(uid.cast("string")) % 16 === 0,
+          rate = 16L)
+      }
     )
   )
+}
+
+/** The stored per-(table, key) stats catalog behind q239 — the ANALYZE
+  * artifact a planner reads instead of scanning: six rows of
+  * (tbl, key, n, ndv) over the q231 join keys, persisted once per input
+  * dir. q230/q234 are the collection/maintenance faces; this is the
+  * serving face.
+  */
+object StatsPhases {
+  import org.apache.spark.sql.SparkSession
+
+  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def statsTable(dir: String): String = s"graft_statcat_${Q.scratchTag(dir)}"
+
+  def buildStored(spark: SparkSession, dir: String): Unit = {
+    val pairs = RelationalQueries.JoinCardSpecs
+      .flatMap { case (_, l, lk, r, rk) => Seq((l, lk), (r, rk)) }.distinct
+    val cat = pairs.map { case (t, k) =>
+      Tables(spark, dir, t).agg(
+          count(lit(1)).as("n"), countDistinct(col(k)).as("ndv"))
+        .select(lit(t).as("tbl"), lit(k).as("key"), col("n"), col("ndv"))
+    }.reduce(_ unionByName _)
+    graft.operators.Bucketing.dropWithLocation(spark, statsTable(dir))
+    cat.write.format("parquet").saveAsTable(statsTable(dir))
+    built.add(statsTable(dir))
+  }
+
+  def ensureStored(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!built.contains(statsTable(dir))) buildStored(spark, dir)
+  }
 }
 
 /** q84's oracle: the identical positional-segment blocking + cap +

@@ -99,6 +99,15 @@ class ProfileSpec extends AnyFunSuite {
     assert(w(0L) == 12L)
   }
 
+  test("sampled histogram: full-bounds bucketing, scale-up arithmetic, zero-sample cells coalesce") {
+    import spark.implicits._
+    val df = (1 to 8).map(_.toDouble).toDF("v")
+    val r = Profile.sampledHistogram(df, "v", 4, col("v") === 2.0, rate = 8L)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map(0L -> ((2L, 8L)), 1L -> ((2L, 0L)),
+      2L -> ((2L, 0L)), 3L -> ((2L, 0L))))
+  }
+
   test("incremental profile fold equals the from-scratch profile stat for stat") {
     val docs = Tables.documents(spark, SparkTestSession.sf0001)
     val cols = Seq("doc_id", "lang", "source", "n_chars")
