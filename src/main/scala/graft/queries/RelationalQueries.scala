@@ -1340,6 +1340,113 @@ object RelationalQueries {
           TextAnalysis.portableHash32(uid.cast("string")) % 16 === 0,
           rate = 16L)
       }
+    ),
+    Q(
+      "q241_join_order_choice",
+      "The stats layer's capstone: a COST-BASED JOIN-ORDER decision " +
+        "made from the stored catalog alone, audited against the true " +
+        "sizes. For lineitem |><| orders |><| customer (chained on " +
+        "o_orderkey / o_custkey), the two left-deep orders differ only " +
+        "in which intermediate they materialize; System-R costing from " +
+        "q239's catalog predicts |L><O| = 60k vs |O><C| = 15k (at " +
+        "sf0.01) and picks orders-customer first — 4x less " +
+        "intermediate state shuffled, the decision that dominates " +
+        "multi-join cost at 100 TB. Second-join estimates use the " +
+        "standard key-ndv preservation assumption, ndv(k in A><B) = " +
+        "min(ndv_B(k), |A><B|) — documented, and the beside-the-truth " +
+        "columns show where it holds. Every prediction is integer " +
+        "arithmetic over EIGHT catalog rows (broadcast lookups, zero " +
+        "data scans); only the audit's actual counts touch tables. " +
+        "chosen = the plan whose predicted intermediate is the min — " +
+        "an integer compare, no float in the decision.",
+      Some("""
+         |WITH s AS (
+         |  SELECT (SELECT COUNT(*) FROM lineitem) AS n_l,
+         |         (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS ndv_l_ok,
+         |         (SELECT COUNT(*) FROM orders) AS n_o,
+         |         (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS ndv_o_ok,
+         |         (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS ndv_o_ck,
+         |         (SELECT COUNT(*) FROM customer) AS n_c,
+         |         (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS ndv_c_ck,
+         |         (SELECT COUNT(*) FROM lineitem JOIN orders
+         |            ON l_orderkey = o_orderkey) AS act_lo,
+         |         (SELECT COUNT(*) FROM orders JOIN customer
+         |            ON o_custkey = c_custkey) AS act_oc,
+         |         (SELECT COUNT(*) FROM lineitem
+         |            JOIN orders ON l_orderkey = o_orderkey
+         |            JOIN customer ON o_custkey = c_custkey) AS act_f
+         |), p AS (
+         |  SELECT *,
+         |         (n_l * n_o) // greatest(ndv_l_ok, ndv_o_ok) AS pred_lo,
+         |         (n_o * n_c) // greatest(ndv_o_ck, ndv_c_ck) AS pred_oc
+         |  FROM s
+         |)
+         |SELECT 'lineitem_orders_first' AS plan_name,
+         |       CAST(pred_lo AS BIGINT) AS predicted_intermediate,
+         |       CAST(act_lo AS BIGINT) AS actual_intermediate,
+         |       CAST((pred_lo * n_c)
+         |         // greatest(least(ndv_o_ck, pred_lo), ndv_c_ck) AS BIGINT)
+         |         AS predicted_final,
+         |       CAST(act_f AS BIGINT) AS actual_final,
+         |       pred_lo = least(pred_lo, pred_oc) AS chosen
+         |FROM p
+         |UNION ALL
+         |SELECT 'orders_customer_first',
+         |       CAST(pred_oc AS BIGINT), CAST(act_oc AS BIGINT),
+         |       CAST((pred_oc * n_l)
+         |         // greatest(least(ndv_o_ok, pred_oc), ndv_l_ok) AS BIGINT),
+         |       CAST(act_f AS BIGINT),
+         |       pred_oc = least(pred_lo, pred_oc)
+         |FROM p
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        StatsPhases.ensureStored(spark, dir)
+        val cat = spark.table(StatsPhases.statsTable(dir))
+        def stat(t: String, k: String, suf: String) =
+          cat.filter(col("tbl") === t && col("key") === k)
+            .select(col("n").as(s"n_$suf"), col("ndv").as(s"ndv_$suf"))
+        val li = Tables.lineitem(spark, dir)
+        val o = Tables.orders(spark, dir)
+        val c = Tables.customer(spark, dir)
+        val actLo = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .agg(count(lit(1)).as("act_lo"))
+        val actOc = o.join(c, col("o_custkey") === col("c_custkey"))
+          .agg(count(lit(1)).as("act_oc"))
+        val actF = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .agg(count(lit(1)).as("act_f"))
+        val one = stat("lineitem", "l_orderkey", "l")
+          .crossJoin(broadcast(stat("orders", "o_orderkey", "o")))
+          .crossJoin(broadcast(stat("orders", "o_custkey", "ock")))
+          .crossJoin(broadcast(stat("customer", "c_custkey", "c")))
+          .crossJoin(broadcast(actLo))
+          .crossJoin(broadcast(actOc))
+          .crossJoin(broadcast(actF))
+          .withColumn("pred_lo",
+            expr("n_l * n_o div greatest(ndv_l, ndv_o)"))
+          .withColumn("pred_oc",
+            expr("n_ock * n_c div greatest(ndv_ock, ndv_c)"))
+        one.select(explode(array(
+            struct(
+              lit("lineitem_orders_first").as("plan_name"),
+              col("pred_lo").as("predicted_intermediate"),
+              col("act_lo").as("actual_intermediate"),
+              expr("pred_lo * n_c div greatest(least(ndv_ock, pred_lo), ndv_c)")
+                .as("predicted_final"),
+              col("act_f").as("actual_final"),
+              (col("pred_lo") === least(col("pred_lo"), col("pred_oc")))
+                .as("chosen")),
+            struct(
+              lit("orders_customer_first").as("plan_name"),
+              col("pred_oc").as("predicted_intermediate"),
+              col("act_oc").as("actual_intermediate"),
+              expr("pred_oc * n_l div greatest(least(ndv_o, pred_oc), ndv_l)")
+                .as("predicted_final"),
+              col("act_f").as("actual_final"),
+              (col("pred_oc") === least(col("pred_lo"), col("pred_oc")))
+                .as("chosen")))).as("r"))
+          .select("r.*")
+      }
     )
   )
 }
@@ -1357,9 +1464,14 @@ object StatsPhases {
 
   def statsTable(dir: String): String = s"graft_statcat_${Q.scratchTag(dir)}"
 
+  /** Keys q241's join-order costing needs beyond the q231 joins. */
+  private val extraPairs =
+    Seq(("orders", "o_custkey"), ("customer", "c_custkey"))
+
   def buildStored(spark: SparkSession, dir: String): Unit = {
-    val pairs = RelationalQueries.JoinCardSpecs
-      .flatMap { case (_, l, lk, r, rk) => Seq((l, lk), (r, rk)) }.distinct
+    val pairs = (RelationalQueries.JoinCardSpecs
+      .flatMap { case (_, l, lk, r, rk) => Seq((l, lk), (r, rk)) }
+      ++ extraPairs).distinct
     val cat = pairs.map { case (t, k) =>
       Tables(spark, dir, t).agg(
           count(lit(1)).as("n"), countDistinct(col(k)).as("ndv"))
