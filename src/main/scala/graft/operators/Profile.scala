@@ -104,6 +104,52 @@ object Profile {
         col("n_rows"))
   }
 
+  /** Per-cell counts against FROZEN plan-literal bounds — the streaming
+    * histogram's building block. Fixed boundaries are what make the
+    * counts ADDITIVE across arrival batches (recomputed bounds would
+    * re-bucket history); values outside [mn, mx] land in the explicit
+    * DRIFT cells `-1` (below) and `buckets` (above) instead of being
+    * clamped invisible — growing drift mass IS the signal that the
+    * bounds need recalibration (and a fresh base histogram).
+    */
+  def bucketizeFrozen(
+      df: DataFrame, valueCol: String,
+      mn: Double, mx: Double, buckets: Int): DataFrame = {
+    require(buckets > 0 && mx > mn,
+      s"need positive buckets and mx > mn: $buckets, [$mn, $mx]")
+    val v = col(valueCol)
+    val cell = when(v < mn, lit(-1L))
+      .when(v > mx, lit(buckets.toLong))
+      .otherwise(least(lit(buckets - 1L),
+        floor((v.cast("double") - mn) * buckets / (mx - mn))))
+    df.filter(v.isNotNull)
+      .groupBy(cell.as("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** Streaming histogram maintenance — drive from
+    * `writeStream.foreachBatch`: fold one micro-batch's frozen-bounds
+    * cell counts ([[bucketizeFrozen]]) additively into the served
+    * table. Additive, so it carries the exactly-once batch-id ingest
+    * contract (a replayed batch double-counts — unlike the register
+    * side of [[refreshBatch]]). Constant buckets+2 rows of state; the
+    * read-merge-overwrite cycle is cell-sized work per batch.
+    */
+  def histRefreshBatch(
+      batch: DataFrame, valueCol: String,
+      mn: Double, mx: Double, buckets: Int, table: String): Unit = {
+    val spark = batch.sparkSession
+    val cells = bucketizeFrozen(batch, valueCol, mn, mx, buckets)
+    val merged =
+      if (spark.catalog.tableExists(table))
+        spark.table(table).unionByName(cells)
+          .groupBy("bucket").agg(sum("n_rows").as("n_rows"))
+      else cells
+    val pinned = merged.localCheckpoint()
+    try pinned.write.mode("overwrite").format("parquet").saveAsTable(table)
+    finally pinned.unpersist()
+  }
+
   /** Sample-estimated histogram beside the truth — the stats-COLLECTION
     * cost story: a deterministic 1-in-`rate` hash sample of the rows
     * (sampleCol), bucketed against the FULL bounds (footers give those

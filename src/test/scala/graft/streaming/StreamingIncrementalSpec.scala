@@ -159,6 +159,47 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming histogram maintenance: frozen-bounds cells fold additively; drift cells catch out-of-range arrivals") {
+    import graft.operators.{Bucketing, Profile}
+    val (mn, mx, b) = (0.0, 8.0, 4)
+    val mk = (vs: Seq[Double]) => vs.toDF("v")
+    val existing = mk(Seq(0.0, 1.0, 3.0, 5.0, 7.0))
+    val b1 = mk(Seq(2.0, 6.0, 8.0))
+    val b2 = mk(Seq(1.5, 9.5, -1.0)) // two out-of-range arrivals: drift
+    val table = "graft_hist_stream_spec"
+    Bucketing.dropWithLocation(spark, table)
+    Profile.histRefreshBatch(existing, "v", mn, mx, b, table)
+    val dirStr = watchDirOf(Seq(b1, b2))
+    val schema = StructType(Seq(StructField("v", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dirStr)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Profile.histRefreshBatch(batch, "v", mn, mx, b, table)
+      }
+      .start()
+    def served() = spark.table(table).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    try {
+      q.processAllAvailable()
+      // served == frozen-bounds cells of everything seen, batch-count
+      // and arrival-order independent
+      val all = existing.unionByName(b1).unionByName(b2)
+      val scratch = Profile.bucketizeFrozen(all, "v", mn, mx, b)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(served() == scratch,
+        "served cells diverge from the from-scratch frozen bucketing")
+      // the drift cells carry the out-of-range mass explicitly
+      assert(served()(-1L) == 1L && served()(4L) == 1L,
+        "out-of-range arrivals must land in the drift cells")
+      // additive contract: replay double-counts (exactly-once batch ids
+      // are the guard in production, unlike the register max-merge)
+      Profile.histRefreshBatch(b2, "v", mn, mx, b, table)
+      assert(served()(4L) == 2L, "replayed additive fold must move")
+    } finally q.stop()
+  }
+
   test("streaming HLL maintenance: foreachBatch re-max equals full sketch; replayed batch is a no-op") {
     import graft.operators.HyperLogLog
     val mk = (ids: Range, salt: String) =>
