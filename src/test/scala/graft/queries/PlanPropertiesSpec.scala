@@ -456,4 +456,28 @@ class PlanPropertiesSpec extends AnyFunSuite {
     // nested-loop (the audit-face device); nothing may be cartesian
     assert(!p.contains("CartesianProduct"), p.linesIterator.take(40).mkString("\n"))
   }
+
+  test("q233: the whole selectivity evaluation is 3 scan-bounded passes (bounds, counts, actuals)") {
+    val p = plan("q233_selectivity_estimate")
+    // formatted mode prints each node in the tree AND the details
+    // section; count the numbered detail headers
+    assert(p.linesIterator.count(l =>
+      l.startsWith("(") && l.contains("Scan parquet")) == 3,
+      p.linesIterator.filter(_.contains("Scan parquet")).mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("q239/q241: catalog-read costing plans ZERO distinct aggregation — q231's inline face is the contrast") {
+    // The stored catalog means no ndv is computed at costing time: the
+    // expensive multi-distinct Expand/aggregate must be absent from the
+    // serving faces and present in the collection face.
+    assert(plan("q231_join_cardinality").contains("distinct"))
+    val p239 = plan("q239_stats_catalog_costing")
+    assert(!p239.contains("distinct"),
+      p239.linesIterator.filter(_.contains("distinct")).mkString("\n"))
+    val p241 = plan("q241_join_order_choice")
+    assert(!p241.contains("distinct"),
+      p241.linesIterator.filter(_.contains("distinct")).mkString("\n"))
+    assert(!p241.contains("CartesianProduct"))
+  }
 }
