@@ -104,6 +104,71 @@ object Profile {
         col("n_rows"))
   }
 
+  /** Two-dimensional equi-width grid histogram — the MULTI-COLUMN stat
+    * that rescues selectivity estimation when columns correlate:
+    * independence-combined marginals (sel_a * sel_b) can be off by the
+    * full strength of the correlation, while a grid cell count carries
+    * the joint distribution directly. Cells `(bucket_a, bucket_b)` over
+    * each column's [min, max]; both bounds ride ONE broadcast 1-row
+    * cross; one counted pass. buckets_a x buckets_b rows of state —
+    * the quadratic-in-dimensions cost is why real systems keep grids
+    * only for known-correlated pairs (and why the q242 audit exists to
+    * find them).
+    */
+  def grid2dHistogram(
+      df: DataFrame, colA: String, colB: String,
+      bucketsA: Int, bucketsB: Int): DataFrame = {
+    require(bucketsA > 0 && bucketsB > 0,
+      s"buckets must be positive: $bucketsA, $bucketsB")
+    val a = col(colA); val b = col(colB)
+    val bounds = df.filter(a.isNotNull && b.isNotNull).agg(
+      min(a).cast("double").as("__amn"), max(a).cast("double").as("__amx"),
+      min(b).cast("double").as("__bmn"), max(b).cast("double").as("__bmx"))
+    def cell(v: Column, mn: Column, mx: Column, k: Int) =
+      when(mx === mn, lit(0L)).otherwise(
+        least(lit(k - 1L), floor((v.cast("double") - mn) * k / (mx - mn))))
+    val amn = col("__amn"); val amx = col("__amx")
+    val bmn = col("__bmn"); val bmx = col("__bmx")
+    df.filter(a.isNotNull && b.isNotNull).crossJoin(broadcast(bounds))
+      .groupBy(
+        cell(a, amn, amx, bucketsA).as("bucket_a"),
+        cell(b, bmn, bmx, bucketsB).as("bucket_b"),
+        amn, amx, bmn, bmx)
+      .agg(count(lit(1)).as("n_rows"))
+      .select(
+        col("bucket_a"), col("bucket_b"),
+        (amn + col("bucket_a") * (amx - amn) / bucketsA).as("a_lo"),
+        (amn + (col("bucket_a") + 1) * (amx - amn) / bucketsA).as("a_hi"),
+        (bmn + col("bucket_b") * (bmx - bmn) / bucketsB).as("b_lo"),
+        (bmn + (col("bucket_b") + 1) * (bmx - bmn) / bucketsB).as("b_hi"),
+        col("n_rows"))
+  }
+
+  /** Conjunctive range selectivity `|a >= ca AND b >= cb|` from a
+    * [[grid2dHistogram]]: per cell, the product of each dimension's
+    * uniform-within-cell overlap fraction times the cell count —
+    * [[rangeSelectivity]]'s rule applied jointly, which is exactly what
+    * the independence combination of two marginal histograms CANNOT do.
+    * DECIMAL-accumulated like every double fold in the registry.
+    * Output: (cutoff_a, cutoff_b, predicted).
+    */
+  def gridSelectivity(
+      grid: DataFrame, cutoffs: Seq[(Double, Double)]): DataFrame = {
+    def frac(c: Column, lo: Column, hi: Column): Column =
+      when(c <= lo, lit(1.0)).when(c >= hi, lit(0.0))
+        .otherwise((hi - c) / (hi - lo))
+    val cuts = cutoffs.map { case (a, b) =>
+      struct(lit(a).as("cutoff_a"), lit(b).as("cutoff_b")) }
+    val contrib = col("n_rows") *
+      frac(col("cutoff_a"), col("a_lo"), col("a_hi")) *
+      frac(col("cutoff_b"), col("b_lo"), col("b_hi"))
+    grid.crossJoin(
+        broadcast(grid.sparkSession.range(1).select(
+          explode(array(cuts: _*)).as("q")).select("q.*")))
+      .groupBy(col("cutoff_a"), col("cutoff_b"))
+      .agg(sum(contrib.cast("decimal(28,6)")).cast("double").as("predicted"))
+  }
+
   /** Per-cell counts against FROZEN plan-literal bounds — the streaming
     * histogram's building block. Fixed boundaries are what make the
     * counts ADDITIVE across arrival batches (recomputed bounds would

@@ -1447,6 +1447,113 @@ object RelationalQueries {
                 .as("chosen")))).as("r"))
           .select("r.*")
       }
+    ),
+    Q(
+      "q242_correlation_audit",
+      "Where single-column stats LIE: conjunctive selectivity " +
+        "|qty >= ca AND price >= cb| predicted three ways — " +
+        "independence-combined PERFECT marginals (cnt_a * cnt_b div n, " +
+        "integer-exact: the System-R default), a 16x16 2-D grid " +
+        "histogram (Profile.grid2dHistogram / gridSelectivity: the " +
+        "q233 interpolation rule applied jointly), and the truth. " +
+        "l_extendedprice is qty * unit price, so the columns correlate " +
+        "and the independence error lands on record beside the grid's " +
+        "(the fixture's coupling is honest-mild: the grid wins at the " +
+        "tail cutoff, 1854 vs 1885 against a truth of 1861) — the " +
+        "audit that tells a planner which column pairs EARN a grid " +
+        "(its cells are quadratic in dimensions, kept only where this " +
+        "number says so). Marginals + actuals ride ONE " +
+        "conditional-aggregate scan; the grid is one counted pass with " +
+        "both bounds on a single broadcast 1-row cross.",
+      Some("""
+         |WITH bnd AS (
+         |  SELECT CAST(MIN(l_quantity) AS DOUBLE) AS amn,
+         |         CAST(MAX(l_quantity) AS DOUBLE) AS amx,
+         |         CAST(MIN(l_extendedprice) AS DOUBLE) AS bmn,
+         |         CAST(MAX(l_extendedprice) AS DOUBLE) AS bmx
+         |  FROM lineitem
+         |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+         |), g AS (
+         |  SELECT CASE WHEN amx = amn THEN 0
+         |              ELSE LEAST(15, CAST(FLOOR(
+         |                (CAST(l_quantity AS DOUBLE) - amn) * 16 / (amx - amn))
+         |                AS BIGINT)) END AS ba,
+         |         CASE WHEN bmx = bmn THEN 0
+         |              ELSE LEAST(15, CAST(FLOOR(
+         |                (CAST(l_extendedprice AS DOUBLE) - bmn) * 16 / (bmx - bmn))
+         |                AS BIGINT)) END AS bb,
+         |         amn, amx, bmn, bmx
+         |  FROM lineitem, bnd
+         |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+         |), grid AS (
+         |  SELECT ba, bb,
+         |         amn + ba * (amx - amn) / 16 AS a_lo,
+         |         amn + (ba + 1) * (amx - amn) / 16 AS a_hi,
+         |         bmn + bb * (bmx - bmn) / 16 AS b_lo,
+         |         bmn + (bb + 1) * (bmx - bmn) / 16 AS b_hi,
+         |         CAST(COUNT(*) AS BIGINT) AS n_rows
+         |  FROM g GROUP BY 1, 2, 3, 4, 5, 6
+         |), cuts AS (
+         |  SELECT * FROM (VALUES
+         |    (CAST(25.0 AS DOUBLE), CAST(53000.0 AS DOUBLE)),
+         |    (CAST(40.0 AS DOUBLE), CAST(90000.0 AS DOUBLE)))
+         |    AS t(cutoff_a, cutoff_b)
+         |), pg AS (
+         |  SELECT cutoff_a, cutoff_b,
+         |         CAST(SUM(CAST(n_rows
+         |           * (CASE WHEN cutoff_a <= a_lo THEN CAST(1.0 AS DOUBLE)
+         |                   WHEN cutoff_a >= a_hi THEN CAST(0.0 AS DOUBLE)
+         |                   ELSE (a_hi - cutoff_a) / (a_hi - a_lo) END)
+         |           * (CASE WHEN cutoff_b <= b_lo THEN CAST(1.0 AS DOUBLE)
+         |                   WHEN cutoff_b >= b_hi THEN CAST(0.0 AS DOUBLE)
+         |                   ELSE (b_hi - cutoff_b) / (b_hi - b_lo) END)
+         |           AS DECIMAL(28,6))) AS DOUBLE) AS predicted_grid
+         |  FROM grid, cuts GROUP BY 1, 2
+         |), m AS (
+         |  SELECT cutoff_a, cutoff_b,
+         |         CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(COUNT(CASE WHEN l_quantity >= cutoff_a THEN 1 END)
+         |              AS BIGINT) AS cnt_a,
+         |         CAST(COUNT(CASE WHEN l_extendedprice >= cutoff_b THEN 1 END)
+         |              AS BIGINT) AS cnt_b,
+         |         CAST(COUNT(CASE WHEN l_quantity >= cutoff_a
+         |                          AND l_extendedprice >= cutoff_b THEN 1 END)
+         |              AS BIGINT) AS actual
+         |  FROM lineitem, cuts GROUP BY 1, 2
+         |)
+         |SELECT cutoff_a, cutoff_b,
+         |       (cnt_a * cnt_b) // n AS predicted_indep,
+         |       predicted_grid, actual
+         |FROM m JOIN pg USING (cutoff_a, cutoff_b)
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.operators.Profile
+        val cuts = Seq((25.0, 53000.0), (40.0, 90000.0))
+        val li = Tables.lineitem(spark, dir)
+        val grid = Profile.grid2dHistogram(
+          li, "l_quantity", "l_extendedprice", 16, 16)
+        val pg = Profile.gridSelectivity(grid, cuts)
+          .withColumnRenamed("predicted", "predicted_grid")
+        val mAggs = count(lit(1)).as("__n") +:
+          cuts.zipWithIndex.flatMap { case ((ca, cb), i) => Seq(
+            sum(when(col("l_quantity") >= ca, 1L).otherwise(0L))
+              .as(s"__ca_$i"),
+            sum(when(col("l_extendedprice") >= cb, 1L).otherwise(0L))
+              .as(s"__cb_$i"),
+            sum(when(col("l_quantity") >= ca &&
+                col("l_extendedprice") >= cb, 1L).otherwise(0L))
+              .as(s"__act_$i")) }
+        val mRows = cuts.zipWithIndex.map { case ((ca, cb), i) =>
+          struct(
+            lit(ca).as("cutoff_a"), lit(cb).as("cutoff_b"),
+            expr(s"__ca_$i * __cb_$i div __n").as("predicted_indep"),
+            col(s"__act_$i").as("actual")) }
+        val m = li.agg(mAggs.head, mAggs.tail: _*)
+          .select(explode(array(mRows: _*)).as("m")).select("m.*")
+        m.join(broadcast(pg), Seq("cutoff_a", "cutoff_b"))
+          .select("cutoff_a", "cutoff_b", "predicted_indep",
+            "predicted_grid", "actual")
+      }
     )
   )
 }
