@@ -104,6 +104,25 @@ object Profile {
         col("n_rows"))
   }
 
+  /** Most-common-values list — the third classic optimizer stat beside
+    * the two histograms: the top-`k` values by exact count, totally
+    * ordered by (count desc, value asc) so the cut is deterministic
+    * cross-engine even through count ties. Plans as a grouped count
+    * (one shuffle) into a global top-k (TakeOrderedAndProject — never a
+    * full sort); k rows of state. Equality selectivity reads it as:
+    * probe in the list → its exact count; otherwise the uniform
+    * remainder `(n - mcv_mass) div (ndv - k)` — the Postgres-style
+    * split that keeps heavy hitters exact and spreads the tail.
+    */
+  def mcvList(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("v").asc)
+      .limit(k)
+  }
+
   /** Two-dimensional equi-width grid histogram — the MULTI-COLUMN stat
     * that rescues selectivity estimation when columns correlate:
     * independence-combined marginals (sel_a * sel_b) can be off by the

@@ -1554,6 +1554,82 @@ object RelationalQueries {
           .select("cutoff_a", "cutoff_b", "predicted_indep",
             "predicted_grid", "actual")
       }
+    ),
+    Q(
+      "q243_mcv_selectivity",
+      "Most-common-values list + equality selectivity — the third " +
+        "classic optimizer stat beside the two histograms " +
+        "(Profile.mcvList): top-8 l_suppkey values by exact count, " +
+        "totally ordered (count desc, value asc) so the cut is " +
+        "deterministic cross-engine through count ties; plans as one " +
+        "grouped count into a global top-k (TakeOrderedAndProject, " +
+        "never a full sort). Equality predicates then cost " +
+        "Postgres-style: probe IN the list -> its exact count; " +
+        "otherwise the uniform remainder (n - mcv_mass) div (ndv - k) " +
+        "— heavy hitters exact, tail spread, all integer arithmetic. " +
+        "Probes 1/7 (tail at sf0.01) and 16 (the sf0.01 hottest value, " +
+        "exercising the exact branch) beside their true counts; the " +
+        "prediction side " +
+        "reads 8 MCV rows + 2 scalar stats, the audit's actuals ride " +
+        "one conditional-aggregate scan.",
+      Some("""
+         |WITH c AS (
+         |  SELECT l_suppkey AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1
+         |), mcv AS (
+         |  SELECT v, cnt FROM c ORDER BY cnt DESC, v ASC LIMIT 8
+         |), t AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS ndv
+         |  FROM lineitem
+         |), mm AS (
+         |  SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS mcv_mass,
+         |         CAST(COUNT(*) AS BIGINT) AS k
+         |  FROM mcv
+         |), probes AS (
+         |  SELECT UNNEST([CAST(1 AS BIGINT), CAST(7 AS BIGINT),
+         |                 CAST(16 AS BIGINT)]) AS probe
+         |)
+         |SELECT probe,
+         |       probe IN (SELECT v FROM mcv) AS in_mcv,
+         |       CASE WHEN probe IN (SELECT v FROM mcv)
+         |            THEN (SELECT cnt FROM mcv WHERE v = probe)
+         |            ELSE (n - mcv_mass) // (ndv - k) END AS predicted,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+         |        WHERE l_suppkey = probe) AS actual
+         |FROM probes, t, mm
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.operators.Profile
+        val probes = Seq(1L, 7L, 16L)
+        val li = Tables.lineitem(spark, dir)
+        val mcv = Profile.mcvList(li, "l_suppkey", 8)
+        val tot = li.agg(count(lit(1)).as("n"),
+          countDistinct(col("l_suppkey")).as("ndv"))
+        val mm = mcv.agg(coalesce(sum("cnt"), lit(0L)).as("mcv_mass"),
+          count(lit(1)).as("k"))
+        val actAggs = probes.zipWithIndex.map { case (p, i) =>
+          sum(when(col("l_suppkey") === p, 1L).otherwise(0L)).as(s"__a_$i") }
+        val actRows = probes.zipWithIndex.map { case (p, i) =>
+          struct(lit(p).as("probe"), col(s"__a_$i").as("actual")) }
+        val act = li.agg(actAggs.head, actAggs.tail: _*)
+          .select(explode(array(actRows: _*)).as("a")).select("a.*")
+        val probeDf = spark.range(1).select(
+          explode(array(probes.map(p => struct(lit(p).as("probe"))): _*))
+            .as("p")).select("p.*")
+        probeDf
+          .join(broadcast(mcv), col("probe") === col("v"), "left")
+          .crossJoin(broadcast(tot))
+          .crossJoin(broadcast(mm))
+          .join(broadcast(act), Seq("probe"))
+          .select(
+            col("probe"),
+            col("v").isNotNull.as("in_mcv"),
+            when(col("v").isNotNull, col("cnt"))
+              .otherwise(expr("(n - mcv_mass) div (ndv - k)"))
+              .as("predicted"),
+            col("actual"))
+      }
     )
   )
 }

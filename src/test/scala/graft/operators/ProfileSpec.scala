@@ -99,6 +99,17 @@ class ProfileSpec extends AnyFunSuite {
     assert(w(0L) == 12L)
   }
 
+  test("mcv list: exact top-k by count with the deterministic (count desc, value asc) tie-break") {
+    import spark.implicits._
+    // counts: 9 x3, 5 x2, 7 x2, 2 x1, 4 x1 — the k=3 cut falls inside
+    // the count-2 tie; value asc must pick 5 over 7
+    val df = (Seq.fill(3)(9L) ++ Seq.fill(2)(5L) ++ Seq.fill(2)(7L) ++
+      Seq(2L, 4L)).toDF("x")
+    val m = Profile.mcvList(df, "x", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(m == Seq((9L, 3L), (5L, 2L), (7L, 2L)))
+  }
+
   test("sampled histogram: full-bounds bucketing, scale-up arithmetic, zero-sample cells coalesce") {
     import spark.implicits._
     val df = (1 to 8).map(_.toDouble).toDF("v")
