@@ -467,6 +467,21 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.linesIterator.take(40).mkString("\n"))
   }
 
+  test("q235/q237: the file-cut / cell-cut rank runs SHARDED — every window carries __sp_shard, never a bare global window") {
+    // ShardedPrefix.globalRank's contract at plan level: the wide
+    // running count partitions by (group, shard); the only other window
+    // is the offsets pass over the tiny groups x shards table, which
+    // orders by the shard column. A window line without __sp_shard
+    // would mean a single-task global row_number snuck back in.
+    for (q <- Seq("q235_skipping_audit", "q237_equidepth_histogram")) {
+      val winLines = plan(q).linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(winLines.nonEmpty, s"$q: expected the rank windows in the plan")
+      winLines.foreach(l =>
+        assert(l.contains("__sp_shard"), s"$q unsharded window: $l"))
+    }
+  }
+
   test("q239/q241: catalog-read costing plans ZERO distinct aggregation — q231's inline face is the contrast") {
     // The stored catalog means no ndv is computed at costing time: the
     // expensive multi-distinct Expand/aggregate must be absent from the
