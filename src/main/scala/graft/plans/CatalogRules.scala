@@ -1,0 +1,330 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression, EqualTo, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, HintInfo, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Catalyst optimizer rules that ENACT the stored-statistics layer's
+  * decisions inside the planner — the serving seam the stats queries
+  * (q229–q243) collect evidence for. The reference has no optimizer at
+  * all (SURVEY.md §4: "Optimizer: none"); these rules are the extension
+  * surface's answer to "what is a stats catalog FOR": q239 reads the
+  * catalog to cost, q241 reads it to CHOOSE a join order — these rules
+  * make Catalyst itself read it, so the choice lands in the physical
+  * plan without any query rewrite by the user.
+  *
+  * All three rules are pure plan-to-plan functions over PUBLIC Catalyst
+  * APIs, registered per-session through
+  * `spark.experimental.extraOptimizations` (the public user-rule hook,
+  * running as the final optimizer batch — after Spark's own hint
+  * resolution and predicate pushdown, so what they decide is what the
+  * planner sees). [[CatalogRules.sessionWith]] scopes them to a child
+  * session: rule state is a handful of collected catalog rows (KBs — the
+  * q239 "cost every query from KBs" seam), and the parent session's
+  * planning is untouched.
+  *
+  * Design contract shared by all three:
+  *  - SEMANTICS-PRESERVING: only join hints, inner-join association
+  *    order (with a restoring projection), and AND-chain order change —
+  *    never the result.
+  *  - NO-OP WITHOUT EVIDENCE: a join side that is not a recognizable
+  *    single-table scan, a missing catalog row, an existing user hint, a
+  *    predicate the estimator cannot cost — each makes the rule leave
+  *    the plan alone rather than guess.
+  *  - IDEMPOTENT: extraOptimizations run under the optimizer's fixpoint
+  *    driver; every rewrite disables its own trigger (a set hint, an
+  *    already-minimal order, an already-sorted chain).
+  */
+object CatalogRules {
+
+  /** Per-table catalog slice: base row count and per-column ndv — the
+    * exact shape StatsPhases persists (tbl, key, n, ndv). */
+  final case class TableStat(rows: Long, ndv: Map[String, Long])
+
+  /** The collected catalog a rule plans from. KBs by construction: one
+    * row per (table, join key), never data. */
+  final case class CatalogStats(tables: Map[String, TableStat]) {
+    def rows(t: String): Option[Long] = tables.get(t).map(_.rows)
+    def ndv(t: String, c: String): Option[Long] =
+      tables.get(t).flatMap(_.ndv.get(c))
+  }
+
+  /** The base table behind a join side, when the side is a plain scan
+    * pipeline: Project/Filter chains over ONE file relation whose root
+    * path is `<table>.parquet`. Anything else (joins, aggregates,
+    * unions, aliased projections below) returns None — the catalog's
+    * grain is base tables, and a rule must not cost what it cannot
+    * name. Filters above the scan make the base row count an
+    * OVERESTIMATE of the side's true size; for the broadcast decision
+    * that is the safe direction (a side only qualifies as small when
+    * even its unfiltered table is small).
+    */
+  @scala.annotation.tailrec
+  def tableOf(plan: LogicalPlan): Option[String] = plan match {
+    case p: Project => tableOf(p.child)
+    case f: Filter => tableOf(f.child)
+    case lr: LogicalRelation =>
+      lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.getName).distinct.toSeq match {
+            case Seq(one) if one.endsWith(".parquet") =>
+              Some(one.stripSuffix(".parquet"))
+            case _ => None
+          }
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** A child session with `rules` installed as extraOptimizations plus
+    * any conf overrides — rule scoping without touching the caller's
+    * session (newSession shares the SparkContext, the warehouse catalog,
+    * and the builder-time options; optimizer rules and runtime confs set
+    * here live and die with the child). The cast is to the classic
+    * (JVM-local) session, the only kind this engine constructs;
+    * a Connect deployment would install the same rules server-side via
+    * `spark.sql.extensions` + `injectOptimizerRule` instead.
+    */
+  def sessionWith(
+      spark: SparkSession,
+      rules: Seq[Rule[LogicalPlan]],
+      confs: (String, String)*): SparkSession = {
+    val child = spark.newSession()
+    child.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental.extraOptimizations = rules.toList
+    child.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.get("spark.sql.shuffle.partitions"))
+    confs.foreach { case (k, v) => child.conf.set(k, v) }
+    child
+  }
+
+  /** System-R equi-join output estimate |L||R| / max(ndv_L, ndv_R) — the
+    * q231/q239/q241 formula, BigInt so no scale overflows it. */
+  private[plans] def joinEstimate(
+      nL: Long, ndvL: Long, nR: Long, ndvR: Long): BigInt =
+    BigInt(nL) * BigInt(nR) / BigInt(math.max(1L, math.max(ndvL, ndvR)))
+}
+
+/** Broadcast-side choice from the stored catalog: an inner equi-join
+  * whose two sides are recognizable base-table scans gets a BROADCAST
+  * hint on the side whose CATALOG row count is (a) at most
+  * `maxBroadcastRows` and (b) at least `minRatio`x smaller than the
+  * other side. This is the decision
+  * `spark.sql.autoBroadcastJoinThreshold` makes from file SIZE at
+  * planning time and AQE re-makes from observed shuffle sizes at
+  * runtime; the catalog face makes it from ANALYZE statistics — the
+  * classical System-R input — so it holds even where file size misleads
+  * (compression skew) and before any runtime evidence exists. At 100 TB
+  * the stake is the difference between shuffling the fact table and
+  * shipping a KB-scale dim to every executor.
+  *
+  * Leaves the plan alone when: either side already carries a user hint
+  * (user intent outranks statistics), a side is not a single-table
+  * scan, a catalog row is missing, or neither side is decisively
+  * smaller. Idempotent: the hint it sets disables its own trigger.
+  */
+final case class CatalogBroadcastRule(
+    rows: Map[String, Long],
+    maxBroadcastRows: Long = 100000L,
+    minRatio: Long = 4L) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(l, r, Inner, _, JoinHint(None, None)) =>
+      val nl = CatalogRules.tableOf(l).flatMap(rows.get)
+      val nr = CatalogRules.tableOf(r).flatMap(rows.get)
+      (nl, nr) match {
+        case (Some(a), Some(b))
+            if b <= maxBroadcastRows && a >= b * minRatio =>
+          j.copy(hint = JoinHint(None, Some(HintInfo(Some(BROADCAST)))))
+        case (Some(a), Some(b))
+            if a <= maxBroadcastRows && b >= a * minRatio =>
+          j.copy(hint = JoinHint(Some(HintInfo(Some(BROADCAST))), None))
+        case _ => j
+      }
+  }
+}
+
+/** Join-order choice from the stored catalog — q241's decision, ENACTED:
+  * a left-deep chain of two inner equi-joins over three cataloged base
+  * tables is re-associated so the FIRST join is the one with the
+  * smaller System-R predicted output. The intermediate a multi-join
+  * materializes (and shuffles) is the dominant cost at scale; q241
+  * measured the fixture's two orders at 60k vs 15k rows — this rule
+  * makes Catalyst build the 15k plan from the 60k query text.
+  *
+  * Scope is deliberately the q241 shape (3 tables, 2 single-column
+  * equi-conditions, no user hints): the narrow pattern keeps the
+  * rewrite provably output-preserving — the re-associated tree reuses
+  * the SAME resolved condition expressions over the SAME relation
+  * nodes, a pruning projection restores what column pruning had
+  * removed between the joins, and a final projection restores the
+  * original output order (inner-join association changes child output
+  * concatenation order; parents reference attributes, but positional
+  * consumers like Union must see the exact original sequence).
+  * Idempotent: after the rewrite the first join IS the predicted
+  * minimum, so the strict `<` trigger is off.
+  */
+final case class CatalogJoinOrderRule(stats: CatalogRules.CatalogStats)
+    extends Rule[LogicalPlan] {
+
+  /** Strip the attribute-only pruning Project that ColumnPruning leaves
+    * between nested joins, so the chain pattern is visible. */
+  private def underPrune(p: LogicalPlan): LogicalPlan = p match {
+    case Project(pl, j: Join) if pl.forall(_.isInstanceOf[AttributeReference]) => j
+    case other => other
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case top @ Join(l0, r0, Inner, Some(c2: EqualTo), JoinHint(None, None)) =>
+      underPrune(l0) match {
+        case Join(a, b, Inner, Some(c1: EqualTo), JoinHint(None, None)) =>
+          rewrite(top, a, b, r0, c1, c2).getOrElse(top)
+        case _ => top
+      }
+  }
+
+  /** Predicted output of equi-joining two base-table sides, from the
+    * catalog alone. None when anything isn't costable. */
+  private def predict(
+      x: LogicalPlan, y: LogicalPlan, cond: EqualTo): Option[BigInt] =
+    (cond.left, cond.right) match {
+      case (la: AttributeReference, ra: AttributeReference) =>
+        val (xa, ya) =
+          if (x.outputSet.contains(la) && y.outputSet.contains(ra)) (la, ra)
+          else if (x.outputSet.contains(ra) && y.outputSet.contains(la)) (ra, la)
+          else return None
+        for {
+          tx <- CatalogRules.tableOf(x); ty <- CatalogRules.tableOf(y)
+          nx <- stats.rows(tx); ny <- stats.rows(ty)
+          dx <- stats.ndv(tx, xa.name); dy <- stats.ndv(ty, ya.name)
+        } yield CatalogRules.joinEstimate(nx, dx, ny, dy)
+      case _ => None
+    }
+
+  private def rewrite(
+      top: Join, a: LogicalPlan, b: LogicalPlan, c: LogicalPlan,
+      c1: EqualTo, c2: EqualTo): Option[LogicalPlan] = {
+    // c2 must pair the third base with exactly one of the first two —
+    // the chain shape. (It cannot reference only a/b: analysis placed
+    // it on the outer join because it needs c.)
+    val mid =
+      if (c2.references.subsetOf(a.outputSet ++ c.outputSet)) a
+      else if (c2.references.subsetOf(b.outputSet ++ c.outputSet)) b
+      else return None
+    val other = if (mid eq a) b else a
+    for {
+      predCurrent <- predict(a, b, c1)
+      predAlt <- predict(mid, c, c2)
+      if predAlt < predCurrent
+    } yield {
+      val first = Join(mid, c, Inner, Some(c2), JoinHint.NONE)
+      // Re-prune: keep of the new intermediate only what the second
+      // join's condition and the original output still need (column
+      // pruning already ran; this restores its effect on the new shape).
+      val needed = top.outputSet ++ c1.references
+      val firstPruned =
+        if (first.output.forall(needed.contains)) first
+        else Project(first.output.filter(needed.contains), first)
+      val rebuilt = Join(firstPruned, other, Inner, Some(c1), JoinHint.NONE)
+      Project(top.output, rebuilt)
+    }
+  }
+}
+
+/** AND-chain evaluation order from stored histograms: conjuncts of a
+  * Filter are reordered most-selective-first (null guards, which are
+  * both the cheapest test and a precondition of the comparisons, keep
+  * estimate 0 and stay in front). Spark evaluates a conjunction
+  * left-to-right with short-circuit inside whole-stage codegen, so on
+  * scan survivors every row rejected by the first conjunct never pays
+  * the rest — at 100 TB of scan output the CPU difference between
+  * testing a 1%-pass predicate or a 99%-pass predicate first is the
+  * filter's whole cost. Predicate pushdown is untouched (row-group
+  * pruning extracts conjuncts by membership, not order; physical
+  * planning runs after this rule).
+  *
+  * Only fires when EVERY conjunct is costable from the supplied
+  * estimator (a chain with one opaque predicate is left alone — a
+  * partial sort could move the opaque one past a cheaper test), and
+  * only changes the plan when the order actually differs. Ties keep
+  * written order (stable sort), so the rewrite is deterministic and
+  * idempotent.
+  */
+final case class ConjunctReorderRule(est: Expression => Option[Double])
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, child) =>
+      val cs = splitConjunctivePredicates(cond)
+      if (cs.lengthCompare(2) < 0) f
+      else {
+        val es = cs.map(est)
+        if (es.exists(_.isEmpty)) f
+        else {
+          val sorted = cs.zip(es.map(_.get))
+            .sortBy(_._2)(Ordering.Double.TotalOrdering).map(_._1)
+          if (sorted == cs) f else Filter(sorted.reduceLeft(And(_, _)), child)
+        }
+      }
+  }
+}
+
+object ConjunctReorderRule {
+
+  /** One column's equi-width histogram, collected for the estimator —
+    * the q232 stat in serving form (buckets+2 doubles, KBs). */
+  final case class ColumnHist(mn: Double, mx: Double, counts: Vector[Long]) {
+    val total: Long = math.max(1L, counts.sum)
+    private val buckets = counts.length
+    private val width = (mx - mn) / buckets
+
+    /** Estimated fraction of non-null rows with value >= v: full
+      * buckets above v's cell plus uniform interpolation inside it —
+      * the q233 rule. Ordering-grade (feeds a sort, not a result). */
+    def geFraction(v: Double): Double =
+      if (v <= mn) 1.0
+      else if (v > mx) 0.0
+      else {
+        val idx = math.min(buckets - 1, ((v - mn) / width).toInt)
+        val above = counts.drop(idx + 1).sum
+        val hi = mn + (idx + 1) * width
+        val partial = math.max(0.0, math.min(1.0, (hi - v) / width))
+        (above + partial * counts(idx)) / total.toDouble
+      }
+  }
+
+  private def num(l: Literal): Option[Double] = l.value match {
+    case null => None
+    case d: java.lang.Double => Some(d)
+    case f: java.lang.Float => Some(f.toDouble)
+    case i: java.lang.Integer => Some(i.toDouble)
+    case j: java.lang.Long => Some(j.toDouble)
+    case s: java.lang.Short => Some(s.toDouble)
+    case b: java.lang.Byte => Some(b.toDouble)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+    case _ => None
+  }
+
+  /** Estimator over a set of per-column histograms: range comparisons
+    * against literals interpolate the histogram; null guards cost 0 so
+    * they sort first (cheapest test, precondition of the rest);
+    * anything else is uncostable -> None -> the chain stays as
+    * written.
+    */
+  def estimator(hists: Map[String, ColumnHist]): Expression => Option[Double] = {
+    case IsNotNull(a: AttributeReference) if hists.contains(a.name) =>
+      Some(0.0)
+    case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+      hists.get(a.name).zip(num(l)).map { case (h, v) => h.geFraction(v) }
+    case GreaterThan(a: AttributeReference, l: Literal) =>
+      hists.get(a.name).zip(num(l)).map { case (h, v) => h.geFraction(v) }
+    case LessThan(a: AttributeReference, l: Literal) =>
+      hists.get(a.name).zip(num(l)).map { case (h, v) => 1.0 - h.geFraction(v) }
+    case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+      hists.get(a.name).zip(num(l)).map { case (h, v) => 1.0 - h.geFraction(v) }
+    case _ => None
+  }
+}

@@ -1630,6 +1630,130 @@ object RelationalQueries {
               .as("predicted"),
             col("actual"))
       }
+    ),
+    Q(
+      "q244_rule_broadcast_choice",
+      "The stats layer ENACTED in Catalyst #1 — catalog-driven " +
+        "broadcast choice (graft.plans.CatalogBroadcastRule, installed " +
+        "via the public extraOptimizations hook on a child session): " +
+        "with spark.sql.autoBroadcastJoinThreshold=-1 (size-based " +
+        "auto-broadcast OFF, the regime where file size misleads or " +
+        "no runtime evidence exists yet), the rule reads the STORED " +
+        "catalog's row counts (supplier 1/600th of lineitem) and sets " +
+        "the BROADCAST join hint itself, so the fact side never " +
+        "shuffles — the 100 TB decision made from KBs of ANALYZE " +
+        "state. The result is plan-independent (the oracle checks " +
+        "semantics; CatalogRulesSpec pins that the physical plan is " +
+        "BroadcastHashJoin with the rule on and SortMergeJoin with it " +
+        "off, results equal).",
+      Some("""
+         |SELECT s_name, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY 1
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.plans.{CatalogBroadcastRule, CatalogRules}
+        val st = StatsPhases.collected(spark, dir)
+        val child = CatalogRules.sessionWith(spark,
+          Seq(CatalogBroadcastRule(st.tables.map { case (t, s) => t -> s.rows })),
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        Tables.lineitem(child, dir)
+          .join(Tables.supplier(child, dir),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+              .as("sum_qty"))
+      }
+    ),
+    Q(
+      "q245_rule_join_order",
+      "The stats layer ENACTED in Catalyst #2 — q241's join-order " +
+        "decision made BY the optimizer (graft.plans." +
+        "CatalogJoinOrderRule): the query text joins lineitem><orders " +
+        "FIRST (the 60k-row intermediate at sf0.01); the rule costs " +
+        "both left-deep orders from the stored catalog's eight rows " +
+        "(System-R n*n/max(ndv), integer) and re-associates so " +
+        "orders><customer (15k rows) materializes instead — 4x less " +
+        "intermediate state shuffled, from the same query text. " +
+        "autoBroadcastJoinThreshold=-1 puts the plan in the " +
+        "shuffle-join regime where intermediate size IS the cost (at " +
+        "100 TB none of these tables broadcasts). Output-preserving by " +
+        "construction: same resolved condition expressions over the " +
+        "same relation nodes, a restoring projection pins the original " +
+        "column order; the oracle checks the result, CatalogRulesSpec " +
+        "pins the rewritten tree shape and rule-off equality.",
+      Some("""
+         |SELECT c_mktsegment, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.plans.{CatalogJoinOrderRule, CatalogRules}
+        val st = StatsPhases.collected(spark, dir)
+        val child = CatalogRules.sessionWith(spark,
+          Seq(CatalogJoinOrderRule(st)),
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        Tables.lineitem(child, dir)
+          .join(Tables.orders(child, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(child, dir),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+              .as("sum_price"))
+      }
+    ),
+    Q(
+      "q246_rule_conjunct_order",
+      "The stats layer ENACTED in Catalyst #3 — histogram-driven " +
+        "conjunct order (graft.plans.ConjunctReorderRule): the filter " +
+        "is WRITTEN unselective-first (l_extendedprice >= 1000 keeps " +
+        "~99%, then l_quantity >= 45 keeps ~11%); the rule reads the " +
+        "two stored q232 equi-width histograms (16 cells each, " +
+        "collected to KBs) and reorders the AND chain " +
+        "most-selective-first, so short-circuit evaluation inside " +
+        "whole-stage codegen rejects ~89% of scan survivors on the " +
+        "FIRST test instead of the second. Pushdown is untouched " +
+        "(row-group pruning extracts conjuncts by membership, not " +
+        "order). Same rows either way — the oracle checks semantics; " +
+        "CatalogRulesSpec pins the reordered Filter condition and " +
+        "rule-off equality.",
+      Some("""
+         |SELECT l_returnflag, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         |FROM lineitem
+         |WHERE l_extendedprice >= 1000.0 AND l_quantity >= 45.0
+         |GROUP BY 1
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.operators.Profile
+        import graft.plans.{CatalogRules, ConjunctReorderRule}
+        import graft.plans.ConjunctReorderRule.ColumnHist
+        val li = Tables.lineitem(spark, dir)
+        def hist(c: String): ColumnHist = {
+          val b = Profile.columnBounds(li, c).collect()(0)
+          val counts = Array.fill(HistBuckets)(0L)
+          Profile.equiWidthHistogram(li, c, HistBuckets).collect()
+            .foreach(r => counts(r.getLong(0).toInt) = r.getLong(3))
+          ColumnHist(b.getDouble(0), b.getDouble(1), counts.toVector)
+        }
+        val est = ConjunctReorderRule.estimator(
+          Map("l_quantity" -> hist("l_quantity"),
+            "l_extendedprice" -> hist("l_extendedprice")))
+        val child = CatalogRules.sessionWith(spark, Seq(ConjunctReorderRule(est)))
+        Tables.lineitem(child, dir)
+          .filter(col("l_extendedprice") >= 1000.0 && col("l_quantity") >= 45.0)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+              .as("sum_price"))
+      }
     )
   )
 }
@@ -1647,9 +1771,12 @@ object StatsPhases {
 
   def statsTable(dir: String): String = s"graft_statcat_${Q.scratchTag(dir)}"
 
-  /** Keys q241's join-order costing needs beyond the q231 joins. */
+  /** Keys q241's join-order costing needs beyond the q231 joins, plus
+    * supplier for q244's broadcast decision (the rule needs the dim's
+    * row count in the catalog to call it small). */
   private val extraPairs =
-    Seq(("orders", "o_custkey"), ("customer", "c_custkey"))
+    Seq(("orders", "o_custkey"), ("customer", "c_custkey"),
+      ("supplier", "s_suppkey"))
 
   def buildStored(spark: SparkSession, dir: String): Unit = {
     val pairs = (RelationalQueries.JoinCardSpecs
@@ -1667,6 +1794,22 @@ object StatsPhases {
 
   def ensureStored(spark: SparkSession, dir: String): Unit = synchronized {
     if (!built.contains(statsTable(dir))) buildStored(spark, dir)
+  }
+
+  /** The catalog COLLECTED for a planner rule (q244/q245): one driver
+    * read of the stored table into the KB-scale map the optimizer
+    * consults per Join node — the q239 "cost every query from KBs"
+    * seam, now feeding Catalyst itself instead of a costing query.
+    */
+  def collected(spark: SparkSession, dir: String): graft.plans.CatalogRules.CatalogStats = {
+    ensureStored(spark, dir)
+    val rows = spark.table(statsTable(dir)).collect()
+    graft.plans.CatalogRules.CatalogStats(
+      rows.groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> graft.plans.CatalogRules.TableStat(
+          rs.head.getLong(2),
+          rs.map(r => r.getString(1) -> r.getLong(3)).toMap)
+      })
   }
 }
 

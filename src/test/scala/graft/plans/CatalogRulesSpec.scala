@@ -1,0 +1,237 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{And, Expression, IsNotNull}
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestSession, Tables}
+
+/** The three catalog-driven optimizer rules: decision enacted when the
+  * evidence says so, provable no-op when it doesn't, and always the
+  * same rows as the un-ruled plan. These pins are the load-bearing
+  * claims of q244/q245/q246 (whose oracles can only see semantics).
+  */
+class CatalogRulesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.sf0001
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** The unique join in the optimized plan whose BOTH sides are
+    * recognizable base scans — the chain's first (innermost) join. */
+  private def firstJoinTables(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join if CatalogRules.tableOf(j.left).isDefined &&
+        CatalogRules.tableOf(j.right).isDefined =>
+        Set(CatalogRules.tableOf(j.left).get, CatalogRules.tableOf(j.right).get)
+    }.head
+
+  private def conjuncts(df: DataFrame): Seq[Expression] = {
+    val f = df.queryExecution.optimizedPlan.collect {
+      case flt: org.apache.spark.sql.catalyst.plans.logical.Filter => flt
+    }.head
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    split(f.condition)
+  }
+
+  // ---------------------------------------------------------------- tableOf
+
+  test("tableOf names a base scan through prune/filter, refuses joins") {
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") >= 10).select("l_orderkey", "l_suppkey")
+    assert(CatalogRules.tableOf(li.queryExecution.optimizedPlan)
+      === Some("lineitem"))
+    val joined = Tables.lineitem(spark, sf).join(
+      Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+    assert(CatalogRules.tableOf(joined.queryExecution.optimizedPlan).isEmpty)
+  }
+
+  // ------------------------------------------------- CatalogBroadcastRule
+
+  test("q244: catalog rule broadcasts the dim with auto-broadcast off; rule-off plans SortMergeJoin; same rows") {
+    val on = SparkEntry.queries("q244_rule_broadcast_choice")(spark, sf)
+    assert(physical(on).contains("BroadcastHashJoin"), physical(on))
+
+    val off = CatalogRules.sessionWith(spark, Nil,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val offDf = Tables.lineitem(off, sf)
+      .join(Tables.supplier(off, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+    assert(physical(offDf).contains("SortMergeJoin"), physical(offDf))
+    assert(!physical(offDf).contains("BroadcastHashJoin"), physical(offDf))
+    assert(sortedRows(on) === sortedRows(offDf))
+  }
+
+  test("broadcast rule defers to an existing user hint") {
+    val rows = Map("lineitem" -> 6000L, "supplier" -> 10L)
+    val child = CatalogRules.sessionWith(spark,
+      Seq(CatalogBroadcastRule(rows)),
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val df = Tables.lineitem(child, sf)
+      .join(Tables.supplier(child, sf).hint("merge"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("cnt"))
+    assert(physical(df).contains("SortMergeJoin"), physical(df))
+    assert(!physical(df).contains("BroadcastHashJoin"), physical(df))
+  }
+
+  test("broadcast rule stays silent when no side is decisively small") {
+    val rows = Map("lineitem" -> 6000L, "orders" -> 1500L)
+    val child = CatalogRules.sessionWith(spark,
+      Seq(CatalogBroadcastRule(rows, maxBroadcastRows = 100L)),
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val df = Tables.lineitem(child, sf)
+      .join(Tables.orders(child, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+    assert(physical(df).contains("SortMergeJoin"), physical(df))
+    assert(!physical(df).contains("BroadcastHashJoin"), physical(df))
+  }
+
+  // ------------------------------------------------- CatalogJoinOrderRule
+
+  test("q245: rule re-associates so orders><customer materializes first; rule-off keeps written order; same rows") {
+    val on = SparkEntry.queries("q245_rule_join_order")(spark, sf)
+    assert(firstJoinTables(on) === Set("orders", "customer"))
+
+    val off = CatalogRules.sessionWith(spark, Nil,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val offDf = Tables.lineitem(off, sf)
+      .join(Tables.orders(off, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(off, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+          .as("sum_price"))
+    assert(firstJoinTables(offDf) === Set("lineitem", "orders"))
+    assert(sortedRows(on) === sortedRows(offDf))
+  }
+
+  test("join-order rule keeps an already-minimal order, and preserves raw column order on the rewritten one") {
+    val st = {
+      // sf0.001 catalog shape: the same stats q241 reads.
+      import CatalogRules.{CatalogStats, TableStat}
+      CatalogStats(Map(
+        "lineitem" -> TableStat(6000L, Map("l_orderkey" -> 1500L)),
+        "orders" -> TableStat(1500L,
+          Map("o_orderkey" -> 1500L, "o_custkey" -> 150L)),
+        "customer" -> TableStat(150L, Map("c_custkey" -> 150L))))
+    }
+    val child = CatalogRules.sessionWith(spark,
+      Seq(CatalogJoinOrderRule(st)),
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+    // Written optimal: orders><customer first — the rule must not touch it.
+    val optimal = Tables.orders(child, sf)
+      .join(Tables.customer(child, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(child, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+    assert(firstJoinTables(optimal) === Set("orders", "customer"))
+
+    // Written suboptimal, NO aggregate on top: the raw joined frame must
+    // keep the exact written column order (the restoring projection) and
+    // the exact row multiset.
+    val rewritten = Tables.lineitem(child, sf)
+      .join(Tables.orders(child, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(child, sf), col("o_custkey") === col("c_custkey"))
+    assert(firstJoinTables(rewritten) === Set("orders", "customer"))
+    val plainSess = CatalogRules.sessionWith(spark, Nil,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val plain = Tables.lineitem(plainSess, sf)
+      .join(Tables.orders(plainSess, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(plainSess, sf), col("o_custkey") === col("c_custkey"))
+    assert(rewritten.columns.toSeq === plain.columns.toSeq)
+    assert(sortedRows(rewritten) === sortedRows(plain))
+  }
+
+  test("join-order rule stays silent when a side isn't a cataloged base scan") {
+    import CatalogRules.{CatalogStats, TableStat}
+    val st = CatalogStats(Map(
+      "lineitem" -> TableStat(6000L, Map("l_orderkey" -> 1500L)),
+      "orders" -> TableStat(1500L,
+        Map("o_orderkey" -> 1500L, "o_custkey" -> 150L))))
+    val child = CatalogRules.sessionWith(spark,
+      Seq(CatalogJoinOrderRule(st)),
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    // customer is missing from the catalog: no stats, no rewrite.
+    val df = Tables.lineitem(child, sf)
+      .join(Tables.orders(child, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(child, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+    assert(firstJoinTables(df) === Set("lineitem", "orders"))
+  }
+
+  // -------------------------------------------------- ConjunctReorderRule
+
+  test("q246: selective comparison evaluates before the unselective one, null guards first; rule-off keeps written order; same rows") {
+    val on = SparkEntry.queries("q246_rule_conjunct_order")(spark, sf)
+    val cs = conjuncts(on)
+    val qtyIdx = cs.indexWhere(e =>
+      !e.isInstanceOf[IsNotNull] && e.references.map(_.name).toSet == Set("l_quantity"))
+    val priceIdx = cs.indexWhere(e =>
+      !e.isInstanceOf[IsNotNull] && e.references.map(_.name).toSet == Set("l_extendedprice"))
+    assert(qtyIdx >= 0 && priceIdx >= 0, cs.mkString("; "))
+    assert(qtyIdx < priceIdx, cs.mkString("; "))
+    cs.takeWhile(_.isInstanceOf[IsNotNull]) // null guards, if present, lead
+      .foreach(e => assert(e.isInstanceOf[IsNotNull]))
+
+    val off = CatalogRules.sessionWith(spark, Nil)
+    val offDf = Tables.lineitem(off, sf)
+      .filter(col("l_extendedprice") >= 1000.0 && col("l_quantity") >= 45.0)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+          .as("sum_price"))
+    val csOff = conjuncts(offDf)
+    val qtyOff = csOff.indexWhere(e =>
+      !e.isInstanceOf[IsNotNull] && e.references.map(_.name).toSet == Set("l_quantity"))
+    val priceOff = csOff.indexWhere(e =>
+      !e.isInstanceOf[IsNotNull] && e.references.map(_.name).toSet == Set("l_extendedprice"))
+    assert(priceOff < qtyOff, csOff.mkString("; "))
+    assert(sortedRows(on) === sortedRows(offDf))
+  }
+
+  test("conjunct rule leaves a chain with an uncostable predicate alone") {
+    import ConjunctReorderRule.ColumnHist
+    val est = ConjunctReorderRule.estimator(Map(
+      "l_quantity" -> ColumnHist(1.0, 50.0, Vector.fill(16)(100L)),
+      "l_extendedprice" -> ColumnHist(900.0, 105000.0, Vector.fill(16)(100L))))
+    val child = CatalogRules.sessionWith(spark, Seq(ConjunctReorderRule(est)))
+    val df = Tables.lineitem(child, sf)
+      .filter(col("l_extendedprice") >= 1000.0 &&
+        col("l_returnflag") === "A" && col("l_quantity") >= 45.0)
+      .groupBy("l_linestatus").agg(count(lit(1)).as("cnt"))
+    val cs = conjuncts(df)
+    val qtyIdx = cs.indexWhere(e =>
+      !e.isInstanceOf[IsNotNull] && e.references.map(_.name).toSet == Set("l_quantity"))
+    val priceIdx = cs.indexWhere(e =>
+      !e.isInstanceOf[IsNotNull] && e.references.map(_.name).toSet == Set("l_extendedprice"))
+    // written order (price before quantity) survives: the opaque
+    // equality makes the whole chain un-sortable by contract.
+    assert(priceIdx < qtyIdx, cs.mkString("; "))
+  }
+
+  test("geFraction: interpolation is monotone and hits the edges") {
+    import ConjunctReorderRule.ColumnHist
+    val h = ColumnHist(0.0, 160.0, Vector.tabulate(16)(i => (i + 1).toLong))
+    assert(h.geFraction(0.0) === 1.0)
+    assert(h.geFraction(161.0) === 0.0)
+    val samples = (0 to 32).map(i => h.geFraction(i * 5.0))
+    samples.sliding(2).foreach { case Seq(a, b) => assert(a >= b) }
+    // exact at a bucket boundary: buckets 8..15 hold 9+..+16 of 136
+    assert(math.abs(h.geFraction(80.0) - (9 to 16).sum / 136.0) < 1e-12)
+  }
+}
