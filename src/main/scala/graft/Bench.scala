@@ -404,7 +404,48 @@ object Bench {
             s.emptyDataFrame
           }),
           "q166_zorder_compaction" -> ((s: SparkSession, d: String) =>
-            SparkEntry.queries("q166_zorder_compaction")(s, d))))
+            SparkEntry.queries("q166_zorder_compaction")(s, d))),
+        // Catalog-rule pairs: the registry lines run WITH the optimizer
+        // rule (catalog-driven broadcast hint / re-associated join
+        // order); the ruleoff twins run the IDENTICAL query text in a
+        // plain child session at the same autoBroadcastJoinThreshold=-1,
+        // so each pair's difference is exactly the plan decision the
+        // rule made (same engine, same data, same text). New in r17:
+        // both twins run every round until the margin settles, then
+        // move to the settled-comparator cadence like the scaled16
+        // rebuilds.
+        "q244_rule_broadcast_choice" -> Seq(
+          "q244_ruleoff_smj" -> ((s: SparkSession, d: String) => {
+            import org.apache.spark.sql.functions._
+            val off = graft.plans.CatalogRules.sessionWith(s, Nil,
+              "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+            Tables.lineitem(off, d)
+              .join(Tables.supplier(off, d),
+                col("l_suppkey") === col("s_suppkey"))
+              .groupBy("s_name")
+              .agg(count(lit(1)).as("cnt"),
+                sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+                  .as("sum_qty"))
+          }),
+          "q244_rule_broadcast_choice" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q244_rule_broadcast_choice")(s, d))),
+        "q245_rule_join_order" -> Seq(
+          "q245_ruleoff_written" -> ((s: SparkSession, d: String) => {
+            import org.apache.spark.sql.functions._
+            val off = graft.plans.CatalogRules.sessionWith(s, Nil,
+              "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+            Tables.lineitem(off, d)
+              .join(Tables.orders(off, d),
+                col("l_orderkey") === col("o_orderkey"))
+              .join(Tables.customer(off, d),
+                col("o_custkey") === col("c_custkey"))
+              .groupBy("c_mktsegment")
+              .agg(count(lit(1)).as("cnt"),
+                sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                  .as("sum_price"))
+          }),
+          "q245_rule_join_order" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q245_rule_join_order")(s, d))))
     // Isolation mode: SPARK_GRAFT_ONLY=q90_sequence_pack,q91_... times
     // just the named registry queries in an otherwise-identical fresh
     // session (same warmup, same min-of-2) — the tool for deciding
