@@ -445,7 +445,19 @@ object Bench {
                   .as("sum_price"))
           }),
           "q245_rule_join_order" -> ((s: SparkSession, d: String) =>
-            SparkEntry.queries("q245_rule_join_order")(s, d))))
+            SparkEntry.queries("q245_rule_join_order")(s, d))),
+        // The stored histogram catalog the conjunct-reorder rule costs
+        // from: one bounded ANALYZE scan per column, paid at ingest
+        // like every stored artifact; the q246 line is then what a
+        // repeat planning decision costs (read 32 stored rows, plan,
+        // run the filter).
+        "q246_rule_conjunct_order" -> Seq(
+          "histcat_build" -> ((s: SparkSession, d: String) => {
+            graft.queries.HistPhases.buildStored(s, d)
+            s.emptyDataFrame
+          }),
+          "q246_rule_conjunct_order" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q246_rule_conjunct_order")(s, d))))
     // Isolation mode: SPARK_GRAFT_ONLY=q90_sequence_pack,q91_... times
     // just the named registry queries in an otherwise-identical fresh
     // session (same warmup, same min-of-2) — the tool for deciding
@@ -519,6 +531,7 @@ object Bench {
     val singleTimed: Set[String] = Set(
       "dupgraph_build", "dupgraph_derive", "dupgraph_serving",
       "dupgraph_touched", "cdcfp_build", "bpeenc_build", "semkept_build",
+      "histcat_build",
       "q64_bucketed_build",
       "q79_ivf_build", "q85_kmeans_train", "q156_ivf_base_build",
       "q228_ivf_compact", "q226_sig_mine_full", "q226_uncapped_mine_full",

@@ -21,7 +21,7 @@ object RelationalQueries {
   /** q232/q233 histogram geometry and probe cutoffs — shared between the
     * Spark plan and the oracle rendering (declared before `all`: these
     * interpolate into oracle strings). */
-  private val HistBuckets = 16
+  private[queries] val HistBuckets = 16
   private val SelCutoffs = Seq(10.0, 25.0, 40.0)
 
   /** The q232 histogram's bucket assignment + boundary formulas as SQL,
@@ -1732,20 +1732,9 @@ object RelationalQueries {
          |GROUP BY 1
          |""".stripMargin.trim),
       (spark, dir) => {
-        import graft.operators.Profile
         import graft.plans.{CatalogRules, ConjunctReorderRule}
-        import graft.plans.ConjunctReorderRule.ColumnHist
-        val li = Tables.lineitem(spark, dir)
-        def hist(c: String): ColumnHist = {
-          val b = Profile.columnBounds(li, c).collect()(0)
-          val counts = Array.fill(HistBuckets)(0L)
-          Profile.equiWidthHistogram(li, c, HistBuckets).collect()
-            .foreach(r => counts(r.getLong(0).toInt) = r.getLong(3))
-          ColumnHist(b.getDouble(0), b.getDouble(1), counts.toVector)
-        }
         val est = ConjunctReorderRule.estimator(
-          Map("l_quantity" -> hist("l_quantity"),
-            "l_extendedprice" -> hist("l_extendedprice")))
+          HistPhases.collectedHists(spark, dir))
         val child = CatalogRules.sessionWith(spark, Seq(ConjunctReorderRule(est)))
         Tables.lineitem(child, dir)
           .filter(col("l_extendedprice") >= 1000.0 && col("l_quantity") >= 45.0)
@@ -1810,6 +1799,61 @@ object StatsPhases {
           rs.head.getLong(2),
           rs.map(r => r.getString(1) -> r.getLong(3)).toMap)
       })
+  }
+}
+
+/** The stored HISTOGRAM catalog behind q246's conjunct-reorder rule —
+  * the distribution stats' serving seam, same discipline as
+  * [[StatsPhases]]: the q232 equi-width histograms the rule costs from
+  * are COLLECTED once per input dir (one bounded scan per column at
+  * ANALYZE time) and persisted as a (colname, bucket, lo, hi, n_rows,
+  * mn, mx) table; every planning consumer reads the stored rows (KBs)
+  * instead of re-scanning data. Bench pays the build on its own
+  * `histcat_build` line so the per-query number is what a repeat
+  * planning decision actually costs.
+  */
+object HistPhases {
+  import org.apache.spark.sql.SparkSession
+
+  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Columns the conjunct-reorder rule can cost (q246's predicates). */
+  private val HistColumns = Seq("l_quantity", "l_extendedprice")
+
+  def histTable(dir: String): String = s"graft_histcat_${Q.scratchTag(dir)}"
+
+  def buildStored(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.Profile
+    val li = Tables.lineitem(spark, dir)
+    val cat = HistColumns.map { c =>
+      Profile.equiWidthHistogram(li, c, RelationalQueries.HistBuckets)
+        .crossJoin(broadcast(Profile.columnBounds(li, c)))
+        .select(lit(c).as("colname"), col("bucket"), col("lo"), col("hi"),
+          col("n_rows"), col("__mn").as("mn"), col("__mx").as("mx"))
+    }.reduce(_ unionByName _)
+    graft.operators.Bucketing.dropWithLocation(spark, histTable(dir))
+    cat.write.format("parquet").saveAsTable(histTable(dir))
+    built.add(histTable(dir))
+  }
+
+  def ensureStored(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!built.contains(histTable(dir))) buildStored(spark, dir)
+  }
+
+  /** The stored histograms collected into the rule's estimator form:
+    * per column, [mn, mx] plus dense per-bucket counts (absent cells
+    * are zero rows — the groupBy never emits them). */
+  def collectedHists(
+      spark: SparkSession,
+      dir: String): Map[String, graft.plans.ConjunctReorderRule.ColumnHist] = {
+    ensureStored(spark, dir)
+    val rows = spark.table(histTable(dir)).collect()
+    rows.groupBy(_.getString(0)).map { case (c, rs) =>
+      val counts = Array.fill(RelationalQueries.HistBuckets)(0L)
+      rs.foreach(r => counts(r.getLong(1).toInt) = r.getLong(4))
+      c -> graft.plans.ConjunctReorderRule.ColumnHist(
+        rs.head.getDouble(5), rs.head.getDouble(6), counts.toVector)
+    }
   }
 }
 
