@@ -147,91 +147,158 @@ final case class CatalogBroadcastRule(
   }
 }
 
-/** Join-order choice from the stored catalog — q241's decision, ENACTED:
-  * a left-deep chain of two inner equi-joins over three cataloged base
-  * tables is re-associated so the FIRST join is the one with the
-  * smaller System-R predicted output. The intermediate a multi-join
-  * materializes (and shuffles) is the dominant cost at scale; q241
-  * measured the fixture's two orders at 60k vs 15k rows — this rule
-  * makes Catalyst build the 15k plan from the 60k query text.
+/** Join-order choice from the stored catalog — q241's decision, ENACTED
+  * and generalized: a left-deep chain of inner equi-joins over up to
+  * [[CatalogJoinOrderRule.MaxChain]] cataloged base tables is rebuilt
+  * in the GREEDY System-R order — start from the join pair with the
+  * smallest predicted output, then repeatedly attach the connectable
+  * base whose predicted result is smallest, carrying the running
+  * cardinality with the standard ndv-preservation assumption
+  * (ndv of a key inside an intermediate = min(base ndv, intermediate
+  * size) — q241's documented second-join formula). The intermediates a
+  * multi-join materializes (and shuffles) are the dominant cost at
+  * scale; q241 measured the fixture 3-chain's orders at 60k vs 15k
+  * rows — this rule makes Catalyst build the 15k plan from the 60k
+  * query text, and on the 4-chain (q247) starts from the
+  * dimension-dimension pair the written text joins LAST.
   *
-  * Scope is deliberately the q241 shape (3 tables, 2 single-column
-  * equi-conditions, no user hints): the narrow pattern keeps the
-  * rewrite provably output-preserving — the re-associated tree reuses
-  * the SAME resolved condition expressions over the SAME relation
-  * nodes, a pruning projection restores what column pruning had
-  * removed between the joins, and a final projection restores the
-  * original output order (inner-join association changes child output
-  * concatenation order; parents reference attributes, but positional
-  * consumers like Union must see the exact original sequence).
-  * Idempotent: after the rewrite the first join IS the predicted
-  * minimum, so the strict `<` trigger is off.
+  * Scope guards keep the rewrite provably output-preserving: every
+  * join must be Inner + single-EqualTo + hint-free, every base a
+  * recognizable cataloged scan, every condition a connected edge
+  * (greedy never forms a cross join — if no unused condition touches
+  * the tree, the rule bails). The rebuilt tree reuses the SAME
+  * resolved condition expressions over the SAME relation nodes;
+  * pruning projections between steps restore what column pruning had
+  * done on the old shape, and a final projection restores the original
+  * output order (association changes child output concatenation;
+  * parents reference attributes, but positional consumers like Union
+  * must see the exact original sequence). Deterministic (stable minBy,
+  * BigInt arithmetic) and idempotent: greedy over its own output picks
+  * the same order and returns the node untouched.
   */
 final case class CatalogJoinOrderRule(stats: CatalogRules.CatalogStats)
     extends Rule[LogicalPlan] {
+  import CatalogJoinOrderRule.MaxChain
 
-  /** Strip the attribute-only pruning Project that ColumnPruning leaves
-    * between nested joins, so the chain pattern is visible. */
+  /** Strip the attribute-only pruning Project that ColumnPruning (or a
+    * previous run of this rule) leaves between nested joins, so the
+    * chain pattern is visible. */
   private def underPrune(p: LogicalPlan): LogicalPlan = p match {
     case Project(pl, j: Join) if pl.forall(_.isInstanceOf[AttributeReference]) => j
     case other => other
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case top @ Join(l0, r0, Inner, Some(c2: EqualTo), JoinHint(None, None)) =>
-      underPrune(l0) match {
-        case Join(a, b, Inner, Some(c1: EqualTo), JoinHint(None, None)) =>
-          rewrite(top, a, b, r0, c1, c2).getOrElse(top)
-        case _ => top
+  /** Flatten a left-deep inner-equi chain: bases left-to-right, conds
+    * innermost-first (cond k joined base k+1 onto the tree). A subtree
+    * that breaks the shape is kept whole as an (uncostable) base, which
+    * makes the greedy pass bail cleanly. */
+  private def chain(j: Join): (Seq[LogicalPlan], Seq[EqualTo]) = j match {
+    case Join(l, r, Inner, Some(c: EqualTo), JoinHint(None, None)) =>
+      underPrune(l) match {
+        case lj: Join =>
+          val (bs, cs) = chain(lj)
+          if (cs.isEmpty) (Seq(l, r), Seq(c)) // inner join not chain-shaped
+          else (bs :+ r, cs :+ c)
+        case base => (Seq(base, r), Seq(c))
       }
+    case _ => (Seq(j), Seq.empty)
   }
 
-  /** Predicted output of equi-joining two base-table sides, from the
-    * catalog alone. None when anything isn't costable. */
-  private def predict(
-      x: LogicalPlan, y: LogicalPlan, cond: EqualTo): Option[BigInt] =
-    (cond.left, cond.right) match {
-      case (la: AttributeReference, ra: AttributeReference) =>
-        val (xa, ya) =
-          if (x.outputSet.contains(la) && y.outputSet.contains(ra)) (la, ra)
-          else if (x.outputSet.contains(ra) && y.outputSet.contains(la)) (ra, la)
-          else return None
-        for {
-          tx <- CatalogRules.tableOf(x); ty <- CatalogRules.tableOf(y)
-          nx <- stats.rows(tx); ny <- stats.rows(ty)
-          dx <- stats.ndv(tx, xa.name); dy <- stats.ndv(ty, ya.name)
-        } yield CatalogRules.joinEstimate(nx, dx, ny, dy)
-      case _ => None
+  // transformDown: the outermost join sees (and reorders) the whole
+  // chain in one decision; already-greedy sub-chains below then no-op.
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case top @ Join(_, _, Inner, Some(_: EqualTo), JoinHint(None, None)) =>
+      val (bases, conds) = chain(top)
+      if (conds.size < 2 || bases.size > MaxChain) top
+      else greedyOrder(top, bases, conds).getOrElse(top)
+  }
+
+  private def greedyOrder(
+      top: Join, bases: Seq[LogicalPlan], conds: Seq[EqualTo]): Option[LogicalPlan] = {
+    val n = bases.size
+    // Catalog lookups per base; any miss disqualifies the whole chain.
+    val tables = bases.map(CatalogRules.tableOf)
+    if (tables.exists(_.isEmpty)) return None
+    val rows = tables.map(_.flatMap(stats.rows))
+    if (rows.exists(_.isEmpty)) return None
+    def ndv(base: Int, c: String): Option[Long] =
+      tables(base).flatMap(t => stats.ndv(t, c))
+
+    // Each condition as an edge (baseA, colA, baseB, colB).
+    final case class Edge(ci: Int, ia: Int, ca: String, ib: Int, cb: String)
+    val edges = conds.zipWithIndex.map { case (c, ci) =>
+      (c.left, c.right) match {
+        case (la: AttributeReference, ra: AttributeReference) =>
+          val ia = bases.indexWhere(_.outputSet.contains(la))
+          val ib = bases.indexWhere(_.outputSet.contains(ra))
+          if (ia < 0 || ib < 0 || ia == ib) return None
+          if (ndv(ia, la.name).isEmpty || ndv(ib, ra.name).isEmpty) return None
+          Edge(ci, ia, la.name, ib, ra.name)
+        case _ => return None
+      }
     }
 
-  private def rewrite(
-      top: Join, a: LogicalPlan, b: LogicalPlan, c: LogicalPlan,
-      c1: EqualTo, c2: EqualTo): Option[LogicalPlan] = {
-    // c2 must pair the third base with exactly one of the first two —
-    // the chain shape. (It cannot reference only a/b: analysis placed
-    // it on the outer join because it needs c.)
-    val mid =
-      if (c2.references.subsetOf(a.outputSet ++ c.outputSet)) a
-      else if (c2.references.subsetOf(b.outputSet ++ c.outputSet)) b
-      else return None
-    val other = if (mid eq a) b else a
-    for {
-      predCurrent <- predict(a, b, c1)
-      predAlt <- predict(mid, c, c2)
-      if predAlt < predCurrent
-    } yield {
-      val first = Join(mid, c, Inner, Some(c2), JoinHint.NONE)
-      // Re-prune: keep of the new intermediate only what the second
-      // join's condition and the original output still need (column
-      // pruning already ran; this restores its effect on the new shape).
-      val needed = top.outputSet ++ c1.references
-      val firstPruned =
-        if (first.output.forall(needed.contains)) first
-        else Project(first.output.filter(needed.contains), first)
-      val rebuilt = Join(firstPruned, other, Inner, Some(c1), JoinHint.NONE)
-      Project(top.output, rebuilt)
+    // Seed: the edge with the smallest predicted pair join (stable min).
+    def pairEst(e: Edge): BigInt = CatalogRules.joinEstimate(
+      rows(e.ia).get, ndv(e.ia, e.ca).get, rows(e.ib).get, ndv(e.ib, e.cb).get)
+    val seed = edges.minBy(pairEst)
+    var treeCard = pairEst(seed)
+    val inTree = scala.collection.mutable.Set(seed.ia, seed.ib)
+    val used = scala.collection.mutable.Set(seed.ci)
+    // (condIdx, newBaseIdx) in greedy attach order.
+    val attach = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    while (used.size < edges.size) {
+      val cands = edges.filter(e =>
+        !used(e.ci) && (inTree(e.ia) ^ inTree(e.ib)))
+      if (cands.isEmpty) return None // disconnected: would be a cross join
+      def attachEst(e: Edge): BigInt = {
+        val (ti, tc, ni, nc) =
+          if (inTree(e.ia)) (e.ia, e.ca, e.ib, e.cb) else (e.ib, e.cb, e.ia, e.ca)
+        val ndvTree = BigInt(ndv(ti, tc).get) min treeCard
+        val ndvNew = BigInt(ndv(ni, nc).get)
+        treeCard * BigInt(rows(ni).get) / (ndvTree max ndvNew max BigInt(1))
+      }
+      val best = cands.minBy(attachEst)
+      treeCard = attachEst(best)
+      val newBase = if (inTree(best.ia)) best.ib else best.ia
+      inTree += newBase; used += best.ci
+      attach += ((best.ci, newBase))
     }
+
+    // Written order = seed (0,1) on cond 0, then conds 1..n-2 attaching
+    // bases 2..n-1. If greedy reproduces it, leave the node untouched.
+    val writtenSeed = seed.ci == 0 && Set(seed.ia, seed.ib) == Set(0, 1)
+    val writtenAttach = attach.zipWithIndex.forall {
+      case ((ci, nb), k) => ci == k + 1 && nb == k + 2 }
+    if (writtenSeed && writtenAttach) return None
+
+    // Rebuild left-deep in greedy order; seed sides keep original
+    // relative base order for determinism.
+    val (sl, sr) =
+      if (seed.ia < seed.ib) (seed.ia, seed.ib) else (seed.ib, seed.ia)
+    var tree: LogicalPlan =
+      Join(bases(sl), bases(sr), Inner, Some(conds(seed.ci)), JoinHint.NONE)
+    attach.zipWithIndex.foreach { case ((ci, nb), k) =>
+      // Prune the running tree to what the remaining conditions and the
+      // original output still need (restores ColumnPruning's effect on
+      // the new shape — optimization already ran, nothing re-prunes).
+      val remaining = attach.drop(k).map { case (c, _) => conds(c) }
+      val needed = top.outputSet ++
+        remaining.foldLeft(conds(ci).references)(_ ++ _.references)
+      val treeP =
+        if (tree.output.forall(needed.contains)) tree
+        else Project(tree.output.filter(needed.contains), tree)
+      tree = Join(treeP, bases(nb), Inner, Some(conds(ci)), JoinHint.NONE)
+    }
+    Some(Project(top.output, tree))
   }
+}
+
+object CatalogJoinOrderRule {
+  /** Greedy is O(chain²) in plan nodes — cheap — but a very long chain
+    * is a shape this narrow left-deep rewriter hasn't been argued
+    * against; bail past this. */
+  val MaxChain = 8
 }
 
 /** AND-chain evaluation order from stored histograms: conjuncts of a

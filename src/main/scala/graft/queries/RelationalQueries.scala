@@ -1743,6 +1743,51 @@ object RelationalQueries {
             sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
               .as("sum_price"))
       }
+    ),
+    Q(
+      "q247_rule_join_order4",
+      "Greedy System-R ordering over a DEEPER chain — the " +
+        "CatalogJoinOrderRule generalized past q241's 3-table shape: " +
+        "the text joins lineitem><orders FIRST and nation LAST (the " +
+        "worst left-deep order, 60k-then-60k-then-60k intermediates at " +
+        "sf0.01); the rule seeds from the smallest predicted pair " +
+        "(customer><nation, 1.5k — the join the text runs LAST) and " +
+        "greedily attaches orders then lineitem, carrying the running " +
+        "cardinality under the ndv-preservation assumption. Every " +
+        "decision is integer arithmetic over stored catalog rows " +
+        "already collected for q239/q241 — zero data scans to plan. " +
+        "Shuffle-join regime (threshold=-1): at 100 TB the " +
+        "intermediate-size ordering is the difference between " +
+        "exchanging dimension-sized and fact-sized state twice. " +
+        "CatalogRulesSpec pins the rebuilt attach order " +
+        "(customer><nation, +orders, +lineitem) and rule-off equality.",
+      Some("""
+         |SELECT n_name, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.plans.{CatalogJoinOrderRule, CatalogRules}
+        val st = StatsPhases.collected(spark, dir)
+        val child = CatalogRules.sessionWith(spark,
+          Seq(CatalogJoinOrderRule(st)),
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        Tables.lineitem(child, dir)
+          .join(Tables.orders(child, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(child, dir),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.nation(child, dir),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+              .as("sum_price"))
+      }
     )
   )
 }

@@ -174,6 +174,29 @@ class CatalogRulesSpec extends AnyFunSuite {
     assert(firstJoinTables(df) === Set("lineitem", "orders"))
   }
 
+  test("q247: greedy 4-chain seeds from customer><nation, attaches orders then lineitem; rule-off keeps written order; same rows") {
+    val on = SparkEntry.queries("q247_rule_join_order4")(spark, sf)
+    val joins = on.queryExecution.optimizedPlan.collect { case j: Join => j }
+    // pre-order: top join attaches lineitem, middle attaches orders,
+    // innermost is the dimension-dimension seed.
+    assert(CatalogRules.tableOf(joins(0).right) === Some("lineitem"))
+    assert(CatalogRules.tableOf(joins(1).right) === Some("orders"))
+    assert(firstJoinTables(on) === Set("customer", "nation"))
+
+    val off = CatalogRules.sessionWith(spark, Nil,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val offDf = Tables.lineitem(off, sf)
+      .join(Tables.orders(off, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(off, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(off, sf), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+          .as("sum_price"))
+    assert(firstJoinTables(offDf) === Set("lineitem", "orders"))
+    assert(sortedRows(on) === sortedRows(offDf))
+  }
+
   // -------------------------------------------------- ConjunctReorderRule
 
   test("q246: selective comparison evaluates before the unselective one, null guards first; rule-off keeps written order; same rows") {
