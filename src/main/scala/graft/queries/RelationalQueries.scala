@@ -1788,6 +1788,98 @@ object RelationalQueries {
             sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
               .as("sum_price"))
       }
+    ),
+    Q(
+      "q248_rule_decision_approx",
+      "The join-order decision from APPROXIMATE stats — the 100 TB " +
+        "reality, where nobody computes exact ndv; the catalog is " +
+        "maintained as HLL register tables (q234's fold). The q241 " +
+        "choice needs only the ORDER of the predicted sizes, and with " +
+        "raw-HLL ndv (alpha*m^2/s) the comparison n*n/ndv_max reduces " +
+        "to comparing n_left*n_right*s_min — alpha*m^2 cancels — so " +
+        "the decision is INTEGER arithmetic over the scaled register " +
+        "sums (s_min because ndv is inversely proportional to s; " +
+        "DECIMAL(38,0) so no width overflows it), exactly " +
+        "reproducible by the oracle's md5 device. Counts are exact " +
+        "(additively foldable, q234's other half). On the fixture the " +
+        "approx decision MATCHES the exact one (orders_customer_first " +
+        "chosen — compare q241); CatalogRulesSpec additionally pins " +
+        "that CatalogJoinOrderRule fed approx-ndv stats builds the " +
+        "same tree as the exact catalog.",
+      Some {
+        def hllS(table: String, key: String): String =
+          s"""(SELECT CAST((64 - count(*)) * (CAST(1 AS BIGINT) << 27)
+             |       + sum(CAST(1 AS BIGINT) << (27 - register)) AS BIGINT)
+             |FROM (SELECT bucket,
+             |             max(CASE WHEN w = 0 THEN 27
+             |                      ELSE 27 - length(bin(w)) END) AS register
+             |      FROM (SELECT CAST('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8) AS BIGINT) & 63 AS bucket,
+             |                   CAST('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8) AS BIGINT) >> 6 AS w
+             |            FROM $table WHERE $key IS NOT NULL)
+             |      GROUP BY 1))""".stripMargin
+        s"""WITH st AS (
+           |  SELECT (SELECT COUNT(*) FROM lineitem) AS n_l,
+           |         (SELECT COUNT(*) FROM orders) AS n_o,
+           |         (SELECT COUNT(*) FROM customer) AS n_c,
+           |         ${hllS("lineitem", "l_orderkey")} AS s_l_ok,
+           |         ${hllS("orders", "o_orderkey")} AS s_o_ok,
+           |         ${hllS("orders", "o_custkey")} AS s_o_ck,
+           |         ${hllS("customer", "c_custkey")} AS s_c_ck
+           |), sc AS (
+           |  SELECT *,
+           |         CAST(n_l AS HUGEINT) * n_o * LEAST(s_l_ok, s_o_ok) AS score_lo,
+           |         CAST(n_o AS HUGEINT) * n_c * LEAST(s_o_ck, s_c_ck) AS score_oc
+           |  FROM st
+           |)
+           |SELECT 'lineitem_orders_first' AS plan_name,
+           |       CAST(n_l AS BIGINT) AS n_left, CAST(n_o AS BIGINT) AS n_right,
+           |       CAST(LEAST(s_l_ok, s_o_ok) AS BIGINT) AS s_min,
+           |       CAST(score_lo AS DECIMAL(38,0)) AS score,
+           |       score_lo <= score_oc AS chosen
+           |FROM sc
+           |UNION ALL
+           |SELECT 'orders_customer_first',
+           |       CAST(n_o AS BIGINT), CAST(n_c AS BIGINT),
+           |       CAST(LEAST(s_o_ck, s_c_ck) AS BIGINT),
+           |       CAST(score_oc AS DECIMAL(38,0)),
+           |       score_oc <= score_lo
+           |FROM sc""".stripMargin
+      },
+      (spark, dir) => {
+        import graft.operators.{HyperLogLog, Profile}
+        def stat(t: String, k: String, suf: String) = {
+          val tb = Tables(spark, dir, t)
+          tb.agg(count(lit(1)).as(s"n_$suf"))
+            .crossJoin(broadcast(
+              HyperLogLog.estimateRaw(
+                  Profile.profileSketch(tb, Seq(k), p = 6), Seq("column"), p = 6)
+                .select(col("s_scaled").as(s"s_$suf"))))
+        }
+        val one = stat("lineitem", "l_orderkey", "l_ok")
+          .crossJoin(broadcast(stat("orders", "o_orderkey", "o_ok")))
+          .crossJoin(broadcast(stat("orders", "o_custkey", "o_ck")))
+          .crossJoin(broadcast(stat("customer", "c_custkey", "c_ck")))
+          .withColumn("score_lo",
+            (col("n_l_ok").cast("decimal(38,0)") * col("n_o_ok") *
+              least(col("s_l_ok"), col("s_o_ok"))).cast("decimal(38,0)"))
+          .withColumn("score_oc",
+            (col("n_o_ok").cast("decimal(38,0)") * col("n_c_ck") *
+              least(col("s_o_ck"), col("s_c_ck"))).cast("decimal(38,0)"))
+        one.select(explode(array(
+            struct(
+              lit("lineitem_orders_first").as("plan_name"),
+              col("n_l_ok").as("n_left"), col("n_o_ok").as("n_right"),
+              least(col("s_l_ok"), col("s_o_ok")).as("s_min"),
+              col("score_lo").as("score"),
+              (col("score_lo") <= col("score_oc")).as("chosen")),
+            struct(
+              lit("orders_customer_first").as("plan_name"),
+              col("n_o_ok").as("n_left"), col("n_c_ck").as("n_right"),
+              least(col("s_o_ck"), col("s_c_ck")).as("s_min"),
+              col("score_oc").as("score"),
+              (col("score_oc") <= col("score_lo")).as("chosen"))
+          )).as("p")).select("p.*")
+      }
     )
   )
 }

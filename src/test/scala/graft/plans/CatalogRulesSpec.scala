@@ -197,6 +197,35 @@ class CatalogRulesSpec extends AnyFunSuite {
     assert(sortedRows(on) === sortedRows(offDf))
   }
 
+  test("q248 companion: approx-HLL stats drive the join-order rule to the same tree as the exact catalog") {
+    import graft.operators.{HyperLogLog, Profile}
+    def approxNdv(t: String, k: String): Long = math.round(
+      HyperLogLog.estimateRaw(
+          Profile.profileSketch(Tables(spark, sf, t), Seq(k), p = 6),
+          Seq("column"), p = 6)
+        .collect()(0).getAs[Double]("hll_raw"))
+    def rows(t: String): Long = Tables(spark, sf, t).count()
+    import CatalogRules.{CatalogStats, TableStat}
+    val st = CatalogStats(Map(
+      "lineitem" -> TableStat(rows("lineitem"),
+        Map("l_orderkey" -> approxNdv("lineitem", "l_orderkey"))),
+      "orders" -> TableStat(rows("orders"),
+        Map("o_orderkey" -> approxNdv("orders", "o_orderkey"),
+          "o_custkey" -> approxNdv("orders", "o_custkey"))),
+      "customer" -> TableStat(rows("customer"),
+        Map("c_custkey" -> approxNdv("customer", "c_custkey")))))
+    val child = CatalogRules.sessionWith(spark,
+      Seq(CatalogJoinOrderRule(st)),
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val df = Tables.lineitem(child, sf)
+      .join(Tables.orders(child, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(child, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+    // ~13% rsd at p=6 cannot flip a 4x predicted-size gap: the
+    // approximate catalog reproduces the exact catalog's choice.
+    assert(firstJoinTables(df) === Set("orders", "customer"))
+  }
+
   // -------------------------------------------------- ConjunctReorderRule
 
   test("q246: selective comparison evaluates before the unselective one, null guards first; rule-off keeps written order; same rows") {
