@@ -53,5 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(SortedSetContains.name,
         "sorted_set_contains(x, keys) - binary-search membership of x in a foldable string array"),
       SortedSetContains.builder))
+    // Catalog-driven broadcast choice, config-only: a strict no-op until
+    // the session sets spark.graft.broadcast.rows (see
+    // ConfCatalogBroadcastRule — the deployment form of the rule the
+    // q244 face installs programmatically).
+    e.injectOptimizerRule(_ => graft.plans.ConfCatalogBroadcastRule)
   }
 }

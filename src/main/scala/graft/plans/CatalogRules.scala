@@ -147,6 +147,51 @@ final case class CatalogBroadcastRule(
   }
 }
 
+/** The config-only deployment form of [[CatalogBroadcastRule]]:
+  * injected once through `GraftExtensions.injectOptimizerRule`, so a
+  * deployment that enables the engine purely by config
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`) turns on
+  * catalog-driven broadcasts by setting ONE runtime conf —
+  *
+  * {{{
+  * spark.graft.broadcast.rows = "lineitem:6000000000,supplier:10000000"
+  * spark.graft.broadcast.maxRows = "100000000"   // optional
+  * spark.graft.broadcast.minRatio = "4"          // optional
+  * }}}
+  *
+  * — the serving shape for a real cluster, where the ANALYZE job that
+  * maintains the stored catalog publishes these values and queries pick
+  * them up without any code. Confs are read per optimizer invocation
+  * from the ACTIVE session (`Rule.conf`), so different sessions on one
+  * context can carry different catalogs. With the conf absent or empty
+  * the rule is a strict no-op — every existing session pays nothing.
+  * A malformed numeric conf fails the query loudly (a wrong catalog is
+  * a caller bug, not something to guess around).
+  */
+object ConfCatalogBroadcastRule extends Rule[LogicalPlan] {
+  val RowsConf = "spark.graft.broadcast.rows"
+  val MaxRowsConf = "spark.graft.broadcast.maxRows"
+  val RatioConf = "spark.graft.broadcast.minRatio"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val spec = conf.getConfString(RowsConf, "")
+    if (spec.trim.isEmpty) plan
+    else {
+      val rows = spec.split(",").iterator.map(_.trim).filter(_.nonEmpty)
+        .map { kv =>
+          kv.split(":") match {
+            case Array(t, n) => t.trim -> n.trim.toLong
+            case _ => throw new IllegalArgumentException(
+              s"$RowsConf entries must be table:rows — got '$kv'")
+          }
+        }.toMap
+      CatalogBroadcastRule(rows,
+        conf.getConfString(MaxRowsConf, "100000").toLong,
+        conf.getConfString(RatioConf, "4").toLong).apply(plan)
+    }
+  }
+}
+
 /** Join-order choice from the stored catalog — q241's decision, ENACTED
   * and generalized: a left-deep chain of inner equi-joins over up to
   * [[CatalogJoinOrderRule.MaxChain]] cataloged base tables is rebuilt

@@ -101,6 +101,40 @@ class CatalogRulesSpec extends AnyFunSuite {
     assert(!physical(df).contains("BroadcastHashJoin"), physical(df))
   }
 
+  test("config-only deployment: the injected rule broadcasts from spark.graft.broadcast.rows and no-ops with it unset") {
+    import org.apache.spark.sql.SparkSession
+    // getOrCreate ignores withExtensions when a session exists, so clear
+    // and rebuild over the shared context (the GraftExtensionsSpec
+    // device); never stop() — that would kill the context.
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[2]")
+      .appName("rule-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      ext.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ext.conf.set("spark.sql.adaptive.enabled", "false")
+      def joined = Tables.lineitem(ext, sf)
+        .join(Tables.supplier(ext, sf), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("cnt"))
+      // conf unset: strict no-op, plain shuffle join
+      assert(physical(joined).contains("SortMergeJoin"), physical(joined))
+      ext.conf.set(ConfCatalogBroadcastRule.RowsConf, "lineitem:6000, supplier:10")
+      assert(physical(joined).contains("BroadcastHashJoin"), physical(joined))
+      ext.conf.unset(ConfCatalogBroadcastRule.RowsConf)
+      assert(physical(joined).contains("SortMergeJoin"), physical(joined))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach(SparkSession.setDefaultSession)
+      prior.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   // ------------------------------------------------- CatalogJoinOrderRule
 
   test("q245: rule re-associates so orders><customer materializes first; rule-off keeps written order; same rows") {
