@@ -457,7 +457,32 @@ object Bench {
             s.emptyDataFrame
           }),
           "q246_rule_conjunct_order" -> ((s: SparkSession, d: String) =>
-            SparkEntry.queries("q246_rule_conjunct_order")(s, d))))
+            SparkEntry.queries("q246_rule_conjunct_order")(s, d))),
+        // MV rewrite family: the rollup build is the one-shot ingest
+        // cost; the q249 line is what the SAME query text costs once
+        // the rewrite answers it from the rollup; the ruleoff twin is
+        // the identical text paying the fact scan — the pair IS the
+        // aggregate-navigation win.
+        "q249_mv_rewrite" -> Seq(
+          "mv_build" -> ((s: SparkSession, d: String) => {
+            graft.queries.MvPhases.buildStored(s, d)
+            s.emptyDataFrame
+          }),
+          "q249_ruleoff_base" -> ((s: SparkSession, d: String) => {
+            import org.apache.spark.sql.functions._
+            val off = graft.plans.CatalogRules.sessionWith(s, Nil)
+            Tables.lineitem(off, d)
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(count(lit(1)).as("cnt"),
+                sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+                  .as("sum_qty"),
+                sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                  .as("sum_price"),
+                min(col("l_quantity")).as("min_qty"),
+                max(col("l_extendedprice")).as("max_price"))
+          }),
+          "q249_mv_rewrite" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q249_mv_rewrite")(s, d))))
     // Isolation mode: SPARK_GRAFT_ONLY=q90_sequence_pack,q91_... times
     // just the named registry queries in an otherwise-identical fresh
     // session (same warmup, same min-of-2) — the tool for deciding
@@ -531,7 +556,7 @@ object Bench {
     val singleTimed: Set[String] = Set(
       "dupgraph_build", "dupgraph_derive", "dupgraph_serving",
       "dupgraph_touched", "cdcfp_build", "bpeenc_build", "semkept_build",
-      "histcat_build",
+      "histcat_build", "mv_build",
       "q64_bucketed_build",
       "q79_ivf_build", "q85_kmeans_train", "q156_ivf_base_build",
       "q228_ivf_compact", "q226_sig_mine_full", "q226_uncapped_mine_full",

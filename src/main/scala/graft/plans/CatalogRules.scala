@@ -93,13 +93,21 @@ object CatalogRules {
       rules: Seq[Rule[LogicalPlan]],
       confs: (String, String)*): SparkSession = {
     val child = spark.newSession()
-    child.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .experimental.extraOptimizations = rules.toList
+    installRules(child, rules)
     child.conf.set("spark.sql.shuffle.partitions",
       spark.conf.get("spark.sql.shuffle.partitions"))
     confs.foreach { case (k, v) => child.conf.set(k, v) }
     child
   }
+
+  /** (Re)install extraOptimizations on an existing session — for rules
+    * whose construction needs the session itself (e.g. [[MvRewriteRule]]
+    * resolves the rollup's read plan against the session it will rewrite
+    * in, so the session must exist before the rule can). */
+  def installRules(
+      session: SparkSession, rules: Seq[Rule[LogicalPlan]]): Unit =
+    session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental.extraOptimizations = rules.toList
 
   /** System-R equi-join output estimate |L||R| / max(ndv_L, ndv_R) — the
     * q231/q239/q241 formula, BigInt so no scale overflows it. */

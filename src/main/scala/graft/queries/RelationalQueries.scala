@@ -1880,6 +1880,86 @@ object RelationalQueries {
               (col("score_oc") <= col("score_lo")).as("chosen"))
           )).as("p")).select("p.*")
       }
+    ),
+    Q(
+      "q249_mv_rewrite",
+      "Materialized-view rewrite — aggregate navigation (graft.plans." +
+        "MvRewriteRule): the query text is the q10 TPC-H-Q1 aggregate " +
+        "over LINEITEM; the rule recognizes that the stored rollup " +
+        "(MvPhases: grouped by returnflag+linestatus with count, " +
+        "DECIMAL partial sums, min/max — maintained at ingest like " +
+        "every stored artifact) subsumes it and answers from the " +
+        "rollup's handful of rows, fact table untouched. COUNT folds " +
+        "as sum(cnt), SUMs re-sum the DECIMAL partials (exact — " +
+        "decimal addition is associative, so partials-then-total " +
+        "equals the oracle's direct total bit for bit), MIN/MAX fold " +
+        "through. At 100 TB this turns a fact scan into a KB read for " +
+        "every query shaped like a report the pipeline already " +
+        "maintains. The oracle aggregates the BASE table in DuckDB — " +
+        "proving the rewrite end-to-end, not just the plan shape; " +
+        "CatalogRulesSpec pins that the plan reads ONLY the rollup " +
+        "(no lineitem relation) and that non-subsumed shapes bail to " +
+        "the fact scan.",
+      Some("""
+         |SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+         |       MIN(l_quantity) AS min_qty,
+         |       MAX(l_extendedprice) AS max_price
+         |FROM lineitem
+         |GROUP BY 1, 2
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.plans.{CatalogRules, MvRewriteRule}
+        MvPhases.ensureStored(spark, dir)
+        val child = CatalogRules.sessionWith(spark, Nil)
+        CatalogRules.installRules(child,
+          Seq(MvRewriteRule(Seq(MvPhases.mvDef(child, dir)))))
+        Tables.lineitem(child, dir)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+              .as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+              .as("sum_price"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_extendedprice")).as("max_price"))
+      }
+    ),
+    Q(
+      "q250_mv_rewrite_coarser",
+      "MV rewrite at a COARSER grain + dimension filter — the " +
+        "subsumption half of aggregate navigation: grouping by " +
+        "returnflag alone (a subset of the rollup's dims) re-aggregates " +
+        "the rollup's cells, and the l_linestatus = 'F' predicate " +
+        "touches only dimensions, so it commutes with the rollup's " +
+        "group-by and is remapped onto the rollup's attributes — the " +
+        "fact table stays untouched for a filtered report the rollup " +
+        "never saw verbatim. Any predicate on a NON-dimension column " +
+        "bails to the fact scan (spec-pinned), because filter-then-" +
+        "aggregate does not commute through partials.",
+      Some("""
+         |SELECT l_returnflag, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         |FROM lineitem
+         |WHERE l_linestatus = 'F'
+         |GROUP BY 1
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.plans.{CatalogRules, MvRewriteRule}
+        MvPhases.ensureStored(spark, dir)
+        val child = CatalogRules.sessionWith(spark, Nil)
+        CatalogRules.installRules(child,
+          Seq(MvRewriteRule(Seq(MvPhases.mvDef(child, dir)))))
+        Tables.lineitem(child, dir)
+          .filter(col("l_linestatus") === "F")
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+              .as("sum_price"))
+      }
     )
   )
 }
@@ -1991,6 +2071,64 @@ object HistPhases {
       c -> graft.plans.ConjunctReorderRule.ColumnHist(
         rs.head.getDouble(5), rs.head.getDouble(6), counts.toVector)
     }
+  }
+}
+
+/** The stored ROLLUP behind q249/q250's materialized-view rewrite — the
+  * data-level serving artifact beside [[StatsPhases]]' plan-level one:
+  * lineitem pre-aggregated by (l_returnflag, l_linestatus) with
+  * foldable partials (count, DECIMAL partial sums cast back to the
+  * accumulation width so a re-sum reproduces the query's exact type,
+  * min/max). Built once per input dir at ingest (bench: `mv_build`,
+  * single-timed); the MvRewriteRule answers subsumed aggregates from
+  * its handful of rows instead of the fact scan.
+  */
+object MvPhases {
+  import org.apache.spark.sql.SparkSession
+
+  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def mvTable(dir: String): String = s"graft_mv_li_${Q.scratchTag(dir)}"
+
+  def buildStored(spark: SparkSession, dir: String): Unit = {
+    val mv = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("sum_price"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_extendedprice")).as("max_price"))
+    graft.operators.Bucketing.dropWithLocation(spark, mvTable(dir))
+    mv.write.format("parquet").saveAsTable(mvTable(dir))
+    built.add(mvTable(dir))
+  }
+
+  def ensureStored(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!built.contains(mvTable(dir))) buildStored(spark, dir)
+  }
+
+  /** The rollup's contract + its read plan resolved in `session` (the
+    * session the rewrite will run in). */
+  def mvDef(session: SparkSession, dir: String): graft.plans.MvDef = {
+    import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
+    import org.apache.spark.sql.types.DecimalType
+    graft.plans.MvDef(
+      baseTable = "lineitem",
+      dims = Map(
+        "l_returnflag" -> "l_returnflag", "l_linestatus" -> "l_linestatus"),
+      measures = Seq(
+        graft.plans.MvMeasure("count", "", None, "cnt"),
+        graft.plans.MvMeasure("sum", "l_quantity",
+          Some(DecimalType(18, 4)), "sum_qty"),
+        graft.plans.MvMeasure("sum", "l_extendedprice",
+          Some(DecimalType(18, 4)), "sum_price"),
+        graft.plans.MvMeasure("min", "l_quantity", None, "min_qty"),
+        graft.plans.MvMeasure("max", "l_extendedprice", None, "max_price")),
+      mvPlan = EliminateSubqueryAliases(
+        session.table(mvTable(dir)).queryExecution.analyzed))
   }
 }
 

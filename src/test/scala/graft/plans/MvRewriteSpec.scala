@@ -1,0 +1,106 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestSession, Tables}
+import graft.queries.MvPhases
+
+/** The MV rewrite's load-bearing claims, which the q249/q250 oracles
+  * (base-table SQL in DuckDB) cannot see: the rewritten plan reads ONLY
+  * the rollup, non-subsumed shapes bail to the fact scan, and the
+  * rewrite changes no result.
+  */
+class MvRewriteSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.sf0001
+
+  private def scanTables(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation =>
+        lr.catalogTable.map(_.identifier.table)
+          .orElse(CatalogRules.tableOf(lr))
+          .getOrElse("?")
+    }.toSet
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def mvSession() = {
+    MvPhases.ensureStored(spark, sf)
+    val child = CatalogRules.sessionWith(spark, Nil)
+    CatalogRules.installRules(child,
+      Seq(MvRewriteRule(Seq(MvPhases.mvDef(child, sf)))))
+    child
+  }
+
+  test("q249: the full-grain aggregate reads only the rollup; rule-off reads lineitem; same rows") {
+    val on = SparkEntry.queries("q249_mv_rewrite")(spark, sf)
+    assert(scanTables(on) === Set(MvPhases.mvTable(sf)), scanTables(on))
+
+    val off = CatalogRules.sessionWith(spark, Nil)
+    val offDf = Tables.lineitem(off, sf)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_price"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_extendedprice")).as("max_price"))
+    assert(scanTables(offDf) === Set("lineitem"))
+    assert(on.schema === offDf.schema)
+    assert(sortedRows(on) === sortedRows(offDf))
+  }
+
+  test("q250: coarser grain + dim filter reads only the rollup and matches the base computation") {
+    val on = SparkEntry.queries("q250_mv_rewrite_coarser")(spark, sf)
+    assert(scanTables(on) === Set(MvPhases.mvTable(sf)), scanTables(on))
+    val off = Tables.lineitem(spark, sf)
+      .filter(col("l_linestatus") === "F")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+          .as("sum_price"))
+    assert(sortedRows(on) === sortedRows(off))
+  }
+
+  test("non-subsumed shapes bail to the fact scan") {
+    val child = mvSession()
+    val li = Tables.lineitem(child, sf)
+    // (a) an aggregate over a column the rollup has no partial for
+    val a = li.groupBy("l_returnflag")
+      .agg(sum(col("l_tax").cast("decimal(18,4)")).as("sum_tax"))
+    assert(scanTables(a) === Set("lineitem"), scanTables(a))
+    // (b) a predicate on a non-dimension column (does not commute
+    // through the partials)
+    val b = li.filter(col("l_quantity") >= 45.0)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+    assert(scanTables(b) === Set("lineitem"), scanTables(b))
+    // (c) a grouping key the rollup does not carry
+    val c = li.groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+    assert(scanTables(c) === Set("lineitem"), scanTables(c))
+    // (d) DISTINCT aggregates are not foldable from partials
+    val d = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_linestatus")).as("nd"))
+    assert(scanTables(d) === Set("lineitem"), scanTables(d))
+  }
+
+  test("min/max fold and the count fold is non-null-typed") {
+    val child = mvSession()
+    val df = Tables.lineitem(child, sf)
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_extendedprice")).as("max_price"))
+    assert(scanTables(df) === Set(MvPhases.mvTable(sf)), scanTables(df))
+    val off = Tables.lineitem(spark, sf)
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_extendedprice")).as("max_price"))
+    assert(df.schema("cnt").dataType === off.schema("cnt").dataType)
+    assert(sortedRows(df) === sortedRows(off))
+  }
+}
