@@ -1960,6 +1960,40 @@ object RelationalQueries {
             sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
               .as("sum_price"))
       }
+    ),
+    Q(
+      "q251_mv_incremental",
+      "Incremental rollup maintenance — the q249 artifact kept fresh " +
+        "the q234 way: an arrival batch reduces to its own partials " +
+        "(one batch-sized aggregation) and FOLDS into the stored " +
+        "rollup cell-wise — count and the DECIMAL sums are additive, " +
+        "min/max are their own monoids — so folded EQUALS " +
+        "from-scratch row for row (decimal addition is associative; " +
+        "the oracle recomputes the scratch rollup over the full " +
+        "table). The fact table is never rescanned: at 100 TB the " +
+        "rollup stays serveable for the MV rewrite at " +
+        "arrival-batch cost. Shards are the q234/q240 device " +
+        "(injective uid = orderkey*8+linenumber, even/odd), so both " +
+        "engines cut identical batches. Additive sides carry the " +
+        "exactly-once ingest contract (a replayed batch would " +
+        "double-count cnt/sums; min/max shrug replay off) — the same " +
+        "split Profile.refreshBatch documents.",
+      Some("""
+         |SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price,
+         |       MIN(l_quantity) AS min_qty,
+         |       MAX(l_extendedprice) AS max_price
+         |FROM lineitem
+         |GROUP BY 1, 2
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+        val uid = col("l_orderkey") * 8 + col("l_linenumber")
+        MvPhases.fold(
+          MvPhases.partials(li.filter(uid % 2 === 0)),
+          li.filter(uid % 2 === 1))
+      }
     )
   )
 }
@@ -2091,16 +2125,7 @@ object MvPhases {
   def mvTable(dir: String): String = s"graft_mv_li_${Q.scratchTag(dir)}"
 
   def buildStored(spark: SparkSession, dir: String): Unit = {
-    val mv = Tables.lineitem(spark, dir)
-      .groupBy("l_returnflag", "l_linestatus")
-      .agg(
-        count(lit(1)).as("cnt"),
-        sum(col("l_quantity").cast("decimal(18,4)"))
-          .cast("decimal(18,4)").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,4)"))
-          .cast("decimal(18,4)").as("sum_price"),
-        min(col("l_quantity")).as("min_qty"),
-        max(col("l_extendedprice")).as("max_price"))
+    val mv = partials(Tables.lineitem(spark, dir))
     graft.operators.Bucketing.dropWithLocation(spark, mvTable(dir))
     mv.write.format("parquet").saveAsTable(mvTable(dir))
     built.add(mvTable(dir))
@@ -2109,6 +2134,41 @@ object MvPhases {
   def ensureStored(spark: SparkSession, dir: String): Unit = synchronized {
     if (!built.contains(mvTable(dir))) buildStored(spark, dir)
   }
+
+  /** One table's rows reduced to the rollup's partials — shared by the
+    * full build and the incremental fold so the two cannot drift. */
+  def partials(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    rows.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("sum_price"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_extendedprice")).as("max_price"))
+
+  /** Fold an arrival batch's partials into an existing rollup — the
+    * incremental-maintenance face (q251): COUNT and the DECIMAL SUMs
+    * are additive, MIN/MAX are their own monoids, so folding per-batch
+    * partials cell-wise EQUALS rebuilding from scratch row for row —
+    * the rollup stays serveable under ingest at batch-sized cost, the
+    * fact table never rescanned. The exactly-once contract is the
+    * additive sides' (same as Profile.refreshBatch's count half): a
+    * replayed batch would double-count cnt/sums, which min/max would
+    * shrug off.
+    */
+  def fold(
+      stored: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    stored.unionByName(partials(batch))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("cnt")).as("cnt"),
+        sum(col("sum_qty")).cast("decimal(18,4)").as("sum_qty"),
+        sum(col("sum_price")).cast("decimal(18,4)").as("sum_price"),
+        min(col("min_qty")).as("min_qty"),
+        max(col("max_price")).as("max_price"))
 
   /** The rollup's contract + its read plan resolved in `session` (the
     * session the rewrite will run in). */

