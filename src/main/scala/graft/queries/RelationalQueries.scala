@@ -2170,6 +2170,26 @@ object MvPhases {
         min(col("min_qty")).as("min_qty"),
         max(col("max_price")).as("max_price"))
 
+  /** The STREAMING face of [[fold]] — drive from
+    * `writeStream.foreachBatch`: one micro-batch's rows fold into the
+    * SERVED rollup table (read-merge-overwrite, rollup-sized work per
+    * batch; the localCheckpoint pins the merged cells BEFORE the
+    * overwrite drops the table they were read from — the
+    * Profile.refreshBatch discipline). Replay contract as on [[fold]]:
+    * additive cells (cnt/sums) carry the engine's exactly-once
+    * batch-id contract, min/max shrug replay off
+    * (StreamingIncrementalSpec pins both).
+    */
+  def refreshBatch(batch: org.apache.spark.sql.DataFrame, table: String): Unit = {
+    val spark = batch.sparkSession
+    val merged =
+      if (spark.catalog.tableExists(table)) fold(spark.table(table), batch)
+      else partials(batch)
+    val pinned = merged.localCheckpoint()
+    try pinned.write.mode("overwrite").format("parquet").saveAsTable(table)
+    finally pinned.unpersist()
+  }
+
   /** The rollup's contract + its read plan resolved in `session` (the
     * session the rewrite will run in). */
   def mvDef(session: SparkSession, dir: String): graft.plans.MvDef = {

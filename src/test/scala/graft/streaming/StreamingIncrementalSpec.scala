@@ -112,6 +112,56 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming rollup maintenance: served MV equals the from-scratch rollup; replay moves only the additive cells") {
+    import graft.operators.Bucketing
+    import graft.queries.MvPhases
+    val mk = (ids: Range) => ids.map(i =>
+      (if (i % 2 == 0) "A" else "N", if (i % 3 == 0) "F" else "O",
+        (i % 50 + 1).toDouble, 900.0 + i))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+    val existing = mk(0 until 20)
+    val b1 = mk(20 until 30)
+    val b2 = mk(30 until 40)
+    val tbl = "graft_mv_stream_spec"
+    Bucketing.dropWithLocation(spark, tbl)
+    MvPhases.refreshBatch(existing, tbl)
+    val dirStr = watchDirOf(Seq(b1, b2))
+    val schema = StructType(Seq(
+      StructField("l_returnflag", StringType),
+      StructField("l_linestatus", StringType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dirStr)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        MvPhases.refreshBatch(batch, tbl)
+      }
+      .start()
+    def served() = spark.table(tbl).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+    try {
+      q.processAllAvailable()
+      val scratch = MvPhases.partials(
+        existing.unionByName(b1).unionByName(b2)).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+      assert(served() == scratch,
+        "served rollup diverges from the from-scratch partials")
+      // replay: cnt/sums double-count the replayed batch's cells (the
+      // additive side that carries the exactly-once contract); min/max
+      // are idempotent and must not move
+      MvPhases.refreshBatch(b2, tbl)
+      val after = served()
+      scratch.foreach { case (k, v) =>
+        assert(after(k)(3) == v(3) && after(k)(4) == v(4),
+          s"replay moved min/max for $k: the monoid side must be idempotent")
+      }
+      assert(after.values.map(_.head.asInstanceOf[Long]).sum == 50L,
+        "replayed additive side should double-count (40 + 10 rows)")
+    } finally q.stop()
+  }
+
   test("streaming profile maintenance: served ANALYZE surface equals the batch fold; replay moves only the additive side") {
     import graft.operators.{Bucketing, Profile}
     val cols = Seq("doc_id", "lang")
