@@ -260,6 +260,49 @@ class CatalogRulesSpec extends AnyFunSuite {
     assert(firstJoinTables(df) === Set("orders", "customer"))
   }
 
+  test("safety property: arbitrary catalog stats can change the plan but never the rows") {
+    // The decision layer must be UNABLE to corrupt semantics: whatever
+    // (even adversarial) statistics the rules are fed, the rewritten
+    // 4-chain returns exactly the rule-off rows. Seeded draws cover
+    // order-flipping, degenerate (ndv=1), and huge-row regimes.
+    import CatalogRules.{CatalogStats, TableStat}
+    val rng = new scala.util.Random(42)
+    def draw(): CatalogStats = {
+      def n() = 1L + rng.nextInt(1000000)
+      CatalogStats(Map(
+        "lineitem" -> TableStat(n(), Map("l_orderkey" -> n())),
+        "orders" -> TableStat(n(),
+          Map("o_orderkey" -> n(), "o_custkey" -> n())),
+        "customer" -> TableStat(n(),
+          Map("c_custkey" -> n(), "c_nationkey" -> n())),
+        "nation" -> TableStat(n(), Map("n_nationkey" -> n()))))
+    }
+    val expected = {
+      val off = CatalogRules.sessionWith(spark, Nil,
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      sortedRows(chain4(off))
+    }
+    (1 to 8).foreach { i =>
+      val st = draw()
+      val child = CatalogRules.sessionWith(spark,
+        Seq(CatalogJoinOrderRule(st), CatalogBroadcastRule(
+          st.tables.map { case (t, s) => t -> s.rows },
+          maxBroadcastRows = 1L + rng.nextInt(1000000))),
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      assert(sortedRows(chain4(child)) === expected, s"draw $i with $st")
+    }
+  }
+
+  private def chain4(s: org.apache.spark.sql.SparkSession): DataFrame =
+    Tables.lineitem(s, sf)
+      .join(Tables.orders(s, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, sf), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+          .as("sum_price"))
+
   // -------------------------------------------------- ConjunctReorderRule
 
   test("q246: selective comparison evaluates before the unselective one, null guards first; rule-off keeps written order; same rows") {
