@@ -1,8 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, Expression, KnownNotNull, Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, EqualTo, Expression, KnownNotNull, Literal, NamedExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DataType
 
@@ -36,7 +37,9 @@ import org.apache.spark.sql.types.DataType
   * name. Idempotent: the rewritten query scans the rollup, whose
   * relation no longer names the base table.
   */
-final case class MvRewriteRule(mvs: Seq[MvDef])
+final case class MvRewriteRule(
+    mvs: Seq[MvDef],
+    stats: CatalogRules.CatalogStats = CatalogRules.CatalogStats(Map.empty))
     extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
@@ -58,54 +61,101 @@ final case class MvRewriteRule(mvs: Seq[MvDef])
       case leaf => Some((filters, leaf))
     }
 
+  /** The dim side of a join-shaped match: its (reused-verbatim) plan,
+    * its join-key attribute, and the BASE column the rollup carries the
+    * key under. */
+  private case class DimSide(plan: LogicalPlan, dimKey: AttributeReference,
+      baseKeyName: String)
+
   private def rewrite(
       agg: Aggregate,
       ge: Seq[Expression],
       ae: Seq[NamedExpression],
       child: LogicalPlan,
       mv: MvDef): Option[LogicalPlan] = {
-    val (filters, scan) = collectScan(child, Nil).get
-    if (!CatalogRules.tableOf(scan).contains(mv.baseTable)) return None
-
+    val (topFilters, leaf) = collectScan(child, Nil).get
     val mvOut = mv.mvPlan.output
     def mvAttr(name: String): Option[Attribute] = mvOut.find(_.name == name)
     // A rollup whose declared columns are missing from its own plan is a
     // broken MvDef, not a non-subsumed query.
     if (!mv.dims.values.forall(mvAttr(_).isDefined)) return None
 
-    // Grouping: plain dimension attributes only.
-    val geAttrs = ge.map {
-      case a: AttributeReference if mv.dims.contains(a.name) => a
+    // Shape: the base scan alone, or base JOIN dim on a rollup-carried
+    // key whose uniqueness on the dim side the STATS CATALOG proves
+    // (ndv == rows ⇒ each rollup cell matches at most one dim row, so
+    // partials pass through the join unchanged — the FK-join form of
+    // aggregate navigation). Without the proof, or with the key not a
+    // rollup dimension, the join shape bails.
+    val (baseFilters, aboveFilters, dimOpt) = leaf match {
+      case scan if CatalogRules.tableOf(scan).contains(mv.baseTable) =>
+        (topFilters, Nil: Seq[Expression], None)
+      case Join(l, r, Inner, Some(c: EqualTo), JoinHint(None, None)) =>
+        val (lf, ls) = collectScan(l, Nil).get
+        val (rf, rs) = collectScan(r, Nil).get
+        val lBase = CatalogRules.tableOf(ls).contains(mv.baseTable)
+        val rBase = CatalogRules.tableOf(rs).contains(mv.baseTable)
+        if (lBase == rBase) return None // both or neither: not this shape
+        val (bSide, bFilters, dSide, dScan) =
+          if (lBase) (l, lf, r, rs) else (r, rf, l, ls)
+        val dimTable = CatalogRules.tableOf(dScan).getOrElse(return None)
+        val (bk, dk) = (c.left, c.right) match {
+          case (x: AttributeReference, y: AttributeReference) =>
+            if (bSide.outputSet.contains(x) && dSide.outputSet.contains(y)) (x, y)
+            else if (bSide.outputSet.contains(y) && dSide.outputSet.contains(x)) (y, x)
+            else return None
+          case _ => return None
+        }
+        if (!mv.dims.contains(bk.name)) return None
+        val provenUnique = (stats.rows(dimTable), stats.ndv(dimTable, dk.name)) match {
+          case (Some(n), Some(d)) => n == d
+          case _ => false
+        }
+        if (!provenUnique) return None
+        (bFilters, topFilters, Some(DimSide(dSide, dk, bk.name)))
       case _ => return None
     }
-    // Filters: every conjunct references dimensions only; remap to the
-    // rollup's attributes by name (filter-on-dims commutes with
-    // group-on-dims, so applying it to the rollup is exact).
+    val dimOut = dimOpt.map(_.plan.outputSet)
+      .getOrElse(org.apache.spark.sql.catalyst.expressions.AttributeSet.empty)
+    val allowed = mv.mvPlan.outputSet ++ dimOut
+    def isBaseDim(a: Attribute): Boolean =
+      !dimOut.contains(a) && mv.dims.contains(a.name)
+
+    // Remap BASE dimension attributes onto the rollup; dim-side
+    // attributes survive verbatim (their subtree is reused).
     def remap(e: Expression): Expression = e.transform {
-      case a: AttributeReference if mv.dims.contains(a.name) =>
-        mvAttr(mv.dims(a.name)).get
+      case a: AttributeReference if isBaseDim(a) => mvAttr(mv.dims(a.name)).get
     }
-    val mvFilters = filters.map { f =>
-      if (!f.references.forall(a => mv.dims.contains(a.name))) return None
+    // Base-side filters must be base-dim-only (they commute with the
+    // rollup's group-by); filters above the join may mix base dims and
+    // dim-side columns.
+    val mvBaseFilters = baseFilters.map { f =>
+      if (!f.references.forall(a => isBaseDim(a))) return None
+      remap(f)
+    }
+    val mvAboveFilters = aboveFilters.map { f =>
+      if (!f.references.forall(a => dimOut.contains(a) || isBaseDim(a))) return None
       remap(f)
     }
 
-    // Aggregate list: grouping attrs re-emitted from the rollup under
-    // their ORIGINAL exprIds; aggregate calls swapped measure-for-
-    // partial with the scalar wrapping (casts etc.) kept.
+    // Aggregate list: base grouping attrs re-emitted from the rollup
+    // under their ORIGINAL exprIds, dim-side attrs kept verbatim,
+    // aggregate calls swapped measure-for-partial with the scalar
+    // wrapping (casts etc.) kept.
     val newAe: Seq[NamedExpression] = ae.map {
-      case a: AttributeReference if mv.dims.contains(a.name) =>
-        Alias(mvAttr(mv.dims(a.name)).getOrElse(return None), a.name)(
-          exprId = a.exprId)
-      case al @ Alias(a: AttributeReference, name) if mv.dims.contains(a.name) =>
-        Alias(mvAttr(mv.dims(a.name)).getOrElse(return None), name)(
-          exprId = al.exprId)
+      case a: AttributeReference if dimOut.contains(a) => a
+      case a: AttributeReference if isBaseDim(a) =>
+        Alias(mvAttr(mv.dims(a.name)).get, a.name)(exprId = a.exprId)
+      case al @ Alias(a: AttributeReference, _) if dimOut.contains(a) => al
+      case al @ Alias(a: AttributeReference, name) if isBaseDim(a) =>
+        Alias(mvAttr(mv.dims(a.name)).get, name)(exprId = al.exprId)
       case al: Alias =>
         var ok = true
         val swapped = al.child.transform {
           // Guarded to BASE-referencing calls: transform recurses into
           // replacements, and a swapped call (now over rollup attrs)
-          // must not be re-matched as if it were a query aggregate.
+          // must not be re-matched as if it were a query aggregate. A
+          // dim-side-referencing aggregate reaches swapAggregate and is
+          // refused there (no partial can fold it).
           case aggE: AggregateExpression
               if aggE.references.isEmpty ||
                 !aggE.references.subsetOf(mv.mvPlan.outputSet) =>
@@ -116,18 +166,33 @@ final case class MvRewriteRule(mvs: Seq[MvDef])
         }
         if (!ok) return None
         // Everything left outside the swapped calls must already live
-        // in the rollup (literals, the re-emitted wrappers) — a stray
-        // base attribute means this alias isn't foldable from partials.
-        if (!swapped.references.subsetOf(mv.mvPlan.outputSet)) return None
+        // in the rollup or the reused dim subtree — a stray base
+        // attribute means this alias isn't foldable from partials.
+        if (!swapped.references.subsetOf(allowed)) return None
         Alias(swapped, al.name)(exprId = al.exprId)
       case _ => return None
     }
 
-    val newGe: Seq[Expression] =
-      geAttrs.map(a => mvAttr(mv.dims(a.name)).getOrElse(return None))
+    val newGe: Seq[Expression] = ge.map {
+      case a: AttributeReference if dimOut.contains(a) => a
+      case a: AttributeReference if isBaseDim(a) => mvAttr(mv.dims(a.name)).get
+      case _ => return None
+    }
+
+    val mvBase =
+      if (mvBaseFilters.isEmpty) mv.mvPlan
+      else Filter(mvBaseFilters.reduceLeft(And(_, _)), mv.mvPlan)
+    val joined = dimOpt match {
+      case None => mvBase
+      case Some(d) =>
+        Join(mvBase, d.plan, Inner,
+          Some(org.apache.spark.sql.catalyst.expressions.EqualTo(
+            mvAttr(mv.dims(d.baseKeyName)).get, d.dimKey)),
+          JoinHint.NONE)
+    }
     val newChild =
-      if (mvFilters.isEmpty) mv.mvPlan
-      else Filter(mvFilters.reduceLeft(And(_, _)), mv.mvPlan)
+      if (mvAboveFilters.isEmpty) joined
+      else Filter(mvAboveFilters.reduceLeft(And(_, _)), joined)
     Some(Aggregate(newGe, newAe, newChild, None))
   }
 

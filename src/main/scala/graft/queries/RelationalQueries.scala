@@ -1994,6 +1994,48 @@ object RelationalQueries {
           MvPhases.partials(li.filter(uid % 2 === 0)),
           li.filter(uid % 2 === 1))
       }
+    ),
+    Q(
+      "q252_mv_join_rewrite",
+      "JOIN-shaped aggregate navigation — the MV layer and the stats " +
+        "catalog composed: the text aggregates lineitem JOIN supplier " +
+        "by s_name; the rule recognizes the join key (l_suppkey) as a " +
+        "dimension of the stored FK rollup AND proves from the " +
+        "catalog that s_suppkey is unique on the dim side " +
+        "(ndv == rows — the FK/PK fact a real planner gets from a " +
+        "constraint, derived here from ANALYZE state), so each rollup " +
+        "cell matches at most one supplier row and the partials pass " +
+        "through the join unchanged: the fact scan becomes a " +
+        "dim-cardinality rollup joined to the live dim table. The dim " +
+        "side is reused VERBATIM (its attributes keep their ids — " +
+        "grouping by s_name needs no surgery), and dim attributes are " +
+        "deliberately not denormalized into the rollup, so dim edits " +
+        "never invalidate it. Without the uniqueness proof (empty " +
+        "stats) or with the key not a rollup dim, the shape bails to " +
+        "the fact scan — MvRewriteSpec pins both. Same query text as " +
+        "q244 (which demonstrates the broadcast DECISION); this face " +
+        "removes the fact scan entirely.",
+      Some("""
+         |SELECT s_name, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY 1
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.plans.{CatalogRules, MvRewriteRule}
+        MvPhases.ensureStoredSk(spark, dir)
+        val st = StatsPhases.collected(spark, dir)
+        val child = CatalogRules.sessionWith(spark, Nil)
+        CatalogRules.installRules(child,
+          Seq(MvRewriteRule(Seq(MvPhases.mvDefSk(child, dir)), st)))
+        Tables.lineitem(child, dir)
+          .join(Tables.supplier(child, dir),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+              .as("sum_qty"))
+      }
     )
   )
 }
@@ -2188,6 +2230,43 @@ object MvPhases {
     val pinned = merged.localCheckpoint()
     try pinned.write.mode("overwrite").format("parquet").saveAsTable(table)
     finally pinned.unpersist()
+  }
+
+  /** The FK rollup behind q252's JOIN-shaped rewrite: lineitem
+    * pre-aggregated by its supplier foreign key. Dimension-table
+    * attributes (names, balances) deliberately NOT denormalized in —
+    * the rewrite joins the rollup to the live dim table, so dim edits
+    * never invalidate the artifact. */
+  def skTable(dir: String): String = s"graft_mv_lisk_${Q.scratchTag(dir)}"
+
+  def buildStoredSk(spark: SparkSession, dir: String): Unit = {
+    val mv = Tables.lineitem(spark, dir)
+      .groupBy("l_suppkey")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("sum_qty"))
+    graft.operators.Bucketing.dropWithLocation(spark, skTable(dir))
+    mv.write.format("parquet").saveAsTable(skTable(dir))
+    built.add(skTable(dir))
+  }
+
+  def ensureStoredSk(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!built.contains(skTable(dir))) buildStoredSk(spark, dir)
+  }
+
+  def mvDefSk(session: SparkSession, dir: String): graft.plans.MvDef = {
+    import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
+    import org.apache.spark.sql.types.DecimalType
+    graft.plans.MvDef(
+      baseTable = "lineitem",
+      dims = Map("l_suppkey" -> "l_suppkey"),
+      measures = Seq(
+        graft.plans.MvMeasure("count", "", None, "cnt"),
+        graft.plans.MvMeasure("sum", "l_quantity",
+          Some(DecimalType(18, 4)), "sum_qty")),
+      mvPlan = EliminateSubqueryAliases(
+        session.table(skTable(dir)).queryExecution.analyzed))
   }
 
   /** The rollup's contract + its read plan resolved in `session` (the

@@ -66,6 +66,58 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(sortedRows(on) === sortedRows(off))
   }
 
+  test("q252: join-shaped rewrite reads rollup + dim, never the fact table; bails without the uniqueness proof") {
+    import graft.queries.{RelationalQueries, StatsPhases}
+    val on = SparkEntry.queries("q252_mv_join_rewrite")(spark, sf)
+    assert(scanTables(on) === Set(MvPhases.skTable(sf), "supplier"),
+      scanTables(on))
+
+    val off = CatalogRules.sessionWith(spark, Nil)
+    val offDf = Tables.lineitem(off, sf)
+      .join(Tables.supplier(off, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("sum_qty"))
+    assert(scanTables(offDf).contains("lineitem"))
+    assert(on.schema === offDf.schema)
+    assert(sortedRows(on) === sortedRows(offDf))
+
+    // No stats -> uniqueness unprovable -> the join shape must bail.
+    MvPhases.ensureStoredSk(spark, sf)
+    val noProof = CatalogRules.sessionWith(spark, Nil)
+    CatalogRules.installRules(noProof,
+      Seq(MvRewriteRule(Seq(MvPhases.mvDefSk(noProof, sf)))))
+    val np = Tables.lineitem(noProof, sf)
+      .join(Tables.supplier(noProof, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("cnt"))
+    assert(scanTables(np).contains("lineitem"), scanTables(np))
+
+    // Join key not a rollup dimension -> bail (the returnflag rollup
+    // knows nothing about l_suppkey).
+    val wrongMv = CatalogRules.sessionWith(spark, Nil)
+    MvPhases.ensureStored(spark, sf)
+    CatalogRules.installRules(wrongMv,
+      Seq(MvRewriteRule(Seq(MvPhases.mvDef(wrongMv, sf)),
+        StatsPhases.collected(spark, sf))))
+    val wm = Tables.lineitem(wrongMv, sf)
+      .join(Tables.supplier(wrongMv, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("cnt"))
+    assert(scanTables(wm).contains("lineitem"), scanTables(wm))
+
+    // An aggregate over a DIM-side column is not foldable from the
+    // rollup's partials -> bail.
+    val dimAgg = CatalogRules.sessionWith(spark, Nil)
+    CatalogRules.installRules(dimAgg,
+      Seq(MvRewriteRule(Seq(MvPhases.mvDefSk(dimAgg, sf)),
+        StatsPhases.collected(spark, sf))))
+    val da = Tables.lineitem(dimAgg, sf)
+      .join(Tables.supplier(dimAgg, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(sum(col("s_acctbal").cast("decimal(18,4)")).as("sum_bal"))
+    assert(scanTables(da).contains("lineitem"), scanTables(da))
+  }
+
   test("non-subsumed shapes bail to the fact scan") {
     val child = mvSession()
     val li = Tables.lineitem(child, sf)
