@@ -86,6 +86,14 @@ final case class MvRewriteRule(
     // partials pass through the join unchanged — the FK-join form of
     // aggregate navigation). Without the proof, or with the key not a
     // rollup dimension, the join shape bails.
+    //
+    // TRUST BOUNDARY: unlike every other check here (structural, on
+    // the plan itself), the uniqueness proof is only as sound as the
+    // catalog. It must come from EXACT counts (StatsPhases' ANALYZE
+    // artifact) — an approximate catalog (q248's HLL ndv) can satisfy
+    // ndv == rows by estimation error, and a duplicate dim key would
+    // then double partials. Same trust class as a declared FK/PK
+    // constraint in a warehouse; exact-count catalogs make it sound.
     val (baseFilters, aboveFilters, dimOpt) = leaf match {
       case scan if CatalogRules.tableOf(scan).contains(mv.baseTable) =>
         (topFilters, Nil: Seq[Expression], None)
