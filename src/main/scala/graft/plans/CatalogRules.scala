@@ -114,6 +114,36 @@ object CatalogRules {
   private[plans] def joinEstimate(
       nL: Long, ndvL: Long, nR: Long, ndvR: Long): BigInt =
     BigInt(nL) * BigInt(nR) / BigInt(math.max(1L, math.max(ndvL, ndvR)))
+
+  /** The full decision layer in its COMPOSITION order — the order is a
+    * contract, not a style choice: rewrites that change plan SHAPE must
+    * run before rules that pin STRATEGY, because the hint-setting rule
+    * marks joins and every shape rule treats an existing hint as user
+    * intent and stands down. Concretely, per fixpoint iteration:
+    *
+    *  1. [[MvRewriteRule]] — may remove the fact scan entirely; must see
+    *     joins un-hinted (q252's shape requires `JoinHint.NONE`).
+    *  2. [[CatalogJoinOrderRule]] — re-associates chains; same hint
+    *     requirement.
+    *  3. [[ConjunctReorderRule]] — filter-local, order-independent of
+    *     the join rules.
+    *  4. [[CatalogBroadcastRule]] — LAST: hints whatever joins survived
+    *     the rewrites (including the rewritten ones whose sides it can
+    *     still cost). Iteration 2 is then a fixpoint: every shape rule
+    *     sees hints and stands down, the hint rule sees its own hints.
+    *
+    * Installing them in another order is safe (the rows can never
+    * change — every rule is semantics-preserving alone) but can cost
+    * rewrites: a hinted join is invisible to the shape rules.
+    */
+  def standardRules(
+      stats: CatalogStats,
+      mvs: Seq[MvDef] = Nil,
+      selectivity: Option[org.apache.spark.sql.catalyst.expressions.Expression => Option[Double]] = None)
+      : Seq[Rule[LogicalPlan]] =
+    Seq(MvRewriteRule(mvs, stats), CatalogJoinOrderRule(stats)) ++
+      selectivity.map(ConjunctReorderRule(_)).toSeq :+
+      CatalogBroadcastRule(stats.tables.map { case (t, s) => t -> s.rows })
 }
 
 /** Broadcast-side choice from the stored catalog: an inner equi-join
@@ -430,12 +460,14 @@ object ConjunctReorderRule {
 
   /** Estimator over a set of per-column histograms: range comparisons
     * against literals interpolate the histogram; null guards cost 0 so
-    * they sort first (cheapest test, precondition of the rest);
-    * anything else is uncostable -> None -> the chain stays as
-    * written.
+    * they sort first (cheapest test, precondition of the rest —
+    * histogram or not: a bare IsNotNull needs no distribution to be
+    * the right thing to evaluate first, and the optimizer infers them
+    * onto join keys the histograms never cover); anything else is
+    * uncostable -> None -> the chain stays as written.
     */
   def estimator(hists: Map[String, ColumnHist]): Expression => Option[Double] = {
-    case IsNotNull(a: AttributeReference) if hists.contains(a.name) =>
+    case IsNotNull(_: AttributeReference) =>
       Some(0.0)
     case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
       hists.get(a.name).zip(num(l)).map { case (h, v) => h.geFraction(v) }

@@ -2036,6 +2036,57 @@ object RelationalQueries {
             sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
               .as("sum_qty"))
       }
+    ),
+    Q(
+      "q253_rules_composed",
+      "The WHOLE decision layer on one query " +
+        "(CatalogRules.standardRules — MV rewrite, join order, " +
+        "conjunct order, broadcast, in the documented composition " +
+        "order): the text filters lineitem unselective-first, joins " +
+        "the 3-chain in the worst order, and aggregates. In one " +
+        "fixpoint pass the conjunct rule flips the filter (quantity " +
+        "test first), the join-order rule re-associates so " +
+        "orders><customer materializes first, and the broadcast rule " +
+        "hints the surviving joins' cataloged sides; the MV rules " +
+        "correctly stand down (the filter touches measures). " +
+        "CatalogRulesSpec pins all three effects on the one plan plus " +
+        "row equality; the oracle checks the composed semantics. The " +
+        "ordering contract (shape rules before the hint rule — a " +
+        "hinted join is user intent to the shape rules) is documented " +
+        "on standardRules and exercised here.",
+      Some("""
+         |SELECT c_mktsegment, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE l_extendedprice >= 1000.0 AND l_quantity >= 45.0
+         |GROUP BY 1
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.plans.{CatalogRules, ConjunctReorderRule}
+        MvPhases.ensureStored(spark, dir)
+        MvPhases.ensureStoredSk(spark, dir)
+        val st = StatsPhases.collected(spark, dir)
+        val est = ConjunctReorderRule.estimator(
+          HistPhases.collectedHists(spark, dir))
+        val child = CatalogRules.sessionWith(spark, Nil,
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        CatalogRules.installRules(child,
+          CatalogRules.standardRules(st,
+            mvs = Seq(MvPhases.mvDef(child, dir), MvPhases.mvDefSk(child, dir)),
+            selectivity = Some(est)))
+        Tables.lineitem(child, dir)
+          .filter(col("l_extendedprice") >= 1000.0 && col("l_quantity") >= 45.0)
+          .join(Tables.orders(child, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(child, dir),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+              .as("sum_price"))
+      }
     )
   )
 }

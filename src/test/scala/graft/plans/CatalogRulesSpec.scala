@@ -260,6 +260,69 @@ class CatalogRulesSpec extends AnyFunSuite {
     assert(firstJoinTables(df) === Set("orders", "customer"))
   }
 
+  test("q253: the full standardRules stack fires all three effects on one plan; same rows as rule-off") {
+    import org.apache.spark.sql.catalyst.expressions.IsNotNull
+    val on = SparkEntry.queries("q253_rules_composed")(spark, sf)
+    // join-order effect: the dims join first
+    assert(firstJoinTables(on) === Set("orders", "customer"))
+    // broadcast effect: the rewritten inner join is hint-broadcast
+    assert(physical(on).contains("BroadcastHashJoin"), physical(on))
+    // conjunct effect: quantity test precedes the price test, null
+    // guards (incl. the inferred join-key guard) lead. Pick the
+    // lineitem Filter (other sides carry inferred-guard-only filters).
+    val cs = {
+      val f = on.queryExecution.optimizedPlan.collect {
+        case flt: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if flt.condition.references.map(_.name).exists(_ == "l_quantity") => flt
+      }.head
+      def split(e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) => split(l) ++ split(r)
+        case other => Seq(other)
+      }
+      split(f.condition)
+    }
+    val qtyIdx = cs.indexWhere(e =>
+      !e.isInstanceOf[IsNotNull] && e.references.map(_.name).toSet == Set("l_quantity"))
+    val priceIdx = cs.indexWhere(e =>
+      !e.isInstanceOf[IsNotNull] && e.references.map(_.name).toSet == Set("l_extendedprice"))
+    assert(qtyIdx >= 0 && priceIdx >= 0 && qtyIdx < priceIdx, cs.mkString("; "))
+
+    val off = CatalogRules.sessionWith(spark, Nil,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val offDf = Tables.lineitem(off, sf)
+      .filter(col("l_extendedprice") >= 1000.0 && col("l_quantity") >= 45.0)
+      .join(Tables.orders(off, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(off, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+          .as("sum_price"))
+    assert(sortedRows(on) === sortedRows(offDf))
+  }
+
+  test("standardRules order contract: the MV rewrite still fires with the broadcast rule installed") {
+    import graft.queries.{MvPhases, StatsPhases}
+    MvPhases.ensureStoredSk(spark, sf)
+    val st = StatsPhases.collected(spark, sf)
+    val child = CatalogRules.sessionWith(spark, Nil,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    CatalogRules.installRules(child,
+      CatalogRules.standardRules(st, mvs = Seq(MvPhases.mvDefSk(child, sf))))
+    val df = Tables.lineitem(child, sf)
+      .join(Tables.supplier(child, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("cnt"))
+    // the MV shape runs before the hint rule, so the fact scan is gone
+    // even though the broadcast rule would have hinted (and thereby
+    // hidden) this join had it run first
+    val leaves = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.catalogTable.map(_.identifier.table)
+          .orElse(CatalogRules.tableOf(lr)).getOrElse("?")
+    }.toSet
+    assert(leaves === Set(MvPhases.skTable(sf), "supplier"), leaves)
+  }
+
   test("safety property: arbitrary catalog stats can change the plan but never the rows") {
     // The decision layer must be UNABLE to corrupt semantics: whatever
     // (even adversarial) statistics the rules are fed, the rewritten
