@@ -416,6 +416,26 @@ class CatalogRulesSpec extends AnyFunSuite {
     assert(priceIdx < qtyIdx, cs.mkString("; "))
   }
 
+  test("geFraction properties on random histograms: bounded, monotone non-increasing, edge-exact") {
+    // The estimator only feeds a SORT, so the properties that matter
+    // are ordering-grade: stay in [0,1], never increase with v, and
+    // hit the edges exactly — under arbitrary bucket counts (including
+    // all-zero) and arbitrary bounds.
+    val rng = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val b = 1 + rng.nextInt(32)
+      val mn = rng.nextDouble() * 100 - 50
+      val mx = mn + rng.nextDouble() * 1000 + 1e-6
+      val counts = Vector.fill(b)(rng.nextInt(1000).toLong)
+      val h = ConjunctReorderRule.ColumnHist(mn, mx, counts)
+      val fr = (0 to 64).map(i => h.geFraction(mn - 1 + (mx - mn + 2) * i / 64.0))
+      fr.foreach(f => assert(f >= 0.0 && f <= 1.0, s"$f out of range"))
+      fr.sliding(2).foreach { case Seq(a, c) => assert(a + 1e-12 >= c, s"$a < $c") }
+      assert(h.geFraction(mn) === 1.0)
+      assert(h.geFraction(mx + 1.0) === 0.0)
+    }
+  }
+
   test("geFraction: interpolation is monotone and hits the edges") {
     import ConjunctReorderRule.ColumnHist
     val h = ColumnHist(0.0, 160.0, Vector.tabulate(16)(i => (i + 1).toLong))
