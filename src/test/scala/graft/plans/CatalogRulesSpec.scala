@@ -135,6 +135,19 @@ class CatalogRulesSpec extends AnyFunSuite {
     }
   }
 
+  test("config-only rule fails loudly on a malformed catalog string") {
+    val child = CatalogRules.sessionWith(spark, Seq(ConfCatalogBroadcastRule))
+    child.conf.set(ConfCatalogBroadcastRule.RowsConf, "lineitem=6000")
+    val df = Tables.lineitem(child, sf)
+      .join(Tables.supplier(child, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("cnt"))
+    val e = intercept[Exception] { df.queryExecution.optimizedPlan }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("table:rows")), e.toString)
+  }
+
   // ------------------------------------------------- CatalogJoinOrderRule
 
   test("q245: rule re-associates so orders><customer materializes first; rule-off keeps written order; same rows") {
