@@ -53,10 +53,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(SortedSetContains.name,
         "sorted_set_contains(x, keys) - binary-search membership of x in a foldable string array"),
       SortedSetContains.builder))
-    // Catalog-driven broadcast choice, config-only: a strict no-op until
-    // the session sets spark.graft.broadcast.rows (see
-    // ConfCatalogBroadcastRule — the deployment form of the rule the
-    // q244 face installs programmatically).
+    // The catalog decision layer, config-only: each rule is a strict
+    // no-op until the session publishes its catalog conf
+    // (spark.graft.joinorder.stats / spark.graft.conjunct.hists+mcvs /
+    // spark.graft.broadcast.rows — the deployment forms of the rules
+    // the q244/q245/q246 faces install programmatically). Injection
+    // order IS the CatalogRules.standardRules composition contract:
+    // shape rules (join order, conjunct order) run before the hint
+    // rule, because every shape rule treats an existing hint as user
+    // intent and stands down — injecting broadcast first would hide
+    // joins from the order rewrite.
+    e.injectOptimizerRule(_ => graft.plans.ConfCatalogJoinOrderRule)
+    e.injectOptimizerRule(_ => graft.plans.ConfConjunctReorderRule)
     e.injectOptimizerRule(_ => graft.plans.ConfCatalogBroadcastRule)
   }
 }

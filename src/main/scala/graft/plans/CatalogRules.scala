@@ -40,9 +40,38 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 object CatalogRules {
 
+  /** How a catalog entry was produced — the trust grade rules read
+    * before USING a stat as a proof rather than a cost. Ordering
+    * decisions (join order, broadcast, conjunct order) accept either
+    * grade: a wrong estimate miscosts but can never change rows.
+    * PROOFS — [[MvRewriteRule]]'s dim-key-uniqueness check, whose
+    * failure mode is doubled partials, i.e. wrong rows — accept only
+    * [[StatProvenance.Exact]]: an HLL catalog can satisfy ndv == rows
+    * by estimation error. The DEFAULT on [[TableStat]] is Approx, the
+    * fail-safe direction: a collector that forgets to tag loses a
+    * rewrite, never a result; claiming Exact is an explicit act
+    * reserved for counting collectors (StatsPhases' countDistinct). */
+  sealed trait StatProvenance
+  object StatProvenance {
+    case object Exact extends StatProvenance
+    case object Approx extends StatProvenance
+  }
+
   /** Per-table catalog slice: base row count and per-column ndv — the
-    * exact shape StatsPhases persists (tbl, key, n, ndv). */
-  final case class TableStat(rows: Long, ndv: Map[String, Long])
+    * exact shape StatsPhases persists (tbl, key, n, ndv) — plus the
+    * trust metadata proofs need: [[provenance]] (counted vs sketched)
+    * and, when the collector recorded it, the table's root [[path]].
+    * The path closes the name-aliasing seam: rules identify scans by
+    * parquet basename ([[tableOf]]), so `a/lineitem.parquet` and
+    * `b/lineitem.parquet` alias; a recorded path lets a PROOF refuse a
+    * same-named table from another directory (for ordering rules the
+    * alias only miscosts, so they stay name-keyed — the conf-published
+    * catalog form carries no paths). */
+  final case class TableStat(
+      rows: Long,
+      ndv: Map[String, Long],
+      provenance: StatProvenance = StatProvenance.Approx,
+      path: Option[String] = None)
 
   /** The collected catalog a rule plans from. KBs by construction: one
     * row per (table, join key), never data. */
@@ -78,6 +107,32 @@ object CatalogRules {
       }
     case _ => None
   }
+
+  /** The FULL root path (scheme-stripped URI path) of the single file
+    * relation behind a scan pipeline — [[tableOf]]'s identity, without
+    * the basename collapse. Proof-grade checks compare this against a
+    * recorded path so two directories' same-named tables cannot alias. */
+  @scala.annotation.tailrec
+  def scanPath(plan: LogicalPlan): Option[String] = plan match {
+    case p: Project => scanPath(p.child)
+    case f: Filter => scanPath(f.child)
+    case lr: LogicalRelation =>
+      lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toUri.getPath).distinct.toSeq match {
+            case Seq(one) => Some(one)
+            case _ => None
+          }
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Normalize a loader-side `dir/table.parquet` string to the same
+    * scheme-stripped form [[scanPath]] emits, so a collector can record
+    * a comparable path without constructing a plan. */
+  def normalizePath(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
 
   /** A child session with `rules` installed as extraOptimizations plus
     * any conf overrides — rule scoping without touching the caller's
@@ -173,12 +228,16 @@ final case class CatalogBroadcastRule(
     case j @ Join(l, r, Inner, _, JoinHint(None, None)) =>
       val nl = CatalogRules.tableOf(l).flatMap(rows.get)
       val nr = CatalogRules.tableOf(r).flatMap(rows.get)
+      // Ratio test in BigInt: with a conf-raised maxBroadcastRows a
+      // Long product b * minRatio can overflow negative and pass the
+      // comparison — hinting a multi-billion-row broadcast (executor
+      // OOM). joinEstimate already follows the same discipline.
       (nl, nr) match {
         case (Some(a), Some(b))
-            if b <= maxBroadcastRows && a >= b * minRatio =>
+            if b <= maxBroadcastRows && BigInt(a) >= BigInt(b) * minRatio =>
           j.copy(hint = JoinHint(None, Some(HintInfo(Some(BROADCAST)))))
         case (Some(a), Some(b))
-            if a <= maxBroadcastRows && b >= a * minRatio =>
+            if a <= maxBroadcastRows && BigInt(b) >= BigInt(a) * minRatio =>
           j.copy(hint = JoinHint(Some(HintInfo(Some(BROADCAST))), None))
         case _ => j
       }
@@ -228,6 +287,55 @@ object ConfCatalogBroadcastRule extends Rule[LogicalPlan] {
         conf.getConfString(RatioConf, "4").toLong).apply(plan)
     }
   }
+}
+
+/** The config-only deployment form of [[CatalogJoinOrderRule]] — the
+  * same serving seam as [[ConfCatalogBroadcastRule]]: injected once via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`, it turns on
+  * catalog-driven join ordering when ONE runtime conf publishes the
+  * (rows, per-key ndv) catalog —
+  *
+  * {{{
+  * spark.graft.joinorder.stats =
+  *   "lineitem:6000000000:l_orderkey=1500000000;orders:1500000000:o_orderkey=1500000000,o_custkey=100000000;customer:100000000:c_custkey=100000000"
+  * }}}
+  *
+  * — `;` between tables, each `table:rows:col=ndv[,col=ndv…]`. Read per
+  * optimizer invocation from the active session, strict no-op when
+  * unset, loud failure on a malformed string (a wrong catalog is a
+  * caller bug, not something to guess around). The published stats are
+  * ORDERING-grade (TableStat's default Approx provenance): this rule
+  * never uses them as a proof, so a sketch-maintained publisher is
+  * fine.
+  */
+object ConfCatalogJoinOrderRule extends Rule[LogicalPlan] {
+  val StatsConf = "spark.graft.joinorder.stats"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val spec = conf.getConfString(StatsConf, "")
+    if (spec.trim.isEmpty) plan
+    else CatalogJoinOrderRule(
+      CatalogRules.CatalogStats(parse(spec))).apply(plan)
+  }
+
+  private[plans] def parse(spec: String): Map[String, CatalogRules.TableStat] =
+    spec.split(";").iterator.map(_.trim).filter(_.nonEmpty).map { entry =>
+      entry.split(":") match {
+        case Array(t, n, cols) =>
+          val ndv = cols.split(",").iterator.map(_.trim).filter(_.nonEmpty)
+            .map { kv =>
+              kv.split("=") match {
+                case Array(c, d) => c.trim -> d.trim.toLong
+                case _ => throw new IllegalArgumentException(
+                  s"$StatsConf ndv entries must be col=ndv — got '$kv'")
+              }
+            }.toMap
+          t.trim -> CatalogRules.TableStat(n.trim.toLong, ndv)
+        case _ => throw new IllegalArgumentException(
+          s"$StatsConf entries must be table:rows:col=ndv[,col=ndv…] — " +
+            s"got '$entry'")
+      }
+    }.toMap
 }
 
 /** Join-order choice from the stored catalog — q241's decision, ENACTED
@@ -384,6 +492,77 @@ object CatalogJoinOrderRule {
   val MaxChain = 8
 }
 
+/** The config-only deployment form of [[ConjunctReorderRule]] —
+  * completes the "enable by config on a real cluster" story for the
+  * whole decision layer: the ANALYZE job that maintains the stored
+  * histogram/MCV catalogs publishes them as two runtime confs and
+  * every query planned in the session gets selective-first AND chains
+  * with no code installed —
+  *
+  * {{{
+  * spark.graft.conjunct.hists =
+  *   "l_quantity:1.0:50.0:100|98|101|…;l_extendedprice:900.0:105000.0:…"
+  * spark.graft.conjunct.mcvs =
+  *   "l_suppkey:600000:10000:1=70,2=65,…"
+  * }}}
+  *
+  * — `;` between columns; a hist entry is `col:mn:mx:c0|c1|…` (the
+  * q232 equi-width cells), an MCV entry `col:n:ndv:v=cnt[,v=cnt…]`
+  * (the q243 stat; optional — without it equality conjuncts keep the
+  * chain as written, the rule's usual no-evidence stance). Read per
+  * optimizer invocation, strict no-op with both confs unset, loud
+  * failure on a malformed string.
+  */
+object ConfConjunctReorderRule extends Rule[LogicalPlan] {
+  val HistsConf = "spark.graft.conjunct.hists"
+  val McvsConf = "spark.graft.conjunct.mcvs"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val hs = conf.getConfString(HistsConf, "")
+    val ms = conf.getConfString(McvsConf, "")
+    if (hs.trim.isEmpty && ms.trim.isEmpty) plan
+    else ConjunctReorderRule(ConjunctReorderRule.estimator(
+      parseHists(hs), parseMcvs(ms))).apply(plan)
+  }
+
+  private[plans] def parseHists(
+      spec: String): Map[String, ConjunctReorderRule.ColumnHist] =
+    spec.split(";").iterator.map(_.trim).filter(_.nonEmpty).map { entry =>
+      entry.split(":") match {
+        case Array(c, mn, mx, cells) =>
+          val counts = cells.split("\\|").iterator.map(_.trim)
+            .filter(_.nonEmpty).map(_.toLong).toVector
+          if (counts.isEmpty) throw new IllegalArgumentException(
+            s"$HistsConf entry '$entry' has no cells")
+          c.trim -> ConjunctReorderRule.ColumnHist(
+            mn.trim.toDouble, mx.trim.toDouble, counts)
+        case _ => throw new IllegalArgumentException(
+          s"$HistsConf entries must be col:mn:mx:c0|c1|… — got '$entry'")
+      }
+    }.toMap
+
+  private[plans] def parseMcvs(
+      spec: String): Map[String, ConjunctReorderRule.ColumnMcv] =
+    spec.split(";").iterator.map(_.trim).filter(_.nonEmpty).map { entry =>
+      entry.split(":") match {
+        case Array(c, n, ndv, pairs) =>
+          val top = pairs.split(",").iterator.map(_.trim).filter(_.nonEmpty)
+            .map { kv =>
+              kv.split("=") match {
+                case Array(v, cnt) => v.trim.toDouble -> cnt.trim.toLong
+                case _ => throw new IllegalArgumentException(
+                  s"$McvsConf value entries must be v=cnt — got '$kv'")
+              }
+            }.toMap
+          c.trim -> ConjunctReorderRule.ColumnMcv(
+            n.trim.toLong, ndv.trim.toLong, top)
+        case _ => throw new IllegalArgumentException(
+          s"$McvsConf entries must be col:n:ndv:v=cnt[,v=cnt…] — " +
+            s"got '$entry'")
+      }
+    }.toMap
+}
+
 /** AND-chain evaluation order from stored histograms: conjuncts of a
   * Filter are reordered most-selective-first (null guards, which are
   * both the cheapest test and a precondition of the comparisons, keep
@@ -446,6 +625,25 @@ object ConjunctReorderRule {
       }
   }
 
+  /** One column's MCV equality stat in serving form — the q243 stat
+    * (top-k values by exact count + the two scalars the tail split
+    * needs), k+2 numbers per column, KBs. */
+  final case class ColumnMcv(n: Long, ndv: Long, top: Map[Double, Long]) {
+    private val mass: Long = top.values.sum
+
+    /** Estimated fraction of rows equal to v — the Postgres-style
+      * split (q243's rule): an MCV member costs its exact count;
+      * anything else gets the uniform remainder
+      * `(n - mcv_mass) div (ndv - k)`. Heavy hitters exact, tail
+      * spread. Ordering-grade (feeds a sort, not a result). */
+    def eqFraction(v: Double): Double = {
+      val cnt = top.getOrElse(v,
+        if (ndv > top.size) math.max(0L, (n - mass) / (ndv - top.size))
+        else 0L)
+      cnt.toDouble / math.max(1L, n).toDouble
+    }
+  }
+
   private def num(l: Literal): Option[Double] = l.value match {
     case null => None
     case d: java.lang.Double => Some(d)
@@ -458,17 +656,27 @@ object ConjunctReorderRule {
     case _ => None
   }
 
-  /** Estimator over a set of per-column histograms: range comparisons
-    * against literals interpolate the histogram; null guards cost 0 so
-    * they sort first (cheapest test, precondition of the rest —
-    * histogram or not: a bare IsNotNull needs no distribution to be
-    * the right thing to evaluate first, and the optimizer infers them
-    * onto join keys the histograms never cover); anything else is
-    * uncostable -> None -> the chain stays as written.
+  /** Estimator over a set of per-column histograms plus (optionally)
+    * per-column MCV lists: range comparisons against literals
+    * interpolate the histogram; EQUALITY comparisons cost from the MCV
+    * list (exact for heavy hitters, uniform remainder for the tail —
+    * without an MCV entry an equality keeps the whole chain as
+    * written, the r17 gap); null guards cost 0 so they sort first
+    * (cheapest test, precondition of the rest — histogram or not: a
+    * bare IsNotNull needs no distribution to be the right thing to
+    * evaluate first, and the optimizer infers them onto join keys the
+    * histograms never cover); anything else is uncostable -> None ->
+    * the chain stays as written.
     */
-  def estimator(hists: Map[String, ColumnHist]): Expression => Option[Double] = {
+  def estimator(
+      hists: Map[String, ColumnHist],
+      mcvs: Map[String, ColumnMcv] = Map.empty): Expression => Option[Double] = {
     case IsNotNull(_: AttributeReference) =>
       Some(0.0)
+    case EqualTo(a: AttributeReference, l: Literal) =>
+      mcvs.get(a.name).zip(num(l)).map { case (m, v) => m.eqFraction(v) }
+    case EqualTo(l: Literal, a: AttributeReference) =>
+      mcvs.get(a.name).zip(num(l)).map { case (m, v) => m.eqFraction(v) }
     case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
       hists.get(a.name).zip(num(l)).map { case (h, v) => h.geFraction(v) }
     case GreaterThan(a: AttributeReference, l: Literal) =>

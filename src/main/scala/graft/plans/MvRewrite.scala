@@ -79,6 +79,22 @@ final case class MvRewriteRule(
     // A rollup whose declared columns are missing from its own plan is a
     // broken MvDef, not a non-subsumed query.
     if (!mv.dims.values.forall(mvAttr(_).isDefined)) return None
+    // Non-determinism anywhere in the query breaks the rewrite's
+    // output-identical contract outright: a rand()-style filter has NO
+    // attribute references, so it vacuously passes the dim-only
+    // reference checks below and would be remapped onto the rollup —
+    // filtering rollup CELLS instead of base ROWS. Same for a
+    // non-deterministic aggregate or grouping expression: partials
+    // cannot reproduce a per-row draw. Mirrors Catalyst's own
+    // pushdown guards: deterministic-only, bail otherwise.
+    if (ge.exists(!_.deterministic) || ae.exists(!_.deterministic)) return None
+    // The base-table identity is a parquet BASENAME (tableOf), so two
+    // directories' same-named tables alias; when the MvDef records the
+    // rollup's true base path, a scan from any OTHER path must not be
+    // answered from this rollup (wrong data, not just wrong cost).
+    def baseMatches(scan: LogicalPlan): Boolean =
+      CatalogRules.tableOf(scan).contains(mv.baseTable) &&
+        mv.basePath.forall(p => CatalogRules.scanPath(scan).contains(p))
 
     // Shape: the base scan alone, or base JOIN dim on a rollup-carried
     // key whose uniqueness on the dim side the STATS CATALOG proves
@@ -87,21 +103,24 @@ final case class MvRewriteRule(
     // aggregate navigation). Without the proof, or with the key not a
     // rollup dimension, the join shape bails.
     //
-    // TRUST BOUNDARY: unlike every other check here (structural, on
-    // the plan itself), the uniqueness proof is only as sound as the
-    // catalog. It must come from EXACT counts (StatsPhases' ANALYZE
-    // artifact) — an approximate catalog (q248's HLL ndv) can satisfy
-    // ndv == rows by estimation error, and a duplicate dim key would
-    // then double partials. Same trust class as a declared FK/PK
-    // constraint in a warehouse; exact-count catalogs make it sound.
+    // TRUST BOUNDARY — enforced in types, not prose: the uniqueness
+    // proof accepts only a TableStat whose provenance is Exact
+    // (StatsPhases' counting ANALYZE). An approximate catalog (q248's
+    // HLL ndv) can satisfy ndv == rows by estimation error, and a
+    // duplicate dim key would then double partials; Approx is the
+    // TableStat DEFAULT, so a collector that forgets to claim its
+    // grade loses the rewrite, never the result. When the stat also
+    // records the dim table's path, the scanned dim must live there —
+    // a same-named dim from another directory proves nothing about
+    // THIS plan's rows (MvRewriteSpec pins both refusals).
     val (baseFilters, aboveFilters, dimOpt) = leaf match {
-      case scan if CatalogRules.tableOf(scan).contains(mv.baseTable) =>
+      case scan if baseMatches(scan) =>
         (topFilters, Nil: Seq[Expression], None)
       case Join(l, r, Inner, Some(c: EqualTo), JoinHint(None, None)) =>
         val (lf, ls) = collectScan(l, Nil).get
         val (rf, rs) = collectScan(r, Nil).get
-        val lBase = CatalogRules.tableOf(ls).contains(mv.baseTable)
-        val rBase = CatalogRules.tableOf(rs).contains(mv.baseTable)
+        val lBase = baseMatches(ls)
+        val rBase = baseMatches(rs)
         if (lBase == rBase) return None // both or neither: not this shape
         val (bSide, bFilters, dSide, dScan) =
           if (lBase) (l, lf, r, rs) else (r, rf, l, ls)
@@ -114,9 +133,12 @@ final case class MvRewriteRule(
           case _ => return None
         }
         if (!mv.dims.contains(bk.name)) return None
-        val provenUnique = (stats.rows(dimTable), stats.ndv(dimTable, dk.name)) match {
-          case (Some(n), Some(d)) => n == d
-          case _ => false
+        val provenUnique = stats.tables.get(dimTable) match {
+          case Some(ts) =>
+            ts.provenance == CatalogRules.StatProvenance.Exact &&
+              ts.ndv.get(dk.name).contains(ts.rows) &&
+              ts.path.forall(p => CatalogRules.scanPath(dScan).contains(p))
+          case None => false
         }
         if (!provenUnique) return None
         (bFilters, topFilters, Some(DimSide(dSide, dk, bk.name)))
@@ -133,14 +155,19 @@ final case class MvRewriteRule(
     def remap(e: Expression): Expression = e.transform {
       case a: AttributeReference if isBaseDim(a) => mvAttr(mv.dims(a.name)).get
     }
-    // Base-side filters must be base-dim-only (they commute with the
-    // rollup's group-by); filters above the join may mix base dims and
-    // dim-side columns.
+    // Base-side filters must be DETERMINISTIC and base-dim-only (they
+    // then commute with the rollup's group-by); filters above the join
+    // may mix base dims and dim-side columns. The determinism check is
+    // load-bearing, not hygiene: rand() < 0.01 has no references, so
+    // the dim-only check alone passes it vacuously — remapped onto the
+    // rollup it would sample CELLS instead of ROWS.
     val mvBaseFilters = baseFilters.map { f =>
+      if (!f.deterministic) return None
       if (!f.references.forall(a => isBaseDim(a))) return None
       remap(f)
     }
     val mvAboveFilters = aboveFilters.map { f =>
+      if (!f.deterministic) return None
       if (!f.references.forall(a => dimOut.contains(a) || isBaseDim(a))) return None
       remap(f)
     }
@@ -249,13 +276,18 @@ final case class MvRewriteRule(
   * query applies inside SUM (the engine's DECIMAL-accumulation
   * discipline), so a sum only folds onto a partial that accumulated
   * the same way — measure identity is (function, source column, cast),
-  * never just a name.
+  * never just a name. `basePath` (CatalogRules.scanPath form) pins
+  * WHICH `baseTable` the rollup summarizes: base identity is otherwise
+  * a parquet basename, and a rollup built over dir A must never answer
+  * a query scanning dir B's same-named table; None (legacy defs) keeps
+  * the name-only match.
   */
 final case class MvDef(
     baseTable: String,
     dims: Map[String, String],
     measures: Seq[MvMeasure],
-    mvPlan: LogicalPlan)
+    mvPlan: LogicalPlan,
+    basePath: Option[String] = None)
 
 final case class MvMeasure(
     func: String,

@@ -1799,7 +1799,10 @@ object RelationalQueries {
         "to comparing n_left*n_right*s_min — alpha*m^2 cancels — so " +
         "the decision is INTEGER arithmetic over the scaled register " +
         "sums (s_min because ndv is inversely proportional to s; " +
-        "DECIMAL(38,0) so no width overflows it), exactly " +
+        "accumulated at DECIMAL(38,0) so no width overflows the " +
+        "product, emitted as BIGINT per the repo's no-DECIMAL-outputs " +
+        "edge convention — the score tops out around 2.3e16 at bench " +
+        "scale, well inside the 64-bit range), exactly " +
         "reproducible by the oracle's md5 device. Counts are exact " +
         "(additively foldable, q234's other half). On the fixture the " +
         "approx decision MATCHES the exact one (orders_customer_first " +
@@ -1834,14 +1837,14 @@ object RelationalQueries {
            |SELECT 'lineitem_orders_first' AS plan_name,
            |       CAST(n_l AS BIGINT) AS n_left, CAST(n_o AS BIGINT) AS n_right,
            |       CAST(LEAST(s_l_ok, s_o_ok) AS BIGINT) AS s_min,
-           |       CAST(score_lo AS DECIMAL(38,0)) AS score,
+           |       CAST(score_lo AS BIGINT) AS score,
            |       score_lo <= score_oc AS chosen
            |FROM sc
            |UNION ALL
            |SELECT 'orders_customer_first',
            |       CAST(n_o AS BIGINT), CAST(n_c AS BIGINT),
            |       CAST(LEAST(s_o_ck, s_c_ck) AS BIGINT),
-           |       CAST(score_oc AS DECIMAL(38,0)),
+           |       CAST(score_oc AS BIGINT),
            |       score_oc <= score_lo
            |FROM sc""".stripMargin
       },
@@ -1870,13 +1873,13 @@ object RelationalQueries {
               lit("lineitem_orders_first").as("plan_name"),
               col("n_l_ok").as("n_left"), col("n_o_ok").as("n_right"),
               least(col("s_l_ok"), col("s_o_ok")).as("s_min"),
-              col("score_lo").as("score"),
+              col("score_lo").cast("bigint").as("score"),
               (col("score_lo") <= col("score_oc")).as("chosen")),
             struct(
               lit("orders_customer_first").as("plan_name"),
               col("n_o_ok").as("n_left"), col("n_c_ck").as("n_right"),
               least(col("s_o_ck"), col("s_c_ck")).as("s_min"),
-              col("score_oc").as("score"),
+              col("score_oc").cast("bigint").as("score"),
               (col("score_oc") <= col("score_lo")).as("chosen"))
           )).as("p")).select("p.*")
       }
@@ -1980,8 +1983,8 @@ object RelationalQueries {
         "split Profile.refreshBatch documents.",
       Some("""
          |SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
-         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price,
+         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
          |       MIN(l_quantity) AS min_qty,
          |       MAX(l_extendedprice) AS max_price
          |FROM lineitem
@@ -1990,9 +1993,18 @@ object RelationalQueries {
       (spark, dir) => {
         val li = Tables.lineitem(spark, dir)
         val uid = col("l_orderkey") * 8 + col("l_linenumber")
+        // The STORED artifact keeps its exact DECIMAL partials (that is
+        // the fold's whole contract); only the query EDGE casts to
+        // DOUBLE, per the repo's no-DECIMAL-outputs convention — the
+        // fold-equals-scratch claim is unchanged (decimal addition is
+        // associative; the cast is applied to the already-exact total).
         MvPhases.fold(
           MvPhases.partials(li.filter(uid % 2 === 0)),
           li.filter(uid % 2 === 1))
+          .select(col("l_returnflag"), col("l_linestatus"), col("cnt"),
+            col("sum_qty").cast("double").as("sum_qty"),
+            col("sum_price").cast("double").as("sum_price"),
+            col("min_qty"), col("max_price"))
       }
     ),
     Q(
@@ -2087,6 +2099,76 @@ object RelationalQueries {
             sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
               .as("sum_price"))
       }
+    ),
+    Q(
+      "q254_rule_conjunct_equality",
+      "MCV-driven EQUALITY costing in the conjunct-reorder rule — the " +
+        "r17 gap closed: the q243 most-common-values stat, previously " +
+        "collected but unread by any rule, now costs EqualTo conjuncts " +
+        "(MCV member -> its exact count; tail -> the uniform remainder " +
+        "(n - mcv_mass) div (ndv - k)), so a chain containing an " +
+        "equality no longer makes the whole filter uncostable. The " +
+        "text is written worst-first (l_extendedprice >= 1000 keeps " +
+        "~99%, then l_suppkey = 1 keeps ~1/ndv); the rule reads the " +
+        "stored histogram + MCV catalogs (KBs) and flips the chain so " +
+        "short-circuit evaluation rejects ~99% of scan survivors on " +
+        "the equality test first. Same rows either way — the oracle " +
+        "checks semantics; CatalogRulesSpec pins the reordered Filter " +
+        "and rule-off written order.",
+      Some("""
+         |SELECT l_returnflag, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         |FROM lineitem
+         |WHERE l_extendedprice >= 1000.0 AND l_suppkey = 1
+         |GROUP BY 1
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.plans.{CatalogRules, ConjunctReorderRule}
+        val est = ConjunctReorderRule.estimator(
+          HistPhases.collectedHists(spark, dir),
+          McvPhases.collectedMcvs(spark, dir))
+        val child = CatalogRules.sessionWith(spark, Seq(ConjunctReorderRule(est)))
+        Tables.lineitem(child, dir)
+          .filter(col("l_extendedprice") >= 1000.0 && col("l_suppkey") === 1)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+              .as("sum_price"))
+      }
+    ),
+    Q(
+      "q255_mv_sk_incremental",
+      "Incremental maintenance for the FK rollup — the one stored " +
+        "serving artifact that closed r17 without a freshness story " +
+        "(q252's rollup was build-once): an arrival batch reduces to " +
+        "its own per-suppkey partials and FOLDS into the stored rollup " +
+        "cell-wise (count and the DECIMAL sum are additive — the same " +
+        "monoids as q251's returnflag rollup), so folded EQUALS " +
+        "from-scratch row for row and the q252 join rewrite stays " +
+        "serveable under ingest at arrival-batch cost, the fact table " +
+        "never rescanned. Shards are the q251 device (injective " +
+        "uid = orderkey*8+linenumber, even/odd) so both engines cut " +
+        "identical batches; the oracle recomputes the scratch rollup " +
+        "over the full table. Additive cells carry the exactly-once " +
+        "ingest contract (replay double-counts; StreamingIncremental" +
+        "Spec pins the streaming refreshBatchSk face). Output cast to " +
+        "DOUBLE at the edge; the STORED artifact keeps exact DECIMAL " +
+        "partials, overflow-guarded to fail its build loudly.",
+      Some("""
+         |SELECT l_suppkey, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         |FROM lineitem
+         |GROUP BY 1
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+        val uid = col("l_orderkey") * 8 + col("l_linenumber")
+        MvPhases.foldSk(
+          MvPhases.partialsSk(li.filter(uid % 2 === 0)),
+          li.filter(uid % 2 === 1))
+          .select(col("l_suppkey"), col("cnt"),
+            col("sum_qty").cast("double").as("sum_qty"))
+      }
     )
   )
 }
@@ -2133,6 +2215,10 @@ object StatsPhases {
     * read of the stored table into the KB-scale map the optimizer
     * consults per Join node — the q239 "cost every query from KBs"
     * seam, now feeding Catalyst itself instead of a costing query.
+    * Tagged EXACT — this collector counts (countDistinct), never
+    * estimates — which is what entitles MvRewriteRule's uniqueness
+    * proof to trust it; each entry also records the table's root path
+    * so the proof refuses a same-named table from another directory.
     */
   def collected(spark: SparkSession, dir: String): graft.plans.CatalogRules.CatalogStats = {
     ensureStored(spark, dir)
@@ -2141,7 +2227,10 @@ object StatsPhases {
       rows.groupBy(_.getString(0)).map { case (t, rs) =>
         t -> graft.plans.CatalogRules.TableStat(
           rs.head.getLong(2),
-          rs.map(r => r.getString(1) -> r.getLong(3)).toMap)
+          rs.map(r => r.getString(1) -> r.getLong(3)).toMap,
+          provenance = graft.plans.CatalogRules.StatProvenance.Exact,
+          path = Some(graft.plans.CatalogRules.normalizePath(
+            graft.Tables.path(dir, t))))
       })
   }
 }
@@ -2201,6 +2290,60 @@ object HistPhases {
   }
 }
 
+/** The stored MCV catalog behind q254's equality costing — the q243
+  * stat in serving form, same discipline as [[HistPhases]]: per
+  * costable column, the top-k values by EXACT count plus the (n, ndv)
+  * scalars the Postgres-style tail split needs, collected once per
+  * input dir (one grouped-count pass into a global top-k at ANALYZE
+  * time) and persisted as a (colname, v, cnt, n, ndv) table; planning
+  * consumers read the stored k+2 numbers per column (KBs) instead of
+  * re-scanning data. Bench pays the build on its own `mcvcat_build`
+  * line.
+  */
+object McvPhases {
+  import org.apache.spark.sql.SparkSession
+
+  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Columns the conjunct-reorder rule can cost equality predicates
+    * on (q254's predicate), with their MCV list width. */
+  private val McvColumns = Seq(("l_suppkey", 8))
+
+  def mcvTable(dir: String): String = s"graft_mcvcat_${Q.scratchTag(dir)}"
+
+  def buildStored(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.Profile
+    val li = Tables.lineitem(spark, dir)
+    val cat = McvColumns.map { case (c, k) =>
+      Profile.mcvList(li, c, k)
+        .crossJoin(broadcast(li.agg(
+          count(lit(1)).as("n"), countDistinct(col(c)).as("ndv"))))
+        .select(lit(c).as("colname"), col("v").cast("double").as("v"),
+          col("cnt"), col("n"), col("ndv"))
+    }.reduce(_ unionByName _)
+    graft.operators.Bucketing.dropWithLocation(spark, mcvTable(dir))
+    cat.write.format("parquet").saveAsTable(mcvTable(dir))
+    built.add(mcvTable(dir))
+  }
+
+  def ensureStored(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!built.contains(mcvTable(dir))) buildStored(spark, dir)
+  }
+
+  /** The stored MCV lists collected into the estimator's serving form. */
+  def collectedMcvs(
+      spark: SparkSession,
+      dir: String): Map[String, graft.plans.ConjunctReorderRule.ColumnMcv] = {
+    ensureStored(spark, dir)
+    val rows = spark.table(mcvTable(dir)).collect()
+    rows.groupBy(_.getString(0)).map { case (c, rs) =>
+      c -> graft.plans.ConjunctReorderRule.ColumnMcv(
+        rs.head.getLong(3), rs.head.getLong(4),
+        rs.map(r => r.getDouble(1) -> r.getLong(2)).toMap)
+    }
+  }
+}
+
 /** The stored ROLLUP behind q249/q250's materialized-view rewrite — the
   * data-level serving artifact beside [[StatsPhases]]' plan-level one:
   * lineitem pre-aggregated by (l_returnflag, l_linestatus) with
@@ -2228,16 +2371,36 @@ object MvPhases {
     if (!built.contains(mvTable(dir))) buildStored(spark, dir)
   }
 
+  /** Narrow an exact DECIMAL total back to the stored partial width —
+    * LOUDLY. Under non-ANSI eval a decimal cast that overflows returns
+    * null, so a group whose partial outgrew DECIMAL(18,4) would
+    * silently store null and the MV-rewritten SUM would return null
+    * where the base query (accumulating at DECIMAL(28,4)) is correct —
+    * a value-level divergence the rewrite's TYPE-equality check cannot
+    * see. A wrong stored artifact must fail its build, not its
+    * readers: overflow raises, with the offending value in the
+    * message. (raise_error is NullType, so the branch coerces to the
+    * narrowed decimal type.) */
+  private def narrowExact(c: org.apache.spark.sql.Column, name: String)
+      : org.apache.spark.sql.Column = {
+    val narrowed = c.cast("decimal(18,4)")
+    when(c.isNotNull && narrowed.isNull,
+      raise_error(concat(
+        lit(s"rollup partial '$name' overflows DECIMAL(18,4): "),
+        c.cast("string"))))
+      .otherwise(narrowed).as(name)
+  }
+
   /** One table's rows reduced to the rollup's partials — shared by the
     * full build and the incremental fold so the two cannot drift. */
   def partials(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     rows.groupBy("l_returnflag", "l_linestatus")
       .agg(
         count(lit(1)).as("cnt"),
-        sum(col("l_quantity").cast("decimal(18,4)"))
-          .cast("decimal(18,4)").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,4)"))
-          .cast("decimal(18,4)").as("sum_price"),
+        narrowExact(
+          sum(col("l_quantity").cast("decimal(18,4)")), "sum_qty"),
+        narrowExact(
+          sum(col("l_extendedprice").cast("decimal(18,4)")), "sum_price"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_extendedprice")).as("max_price"))
 
@@ -2258,8 +2421,8 @@ object MvPhases {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(col("cnt")).as("cnt"),
-        sum(col("sum_qty")).cast("decimal(18,4)").as("sum_qty"),
-        sum(col("sum_price")).cast("decimal(18,4)").as("sum_price"),
+        narrowExact(sum(col("sum_qty")), "sum_qty"),
+        narrowExact(sum(col("sum_price")), "sum_price"),
         min(col("min_qty")).as("min_qty"),
         max(col("max_price")).as("max_price"))
 
@@ -2290,13 +2453,46 @@ object MvPhases {
     * never invalidate the artifact. */
   def skTable(dir: String): String = s"graft_mv_lisk_${Q.scratchTag(dir)}"
 
-  def buildStoredSk(spark: SparkSession, dir: String): Unit = {
-    val mv = Tables.lineitem(spark, dir)
-      .groupBy("l_suppkey")
+  /** One table's rows reduced to the FK rollup's partials — shared by
+    * the full build and the incremental fold so the two cannot drift
+    * (the q251/q255 discipline, at the FK grain). */
+  def partialsSk(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    rows.groupBy("l_suppkey")
       .agg(
         count(lit(1)).as("cnt"),
-        sum(col("l_quantity").cast("decimal(18,4)"))
-          .cast("decimal(18,4)").as("sum_qty"))
+        narrowExact(
+          sum(col("l_quantity").cast("decimal(18,4)")), "sum_qty"))
+
+  /** Fold an arrival batch into the FK rollup — count and the DECIMAL
+    * sum are the same monoids as [[fold]]'s, so folded EQUALS
+    * from-scratch row for row (q255's oracle); the fact table is never
+    * rescanned. Replay contract identical to [[fold]]: both cells are
+    * additive, so a replayed batch double-counts — the exactly-once
+    * ingest contract rides the batch id, not the fold. */
+  def foldSk(
+      stored: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    stored.unionByName(partialsSk(batch))
+      .groupBy("l_suppkey")
+      .agg(
+        sum(col("cnt")).as("cnt"),
+        narrowExact(sum(col("sum_qty")), "sum_qty"))
+
+  /** The STREAMING face of [[foldSk]] — same read-merge-overwrite
+    * discipline as [[refreshBatch]] (localCheckpoint pins the merged
+    * cells before the overwrite drops their source table). */
+  def refreshBatchSk(batch: org.apache.spark.sql.DataFrame, table: String): Unit = {
+    val spark = batch.sparkSession
+    val merged =
+      if (spark.catalog.tableExists(table)) foldSk(spark.table(table), batch)
+      else partialsSk(batch)
+    val pinned = merged.localCheckpoint()
+    try pinned.write.mode("overwrite").format("parquet").saveAsTable(table)
+    finally pinned.unpersist()
+  }
+
+  def buildStoredSk(spark: SparkSession, dir: String): Unit = {
+    val mv = partialsSk(Tables.lineitem(spark, dir))
     graft.operators.Bucketing.dropWithLocation(spark, skTable(dir))
     mv.write.format("parquet").saveAsTable(skTable(dir))
     built.add(skTable(dir))
@@ -2317,7 +2513,9 @@ object MvPhases {
         graft.plans.MvMeasure("sum", "l_quantity",
           Some(DecimalType(18, 4)), "sum_qty")),
       mvPlan = EliminateSubqueryAliases(
-        session.table(skTable(dir)).queryExecution.analyzed))
+        session.table(skTable(dir)).queryExecution.analyzed),
+      basePath = Some(graft.plans.CatalogRules.normalizePath(
+        graft.Tables.path(dir, "lineitem"))))
   }
 
   /** The rollup's contract + its read plan resolved in `session` (the
@@ -2338,7 +2536,9 @@ object MvPhases {
         graft.plans.MvMeasure("min", "l_quantity", None, "min_qty"),
         graft.plans.MvMeasure("max", "l_extendedprice", None, "max_price")),
       mvPlan = EliminateSubqueryAliases(
-        session.table(mvTable(dir)).queryExecution.analyzed))
+        session.table(mvTable(dir)).queryExecution.analyzed),
+      basePath = Some(graft.plans.CatalogRules.normalizePath(
+        graft.Tables.path(dir, "lineitem"))))
   }
 }
 

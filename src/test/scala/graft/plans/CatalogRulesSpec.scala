@@ -148,6 +148,89 @@ class CatalogRulesSpec extends AnyFunSuite {
       c.getMessage.contains("table:rows")), e.toString)
   }
 
+  test("config-only deployment: join-order and conjunct rules fire from confs and no-op with them unset") {
+    import org.apache.spark.sql.SparkSession
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[2]")
+      .appName("rule-ext-test2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      ext.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def chain = Tables.lineitem(ext, sf)
+        .join(Tables.orders(ext, sf), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(ext, sf), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+      // confs unset: strict no-op, written order survives
+      assert(firstJoinTables(chain) === Set("lineitem", "orders"))
+      ext.conf.set(ConfCatalogJoinOrderRule.StatsConf,
+        "lineitem:6000:l_orderkey=1500; " +
+          "orders:1500:o_orderkey=1500,o_custkey=150; " +
+          "customer:150:c_custkey=150")
+      assert(firstJoinTables(chain) === Set("orders", "customer"))
+      ext.conf.unset(ConfCatalogJoinOrderRule.StatsConf)
+      assert(firstJoinTables(chain) === Set("lineitem", "orders"))
+
+      def filtered = Tables.lineitem(ext, sf)
+        .filter(col("l_extendedprice") >= 1000.0 &&
+          col("l_suppkey") === 1 && col("l_quantity") >= 45.0)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+      def idxOf(df: DataFrame, colName: String): Int = conjuncts(df).indexWhere(e =>
+        !e.isInstanceOf[IsNotNull] &&
+          e.references.map(_.name).toSet == Set(colName))
+      // conf unset: written order (price, equality, quantity)
+      assert(idxOf(filtered, "l_extendedprice") < idxOf(filtered, "l_quantity"))
+      ext.conf.set(ConfConjunctReorderRule.HistsConf,
+        "l_quantity:1.0:50.0:" + Seq.fill(16)("100").mkString("|") + ";" +
+          "l_extendedprice:900.0:105000.0:" + Seq.fill(16)("100").mkString("|"))
+      ext.conf.set(ConfConjunctReorderRule.McvsConf,
+        "l_suppkey:6000:10:1=600,2=600")
+      // published stats: equality (~10%) then quantity (~11%) then price (~99%)
+      val eqI = idxOf(filtered, "l_suppkey")
+      val qtyI = idxOf(filtered, "l_quantity")
+      val priceI = idxOf(filtered, "l_extendedprice")
+      assert(eqI < qtyI && qtyI < priceI,
+        conjuncts(filtered).mkString("; "))
+      // without the MCV conf the equality is uncostable: whole chain as written
+      ext.conf.unset(ConfConjunctReorderRule.McvsConf)
+      assert(idxOf(filtered, "l_extendedprice") < idxOf(filtered, "l_quantity"))
+      ext.conf.unset(ConfConjunctReorderRule.HistsConf)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach(SparkSession.setDefaultSession)
+      prior.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  test("config-only join-order and conjunct rules fail loudly on malformed catalog strings") {
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    val child = CatalogRules.sessionWith(spark,
+      Seq(ConfCatalogJoinOrderRule, ConfConjunctReorderRule))
+    child.conf.set(ConfCatalogJoinOrderRule.StatsConf, "lineitem=6000")
+    val df = Tables.lineitem(child, sf)
+      .join(Tables.orders(child, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(child, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+    val e1 = intercept[Exception] { df.queryExecution.optimizedPlan }
+    assert(causes(e1).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("table:rows:col=ndv")), e1.toString)
+    child.conf.unset(ConfCatalogJoinOrderRule.StatsConf)
+    child.conf.set(ConfConjunctReorderRule.HistsConf, "l_quantity:1.0:50.0")
+    val df2 = Tables.lineitem(child, sf)
+      .filter(col("l_extendedprice") >= 1000.0 && col("l_quantity") >= 45.0)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+    val e2 = intercept[Exception] { df2.queryExecution.optimizedPlan }
+    assert(causes(e2).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("col:mn:mx")), e2.toString)
+    child.conf.unset(ConfConjunctReorderRule.HistsConf)
+  }
+
   // ------------------------------------------------- CatalogJoinOrderRule
 
   test("q245: rule re-associates so orders><customer materializes first; rule-off keeps written order; same rows") {
@@ -407,6 +490,61 @@ class CatalogRulesSpec extends AnyFunSuite {
       !e.isInstanceOf[IsNotNull] && e.references.map(_.name).toSet == Set("l_extendedprice"))
     assert(priceOff < qtyOff, csOff.mkString("; "))
     assert(sortedRows(on) === sortedRows(offDf))
+  }
+
+  test("q254: MCV-costed equality evaluates before the unselective range test; rule-off keeps written order; same rows") {
+    val on = SparkEntry.queries("q254_rule_conjunct_equality")(spark, sf)
+    val cs = conjuncts(on)
+    val eqIdx = cs.indexWhere(e =>
+      !e.isInstanceOf[IsNotNull] && e.references.map(_.name).toSet == Set("l_suppkey"))
+    val priceIdx = cs.indexWhere(e =>
+      !e.isInstanceOf[IsNotNull] && e.references.map(_.name).toSet == Set("l_extendedprice"))
+    assert(eqIdx >= 0 && priceIdx >= 0, cs.mkString("; "))
+    assert(eqIdx < priceIdx, cs.mkString("; "))
+    cs.takeWhile(_.isInstanceOf[IsNotNull])
+      .foreach(e => assert(e.isInstanceOf[IsNotNull]))
+
+    val off = CatalogRules.sessionWith(spark, Nil)
+    val offDf = Tables.lineitem(off, sf)
+      .filter(col("l_extendedprice") >= 1000.0 && col("l_suppkey") === 1)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+          .as("sum_price"))
+    val csOff = conjuncts(offDf)
+    val eqOff = csOff.indexWhere(e =>
+      !e.isInstanceOf[IsNotNull] && e.references.map(_.name).toSet == Set("l_suppkey"))
+    val priceOff = csOff.indexWhere(e =>
+      !e.isInstanceOf[IsNotNull] && e.references.map(_.name).toSet == Set("l_extendedprice"))
+    assert(priceOff < eqOff, csOff.mkString("; "))
+    assert(sortedRows(on) === sortedRows(offDf))
+  }
+
+  test("eqFraction: MCV members cost their exact mass, the tail gets the uniform remainder, degenerate shapes stay bounded") {
+    import ConjunctReorderRule.ColumnMcv
+    val m = ColumnMcv(n = 1000L, ndv = 12L,
+      top = Map(1.0 -> 400L, 2.0 -> 300L))
+    assert(m.eqFraction(1.0) === 0.4)
+    assert(m.eqFraction(2.0) === 0.3)
+    // tail: (1000 - 700) / (12 - 2) = 30 rows
+    assert(m.eqFraction(9.0) === 0.03)
+    // every value in the list: tail has no remaining ndv -> 0
+    val full = ColumnMcv(10L, 2L, Map(1.0 -> 6L, 2.0 -> 4L))
+    assert(full.eqFraction(3.0) === 0.0)
+    // all fractions bounded [0, 1] under arbitrary CONSISTENT shapes
+    // (mcv mass <= n, ndv >= k — what any counting collector produces)
+    val rng = new scala.util.Random(11)
+    (1 to 50).foreach { _ =>
+      val k = 1 + rng.nextInt(8)
+      val top = (1 to k).map(i => i.toDouble -> (1L + rng.nextInt(1000)))
+        .toMap
+      val n = top.values.sum + rng.nextInt(100000)
+      val mc = ColumnMcv(n, (k + rng.nextInt(100)).toLong, top)
+      (0 to 12).map(_.toDouble).foreach { v =>
+        val f = mc.eqFraction(v)
+        assert(f >= 0.0 && f <= 1.0, s"$f out of range for v=$v in $mc")
+      }
+    }
   }
 
   test("conjunct rule leaves a chain with an uncostable predicate alone") {

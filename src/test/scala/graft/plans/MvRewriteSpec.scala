@@ -118,6 +118,86 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(scanTables(da).contains("lineitem"), scanTables(da))
   }
 
+  test("trust boundary: approx stats numerically satisfying ndv == rows must NOT fire the join rewrite") {
+    import CatalogRules.{CatalogStats, StatProvenance, TableStat}
+    MvPhases.ensureStoredSk(spark, sf)
+    val n = Tables.supplier(spark, sf).count()
+    // Numerically a perfect uniqueness claim — but the provenance is
+    // Approx (the TableStat DEFAULT — a collector that forgets to claim
+    // its grade lands here), the grade an HLL catalog could reach by
+    // estimation error; the proof must refuse it and keep the fact scan.
+    val approx = CatalogStats(Map(
+      "supplier" -> TableStat(n, Map("s_suppkey" -> n))))
+    val child = CatalogRules.sessionWith(spark, Nil)
+    CatalogRules.installRules(child,
+      Seq(MvRewriteRule(Seq(MvPhases.mvDefSk(child, sf)), approx)))
+    val df = Tables.lineitem(child, sf)
+      .join(Tables.supplier(child, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("cnt"))
+    assert(scanTables(df).contains("lineitem"), scanTables(df))
+
+    // The SAME numbers claimed Exact fire the rewrite — isolating the
+    // refusal to the provenance tag, not the values.
+    val exact = CatalogStats(Map(
+      "supplier" -> TableStat(n, Map("s_suppkey" -> n),
+        provenance = StatProvenance.Exact)))
+    val child2 = CatalogRules.sessionWith(spark, Nil)
+    CatalogRules.installRules(child2,
+      Seq(MvRewriteRule(Seq(MvPhases.mvDefSk(child2, sf)), exact)))
+    val df2 = Tables.lineitem(child2, sf)
+      .join(Tables.supplier(child2, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("cnt"))
+    assert(scanTables(df2) === Set(MvPhases.skTable(sf), "supplier"),
+      scanTables(df2))
+  }
+
+  test("path identity: a rollup/proof built over one directory never answers a same-named table from another") {
+    val otherDir = "/root/testdata/sf0.01"
+    // (a) base-table identity: the MvDef records sf0.001's lineitem
+    // path; the same-NAMED table from sf0.01 must keep its fact scan.
+    val child = mvSession() // rollup + MvDef built over sf0.001
+    val foreign = Tables.lineitem(child, otherDir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+    assert(scanTables(foreign) === Set("lineitem"), scanTables(foreign))
+    // ...while the recorded-path table still rewrites in the same session.
+    val home = Tables.lineitem(child, sf)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+    assert(scanTables(home) === Set(MvPhases.mvTable(sf)), scanTables(home))
+
+    // (b) dim-side proof identity: the catalog proved s_suppkey unique
+    // for sf0.001's supplier (path recorded by StatsPhases.collected);
+    // joining sf0.01's supplier proves nothing about THIS plan's rows.
+    import graft.queries.StatsPhases
+    MvPhases.ensureStoredSk(spark, sf)
+    val st = StatsPhases.collected(spark, sf)
+    val child2 = CatalogRules.sessionWith(spark, Nil)
+    CatalogRules.installRules(child2,
+      Seq(MvRewriteRule(Seq(MvPhases.mvDefSk(child2, sf)), st)))
+    val crossDim = Tables.lineitem(child2, sf)
+      .join(Tables.supplier(child2, otherDir),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("cnt"))
+    assert(scanTables(crossDim).contains("lineitem"), scanTables(crossDim))
+  }
+
+  test("non-deterministic predicates and aggregates bail — a rand() filter must sample rows, never rollup cells") {
+    val child = mvSession()
+    val li = Tables.lineitem(child, sf)
+    // rand() < 0.5 has NO attribute references: the dim-only reference
+    // check alone would pass it vacuously and remap it onto the rollup.
+    // (Threshold strictly inside (0,1): Spark's optimizer knows rand's
+    // range and folds an always-true comparison away entirely.)
+    val a = li.filter(rand(42) < 0.5)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+    assert(scanTables(a) === Set("lineitem"), scanTables(a))
+    // Non-deterministic grouping expression: same contract.
+    val b = li.groupBy((rand(7) * 0 + col("l_returnflag").isNotNull.cast("int")).as("g"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(scanTables(b) === Set("lineitem"), scanTables(b))
+  }
+
   test("non-subsumed shapes bail to the fact scan") {
     val child = mvSession()
     val li = Tables.lineitem(child, sf)

@@ -14,6 +14,24 @@ class QueriesSmokeSpec extends AnyFunSuite {
   // Queries whose correct result can legitimately be empty at tiny SF.
   private val mayBeEmpty = Set("q15_anti_join", "q18_except")
 
+  // No declared query may emit a DECIMAL-typed column (r17: q248/q251
+  // were the registry's only two and the driver's hash canonicalizes
+  // DECIMAL differently between its Spark-parquet and DuckDB read
+  // paths — value-correct results still hashed red). The repo's edge
+  // convention is cast-to-DOUBLE (or BIGINT for integral scores);
+  // DECIMAL stays an INTERNAL accumulation type only. Recursive so a
+  // decimal can't hide inside a struct/array/map output column.
+  private def hasDecimal(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: DecimalType => true
+      case s: StructType => s.fields.exists(f => hasDecimal(f.dataType))
+      case a: ArrayType => hasDecimal(a.elementType)
+      case m: MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+      case _ => false
+    }
+  }
+
   SparkEntry.registry.foreach { q =>
     test(s"${q.name} runs and returns rows") {
       val df = q.run(spark, SparkTestSession.sf0001)
@@ -22,6 +40,10 @@ class QueriesSmokeSpec extends AnyFunSuite {
       assert(df.columns.nonEmpty)
       assert(df.columns.forall(c => c == c.toLowerCase || c == "UID"),
         s"${q.name} has non-lowercase columns: ${df.columns.mkString(",")}")
+      val decimals = df.schema.fields.filter(f => hasDecimal(f.dataType))
+      assert(decimals.isEmpty,
+        s"${q.name} emits DECIMAL-typed output (driver hash seam): " +
+          decimals.map(f => s"${f.name}: ${f.dataType.sql}").mkString(", "))
     }
   }
 

@@ -162,6 +162,48 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming FK-rollup maintenance (q255): served sk rollup equals from-scratch; replay double-counts the additive cells") {
+    import graft.operators.Bucketing
+    import graft.queries.MvPhases
+    val mk = (ids: Range) => ids.map(i =>
+      ((i % 7 + 1).toLong, (i % 50 + 1).toDouble))
+      .toDF("l_suppkey", "l_quantity")
+    val existing = mk(0 until 20)
+    val b1 = mk(20 until 30)
+    val b2 = mk(30 until 40)
+    val tbl = "graft_mv_sk_stream_spec"
+    Bucketing.dropWithLocation(spark, tbl)
+    MvPhases.refreshBatchSk(existing, tbl)
+    val dirStr = watchDirOf(Seq(b1, b2))
+    val schema = StructType(Seq(
+      StructField("l_suppkey", LongType),
+      StructField("l_quantity", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dirStr)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        MvPhases.refreshBatchSk(batch, tbl)
+      }
+      .start()
+    def served() = spark.table(tbl).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    try {
+      q.processAllAvailable()
+      val scratch = MvPhases.partialsSk(
+        existing.unionByName(b1).unionByName(b2)).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+      assert(served() == scratch,
+        "served FK rollup diverges from the from-scratch partials")
+      // Replay: BOTH cells of this rollup are additive (count + sum),
+      // so a replayed batch double-counts everywhere — the exactly-once
+      // contract rides the ingest batch id, same as q251's cnt/sums.
+      MvPhases.refreshBatchSk(b2, tbl)
+      assert(served().values.map(_._1).sum == 50L,
+        "replayed additive side should double-count (40 + 10 rows)")
+    } finally q.stop()
+  }
+
   test("streaming profile maintenance: served ANALYZE surface equals the batch fold; replay moves only the additive side") {
     import graft.operators.{Bucketing, Profile}
     val cols = Seq("doc_id", "lang")
