@@ -45,6 +45,22 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // Session-health probe (r17 verdict item 2): ONE fixed trivial plan
+    // (scan + tiny shuffle through noop), min-of-3, timed right after
+    // warmup and again after all measured work — the in-ARTIFACT form
+    // of the isolate evidence that adjudicated r17's host-steal rounds.
+    // On a healthy session both numbers sit near this host's ~0.1-0.3 s
+    // floor; a stolen session inflates them the same 2-4x as the query
+    // lines, so the artifact itself says whether a flag set is engine
+    // or environment.
+    def healthProbe(): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count()
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -458,6 +474,16 @@ object Bench {
           }),
           "q246_rule_conjunct_order" -> ((s: SparkSession, d: String) =>
             SparkEntry.queries("q246_rule_conjunct_order")(s, d))),
+        // The stored MCV catalog q254's equality costing reads: one
+        // grouped-count top-k pass per column at ingest; the q254 line
+        // is the repeat planning decision + filter.
+        "q254_rule_conjunct_equality" -> Seq(
+          "mcvcat_build" -> ((s: SparkSession, d: String) => {
+            graft.queries.McvPhases.buildStored(s, d)
+            s.emptyDataFrame
+          }),
+          "q254_rule_conjunct_equality" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q254_rule_conjunct_equality")(s, d))),
         // MV rewrite family: the rollup build is the one-shot ingest
         // cost; the q249 line is what the SAME query text costs once
         // the rewrite answers it from the rollup; the ruleoff twin is
@@ -534,6 +560,7 @@ object Bench {
       Set("q178_scaled16_rebuild", "q173_scaled16_rebuild",
         "q174_setsim_exact", "q175_containment_join",
         "q226_uncapped_mine_full")
+    val healthStart = healthProbe()
     val firstPass = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy(_._1).flatMap { case (name, fn) =>
@@ -556,7 +583,7 @@ object Bench {
     val singleTimed: Set[String] = Set(
       "dupgraph_build", "dupgraph_derive", "dupgraph_serving",
       "dupgraph_touched", "cdcfp_build", "bpeenc_build", "semkept_build",
-      "histcat_build", "mv_build",
+      "histcat_build", "mcvcat_build", "mv_build",
       "q64_bucketed_build",
       "q79_ivf_build", "q85_kmeans_train", "q156_ivf_base_build",
       "q228_ivf_compact", "q226_sig_mine_full", "q226_uncapped_mine_full",
@@ -582,7 +609,6 @@ object Bench {
     def fmt(v: Double): String =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) // locale-pinned: "5.123" never "5,123"
-    val total = results.map(_._2).filter(_ >= 0).sum // exclude -1 failure sentinels
     // Explicit best-floor resets: a best recorded BEFORE the listed round
     // is excluded for that query, because the OPERATOR was intentionally
     // changed (or the measurement context was unrepresentative) and the
@@ -686,7 +712,33 @@ object Bench {
         }
         .groupBy(_._2).map { case (k, vs) => k -> vs.map(_._3).min }
     }
-    val best: Map[String, Double] = results.map { case (k, v) =>
+    // Third-pass adjudication (r17 verdict item 2): a NON-build line
+    // still >1.5x its cross-round floor after min-of-2 gets ONE more
+    // in-run re-time, and the reported number is min-of-3. Bounded by
+    // construction: only lines whose floor is under 2 s qualify (the
+    // sub-second class where host steal flagged ~30 lines in r17 at
+    // <1 s each), and at most 40 lines re-run so a genuinely regressed
+    // tree cannot stretch the bench unboundedly. Lines still flagged
+    // AFTER this pass are listed in `third_pass` so the artifact itself
+    // shows which flags survived three measurements — those are real
+    // investigation candidates, not session noise.
+    val thirdPass = scala.collection.mutable.ArrayBuffer.empty[String]
+    val finalResults: Seq[(String, Double)] = {
+      var budget = 40
+      results.map { case (k, v) =>
+        val floor = priorBest.get(k)
+        if (v >= 0 && budget > 0 && !singleTimed(k) &&
+            floor.exists(b => v > 1.5 * b && b < 2.0)) {
+          budget -= 1
+          thirdPass += k
+          val t3 = firstPass.find(_._1 == k)
+            .map { case (_, fn, _) => timeOne(k, fn) }.getOrElse(-1.0)
+          k -> (if (t3 < 0) v else math.min(v, t3))
+        } else k -> v
+      }
+    }
+    val total = finalResults.map(_._2).filter(_ >= 0).sum // exclude -1 failure sentinels
+    val best: Map[String, Double] = finalResults.map { case (k, v) =>
       val cands = (priorBest.get(k).toSeq ++ Some(v).filter(_ >= 0)).filter(_ >= 0)
       k -> (if (cands.isEmpty) -1.0 else cands.min)
     }.toMap
@@ -749,26 +801,35 @@ object Bench {
     // are excluded via bestFloorReset above (each reset carried in the
     // output with its round + reason), so every entry below is a genuine
     // investigation candidate.
-    val regressed = results.collect {
+    val regressed = finalResults.collect {
       case (k, v) if v >= 0 && !singleTimed(k) &&
         priorBest.get(k).exists(b => v > 1.5 * b) => k
     }
     val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Session-health evidence lives in the artifact (r17 verdict item
+    // 2): the probe pair brackets the measured work, and third_pass
+    // lists the lines whose min-of-2 was still >1.5x floor and earned
+    // the bounded extra re-time — read regressed_vs_best against these
+    // three fields before calling anything a regression.
+    val healthEnd = healthProbe()
+    val thirdPassJson = thirdPass.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val healthJson =
+      s""","health_probe_start_sec":${fmt(healthStart)},"health_probe_end_sec":${fmt(healthEnd)},"third_pass":$thirdPassJson"""
     val floorJson = bestFloorReset.toSeq.sortBy(_._1).map {
       case (k, (round, reason)) =>
         "\"" + k + "\":{\"round\":" + round + ",\"reason\":\"" + reason + "\"}"
     }.mkString("{", ",", "}")
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val fullQs = finalResults.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val fullBest = results.map { case (k, _) => "\"" + k + "\":" + fmt(best(k)) }
+    val fullBest = finalResults.map { case (k, _) => "\"" + k + "\":" + fmt(best(k)) }
       .mkString("{", ",", "}")
     // An isolation run is marked and writes to its own file: its total is
     // meaningless and must never shadow a round's full map.
     val onlyTag = if (only.isDefined) "\"only\":true," else ""
-    val singleTimedJson = results.collect { case (k, _) if singleTimed(k) => k }
+    val singleTimedJson = finalResults.collect { case (k, _) if singleTimed(k) => k }
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{$onlyTag"round":$thisRound,"comparators_run":$comparatorsThisRound,"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"best":$fullBest,"regressed_vs_best":$regressedJson,"single_timed":$singleTimedJson,"best_floor_reset":$floorJson$zorderMetrics,"sf":"$sfDir"}"""
+      s"""{$onlyTag"round":$thisRound,"comparators_run":$comparatorsThisRound,"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"best":$fullBest,"regressed_vs_best":$regressedJson,"single_timed":$singleTimedJson,"best_floor_reset":$floorJson$zorderMetrics$healthJson,"sf":"$sfDir"}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
@@ -795,7 +856,7 @@ object Bench {
     // verdicts; floor resets as name->round only (prose lives in
     // PLANS.md §bench and in the bench_full line); single_timed as a
     // count (the full list is in the bench_full line).
-    val slowTail = results.sortBy(-_._2).take(12)
+    val slowTail = finalResults.sortBy(-_._2).take(12)
     val slowest = slowTail
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -805,8 +866,8 @@ object Bench {
     val floorCompact = bestFloorReset.toSeq.sortBy(_._1)
       .map { case (k, (round, _)) => "\"" + k + "\":" + round }
       .mkString("{", ",", "}")
-    val singleTimedN = results.count { case (k, _) => singleTimed(k) }
-    println(s"""{$onlyTag"round":$thisRound,"comparators_run":$comparatorsThisRound,"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"best":$slowestBest,"regressed_vs_best":$regressedJson,"single_timed_n":$singleTimedN,"best_floor_reset":$floorCompact$zorderMetrics,"sf":"$sfDir"}""")
+    val singleTimedN = finalResults.count { case (k, _) => singleTimed(k) }
+    println(s"""{$onlyTag"round":$thisRound,"comparators_run":$comparatorsThisRound,"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"best":$slowestBest,"regressed_vs_best":$regressedJson,"single_timed_n":$singleTimedN,"best_floor_reset":$floorCompact$zorderMetrics$healthJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
