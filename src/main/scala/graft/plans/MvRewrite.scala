@@ -258,6 +258,21 @@ final case class MvRewriteRule(
           KnownNotNull(Coalesce(Seq(
             aggE.copy(aggregateFunction = Sum(m)),
             Literal(0L)))))
+      // COUNT(col) — non-null count — folds onto a stored per-column
+      // count partial exactly like COUNT(*) onto cnt (cell partials
+      // counted non-nulls; their sum is the total; empty input keeps
+      // COUNT's 0-not-null contract via the same coalesce). This is
+      // also the denominator of the engine's deterministic-average
+      // idiom sum(cast(x as decimal))/count(x), so AVG-shaped queries
+      // fold without any Average-specific surgery — and native
+      // Average(x) deliberately does NOT fold: Spark computes it as a
+      // float-order-dependent double sum, which no decimal partial can
+      // reproduce bit-for-bit.
+      case Count(Seq(a: AttributeReference)) =>
+        measure("count", a.name, None).map(m =>
+          KnownNotNull(Coalesce(Seq(
+            aggE.copy(aggregateFunction = Sum(m)),
+            Literal(0L)))))
       case Min(a: AttributeReference) =>
         measure("min", a.name, None).map(m =>
           aggE.copy(aggregateFunction = Min(m)))

@@ -2169,6 +2169,50 @@ object RelationalQueries {
           .select(col("l_suppkey"), col("cnt"),
             col("sum_qty").cast("double").as("sum_qty"))
       }
+    ),
+    Q(
+      "q256_mv_avg_rewrite",
+      "COUNT(col) + AVG-shaped folding in the MV rewrite: the rollup " +
+        "now stores per-column NON-NULL counts (cnt_qty/cnt_price — " +
+        "appended partials, same fold monoid as cnt), so COUNT(x) " +
+        "folds onto them exactly like COUNT(*) onto cnt, and the " +
+        "engine's deterministic-average idiom — " +
+        "sum(cast(x as decimal)) / count(x), the only average the " +
+        "repo's cross-engine exactness discipline permits — folds " +
+        "with NO average-specific machinery: the rewrite swaps the " +
+        "two aggregate calls inside the division independently and " +
+        "keeps the scalar wrapper. Native float-order-dependent " +
+        "Average(x) deliberately does NOT fold (no decimal partial " +
+        "can reproduce a double-accumulation bit for bit); " +
+        "MvRewriteSpec pins rollup-only scans, the rule-off " +
+        "equality, and the Average refusal. At 100 TB this makes " +
+        "every report-style mean a KB read from the artifact the " +
+        "ingest pipeline already folds per batch.",
+      Some("""
+         |SELECT l_returnflag, l_linestatus,
+         |       COUNT(l_quantity) AS cnt_qty,
+         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+         |         / COUNT(l_quantity) AS avg_qty,
+         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         |         / COUNT(l_extendedprice) AS avg_price
+         |FROM lineitem
+         |GROUP BY 1, 2
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.plans.{CatalogRules, MvRewriteRule}
+        MvPhases.ensureStored(spark, dir)
+        val child = CatalogRules.sessionWith(spark, Nil)
+        CatalogRules.installRules(child,
+          Seq(MvRewriteRule(Seq(MvPhases.mvDef(child, dir)))))
+        Tables.lineitem(child, dir)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            count(col("l_quantity")).as("cnt_qty"),
+            (sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+              / count(col("l_quantity"))).as("avg_qty"),
+            (sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+              / count(col("l_extendedprice"))).as("avg_price"))
+      }
     )
   )
 }
@@ -2392,7 +2436,13 @@ object MvPhases {
   }
 
   /** One table's rows reduced to the rollup's partials — shared by the
-    * full build and the incremental fold so the two cannot drift. */
+    * full build and the incremental fold so the two cannot drift.
+    * `cnt_qty`/`cnt_price` are per-column NON-NULL counts (appended
+    * last so consumers of the original column positions are
+    * undisturbed): the COUNT(col) partial, and the denominator that
+    * lets the engine's deterministic-average idiom
+    * sum(cast(x as decimal))/count(x) fold from the same artifact
+    * (q256). */
   def partials(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     rows.groupBy("l_returnflag", "l_linestatus")
       .agg(
@@ -2402,7 +2452,9 @@ object MvPhases {
         narrowExact(
           sum(col("l_extendedprice").cast("decimal(18,4)")), "sum_price"),
         min(col("l_quantity")).as("min_qty"),
-        max(col("l_extendedprice")).as("max_price"))
+        max(col("l_extendedprice")).as("max_price"),
+        count(col("l_quantity")).as("cnt_qty"),
+        count(col("l_extendedprice")).as("cnt_price"))
 
   /** Fold an arrival batch's partials into an existing rollup — the
     * incremental-maintenance face (q251): COUNT and the DECIMAL SUMs
@@ -2424,7 +2476,9 @@ object MvPhases {
         narrowExact(sum(col("sum_qty")), "sum_qty"),
         narrowExact(sum(col("sum_price")), "sum_price"),
         min(col("min_qty")).as("min_qty"),
-        max(col("max_price")).as("max_price"))
+        max(col("max_price")).as("max_price"),
+        sum(col("cnt_qty")).as("cnt_qty"),
+        sum(col("cnt_price")).as("cnt_price"))
 
   /** The STREAMING face of [[fold]] — drive from
     * `writeStream.foreachBatch`: one micro-batch's rows fold into the
@@ -2534,7 +2588,9 @@ object MvPhases {
         graft.plans.MvMeasure("sum", "l_extendedprice",
           Some(DecimalType(18, 4)), "sum_price"),
         graft.plans.MvMeasure("min", "l_quantity", None, "min_qty"),
-        graft.plans.MvMeasure("max", "l_extendedprice", None, "max_price")),
+        graft.plans.MvMeasure("max", "l_extendedprice", None, "max_price"),
+        graft.plans.MvMeasure("count", "l_quantity", None, "cnt_qty"),
+        graft.plans.MvMeasure("count", "l_extendedprice", None, "cnt_price")),
       mvPlan = EliminateSubqueryAliases(
         session.table(mvTable(dir)).queryExecution.analyzed),
       basePath = Some(graft.plans.CatalogRules.normalizePath(

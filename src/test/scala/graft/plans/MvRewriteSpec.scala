@@ -219,6 +219,32 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(scanTables(d) === Set("lineitem"), scanTables(d))
   }
 
+  test("q256: COUNT(col) and the deterministic-average idiom fold from the rollup; native Average refuses") {
+    val on = SparkEntry.queries("q256_mv_avg_rewrite")(spark, sf)
+    assert(scanTables(on) === Set(MvPhases.mvTable(sf)), scanTables(on))
+
+    val off = CatalogRules.sessionWith(spark, Nil)
+    val offDf = Tables.lineitem(off, sf)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(col("l_quantity")).as("cnt_qty"),
+        (sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          / count(col("l_quantity"))).as("avg_qty"),
+        (sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+          / count(col("l_extendedprice"))).as("avg_price"))
+    assert(scanTables(offDf) === Set("lineitem"))
+    assert(on.schema === offDf.schema)
+    assert(sortedRows(on) === sortedRows(offDf))
+
+    // Native Average accumulates doubles in float order — no decimal
+    // partial reproduces it bit for bit, so it must NOT fold.
+    val child = mvSession()
+    val nativeAvg = Tables.lineitem(child, sf)
+      .groupBy("l_returnflag")
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    assert(scanTables(nativeAvg) === Set("lineitem"), scanTables(nativeAvg))
+  }
+
   test("q251 companion: folded rollup == from-scratch rollup, and the rewrite serves from it unchanged") {
     val li = Tables.lineitem(spark, sf)
     val uid = col("l_orderkey") * 8 + col("l_linenumber")
