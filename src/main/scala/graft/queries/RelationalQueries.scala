@@ -2213,6 +2213,84 @@ object RelationalQueries {
             (sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
               / count(col("l_extendedprice"))).as("avg_price"))
       }
+    ),
+    Q(
+      "q257_mv_sk_retract",
+      "DELETE maintenance for the FK rollup — the retraction half of " +
+        "CDC-grade MV upkeep (MvPhases.foldRetractSk): every measure " +
+        "the sk rollup stores is additive (count, DECIMAL sum), so a " +
+        "delete batch reduces to its own partials and folds " +
+        "NEGATIVELY, cell-wise, with ZERO fact rescans — and a cell " +
+        "whose count reaches zero drops, exactly as a from-scratch " +
+        "rebuild over the remaining rows would omit it (an " +
+        "all-deleted group must disappear). A count driven NEGATIVE " +
+        "raises (retracting rows never folded in is a corrupt-feed " +
+        "bug, not state to serve). The oracle rebuilds the rollup " +
+        "over lineitem MINUS the deleted quarter (uid % 4 == 3, the " +
+        "q251 injective-uid device) from scratch; the Spark side " +
+        "retracts that quarter from the full-table rollup — " +
+        "equality IS the retraction proof. Replay contract mirrored " +
+        "from the insert fold: a replayed retract over-subtracts, so " +
+        "retraction rides the same exactly-once batch-id discipline. " +
+        "Min/max-bearing rollups cannot take this path (q258).",
+      Some("""
+         |SELECT l_suppkey, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         |FROM lineitem
+         |WHERE (l_orderkey * 8 + l_linenumber) % 4 <> 3
+         |GROUP BY 1
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+        val uid = col("l_orderkey") * 8 + col("l_linenumber")
+        MvPhases.foldRetractSk(
+          MvPhases.partialsSk(li),
+          li.filter(uid % 4 === 3))
+          .select(col("l_suppkey"), col("cnt"),
+            col("sum_qty").cast("double").as("sum_qty"))
+      }
+    ),
+    Q(
+      "q258_mv_delete_touched",
+      "DELETE maintenance for a rollup WITH non-retractable measures " +
+        "(MvPhases.deleteMaintain): min/max cannot subtract — a " +
+        "deleted row might have BEEN the min — so the touched CELLS, " +
+        "and only those, recompute their partials from the remaining " +
+        "fact rows (the touched dim values ride a broadcast semi-join " +
+        "into the scan) while every untouched cell keeps its stored " +
+        "row verbatim via an anti-join. The fixture deletes one " +
+        "returnflag's rows entirely ('R', which also removes its " +
+        "cells) plus a quarter of 'A' (whose cells recompute); 'N' " +
+        "cells must arrive byte-identical from the stored artifact. " +
+        "At 100 TB the recompute bill is the touched cells' row " +
+        "share, not the table — the honest price of min/max under " +
+        "deletes, and exactly why the q257 rollup keeps only additive " +
+        "measures. Oracle: from-scratch partials over the remaining " +
+        "rows, edge-cast per convention.",
+      Some("""
+         |SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         |       MIN(l_quantity) AS min_qty,
+         |       MAX(l_extendedprice) AS max_price
+         |FROM lineitem
+         |WHERE NOT (l_returnflag = 'R'
+         |           OR (l_returnflag = 'A'
+         |               AND (l_orderkey * 8 + l_linenumber) % 4 = 3))
+         |GROUP BY 1, 2
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+        val uid = col("l_orderkey") * 8 + col("l_linenumber")
+        val isDeleted = col("l_returnflag") === "R" ||
+          (col("l_returnflag") === "A" && uid % 4 === 3)
+        MvPhases.deleteMaintain(
+          MvPhases.partials(li),
+          li.filter(isDeleted),
+          li.filter(!isDeleted))
+          .select(col("l_returnflag"), col("l_linestatus"), col("cnt"),
+            col("sum_qty").cast("double").as("sum_qty"),
+            col("min_qty"), col("max_price"))
+      }
     )
   )
 }
@@ -2543,6 +2621,71 @@ object MvPhases {
     val pinned = merged.localCheckpoint()
     try pinned.write.mode("overwrite").format("parquet").saveAsTable(table)
     finally pinned.unpersist()
+  }
+
+  /** RETRACT a delete batch from the FK rollup — the other half of
+    * CDC-grade maintenance (q257): every measure this rollup stores is
+    * additive (count, sum), so deletes fold NEGATIVELY with zero fact
+    * rescans — the deleted rows reduce to their own partials, subtract
+    * cell-wise, and a cell whose count reaches zero drops (a group
+    * with every row deleted must disappear, exactly as a from-scratch
+    * rebuild would omit it). A cnt that goes NEGATIVE means the caller
+    * retracted rows that were never folded in — a corrupt-feed bug, so
+    * it raises rather than serving impossible state. Same
+    * exactly-once contract as [[foldSk]], mirrored: a REPLAYED retract
+    * over-subtracts. Min/max-bearing rollups cannot take this path —
+    * see [[deleteMaintain]] for theirs. */
+  def foldRetractSk(
+      stored: org.apache.spark.sql.DataFrame,
+      deleted: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    stored.unionByName(
+        partialsSk(deleted).select(col("l_suppkey"),
+          (-col("cnt")).as("cnt"), (-col("sum_qty")).as("sum_qty")))
+      .groupBy("l_suppkey")
+      .agg(sum(col("cnt")).as("cnt"),
+        narrowExact(sum(col("sum_qty")), "sum_qty"))
+      .withColumn("cnt",
+        when(col("cnt") < 0, raise_error(concat(
+          lit("retract underflow for l_suppkey="), col("l_suppkey").cast("string"),
+          lit(": deleted rows were never in the rollup"))))
+          .otherwise(col("cnt")))
+      .filter(col("cnt") > 0)
+
+  /** The STREAMING face of [[foldRetractSk]] — a CDC delete feed kept
+    * current through `writeStream.foreachBatch`, same read-merge-
+    * overwrite discipline as [[refreshBatchSk]]. An insert feed and a
+    * delete feed maintaining one table compose: both fold cell-wise
+    * into the same additive state. */
+  def refreshRetractSk(deleted: org.apache.spark.sql.DataFrame, table: String): Unit = {
+    val spark = deleted.sparkSession
+    require(spark.catalog.tableExists(table),
+      s"refreshRetractSk: no stored rollup '$table' to retract from")
+    val merged = foldRetractSk(spark.table(table), deleted)
+    val pinned = merged.localCheckpoint()
+    try pinned.write.mode("overwrite").format("parquet").saveAsTable(table)
+    finally pinned.unpersist()
+  }
+
+  /** Delete maintenance for a rollup WITH non-retractable measures
+    * (q258): min/max cannot subtract, so the touched CELLS — and only
+    * those — recompute from the remaining fact rows, while every
+    * untouched cell keeps its stored partials verbatim (anti-join on
+    * the dim key). At 100 TB the recompute scan carries the touched
+    * dim values as a pushed filter, so its cost is the touched cells'
+    * row share, not the table — the honest price of keeping min/max
+    * in a rollup under deletes (a delete that lowers nothing still
+    * forces the cell's rescan; rollups that need cheap deletes store
+    * only additive measures, q257's shape). */
+  def deleteMaintain(
+      stored: org.apache.spark.sql.DataFrame,
+      deleted: org.apache.spark.sql.DataFrame,
+      remaining: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val touched = deleted.select(keys.map(col): _*).distinct()
+    val recomputed = partials(
+      remaining.join(broadcast(touched), keys))
+    stored.join(broadcast(touched), keys, "left_anti")
+      .unionByName(recomputed)
   }
 
   def buildStoredSk(spark: SparkSession, dir: String): Unit = {

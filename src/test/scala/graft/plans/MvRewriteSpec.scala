@@ -259,6 +259,47 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(sortedRows(folded) === sortedRows(scratch))
   }
 
+  test("q257 companion: additive retract == scratch, all-deleted groups drop, underflow raises") {
+    val li = Tables.lineitem(spark, sf)
+    val uid = col("l_orderkey") * 8 + col("l_linenumber")
+    val victim = li.agg(min("l_suppkey")).head().getLong(0)
+    val isDeleted = col("l_suppkey") === victim || uid % 4 === 3
+    val retracted = MvPhases.foldRetractSk(
+      MvPhases.partialsSk(li), li.filter(isDeleted))
+    val scratch = MvPhases.partialsSk(li.filter(!isDeleted))
+    assert(sortedRows(retracted) === sortedRows(scratch))
+    // the all-deleted group is GONE, not a zero row
+    assert(retracted.filter(col("l_suppkey") === victim).count() === 0)
+    // retracting rows that were never folded in must raise, not serve
+    // impossible (negative-count) state
+    val bad = MvPhases.foldRetractSk(
+      MvPhases.partialsSk(li.filter(uid % 2 === 0)), li)
+    val e = intercept[Exception] { bad.collect() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("retract underflow"))), e.toString)
+  }
+
+  test("q258 companion: touched cells recompute, untouched cells pass through VERBATIM from the stored artifact") {
+    val li = Tables.lineitem(spark, sf)
+    val uid = col("l_orderkey") * 8 + col("l_linenumber")
+    val isDeleted = col("l_returnflag") === "R" ||
+      (col("l_returnflag") === "A" && uid % 4 === 3)
+    val stored = MvPhases.partials(li)
+    val maintained = MvPhases.deleteMaintain(
+      stored, li.filter(isDeleted), li.filter(!isDeleted))
+    // whole-table equality with the from-scratch rebuild
+    assert(sortedRows(maintained)
+      === sortedRows(MvPhases.partials(li.filter(!isDeleted))))
+    // untouched ('N') cells are the STORED rows, bit for bit — the
+    // anti-join pass-through, not a recompute that happens to agree
+    assert(sortedRows(maintained.filter(col("l_returnflag") === "N"))
+      === sortedRows(stored.filter(col("l_returnflag") === "N")))
+    // fully-deleted ('R') cells are gone
+    assert(maintained.filter(col("l_returnflag") === "R").count() === 0)
+  }
+
   test("min/max fold and the count fold is non-null-typed") {
     val child = mvSession()
     val df = Tables.lineitem(child, sf)

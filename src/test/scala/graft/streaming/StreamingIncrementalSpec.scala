@@ -204,6 +204,42 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming FK-rollup retraction (q257): a CDC delete feed folds negatively; served == scratch over the remaining rows") {
+    import graft.operators.Bucketing
+    import graft.queries.MvPhases
+    val mk = (ids: Range) => ids.map(i =>
+      ((i % 7 + 1).toLong, (i % 50 + 1).toDouble))
+      .toDF("l_suppkey", "l_quantity")
+    val full = mk(0 until 40)
+    // two delete micro-batches: rows 0-9, then rows 10-19
+    val d1 = mk(0 until 10)
+    val d2 = mk(10 until 20)
+    val tbl = "graft_mv_sk_retract_spec"
+    Bucketing.dropWithLocation(spark, tbl)
+    MvPhases.refreshBatchSk(full, tbl)
+    val dirStr = watchDirOf(Seq(d1, d2))
+    val schema = StructType(Seq(
+      StructField("l_suppkey", LongType),
+      StructField("l_quantity", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dirStr)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        MvPhases.refreshRetractSk(batch, tbl)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val served = spark.table(tbl).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+      val scratch = MvPhases.partialsSk(mk(20 until 40)).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+      assert(served == scratch,
+        "served rollup after streamed retractions diverges from scratch")
+    } finally q.stop()
+  }
+
   test("streaming profile maintenance: served ANALYZE surface equals the batch fold; replay moves only the additive side") {
     import graft.operators.{Bucketing, Profile}
     val cols = Seq("doc_id", "lang")
