@@ -63,6 +63,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rule, because every shape rule treats an existing hint as user
     // intent and stands down — injecting broadcast first would hide
     // joins from the order rewrite.
+    e.injectOptimizerRule(_ => graft.plans.ConfMvRewriteRule)
     e.injectOptimizerRule(_ => graft.plans.ConfCatalogJoinOrderRule)
     e.injectOptimizerRule(_ => graft.plans.ConfConjunctReorderRule)
     e.injectOptimizerRule(_ => graft.plans.ConfCatalogBroadcastRule)

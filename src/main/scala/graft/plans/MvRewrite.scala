@@ -285,6 +285,122 @@ final case class MvRewriteRule(
   }
 }
 
+/** The config-only deployment form of [[MvRewriteRule]] — the last
+  * decision-layer rule to gain one, completing "enable the whole layer
+  * by config": a deployment that injects `GraftExtensions` turns on
+  * aggregate navigation by publishing the rollup CONTRACTS as a
+  * runtime conf —
+  *
+  * {{{
+  * spark.graft.mv.defs =
+  *   "table=graft_mv_li_x;base=lineitem;basePath=/data/lineitem.parquet;dims=l_returnflag:l_returnflag,l_linestatus:l_linestatus;measures=count:::cnt~sum:l_quantity:decimal(18,4):sum_qty~min:l_quantity::min_qty"
+  * spark.graft.mv.exactstats = "supplier:10000:s_suppkey=10000"   // optional
+  * }}}
+  *
+  * — defs separated by `|`; within a def, `key=value` pairs separated
+  * by `;` (keys: table, base, basePath?, dims, measures); dims are
+  * `base:mv` pairs joined by `,`; measures are `func:src:cast:mvCol`
+  * tuples joined by `~` (src/cast empty where not applicable; cast is
+  * a DDL type string). The rollup's read plan is resolved against the
+  * ACTIVE session's catalog per invocation — a def naming a missing
+  * table fails the query loudly, like every malformed graft conf.
+  *
+  * `spark.graft.mv.exactstats` (same grammar as the join-order conf)
+  * is the DECLARED-CONSTRAINT trust channel: entries are tagged
+  * [[CatalogRules.StatProvenance.Exact]], which is what entitles the
+  * FK-join rewrite's uniqueness proof to fire. Publishing it is the
+  * same act — and the same responsibility — as declaring a PRIMARY
+  * KEY to a warehouse: the engine enforces everything it can
+  * structurally, and trusts exactly what the deployer declared.
+  * Without it, join-shaped rewrites stand down (the fail-safe Approx
+  * default).
+  */
+object ConfMvRewriteRule extends Rule[LogicalPlan] {
+  val DefsConf = "spark.graft.mv.defs"
+  val ExactConf = "spark.graft.mv.exactstats"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val spec = conf.getConfString(DefsConf, "")
+    if (spec.trim.isEmpty) plan
+    else {
+      val session = org.apache.spark.sql.SparkSession.active
+      val stats = CatalogRules.CatalogStats(
+        parseExact(conf.getConfString(ExactConf, "")))
+      MvRewriteRule(parseDefs(spec, session), stats).apply(plan)
+    }
+  }
+
+  private[plans] def parseDefs(
+      spec: String,
+      session: org.apache.spark.sql.SparkSession): Seq[MvDef] =
+    spec.split("\\|").iterator.map(_.trim).filter(_.nonEmpty).map { block =>
+      val kv = block.split(";").iterator.map(_.trim).filter(_.nonEmpty).map { p =>
+        p.split("=", 2) match {
+          case Array(k, v) => k.trim -> v.trim
+          case _ => throw new IllegalArgumentException(
+            s"$DefsConf def entries must be key=value — got '$p'")
+        }
+      }.toMap
+      def req(k: String): String = kv.getOrElse(k,
+        throw new IllegalArgumentException(
+          s"$DefsConf def is missing required key '$k' in '$block'"))
+      val dims = req("dims").split(",").iterator.map(_.trim)
+        .filter(_.nonEmpty).map { d =>
+          d.split(":") match {
+            case Array(b, m) => b.trim -> m.trim
+            case _ => throw new IllegalArgumentException(
+              s"$DefsConf dims must be base:mv pairs — got '$d'")
+          }
+        }.toMap
+      val measures = req("measures").split("~").iterator.map(_.trim)
+        .filter(_.nonEmpty).map { m =>
+          m.split(":", -1) match {
+            case Array(func, src, cast, mvCol) =>
+              MvMeasure(func.trim, src.trim,
+                Some(cast.trim).filter(_.nonEmpty)
+                  .map(org.apache.spark.sql.types.DataType.fromDDL),
+                mvCol.trim)
+            case _ => throw new IllegalArgumentException(
+              s"$DefsConf measures must be func:src:cast:mvCol — got '$m'")
+          }
+        }.toSeq
+      val table = req("table")
+      if (!session.catalog.tableExists(table))
+        throw new IllegalArgumentException(
+          s"$DefsConf names rollup table '$table' which does not exist " +
+            "in the session catalog")
+      MvDef(
+        baseTable = req("base"),
+        dims = dims,
+        measures = measures,
+        mvPlan =
+          org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases(
+            session.table(table).queryExecution.analyzed),
+        basePath = kv.get("basePath"))
+    }.toSeq
+
+  private[plans] def parseExact(
+      spec: String): Map[String, CatalogRules.TableStat] =
+    spec.split(";").iterator.map(_.trim).filter(_.nonEmpty).map { entry =>
+      entry.split(":") match {
+        case Array(t, n, cols) =>
+          val ndv = cols.split(",").iterator.map(_.trim).filter(_.nonEmpty)
+            .map { p =>
+              p.split("=") match {
+                case Array(c, d) => c.trim -> d.trim.toLong
+                case _ => throw new IllegalArgumentException(
+                  s"$ExactConf ndv entries must be col=ndv — got '$p'")
+              }
+            }.toMap
+          t.trim -> CatalogRules.TableStat(n.trim.toLong, ndv,
+            provenance = CatalogRules.StatProvenance.Exact)
+        case _ => throw new IllegalArgumentException(
+          s"$ExactConf entries must be table:rows:col=ndv[,col=ndv…] — " +
+            s"got '$entry'")
+      }
+    }.toMap
+}
+
 /** One rollup's contract: the base table it summarizes, its dimension
   * columns (base name -> rollup name), the measures it stores, and the
   * resolved plan that reads it. `castTo` records the exact cast the

@@ -2291,6 +2291,52 @@ object RelationalQueries {
             col("sum_qty").cast("double").as("sum_qty"),
             col("min_qty"), col("max_price"))
       }
+    ),
+    Q(
+      "q259_mv_conf_rewrite",
+      "The MV layer by CONFIG — the last decision-layer rule to gain " +
+        "the conf-only deployment form (graft.plans.ConfMvRewriteRule, " +
+        "injected by GraftExtensions first, per the shape-before-hint " +
+        "composition order): the rollup CONTRACT (table, base+path, " +
+        "dims, measures with their accumulation casts) is published as " +
+        "one runtime conf string, the rule resolves the rollup's read " +
+        "plan against the active session's catalog per invocation, and " +
+        "the q249 query text is answered from the rollup with zero " +
+        "code installed — the full aggregate-navigation story a real " +
+        "cluster enables by setting spark.sql.extensions plus one " +
+        "conf. Unset conf = strict no-op; malformed conf or a missing " +
+        "rollup table fails the query loudly; join-shaped rewrites " +
+        "additionally need spark.graft.mv.exactstats, the " +
+        "DECLARED-CONSTRAINT channel (same act and responsibility as " +
+        "declaring a PK — entries are trusted Exact because the " +
+        "deployer said so; MvRewriteSpec pins the conf face firing " +
+        "with it and standing down without). Oracle aggregates the " +
+        "base table — end-to-end semantics, not plan shape.",
+      Some("""
+         |SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+         |       MIN(l_quantity) AS min_qty,
+         |       MAX(l_extendedprice) AS max_price
+         |FROM lineitem
+         |GROUP BY 1, 2
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.plans.{CatalogRules, ConfMvRewriteRule}
+        MvPhases.ensureStored(spark, dir)
+        val child = CatalogRules.sessionWith(spark, Seq(ConfMvRewriteRule),
+          ConfMvRewriteRule.DefsConf -> MvPhases.mvDefConf(dir))
+        Tables.lineitem(child, dir)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+              .as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+              .as("sum_price"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_extendedprice")).as("max_price"))
+      }
     )
   )
 }
@@ -2714,6 +2760,32 @@ object MvPhases {
       basePath = Some(graft.plans.CatalogRules.normalizePath(
         graft.Tables.path(dir, "lineitem"))))
   }
+
+  /** The returnflag rollup's contract in the ConfMvRewriteRule conf
+    * grammar — the published form of [[mvDef]] (same table, dims,
+    * measures, base path), for the config-only deployment face
+    * (q259). Kept adjacent to mvDef so the two spellings of one
+    * contract cannot drift unnoticed. */
+  def mvDefConf(dir: String): String =
+    s"table=${mvTable(dir)};base=lineitem" +
+      s";basePath=${graft.plans.CatalogRules.normalizePath(
+        graft.Tables.path(dir, "lineitem"))}" +
+      ";dims=l_returnflag:l_returnflag,l_linestatus:l_linestatus" +
+      ";measures=count:::cnt" +
+      "~sum:l_quantity:decimal(18,4):sum_qty" +
+      "~sum:l_extendedprice:decimal(18,4):sum_price" +
+      "~min:l_quantity::min_qty" +
+      "~max:l_extendedprice::max_price" +
+      "~count:l_quantity::cnt_qty" +
+      "~count:l_extendedprice::cnt_price"
+
+  /** [[mvDefSk]] in the conf grammar, for the FK-join conf face. */
+  def mvDefSkConf(dir: String): String =
+    s"table=${skTable(dir)};base=lineitem" +
+      s";basePath=${graft.plans.CatalogRules.normalizePath(
+        graft.Tables.path(dir, "lineitem"))}" +
+      ";dims=l_suppkey:l_suppkey" +
+      ";measures=count:::cnt~sum:l_quantity:decimal(18,4):sum_qty"
 
   /** The rollup's contract + its read plan resolved in `session` (the
     * session the rewrite will run in). */

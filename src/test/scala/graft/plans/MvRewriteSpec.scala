@@ -259,6 +259,55 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(sortedRows(folded) === sortedRows(scratch))
   }
 
+  test("q259: conf-only MV rewrite reads only the rollup; FK-join shape needs the declared-exact conf; malformed defs fail loudly") {
+    import graft.queries.StatsPhases
+    val on = SparkEntry.queries("q259_mv_conf_rewrite")(spark, sf)
+    assert(scanTables(on) === Set(MvPhases.mvTable(sf)), scanTables(on))
+
+    // FK-join conf face: without the declared-exact conf the proof is
+    // missing and the fact scan survives; with it, rollup + dim.
+    MvPhases.ensureStoredSk(spark, sf)
+    val n = Tables.supplier(spark, sf).count()
+    def joined(s: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(s, sf)
+        .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("cnt"))
+    val noProof = CatalogRules.sessionWith(spark, Seq(ConfMvRewriteRule),
+      ConfMvRewriteRule.DefsConf -> MvPhases.mvDefSkConf(sf))
+    assert(scanTables(joined(noProof)).contains("lineitem"),
+      scanTables(joined(noProof)))
+    val declared = CatalogRules.sessionWith(spark, Seq(ConfMvRewriteRule),
+      ConfMvRewriteRule.DefsConf -> MvPhases.mvDefSkConf(sf),
+      ConfMvRewriteRule.ExactConf -> s"supplier:$n:s_suppkey=$n")
+    assert(scanTables(joined(declared)) === Set(MvPhases.skTable(sf), "supplier"),
+      scanTables(joined(declared)))
+    // conf-declared rows match the programmatic-catalog rewrite
+    val prog = CatalogRules.sessionWith(spark, Nil)
+    CatalogRules.installRules(prog,
+      Seq(MvRewriteRule(Seq(MvPhases.mvDefSk(prog, sf)),
+        StatsPhases.collected(spark, sf))))
+    assert(sortedRows(joined(declared)) === sortedRows(joined(prog)))
+
+    // malformed def / missing rollup table: loud, never a silent no-op
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    val bad = CatalogRules.sessionWith(spark, Seq(ConfMvRewriteRule),
+      ConfMvRewriteRule.DefsConf -> "table=does_not_exist;base=lineitem;dims=a:a;measures=count:::cnt")
+    val e = intercept[Exception] {
+      Tables.lineitem(bad, sf).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt")).queryExecution.optimizedPlan
+    }
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("does not exist")), e.toString)
+    val bad2 = CatalogRules.sessionWith(spark, Seq(ConfMvRewriteRule),
+      ConfMvRewriteRule.DefsConf -> "garbage")
+    val e2 = intercept[Exception] {
+      Tables.lineitem(bad2, sf).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt")).queryExecution.optimizedPlan
+    }
+    assert(causes(e2).exists(_.isInstanceOf[IllegalArgumentException]), e2.toString)
+  }
+
   test("q257 companion: additive retract == scratch, all-deleted groups drop, underflow raises") {
     val li = Tables.lineitem(spark, sf)
     val uid = col("l_orderkey") * 8 + col("l_linenumber")
