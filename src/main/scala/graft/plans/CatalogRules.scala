@@ -549,7 +549,10 @@ object ConfConjunctReorderRule extends Rule[LogicalPlan] {
           val top = pairs.split(",").iterator.map(_.trim).filter(_.nonEmpty)
             .map { kv =>
               kv.split("=") match {
-                case Array(v, cnt) => v.trim.toDouble -> cnt.trim.toLong
+                // canonical key: "1", "1.0" and a string value all land
+                // where the probe side's literal rendering lands
+                case Array(v, cnt) =>
+                  ConjunctReorderRule.ColumnMcv.key(v.trim) -> cnt.trim.toLong
                 case _ => throw new IllegalArgumentException(
                   s"$McvsConf value entries must be v=cnt — got '$kv'")
               }
@@ -627,22 +630,47 @@ object ConjunctReorderRule {
 
   /** One column's MCV equality stat in serving form — the q243 stat
     * (top-k values by exact count + the two scalars the tail split
-    * needs), k+2 numbers per column, KBs. */
-  final case class ColumnMcv(n: Long, ndv: Long, top: Map[Double, Long]) {
+    * needs), k+2 numbers per column, KBs. Values are held under
+    * [[ColumnMcv.key]]'s CANONICAL string form so one stat type serves
+    * numeric and string columns alike (numeric values render through
+    * Double.toString on both the collection and the probe side, so
+    * `1`, `1L` and `1.0` all meet at "1.0"; strings are themselves). */
+  final case class ColumnMcv(n: Long, ndv: Long, top: Map[String, Long]) {
     private val mass: Long = top.values.sum
 
-    /** Estimated fraction of rows equal to v — the Postgres-style
-      * split (q243's rule): an MCV member costs its exact count;
-      * anything else gets the uniform remainder
+    /** Estimated fraction of rows equal to the canonical key — the
+      * Postgres-style split (q243's rule): an MCV member costs its
+      * exact count; anything else gets the uniform remainder
       * `(n - mcv_mass) div (ndv - k)`. Heavy hitters exact, tail
       * spread. Ordering-grade (feeds a sort, not a result). */
-    def eqFraction(v: Double): Double = {
-      val cnt = top.getOrElse(v,
+    def eqFraction(k: String): Double = {
+      val cnt = top.getOrElse(k,
         if (ndv > top.size) math.max(0L, (n - mass) / (ndv - top.size))
         else 0L)
       cnt.toDouble / math.max(1L, n).toDouble
     }
   }
+
+  object ColumnMcv {
+    /** Canonicalize a raw value spelling: anything numeric lands on
+      * Double.toString's rendering, anything else is itself. Every
+      * producer (stored catalog, conf string) and consumer (literal
+      * probe) goes through this, so the spellings cannot drift. */
+    def key(raw: String): String =
+      raw.toDoubleOption.map(_.toString).getOrElse(raw)
+  }
+
+  /** A literal's canonical MCV key: numerics through Double.toString
+    * (where the stored catalog's values also land), strings as
+    * themselves, anything else — null included — uncostable. */
+  private def litKey(l: Literal): Option[String] =
+    num(l).map(_.toString).orElse(l.value match {
+      // through key(), so a numeric-LOOKING string literal meets a
+      // numeric-looking stored string value at the same spelling
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        Some(ColumnMcv.key(s.toString))
+      case _ => None
+    })
 
   private def num(l: Literal): Option[Double] = l.value match {
     case null => None
@@ -674,9 +702,9 @@ object ConjunctReorderRule {
     case IsNotNull(_: AttributeReference) =>
       Some(0.0)
     case EqualTo(a: AttributeReference, l: Literal) =>
-      mcvs.get(a.name).zip(num(l)).map { case (m, v) => m.eqFraction(v) }
+      mcvs.get(a.name).zip(litKey(l)).map { case (m, k) => m.eqFraction(k) }
     case EqualTo(l: Literal, a: AttributeReference) =>
-      mcvs.get(a.name).zip(num(l)).map { case (m, v) => m.eqFraction(v) }
+      mcvs.get(a.name).zip(litKey(l)).map { case (m, k) => m.eqFraction(k) }
     case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
       hists.get(a.name).zip(num(l)).map { case (h, v) => h.geFraction(v) }
     case GreaterThan(a: AttributeReference, l: Literal) =>

@@ -2337,6 +2337,96 @@ object RelationalQueries {
             min(col("l_quantity")).as("min_qty"),
             max(col("l_extendedprice")).as("max_price"))
       }
+    ),
+    Q(
+      "q260_rule_conjunct_string",
+      "MCV equality costing over a STRING column — the q254 mechanism " +
+        "generalized past numerics: ColumnMcv holds values under one " +
+        "canonical key form (numerics meet at Double.toString's " +
+        "rendering on both the collection and the probe side, strings " +
+        "are themselves), so l_returnflag = 'A' costs from the same " +
+        "stored catalog shape as l_suppkey = 1. The text is written " +
+        "worst-first (price >= 1000 keeps ~99%, the flag equality " +
+        "~25%); the rule flips it so scan survivors die on the " +
+        "one-byte string compare, not the price test. " +
+        "CatalogRulesSpec pins the reordered Filter and rule-off " +
+        "order.",
+      Some("""
+         |SELECT l_linestatus, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         |FROM lineitem
+         |WHERE l_extendedprice >= 1000.0 AND l_returnflag = 'A'
+         |GROUP BY 1
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.plans.{CatalogRules, ConjunctReorderRule}
+        val est = ConjunctReorderRule.estimator(
+          HistPhases.collectedHists(spark, dir),
+          McvPhases.collectedMcvs(spark, dir))
+        val child = CatalogRules.sessionWith(spark, Seq(ConjunctReorderRule(est)))
+        Tables.lineitem(child, dir)
+          .filter(col("l_extendedprice") >= 1000.0 && col("l_returnflag") === "A")
+          .groupBy("l_linestatus")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+              .as("sum_price"))
+      }
+    ),
+    Q(
+      "q261_conf_stack",
+      "The WHOLE decision layer by CONFIG — q253's composition with " +
+        "zero code installed: every catalog the rules need is " +
+        "published as a conf string by the ANALYZE artifacts' own " +
+        "serializers (StatsPhases.confJoinOrder/confBroadcastRows, " +
+        "HistPhases.confString, McvPhases.confString, " +
+        "MvPhases.mvDefConf — the exact strings a real ANALYZE job " +
+        "would push to cluster config), and the four Conf* rules are " +
+        "installed in the shape-before-hint order GraftExtensions " +
+        "uses. Same text as q253 (filter written unselective-first, " +
+        "3-chain joined worst-first): the conjunct rule flips the " +
+        "filter, the join-order rule re-associates orders><customer " +
+        "first, the broadcast rule hints the cataloged sides, the MV " +
+        "rules stand down (measure filter) — all from five conf " +
+        "strings. CatalogRulesSpec pins plan-identity with the " +
+        "programmatic q253 stack.",
+      Some("""
+         |SELECT c_mktsegment, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE l_extendedprice >= 1000.0 AND l_quantity >= 45.0
+         |GROUP BY 1
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.plans._
+        MvPhases.ensureStored(spark, dir)
+        MvPhases.ensureStoredSk(spark, dir)
+        val child = CatalogRules.sessionWith(spark,
+          Seq(ConfMvRewriteRule, ConfCatalogJoinOrderRule,
+            ConfConjunctReorderRule, ConfCatalogBroadcastRule),
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          ConfMvRewriteRule.DefsConf ->
+            s"${MvPhases.mvDefConf(dir)}|${MvPhases.mvDefSkConf(dir)}",
+          ConfCatalogJoinOrderRule.StatsConf ->
+            StatsPhases.confJoinOrder(spark, dir),
+          ConfConjunctReorderRule.HistsConf ->
+            HistPhases.confString(spark, dir),
+          ConfConjunctReorderRule.McvsConf ->
+            McvPhases.confString(spark, dir),
+          ConfCatalogBroadcastRule.RowsConf ->
+            StatsPhases.confBroadcastRows(spark, dir))
+        Tables.lineitem(child, dir)
+          .filter(col("l_extendedprice") >= 1000.0 && col("l_quantity") >= 45.0)
+          .join(Tables.orders(child, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(child, dir),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+              .as("sum_price"))
+      }
     )
   )
 }
@@ -2401,6 +2491,22 @@ object StatsPhases {
             graft.Tables.path(dir, t))))
       })
   }
+
+  /** The stored catalog rendered in ConfCatalogJoinOrderRule's conf
+    * grammar — what the ANALYZE job PUBLISHES so sessions enable the
+    * join-order rule by config (q261). Deterministic ordering so the
+    * string is stable run to run. */
+  def confJoinOrder(spark: SparkSession, dir: String): String =
+    collected(spark, dir).tables.toSeq.sortBy(_._1).map { case (t, ts) =>
+      val ndv = ts.ndv.toSeq.sortBy(_._1)
+        .map { case (c, d) => s"$c=$d" }.mkString(",")
+      s"$t:${ts.rows}:$ndv"
+    }.mkString(";")
+
+  /** Row counts in ConfCatalogBroadcastRule's grammar. */
+  def confBroadcastRows(spark: SparkSession, dir: String): String =
+    collected(spark, dir).tables.toSeq.sortBy(_._1)
+      .map { case (t, ts) => s"$t:${ts.rows}" }.mkString(",")
 }
 
 /** The stored HISTOGRAM catalog behind q246's conjunct-reorder rule —
@@ -2456,6 +2562,13 @@ object HistPhases {
         rs.head.getDouble(5), rs.head.getDouble(6), counts.toVector)
     }
   }
+
+  /** The stored histograms rendered in ConfConjunctReorderRule's conf
+    * grammar — the published form for config-only sessions (q261). */
+  def confString(spark: SparkSession, dir: String): String =
+    collectedHists(spark, dir).toSeq.sortBy(_._1).map { case (c, h) =>
+      s"$c:${h.mn}:${h.mx}:${h.counts.mkString("|")}"
+    }.mkString(";")
 }
 
 /** The stored MCV catalog behind q254's equality costing — the q243
@@ -2474,19 +2587,27 @@ object McvPhases {
   private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Columns the conjunct-reorder rule can cost equality predicates
-    * on (q254's predicate), with their MCV list width. */
-  private val McvColumns = Seq(("l_suppkey", 8))
+    * on (q254's numeric key, q260's string flag), with their MCV list
+    * width. */
+  private val McvColumns = Seq(("l_suppkey", 8), ("l_returnflag", 4))
 
   def mcvTable(dir: String): String = s"graft_mcvcat_${Q.scratchTag(dir)}"
 
   def buildStored(spark: SparkSession, dir: String): Unit = {
     import graft.operators.Profile
+    import org.apache.spark.sql.types.StringType
     val li = Tables.lineitem(spark, dir)
     val cat = McvColumns.map { case (c, k) =>
+      // Values persist under the estimator's CANONICAL key form
+      // (ColumnMcv.key): numerics through double->string — the same
+      // rendering a probe literal takes — strings as themselves.
+      val vCanon =
+        if (li.schema(c).dataType == StringType) col("v").cast("string")
+        else col("v").cast("double").cast("string")
       Profile.mcvList(li, c, k)
         .crossJoin(broadcast(li.agg(
           count(lit(1)).as("n"), countDistinct(col(c)).as("ndv"))))
-        .select(lit(c).as("colname"), col("v").cast("double").as("v"),
+        .select(lit(c).as("colname"), vCanon.as("v"),
           col("cnt"), col("n"), col("ndv"))
     }.reduce(_ unionByName _)
     graft.operators.Bucketing.dropWithLocation(spark, mcvTable(dir))
@@ -2507,9 +2628,19 @@ object McvPhases {
     rows.groupBy(_.getString(0)).map { case (c, rs) =>
       c -> graft.plans.ConjunctReorderRule.ColumnMcv(
         rs.head.getLong(3), rs.head.getLong(4),
-        rs.map(r => r.getDouble(1) -> r.getLong(2)).toMap)
+        rs.map(r => graft.plans.ConjunctReorderRule.ColumnMcv.key(
+          r.getString(1)) -> r.getLong(2)).toMap)
     }
   }
+
+  /** The stored MCV lists rendered in ConfConjunctReorderRule's conf
+    * grammar — the published form for config-only sessions (q261). */
+  def confString(spark: SparkSession, dir: String): String =
+    collectedMcvs(spark, dir).toSeq.sortBy(_._1).map { case (c, m) =>
+      val pairs = m.top.toSeq.sortBy(_._1)
+        .map { case (v, cnt) => s"$v=$cnt" }.mkString(",")
+      s"$c:${m.n}:${m.ndv}:$pairs"
+    }.mkString(";")
 }
 
 /** The stored ROLLUP behind q249/q250's materialized-view rewrite — the

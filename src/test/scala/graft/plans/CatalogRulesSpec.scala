@@ -523,28 +523,89 @@ class CatalogRulesSpec extends AnyFunSuite {
   test("eqFraction: MCV members cost their exact mass, the tail gets the uniform remainder, degenerate shapes stay bounded") {
     import ConjunctReorderRule.ColumnMcv
     val m = ColumnMcv(n = 1000L, ndv = 12L,
-      top = Map(1.0 -> 400L, 2.0 -> 300L))
-    assert(m.eqFraction(1.0) === 0.4)
-    assert(m.eqFraction(2.0) === 0.3)
+      top = Map("1.0" -> 400L, "2.0" -> 300L))
+    assert(m.eqFraction("1.0") === 0.4)
+    assert(m.eqFraction("2.0") === 0.3)
     // tail: (1000 - 700) / (12 - 2) = 30 rows
-    assert(m.eqFraction(9.0) === 0.03)
+    assert(m.eqFraction("9.0") === 0.03)
     // every value in the list: tail has no remaining ndv -> 0
-    val full = ColumnMcv(10L, 2L, Map(1.0 -> 6L, 2.0 -> 4L))
-    assert(full.eqFraction(3.0) === 0.0)
+    val full = ColumnMcv(10L, 2L, Map("1.0" -> 6L, "2.0" -> 4L))
+    assert(full.eqFraction("3.0") === 0.0)
+    // string values are their own keys; numeric spellings all meet at
+    // Double.toString's rendering — "1", "1.0" and 1L cannot drift
+    val s = ColumnMcv(100L, 4L, Map(ColumnMcv.key("A") -> 50L))
+    assert(s.eqFraction(ColumnMcv.key("A")) === 0.5)
+    assert(ColumnMcv.key("1") === "1.0")
+    assert(ColumnMcv.key("1.0") === "1.0")
+    assert(ColumnMcv.key("A") === "A")
     // all fractions bounded [0, 1] under arbitrary CONSISTENT shapes
     // (mcv mass <= n, ndv >= k — what any counting collector produces)
     val rng = new scala.util.Random(11)
     (1 to 50).foreach { _ =>
       val k = 1 + rng.nextInt(8)
-      val top = (1 to k).map(i => i.toDouble -> (1L + rng.nextInt(1000)))
+      val top = (1 to k).map(i => ColumnMcv.key(i.toString) -> (1L + rng.nextInt(1000)))
         .toMap
       val n = top.values.sum + rng.nextInt(100000)
       val mc = ColumnMcv(n, (k + rng.nextInt(100)).toLong, top)
-      (0 to 12).map(_.toDouble).foreach { v =>
+      (0 to 12).map(i => ColumnMcv.key(i.toString)).foreach { v =>
         val f = mc.eqFraction(v)
         assert(f >= 0.0 && f <= 1.0, s"$f out of range for v=$v in $mc")
       }
     }
+  }
+
+  test("q260: string-equality conjunct costed from the MCV catalog evaluates first; rule-off keeps written order; same rows") {
+    val on = SparkEntry.queries("q260_rule_conjunct_string")(spark, sf)
+    val cs = conjuncts(on)
+    val eqIdx = cs.indexWhere(e =>
+      !e.isInstanceOf[IsNotNull] && e.references.map(_.name).toSet == Set("l_returnflag"))
+    val priceIdx = cs.indexWhere(e =>
+      !e.isInstanceOf[IsNotNull] && e.references.map(_.name).toSet == Set("l_extendedprice"))
+    assert(eqIdx >= 0 && priceIdx >= 0, cs.mkString("; "))
+    assert(eqIdx < priceIdx, cs.mkString("; "))
+
+    val off = CatalogRules.sessionWith(spark, Nil)
+    val offDf = Tables.lineitem(off, sf)
+      .filter(col("l_extendedprice") >= 1000.0 && col("l_returnflag") === "A")
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+          .as("sum_price"))
+    val csOff = conjuncts(offDf)
+    val eqOff = csOff.indexWhere(e =>
+      !e.isInstanceOf[IsNotNull] && e.references.map(_.name).toSet == Set("l_returnflag"))
+    val priceOff = csOff.indexWhere(e =>
+      !e.isInstanceOf[IsNotNull] && e.references.map(_.name).toSet == Set("l_extendedprice"))
+    assert(priceOff < eqOff, csOff.mkString("; "))
+    assert(sortedRows(on) === sortedRows(offDf))
+  }
+
+  test("q261: the conf-installed stack fires the same three effects as the programmatic q253 stack; same rows") {
+    val on = SparkEntry.queries("q261_conf_stack")(spark, sf)
+    // join-order effect from the conf catalog
+    assert(firstJoinTables(on) === Set("orders", "customer"))
+    // broadcast effect from the conf row counts
+    assert(physical(on).contains("BroadcastHashJoin"), physical(on))
+    // conjunct effect from the conf histograms
+    val cs = {
+      val f = on.queryExecution.optimizedPlan.collect {
+        case flt: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if flt.condition.references.map(_.name).exists(_ == "l_quantity") => flt
+      }.head
+      def split(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => split(l) ++ split(r)
+        case other => Seq(other)
+      }
+      split(f.condition)
+    }
+    val qtyIdx = cs.indexWhere(e =>
+      !e.isInstanceOf[IsNotNull] && e.references.map(_.name).toSet == Set("l_quantity"))
+    val priceIdx = cs.indexWhere(e =>
+      !e.isInstanceOf[IsNotNull] && e.references.map(_.name).toSet == Set("l_extendedprice"))
+    assert(qtyIdx >= 0 && priceIdx >= 0 && qtyIdx < priceIdx, cs.mkString("; "))
+    // row-identity with the programmatic stack (q253 — same text)
+    val prog = SparkEntry.queries("q253_rules_composed")(spark, sf)
+    assert(sortedRows(on) === sortedRows(prog))
   }
 
   test("conjunct rule leaves a chain with an uncostable predicate alone") {
