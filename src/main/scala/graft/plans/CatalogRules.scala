@@ -311,11 +311,31 @@ object ConfCatalogBroadcastRule extends Rule[LogicalPlan] {
 object ConfCatalogJoinOrderRule extends Rule[LogicalPlan] {
   val StatsConf = "spark.graft.joinorder.stats"
 
+  /** Opt-in (default false): discount each base's catalog count by the
+    * estimated selectivity of the filters above its scan, built from
+    * the conjunct rule's published histogram/MCV confs — the q262
+    * filter-aware ordering, by config. Opt-in because it can change
+    * the chosen order with the data scale (that is its point), which a
+    * deployment pinning plans across environments may not want. */
+  val UseSelectivityConf = "spark.graft.joinorder.useSelectivity"
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val spec = conf.getConfString(StatsConf, "")
     if (spec.trim.isEmpty) plan
-    else CatalogJoinOrderRule(
-      CatalogRules.CatalogStats(parse(spec))).apply(plan)
+    else {
+      val sel =
+        if (!conf.getConfString(UseSelectivityConf, "false").toBoolean) None
+        else {
+          val hs = conf.getConfString(ConfConjunctReorderRule.HistsConf, "")
+          val ms = conf.getConfString(ConfConjunctReorderRule.McvsConf, "")
+          if (hs.trim.isEmpty && ms.trim.isEmpty) None
+          else Some(ConjunctReorderRule.estimator(
+            ConfConjunctReorderRule.parseHists(hs),
+            ConfConjunctReorderRule.parseMcvs(ms)))
+        }
+      CatalogJoinOrderRule(
+        CatalogRules.CatalogStats(parse(spec)), sel).apply(plan)
+    }
   }
 
   private[plans] def parse(spec: String): Map[String, CatalogRules.TableStat] =
@@ -367,8 +387,10 @@ object ConfCatalogJoinOrderRule extends Rule[LogicalPlan] {
   * BigInt arithmetic) and idempotent: greedy over its own output picks
   * the same order and returns the node untouched.
   */
-final case class CatalogJoinOrderRule(stats: CatalogRules.CatalogStats)
-    extends Rule[LogicalPlan] {
+final case class CatalogJoinOrderRule(
+    stats: CatalogRules.CatalogStats,
+    selectivity: Option[Expression => Option[Double]] = None)
+    extends Rule[LogicalPlan] with PredicateHelper {
   import CatalogJoinOrderRule.MaxChain
 
   /** Strip the attribute-only pruning Project that ColumnPruning (or a
@@ -404,6 +426,35 @@ final case class CatalogJoinOrderRule(stats: CatalogRules.CatalogStats)
       else greedyOrder(top, bases, conds).getOrElse(top)
   }
 
+  /** The filter conjuncts riding a base's scan pipeline (the same
+    * prune/filter chain [[CatalogRules.tableOf]] sees through). */
+  private def filtersOf(p: LogicalPlan): Seq[Expression] = p match {
+    case Project(_, c) => filtersOf(c)
+    case Filter(cond, c) => splitConjunctivePredicates(cond) ++ filtersOf(c)
+    case _ => Nil
+  }
+
+  /** A base's effective row count: its catalog count times the
+    * estimated pass-fraction of every COSTABLE filter conjunct above
+    * its scan. IsNotNull and uncostable conjuncts contribute 1.0 (the
+    * safe overestimate — note the semantic split: the conjunct-ORDER
+    * estimator prices IsNotNull at 0 because it is the cheapest test
+    * to EVALUATE, but as a SELECTIVITY a null guard passes ~all rows).
+    * Without an estimator this is exactly the catalog count — the
+    * blind q241 behavior, which [[CatalogRules.standardRules]] keeps
+    * so settled decision pins stay scale-stable; filter-aware ordering
+    * is the opt-in face (q262). */
+  private def effRows(base: LogicalPlan, catalogRows: Long): BigInt = {
+    val sel = selectivity match {
+      case None => 1.0
+      case Some(est) => filtersOf(base).map {
+        case _: IsNotNull => 1.0
+        case e => est(e).getOrElse(1.0)
+      }.product
+    }
+    BigInt(math.max(1L, math.round(catalogRows * sel)))
+  }
+
   private def greedyOrder(
       top: Join, bases: Seq[LogicalPlan], conds: Seq[EqualTo]): Option[LogicalPlan] = {
     val n = bases.size
@@ -412,6 +463,9 @@ final case class CatalogJoinOrderRule(stats: CatalogRules.CatalogStats)
     if (tables.exists(_.isEmpty)) return None
     val rows = tables.map(_.flatMap(stats.rows))
     if (rows.exists(_.isEmpty)) return None
+    // Effective (filter-aware when an estimator is supplied) sizes;
+    // a key's ndv can never exceed the rows that survive the filter.
+    val eff = bases.zip(rows).map { case (b, r) => effRows(b, r.get) }
     def ndv(base: Int, c: String): Option[Long] =
       tables(base).flatMap(t => stats.ndv(t, c))
 
@@ -430,8 +484,12 @@ final case class CatalogJoinOrderRule(stats: CatalogRules.CatalogStats)
     }
 
     // Seed: the edge with the smallest predicted pair join (stable min).
-    def pairEst(e: Edge): BigInt = CatalogRules.joinEstimate(
-      rows(e.ia).get, ndv(e.ia, e.ca).get, rows(e.ib).get, ndv(e.ib, e.cb).get)
+    def pairEst(e: Edge): BigInt = {
+      val (na, nb) = (eff(e.ia), eff(e.ib))
+      val da = BigInt(ndv(e.ia, e.ca).get) min na
+      val db = BigInt(ndv(e.ib, e.cb).get) min nb
+      na * nb / (da max db max BigInt(1))
+    }
     val seed = edges.minBy(pairEst)
     var treeCard = pairEst(seed)
     val inTree = scala.collection.mutable.Set(seed.ia, seed.ib)
@@ -446,8 +504,8 @@ final case class CatalogJoinOrderRule(stats: CatalogRules.CatalogStats)
         val (ti, tc, ni, nc) =
           if (inTree(e.ia)) (e.ia, e.ca, e.ib, e.cb) else (e.ib, e.cb, e.ia, e.ca)
         val ndvTree = BigInt(ndv(ti, tc).get) min treeCard
-        val ndvNew = BigInt(ndv(ni, nc).get)
-        treeCard * BigInt(rows(ni).get) / (ndvTree max ndvNew max BigInt(1))
+        val ndvNew = BigInt(ndv(ni, nc).get) min eff(ni)
+        treeCard * eff(ni) / (ndvTree max ndvNew max BigInt(1))
       }
       val best = cands.minBy(attachEst)
       treeCard = attachEst(best)

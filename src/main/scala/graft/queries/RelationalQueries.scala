@@ -2427,6 +2427,56 @@ object RelationalQueries {
             sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
               .as("sum_price"))
       }
+    ),
+    Q(
+      "q262_rule_join_order_filtered",
+      "FILTER-AWARE join ordering — System-R's other half: the q245 " +
+        "rule costs each base at its CATALOG count, so a fact table " +
+        "wearing a 3%-pass filter still looks huge and the chain " +
+        "re-associates away from it; fed the conjunct rule's " +
+        "histogram estimator (CatalogJoinOrderRule's opt-in " +
+        "selectivity), each base's count is discounted by its " +
+        "costable filters' pass fractions (IsNotNull and uncostable " +
+        "conjuncts contribute 1.0 — the safe overestimate; note the " +
+        "deliberate semantic split from the conjunct-ORDER estimator, " +
+        "where IsNotNull prices at 0 as the cheapest test to " +
+        "EVALUATE), and a key's ndv is capped at the surviving rows. " +
+        "The decision then tracks the actual numbers — at small " +
+        "scales the 3%-filtered fact is smaller than the dim pair and " +
+        "keeps the first join; where the filtered fact still exceeds " +
+        "the dims, the dims still win. That scale-dependence IS the " +
+        "feature, and exactly why standardRules keeps the blind form " +
+        "for settled plan pins and this face is opt-in. " +
+        "CatalogRulesSpec pins the blind-vs-aware contrast on one " +
+        "text+catalog; the oracle checks semantics either way.",
+      Some("""
+         |SELECT c_mktsegment, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE l_quantity >= 49.0
+         |GROUP BY 1
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.plans.{CatalogRules, CatalogJoinOrderRule, ConjunctReorderRule}
+        val est = ConjunctReorderRule.estimator(
+          HistPhases.collectedHists(spark, dir),
+          McvPhases.collectedMcvs(spark, dir))
+        val child = CatalogRules.sessionWith(spark,
+          Seq(CatalogJoinOrderRule(StatsPhases.collected(spark, dir), Some(est))),
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        Tables.lineitem(child, dir)
+          .filter(col("l_quantity") >= 49.0)
+          .join(Tables.orders(child, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(child, dir),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+              .as("sum_price"))
+      }
     )
   )
 }

@@ -327,6 +327,44 @@ class CatalogRulesSpec extends AnyFunSuite {
     assert(sortedRows(on) === sortedRows(offDf))
   }
 
+  test("q262: the same text + catalog orders differently blind vs filter-aware; selectivity-aware keeps the filtered fact first; same rows") {
+    import graft.queries.{HistPhases, McvPhases, StatsPhases}
+    val est = ConjunctReorderRule.estimator(
+      HistPhases.collectedHists(spark, sf),
+      McvPhases.collectedMcvs(spark, sf))
+    val st = StatsPhases.collected(spark, sf)
+    def chain(s: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(s, sf)
+        .filter(col("l_quantity") >= 49.0)
+        .join(Tables.orders(s, sf), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, sf), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+    // BLIND: lineitem costs 6000 — the rule pulls the dim pair first.
+    val blind = CatalogRules.sessionWith(spark,
+      Seq(CatalogJoinOrderRule(st)),
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    assert(firstJoinTables(chain(blind)) === Set("orders", "customer"))
+    // AWARE: the ~3%-pass quantity filter discounts lineitem below the
+    // dim-pair estimate — the written (filtered-fact-first) order is
+    // already minimal and survives.
+    val aware = CatalogRules.sessionWith(spark,
+      Seq(CatalogJoinOrderRule(st, Some(est))),
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    assert(firstJoinTables(chain(aware)) === Set("lineitem", "orders"))
+    // decisions differ, rows cannot
+    assert(sortedRows(chain(aware)) === sortedRows(chain(blind)))
+
+    // conf face: same contrast through the opt-in conf
+    val confAware = CatalogRules.sessionWith(spark,
+      Seq(ConfCatalogJoinOrderRule),
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      ConfCatalogJoinOrderRule.StatsConf -> StatsPhases.confJoinOrder(spark, sf),
+      ConfCatalogJoinOrderRule.UseSelectivityConf -> "true",
+      ConfConjunctReorderRule.HistsConf -> HistPhases.confString(spark, sf),
+      ConfConjunctReorderRule.McvsConf -> McvPhases.confString(spark, sf))
+    assert(firstJoinTables(chain(confAware)) === Set("lineitem", "orders"))
+  }
+
   test("q248 companion: approx-HLL stats drive the join-order rule to the same tree as the exact catalog") {
     import graft.operators.{HyperLogLog, Profile}
     def approxNdv(t: String, k: String): Long = math.round(
