@@ -763,6 +763,16 @@ object ConjunctReorderRule {
       mcvs.get(a.name).zip(litKey(l)).map { case (m, k) => m.eqFraction(k) }
     case EqualTo(l: Literal, a: AttributeReference) =>
       mcvs.get(a.name).zip(litKey(l)).map { case (m, k) => m.eqFraction(k) }
+    // IN-list: the sum of the members' equality fractions (distinct
+    // values are disjoint events), capped at 1 — costable only when
+    // EVERY member is a literal the MCV stat can key.
+    case org.apache.spark.sql.catalyst.expressions.In(a: AttributeReference, list)
+        if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+      mcvs.get(a.name).flatMap { m =>
+        val keys = list.map(l => litKey(l.asInstanceOf[Literal]))
+        if (keys.exists(_.isEmpty)) None
+        else Some(math.min(1.0, keys.flatten.distinct.map(m.eqFraction).sum))
+      }
     case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
       hists.get(a.name).zip(num(l)).map { case (h, v) => h.geFraction(v) }
     case GreaterThan(a: AttributeReference, l: Literal) =>

@@ -2477,6 +2477,39 @@ object RelationalQueries {
             sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
               .as("sum_price"))
       }
+    ),
+    Q(
+      "q263_rule_conjunct_inlist",
+      "IN-list costing in the conjunct-reorder rule: distinct members " +
+        "are disjoint events, so IN costs as the SUM of the members' " +
+        "MCV equality fractions (capped at 1), costable only when " +
+        "every member is a literal the stat can key. The text is " +
+        "written worst-first (price >= 1000 keeps ~99%; " +
+        "l_returnflag IN ('A','R') keeps ~half); the rule fronts the " +
+        "IN test. Composes with q254/q260's equality costing from the " +
+        "same stored MCV catalog — one ANALYZE artifact now prices " +
+        "equality, IN, and (via q262) join-input sizes.",
+      Some("""
+         |SELECT l_linestatus, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         |FROM lineitem
+         |WHERE l_extendedprice >= 1000.0 AND l_returnflag IN ('A', 'R')
+         |GROUP BY 1
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.plans.{CatalogRules, ConjunctReorderRule}
+        val est = ConjunctReorderRule.estimator(
+          HistPhases.collectedHists(spark, dir),
+          McvPhases.collectedMcvs(spark, dir))
+        val child = CatalogRules.sessionWith(spark, Seq(ConjunctReorderRule(est)))
+        Tables.lineitem(child, dir)
+          .filter(col("l_extendedprice") >= 1000.0 &&
+            col("l_returnflag").isin("A", "R"))
+          .groupBy("l_linestatus")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+              .as("sum_price"))
+      }
     )
   )
 }

@@ -646,6 +646,54 @@ class CatalogRulesSpec extends AnyFunSuite {
     assert(sortedRows(on) === sortedRows(prog))
   }
 
+  test("q263: IN-list costed as summed member fractions evaluates before the unselective range; rule-off keeps written order; same rows") {
+    import org.apache.spark.sql.catalyst.expressions.In
+    val on = SparkEntry.queries("q263_rule_conjunct_inlist")(spark, sf)
+    val cs = conjuncts(on)
+    val inIdx = cs.indexWhere(e =>
+      !e.isInstanceOf[IsNotNull] && e.references.map(_.name).toSet == Set("l_returnflag"))
+    val priceIdx = cs.indexWhere(e =>
+      !e.isInstanceOf[IsNotNull] && e.references.map(_.name).toSet == Set("l_extendedprice"))
+    assert(inIdx >= 0 && priceIdx >= 0, cs.mkString("; "))
+    assert(inIdx < priceIdx, cs.mkString("; "))
+
+    val off = CatalogRules.sessionWith(spark, Nil)
+    val offDf = Tables.lineitem(off, sf)
+      .filter(col("l_extendedprice") >= 1000.0 &&
+        col("l_returnflag").isin("A", "R"))
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+          .as("sum_price"))
+    val csOff = conjuncts(offDf)
+    val inOff = csOff.indexWhere(e =>
+      !e.isInstanceOf[IsNotNull] && e.references.map(_.name).toSet == Set("l_returnflag"))
+    val priceOff = csOff.indexWhere(e =>
+      !e.isInstanceOf[IsNotNull] && e.references.map(_.name).toSet == Set("l_extendedprice"))
+    assert(priceOff < inOff, csOff.mkString("; "))
+    assert(sortedRows(on) === sortedRows(offDf))
+
+    // IN fraction properties: sum of member masses, capped, null/
+    // non-literal members uncostable
+    import ConjunctReorderRule.ColumnMcv
+    val est = ConjunctReorderRule.estimator(Map.empty,
+      Map("f" -> ColumnMcv(100L, 3L, Map("A" -> 50L, "R" -> 30L, "N" -> 20L))))
+    val attr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "f", org.apache.spark.sql.types.StringType)()
+    def strLit(s: String) = org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType)
+    assert(est(In(attr, Seq(strLit("A"), strLit("R")))) === Some(0.8))
+    // duplicate members count once; full membership caps at 1.0
+    assert(est(In(attr, Seq(strLit("A"), strLit("A")))) === Some(0.5))
+    assert(est(In(attr, Seq(strLit("A"), strLit("R"), strLit("N"),
+      strLit("Z")))).exists(_ <= 1.0))
+    // a null literal member makes the IN uncostable, not mispriced
+    assert(est(In(attr, Seq(strLit("A"),
+      org.apache.spark.sql.catalyst.expressions.Literal(null,
+        org.apache.spark.sql.types.StringType)))).isEmpty)
+  }
+
   test("conjunct rule leaves a chain with an uncostable predicate alone") {
     import ConjunctReorderRule.ColumnHist
     val est = ConjunctReorderRule.estimator(Map(

@@ -198,6 +198,30 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(scanTables(b) === Set("lineitem"), scanTables(b))
   }
 
+  test("HAVING and DISTINCT shapes ride the rewrite for free") {
+    val child = mvSession()
+    val li = Tables.lineitem(child, sf)
+    // HAVING: the filter sits ABOVE the aggregate, so the rewrite fires
+    // on the Aggregate underneath and the having-filter applies to the
+    // folded outputs unchanged.
+    val having = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 10)
+    assert(scanTables(having) === Set(MvPhases.mvTable(sf)), scanTables(having))
+    val havingOff = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 10)
+    assert(sortedRows(having) === sortedRows(havingOff))
+    // DISTINCT over dimensions is an Aggregate with no aggregate calls
+    // — grouping keys fold, so the distinct answers from the rollup's
+    // handful of cells without touching the fact table.
+    val distinct = li.select("l_returnflag", "l_linestatus").distinct()
+    assert(scanTables(distinct) === Set(MvPhases.mvTable(sf)), scanTables(distinct))
+    val distinctOff = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_linestatus").distinct()
+    assert(sortedRows(distinct) === sortedRows(distinctOff))
+  }
+
   test("non-subsumed shapes bail to the fact scan") {
     val child = mvSession()
     val li = Tables.lineitem(child, sf)
