@@ -64,6 +64,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // intent and stands down — injecting broadcast first would hide
     // joins from the order rewrite.
     e.injectOptimizerRule(_ => graft.plans.ConfMvRewriteRule)
+    e.injectOptimizerRule(_ => graft.plans.ConfEagerAggregationRule)
     e.injectOptimizerRule(_ => graft.plans.ConfCatalogJoinOrderRule)
     e.injectOptimizerRule(_ => graft.plans.ConfConjunctReorderRule)
     e.injectOptimizerRule(_ => graft.plans.ConfCatalogBroadcastRule)

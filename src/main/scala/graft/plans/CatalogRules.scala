@@ -178,11 +178,15 @@ object CatalogRules {
     *
     *  1. [[MvRewriteRule]] — may remove the fact scan entirely; must see
     *     joins un-hinted (q252's shape requires `JoinHint.NONE`).
-    *  2. [[CatalogJoinOrderRule]] — re-associates chains; same hint
+    *  2. [[EagerAggregationRule]] — after the MV rule (a STORED rollup
+    *     beats an on-the-fly partial aggregate; once the MV fires, the
+    *     rollup scan is not a cataloged base and this rule stands
+    *     down), before the strategy rules for the same hint reason.
+    *  3. [[CatalogJoinOrderRule]] — re-associates chains; same hint
     *     requirement.
-    *  3. [[ConjunctReorderRule]] — filter-local, order-independent of
+    *  4. [[ConjunctReorderRule]] — filter-local, order-independent of
     *     the join rules.
-    *  4. [[CatalogBroadcastRule]] — LAST: hints whatever joins survived
+    *  5. [[CatalogBroadcastRule]] — LAST: hints whatever joins survived
     *     the rewrites (including the rewritten ones whose sides it can
     *     still cost). Iteration 2 is then a fixpoint: every shape rule
     *     sees hints and stands down, the hint rule sees its own hints.
@@ -196,7 +200,8 @@ object CatalogRules {
       mvs: Seq[MvDef] = Nil,
       selectivity: Option[org.apache.spark.sql.catalyst.expressions.Expression => Option[Double]] = None)
       : Seq[Rule[LogicalPlan]] =
-    Seq(MvRewriteRule(mvs, stats), CatalogJoinOrderRule(stats)) ++
+    Seq(MvRewriteRule(mvs, stats), EagerAggregationRule(stats),
+      CatalogJoinOrderRule(stats)) ++
       selectivity.map(ConjunctReorderRule(_)).toSeq :+
       CatalogBroadcastRule(stats.tables.map { case (t, s) => t -> s.rows })
 }

@@ -1,0 +1,218 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Coalesce, EqualTo, Expression, KnownNotNull, Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+/** Eager aggregation (Yan & Larson's group-by pushdown) — the q252
+  * FK-rollup rewrite WITHOUT a stored artifact: an aggregate over
+  * `fact JOIN dim` whose grouping keys live on the dim side and whose
+  * aggregate inputs live on the fact side is rewritten to aggregate
+  * the fact to the JOIN-KEY grain FIRST, then join the (ndv-sized)
+  * partials to the dim and fold:
+  *
+  * {{{
+  * Aggregate(s_name, sum(qty), Join(lineitem, supplier, fk = pk))
+  *   =>  Aggregate(s_name, sum(partial),
+  *         Join(Aggregate(fk, sum(qty) AS partial, lineitem), supplier))
+  * }}}
+  *
+  * At 100 TB this is the difference between EXCHANGING the fact at row
+  * grain (the join shuffles or probes every row, and Spark's own
+  * partial aggregation only kicks in ABOVE the join) and exchanging it
+  * at FK grain — the fact's contribution to the join drops from rows
+  * to ndv(fk) before any data moves.
+  *
+  * Correctness rests on the same proof as the MV join shape: the dim
+  * key must be UNIQUE (each partial row matches at most one dim row,
+  * so partials pass through the join unchanged) — proven only by an
+  * [[CatalogRules.StatProvenance.Exact]] catalog entry whose recorded
+  * path (when present) matches the scanned dim. Fold-safety bounds the
+  * aggregate menu: COUNT folds as a sum of counts, MIN/MAX through
+  * themselves, SUM over INTEGRAL inputs exactly (64-bit addition is
+  * associative even under wraparound). SUM over double or DECIMAL is
+  * deliberately REFUSED: regrouping changes double addition order
+  * (bit-level divergence), and a DECIMAL partial that overflows its
+  * accumulation width would be silently SKIPPED by the outer sum's
+  * null-ignoring fold where the direct query returns null — a
+  * value-level divergence no type check catches.
+  *
+  * Evidence gate: fires only when the catalog says the fact exceeds
+  * the key's ndv by [[minReduction]] (a fact already at key grain
+  * gains nothing and pays an extra aggregate). Bails — like every rule
+  * in this layer — on hints, non-inner joins, non-equi conditions,
+  * unrecognized scans, DISTINCT/FILTER clauses, or any expression it
+  * cannot prove foldable. Idempotent: the rewritten join's fact side
+  * is an Aggregate, which is not a recognizable base scan.
+  */
+/** The config-only deployment form of [[EagerAggregationRule]]: builds
+  * its catalog from the confs the other rules already publish — the
+  * join-order stats (ordering-grade, feeds the reduction gate) merged
+  * with `spark.graft.mv.exactstats` (the declared-constraint channel,
+  * feeds the uniqueness proof; exact entries win on collision). A
+  * strict no-op with both unset; without the exact conf the proof is
+  * missing and the rule stands down — publishing approx stats alone
+  * can never fire a rewrite whose correctness needs a constraint.
+  */
+object ConfEagerAggregationRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val jo = conf.getConfString(ConfCatalogJoinOrderRule.StatsConf, "")
+    val ex = conf.getConfString(ConfMvRewriteRule.ExactConf, "")
+    if (jo.trim.isEmpty && ex.trim.isEmpty) plan
+    else EagerAggregationRule(CatalogRules.CatalogStats(
+      ConfCatalogJoinOrderRule.parse(jo) ++
+        ConfMvRewriteRule.parseExact(ex))).apply(plan)
+  }
+}
+
+final case class EagerAggregationRule(
+    stats: CatalogRules.CatalogStats,
+    minReduction: Long = 4L)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case agg @ Aggregate(ge, ae, child, None) =>
+      rewrite(ge, ae, child).getOrElse(agg)
+  }
+
+  private def stripPrune(p: LogicalPlan): LogicalPlan = p match {
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      stripPrune(c)
+    case other => other
+  }
+
+  private val integral =
+    Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+
+  private def rewrite(
+      ge: Seq[Expression],
+      ae: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] = {
+    if (ge.exists(!_.deterministic) || ae.exists(!_.deterministic)) return None
+    val join = stripPrune(child) match {
+      case j @ Join(_, _, Inner, Some(_: EqualTo), JoinHint(None, None)) => j
+      case _ => return None
+    }
+    val cond = join.condition.get.asInstanceOf[EqualTo]
+    val (ka, kb) = (cond.left, cond.right) match {
+      case (x: AttributeReference, y: AttributeReference) => (x, y)
+      case _ => return None
+    }
+
+    // The fact side is where the aggregate inputs live; grouping keys
+    // must live on the other (dim) side. Both sides must be
+    // recognizable base scans — the fact for the evidence gate and
+    // idempotence, the dim for the uniqueness proof.
+    val aggRefs = ae.flatMap(_.collect {
+      case a: AggregateExpression => a.references
+    }).foldLeft(org.apache.spark.sql.catalyst.expressions.AttributeSet.empty)(_ ++ _)
+    if (aggRefs.isEmpty) return None // nothing to push; Distinct et al.
+    val (fact, dim, fk, dk) =
+      if (aggRefs.subsetOf(join.left.outputSet)) (join.left, join.right,
+        if (join.left.outputSet.contains(ka)) ka else kb,
+        if (join.left.outputSet.contains(ka)) kb else ka)
+      else if (aggRefs.subsetOf(join.right.outputSet)) (join.right, join.left,
+        if (join.right.outputSet.contains(ka)) ka else kb,
+        if (join.right.outputSet.contains(ka)) kb else ka)
+      else return None
+    if (!fact.outputSet.contains(fk) || !dim.outputSet.contains(dk)) return None
+    val dimOut = dim.outputSet
+    if (!ge.forall { case a: AttributeReference => dimOut.contains(a); case _ => false })
+      return None
+
+    // Evidence gate: the fact must shrink by minReduction at fk grain.
+    val factTable = CatalogRules.tableOf(fact).getOrElse(return None)
+    val fStat = stats.tables.get(factTable).getOrElse(return None)
+    val fkNdv = fStat.ndv.get(fk.name).getOrElse(return None)
+    if (fkNdv <= 0 || fStat.rows / fkNdv < minReduction) return None
+
+    // Uniqueness proof on the dim key — Exact provenance + path, the
+    // q252 trust boundary verbatim.
+    val dimTable = CatalogRules.tableOf(dim).getOrElse(return None)
+    val provenUnique = stats.tables.get(dimTable) match {
+      case Some(ts) =>
+        ts.provenance == CatalogRules.StatProvenance.Exact &&
+          ts.ndv.get(dk.name).contains(ts.rows) &&
+          ts.path.forall(p => CatalogRules.scanPath(dim).contains(p))
+      case None => false
+    }
+    if (!provenUnique) return None
+
+    // Collect the fold plan per aggregate call: (partial alias over the
+    // fact, outer replacement builder from the partial's attribute).
+    val partials = scala.collection.mutable.ArrayBuffer.empty[Alias]
+    val partialIds = scala.collection.mutable.Set
+      .empty[org.apache.spark.sql.catalyst.expressions.ExprId]
+    def partial(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction,
+        template: AggregateExpression): AttributeReference = {
+      val al = Alias(template.copy(aggregateFunction = f),
+        s"__ea_p${partials.size}")()
+      partials += al
+      partialIds += al.exprId
+      al.toAttribute.asInstanceOf[AttributeReference]
+    }
+    var ok = true
+    def swap(aggE: AggregateExpression): Expression = {
+      // transform recurses into replacements: a call already folded
+      // onto partial attributes is OURS — leave it alone. Anything
+      // else referencing non-fact columns (a dim-side aggregate, whose
+      // per-group multiplicity the fk-grain join would change) refuses
+      // the whole rewrite below.
+      if (aggE.references.nonEmpty &&
+          aggE.references.forall(a => partialIds.contains(a.exprId)))
+        return aggE
+      if (aggE.isDistinct || aggE.filter.isDefined ||
+          !aggE.references.subsetOf(fact.outputSet)) { ok = false; return aggE }
+      aggE.aggregateFunction match {
+        case cnt: Count if cnt.children.forall(_.foldable) =>
+          val p = partial(cnt, aggE)
+          KnownNotNull(Coalesce(Seq(
+            aggE.copy(aggregateFunction = Sum(p)), Literal(0L))))
+        case cnt @ Count(Seq(_: AttributeReference)) =>
+          val p = partial(cnt, aggE)
+          KnownNotNull(Coalesce(Seq(
+            aggE.copy(aggregateFunction = Sum(p)), Literal(0L))))
+        case s @ Sum(inner, _) if integral.contains(inner.dataType) =>
+          // integral only: 64-bit addition is associative (even under
+          // wraparound), so partial-then-total == direct, bit for bit.
+          // double regroups change addition order; decimal partials
+          // can overflow-to-null and be SKIPPED by the outer fold.
+          aggE.copy(aggregateFunction = Sum(partial(s, aggE)))
+        case m @ Min(_) =>
+          aggE.copy(aggregateFunction = Min(partial(m, aggE)))
+        case m @ Max(_) =>
+          aggE.copy(aggregateFunction = Max(partial(m, aggE)))
+        case _ => ok = false; aggE
+      }
+    }
+    val newAe: Seq[NamedExpression] = ae.map {
+      case a: AttributeReference if dimOut.contains(a) => a
+      case al @ Alias(a: AttributeReference, _) if dimOut.contains(a) => al
+      case al: Alias =>
+        val swapped = al.child.transform {
+          case aggE: AggregateExpression => swap(aggE)
+        }
+        if (!ok) return None
+        val allowed = dimOut ++
+          org.apache.spark.sql.catalyst.expressions.AttributeSet(
+            partials.map(_.toAttribute))
+        if (!swapped.references.subsetOf(allowed)) return None
+        Alias(swapped, al.name)(exprId = al.exprId)
+      case _ => return None
+    }
+    if (!ok || partials.isEmpty) return None
+    // Type identity is structural here (long sums stay long, counts
+    // fold to the same non-null long, min/max keep their type), but
+    // assert it anyway — a silent type drift is never acceptable.
+    newAe.zip(ae).foreach { case (n, o) =>
+      if (n.dataType != o.dataType) return None }
+
+    val inner = Aggregate(Seq(fk), fk +: partials.toSeq, fact, None)
+    val rejoined = Join(inner, dim, Inner, Some(EqualTo(fk, dk)), JoinHint.NONE)
+    Some(Aggregate(ge, newAe, rejoined, None))
+  }
+}

@@ -2510,6 +2510,50 @@ object RelationalQueries {
             sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
               .as("sum_price"))
       }
+    ),
+    Q(
+      "q264_eager_aggregation",
+      "Eager aggregation (Yan-Larson group-by pushdown, " +
+        "graft.plans.EagerAggregationRule) — q252's FK-rollup rewrite " +
+        "with NO stored artifact: the text aggregates " +
+        "lineitem JOIN supplier by s_name; the rule proves s_suppkey " +
+        "unique from the EXACT catalog (the q252 trust boundary " +
+        "verbatim), checks the fact shrinks >= 4x at the key grain " +
+        "(rows/ndv from the same catalog — a fact already at key " +
+        "grain gains nothing), and rewrites to aggregate lineitem to " +
+        "l_suppkey grain FIRST, join the ndv-sized partials to the " +
+        "live dim, and fold (COUNT as sum-of-counts with the 0-not-" +
+        "null empty fold, SUM over INTEGRAL inputs — 64-bit addition " +
+        "is associative even under wraparound — MIN/MAX through " +
+        "themselves). SUM over double/DECIMAL is REFUSED: regrouping " +
+        "reorders double addition, and an overflowed DECIMAL partial " +
+        "would be silently skipped by the outer fold's null-ignoring " +
+        "sum (spec-pinned). At 100 TB the fact's contribution to the " +
+        "join exchange drops from rows to ndv(fk) BEFORE any data " +
+        "moves — Spark's own partial aggregation only kicks in ABOVE " +
+        "the join. CatalogRulesSpec pins the pushed-Aggregate plan " +
+        "shape, the no-proof and low-reduction bails, and rule-off " +
+        "row equality.",
+      Some("""
+         |SELECT s_name, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |       MAX(l_extendedprice) AS max_price
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY 1
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.plans.{CatalogRules, EagerAggregationRule}
+        val st = StatsPhases.collected(spark, dir)
+        val child = CatalogRules.sessionWith(spark,
+          Seq(EagerAggregationRule(st)))
+        Tables.lineitem(child, dir)
+          .join(Tables.supplier(child, dir),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+            max(col("l_extendedprice")).as("max_price"))
+      }
     )
   )
 }
@@ -2529,10 +2573,11 @@ object StatsPhases {
 
   /** Keys q241's join-order costing needs beyond the q231 joins, plus
     * supplier for q244's broadcast decision (the rule needs the dim's
-    * row count in the catalog to call it small). */
+    * row count in the catalog to call it small), plus the fact's
+    * supplier FK for q264's eager-aggregation reduction gate. */
   private val extraPairs =
     Seq(("orders", "o_custkey"), ("customer", "c_custkey"),
-      ("supplier", "s_suppkey"))
+      ("supplier", "s_suppkey"), ("lineitem", "l_suppkey"))
 
   def buildStored(spark: SparkSession, dir: String): Unit = {
     val pairs = (RelationalQueries.JoinCardSpecs

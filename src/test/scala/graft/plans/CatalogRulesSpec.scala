@@ -500,6 +500,97 @@ class CatalogRulesSpec extends AnyFunSuite {
         sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
           .as("sum_price"))
 
+  // -------------------------------------------------- EagerAggregationRule
+
+  test("q264: eager aggregation pushes a fact-side partial below the join; bails without proof, under-reduction, or on unsafe sums; same rows") {
+    import graft.queries.StatsPhases
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    def pushedBelowJoin(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case Join(l, _, _, _, _) if l.collectFirst {
+          case a: Aggregate if CatalogRules.tableOf(a.child).contains("lineitem") => a
+        }.isDefined => true
+        case Join(_, r, _, _, _) if r.collectFirst {
+          case a: Aggregate if CatalogRules.tableOf(a.child).contains("lineitem") => a
+        }.isDefined => true
+      }.getOrElse(false)
+
+    val on = SparkEntry.queries("q264_eager_aggregation")(spark, sf)
+    assert(pushedBelowJoin(on), on.queryExecution.optimizedPlan.toString)
+
+    val off = CatalogRules.sessionWith(spark, Nil)
+    def text(s: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(s, sf)
+        .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          max(col("l_extendedprice")).as("max_price"))
+    val offDf = text(off)
+    assert(!pushedBelowJoin(offDf))
+    assert(on.schema === offDf.schema)
+    assert(sortedRows(on) === sortedRows(offDf))
+
+    val st = StatsPhases.collected(spark, sf)
+    // no uniqueness proof (empty stats): bail
+    val noProof = CatalogRules.sessionWith(spark,
+      Seq(EagerAggregationRule(CatalogRules.CatalogStats(Map.empty))))
+    assert(!pushedBelowJoin(text(noProof)))
+    // approx provenance satisfying ndv == rows numerically: bail
+    val n = Tables.supplier(spark, sf).count()
+    val approx = CatalogRules.CatalogStats(Map(
+      "supplier" -> CatalogRules.TableStat(n, Map("s_suppkey" -> n)),
+      "lineitem" -> st.tables("lineitem").copy(
+        provenance = CatalogRules.StatProvenance.Approx)))
+    val approxS = CatalogRules.sessionWith(spark,
+      Seq(EagerAggregationRule(approx)))
+    assert(!pushedBelowJoin(text(approxS)))
+    // reduction gate: a fact already at key grain gains nothing
+    val flat = CatalogRules.CatalogStats(st.tables.updated("lineitem",
+      st.tables("lineitem").copy(
+        ndv = st.tables("lineitem").ndv.updated(
+          "l_suppkey", st.tables("lineitem").rows))))
+    val flatS = CatalogRules.sessionWith(spark, Seq(EagerAggregationRule(flat)))
+    assert(!pushedBelowJoin(text(flatS)))
+    // unsafe sums refuse: double (addition order) and decimal (overflow
+    // partials silently skipped by the null-ignoring outer fold)
+    val proofS = CatalogRules.sessionWith(spark, Seq(EagerAggregationRule(st)))
+    val dbl = Tables.lineitem(proofS, sf)
+      .join(Tables.supplier(proofS, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(sum(col("l_quantity")).as("s"))
+    assert(!pushedBelowJoin(dbl))
+    val dec = Tables.lineitem(proofS, sf)
+      .join(Tables.supplier(proofS, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("s"))
+    assert(!pushedBelowJoin(dec))
+    // a DIM-side aggregate refuses outright: the fk-grain join changes
+    // its per-group multiplicity (each supplier row would count once
+    // instead of once per lineitem row)
+    val dimAgg = Tables.lineitem(proofS, sf)
+      .join(Tables.supplier(proofS, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("s_acctbal").cast("bigint")).as("s"))
+    assert(!pushedBelowJoin(dimAgg))
+
+    // conf face: fires from the published join-order stats + the
+    // declared-exact constraint; approx stats alone cannot prove it
+    val nLi = Tables.lineitem(spark, sf).count()
+    val fkNdv = st.tables("lineitem").ndv("l_suppkey")
+    val joConf = s"lineitem:$nLi:l_suppkey=$fkNdv"
+    val confOn = CatalogRules.sessionWith(spark,
+      Seq(ConfEagerAggregationRule),
+      ConfCatalogJoinOrderRule.StatsConf -> joConf,
+      ConfMvRewriteRule.ExactConf -> s"supplier:$n:s_suppkey=$n")
+    assert(pushedBelowJoin(text(confOn)))
+    val confNoProof = CatalogRules.sessionWith(spark,
+      Seq(ConfEagerAggregationRule),
+      ConfCatalogJoinOrderRule.StatsConf ->
+        (joConf + s";supplier:$n:s_suppkey=$n"))
+    assert(!pushedBelowJoin(text(confNoProof)))
+  }
+
   // -------------------------------------------------- ConjunctReorderRule
 
   test("q246: selective comparison evaluates before the unselective one, null guards first; rule-off keeps written order; same rows") {
