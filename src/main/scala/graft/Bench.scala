@@ -484,6 +484,43 @@ object Bench {
           }),
           "q254_rule_conjunct_equality" -> ((s: SparkSession, d: String) =>
             SparkEntry.queries("q254_rule_conjunct_equality")(s, d))),
+        // Filter-aware join order (q262) and eager aggregation (q264):
+        // rule-on/rule-off pairs on identical text, the r17 protocol —
+        // each pair's difference is exactly the plan decision.
+        "q262_rule_join_order_filtered" -> Seq(
+          "q262_blindorder" -> ((s: SparkSession, d: String) => {
+            import org.apache.spark.sql.functions._
+            val blind = graft.plans.CatalogRules.sessionWith(s,
+              Seq(graft.plans.CatalogJoinOrderRule(
+                graft.queries.StatsPhases.collected(s, d))),
+              "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+            Tables.lineitem(blind, d)
+              .filter(col("l_quantity") >= 49.0)
+              .join(Tables.orders(blind, d),
+                col("l_orderkey") === col("o_orderkey"))
+              .join(Tables.customer(blind, d),
+                col("o_custkey") === col("c_custkey"))
+              .groupBy("c_mktsegment")
+              .agg(count(lit(1)).as("cnt"),
+                sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                  .as("sum_price"))
+          }),
+          "q262_rule_join_order_filtered" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q262_rule_join_order_filtered")(s, d))),
+        "q264_eager_aggregation" -> Seq(
+          "q264_ruleoff_rowgrain" -> ((s: SparkSession, d: String) => {
+            import org.apache.spark.sql.functions._
+            val off = graft.plans.CatalogRules.sessionWith(s, Nil)
+            Tables.lineitem(off, d)
+              .join(Tables.supplier(off, d),
+                col("l_suppkey") === col("s_suppkey"))
+              .groupBy("s_name")
+              .agg(count(lit(1)).as("cnt"),
+                sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+                max(col("l_extendedprice")).as("max_price"))
+          }),
+          "q264_eager_aggregation" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q264_eager_aggregation")(s, d))),
         // MV rewrite family: the rollup build is the one-shot ingest
         // cost; the q249 line is what the SAME query text costs once
         // the rewrite answers it from the rollup; the ruleoff twin is

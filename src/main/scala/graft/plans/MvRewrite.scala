@@ -43,6 +43,10 @@ final case class MvRewriteRule(
     extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case agg @ Aggregate(ge, ae,
+        expand: org.apache.spark.sql.catalyst.plans.logical.Expand, None) =>
+      mvs.view.flatMap(rewriteExpand(ge, ae, expand, _))
+        .headOption.getOrElse(agg)
     case agg @ Aggregate(ge, ae, child, None) =>
       mvs.view.flatMap(rewrite(agg, ge, ae, child, _)).headOption.getOrElse(agg)
   }
@@ -88,13 +92,8 @@ final case class MvRewriteRule(
     // cannot reproduce a per-row draw. Mirrors Catalyst's own
     // pushdown guards: deterministic-only, bail otherwise.
     if (ge.exists(!_.deterministic) || ae.exists(!_.deterministic)) return None
-    // The base-table identity is a parquet BASENAME (tableOf), so two
-    // directories' same-named tables alias; when the MvDef records the
-    // rollup's true base path, a scan from any OTHER path must not be
-    // answered from this rollup (wrong data, not just wrong cost).
     def baseMatches(scan: LogicalPlan): Boolean =
-      CatalogRules.tableOf(scan).contains(mv.baseTable) &&
-        mv.basePath.forall(p => CatalogRules.scanPath(scan).contains(p))
+      MvRewriteRule.baseMatches(mv, scan)
 
     // Shape: the base scan alone, or base JOIN dim on a rollup-carried
     // key whose uniqueness on the dim side the STATS CATALOG proves
@@ -231,6 +230,133 @@ final case class MvRewriteRule(
     Some(Aggregate(newGe, newAe, newChild, None))
   }
 
+  /** GROUPING SETS / ROLLUP / CUBE navigation — the Expand shape:
+    * Catalyst plans `GROUP BY ROLLUP(a, b)` as
+    * `Aggregate(a', b', gid, Expand(projections, output, scan))` where
+    * the Expand emits one copy of each row per grouping set (dims
+    * re-aliased to FRESH attributes, nulled per set, plus a gid
+    * literal) and MEASURE columns pass through verbatim. The rollup
+    * substitutes at the scan exactly as in the flat shape — aggregate
+    * calls swap measure-for-partial, and the Expand's pass-through
+    * slots carry the needed PARTIAL columns instead of the raw
+    * measures (cell counts re-sum to set totals for the same reason
+    * partials fold at all). Grouping attributes and gid keep their
+    * fresh exprIds, so the parent Aggregate needs no surgery beyond
+    * the same call swaps. At 100 TB this answers an N-set report
+    * (classically N fact scans' worth of work in one Expand) from N
+    * copies of the rollup's handful of cells.
+    *
+    * Bails — beyond everything the flat shape refuses — when any
+    * Expand slot is not exactly (a) a pass-through base attribute,
+    * (b) a per-set choice between ONE base dimension and null, or
+    * (c) a literal (the gid), or when a grouping expression references
+    * anything but the fresh expanded attributes.
+    */
+  private def rewriteExpand(
+      ge: Seq[Expression],
+      ae: Seq[NamedExpression],
+      expand: org.apache.spark.sql.catalyst.plans.logical.Expand,
+      mv: MvDef): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeSet
+    if (ge.exists(!_.deterministic) || ae.exists(!_.deterministic)) return None
+    val mvOut = mv.mvPlan.output
+    def mvAttr(name: String): Option[Attribute] = mvOut.find(_.name == name)
+    if (!mv.dims.values.forall(mvAttr(_).isDefined)) return None
+
+    val (filters, leaf) = collectScan(expand.child, Nil).get
+    if (!MvRewriteRule.baseMatches(mv, leaf)) return None
+    // Base filters under the Expand: deterministic, dimension-only —
+    // they commute with the rollup grain exactly as in the flat shape.
+    val mvFilters = filters.map { f =>
+      if (!f.deterministic) return None
+      if (!f.references.forall(a => mv.dims.contains(a.name))) return None
+      f.transform {
+        case a: AttributeReference if mv.dims.contains(a.name) =>
+          mvAttr(mv.dims(a.name)).get
+      }
+    }
+
+    // Classify each Expand slot.
+    val out = expand.output
+    val projs = expand.projections
+    if (projs.isEmpty || projs.exists(_.length != out.length)) return None
+    val isPassThrough: Seq[Boolean] = out.indices.map { i =>
+      out(i).isInstanceOf[AttributeReference] && projs.forall { p =>
+        p(i) match {
+          case a: AttributeReference => a.exprId == out(i).exprId
+          case _ => false
+        }
+      }
+    }
+    // Every non-pass-through slot must mix only ONE base dim and
+    // null/int literals across the sets (the expanded-dim / gid form).
+    val freshSlots = out.indices.filterNot(isPassThrough)
+    freshSlots.foreach { i =>
+      val dims = projs.map(_(i)).collect { case a: AttributeReference => a }
+      if (dims.map(_.exprId).distinct.length > 1) return None
+      dims.headOption.foreach(a => if (!mv.dims.contains(a.name)) return None)
+      projs.map(_(i)).foreach {
+        case _: AttributeReference => ()
+        case l: Literal => () // null per set, or the gid
+        case _ => return None
+      }
+    }
+    val freshOut = AttributeSet(freshSlots.map(out))
+
+    // Swap the aggregate calls measure-for-partial (the flat shape's
+    // machinery verbatim); fresh expanded attributes pass through.
+    val newAe: Seq[NamedExpression] = ae.map {
+      case a: AttributeReference if freshOut.contains(a) => a
+      case al @ Alias(a: AttributeReference, _) if freshOut.contains(a) => al
+      case al: Alias =>
+        var ok = true
+        val swapped = al.child.transform {
+          case aggE: AggregateExpression
+              if aggE.references.isEmpty ||
+                !aggE.references.subsetOf(mv.mvPlan.outputSet ++ freshOut) =>
+            swapAggregate(aggE, mv, mvAttr) match {
+              case Some(e) => e
+              case None => ok = false; aggE
+            }
+        }
+        if (!ok) return None
+        if (!swapped.references.subsetOf(mv.mvPlan.outputSet ++ freshOut))
+          return None
+        Alias(swapped, al.name)(exprId = al.exprId)
+      case _ => return None
+    }
+    // Grouping must ride the fresh expanded attributes only.
+    ge.foreach {
+      case a: AttributeReference if freshOut.contains(a) => ()
+      case _ => return None
+    }
+
+    // The rollup columns the swapped calls need become the Expand's
+    // new pass-through slots (stable order for determinism).
+    val needed: Seq[Attribute] = {
+      val refs = AttributeSet(newAe.flatMap(_.references)) -- freshOut
+      mvOut.filter(refs.contains)
+    }
+    if (needed.isEmpty) return None
+    val freshIdx = freshSlots
+    val newOutput: Seq[Attribute] = needed ++ freshIdx.map(out)
+    val newProjections: Seq[Seq[Expression]] = projs.map { p =>
+      (needed: Seq[Expression]) ++ freshIdx.map { i =>
+        p(i) match {
+          case a: AttributeReference => mvAttr(mv.dims(a.name)).get
+          case l: Literal => l
+          case other => other // unreachable: slot shape checked above
+        }
+      }
+    }
+    val mvBase =
+      if (mvFilters.isEmpty) mv.mvPlan
+      else Filter(mvFilters.reduceLeft(And(_, _)), mv.mvPlan)
+    val newExpand = org.apache.spark.sql.catalyst.plans.logical.Expand(
+      newProjections, newOutput, mvBase)
+    Some(Aggregate(ge, newAe, newExpand, None))
+  }
+
   /** One aggregate call folded onto the rollup's partial column. The
     * replacement must be TYPE-equal to the original or the swap is
     * refused (the caller then bails the whole query). */
@@ -283,6 +409,16 @@ final case class MvRewriteRule(
     }
     swapped.filter(_.dataType == aggE.dataType)
   }
+}
+
+object MvRewriteRule {
+  /** The base-table identity is a parquet BASENAME (tableOf), so two
+    * directories' same-named tables alias; when the MvDef records the
+    * rollup's true base path, a scan from any OTHER path must not be
+    * answered from this rollup (wrong data, not just wrong cost). */
+  private[plans] def baseMatches(mv: MvDef, scan: LogicalPlan): Boolean =
+    CatalogRules.tableOf(scan).contains(mv.baseTable) &&
+      mv.basePath.forall(p => CatalogRules.scanPath(scan).contains(p))
 }
 
 /** The config-only deployment form of [[MvRewriteRule]] — the last

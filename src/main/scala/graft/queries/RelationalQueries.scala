@@ -2554,6 +2554,47 @@ object RelationalQueries {
             sum(col("l_quantity").cast("bigint")).as("sum_qty"),
             max(col("l_extendedprice")).as("max_price"))
       }
+    ),
+    Q(
+      "q265_mv_rollup_cube",
+      "GROUPING SETS through the MV rewrite — ROLLUP/CUBE navigation: " +
+        "Catalyst plans GROUP BY ROLLUP(a, b) as an Aggregate over an " +
+        "Expand that emits one copy of every fact row per grouping set " +
+        "(classically N scans' worth of work fused into one pass); the " +
+        "rewrite substitutes the stored rollup at the scan, so the " +
+        "Expand multiplies the rollup's HANDFUL OF CELLS per set " +
+        "instead of the fact rows — cell counts re-sum to set totals " +
+        "for the same associativity reason partials fold at all, " +
+        "grouping attributes and the grouping-id keep their expanded " +
+        "exprIds, and the same measure-for-partial call swaps apply " +
+        "(COUNT as sum-of-counts, DECIMAL sums exact, MIN/MAX " +
+        "through). At 100 TB a 3-level management rollup report drops " +
+        "from a fact scan x sets to KBs x sets. The oracle runs the " +
+        "identical GROUP BY ROLLUP on the base table in DuckDB; " +
+        "MvRewriteSpec pins rollup-only scans, rule-off equality, and " +
+        "the non-dim-slot / non-measure bails.",
+      Some("""
+         |SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         |       MIN(l_quantity) AS min_qty,
+         |       MAX(l_extendedprice) AS max_price
+         |FROM lineitem
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.plans.{CatalogRules, MvRewriteRule}
+        MvPhases.ensureStored(spark, dir)
+        val child = CatalogRules.sessionWith(spark, Nil)
+        CatalogRules.installRules(child,
+          Seq(MvRewriteRule(Seq(MvPhases.mvDef(child, dir)))))
+        Tables.lineitem(child, dir)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+              .as("sum_qty"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_extendedprice")).as("max_price"))
+      }
     )
   )
 }

@@ -198,6 +198,54 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(scanTables(b) === Set("lineitem"), scanTables(b))
   }
 
+  test("q265: ROLLUP and CUBE answer from the stored rollup's cells; non-foldable shapes under Expand bail") {
+    val on = SparkEntry.queries("q265_mv_rollup_cube")(spark, sf)
+    assert(scanTables(on) === Set(MvPhases.mvTable(sf)), scanTables(on))
+    val off = CatalogRules.sessionWith(spark, Nil)
+    val offDf = Tables.lineitem(off, sf)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_extendedprice")).as("max_price"))
+    assert(scanTables(offDf) === Set("lineitem"))
+    assert(on.schema === offDf.schema)
+    assert(sortedRows(on) === sortedRows(offDf))
+
+    val child = mvSession()
+    // CUBE is the same Expand shape with more sets
+    val cube = Tables.lineitem(child, sf)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+    assert(scanTables(cube) === Set(MvPhases.mvTable(sf)), scanTables(cube))
+    val cubeOff = Tables.lineitem(spark, sf)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+    assert(sortedRows(cube) === sortedRows(cubeOff))
+    // dim-only filter below the rollup grouping commutes and remaps
+    val filtered = Tables.lineitem(child, sf)
+      .filter(col("l_linestatus") === "F")
+      .rollup("l_returnflag")
+      .agg(count(lit(1)).as("cnt"))
+    assert(scanTables(filtered) === Set(MvPhases.mvTable(sf)), scanTables(filtered))
+    val filteredOff = Tables.lineitem(spark, sf)
+      .filter(col("l_linestatus") === "F")
+      .rollup("l_returnflag")
+      .agg(count(lit(1)).as("cnt"))
+    assert(sortedRows(filtered) === sortedRows(filteredOff))
+    // an aggregate the rollup has no partial for bails to the fact scan
+    val bad = Tables.lineitem(child, sf)
+      .rollup("l_returnflag")
+      .agg(sum(col("l_tax").cast("decimal(18,4)")).as("sum_tax"))
+    assert(scanTables(bad) === Set("lineitem"), scanTables(bad))
+    // a grouping column the rollup does not carry bails
+    val badDim = Tables.lineitem(child, sf)
+      .rollup("l_returnflag", "l_suppkey")
+      .agg(count(lit(1)).as("cnt"))
+    assert(scanTables(badDim) === Set("lineitem"), scanTables(badDim))
+  }
+
   test("HAVING and DISTINCT shapes ride the rewrite for free") {
     val child = mvSession()
     val li = Tables.lineitem(child, sf)
