@@ -519,6 +519,41 @@ object Bench {
                 sum(col("l_quantity").cast("bigint")).as("sum_qty"),
                 max(col("l_extendedprice")).as("max_price"))
           }),
+          // The SHUFFLE-regime pair (threshold=-1, AQE off): where the
+          // broadcast pair above measures a near-tie (partial agg above
+          // a broadcast join is already cheap), this is eager
+          // aggregation's home turf — the rowgrain side sort-merge-
+          // exchanges every fact row; the eager side exchanges
+          // ndv(fk)-sized partials. The gap is the exchanged-volume
+          // claim, measured.
+          "q264_smj_rowgrain" -> ((s: SparkSession, d: String) => {
+            import org.apache.spark.sql.functions._
+            val off = graft.plans.CatalogRules.sessionWith(s, Nil,
+              "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+              "spark.sql.adaptive.enabled" -> "false")
+            Tables.lineitem(off, d)
+              .join(Tables.supplier(off, d),
+                col("l_suppkey") === col("s_suppkey"))
+              .groupBy("s_name")
+              .agg(count(lit(1)).as("cnt"),
+                sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+                max(col("l_extendedprice")).as("max_price"))
+          }),
+          "q264_smj_eager" -> ((s: SparkSession, d: String) => {
+            import org.apache.spark.sql.functions._
+            val on = graft.plans.CatalogRules.sessionWith(s,
+              Seq(graft.plans.EagerAggregationRule(
+                graft.queries.StatsPhases.collected(s, d))),
+              "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+              "spark.sql.adaptive.enabled" -> "false")
+            Tables.lineitem(on, d)
+              .join(Tables.supplier(on, d),
+                col("l_suppkey") === col("s_suppkey"))
+              .groupBy("s_name")
+              .agg(count(lit(1)).as("cnt"),
+                sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+                max(col("l_extendedprice")).as("max_price"))
+          }),
           "q264_eager_aggregation" -> ((s: SparkSession, d: String) =>
             SparkEntry.queries("q264_eager_aggregation")(s, d))),
         // MV rewrite family: the rollup build is the one-shot ingest

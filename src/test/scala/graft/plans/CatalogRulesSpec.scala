@@ -591,6 +591,53 @@ class CatalogRulesSpec extends AnyFunSuite {
     assert(!pushedBelowJoin(text(confNoProof)))
   }
 
+  test("trust boundary, probed adversarially: a FALSE declared constraint is trusted (fires), yet the re-aggregating fold menu is multiplicity-linear — rows survive even that") {
+    import graft.queries.StatsPhases
+    // A dim whose key is genuinely NON-unique: supplier unioned with
+    // itself, written under the same basename so the rules recognize it.
+    val dupDir = java.nio.file.Files.createTempDirectory("dupdim").toString
+    val sup = Tables.supplier(spark, sf)
+    sup.unionByName(sup).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dupDir/supplier.parquet")
+    val st = StatsPhases.collected(spark, sf)
+    val n2 = 2 * Tables.supplier(spark, sf).count()
+    // The deployer DECLARES (falsely) that s_suppkey is unique. Declared
+    // constraints are trusted — the database-PK contract — so the
+    // rewrite fires on the duplicate-keyed dim:
+    val falseClaim = CatalogRules.CatalogStats(Map(
+      "lineitem" -> st.tables("lineitem"),
+      "supplier" -> CatalogRules.TableStat(n2, Map("s_suppkey" -> n2),
+        provenance = CatalogRules.StatProvenance.Exact)))
+    def text(s: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(s, sf)
+        .join(s.read.parquet(s"$dupDir/supplier.parquet"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          min(col("l_quantity")).as("min_qty"))
+    val trusted = CatalogRules.sessionWith(spark,
+      Seq(EagerAggregationRule(falseClaim)))
+    val fired = text(trusted).queryExecution.optimizedPlan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.left.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate] ||
+            j.right.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate] => j
+    }.isDefined
+    assert(fired, "a declared constraint must be trusted — that is the contract")
+    // ...and yet the rows survive: with a FULL re-aggregation above the
+    // join, a key with multiplicity m multiplies the direct result and
+    // the joined partials EQUALLY (SUM/COUNT scale linearly in m,
+    // MIN/MAX are idempotent), so the implemented fold menu is robust
+    // even to a false declaration. The proof is defense in depth — it
+    // becomes load-bearing the moment a shape passes partials through
+    // WITHOUT re-aggregating (the q252 MV-join rewrite's documented
+    // reasoning), and it keeps estimated catalogs from ever being
+    // mistaken for declarations. This pin makes the boundary's actual
+    // mechanics a tested fact rather than folklore.
+    val off = CatalogRules.sessionWith(spark, Nil)
+    assert(sortedRows(text(trusted)) === sortedRows(text(off)))
+  }
+
   // -------------------------------------------------- ConjunctReorderRule
 
   test("q246: selective comparison evaluates before the unselective one, null guards first; rule-off keeps written order; same rows") {
