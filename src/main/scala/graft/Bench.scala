@@ -561,6 +561,28 @@ object Bench {
         // the rewrite answers it from the rollup; the ruleoff twin is
         // the identical text paying the fact scan — the pair IS the
         // aggregate-navigation win.
+        // Time-bucketed MV (q266): the rollup build is the one-shot
+        // ingest cost; the pair is the hourly report answered from
+        // cells vs paying the event scan.
+        "q266_mv_time_bucket" -> Seq(
+          "mvts_build" -> ((s: SparkSession, d: String) => {
+            graft.queries.MvPhases.buildStoredTs(s, d)
+            s.emptyDataFrame
+          }),
+          "q266_ruleoff_events" -> ((s: SparkSession, d: String) => {
+            import org.apache.spark.sql.functions._
+            val off = graft.plans.CatalogRules.sessionWith(s, Nil)
+            Tables.eventsTsNs(off, d)
+              .groupBy(
+                expr(graft.operators.Resample.floorDivSql(
+                  "ts", graft.queries.MvPhases.HourNs)).as("hour_idx"),
+                col("event_type"))
+              .agg(count(lit(1)).as("cnt"),
+                sum(col("value").cast("decimal(18,4)")).cast("double")
+                  .as("sum_value"))
+          }),
+          "q266_mv_time_bucket" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q266_mv_time_bucket")(s, d))),
         "q249_mv_rewrite" -> Seq(
           "mv_build" -> ((s: SparkSession, d: String) => {
             graft.queries.MvPhases.buildStored(s, d)
@@ -655,7 +677,7 @@ object Bench {
     val singleTimed: Set[String] = Set(
       "dupgraph_build", "dupgraph_derive", "dupgraph_serving",
       "dupgraph_touched", "cdcfp_build", "bpeenc_build", "semkept_build",
-      "histcat_build", "mcvcat_build", "mv_build",
+      "histcat_build", "mcvcat_build", "mv_build", "mvts_build",
       "q64_bucketed_build",
       "q79_ivf_build", "q85_kmeans_train", "q156_ivf_base_build",
       "q228_ivf_compact", "q226_sig_mine_full", "q226_uncapped_mine_full",

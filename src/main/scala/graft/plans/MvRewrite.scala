@@ -48,7 +48,119 @@ final case class MvRewriteRule(
       mvs.view.flatMap(rewriteExpand(ge, ae, expand, _))
         .headOption.getOrElse(agg)
     case agg @ Aggregate(ge, ae, child, None) =>
-      mvs.view.flatMap(rewrite(agg, ge, ae, child, _)).headOption.getOrElse(agg)
+      mvs.view.flatMap(mv => rewrite(agg, ge, ae, child, mv)
+          .orElse(rewriteComputed(ge, ae, child, mv)))
+        .headOption.getOrElse(agg)
+  }
+
+  /** EXPRESSION dimensions — time-bucketed (and other computed-key)
+    * rollups, the most common materialized view in practice: the query
+    * groups by an EXPRESSION over base columns (Catalyst pulls it into
+    * a computed Project below the Aggregate, and the loader itself may
+    * add computed normalization columns, e.g. the engine's int64-ns
+    * event-time seam), and the rollup stores the bucket as a plain
+    * column. Attributes resolve back to leaf-level expressions through
+    * the collected alias definitions; a grouping attribute whose
+    * RESOLVED form canonicalizes equal to a declared [[MvExprDim]]
+    * remaps onto the rollup's bucket column. Matching is canonical =
+    * syntactic-modulo-exprIds — the standard production-MV equivalence;
+    * a differently-written-but-equivalent bucket expression correctly
+    * keeps the fact scan.
+    *
+    * Tried only after the attribute-dims path declines (a plan with no
+    * computed projections never reaches here with different behavior).
+    * Bails on: any filter whose RESOLVED form touches a non-plain-dim
+    * column (a raw-timestamp predicate does not commute with bucket
+    * grain unless bucket-aligned, which this rule does not prove), any
+    * aggregate whose resolved inputs are not verbatim leaf columns,
+    * non-deterministic anything, and every refusal the flat path has.
+    */
+  private def rewriteComputed(
+      ge: Seq[Expression],
+      ae: Seq[NamedExpression],
+      child: LogicalPlan,
+      mv: MvDef): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.ExprId
+    if (mv.exprDims.isEmpty) return None
+    if (ge.exists(!_.deterministic) || ae.exists(!_.deterministic)) return None
+    val mvOut = mv.mvPlan.output
+    def mvAttr(name: String): Option[Attribute] = mvOut.find(_.name == name)
+    if (!mv.dims.values.forall(mvAttr(_).isDefined)) return None
+    if (!mv.exprDims.forall(d => mvAttr(d.mvCol).isDefined)) return None
+
+    val (filters, leaf, defs) = MvRewriteRule.collectDefs(child, Nil, Map.empty)
+    if (!MvRewriteRule.baseMatches(mv, leaf)) return None
+    val leafOut = leaf.outputSet
+    def res(e: Expression): Expression = MvRewriteRule.resolve(e, defs)
+
+    // Grouping attrs -> rollup dim columns: plain leaf dims by name,
+    // computed ones by canonical match against the declared exprDims.
+    val dimMap = scala.collection.mutable.Map.empty[ExprId, Attribute]
+    ge.foreach {
+      case a: AttributeReference =>
+        res(a) match {
+          case b: AttributeReference
+              if leafOut.contains(b) && mv.dims.contains(b.name) =>
+            dimMap(a.exprId) = mvAttr(mv.dims(b.name)).get
+          case computed =>
+            val canon = MvRewriteRule.canonicalKey(computed)
+            mv.exprDims.find(_.canonical == canon) match {
+              case Some(d) => dimMap(a.exprId) = mvAttr(d.mvCol).get
+              case None => return None
+            }
+        }
+      case _ => return None
+    }
+
+    // Filters: resolved form must be deterministic and touch PLAIN dims
+    // only (bucket-expression predicates would need an alignment proof).
+    val mvFilters = filters.map { f0 =>
+      val f = res(f0)
+      if (!f.deterministic) return None
+      if (!f.references.forall(a =>
+          leafOut.contains(a) && mv.dims.contains(a.name))) return None
+      f.transform {
+        case a: AttributeReference => mvAttr(mv.dims(a.name)).get
+      }
+    }
+
+    // Aggregate list: dim attrs re-emitted under their original ids,
+    // calls swapped measure-for-partial on their RESOLVED form — with
+    // the guard that a matched source column is a VERBATIM leaf column
+    // (a computed alias sharing a base column's name must never match
+    // its measure).
+    val newAe: Seq[NamedExpression] = ae.map {
+      case a: AttributeReference if dimMap.contains(a.exprId) =>
+        Alias(dimMap(a.exprId), a.name)(exprId = a.exprId)
+      case al @ Alias(a: AttributeReference, name) if dimMap.contains(a.exprId) =>
+        Alias(dimMap(a.exprId), name)(exprId = al.exprId)
+      case al: Alias =>
+        var ok = true
+        val resolved = res(al.child)
+        if (resolved.collectFirst {
+            case a: AttributeReference if !leafOut.contains(a) => a
+          }.isDefined) return None // something neither leaf nor inlined
+        val swapped = resolved.transform {
+          case aggE: AggregateExpression
+              if aggE.references.isEmpty ||
+                !aggE.references.subsetOf(mv.mvPlan.outputSet) =>
+            swapAggregate(aggE, mv, mvAttr) match {
+              case Some(e) => e
+              case None => ok = false; aggE
+            }
+        }
+        if (!ok) return None
+        if (!swapped.references.subsetOf(mv.mvPlan.outputSet)) return None
+        Alias(swapped, al.name)(exprId = al.exprId)
+      case _ => return None
+    }
+    val newGe: Seq[Expression] = ge.map {
+      case a: AttributeReference => dimMap(a.exprId)
+    }
+    val mvBase =
+      if (mvFilters.isEmpty) mv.mvPlan
+      else Filter(mvFilters.reduceLeft(And(_, _)), mv.mvPlan)
+    Some(Aggregate(newGe, newAe, mvBase, None))
   }
 
   /** Strip pruning Projects and collect Filter conjuncts down to the
@@ -412,13 +524,87 @@ final case class MvRewriteRule(
 }
 
 object MvRewriteRule {
+  import org.apache.spark.sql.catalyst.expressions.ExprId
+
   /** The base-table identity is a parquet BASENAME (tableOf), so two
     * directories' same-named tables alias; when the MvDef records the
     * rollup's true base path, a scan from any OTHER path must not be
-    * answered from this rollup (wrong data, not just wrong cost). */
+    * answered from this rollup (wrong data, not just wrong cost).
+    * The matched node must be the RAW relation itself: tableOf
+    * descends through any Project, but the rewrite's dim matching is
+    * by NAME, and a computed projection that shadows a dim's name
+    * (e.g. `upper(l_linestatus) AS l_returnflag`) must never be
+    * mistaken for the dim — callers' scan walks stop at the first
+    * computed Project, so requiring a LogicalRelation here closes
+    * that hole (spec-pinned); computed pipelines go through the
+    * exprId-resolving [[MvRewriteRule.collectDefs]] path instead. */
   private[plans] def baseMatches(mv: MvDef, scan: LogicalPlan): Boolean =
-    CatalogRules.tableOf(scan).contains(mv.baseTable) &&
+    scan.isInstanceOf[
+      org.apache.spark.sql.execution.datasources.LogicalRelation] &&
+      CatalogRules.tableOf(scan).contains(mv.baseTable) &&
       mv.basePath.forall(p => CatalogRules.scanPath(scan).contains(p))
+
+  /** Walk a Project/Filter pipeline down to its leaf, collecting filter
+    * conjuncts AND the alias definitions of every COMPUTED projection
+    * (Catalyst pulls complex grouping expressions into a Project below
+    * the Aggregate, and loaders may add computed normalization columns
+    * — e.g. the int64-ns event-time seam). Unlike the attr-only walk,
+    * this one never bails on a computed Project: the defs let callers
+    * RESOLVE any attribute back to its leaf-level expression. */
+  private[plans] def collectDefs(
+      p: LogicalPlan,
+      filters: Seq[Expression],
+      defs: Map[ExprId, Expression])
+      : (Seq[Expression], LogicalPlan, Map[ExprId, Expression]) = p match {
+    case Project(pl, c) if pl.forall(e =>
+        e.isInstanceOf[AttributeReference] || e.isInstanceOf[Alias]) =>
+      val d2 = defs ++ pl.collect { case a: Alias => a.exprId -> a.child }
+      collectDefs(c, filters, d2)
+    case Filter(cond, c) =>
+      // conjuncts resolve lazily at the caller through the final defs
+      collectDefs(c, filters ++ splitConj(cond), defs)
+    case leaf => (filters, leaf, defs)
+  }
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConj(l) ++ splitConj(r)
+    case other => Seq(other)
+  }
+
+  /** Inline every computed-alias definition recursively, so the result
+    * references only leaf attributes (acyclic by plan construction). */
+  private[plans] def resolve(
+      e: Expression, defs: Map[ExprId, Expression]): Expression =
+    e.transformUp {
+      case a: AttributeReference if defs.contains(a.exprId) =>
+        resolve(defs(a.exprId), defs)
+    }
+
+  /** Canonical, exprId-free spelling of an expression — attribute
+    * identity reduces to NAME, everything else to Catalyst's `.sql`
+    * rendering. Two plans that resolve the same written expression
+    * over the same leaf columns canonicalize equal, which is exactly
+    * the (syntactic, like every production MV matcher) equivalence the
+    * expression-dimension match needs. */
+  private[plans] def canonicalKey(e: Expression): String =
+    e.transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(a.name)
+    }.sql
+
+  /** The canonical keys of a probe plan's computed grouping dimensions,
+    * leaf-resolved — how MvPhases derives an MvExprDim's canonical from
+    * the SAME machinery the rewrite matches with, so the two cannot
+    * drift. Returns grouping-attr-name -> canonical. */
+  def groupingCanonicals(plan: LogicalPlan): Map[String, String] =
+    plan.collectFirst { case a: Aggregate =>
+      val (_, _, defs) = collectDefs(a.child, Nil, Map.empty)
+      a.groupingExpressions.collect {
+        case at: AttributeReference if defs.contains(at.exprId) =>
+          at.name -> canonicalKey(resolve(at, defs))
+      }.toMap
+    }.getOrElse(Map.empty)
 }
 
 /** The config-only deployment form of [[MvRewriteRule]] — the last
@@ -554,7 +740,16 @@ final case class MvDef(
     dims: Map[String, String],
     measures: Seq[MvMeasure],
     mvPlan: LogicalPlan,
-    basePath: Option[String] = None)
+    basePath: Option[String] = None,
+    exprDims: Seq[MvExprDim] = Nil)
+
+/** An EXPRESSION dimension: the rollup column `mvCol` stores the value
+  * of `canonical` — [[MvRewriteRule.canonicalKey]]'s exprId-free
+  * spelling of the grouping expression RESOLVED to leaf columns (use
+  * [[MvRewriteRule.groupingCanonicals]] on a probe plan built with the
+  * same query text as the rollup, so the two spellings cannot drift).
+  */
+final case class MvExprDim(canonical: String, mvCol: String)
 
 final case class MvMeasure(
     func: String,

@@ -2595,6 +2595,50 @@ object RelationalQueries {
             min(col("l_quantity")).as("min_qty"),
             max(col("l_extendedprice")).as("max_price"))
       }
+    ),
+    Q(
+      "q266_mv_time_bucket",
+      "EXPRESSION dimensions in the MV rewrite — the time-bucketed " +
+        "rollup, the most common materialized view in any metrics " +
+        "pipeline: the query groups events by an EXPRESSION (the q08 " +
+        "hour bucket, floor-div over the loader-normalized int64-ns " +
+        "event time — Catalyst pulls it into a computed Project below " +
+        "the Aggregate, and the ns normalization itself is another " +
+        "computed Project), while the stored rollup carries the bucket " +
+        "as a plain column. The rewrite resolves every attribute back " +
+        "to leaf columns through the collected alias definitions and " +
+        "matches the grouping expression's exprId-free CANONICAL form " +
+        "against the declared MvExprDim (derived from a probe plan " +
+        "through the same machinery, so def and match cannot drift); " +
+        "measures swap as usual on the resolved form, guarded so a " +
+        "computed alias shadowing a base column's name can never " +
+        "match its measure (the same shadow hole is closed for the " +
+        "plain-dims path by requiring the matched leaf to be the raw " +
+        "relation — both spec-pinned). At 100 TB every hourly report " +
+        "reads bucket-count cells instead of the event stream. Oracle " +
+        "recomputes the report from raw events in DuckDB.",
+      Some("""
+         |SELECT epoch_us(ts) // 3600000000 AS hour_idx, event_type,
+         |       COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         |FROM events
+         |GROUP BY 1, 2
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.plans.{CatalogRules, MvRewriteRule}
+        MvPhases.ensureStoredTs(spark, dir)
+        val child = CatalogRules.sessionWith(spark, Nil)
+        CatalogRules.installRules(child,
+          Seq(MvRewriteRule(Seq(MvPhases.mvDefTs(child, dir)))))
+        Tables.eventsTsNs(child, dir)
+          .groupBy(
+            expr(graft.operators.Resample.floorDivSql("ts", MvPhases.HourNs))
+              .as("hour_idx"),
+            col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,4)")).cast("double")
+              .as("sum_value"))
+      }
     )
   )
 }
@@ -3044,6 +3088,75 @@ object MvPhases {
   def ensureStoredSk(spark: SparkSession, dir: String): Unit = synchronized {
     if (!built.contains(skTable(dir))) buildStoredSk(spark, dir)
   }
+
+  /** The TIME-BUCKETED rollup behind q266 — expression dimensions: the
+    * events stream pre-aggregated by (hour bucket, event_type), where
+    * the bucket is an EXPRESSION over the loader-normalized int64-ns
+    * event time (the q08 tumbling convention, floorDiv so pre-1970
+    * buckets match the oracle's truncating `//`). The metrics-pipeline
+    * MV: every hourly report reads cells, never events. */
+  val HourNs = 3600000000000L
+
+  def tsTable(dir: String): String = s"graft_mv_evh_${Q.scratchTag(dir)}"
+
+  def partialsTs(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    rows.groupBy(
+        expr(graft.operators.Resample.floorDivSql("ts", HourNs))
+          .as("hour_idx"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        narrowExact(
+          sum(col("value").cast("decimal(18,4)")), "sum_value"))
+
+  def buildStoredTs(spark: SparkSession, dir: String): Unit = {
+    val mv = partialsTs(Tables.eventsTsNs(spark, dir))
+    graft.operators.Bucketing.dropWithLocation(spark, tsTable(dir))
+    mv.write.format("parquet").saveAsTable(tsTable(dir))
+    built.add(tsTable(dir))
+  }
+
+  def ensureStoredTs(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!built.contains(tsTable(dir))) buildStoredTs(spark, dir)
+  }
+
+  /** The bucket expression's canonical key, derived by resolving a
+    * probe plan built with the SAME query text through the SAME
+    * machinery the rewrite matches with (MvRewriteRule.
+    * groupingCanonicals) — the def and the match cannot drift. */
+  private def tsBucketCanonical(session: SparkSession, dir: String): String = {
+    val probe = Tables.eventsTsNs(session, dir)
+      .groupBy(expr(graft.operators.Resample.floorDivSql("ts", HourNs))
+        .as("hour_idx"))
+      .agg(count(lit(1)).as("c"))
+    // The probe groups by exactly ONE computed expression, so the map
+    // holds exactly one canonical (its key is Catalyst's generated
+    // `_groupingexpression` name, not the user alias — the alias lives
+    // in the aggregate list).
+    graft.plans.MvRewriteRule.groupingCanonicals(
+      probe.queryExecution.optimizedPlan).values.toSeq match {
+      case Seq(one) => one
+      case other => sys.error(
+        "probe plan lost its computed grouping dimension — the " +
+          s"expression-dim seam changed shape (got $other)")
+    }
+  }
+
+  def mvDefTs(session: SparkSession, dir: String): graft.plans.MvDef =
+    graft.plans.MvDef(
+      baseTable = "events",
+      dims = Map("event_type" -> "event_type"),
+      measures = Seq(
+        graft.plans.MvMeasure("count", "", None, "cnt"),
+        graft.plans.MvMeasure("sum", "value",
+          Some(org.apache.spark.sql.types.DecimalType(18, 4)), "sum_value")),
+      mvPlan =
+        org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases(
+          session.table(tsTable(dir)).queryExecution.analyzed),
+      basePath = Some(graft.plans.CatalogRules.normalizePath(
+        graft.Tables.path(dir, "events"))),
+      exprDims = Seq(graft.plans.MvExprDim(
+        tsBucketCanonical(session, dir), "hour_idx")))
 
   def mvDefSk(session: SparkSession, dir: String): graft.plans.MvDef = {
     import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases

@@ -246,6 +246,77 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(scanTables(badDim) === Set("lineitem"), scanTables(badDim))
   }
 
+  test("q266: expression dims — the hour-bucket report reads only the time rollup; shadow names and unaligned filters bail") {
+    import org.apache.spark.sql.functions.expr
+    import graft.queries.MvPhases
+    val on = SparkEntry.queries("q266_mv_time_bucket")(spark, sf)
+    assert(scanTables(on) === Set(MvPhases.tsTable(sf)), scanTables(on))
+    val off = CatalogRules.sessionWith(spark, Nil)
+    val offDf = Tables.eventsTsNs(off, sf)
+      .groupBy(
+        expr(graft.operators.Resample.floorDivSql("ts", MvPhases.HourNs))
+          .as("hour_idx"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+    assert(scanTables(offDf) === Set("events"))
+    assert(on.schema === offDf.schema)
+    assert(sortedRows(on) === sortedRows(offDf))
+
+    MvPhases.ensureStoredTs(spark, sf)
+    val child = CatalogRules.sessionWith(spark, Nil)
+    CatalogRules.installRules(child,
+      Seq(MvRewriteRule(Seq(MvPhases.mvDefTs(child, sf)))))
+    // a DIFFERENT bucket width canonicalizes differently: fact scan
+    val otherBucket = Tables.eventsTsNs(child, sf)
+      .groupBy(expr(graft.operators.Resample.floorDivSql("ts", 60000000000L))
+        .as("minute_idx"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(scanTables(otherBucket) === Set("events"), scanTables(otherBucket))
+    // a raw-timestamp filter does not commute with bucket grain: bail
+    val rawTsFilter = Tables.eventsTsNs(child, sf)
+      .filter(col("ts") >= 1704070800000000000L)
+      .groupBy(expr(graft.operators.Resample.floorDivSql("ts", MvPhases.HourNs))
+        .as("hour_idx"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(scanTables(rawTsFilter) === Set("events"), scanTables(rawTsFilter))
+    // a plain-dim filter DOES commute and remaps
+    val dimFilter = Tables.eventsTsNs(child, sf)
+      .filter(col("event_type") === "click")
+      .groupBy(expr(graft.operators.Resample.floorDivSql("ts", MvPhases.HourNs))
+        .as("hour_idx"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(scanTables(dimFilter) === Set(MvPhases.tsTable(sf)), scanTables(dimFilter))
+    val dimFilterOff = Tables.eventsTsNs(spark, sf)
+      .filter(col("event_type") === "click")
+      .groupBy(expr(graft.operators.Resample.floorDivSql("ts", MvPhases.HourNs))
+        .as("hour_idx"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(sortedRows(dimFilter) === sortedRows(dimFilterOff))
+  }
+
+  test("shadow hole closed: a computed projection that takes a dim's NAME never matches the dim") {
+    val child = mvSession()
+    // l_returnflag here is NOT lineitem's l_returnflag — it is a
+    // computed rename of l_linestatus. Matching by name would answer
+    // from the rollup with the wrong attribute; the rewrite must keep
+    // the fact scan (the plain-dims path requires the matched leaf to
+    // be the raw relation; the computed path resolves by exprId and
+    // finds no canonical match).
+    val shadow = Tables.lineitem(child, sf)
+      .select(col("l_linestatus").as("l_returnflag"), col("l_quantity"),
+        col("l_linestatus"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+    assert(scanTables(shadow) === Set("lineitem"), scanTables(shadow))
+    val shadowOff = Tables.lineitem(spark, sf)
+      .select(col("l_linestatus").as("l_returnflag"), col("l_quantity"),
+        col("l_linestatus"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+    assert(sortedRows(shadow) === sortedRows(shadowOff))
+  }
+
   test("HAVING and DISTINCT shapes ride the rewrite for free") {
     val child = mvSession()
     val li = Tables.lineitem(child, sf)
