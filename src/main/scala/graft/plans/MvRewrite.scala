@@ -686,6 +686,28 @@ object ConfMvRewriteRule extends Rule[LogicalPlan] {
               s"$DefsConf measures must be func:src:cast:mvCol — got '$m'")
           }
         }.toSeq
+      // EXPRESSION dims ride the conf as base64(canonical):mvCol pairs
+      // joined by `~` — the canonical is a machine-derived SQL rendering
+      // (MvRewriteRule.groupingCanonicals on a probe plan) full of the
+      // grammar's own separators, so it travels encoded; base64's
+      // alphabet contains no `:`/`~`/`;`, keeping the parse exact.
+      val exprDims = kv.get("exprdims").toSeq.flatMap { spec =>
+        spec.split("~").iterator.map(_.trim).filter(_.nonEmpty).map { p =>
+          p.split(":") match {
+            case Array(b64, mvCol) =>
+              val canonical = try new String(
+                java.util.Base64.getDecoder.decode(b64.trim), "UTF-8")
+              catch { case _: IllegalArgumentException =>
+                throw new IllegalArgumentException(
+                  s"$DefsConf exprdims canonical must be base64 — got '$b64'")
+              }
+              MvExprDim(canonical, mvCol.trim)
+            case _ => throw new IllegalArgumentException(
+              s"$DefsConf exprdims entries must be " +
+                s"base64(canonical):mvCol — got '$p'")
+          }
+        }.toSeq
+      }
       val table = req("table")
       if (!session.catalog.tableExists(table))
         throw new IllegalArgumentException(
@@ -698,7 +720,8 @@ object ConfMvRewriteRule extends Rule[LogicalPlan] {
         mvPlan =
           org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases(
             session.table(table).queryExecution.analyzed),
-        basePath = kv.get("basePath"))
+        basePath = kv.get("basePath"),
+        exprDims = exprDims)
     }.toSeq
 
   private[plans] def parseExact(

@@ -2639,6 +2639,38 @@ object RelationalQueries {
             sum(col("value").cast("decimal(18,4)")).cast("double")
               .as("sum_value"))
       }
+    ),
+    Q(
+      "q267_mv_ts_incremental",
+      "Incremental maintenance for the time-bucketed rollup — the " +
+        "house standard (every stored serving artifact gets a fold) " +
+        "applied to q266's artifact the day it was born, not a round " +
+        "later: an arrival batch of events reduces to its own " +
+        "(hour, type) partials and folds cell-wise into the stored " +
+        "rollup (count + DECIMAL sum, both additive), so folded " +
+        "EQUALS from-scratch row for row and the q266 rewrite keeps " +
+        "serving under ingest at arrival-batch cost — the event " +
+        "stream, append-heavy and huge at 100 TB, is never rescanned " +
+        "while the cell count stays bounded by hours x types. Shards " +
+        "are the q251 device on event_id (even/odd) so both engines " +
+        "cut identical batches; StreamingIncrementalSpec drives the " +
+        "refreshBatchTs streaming face. Additive cells carry the " +
+        "exactly-once replay contract.",
+      Some("""
+         |SELECT epoch_us(ts) // 3600000000 AS hour_idx, event_type,
+         |       COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         |FROM events
+         |GROUP BY 1, 2
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        val ev = Tables.eventsTsNs(spark, dir)
+        MvPhases.foldTs(
+          MvPhases.partialsTs(ev.filter(col("event_id") % 2 === 0)),
+          ev.filter(col("event_id") % 2 === 1))
+          .select(col("hour_idx"), col("event_type"), col("cnt"),
+            col("sum_value").cast("double").as("sum_value"))
+      }
     )
   )
 }
@@ -3120,6 +3152,36 @@ object MvPhases {
     if (!built.contains(tsTable(dir))) buildStoredTs(spark, dir)
   }
 
+  /** Fold an arrival batch into the TS rollup (q267) — every stored
+    * serving artifact gets a freshness story, the house standard:
+    * count and the DECIMAL sum are additive per (hour_idx, event_type)
+    * cell, so folded EQUALS from-scratch row for row and the q266
+    * rewrite keeps serving under ingest at arrival-batch cost — the
+    * event stream is never rescanned, which is the whole point of a
+    * metrics rollup (events are append-heavy and huge; cells are
+    * bounded by hours x types). Same exactly-once contract as every
+    * additive fold: a replayed batch double-counts. */
+  def foldTs(
+      stored: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    stored.unionByName(partialsTs(batch))
+      .groupBy("hour_idx", "event_type")
+      .agg(
+        sum(col("cnt")).as("cnt"),
+        narrowExact(sum(col("sum_value")), "sum_value"))
+
+  /** The STREAMING face of [[foldTs]] — the foreachBatch read-merge-
+    * overwrite discipline shared with [[refreshBatch]]/[[refreshBatchSk]]. */
+  def refreshBatchTs(batch: org.apache.spark.sql.DataFrame, table: String): Unit = {
+    val spark = batch.sparkSession
+    val merged =
+      if (spark.catalog.tableExists(table)) foldTs(spark.table(table), batch)
+      else partialsTs(batch)
+    val pinned = merged.localCheckpoint()
+    try pinned.write.mode("overwrite").format("parquet").saveAsTable(table)
+    finally pinned.unpersist()
+  }
+
   /** The bucket expression's canonical key, derived by resolving a
     * probe plan built with the SAME query text through the SAME
     * machinery the rewrite matches with (MvRewriteRule.
@@ -3140,6 +3202,20 @@ object MvPhases {
         "probe plan lost its computed grouping dimension — the " +
           s"expression-dim seam changed shape (got $other)")
     }
+  }
+
+  /** [[mvDefTs]] in the conf grammar — the published form: the bucket
+    * expression's canonical travels base64-encoded (it is a SQL
+    * rendering full of the grammar's separators). */
+  def mvDefTsConf(session: SparkSession, dir: String): String = {
+    val canonB64 = java.util.Base64.getEncoder.encodeToString(
+      tsBucketCanonical(session, dir).getBytes("UTF-8"))
+    s"table=${tsTable(dir)};base=events" +
+      s";basePath=${graft.plans.CatalogRules.normalizePath(
+        graft.Tables.path(dir, "events"))}" +
+      ";dims=event_type:event_type" +
+      s";exprdims=$canonB64:hour_idx" +
+      ";measures=count:::cnt~sum:value:decimal(18,4):sum_value"
   }
 
   def mvDefTs(session: SparkSession, dir: String): graft.plans.MvDef =

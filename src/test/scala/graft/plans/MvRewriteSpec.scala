@@ -295,6 +295,32 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(sortedRows(dimFilter) === sortedRows(dimFilterOff))
   }
 
+  test("q267 companion: TS fold == scratch; the conf face serves the expression-dim rollup") {
+    import org.apache.spark.sql.functions.expr
+    import graft.queries.MvPhases
+    val ev = Tables.eventsTsNs(spark, sf)
+    val folded = MvPhases.foldTs(
+      MvPhases.partialsTs(ev.filter(col("event_id") % 2 === 0)),
+      ev.filter(col("event_id") % 2 === 1))
+    val scratch = MvPhases.partialsTs(ev)
+    assert(folded.schema.map(f => (f.name, f.dataType))
+      === scratch.schema.map(f => (f.name, f.dataType)))
+    assert(sortedRows(folded) === sortedRows(scratch))
+
+    // conf face: the exprdims key (base64 canonical) round-trips and
+    // the hourly report answers from the rollup with zero code
+    MvPhases.ensureStoredTs(spark, sf)
+    val conf = CatalogRules.sessionWith(spark, Seq(ConfMvRewriteRule),
+      ConfMvRewriteRule.DefsConf -> MvPhases.mvDefTsConf(spark, sf))
+    val df = Tables.eventsTsNs(conf, sf)
+      .groupBy(
+        expr(graft.operators.Resample.floorDivSql("ts", MvPhases.HourNs))
+          .as("hour_idx"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(scanTables(df) === Set(MvPhases.tsTable(sf)), scanTables(df))
+  }
+
   test("shadow hole closed: a computed projection that takes a dim's NAME never matches the dim") {
     val child = mvSession()
     // l_returnflag here is NOT lineitem's l_returnflag — it is a

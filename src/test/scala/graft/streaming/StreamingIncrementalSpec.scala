@@ -240,6 +240,52 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming TS-rollup maintenance (q267): hourly cells fold per event batch; served == scratch; replay double-counts") {
+    import graft.operators.Bucketing
+    import graft.queries.MvPhases
+    val hour = MvPhases.HourNs
+    val mk = (ids: Range) => ids.map(i =>
+      (i.toLong * (hour / 10), if (i % 2 == 0) "click" else "view",
+        (i % 50 + 1).toDouble))
+      .toDF("ts", "event_type", "value")
+    val existing = mk(0 until 20)
+    val b1 = mk(20 until 30)
+    val b2 = mk(30 until 40)
+    val tbl = "graft_mv_ts_stream_spec"
+    Bucketing.dropWithLocation(spark, tbl)
+    MvPhases.refreshBatchTs(existing, tbl)
+    val dirStr = watchDirOf(Seq(b1, b2))
+    val schema = StructType(Seq(
+      StructField("ts", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dirStr)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        MvPhases.refreshBatchTs(batch, tbl)
+      }
+      .start()
+    def served() = spark.table(tbl).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDecimal(3)))
+      .toMap
+    try {
+      q.processAllAvailable()
+      val scratch = MvPhases.partialsTs(
+        existing.unionByName(b1).unionByName(b2)).collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDecimal(3)))
+        .toMap
+      assert(served() == scratch,
+        "served TS rollup diverges from the from-scratch partials")
+      // replay: both cells additive -> double-counts (exactly-once
+      // rides the ingest batch id, as on every additive fold)
+      MvPhases.refreshBatchTs(b2, tbl)
+      assert(served().values.map(_._1).sum == 50L,
+        "replayed additive side should double-count (40 + 10 rows)")
+    } finally q.stop()
+  }
+
   test("streaming profile maintenance: served ANALYZE surface equals the batch fold; replay moves only the additive side") {
     import graft.operators.{Bucketing, Profile}
     val cols = Seq("doc_id", "lang")
