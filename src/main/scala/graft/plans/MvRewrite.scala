@@ -375,16 +375,27 @@ final case class MvRewriteRule(
     def mvAttr(name: String): Option[Attribute] = mvOut.find(_.name == name)
     if (!mv.dims.values.forall(mvAttr(_).isDefined)) return None
 
-    val (filters, leaf) = collectScan(expand.child, Nil).get
+    // Defs-aware walk (the q266 machinery): computed projections below
+    // the Expand — including a computed grouping expression the rollup
+    // stores as a plain bucket column, and the loader's own normalized
+    // columns — resolve back to leaf form instead of blocking the
+    // match; the leaf itself must still be the raw relation.
+    val (filters, leaf, defs) =
+      MvRewriteRule.collectDefs(expand.child, Nil, Map.empty)
     if (!MvRewriteRule.baseMatches(mv, leaf)) return None
-    // Base filters under the Expand: deterministic, dimension-only —
-    // they commute with the rollup grain exactly as in the flat shape.
-    val mvFilters = filters.map { f =>
+    val leafOut = leaf.outputSet
+    def res(e: Expression): Expression = MvRewriteRule.resolve(e, defs)
+    // Base filters under the Expand: deterministic, PLAIN-dim-only on
+    // their resolved form — they commute with the rollup grain exactly
+    // as in the flat shape (bucket-expression predicates would need an
+    // alignment proof this rule does not carry).
+    val mvFilters = filters.map { f0 =>
+      val f = res(f0)
       if (!f.deterministic) return None
-      if (!f.references.forall(a => mv.dims.contains(a.name))) return None
+      if (!f.references.forall(a =>
+          leafOut.contains(a) && mv.dims.contains(a.name))) return None
       f.transform {
-        case a: AttributeReference if mv.dims.contains(a.name) =>
-          mvAttr(mv.dims(a.name)).get
+        case a: AttributeReference => mvAttr(mv.dims(a.name)).get
       }
     }
 
@@ -400,13 +411,29 @@ final case class MvRewriteRule(
         }
       }
     }
-    // Every non-pass-through slot must mix only ONE base dim and
-    // null/int literals across the sets (the expanded-dim / gid form).
+    // Every non-pass-through slot must mix only ONE dimension and
+    // null/int literals across the sets (the expanded-dim / gid form);
+    // the dimension is either a plain leaf dim (by resolved name) or a
+    // computed expression matching a declared MvExprDim canonical —
+    // either way it maps to one rollup column, recorded per slot.
     val freshSlots = out.indices.filterNot(isPassThrough)
+    val slotDim = scala.collection.mutable.Map.empty[Int, Attribute]
     freshSlots.foreach { i =>
       val dims = projs.map(_(i)).collect { case a: AttributeReference => a }
       if (dims.map(_.exprId).distinct.length > 1) return None
-      dims.headOption.foreach(a => if (!mv.dims.contains(a.name)) return None)
+      dims.headOption.foreach { a =>
+        res(a) match {
+          case b: AttributeReference
+              if leafOut.contains(b) && mv.dims.contains(b.name) =>
+            slotDim(i) = mvAttr(mv.dims(b.name)).get
+          case computed =>
+            val canon = MvRewriteRule.canonicalKey(computed)
+            mv.exprDims.find(_.canonical == canon) match {
+              case Some(d) => slotDim(i) = mvAttr(d.mvCol).get
+              case None => return None
+            }
+        }
+      }
       projs.map(_(i)).foreach {
         case _: AttributeReference => ()
         case l: Literal => () // null per set, or the gid
@@ -415,14 +442,23 @@ final case class MvRewriteRule(
     }
     val freshOut = AttributeSet(freshSlots.map(out))
 
-    // Swap the aggregate calls measure-for-partial (the flat shape's
-    // machinery verbatim); fresh expanded attributes pass through.
+    // Swap the aggregate calls measure-for-partial on their RESOLVED
+    // form (the flat shape's machinery); fresh expanded attributes pass
+    // through. Anything that resolves to a non-leaf expression outside
+    // the fresh slots is not foldable.
     val newAe: Seq[NamedExpression] = ae.map {
       case a: AttributeReference if freshOut.contains(a) => a
       case al @ Alias(a: AttributeReference, _) if freshOut.contains(a) => al
       case al: Alias =>
         var ok = true
-        val swapped = al.child.transform {
+        val resolved = al.child.transform {
+          case a: AttributeReference if !freshOut.contains(a) => res(a)
+        }
+        if (resolved.collectFirst {
+            case a: AttributeReference
+                if !freshOut.contains(a) && !leafOut.contains(a) => a
+          }.isDefined) return None
+        val swapped = resolved.transform {
           case aggE: AggregateExpression
               if aggE.references.isEmpty ||
                 !aggE.references.subsetOf(mv.mvPlan.outputSet ++ freshOut) =>
@@ -455,7 +491,7 @@ final case class MvRewriteRule(
     val newProjections: Seq[Seq[Expression]] = projs.map { p =>
       (needed: Seq[Expression]) ++ freshIdx.map { i =>
         p(i) match {
-          case a: AttributeReference => mvAttr(mv.dims(a.name)).get
+          case _: AttributeReference => slotDim(i) // plain or expr dim
           case l: Literal => l
           case other => other // unreachable: slot shape checked above
         }

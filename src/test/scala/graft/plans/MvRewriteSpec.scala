@@ -321,6 +321,30 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(scanTables(df) === Set(MvPhases.tsTable(sf)), scanTables(df))
   }
 
+  test("grouping sets compose with expression dims: hourly ROLLUP subtotals serve from the TS rollup's cells") {
+    import org.apache.spark.sql.functions.expr
+    import graft.queries.MvPhases
+    MvPhases.ensureStoredTs(spark, sf)
+    val child = CatalogRules.sessionWith(spark, Nil)
+    CatalogRules.installRules(child,
+      Seq(MvRewriteRule(Seq(MvPhases.mvDefTs(child, sf)))))
+    def report(s: org.apache.spark.sql.SparkSession) =
+      Tables.eventsTsNs(s, sf)
+        .rollup(
+          expr(graft.operators.Resample.floorDivSql("ts", MvPhases.HourNs))
+            .as("hour_idx"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("sum_value"))
+    val on = report(child)
+    assert(scanTables(on) === Set(MvPhases.tsTable(sf)), scanTables(on))
+    val off = report(CatalogRules.sessionWith(spark, Nil))
+    assert(scanTables(off) === Set("events"))
+    assert(on.schema === off.schema)
+    assert(sortedRows(on) === sortedRows(off))
+  }
+
   test("shadow hole closed: a computed projection that takes a dim's NAME never matches the dim") {
     val child = mvSession()
     // l_returnflag here is NOT lineitem's l_returnflag — it is a
