@@ -459,20 +459,28 @@ class CatalogRulesSpec extends AnyFunSuite {
 
   test("safety property: arbitrary catalog stats can change the plan but never the rows") {
     // The decision layer must be UNABLE to corrupt semantics: whatever
-    // (even adversarial) statistics the rules are fed, the rewritten
-    // 4-chain returns exactly the rule-off rows. Seeded draws cover
-    // order-flipping, degenerate (ndv=1), and huge-row regimes.
-    import CatalogRules.{CatalogStats, TableStat}
+    // (even adversarial) statistics the rules are fed — including
+    // RANDOM PROVENANCE, i.e. false Exact declarations that let the
+    // eager-aggregation proof fire on lies — the rewritten 4-chain
+    // returns exactly the rule-off rows. For the ordering rules this
+    // is semantics-preservation by construction; for eager aggregation
+    // it is the spec-pinned multiplicity linearity of the
+    // re-aggregating fold menu. Seeded draws cover order-flipping,
+    // degenerate (ndv=1), and huge-row regimes.
+    import CatalogRules.{CatalogStats, StatProvenance, TableStat}
     val rng = new scala.util.Random(42)
     def draw(): CatalogStats = {
       def n() = 1L + rng.nextInt(1000000)
+      def prov() =
+        if (rng.nextBoolean()) StatProvenance.Exact else StatProvenance.Approx
       CatalogStats(Map(
-        "lineitem" -> TableStat(n(), Map("l_orderkey" -> n())),
+        "lineitem" -> TableStat(n(), Map("l_orderkey" -> n(),
+          "l_suppkey" -> n()), prov()),
         "orders" -> TableStat(n(),
-          Map("o_orderkey" -> n(), "o_custkey" -> n())),
+          Map("o_orderkey" -> n(), "o_custkey" -> n()), prov()),
         "customer" -> TableStat(n(),
-          Map("c_custkey" -> n(), "c_nationkey" -> n())),
-        "nation" -> TableStat(n(), Map("n_nationkey" -> n()))))
+          Map("c_custkey" -> n(), "c_nationkey" -> n()), prov()),
+        "nation" -> TableStat(n(), Map("n_nationkey" -> n()), prov())))
     }
     val expected = {
       val off = CatalogRules.sessionWith(spark, Nil,
@@ -482,9 +490,10 @@ class CatalogRulesSpec extends AnyFunSuite {
     (1 to 8).foreach { i =>
       val st = draw()
       val child = CatalogRules.sessionWith(spark,
-        Seq(CatalogJoinOrderRule(st), CatalogBroadcastRule(
-          st.tables.map { case (t, s) => t -> s.rows },
-          maxBroadcastRows = 1L + rng.nextInt(1000000))),
+        Seq(EagerAggregationRule(st), CatalogJoinOrderRule(st),
+          CatalogBroadcastRule(
+            st.tables.map { case (t, s) => t -> s.rows },
+            maxBroadcastRows = 1L + rng.nextInt(1000000))),
         "spark.sql.autoBroadcastJoinThreshold" -> "-1")
       assert(sortedRows(chain4(child)) === expected, s"draw $i with $st")
     }

@@ -244,6 +244,20 @@ class MvRewriteSpec extends AnyFunSuite {
       .rollup("l_returnflag", "l_suppkey")
       .agg(count(lit(1)).as("cnt"))
     assert(scanTables(badDim) === Set("lineitem"), scanTables(badDim))
+    // grouping()/grouping_id() are expressions over the grouping-id
+    // slot (a fresh Expand attribute) — they ride the rewrite for free
+    val gid = Tables.lineitem(child, sf)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        grouping_id().as("gid"),
+        grouping(col("l_returnflag")).as("g_rf"))
+    assert(scanTables(gid) === Set(MvPhases.mvTable(sf)), scanTables(gid))
+    val gidOff = Tables.lineitem(spark, sf)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        grouping_id().as("gid"),
+        grouping(col("l_returnflag")).as("g_rf"))
+    assert(sortedRows(gid) === sortedRows(gidOff))
   }
 
   test("q266: expression dims — the hour-bucket report reads only the time rollup; shadow names and unaligned filters bail") {
