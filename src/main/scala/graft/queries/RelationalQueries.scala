@@ -3110,6 +3110,27 @@ object MvPhases {
       .unionByName(recomputed)
   }
 
+  /** The STREAMING face of [[deleteMaintain]] — a CDC delete feed over
+    * a min/max-bearing rollup, driven from `writeStream.foreachBatch`:
+    * each delete micro-batch recomputes ONLY its touched cells from
+    * the live remaining fact (the caller supplies the post-delete
+    * view, typically the base table the CDC feed also maintains) and
+    * passes untouched cells through verbatim — the q258 contract at
+    * streaming cadence, same read-merge-overwrite discipline as every
+    * refresh face. */
+  def refreshDeleteBatch(
+      deleted: org.apache.spark.sql.DataFrame,
+      table: String,
+      remaining: org.apache.spark.sql.DataFrame): Unit = {
+    val spark = deleted.sparkSession
+    require(spark.catalog.tableExists(table),
+      s"refreshDeleteBatch: no stored rollup '$table' to maintain")
+    val merged = deleteMaintain(spark.table(table), deleted, remaining)
+    val pinned = merged.localCheckpoint()
+    try pinned.write.mode("overwrite").format("parquet").saveAsTable(table)
+    finally pinned.unpersist()
+  }
+
   def buildStoredSk(spark: SparkSession, dir: String): Unit = {
     val mv = partialsSk(Tables.lineitem(spark, dir))
     graft.operators.Bucketing.dropWithLocation(spark, skTable(dir))

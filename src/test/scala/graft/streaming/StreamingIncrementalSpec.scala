@@ -286,6 +286,58 @@ class StreamingIncrementalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming delete maintenance (q258): each delete batch recomputes only touched cells; served == scratch over survivors") {
+    import graft.operators.Bucketing
+    import graft.queries.MvPhases
+    // full returnflag-rollup row shape (cnt, sums, min/max, col counts)
+    val mk = (ids: Range) => ids.map(i =>
+      (if (i % 2 == 0) "A" else "N", if (i % 3 == 0) "F" else "O",
+        (i % 50 + 1).toDouble, 900.0 + i))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+    val full = mk(0 until 40)
+    // delete ALL of 'A'/'F' first (cells vanish), then a slice of 'N'/'O'
+    val d1 = mk(0 until 40).filter(col("l_returnflag") === "A" &&
+      col("l_linestatus") === "F")
+    val d2 = mk(0 until 10).filter(col("l_returnflag") === "N")
+    val tbl = "graft_mv_del_stream_spec"
+    Bucketing.dropWithLocation(spark, tbl)
+    MvPhases.refreshBatch(full, tbl)
+    val dirStr = watchDirOf(Seq(d1, d2))
+    val schema = StructType(Seq(
+      StructField("l_returnflag", StringType),
+      StructField("l_linestatus", StringType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dirStr)
+    // the live remaining fact shrinks as deletes land; the spec tracks
+    // it the same way a CDC consumer's base table would
+    val deletedSoFar = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        deletedSoFar.synchronized {
+          deletedSoFar += batch.localCheckpoint()
+          val remaining = deletedSoFar.foldLeft(full)((acc, d) =>
+            acc.exceptAll(d))
+          MvPhases.refreshDeleteBatch(batch, tbl, remaining)
+        }
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val survivors = full.exceptAll(d1).exceptAll(d2)
+      val served = spark.table(tbl).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+      val scratch = MvPhases.partials(survivors).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+      assert(served == scratch,
+        "served rollup after streamed deletes diverges from scratch")
+      assert(!served.keySet.exists(_ == ("A", "F")),
+        "a fully-deleted cell must vanish")
+    } finally q.stop()
+  }
+
   test("streaming profile maintenance: served ANALYZE surface equals the batch fold; replay moves only the additive side") {
     import graft.operators.{Bucketing, Profile}
     val cols = Seq("doc_id", "lang")
