@@ -176,11 +176,17 @@ final case class EagerAggregationRule(
           val p = partial(cnt, aggE)
           KnownNotNull(Coalesce(Seq(
             aggE.copy(aggregateFunction = Sum(p)), Literal(0L))))
-        case s @ Sum(inner, _) if integral.contains(inner.dataType) =>
+        case s @ Sum(inner, _)
+            if integral.contains(inner.dataType) && !conf.ansiEnabled =>
           // integral only: 64-bit addition is associative (even under
           // wraparound), so partial-then-total == direct, bit for bit.
           // double regroups change addition order; decimal partials
           // can overflow-to-null and be SKIPPED by the outer fold.
+          // Under ANSI the wraparound argument is void — regrouped
+          // partial sums can THROW on an intermediate Long overflow
+          // where the direct aggregation would not (or vice versa), a
+          // throw-vs-result divergence — so the fold refuses there,
+          // the rule's usual refuse-on-uncertainty posture.
           aggE.copy(aggregateFunction = Sum(partial(s, aggE)))
         case m @ Min(_) =>
           aggE.copy(aggregateFunction = Min(partial(m, aggE)))

@@ -374,6 +374,10 @@ final case class MvRewriteRule(
     val mvOut = mv.mvPlan.output
     def mvAttr(name: String): Option[Attribute] = mvOut.find(_.name == name)
     if (!mv.dims.values.forall(mvAttr(_).isDefined)) return None
+    // A broken/conf-declared def whose exprdims mvCol is missing must
+    // stand down here exactly as rewriteComputed does — the slotDim
+    // path below calls mvAttr(d.mvCol).get on a canonical match.
+    if (!mv.exprDims.forall(d => mvAttr(d.mvCol).isDefined)) return None
 
     // Defs-aware walk (the q266 machinery): computed projections below
     // the Expand — including a computed grouping expression the rollup
@@ -677,6 +681,19 @@ object ConfMvRewriteRule extends Rule[LogicalPlan] {
   val DefsConf = "spark.graft.mv.defs"
   val ExactConf = "spark.graft.mv.exactstats"
 
+  /** Resolved-defs cache: parsing the conf string is cheap, but
+    * resolving every rollup's READ PLAN (tableExists + analysis + file
+    * listing) per optimizer invocation is not — and fixed-point batches
+    * invoke a rule several times per query. Keyed by (session, spec,
+    * each named table's catalog createTime): a changed conf, a new
+    * session, or a dropped-and-recreated rollup (saveAsTable stamps a
+    * fresh createTime) all miss and re-resolve — keeping the loud
+    * failure on first resolution — while steady-state planning reuses
+    * the resolved plans. Bounded: cleared wholesale past a small size
+    * (stale versions of one key otherwise accumulate forever). */
+  private val defsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Seq[(String, Long)]), Seq[MvDef]]()
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val spec = conf.getConfString(DefsConf, "")
     if (spec.trim.isEmpty) plan
@@ -684,8 +701,36 @@ object ConfMvRewriteRule extends Rule[LogicalPlan] {
       val session = org.apache.spark.sql.SparkSession.active
       val stats = CatalogRules.CatalogStats(
         parseExact(conf.getConfString(ExactConf, "")))
-      MvRewriteRule(parseDefs(spec, session), stats).apply(plan)
+      MvRewriteRule(cachedDefs(spec, session), stats).apply(plan)
     }
+  }
+
+  /** The `table=` names in spec order — a light string scan, no
+    * resolution; the version stamp reads only catalog METADATA. */
+  private def tableNames(spec: String): Seq[String] =
+    spec.split("\\|").iterator.map(_.trim).filter(_.nonEmpty).map { block =>
+      block.split(";").iterator.map(_.trim)
+        .collectFirst { case p if p.startsWith("table=") =>
+          p.stripPrefix("table=").trim }
+        .getOrElse(throw new IllegalArgumentException(
+          s"$DefsConf def is missing required key 'table' in '$block'"))
+    }.toSeq
+
+  private[plans] def cachedDefs(
+      spec: String,
+      session: org.apache.spark.sql.SparkSession): Seq[MvDef] = {
+    val versions = tableNames(spec).map { t =>
+      val ident = session.sessionState.sqlParser.parseTableIdentifier(t)
+      if (!session.sessionState.catalog.tableExists(ident))
+        throw new IllegalArgumentException(
+          s"$DefsConf names rollup table '$t' which does not exist " +
+            "in the session catalog")
+      t -> session.sessionState.catalog.getTableMetadata(ident).createTime
+    }
+    if (defsCache.size > 64) defsCache.clear()
+    defsCache.computeIfAbsent(
+      (System.identityHashCode(session).toString, spec, versions),
+      _ => parseDefs(spec, session))
   }
 
   private[plans] def parseDefs(

@@ -2531,7 +2531,12 @@ object RelationalQueries {
         "sum (spec-pinned). At 100 TB the fact's contribution to the " +
         "join exchange drops from rows to ndv(fk) BEFORE any data " +
         "moves — Spark's own partial aggregation only kicks in ABOVE " +
-        "the join. CatalogRulesSpec pins the pushed-Aggregate plan " +
+        "the join. The SUM fold is a NON-ANSI feature by contract " +
+        "(the session sets ansi.enabled=false): under ANSI eval " +
+        "regrouped partials could throw on an intermediate overflow " +
+        "where the direct sum would not, so the fold stands down " +
+        "there (spec-pinned) and only COUNT/MIN/MAX fold. " +
+        "CatalogRulesSpec pins the pushed-Aggregate plan " +
         "shape, the no-proof and low-reduction bails, and rule-off " +
         "row equality.",
       Some("""
@@ -2544,8 +2549,11 @@ object RelationalQueries {
       (spark, dir) => {
         import graft.plans.{CatalogRules, EagerAggregationRule}
         val st = StatsPhases.collected(spark, dir)
+        // non-ANSI by contract: the integral-SUM fold's associativity
+        // proof is wraparound addition, which ANSI eval voids
         val child = CatalogRules.sessionWith(spark,
-          Seq(EagerAggregationRule(st)))
+          Seq(EagerAggregationRule(st)),
+          "spark.sql.ansi.enabled" -> "false")
         Tables.lineitem(child, dir)
           .join(Tables.supplier(child, dir),
             col("l_suppkey") === col("s_suppkey"))
@@ -2915,23 +2923,32 @@ object MvPhases {
     if (!built.contains(mvTable(dir))) buildStored(spark, dir)
   }
 
-  /** Narrow an exact DECIMAL total back to the stored partial width —
-    * LOUDLY. Under non-ANSI eval a decimal cast that overflows returns
-    * null, so a group whose partial outgrew DECIMAL(18,4) would
-    * silently store null and the MV-rewritten SUM would return null
-    * where the base query (accumulating at DECIMAL(28,4)) is correct —
-    * a value-level divergence the rewrite's TYPE-equality check cannot
-    * see. A wrong stored artifact must fail its build, not its
-    * readers: overflow raises, with the offending value in the
-    * message. (raise_error is NullType, so the branch coerces to the
-    * narrowed decimal type.) */
-  private def narrowExact(c: org.apache.spark.sql.Column, name: String)
+  /** SUM `in` per group and narrow the exact DECIMAL total back to the
+    * stored partial width — LOUDLY, on BOTH silent-null paths. Under
+    * non-ANSI eval (a) a decimal cast that overflows returns null, so
+    * a group whose partial outgrew DECIMAL(18,4) would silently store
+    * null where the base query (accumulating at DECIMAL(28,4)) is
+    * correct; and (b) the Sum's own DECIMAL(28,4) ACCUMULATOR can
+    * overflow to null before the cast ever runs — indistinguishable,
+    * by the total alone, from a legitimately-null all-null-input
+    * group. Taking the un-summed input lets the guard count it:
+    * a null total over a positive non-null count IS accumulator
+    * overflow, and raises. A wrong stored artifact must fail its
+    * build, not its readers. (raise_error is NullType, so the branches
+    * coerce to the narrowed decimal type.) */
+  private def narrowExact(in: org.apache.spark.sql.Column, name: String)
       : org.apache.spark.sql.Column = {
-    val narrowed = c.cast("decimal(18,4)")
-    when(c.isNotNull && narrowed.isNull,
+    val total = sum(in)
+    val narrowed = total.cast("decimal(18,4)")
+    when(total.isNull && count(in) > 0,
       raise_error(concat(
-        lit(s"rollup partial '$name' overflows DECIMAL(18,4): "),
-        c.cast("string"))))
+        lit(s"rollup partial '$name' overflowed its DECIMAL(28,4) " +
+          "accumulator over "),
+        count(in).cast("string"), lit(" non-null inputs"))))
+      .when(total.isNotNull && narrowed.isNull,
+        raise_error(concat(
+          lit(s"rollup partial '$name' overflows DECIMAL(18,4): "),
+          total.cast("string"))))
       .otherwise(narrowed).as(name)
   }
 
@@ -2947,10 +2964,9 @@ object MvPhases {
     rows.groupBy("l_returnflag", "l_linestatus")
       .agg(
         count(lit(1)).as("cnt"),
+        narrowExact(col("l_quantity").cast("decimal(18,4)"), "sum_qty"),
         narrowExact(
-          sum(col("l_quantity").cast("decimal(18,4)")), "sum_qty"),
-        narrowExact(
-          sum(col("l_extendedprice").cast("decimal(18,4)")), "sum_price"),
+          col("l_extendedprice").cast("decimal(18,4)"), "sum_price"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_extendedprice")).as("max_price"),
         count(col("l_quantity")).as("cnt_qty"),
@@ -2973,8 +2989,8 @@ object MvPhases {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(col("cnt")).as("cnt"),
-        narrowExact(sum(col("sum_qty")), "sum_qty"),
-        narrowExact(sum(col("sum_price")), "sum_price"),
+        narrowExact(col("sum_qty"), "sum_qty"),
+        narrowExact(col("sum_price"), "sum_price"),
         min(col("min_qty")).as("min_qty"),
         max(col("max_price")).as("max_price"),
         sum(col("cnt_qty")).as("cnt_qty"),
@@ -3014,8 +3030,7 @@ object MvPhases {
     rows.groupBy("l_suppkey")
       .agg(
         count(lit(1)).as("cnt"),
-        narrowExact(
-          sum(col("l_quantity").cast("decimal(18,4)")), "sum_qty"))
+        narrowExact(col("l_quantity").cast("decimal(18,4)"), "sum_qty"))
 
   /** Fold an arrival batch into the FK rollup — count and the DECIMAL
     * sum are the same monoids as [[fold]]'s, so folded EQUALS
@@ -3030,7 +3045,7 @@ object MvPhases {
       .groupBy("l_suppkey")
       .agg(
         sum(col("cnt")).as("cnt"),
-        narrowExact(sum(col("sum_qty")), "sum_qty"))
+        narrowExact(col("sum_qty"), "sum_qty"))
 
   /** The STREAMING face of [[foldSk]] — same read-merge-overwrite
     * discipline as [[refreshBatch]] (localCheckpoint pins the merged
@@ -3065,7 +3080,7 @@ object MvPhases {
           (-col("cnt")).as("cnt"), (-col("sum_qty")).as("sum_qty")))
       .groupBy("l_suppkey")
       .agg(sum(col("cnt")).as("cnt"),
-        narrowExact(sum(col("sum_qty")), "sum_qty"))
+        narrowExact(col("sum_qty"), "sum_qty"))
       .withColumn("cnt",
         when(col("cnt") < 0, raise_error(concat(
           lit("retract underflow for l_suppkey="), col("l_suppkey").cast("string"),
@@ -3103,10 +3118,21 @@ object MvPhases {
       deleted: org.apache.spark.sql.DataFrame,
       remaining: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val keys = Seq("l_returnflag", "l_linestatus")
-    val touched = deleted.select(keys.map(col): _*).distinct()
+    // NULL-SAFE (<=>) joins throughout: groupBy makes a null dim value
+    // a group like any other, so a deleted null-keyed row touches a
+    // real stored cell — under plain equality that cell would match
+    // neither the anti-join (stale cell retained verbatim) nor the
+    // recompute semi-join (no replacement row), silently serving
+    // pre-delete state. The touched keys ride under renamed columns so
+    // the condition stays unambiguous when deleted/remaining derive
+    // from one scan (the usual CDC shape).
+    val touched = deleted
+      .select(keys.map(k => col(k).as(s"__t_$k")): _*).distinct()
+    def cond(left: org.apache.spark.sql.DataFrame) =
+      keys.map(k => left(k) <=> touched(s"__t_$k")).reduce(_ && _)
     val recomputed = partials(
-      remaining.join(broadcast(touched), keys))
-    stored.join(broadcast(touched), keys, "left_anti")
+      remaining.join(broadcast(touched), cond(remaining), "left_semi"))
+    stored.join(broadcast(touched), cond(stored), "left_anti")
       .unionByName(recomputed)
   }
 
@@ -3159,8 +3185,7 @@ object MvPhases {
         col("event_type"))
       .agg(
         count(lit(1)).as("cnt"),
-        narrowExact(
-          sum(col("value").cast("decimal(18,4)")), "sum_value"))
+        narrowExact(col("value").cast("decimal(18,4)"), "sum_value"))
 
   def buildStoredTs(spark: SparkSession, dir: String): Unit = {
     val mv = partialsTs(Tables.eventsTsNs(spark, dir))
@@ -3189,7 +3214,7 @@ object MvPhases {
       .groupBy("hour_idx", "event_type")
       .agg(
         sum(col("cnt")).as("cnt"),
-        narrowExact(sum(col("sum_value")), "sum_value"))
+        narrowExact(col("sum_value"), "sum_value"))
 
   /** The STREAMING face of [[foldTs]] — the foreachBatch read-merge-
     * overwrite discipline shared with [[refreshBatch]]/[[refreshBatchSk]]. */

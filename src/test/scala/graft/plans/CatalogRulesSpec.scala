@@ -543,7 +543,8 @@ class CatalogRulesSpec extends AnyFunSuite {
     val st = StatsPhases.collected(spark, sf)
     // no uniqueness proof (empty stats): bail
     val noProof = CatalogRules.sessionWith(spark,
-      Seq(EagerAggregationRule(CatalogRules.CatalogStats(Map.empty))))
+      Seq(EagerAggregationRule(CatalogRules.CatalogStats(Map.empty))),
+      "spark.sql.ansi.enabled" -> "false")
     assert(!pushedBelowJoin(text(noProof)))
     // approx provenance satisfying ndv == rows numerically: bail
     val n = Tables.supplier(spark, sf).count()
@@ -552,18 +553,20 @@ class CatalogRulesSpec extends AnyFunSuite {
       "lineitem" -> st.tables("lineitem").copy(
         provenance = CatalogRules.StatProvenance.Approx)))
     val approxS = CatalogRules.sessionWith(spark,
-      Seq(EagerAggregationRule(approx)))
+      Seq(EagerAggregationRule(approx)), "spark.sql.ansi.enabled" -> "false")
     assert(!pushedBelowJoin(text(approxS)))
     // reduction gate: a fact already at key grain gains nothing
     val flat = CatalogRules.CatalogStats(st.tables.updated("lineitem",
       st.tables("lineitem").copy(
         ndv = st.tables("lineitem").ndv.updated(
           "l_suppkey", st.tables("lineitem").rows))))
-    val flatS = CatalogRules.sessionWith(spark, Seq(EagerAggregationRule(flat)))
+    val flatS = CatalogRules.sessionWith(spark, Seq(EagerAggregationRule(flat)),
+      "spark.sql.ansi.enabled" -> "false")
     assert(!pushedBelowJoin(text(flatS)))
     // unsafe sums refuse: double (addition order) and decimal (overflow
     // partials silently skipped by the null-ignoring outer fold)
-    val proofS = CatalogRules.sessionWith(spark, Seq(EagerAggregationRule(st)))
+    val proofS = CatalogRules.sessionWith(spark, Seq(EagerAggregationRule(st)),
+      "spark.sql.ansi.enabled" -> "false")
     val dbl = Tables.lineitem(proofS, sf)
       .join(Tables.supplier(proofS, sf), col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name").agg(sum(col("l_quantity")).as("s"))
@@ -590,14 +593,42 @@ class CatalogRulesSpec extends AnyFunSuite {
     val joConf = s"lineitem:$nLi:l_suppkey=$fkNdv"
     val confOn = CatalogRules.sessionWith(spark,
       Seq(ConfEagerAggregationRule),
+      "spark.sql.ansi.enabled" -> "false",
       ConfCatalogJoinOrderRule.StatsConf -> joConf,
       ConfMvRewriteRule.ExactConf -> s"supplier:$n:s_suppkey=$n")
     assert(pushedBelowJoin(text(confOn)))
     val confNoProof = CatalogRules.sessionWith(spark,
       Seq(ConfEagerAggregationRule),
+      "spark.sql.ansi.enabled" -> "false",
       ConfCatalogJoinOrderRule.StatsConf ->
         (joConf + s";supplier:$n:s_suppkey=$n"))
     assert(!pushedBelowJoin(text(confNoProof)))
+  }
+
+  test("eager aggregation's SUM fold stands down under ANSI mode: regrouped partials can throw on an intermediate overflow where the direct sum would not") {
+    import graft.queries.StatsPhases
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val st = StatsPhases.collected(spark, sf)
+    def fired(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case Join(l, r, _, _, _) if (l.collectFirst {
+          case a: Aggregate if CatalogRules.tableOf(a.child).contains("lineitem") => a
+        }).orElse(r.collectFirst {
+          case a: Aggregate if CatalogRules.tableOf(a.child).contains("lineitem") => a
+        }).isDefined => true
+      }.getOrElse(false)
+    def text(s: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(s, sf)
+        .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+    val ansiOn = CatalogRules.sessionWith(spark, Seq(EagerAggregationRule(st)),
+      "spark.sql.ansi.enabled" -> "true")
+    assert(!fired(text(ansiOn)),
+      "integral-SUM wraparound associativity only holds under non-ANSI eval")
+    val ansiOff = CatalogRules.sessionWith(spark, Seq(EagerAggregationRule(st)),
+      "spark.sql.ansi.enabled" -> "false")
+    assert(fired(text(ansiOff)))
   }
 
   test("trust boundary, probed adversarially: a FALSE declared constraint is trusted (fires), yet the re-aggregating fold menu is multiplicity-linear — rows survive even that") {
@@ -626,7 +657,8 @@ class CatalogRulesSpec extends AnyFunSuite {
           sum(col("l_quantity").cast("bigint")).as("sum_qty"),
           min(col("l_quantity")).as("min_qty"))
     val trusted = CatalogRules.sessionWith(spark,
-      Seq(EagerAggregationRule(falseClaim)))
+      Seq(EagerAggregationRule(falseClaim)),
+      "spark.sql.ansi.enabled" -> "false")
     val fired = text(trusted).queryExecution.optimizedPlan.collectFirst {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join
           if j.left.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate] ||

@@ -556,6 +556,56 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(maintained.filter(col("l_returnflag") === "R").count() === 0)
   }
 
+  test("delete maintenance is NULL-SAFE on dim keys: a null-keyed delete recomputes its cell instead of serving pre-delete state") {
+    // groupBy makes a null dim value a cell like any other, so the
+    // maintenance joins must match it: under plain equality a deleted
+    // null-keyed row touches NEITHER the anti-join (stale stored cell
+    // retained verbatim) nor the recompute semi-join (no replacement) —
+    // the rollup silently serves pre-delete state for the null group.
+    val uid = col("l_orderkey") * 8 + col("l_linenumber")
+    val li = Tables.lineitem(spark, sf).withColumn("l_returnflag",
+      when(uid % 5 === 0, lit(null)).otherwise(col("l_returnflag")))
+    val isDeleted = col("l_returnflag").isNull && uid % 2 === 0
+    val stored = MvPhases.partials(li)
+    val maintained = MvPhases.deleteMaintain(
+      stored, li.filter(isDeleted), li.filter(!isDeleted))
+    // whole-table equality with the from-scratch rebuild — includes the
+    // null-keyed cells, which MUST have recomputed
+    assert(sortedRows(maintained)
+      === sortedRows(MvPhases.partials(li.filter(!isDeleted))))
+    // and the null cell is NOT the stale stored row
+    assert(sortedRows(maintained.filter(col("l_returnflag").isNull))
+      !== sortedRows(stored.filter(col("l_returnflag").isNull)))
+    // untouched (non-null) cells still pass through verbatim
+    assert(sortedRows(maintained.filter(col("l_returnflag") === "N"))
+      === sortedRows(stored.filter(col("l_returnflag") === "N")))
+  }
+
+  test("narrowExact guard: an all-null input group stores a null partial without raising") {
+    // The overflow guard distinguishes accumulator overflow (total null
+    // over a POSITIVE non-null count -> raise) from a legitimately-null
+    // all-null-input group (count 0 -> null passes through): a rollup
+    // over a sparse measure must build, not crash.
+    val li = Tables.lineitem(spark, sf).withColumn("l_quantity",
+      when(col("l_returnflag") === "N", lit(null)).otherwise(col("l_quantity")))
+    val cells = MvPhases.partials(li)
+    val nCells = cells.filter(col("l_returnflag") === "N").collect()
+    assert(nCells.nonEmpty)
+    assert(nCells.forall(_.isNullAt(cells.schema.fieldIndex("sum_qty"))))
+  }
+
+  test("conf defs cache: steady-state planning reuses resolved defs; a rebuilt rollup invalidates") {
+    MvPhases.ensureStored(spark, sf)
+    val conf = MvPhases.mvDefConf(sf)
+    val a = ConfMvRewriteRule.cachedDefs(conf, spark)
+    val b = ConfMvRewriteRule.cachedDefs(conf, spark)
+    assert(a eq b, "repeat invocations must reuse the resolved defs")
+    Thread.sleep(5) // createTime stamps at ms resolution
+    MvPhases.buildStored(spark, sf)
+    val c = ConfMvRewriteRule.cachedDefs(conf, spark)
+    assert(!(a eq c), "a dropped-and-recreated rollup must re-resolve")
+  }
+
   test("min/max fold and the count fold is non-null-typed") {
     val child = mvSession()
     val df = Tables.lineitem(child, sf)
