@@ -137,7 +137,10 @@ final case class EagerAggregationRule(
       case Some(ts) =>
         ts.provenance == CatalogRules.StatProvenance.Exact &&
           ts.ndv.get(dk.name).contains(ts.rows) &&
-          ts.path.forall(p => CatalogRules.scanPath(dim).contains(p))
+          // path REQUIRED (the q252 policy): a pathless Exact stat could
+          // alias a same-named dim from another directory — a proof must
+          // name WHICH table it counted.
+          ts.path.exists(p => CatalogRules.scanPath(dim).contains(p))
       case None => false
     }
     if (!provenUnique) return None

@@ -248,7 +248,12 @@ final case class MvRewriteRule(
           case Some(ts) =>
             ts.provenance == CatalogRules.StatProvenance.Exact &&
               ts.ndv.get(dk.name).contains(ts.rows) &&
-              ts.path.forall(p => CatalogRules.scanPath(dScan).contains(p))
+              // path REQUIRED, not merely consistent-when-present: table
+              // identity here is a parquet basename, so a PATHLESS Exact
+              // stat collected over a/supplier.parquet would prove
+              // uniqueness for b/supplier.parquet's scan — the stat must
+              // say WHICH table it counted before a proof may fire.
+              ts.path.exists(p => CatalogRules.scanPath(dScan).contains(p))
           case None => false
         }
         if (!provenUnique) return None
@@ -656,7 +661,8 @@ object MvRewriteRule {
   * {{{
   * spark.graft.mv.defs =
   *   "table=graft_mv_li_x;base=lineitem;basePath=/data/lineitem.parquet;dims=l_returnflag:l_returnflag,l_linestatus:l_linestatus;measures=count:::cnt~sum:l_quantity:decimal(18,4):sum_qty~min:l_quantity::min_qty"
-  * spark.graft.mv.exactstats = "supplier:10000:s_suppkey=10000"   // optional
+  * spark.graft.mv.exactstats =                                    // optional
+  *   "supplier:10000:path=/data/supplier.parquet:s_suppkey=10000"
   * }}}
   *
   * — defs separated by `|`; within a def, `key=value` pairs separated
@@ -667,14 +673,19 @@ object MvRewriteRule {
   * ACTIVE session's catalog per invocation — a def naming a missing
   * table fails the query loudly, like every malformed graft conf.
   *
-  * `spark.graft.mv.exactstats` (same grammar as the join-order conf)
-  * is the DECLARED-CONSTRAINT trust channel: entries are tagged
-  * [[CatalogRules.StatProvenance.Exact]], which is what entitles the
-  * FK-join rewrite's uniqueness proof to fire. Publishing it is the
-  * same act — and the same responsibility — as declaring a PRIMARY
-  * KEY to a warehouse: the engine enforces everything it can
-  * structurally, and trusts exactly what the deployer declared.
-  * Without it, join-shaped rewrites stand down (the fail-safe Approx
+  * `spark.graft.mv.exactstats` (the join-order grammar plus an
+  * optional `path=` field) is the DECLARED-CONSTRAINT trust channel:
+  * entries are tagged [[CatalogRules.StatProvenance.Exact]], which is
+  * what entitles the FK-join rewrite's uniqueness proof to fire.
+  * Publishing it is the same act — and the same responsibility — as
+  * declaring a PRIMARY KEY to a warehouse: the engine enforces
+  * everything it can structurally, and trusts exactly what the
+  * deployer declared. The declaration must say WHICH table it is
+  * about: proofs require the `path=` field to match the scanned dim's
+  * root (table identity is otherwise a parquet basename, and dir A's
+  * declared PK must never vouch for dir B's same-named table) — a
+  * pathless entry parses but can never fire a proof. Without the
+  * conf, join-shaped rewrites stand down (the fail-safe Approx
   * default).
   */
 object ConfMvRewriteRule extends Rule[LogicalPlan] {
@@ -805,25 +816,38 @@ object ConfMvRewriteRule extends Rule[LogicalPlan] {
         exprDims = exprDims)
     }.toSeq
 
+  /** `table:rows[:path=/abs/root]:col=ndv[,col=ndv…]`, `;`-separated.
+    * The optional `path=` field (third position) records which files
+    * the declared counts are ABOUT, in [[CatalogRules.scanPath]] form.
+    * The uniqueness proofs REQUIRE it: a pathless Exact entry parses
+    * (legacy strings stay valid, and ordering decisions can still use
+    * its counts) but can never fire a proof — base identity is a
+    * parquet basename, so without a path `a/supplier.parquet`'s
+    * declared PK would vouch for `b/supplier.parquet`'s scan. */
   private[plans] def parseExact(
       spec: String): Map[String, CatalogRules.TableStat] =
     spec.split(";").iterator.map(_.trim).filter(_.nonEmpty).map { entry =>
-      entry.split(":") match {
-        case Array(t, n, cols) =>
-          val ndv = cols.split(",").iterator.map(_.trim).filter(_.nonEmpty)
-            .map { p =>
-              p.split("=") match {
-                case Array(c, d) => c.trim -> d.trim.toLong
-                case _ => throw new IllegalArgumentException(
-                  s"$ExactConf ndv entries must be col=ndv — got '$p'")
-              }
-            }.toMap
-          t.trim -> CatalogRules.TableStat(n.trim.toLong, ndv,
-            provenance = CatalogRules.StatProvenance.Exact)
+      val (t, n, path, cols) = entry.split(":") match {
+        case Array(t, n, cols) => (t, n, None, cols)
+        case Array(t, n, p, cols) if p.trim.startsWith("path=") =>
+          (t, n,
+            Some(CatalogRules.normalizePath(p.trim.stripPrefix("path="))),
+            cols)
         case _ => throw new IllegalArgumentException(
-          s"$ExactConf entries must be table:rows:col=ndv[,col=ndv…] — " +
+          s"$ExactConf entries must be " +
+            s"table:rows[:path=/abs/root]:col=ndv[,col=ndv…] — " +
             s"got '$entry'")
       }
+      val ndv = cols.split(",").iterator.map(_.trim).filter(_.nonEmpty)
+        .map { p =>
+          p.split("=") match {
+            case Array(c, d) => c.trim -> d.trim.toLong
+            case _ => throw new IllegalArgumentException(
+              s"$ExactConf ndv entries must be col=ndv — got '$p'")
+          }
+        }.toMap
+      t.trim -> CatalogRules.TableStat(n.trim.toLong, ndv,
+        provenance = CatalogRules.StatProvenance.Exact, path = path)
     }.toMap
 }
 

@@ -2760,6 +2760,22 @@ object StatsPhases {
   def confBroadcastRows(spark: SparkSession, dir: String): String =
     collected(spark, dir).tables.toSeq.sortBy(_._1)
       .map { case (t, ts) => s"$t:${ts.rows}" }.mkString(",")
+
+  /** The stored catalog rendered in ConfMvRewriteRule's EXACT grammar —
+    * what the ANALYZE job publishes to `spark.graft.mv.exactstats` so
+    * conf-deployed sessions can fire uniqueness PROOFS, not just
+    * ordering decisions. Carries each table's `path=` field (this
+    * collector counts, and records which files it counted), which the
+    * proofs require: a pathless declaration could vouch for another
+    * directory's same-named table. Deterministic ordering so the
+    * string is stable run to run; parseExact(confExact(…)) round-trips
+    * to `collected(…)` exactly (spec-pinned). */
+  def confExact(spark: SparkSession, dir: String): String =
+    collected(spark, dir).tables.toSeq.sortBy(_._1).map { case (t, ts) =>
+      val ndv = ts.ndv.toSeq.sortBy(_._1)
+        .map { case (c, d) => s"$c=$d" }.mkString(",")
+      s"$t:${ts.rows}:path=${ts.path.get}:$ndv"
+    }.mkString(";")
 }
 
 /** The stored HISTOGRAM catalog behind q246's conjunct-reorder rule —

@@ -473,14 +473,24 @@ class CatalogRulesSpec extends AnyFunSuite {
       def n() = 1L + rng.nextInt(1000000)
       def prov() =
         if (rng.nextBoolean()) StatProvenance.Exact else StatProvenance.Approx
+      // random path too: sometimes the table's REAL path (so a false
+      // Exact claim can actually fire the proof), sometimes none (the
+      // proofs must refuse pathless declarations)
+      def path(t: String) =
+        if (rng.nextBoolean())
+          Some(CatalogRules.normalizePath(graft.Tables.path(sf, t)))
+        else None
       CatalogStats(Map(
         "lineitem" -> TableStat(n(), Map("l_orderkey" -> n(),
-          "l_suppkey" -> n()), prov()),
+          "l_suppkey" -> n()), prov(), path("lineitem")),
         "orders" -> TableStat(n(),
-          Map("o_orderkey" -> n(), "o_custkey" -> n()), prov()),
+          Map("o_orderkey" -> n(), "o_custkey" -> n()), prov(),
+          path("orders")),
         "customer" -> TableStat(n(),
-          Map("c_custkey" -> n(), "c_nationkey" -> n()), prov()),
-        "nation" -> TableStat(n(), Map("n_nationkey" -> n()), prov())))
+          Map("c_custkey" -> n(), "c_nationkey" -> n()), prov(),
+          path("customer")),
+        "nation" -> TableStat(n(), Map("n_nationkey" -> n()), prov(),
+          path("nation"))))
     }
     val expected = {
       val off = CatalogRules.sessionWith(spark, Nil,
@@ -595,7 +605,9 @@ class CatalogRulesSpec extends AnyFunSuite {
       Seq(ConfEagerAggregationRule),
       "spark.sql.ansi.enabled" -> "false",
       ConfCatalogJoinOrderRule.StatsConf -> joConf,
-      ConfMvRewriteRule.ExactConf -> s"supplier:$n:s_suppkey=$n")
+      ConfMvRewriteRule.ExactConf -> (s"supplier:$n:path=" +
+        CatalogRules.normalizePath(graft.Tables.path(sf, "supplier")) +
+        s":s_suppkey=$n"))
     assert(pushedBelowJoin(text(confOn)))
     val confNoProof = CatalogRules.sessionWith(spark,
       Seq(ConfEagerAggregationRule),
@@ -647,7 +659,9 @@ class CatalogRulesSpec extends AnyFunSuite {
     val falseClaim = CatalogRules.CatalogStats(Map(
       "lineitem" -> st.tables("lineitem"),
       "supplier" -> CatalogRules.TableStat(n2, Map("s_suppkey" -> n2),
-        provenance = CatalogRules.StatProvenance.Exact)))
+        provenance = CatalogRules.StatProvenance.Exact,
+        path = Some(CatalogRules.normalizePath(
+          s"$dupDir/supplier.parquet")))))
     def text(s: org.apache.spark.sql.SparkSession) =
       Tables.lineitem(s, sf)
         .join(s.read.parquet(s"$dupDir/supplier.parquet"),

@@ -136,11 +136,13 @@ class MvRewriteSpec extends AnyFunSuite {
       .groupBy("s_name").agg(count(lit(1)).as("cnt"))
     assert(scanTables(df).contains("lineitem"), scanTables(df))
 
-    // The SAME numbers claimed Exact fire the rewrite — isolating the
-    // refusal to the provenance tag, not the values.
+    // The SAME numbers claimed Exact WITH the counted table's path fire
+    // the rewrite — isolating the refusal to the provenance tag, not
+    // the values.
+    val supPath = CatalogRules.normalizePath(graft.Tables.path(sf, "supplier"))
     val exact = CatalogStats(Map(
       "supplier" -> TableStat(n, Map("s_suppkey" -> n),
-        provenance = StatProvenance.Exact)))
+        provenance = StatProvenance.Exact, path = Some(supPath))))
     val child2 = CatalogRules.sessionWith(spark, Nil)
     CatalogRules.installRules(child2,
       Seq(MvRewriteRule(Seq(MvPhases.mvDefSk(child2, sf)), exact)))
@@ -149,6 +151,21 @@ class MvRewriteSpec extends AnyFunSuite {
       .groupBy("s_name").agg(count(lit(1)).as("cnt"))
     assert(scanTables(df2) === Set(MvPhases.skTable(sf), "supplier"),
       scanTables(df2))
+
+    // ...and the same Exact numbers WITHOUT a path refuse: a proof must
+    // say WHICH table it counted — base identity is a parquet basename,
+    // so a pathless stat could vouch for another directory's same-named
+    // table (the conf-catalog aliasing seam, closed).
+    val pathless = CatalogStats(Map(
+      "supplier" -> TableStat(n, Map("s_suppkey" -> n),
+        provenance = StatProvenance.Exact)))
+    val child3 = CatalogRules.sessionWith(spark, Nil)
+    CatalogRules.installRules(child3,
+      Seq(MvRewriteRule(Seq(MvPhases.mvDefSk(child3, sf)), pathless)))
+    val df3 = Tables.lineitem(child3, sf)
+      .join(Tables.supplier(child3, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("cnt"))
+    assert(scanTables(df3).contains("lineitem"), scanTables(df3))
   }
 
   test("path identity: a rollup/proof built over one directory never answers a same-named table from another") {
@@ -483,11 +500,30 @@ class MvRewriteSpec extends AnyFunSuite {
       ConfMvRewriteRule.DefsConf -> MvPhases.mvDefSkConf(sf))
     assert(scanTables(joined(noProof)).contains("lineitem"),
       scanTables(joined(noProof)))
+    val supPath = CatalogRules.normalizePath(graft.Tables.path(sf, "supplier"))
     val declared = CatalogRules.sessionWith(spark, Seq(ConfMvRewriteRule),
       ConfMvRewriteRule.DefsConf -> MvPhases.mvDefSkConf(sf),
-      ConfMvRewriteRule.ExactConf -> s"supplier:$n:s_suppkey=$n")
+      ConfMvRewriteRule.ExactConf ->
+        s"supplier:$n:path=$supPath:s_suppkey=$n")
     assert(scanTables(joined(declared)) === Set(MvPhases.skTable(sf), "supplier"),
       scanTables(joined(declared)))
+    // a PATHLESS declaration parses but can never fire a proof — the
+    // deployer must say which table the counts are about
+    val pathless = CatalogRules.sessionWith(spark, Seq(ConfMvRewriteRule),
+      ConfMvRewriteRule.DefsConf -> MvPhases.mvDefSkConf(sf),
+      ConfMvRewriteRule.ExactConf -> s"supplier:$n:s_suppkey=$n")
+    assert(scanTables(joined(pathless)).contains("lineitem"),
+      scanTables(joined(pathless)))
+    // a declaration about ANOTHER directory's same-named supplier proves
+    // nothing about this plan's dim
+    val foreignPath = CatalogRules.normalizePath(
+      graft.Tables.path("/root/testdata/sf0.01", "supplier"))
+    val foreign = CatalogRules.sessionWith(spark, Seq(ConfMvRewriteRule),
+      ConfMvRewriteRule.DefsConf -> MvPhases.mvDefSkConf(sf),
+      ConfMvRewriteRule.ExactConf ->
+        s"supplier:$n:path=$foreignPath:s_suppkey=$n")
+    assert(scanTables(joined(foreign)).contains("lineitem"),
+      scanTables(joined(foreign)))
     // conf-declared rows match the programmatic-catalog rewrite
     val prog = CatalogRules.sessionWith(spark, Nil)
     CatalogRules.installRules(prog,
@@ -513,6 +549,19 @@ class MvRewriteSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("cnt")).queryExecution.optimizedPlan
     }
     assert(causes(e2).exists(_.isInstanceOf[IllegalArgumentException]), e2.toString)
+  }
+
+  test("exactstats publish round-trip: parseExact(confExact(…)) == collected(…), and malformed paths fail loudly") {
+    import graft.queries.StatsPhases
+    val conf = StatsPhases.confExact(spark, sf)
+    val parsed = ConfMvRewriteRule.parseExact(conf)
+    val collected = StatsPhases.collected(spark, sf).tables
+    assert(parsed === collected,
+      "the ANALYZE publisher and the conf parser are two spellings of " +
+        "one catalog — they must agree entry for entry, paths included")
+    intercept[IllegalArgumentException] {
+      ConfMvRewriteRule.parseExact("supplier:10:path=/a:b:c:s=10")
+    }
   }
 
   test("q257 companion: additive retract == scratch, all-deleted groups drop, underflow raises") {
