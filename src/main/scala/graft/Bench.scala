@@ -507,6 +507,29 @@ object Bench {
           }),
           "q262_rule_join_order_filtered" -> ((s: SparkSession, d: String) =>
             SparkEntry.queries("q262_rule_join_order_filtered")(s, d))),
+        // Composite-key chain (q268): the ruleoff twin pays the written
+        // order (composite self-join first — a fact-sized intermediate
+        // carried through two more joins); the rule line seeds
+        // orders><customer from the counted composite entry.
+        "q268_rule_join_order_composite" -> Seq(
+          "q268_ruleoff_written" -> ((s: SparkSession, d: String) => {
+            import org.apache.spark.sql.functions._
+            val off = graft.plans.CatalogRules.sessionWith(s, Nil,
+              "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+            val a = Tables.lineitem(off, d)
+            val b = Tables.lineitem(off, d)
+            a.join(b, a("l_orderkey") === b("l_orderkey") &&
+                a("l_linenumber") === b("l_linenumber"))
+              .join(Tables.orders(off, d),
+                a("l_orderkey") === col("o_orderkey"))
+              .join(Tables.customer(off, d),
+                col("o_custkey") === col("c_custkey"))
+              .groupBy("c_mktsegment")
+              .agg(count(lit(1)).as("cnt"),
+                sum(b("l_quantity").cast("bigint")).as("sum_qty"))
+          }),
+          "q268_rule_join_order_composite" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q268_rule_join_order_composite")(s, d))),
         "q264_eager_aggregation" -> Seq(
           "q264_ruleoff_rowgrain" -> ((s: SparkSession, d: String) => {
             import org.apache.spark.sql.functions._

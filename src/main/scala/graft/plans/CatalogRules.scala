@@ -170,6 +170,20 @@ object CatalogRules {
       nL: Long, ndvL: Long, nR: Long, ndvR: Long): BigInt =
     BigInt(nL) * BigInt(nR) / BigInt(math.max(1L, math.max(ndvL, ndvR)))
 
+  /** The catalog key for a (possibly composite) column set: one column
+    * is itself; several join SORTED under `+` — order-insensitive, so
+    * `ON a.x = b.x AND a.y = b.y` and its swapped spelling meet the
+    * same ANALYZE entry. `+` is in no TPC-H-ish identifier and in none
+    * of the conf grammars' separators, so composite keys travel through
+    * `spark.graft.joinorder.stats` / `spark.graft.mv.exactstats`
+    * unescaped. The collector computes the entry as
+    * `countDistinct(colA, colB, …)` (distinct fully-NON-NULL tuples —
+    * rows with any null key are excluded, which for a uniqueness PROOF
+    * is the conservative direction: null-keyed rows can only make
+    * ndv < rows, never a false ndv == rows). */
+  def compositeKey(cols: Seq[String]): String =
+    if (cols.lengthCompare(1) == 0) cols.head else cols.sorted.mkString("+")
+
   /** The full decision layer in its COMPOSITION order — the order is a
     * contract, not a style choice: rewrites that change plan SHAPE must
     * run before rules that pin STRATEGY, because the hint-setting rule
@@ -406,12 +420,25 @@ final case class CatalogJoinOrderRule(
     case other => other
   }
 
+  /** A join condition usable as a chain edge: a conjunction whose
+    * every conjunct is an EqualTo — one equality (the common case) or a
+    * COMPOSITE key (`ON a.x = b.x AND a.y = b.y`, the
+    * delta-vs-snapshot / multi-part-PK join). Anything else — a range
+    * term, an OR — is not an equi edge and breaks the chain shape. */
+  private def asEqs(cond: Expression): Option[Seq[EqualTo]] = {
+    val cs = splitConjunctivePredicates(cond)
+    val eqs = cs.collect { case e: EqualTo => e }
+    if (eqs.length == cs.length && eqs.nonEmpty) Some(eqs) else None
+  }
+
   /** Flatten a left-deep inner-equi chain: bases left-to-right, conds
-    * innermost-first (cond k joined base k+1 onto the tree). A subtree
-    * that breaks the shape is kept whole as an (uncostable) base, which
+    * innermost-first (cond k joined base k+1 onto the tree; each cond
+    * is reused VERBATIM when the tree is rebuilt). A subtree that
+    * breaks the shape is kept whole as an (uncostable) base, which
     * makes the greedy pass bail cleanly. */
-  private def chain(j: Join): (Seq[LogicalPlan], Seq[EqualTo]) = j match {
-    case Join(l, r, Inner, Some(c: EqualTo), JoinHint(None, None)) =>
+  private def chain(j: Join): (Seq[LogicalPlan], Seq[Expression]) = j match {
+    case Join(l, r, Inner, Some(c), JoinHint(None, None))
+        if asEqs(c).isDefined =>
       underPrune(l) match {
         case lj: Join =>
           val (bs, cs) = chain(lj)
@@ -425,7 +452,8 @@ final case class CatalogJoinOrderRule(
   // transformDown: the outermost join sees (and reorders) the whole
   // chain in one decision; already-greedy sub-chains below then no-op.
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case top @ Join(_, _, Inner, Some(_: EqualTo), JoinHint(None, None)) =>
+    case top @ Join(_, _, Inner, Some(c), JoinHint(None, None))
+        if asEqs(c).isDefined =>
       val (bases, conds) = chain(top)
       if (conds.size < 2 || bases.size > MaxChain) top
       else greedyOrder(top, bases, conds).getOrElse(top)
@@ -461,7 +489,7 @@ final case class CatalogJoinOrderRule(
   }
 
   private def greedyOrder(
-      top: Join, bases: Seq[LogicalPlan], conds: Seq[EqualTo]): Option[LogicalPlan] = {
+      top: Join, bases: Seq[LogicalPlan], conds: Seq[Expression]): Option[LogicalPlan] = {
     val n = bases.size
     // Catalog lookups per base; any miss disqualifies the whole chain.
     val tables = bases.map(CatalogRules.tableOf)
@@ -471,21 +499,39 @@ final case class CatalogJoinOrderRule(
     // Effective (filter-aware when an estimator is supplied) sizes;
     // a key's ndv can never exceed the rows that survive the filter.
     val eff = bases.zip(rows).map { case (b, r) => effRows(b, r.get) }
-    def ndv(base: Int, c: String): Option[Long] =
-      tables(base).flatMap(t => stats.ndv(t, c))
+    // A (possibly composite) key's ndv under the ANALYZE catalog's
+    // composite-key convention; a composite without its counted entry
+    // is uncostable — per-column ndvs cannot be combined soundly
+    // (independence would OVERestimate a correlated key's ndv and
+    // underprice the join).
+    def ndv(base: Int, cols: Seq[String]): Option[Long] =
+      tables(base).flatMap(t =>
+        stats.ndv(t, CatalogRules.compositeKey(cols)))
 
-    // Each condition as an edge (baseA, colA, baseB, colB).
-    final case class Edge(ci: Int, ia: Int, ca: String, ib: Int, cb: String)
+    // Each condition as an edge (baseA, colsA, baseB, colsB): every
+    // conjunct of a composite condition must link the SAME two bases.
+    final case class Edge(
+        ci: Int, ia: Int, ca: Seq[String], ib: Int, cb: Seq[String])
     val edges = conds.zipWithIndex.map { case (c, ci) =>
-      (c.left, c.right) match {
-        case (la: AttributeReference, ra: AttributeReference) =>
-          val ia = bases.indexWhere(_.outputSet.contains(la))
-          val ib = bases.indexWhere(_.outputSet.contains(ra))
-          if (ia < 0 || ib < 0 || ia == ib) return None
-          if (ndv(ia, la.name).isEmpty || ndv(ib, ra.name).isEmpty) return None
-          Edge(ci, ia, la.name, ib, ra.name)
-        case _ => return None
+      val pairs = asEqs(c).get.map { eq =>
+        (eq.left, eq.right) match {
+          case (la: AttributeReference, ra: AttributeReference) =>
+            val ia = bases.indexWhere(_.outputSet.contains(la))
+            val ib = bases.indexWhere(_.outputSet.contains(ra))
+            if (ia < 0 || ib < 0 || ia == ib) return None
+            (ia, la.name, ib, ra.name)
+          case _ => return None
+        }
       }
+      val (i0, _, j0, _) = pairs.head
+      val oriented = pairs.map {
+        case (`i0`, x, `j0`, y) => (x, y)
+        case (`j0`, y, `i0`, x) => (x, y)
+        case _ => return None // a third base inside one condition
+      }
+      val (ca, cb) = (oriented.map(_._1), oriented.map(_._2))
+      if (ndv(i0, ca).isEmpty || ndv(j0, cb).isEmpty) return None
+      Edge(ci, i0, ca, j0, cb)
     }
 
     // Seed: the edge with the smallest predicted pair join (stable min).

@@ -94,12 +94,14 @@ final case class EagerAggregationRule(
       child: LogicalPlan): Option[LogicalPlan] = {
     if (ge.exists(!_.deterministic) || ae.exists(!_.deterministic)) return None
     val join = stripPrune(child) match {
-      case j @ Join(_, _, Inner, Some(_: EqualTo), JoinHint(None, None)) => j
+      case j @ Join(_, _, Inner, Some(c), JoinHint(None, None))
+          if splitConjunctivePredicates(c)
+            .forall(_.isInstanceOf[EqualTo]) => j
       case _ => return None
     }
-    val cond = join.condition.get.asInstanceOf[EqualTo]
-    val (ka, kb) = (cond.left, cond.right) match {
-      case (x: AttributeReference, y: AttributeReference) => (x, y)
+    // Attribute pairs of the — possibly composite — equi condition.
+    val condPairs = splitConjunctivePredicates(join.condition.get).map {
+      case EqualTo(x: AttributeReference, y: AttributeReference) => (x, y)
       case _ => return None
     }
 
@@ -111,23 +113,30 @@ final case class EagerAggregationRule(
       case a: AggregateExpression => a.references
     }).foldLeft(org.apache.spark.sql.catalyst.expressions.AttributeSet.empty)(_ ++ _)
     if (aggRefs.isEmpty) return None // nothing to push; Distinct et al.
-    val (fact, dim, fk, dk) =
-      if (aggRefs.subsetOf(join.left.outputSet)) (join.left, join.right,
-        if (join.left.outputSet.contains(ka)) ka else kb,
-        if (join.left.outputSet.contains(ka)) kb else ka)
-      else if (aggRefs.subsetOf(join.right.outputSet)) (join.right, join.left,
-        if (join.right.outputSet.contains(ka)) ka else kb,
-        if (join.right.outputSet.contains(ka)) kb else ka)
+    val (fact, dim) =
+      if (aggRefs.subsetOf(join.left.outputSet)) (join.left, join.right)
+      else if (aggRefs.subsetOf(join.right.outputSet)) (join.right, join.left)
       else return None
-    if (!fact.outputSet.contains(fk) || !dim.outputSet.contains(dk)) return None
+    // Orient every equality fact -> dim; a composite key is one
+    // multi-part key, gated and proven as a TUPLE below.
+    val keys: Seq[(AttributeReference, AttributeReference)] = condPairs.map {
+      case (x, y) =>
+        if (fact.outputSet.contains(x) && dim.outputSet.contains(y)) (x, y)
+        else if (fact.outputSet.contains(y) && dim.outputSet.contains(x)) (y, x)
+        else return None
+    }
+    val (fks, dks) = (keys.map(_._1), keys.map(_._2))
     val dimOut = dim.outputSet
     if (!ge.forall { case a: AttributeReference => dimOut.contains(a); case _ => false })
       return None
 
-    // Evidence gate: the fact must shrink by minReduction at fk grain.
+    // Evidence gate: the fact must shrink by minReduction at fk grain
+    // (the composite key's counted ndv — per-column ndvs cannot be
+    // combined soundly, so a composite without its entry stands down).
     val factTable = CatalogRules.tableOf(fact).getOrElse(return None)
     val fStat = stats.tables.get(factTable).getOrElse(return None)
-    val fkNdv = fStat.ndv.get(fk.name).getOrElse(return None)
+    val fkNdv = fStat.ndv
+      .get(CatalogRules.compositeKey(fks.map(_.name))).getOrElse(return None)
     if (fkNdv <= 0 || fStat.rows / fkNdv < minReduction) return None
 
     // Uniqueness proof on the dim key — Exact provenance + path, the
@@ -136,7 +145,8 @@ final case class EagerAggregationRule(
     val provenUnique = stats.tables.get(dimTable) match {
       case Some(ts) =>
         ts.provenance == CatalogRules.StatProvenance.Exact &&
-          ts.ndv.get(dk.name).contains(ts.rows) &&
+          ts.ndv.get(CatalogRules.compositeKey(dks.map(_.name)))
+            .contains(ts.rows) &&
           // path REQUIRED (the q252 policy): a pathless Exact stat could
           // alias a same-named dim from another directory — a proof must
           // name WHICH table it counted.
@@ -220,8 +230,12 @@ final case class EagerAggregationRule(
     newAe.zip(ae).foreach { case (n, o) =>
       if (n.dataType != o.dataType) return None }
 
-    val inner = Aggregate(Seq(fk), fk +: partials.toSeq, fact, None)
-    val rejoined = Join(inner, dim, Inner, Some(EqualTo(fk, dk)), JoinHint.NONE)
+    val inner = Aggregate(
+      fks, (fks: Seq[NamedExpression]) ++ partials.toSeq, fact, None)
+    val rejoined = Join(inner, dim, Inner,
+      Some(keys.map { case (f, d) => EqualTo(f, d): Expression }
+        .reduceLeft(org.apache.spark.sql.catalyst.expressions.And(_, _))),
+      JoinHint.NONE)
     Some(Aggregate(ge, newAe, rejoined, None))
   }
 }

@@ -177,11 +177,11 @@ final case class MvRewriteRule(
       case leaf => Some((filters, leaf))
     }
 
-  /** The dim side of a join-shaped match: its (reused-verbatim) plan,
-    * its join-key attribute, and the BASE column the rollup carries the
-    * key under. */
-  private case class DimSide(plan: LogicalPlan, dimKey: AttributeReference,
-      baseKeyName: String)
+  /** The dim side of a join-shaped match: its (reused-verbatim) plan
+    * and the (base column name -> dim-key attribute) pairs of the —
+    * possibly composite — join key the rollup carries. */
+  private case class DimSide(plan: LogicalPlan,
+      keys: Seq[(String, AttributeReference)])
 
   private def rewrite(
       agg: Aggregate,
@@ -227,7 +227,8 @@ final case class MvRewriteRule(
     val (baseFilters, aboveFilters, dimOpt) = leaf match {
       case scan if baseMatches(scan) =>
         (topFilters, Nil: Seq[Expression], None)
-      case Join(l, r, Inner, Some(c: EqualTo), JoinHint(None, None)) =>
+      case Join(l, r, Inner, Some(c), JoinHint(None, None))
+          if splitConjunctivePredicates(c).forall(_.isInstanceOf[EqualTo]) =>
         val (lf, ls) = collectScan(l, Nil).get
         val (rf, rs) = collectScan(r, Nil).get
         val lBase = baseMatches(ls)
@@ -236,18 +237,23 @@ final case class MvRewriteRule(
         val (bSide, bFilters, dSide, dScan) =
           if (lBase) (l, lf, r, rs) else (r, rf, l, ls)
         val dimTable = CatalogRules.tableOf(dScan).getOrElse(return None)
-        val (bk, dk) = (c.left, c.right) match {
-          case (x: AttributeReference, y: AttributeReference) =>
+        // Each equality oriented base -> dim; a COMPOSITE condition
+        // (`AND` of equalities) is one multi-part key, proven unique as
+        // a TUPLE below — any single part may repeat.
+        val keys = splitConjunctivePredicates(c).map {
+          case EqualTo(x: AttributeReference, y: AttributeReference) =>
             if (bSide.outputSet.contains(x) && dSide.outputSet.contains(y)) (x, y)
             else if (bSide.outputSet.contains(y) && dSide.outputSet.contains(x)) (y, x)
             else return None
           case _ => return None
         }
-        if (!mv.dims.contains(bk.name)) return None
+        if (!keys.forall { case (bk, _) => mv.dims.contains(bk.name) })
+          return None
+        val dimNdvKey = CatalogRules.compositeKey(keys.map(_._2.name))
         val provenUnique = stats.tables.get(dimTable) match {
           case Some(ts) =>
             ts.provenance == CatalogRules.StatProvenance.Exact &&
-              ts.ndv.get(dk.name).contains(ts.rows) &&
+              ts.ndv.get(dimNdvKey).contains(ts.rows) &&
               // path REQUIRED, not merely consistent-when-present: table
               // identity here is a parquet basename, so a PATHLESS Exact
               // stat collected over a/supplier.parquet would prove
@@ -257,7 +263,8 @@ final case class MvRewriteRule(
           case None => false
         }
         if (!provenUnique) return None
-        (bFilters, topFilters, Some(DimSide(dSide, dk, bk.name)))
+        (bFilters, topFilters,
+          Some(DimSide(dSide, keys.map { case (bk, dk) => bk.name -> dk })))
       case _ => return None
     }
     val dimOut = dimOpt.map(_.plan.outputSet)
@@ -337,8 +344,10 @@ final case class MvRewriteRule(
       case None => mvBase
       case Some(d) =>
         Join(mvBase, d.plan, Inner,
-          Some(org.apache.spark.sql.catalyst.expressions.EqualTo(
-            mvAttr(mv.dims(d.baseKeyName)).get, d.dimKey)),
+          Some(d.keys.map { case (bkName, dk) =>
+            org.apache.spark.sql.catalyst.expressions.EqualTo(
+              mvAttr(mv.dims(bkName)).get, dk): Expression
+          }.reduceLeft(And(_, _))),
           JoinHint.NONE)
     }
     val newChild =

@@ -2679,6 +2679,55 @@ object RelationalQueries {
           .select(col("hour_idx"), col("event_type"), col("cnt"),
             col("sum_value").cast("double").as("sum_value"))
       }
+    ),
+    Q(
+      "q268_rule_join_order_composite",
+      "COMPOSITE join keys in the decision layer — the snapshot-diff " +
+        "shape: a delta feed joins its snapshot on a MULTI-PART key " +
+        "(here lineitem to itself on the (l_orderkey, l_linenumber) " +
+        "PK — the 'AND of equalities' join every CDC/as-of pipeline " +
+        "writes), then rides the usual dim chain. The chain flattener " +
+        "now treats an AND-of-EqualTos as ONE edge whose cost comes " +
+        "from the catalog's COUNTED composite-ndv entry " +
+        "(CatalogRules.compositeKey, collected as countDistinct over " +
+        "the column tuple — per-column ndvs are never combined: " +
+        "independence would overestimate a correlated key's ndv and " +
+        "underprice the join). The text is written worst-first (the " +
+        "self-join's 60k x 60k/60k edge first); greedy re-associates " +
+        "to seed orders><customer (1.5k), exactly the q241 decision " +
+        "generalized past single-column keys. At 100 TB a misordered " +
+        "chain with a composite edge materializes fact-sized " +
+        "intermediates twice; the catalog entry costs pennies at " +
+        "ANALYZE time. CatalogRulesSpec pins the reorder, the " +
+        "missing-composite-entry bail, and rule-off row equality.",
+      Some("""
+         |SELECT c_mktsegment, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(b.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         |FROM lineitem a
+         |JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         |               AND a.l_linenumber = b.l_linenumber
+         |JOIN orders ON a.l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.plans.{CatalogRules, CatalogJoinOrderRule}
+        val st = StatsPhases.collected(spark, dir)
+        val child = CatalogRules.sessionWith(spark,
+          Seq(CatalogJoinOrderRule(st)),
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val a = Tables.lineitem(child, dir)
+        val b = Tables.lineitem(child, dir)
+        a.join(b, a("l_orderkey") === b("l_orderkey") &&
+            a("l_linenumber") === b("l_linenumber"))
+          .join(Tables.orders(child, dir),
+            a("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(child, dir),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("cnt"),
+            sum(b("l_quantity").cast("bigint")).as("sum_qty"))
+      }
     )
   )
 }
@@ -2699,18 +2748,27 @@ object StatsPhases {
   /** Keys q241's join-order costing needs beyond the q231 joins, plus
     * supplier for q244's broadcast decision (the rule needs the dim's
     * row count in the catalog to call it small), plus the fact's
-    * supplier FK for q264's eager-aggregation reduction gate. */
+    * supplier FK for q264's eager-aggregation reduction gate, plus the
+    * COMPOSITE lineitem PK (CatalogRules.compositeKey form — counted
+    * as distinct non-null tuples) for q268's multi-column join edges
+    * and the composite uniqueness proofs. */
   private val extraPairs =
     Seq(("orders", "o_custkey"), ("customer", "c_custkey"),
-      ("supplier", "s_suppkey"), ("lineitem", "l_suppkey"))
+      ("supplier", "s_suppkey"), ("lineitem", "l_suppkey"),
+      ("lineitem", graft.plans.CatalogRules.compositeKey(
+        Seq("l_orderkey", "l_linenumber"))))
 
   def buildStored(spark: SparkSession, dir: String): Unit = {
     val pairs = (RelationalQueries.JoinCardSpecs
       .flatMap { case (_, l, lk, r, rk) => Seq((l, lk), (r, rk)) }
       ++ extraPairs).distinct
     val cat = pairs.map { case (t, k) =>
+      // a composite key's entry counts distinct fully-non-null TUPLES
+      val parts = k.split("\\+")
       Tables(spark, dir, t).agg(
-          count(lit(1)).as("n"), countDistinct(col(k)).as("ndv"))
+          count(lit(1)).as("n"),
+          countDistinct(col(parts.head),
+            parts.tail.toSeq.map(col): _*).as("ndv"))
         .select(lit(t).as("tbl"), lit(k).as("key"), col("n"), col("ndv"))
     }.reduce(_ unionByName _)
     graft.operators.Bucketing.dropWithLocation(spark, statsTable(dir))

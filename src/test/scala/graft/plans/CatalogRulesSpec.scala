@@ -617,6 +617,105 @@ class CatalogRulesSpec extends AnyFunSuite {
     assert(!pushedBelowJoin(text(confNoProof)))
   }
 
+  test("q268: a composite (AND-of-equalities) edge costs from the counted composite entry and the chain reorders; a missing entry bails; same rows") {
+    import graft.queries.StatsPhases
+    val on = SparkEntry.queries("q268_rule_join_order_composite")(spark, sf)
+    // greedy seeds the cheapest pair — orders><customer — even though
+    // the text joins the composite self-join first
+    assert(firstJoinTables(on) === Set("orders", "customer"),
+      firstJoinTables(on))
+
+    def text(s: org.apache.spark.sql.SparkSession) = {
+      val a = Tables.lineitem(s, sf)
+      val b = Tables.lineitem(s, sf)
+      a.join(b, a("l_orderkey") === b("l_orderkey") &&
+          a("l_linenumber") === b("l_linenumber"))
+        .join(Tables.orders(s, sf), a("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, sf), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          sum(b("l_quantity").cast("bigint")).as("sum_qty"))
+    }
+    val off = CatalogRules.sessionWith(spark, Nil,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    assert(firstJoinTables(text(off)) === Set("lineitem"))
+    assert(on.schema === text(off).schema)
+    assert(sortedRows(on) === sortedRows(text(off)))
+
+    // Without the COUNTED composite entry the edge is uncostable and
+    // the whole chain stays as written — per-column ndvs are never
+    // combined (independence would overestimate a correlated key's
+    // ndv and underprice the join).
+    val st = StatsPhases.collected(spark, sf)
+    val compKey = CatalogRules.compositeKey(Seq("l_orderkey", "l_linenumber"))
+    assert(st.tables("lineitem").ndv.contains(compKey),
+      "the ANALYZE collector must count the composite entry")
+    val noComp = CatalogRules.CatalogStats(st.tables.updated("lineitem",
+      st.tables("lineitem").copy(
+        ndv = st.tables("lineitem").ndv - compKey)))
+    val blind = CatalogRules.sessionWith(spark,
+      Seq(CatalogJoinOrderRule(noComp)),
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    assert(firstJoinTables(text(blind)) === Set("lineitem"),
+      firstJoinTables(text(blind)))
+  }
+
+  test("composite eager aggregation: fires on a counted composite-unique dim, refuses without the composite entry; same rows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    // A dim whose UNIQUENESS only holds on the column PAIR — the
+    // (supplier, returnflag) enrichment table every routing pipeline
+    // keeps; each column alone repeats.
+    val dir = java.nio.file.Files.createTempDirectory("compdim").toString
+    val li = Tables.lineitem(spark, sf)
+    li.select(col("l_suppkey").as("sf_suppkey"),
+        col("l_returnflag").as("sf_flag")).distinct()
+      .withColumn("label",
+        concat_ws("-", col("sf_suppkey"), col("sf_flag")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/suppflag.parquet")
+    val dimN = spark.read.parquet(s"$dir/suppflag.parquet").count()
+    val liN = li.count()
+    val compLi = CatalogRules.compositeKey(Seq("l_suppkey", "l_returnflag"))
+    val compSf = CatalogRules.compositeKey(Seq("sf_suppkey", "sf_flag"))
+    assert(liN / dimN >= 4, "fixture must clear the reduction gate")
+    val st = CatalogRules.CatalogStats(Map(
+      "lineitem" -> CatalogRules.TableStat(liN, Map(compLi -> dimN),
+        CatalogRules.StatProvenance.Exact,
+        Some(CatalogRules.normalizePath(graft.Tables.path(sf, "lineitem")))),
+      "suppflag" -> CatalogRules.TableStat(dimN, Map(compSf -> dimN),
+        CatalogRules.StatProvenance.Exact,
+        Some(CatalogRules.normalizePath(s"$dir/suppflag.parquet")))))
+    def fired(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case Join(l, _, _, _, _) if l.collectFirst {
+          case a: Aggregate
+              if CatalogRules.tableOf(a.child).contains("lineitem") => a
+        }.isDefined => true
+      }.getOrElse(false)
+    def text(s: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(s, sf)
+        .join(s.read.parquet(s"$dir/suppflag.parquet"),
+          col("l_suppkey") === col("sf_suppkey") &&
+            col("l_returnflag") === col("sf_flag"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+    val onS = CatalogRules.sessionWith(spark, Seq(EagerAggregationRule(st)),
+      "spark.sql.ansi.enabled" -> "false")
+    assert(fired(text(onS)),
+      text(onS).queryExecution.optimizedPlan.toString)
+    val off = CatalogRules.sessionWith(spark, Nil)
+    assert(sortedRows(text(onS)) === sortedRows(text(off)))
+    // per-column ndvs alone — even both exactly unique-looking — must
+    // not prove the tuple: the composite entry is the only evidence
+    val perCol = CatalogRules.CatalogStats(st.tables.updated("suppflag",
+      st.tables("suppflag").copy(
+        ndv = Map("sf_suppkey" -> dimN, "sf_flag" -> dimN))))
+    val noComp = CatalogRules.sessionWith(spark,
+      Seq(EagerAggregationRule(perCol)), "spark.sql.ansi.enabled" -> "false")
+    assert(!fired(text(noComp)))
+  }
+
   test("eager aggregation's SUM fold stands down under ANSI mode: regrouped partials can throw on an intermediate overflow where the direct sum would not") {
     import graft.queries.StatsPhases
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}

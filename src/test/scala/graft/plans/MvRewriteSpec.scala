@@ -551,6 +551,60 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(causes(e2).exists(_.isInstanceOf[IllegalArgumentException]), e2.toString)
   }
 
+  test("composite MV join rewrite: a two-dim rollup answers a join on the column PAIR when the tuple is proven unique; per-column stats prove nothing") {
+    import CatalogRules.{CatalogStats, StatProvenance, TableStat}
+    val dir = java.nio.file.Files.createTempDirectory("compmv").toString
+    val li = Tables.lineitem(spark, sf)
+    // the composite-keyed dim (unique only as a PAIR) and a rollup at
+    // the same two-column grain
+    li.select(col("l_suppkey").as("sf_suppkey"),
+        col("l_returnflag").as("sf_flag")).distinct()
+      .withColumn("label", concat_ws("-", col("sf_suppkey"), col("sf_flag")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/suppflag.parquet")
+    li.groupBy("l_suppkey", "l_returnflag")
+      .agg(count(lit(1)).as("cnt"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/rollup2.parquet")
+    val dimN = spark.read.parquet(s"$dir/suppflag.parquet").count()
+    val compSf = CatalogRules.compositeKey(Seq("sf_suppkey", "sf_flag"))
+    val proven = CatalogStats(Map(
+      "suppflag" -> TableStat(dimN, Map(compSf -> dimN),
+        StatProvenance.Exact,
+        Some(CatalogRules.normalizePath(s"$dir/suppflag.parquet")))))
+    def mv(s: org.apache.spark.sql.SparkSession) = MvDef(
+      baseTable = "lineitem",
+      dims = Map("l_suppkey" -> "l_suppkey", "l_returnflag" -> "l_returnflag"),
+      measures = Seq(MvMeasure("count", "", None, "cnt")),
+      mvPlan = s.read.parquet(s"$dir/rollup2.parquet")
+        .queryExecution.analyzed,
+      basePath = Some(CatalogRules.normalizePath(
+        graft.Tables.path(sf, "lineitem"))))
+    def text(s: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(s, sf)
+        .join(s.read.parquet(s"$dir/suppflag.parquet"),
+          col("l_suppkey") === col("sf_suppkey") &&
+            col("l_returnflag") === col("sf_flag"))
+        .groupBy("label").agg(count(lit(1)).as("cnt"))
+    val child = CatalogRules.sessionWith(spark, Nil)
+    CatalogRules.installRules(child, Seq(MvRewriteRule(Seq(mv(child)), proven)))
+    val on = text(child)
+    assert(scanTables(on) === Set("rollup2", "suppflag"), scanTables(on))
+    val off = CatalogRules.sessionWith(spark, Nil)
+    assert(sortedRows(on) === sortedRows(text(off)))
+    // the same dim claimed unique per COLUMN (each truthfully non-unique
+    // column ndv < rows would refuse anyway — claim dimN to isolate the
+    // tuple requirement): the proof must not accept per-column evidence
+    val perCol = CatalogStats(Map(
+      "suppflag" -> TableStat(dimN,
+        Map("sf_suppkey" -> dimN, "sf_flag" -> dimN),
+        StatProvenance.Exact,
+        Some(CatalogRules.normalizePath(s"$dir/suppflag.parquet")))))
+    val child2 = CatalogRules.sessionWith(spark, Nil)
+    CatalogRules.installRules(child2,
+      Seq(MvRewriteRule(Seq(mv(child2)), perCol)))
+    assert(scanTables(text(child2)).contains("lineitem"),
+      scanTables(text(child2)))
+  }
+
   test("exactstats publish round-trip: parseExact(confExact(…)) == collected(…), and malformed paths fail loudly") {
     import graft.queries.StatsPhases
     val conf = StatsPhases.confExact(spark, sf)
