@@ -606,6 +606,26 @@ object Bench {
           }),
           "q266_mv_time_bucket" -> ((s: SparkSession, d: String) =>
             SparkEntry.queries("q266_mv_time_bucket")(s, d))),
+        // Aligned time-range report (q269): the ruleoff twin pays the
+        // event scan + filter; the rule line reads the cells that
+        // survive the remapped bucket predicate.
+        "q269_mv_bucket_aligned_filter" -> Seq(
+          "q269_ruleoff_events" -> ((s: SparkSession, d: String) => {
+            import org.apache.spark.sql.functions._
+            val off = graft.plans.CatalogRules.sessionWith(s, Nil)
+            Tables.eventsTsNs(off, d)
+              .filter(col("ts") >=
+                lit(473712L * graft.queries.MvPhases.HourNs))
+              .groupBy(
+                expr(graft.operators.Resample.floorDivSql(
+                  "ts", graft.queries.MvPhases.HourNs)).as("hour_idx"),
+                col("event_type"))
+              .agg(count(lit(1)).as("cnt"),
+                sum(col("value").cast("decimal(18,4)")).cast("double")
+                  .as("sum_value"))
+          }),
+          "q269_mv_bucket_aligned_filter" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q269_mv_bucket_aligned_filter")(s, d))),
         "q249_mv_rewrite" -> Seq(
           "mv_build" -> ((s: SparkSession, d: String) => {
             graft.queries.MvPhases.buildStored(s, d)

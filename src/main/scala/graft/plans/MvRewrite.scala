@@ -112,16 +112,13 @@ final case class MvRewriteRule(
       case _ => return None
     }
 
-    // Filters: resolved form must be deterministic and touch PLAIN dims
-    // only (bucket-expression predicates would need an alignment proof).
-    val mvFilters = filters.map { f0 =>
-      val f = res(f0)
-      if (!f.deterministic) return None
-      if (!f.references.forall(a =>
-          leafOut.contains(a) && mv.dims.contains(a.name))) return None
-      f.transform {
-        case a: AttributeReference => mvAttr(mv.dims(a.name)).get
-      }
+    // Filters: each resolved conjunct must map provably — plain dims,
+    // expression-dim comparisons, or bucket-ALIGNED source ranges (the
+    // mapComputedFilter classes) — after dropping the optimizer's
+    // inferred null guards where a sibling comparison implies them;
+    // anything else bails the whole query.
+    val mvFilters = dropImpliedNullGuards(filters.map(res)).map { f =>
+      mapComputedFilter(f, mv, mvAttr, leafOut).getOrElse(return None)
     }
 
     // Aggregate list: dim attrs re-emitted under their original ids,
@@ -161,6 +158,134 @@ final case class MvRewriteRule(
       if (mvFilters.isEmpty) mv.mvPlan
       else Filter(mvFilters.reduceLeft(And(_, _)), mv.mvPlan)
     Some(Aggregate(newGe, newAe, mvBase, None))
+  }
+
+  /** Attributes reachable from `e` through an unbroken chain of
+    * null-intolerant nodes — a null in any of them nulls the whole
+    * expression (the same walk Catalyst's own constraint inference
+    * uses to ADD isnotnull guards from comparisons). */
+  private def nullIntolerantAttrs(e: Expression): Set[Attribute] = e match {
+    case a: Attribute => Set(a)
+    case _ if e.nullIntolerant =>
+      e.children.flatMap(nullIntolerantAttrs).toSet
+    case _ => Set.empty
+  }
+
+  /** Drop IsNotNull conjuncts IMPLIED by a sibling null-rejecting
+    * comparison over the same attribute: InferFiltersFromConstraints
+    * derives exactly such guards FROM the comparisons (a comparison
+    * whose operand is null-intolerant in `a` already drops every
+    * null-`a` row, so `isnotnull(a) AND cmp == cmp`). The guard itself
+    * — typically over the bucket source's raw leaf column, not a dim —
+    * is not a provable cell predicate, so keeping it would needlessly
+    * bail the whole rewrite. EqualNullSafe is NOT null-rejecting and
+    * never implies a guard. */
+  private def dropImpliedNullGuards(fs: Seq[Expression]): Seq[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, EqualNullSafe, IsNotNull}
+    fs.filter {
+      case IsNotNull(a: Attribute) =>
+        !fs.exists {
+          case _: EqualNullSafe => false
+          case c: BinaryComparison => nullIntolerantAttrs(c).contains(a)
+          case _ => false
+        }
+      case _ => true
+    }
+  }
+
+  /** Map one RESOLVED filter conjunct onto the rollup, or None when it
+    * cannot be PROVEN to commute with the rollup grain. Three provable
+    * classes, tried in order:
+    *
+    *  1. plain-dim-only: references are all leaf columns the rollup
+    *     stores as dimensions — remap attribute-for-column (commutes
+    *     because the rollup groups by exactly those values).
+    *  2. a comparison between a declared EXPRESSION dimension (by
+    *     canonical match) and a literal — the stored column holds the
+    *     expression's value per cell, so the predicate transfers
+    *     verbatim, any comparison operator.
+    *  3. a bucket-ALIGNED range on a declared bucket's SOURCE:
+    *     floorDiv(src, w) is monotone with floorDiv(k*w, w) == k, so
+    *       src >= k*w  <=>  bucket >= k     src < k*w  <=>  bucket < k
+    *     EXACTLY when the literal is a multiple of the width; `>`/`<=`
+    *     normalize through +1 on the integral source (src > v <=>
+    *     src >= v+1). A misaligned literal selects PART of a bucket —
+    *     unprovable from cells — and correctly bails the whole query.
+    */
+  private def mapComputedFilter(
+      f: Expression,
+      mv: MvDef,
+      mvAttr: String => Option[Attribute],
+      leafOut: org.apache.spark.sql.catalyst.expressions.AttributeSet)
+      : Option[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    import org.apache.spark.sql.types.LongType
+    if (!f.deterministic) return None
+    if (f.references.forall(a =>
+        leafOut.contains(a) && mv.dims.contains(a.name)))
+      return Some(f.transform {
+        case a: AttributeReference => mvAttr(mv.dims(a.name)).get
+      })
+    def exprDimCol(e: Expression): Option[Attribute] = {
+      val canon = MvRewriteRule.canonicalKey(e)
+      mv.exprDims.find(_.canonical == canon)
+        .flatMap(d => mvAttr(d.mvCol)).filter(_.dataType == e.dataType)
+    }
+    def bucketCol(e: Expression): Option[(Attribute, Long)] =
+      if (e.dataType != LongType) None
+      else {
+        val canon = MvRewriteRule.canonicalKey(e)
+        mv.exprDims.iterator.flatMap(d => d.bucket
+            .filter(b => b.srcCanonical == canon && b.width > 0)
+            .flatMap(b => mvAttr(d.mvCol).filter(_.dataType == LongType)
+              .map(_ -> b.width)))
+          .nextOption()
+      }
+    def longLit(l: Literal): Option[Long] = l.value match {
+      case i: java.lang.Integer => Some(i.toLong)
+      case j: java.lang.Long => Some(j)
+      case s: java.lang.Short => Some(s.toLong)
+      case b: java.lang.Byte => Some(b.toLong)
+      case _ => None
+    }
+    def aligned(v: Long, w: Long): Option[Long] =
+      if (v % w == 0) Some(v / w) else None
+    def succ(v: Long): Option[Long] =
+      if (v == Long.MaxValue) None else Some(v + 1)
+    def ge(e: Expression, v: Long): Option[Expression] =
+      bucketCol(e).flatMap { case (c, w) =>
+        aligned(v, w).map(k => GreaterThanOrEqual(c, Literal(k)))
+      }
+    def lt(e: Expression, v: Long): Option[Expression] =
+      bucketCol(e).flatMap { case (c, w) =>
+        aligned(v, w).map(k => LessThan(c, Literal(k)))
+      }
+    f match {
+      // class 2: predicate directly on the bucket expression
+      case cmp @ BinaryComparison(e, l: Literal) if exprDimCol(e).isDefined =>
+        Some(cmp.withNewChildren(Seq(exprDimCol(e).get, l)))
+      case cmp @ BinaryComparison(l: Literal, e) if exprDimCol(e).isDefined =>
+        Some(cmp.withNewChildren(Seq(l, exprDimCol(e).get)))
+      // class 3: aligned ranges on the bucket's source (both literal
+      // orientations; >/<= normalized through +1 first)
+      case GreaterThanOrEqual(e, l: Literal) =>
+        longLit(l).flatMap(ge(e, _))
+      case GreaterThan(e, l: Literal) =>
+        longLit(l).flatMap(succ).flatMap(ge(e, _))
+      case LessThan(e, l: Literal) =>
+        longLit(l).flatMap(lt(e, _))
+      case LessThanOrEqual(e, l: Literal) =>
+        longLit(l).flatMap(succ).flatMap(lt(e, _))
+      case GreaterThanOrEqual(l: Literal, e) => // v >= src  <=>  src <= v
+        longLit(l).flatMap(succ).flatMap(lt(e, _))
+      case GreaterThan(l: Literal, e) =>       // v > src   <=>  src < v
+        longLit(l).flatMap(lt(e, _))
+      case LessThan(l: Literal, e) =>          // v < src   <=>  src > v
+        longLit(l).flatMap(succ).flatMap(ge(e, _))
+      case LessThanOrEqual(l: Literal, e) =>   // v <= src  <=>  src >= v
+        longLit(l).flatMap(ge(e, _))
+      case _ => None
+    }
   }
 
   /** Strip pruning Projects and collect Filter conjuncts down to the
@@ -403,18 +528,14 @@ final case class MvRewriteRule(
     if (!MvRewriteRule.baseMatches(mv, leaf)) return None
     val leafOut = leaf.outputSet
     def res(e: Expression): Expression = MvRewriteRule.resolve(e, defs)
-    // Base filters under the Expand: deterministic, PLAIN-dim-only on
-    // their resolved form — they commute with the rollup grain exactly
-    // as in the flat shape (bucket-expression predicates would need an
-    // alignment proof this rule does not carry).
-    val mvFilters = filters.map { f0 =>
-      val f = res(f0)
-      if (!f.deterministic) return None
-      if (!f.references.forall(a =>
-          leafOut.contains(a) && mv.dims.contains(a.name))) return None
-      f.transform {
-        case a: AttributeReference => mvAttr(mv.dims(a.name)).get
-      }
+    // Base filters under the Expand: each resolved conjunct must map
+    // provably — plain dims, expression-dim comparisons, or
+    // bucket-ALIGNED source ranges (the mapComputedFilter classes, the
+    // same contract as the flat computed shape), after dropping the
+    // optimizer's inferred null guards where a sibling comparison
+    // implies them.
+    val mvFilters = dropImpliedNullGuards(filters.map(res)).map { f =>
+      mapComputedFilter(f, mv, mvAttr, leafOut).getOrElse(return None)
     }
 
     // Classify each Expand slot.
@@ -659,6 +780,7 @@ object MvRewriteRule {
           at.name -> canonicalKey(resolve(at, defs))
       }.toMap
     }.getOrElse(Map.empty)
+
 }
 
 /** The config-only deployment form of [[MvRewriteRule]] — the last
@@ -788,24 +910,31 @@ object ConfMvRewriteRule extends Rule[LogicalPlan] {
           }
         }.toSeq
       // EXPRESSION dims ride the conf as base64(canonical):mvCol pairs
-      // joined by `~` — the canonical is a machine-derived SQL rendering
+      // joined by `~`, optionally extended to
+      // base64(canonical):mvCol:base64(srcCanonical):width for a
+      // declared floorDiv BUCKET decomposition (q269's aligned-range
+      // serving) — the canonicals are machine-derived SQL renderings
       // (MvRewriteRule.groupingCanonicals on a probe plan) full of the
-      // grammar's own separators, so it travels encoded; base64's
+      // grammar's own separators, so they travel encoded; base64's
       // alphabet contains no `:`/`~`/`;`, keeping the parse exact.
       val exprDims = kv.get("exprdims").toSeq.flatMap { spec =>
+        def dec(b64: String): String =
+          try new String(
+            java.util.Base64.getDecoder.decode(b64.trim), "UTF-8")
+          catch { case _: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"$DefsConf exprdims canonical must be base64 — got '$b64'")
+          }
         spec.split("~").iterator.map(_.trim).filter(_.nonEmpty).map { p =>
           p.split(":") match {
             case Array(b64, mvCol) =>
-              val canonical = try new String(
-                java.util.Base64.getDecoder.decode(b64.trim), "UTF-8")
-              catch { case _: IllegalArgumentException =>
-                throw new IllegalArgumentException(
-                  s"$DefsConf exprdims canonical must be base64 — got '$b64'")
-              }
-              MvExprDim(canonical, mvCol.trim)
+              MvExprDim(dec(b64), mvCol.trim)
+            case Array(b64, mvCol, srcB64, width) =>
+              MvExprDim(dec(b64), mvCol.trim,
+                Some(MvBucket(dec(srcB64), width.trim.toLong)))
             case _ => throw new IllegalArgumentException(
               s"$DefsConf exprdims entries must be " +
-                s"base64(canonical):mvCol — got '$p'")
+                s"base64(canonical):mvCol[:base64(src):width] — got '$p'")
           }
         }.toSeq
       }
@@ -885,8 +1014,23 @@ final case class MvDef(
   * spelling of the grouping expression RESOLVED to leaf columns (use
   * [[MvRewriteRule.groupingCanonicals]] on a probe plan built with the
   * same query text as the rollup, so the two spellings cannot drift).
+  * `bucket`, when declared, states that `canonical` is exactly
+  * `floorDiv(src, width)` over the integral source expression whose
+  * canonical is [[MvBucket.srcCanonical]] — the extra structure that
+  * lets bucket-ALIGNED range predicates on the raw source be served
+  * from cells (q269). Like the rest of the MvDef it is a declared
+  * contract: the declarer promises the decomposition matches the
+  * stored column (derive both from one probe, as MvPhases does).
   */
-final case class MvExprDim(canonical: String, mvCol: String)
+final case class MvExprDim(
+    canonical: String, mvCol: String, bucket: Option[MvBucket] = None)
+
+/** The floorDiv decomposition of a bucket expression dimension:
+  * `bucket = floorDiv(source, width)` where `srcCanonical` is the
+  * SOURCE expression's exprId-free canonical (leaf-resolved, the same
+  * machinery as [[MvExprDim.canonical]]) and `width` the bucket width
+  * in the source's units. */
+final case class MvBucket(srcCanonical: String, width: Long)
 
 final case class MvMeasure(
     func: String,

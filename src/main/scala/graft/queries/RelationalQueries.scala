@@ -2728,6 +2728,51 @@ object RelationalQueries {
           .agg(count(lit(1)).as("cnt"),
             sum(b("l_quantity").cast("bigint")).as("sum_qty"))
       }
+    ),
+    Q(
+      "q269_mv_bucket_aligned_filter",
+      "Bucket-ALIGNED range predicates served from the time rollup — " +
+        "the q266 gap closed: a raw-event-time filter used to bail " +
+        "the rewrite outright because a timestamp predicate does not " +
+        "in general commute with the hour grain; when the literal IS " +
+        "a bucket boundary it commutes EXACTLY (floorDiv is monotone " +
+        "with floorDiv(k*w, w) == k, so ts >= k*w <=> hour_idx >= k " +
+        "and ts < k*w <=> hour_idx < k), which is the declared " +
+        "MvBucket decomposition on the exprDim — promise: hour_idx = " +
+        "floorDiv(ts, 3600e9), both canonicals derived from one probe " +
+        "so def and match cannot drift. >/<= normalize via +1 on the " +
+        "integral source; a MISALIGNED literal selects part of a " +
+        "bucket, unprovable from cells, and correctly bails " +
+        "(spec-pinned, both directions). This is the dashboard " +
+        "time-range query: every 'last N hours' report reads cells, " +
+        "never events — at 100 TB of append-heavy stream that IS the " +
+        "serving path. Oracle recomputes from raw events in DuckDB.",
+      Some("""
+         |SELECT epoch_us(ts) // 3600000000 AS hour_idx, event_type,
+         |       COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         |FROM events
+         |WHERE epoch_us(ts) >= 1705363200000000
+         |GROUP BY 1, 2
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.plans.{CatalogRules, MvRewriteRule}
+        MvPhases.ensureStoredTs(spark, dir)
+        val child = CatalogRules.sessionWith(spark, Nil)
+        CatalogRules.installRules(child,
+          Seq(MvRewriteRule(Seq(MvPhases.mvDefTs(child, dir)))))
+        // 473712 * HourNs — an exact hour boundary inside the fixture's
+        // [473352, 474071] hour range
+        Tables.eventsTsNs(child, dir)
+          .filter(col("ts") >= lit(473712L * MvPhases.HourNs))
+          .groupBy(
+            expr(graft.operators.Resample.floorDivSql("ts", MvPhases.HourNs))
+              .as("hour_idx"),
+            col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,4)")).cast("double")
+              .as("sum_value"))
+      }
     )
   )
 }
@@ -3324,17 +3369,36 @@ object MvPhases {
     }
   }
 
+  /** The normalized event time's own canonical (the bucket's SOURCE) —
+    * derived from a probe grouping on the raw loader column through
+    * the same machinery as [[tsBucketCanonical]], so the bucket
+    * DECOMPOSITION declared on the def cannot drift from the stored
+    * expression: both come from one resolution path. */
+  private def tsSrcCanonical(session: SparkSession, dir: String): String = {
+    val probe = Tables.eventsTsNs(session, dir)
+      .groupBy(col("ts")).agg(count(lit(1)).as("c"))
+    graft.plans.MvRewriteRule.groupingCanonicals(
+      probe.queryExecution.optimizedPlan).values.toSeq match {
+      case Seq(one) => one
+      case other => sys.error(
+        "probe plan lost its computed ts normalization — the " +
+          s"expression-dim seam changed shape (got $other)")
+    }
+  }
+
   /** [[mvDefTs]] in the conf grammar — the published form: the bucket
-    * expression's canonical travels base64-encoded (it is a SQL
-    * rendering full of the grammar's separators). */
+    * expression's canonical (and its source's, for the aligned-range
+    * serving) travels base64-encoded (a SQL rendering full of the
+    * grammar's separators). */
   def mvDefTsConf(session: SparkSession, dir: String): String = {
-    val canonB64 = java.util.Base64.getEncoder.encodeToString(
-      tsBucketCanonical(session, dir).getBytes("UTF-8"))
+    def b64(s: String): String =
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
     s"table=${tsTable(dir)};base=events" +
       s";basePath=${graft.plans.CatalogRules.normalizePath(
         graft.Tables.path(dir, "events"))}" +
       ";dims=event_type:event_type" +
-      s";exprdims=$canonB64:hour_idx" +
+      s";exprdims=${b64(tsBucketCanonical(session, dir))}:hour_idx:" +
+      s"${b64(tsSrcCanonical(session, dir))}:$HourNs" +
       ";measures=count:::cnt~sum:value:decimal(18,4):sum_value"
   }
 
@@ -3352,7 +3416,9 @@ object MvPhases {
       basePath = Some(graft.plans.CatalogRules.normalizePath(
         graft.Tables.path(dir, "events"))),
       exprDims = Seq(graft.plans.MvExprDim(
-        tsBucketCanonical(session, dir), "hour_idx")))
+        tsBucketCanonical(session, dir), "hour_idx",
+        bucket = Some(graft.plans.MvBucket(
+          tsSrcCanonical(session, dir), HourNs)))))
 
   def mvDefSk(session: SparkSession, dir: String): graft.plans.MvDef = {
     import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases

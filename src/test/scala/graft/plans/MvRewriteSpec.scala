@@ -304,9 +304,10 @@ class MvRewriteSpec extends AnyFunSuite {
         .as("minute_idx"))
       .agg(count(lit(1)).as("cnt"))
     assert(scanTables(otherBucket) === Set("events"), scanTables(otherBucket))
-    // a raw-timestamp filter does not commute with bucket grain: bail
+    // a MISALIGNED raw-timestamp filter selects part of a bucket —
+    // unprovable from cells — and bails (the aligned case is q269's)
     val rawTsFilter = Tables.eventsTsNs(child, sf)
-      .filter(col("ts") >= 1704070800000000000L)
+      .filter(col("ts") >= 1704070800000000001L)
       .groupBy(expr(graft.operators.Resample.floorDivSql("ts", MvPhases.HourNs))
         .as("hour_idx"))
       .agg(count(lit(1)).as("cnt"))
@@ -324,6 +325,49 @@ class MvRewriteSpec extends AnyFunSuite {
         .as("hour_idx"))
       .agg(count(lit(1)).as("cnt"))
     assert(sortedRows(dimFilter) === sortedRows(dimFilterOff))
+  }
+
+  test("q269: bucket-aligned ranges serve from cells — all four comparison forms; misaligned literals and non-bucket expressions bail") {
+    import org.apache.spark.sql.functions.expr
+    import graft.queries.MvPhases
+    val on = SparkEntry.queries("q269_mv_bucket_aligned_filter")(spark, sf)
+    assert(scanTables(on) === Set(MvPhases.tsTable(sf)), scanTables(on))
+
+    MvPhases.ensureStoredTs(spark, sf)
+    val child = CatalogRules.sessionWith(spark, Nil)
+    CatalogRules.installRules(child,
+      Seq(MvRewriteRule(Seq(MvPhases.mvDefTs(child, sf)))))
+    val k = 473712L // an hour boundary inside the fixture's range
+    val w = MvPhases.HourNs
+    def report(s: org.apache.spark.sql.SparkSession,
+        f: org.apache.spark.sql.Column) =
+      Tables.eventsTsNs(s, sf).filter(f)
+        .groupBy(expr(graft.operators.Resample.floorDivSql("ts", w))
+          .as("hour_idx"))
+        .agg(count(lit(1)).as("cnt"))
+    val off = CatalogRules.sessionWith(spark, Nil)
+    // >= and < at boundaries serve from cells and match rule-off rows;
+    // > and <= normalize through +1 (aligned when literal+1 is a
+    // boundary, i.e. literal == k*w - 1)
+    val forms = Seq(
+      col("ts") >= k * w,
+      col("ts") < k * w,
+      col("ts") > (k * w - 1),
+      col("ts") <= (k * w - 1),
+      lit(k * w) <= col("ts"),
+      // and a predicate on the BUCKET EXPRESSION itself (any operator)
+      expr(graft.operators.Resample.floorDivSql("ts", w)) >= k)
+    forms.foreach { f =>
+      val onDf = report(child, f)
+      assert(scanTables(onDf) === Set(MvPhases.tsTable(sf)),
+        s"$f -> ${scanTables(onDf)}")
+      assert(sortedRows(onDf) === sortedRows(report(off, f)), f.toString)
+    }
+    // misaligned in every direction: part of a bucket, bail
+    Seq(col("ts") >= k * w + 1, col("ts") < k * w - 1,
+        col("ts") > k * w, col("ts") <= k * w).foreach { f =>
+      assert(scanTables(report(child, f)) === Set("events"), f.toString)
+    }
   }
 
   test("q267 companion: TS fold == scratch; the conf face serves the expression-dim rollup") {
