@@ -626,6 +626,23 @@ object Bench {
           }),
           "q269_mv_bucket_aligned_filter" -> ((s: SparkSession, d: String) =>
             SparkEntry.queries("q269_mv_bucket_aligned_filter")(s, d))),
+        // Grouping sets over the FK join (q270): the ruleoff twin pays
+        // the fact scan multiplied per set by the Expand; the rule line
+        // multiplies ndv(fk) cells instead and joins the live dim.
+        "q270_mv_rollup_join" -> Seq(
+          "q270_ruleoff_rowgrain" -> ((s: SparkSession, d: String) => {
+            import org.apache.spark.sql.functions._
+            val off = graft.plans.CatalogRules.sessionWith(s, Nil)
+            Tables.lineitem(off, d)
+              .join(Tables.supplier(off, d),
+                col("l_suppkey") === col("s_suppkey"))
+              .rollup(col("s_name"))
+              .agg(count(lit(1)).as("cnt"),
+                sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+                  .as("sum_qty"))
+          }),
+          "q270_mv_rollup_join" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q270_mv_rollup_join")(s, d))),
         "q249_mv_rewrite" -> Seq(
           "mv_build" -> ((s: SparkSession, d: String) => {
             graft.queries.MvPhases.buildStored(s, d)

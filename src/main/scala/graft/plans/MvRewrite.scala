@@ -522,19 +522,76 @@ final case class MvRewriteRule(
     // the Expand — including a computed grouping expression the rollup
     // stores as a plain bucket column, and the loader's own normalized
     // columns — resolve back to leaf form instead of blocking the
-    // match; the leaf itself must still be the raw relation.
-    val (filters, leaf, defs) =
+    // match. The walked-to node is then the raw base relation (flat
+    // shape) or base JOIN dim on a rollup-carried key proven unique
+    // (q270 — grouping sets COMPOSE with the q252 join shape: the
+    // Expand multiplies (cell, dim) rows per set instead of fact rows,
+    // and partials fold for the same two reasons composed — cell
+    // partials re-aggregate per set, and each cell matches at most one
+    // dim row so the join passes them through unchanged).
+    val (filters, leaf0, defs) =
       MvRewriteRule.collectDefs(expand.child, Nil, Map.empty)
-    if (!MvRewriteRule.baseMatches(mv, leaf)) return None
-    val leafOut = leaf.outputSet
     def res(e: Expression): Expression = MvRewriteRule.resolve(e, defs)
-    // Base filters under the Expand: each resolved conjunct must map
-    // provably — plain dims, expression-dim comparisons, or
-    // bucket-ALIGNED source ranges (the mapComputedFilter classes, the
-    // same contract as the flat computed shape), after dropping the
-    // optimizer's inferred null guards where a sibling comparison
-    // implies them.
-    val mvFilters = dropImpliedNullGuards(filters.map(res)).map { f =>
+    val (leaf, factFilters, dimOpt) = leaf0 match {
+      case scan if MvRewriteRule.baseMatches(mv, scan) =>
+        (scan, Nil: Seq[Expression], None: Option[DimSide])
+      case Join(l, r, Inner, Some(c), JoinHint(None, None))
+          if splitConjunctivePredicates(c).forall(_.isInstanceOf[EqualTo]) =>
+        val (lf, ls) = collectScan(l, Nil).get
+        val (rf, rs) = collectScan(r, Nil).get
+        val lBase = MvRewriteRule.baseMatches(mv, ls)
+        val rBase = MvRewriteRule.baseMatches(mv, rs)
+        if (lBase == rBase) return None
+        val (bSide, bFilters, bScan, dSide, dScan) =
+          if (lBase) (l, lf, ls, r, rs) else (r, rf, rs, l, ls)
+        val dimTable = CatalogRules.tableOf(dScan).getOrElse(return None)
+        val keys = splitConjunctivePredicates(c).map {
+          case EqualTo(x: AttributeReference, y: AttributeReference) =>
+            if (bSide.outputSet.contains(x) && dSide.outputSet.contains(y)) (x, y)
+            else if (bSide.outputSet.contains(y) && dSide.outputSet.contains(x)) (y, x)
+            else return None
+          case _ => return None
+        }
+        if (!keys.forall { case (bk, _) => mv.dims.contains(bk.name) })
+          return None
+        // the q252 trust boundary verbatim: Exact provenance, the
+        // (possibly composite) dim key counted unique, recorded path
+        val dimNdvKey = CatalogRules.compositeKey(keys.map(_._2.name))
+        val provenUnique = stats.tables.get(dimTable) match {
+          case Some(ts) =>
+            ts.provenance == CatalogRules.StatProvenance.Exact &&
+              ts.ndv.get(dimNdvKey).contains(ts.rows) &&
+              ts.path.exists(p => CatalogRules.scanPath(dScan).contains(p))
+          case None => false
+        }
+        if (!provenUnique) return None
+        (bScan, bFilters,
+          Some(DimSide(dSide, keys.map { case (bk, dk) => bk.name -> dk })))
+      case _ => return None
+    }
+    val leafOut = leaf.outputSet
+    val dimOut = dimOpt.map(_.plan.outputSet).getOrElse(AttributeSet.empty)
+
+    // Filters above the join (or all filters, flat shape): provable
+    // classes only (mapComputedFilter); a conjunct mixing in dim-side
+    // attributes keeps them verbatim (the dim subtree is reused) with
+    // base references remapped as plain dims. Fact-side filters below
+    // the join map under the same provable classes. The optimizer's
+    // inferred null guards drop where a sibling comparison implies
+    // them.
+    def mapOne(f: Expression): Option[Expression] =
+      if (dimOut.isEmpty || !f.references.exists(dimOut.contains))
+        mapComputedFilter(f, mv, mvAttr, leafOut)
+      else if (!f.deterministic) None
+      else if (!f.references.forall(a => dimOut.contains(a) ||
+          (leafOut.contains(a) && mv.dims.contains(a.name)))) None
+      else Some(f.transform {
+        case a: AttributeReference if !dimOut.contains(a) =>
+          mvAttr(mv.dims(a.name)).get
+      })
+    val mvAboveFilters = dropImpliedNullGuards(filters.map(res))
+      .map(f => mapOne(f).getOrElse(return None))
+    val mvFilters = dropImpliedNullGuards(factFilters).map { f =>
       mapComputedFilter(f, mv, mvAttr, leafOut).getOrElse(return None)
     }
 
@@ -561,7 +618,8 @@ final case class MvRewriteRule(
       val dims = projs.map(_(i)).collect { case a: AttributeReference => a }
       if (dims.map(_.exprId).distinct.length > 1) return None
       dims.headOption.foreach { a =>
-        res(a) match {
+        if (dimOut.contains(a)) slotDim(i) = a // dim-side attr: verbatim
+        else res(a) match {
           case b: AttributeReference
               if leafOut.contains(b) && mv.dims.contains(b.name) =>
             slotDim(i) = mvAttr(mv.dims(b.name)).get
@@ -639,8 +697,21 @@ final case class MvRewriteRule(
     val mvBase =
       if (mvFilters.isEmpty) mv.mvPlan
       else Filter(mvFilters.reduceLeft(And(_, _)), mv.mvPlan)
+    val joined = dimOpt match {
+      case None => mvBase
+      case Some(d) =>
+        Join(mvBase, d.plan, Inner,
+          Some(d.keys.map { case (bkName, dk) =>
+            org.apache.spark.sql.catalyst.expressions.EqualTo(
+              mvAttr(mv.dims(bkName)).get, dk): Expression
+          }.reduceLeft(And(_, _))),
+          JoinHint.NONE)
+    }
+    val expandChild =
+      if (mvAboveFilters.isEmpty) joined
+      else Filter(mvAboveFilters.reduceLeft(And(_, _)), joined)
     val newExpand = org.apache.spark.sql.catalyst.plans.logical.Expand(
-      newProjections, newOutput, mvBase)
+      newProjections, newOutput, expandChild)
     Some(Aggregate(ge, newAe, newExpand, None))
   }
 

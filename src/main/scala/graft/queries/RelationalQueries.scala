@@ -2773,6 +2773,51 @@ object RelationalQueries {
             sum(col("value").cast("decimal(18,4)")).cast("double")
               .as("sum_value"))
       }
+    ),
+    Q(
+      "q270_mv_rollup_join",
+      "GROUPING SETS through the FK-JOIN MV shape — the q265 Expand " +
+        "navigation COMPOSED with the q252 join shape: the text runs " +
+        "ROLLUP over lineitem JOIN supplier grouping on a DIM " +
+        "attribute (s_name), and the rewrite serves it from the " +
+        "stored FK rollup joined to the live dim — the fact scan is " +
+        "gone (spec-pinned) while the Expand multiplies (cell, dim) " +
+        "rows per grouping set instead of fact rows. Sound because " +
+        "the two proofs compose: each cell matches at most ONE " +
+        "supplier row (s_suppkey counted unique, Exact provenance + " +
+        "recorded path — the q252 trust boundary verbatim), so " +
+        "partials pass through the join unchanged, and cell partials " +
+        "re-aggregate per set exactly as in the flat Expand shape. " +
+        "Dim attributes stay un-denormalized: the subtotal report " +
+        "reads cells + the live dim, so supplier edits never " +
+        "invalidate the artifact. At 100 TB an N-set management " +
+        "report over a joined fact drops from N fact scans' worth of " +
+        "Expand work to N copies of ndv(fk) cells. Oracle runs the " +
+        "identical GROUP BY ROLLUP in DuckDB.",
+      Some("""
+         |SELECT s_name, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY ROLLUP (s_name)
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.plans.{CatalogRules, MvRewriteRule}
+        MvPhases.ensureStoredSk(spark, dir)
+        val st = StatsPhases.collected(spark, dir)
+        val child = CatalogRules.sessionWith(spark, Nil)
+        CatalogRules.installRules(child,
+          Seq(MvRewriteRule(Seq(MvPhases.mvDefSk(child, dir)), st)))
+        Tables.lineitem(child, dir)
+          .join(Tables.supplier(child, dir),
+            col("l_suppkey") === col("s_suppkey"))
+          // rollup(col(...)) not rollup("..."): the String overload
+          // resolves through Dataset.col, whose dataset-id metadata
+          // trips DetectAmbiguousSelfJoin when the Expand duplicates it
+          .rollup(col("s_name"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+              .as("sum_qty"))
+      }
     )
   )
 }

@@ -370,6 +370,56 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("q270: ROLLUP over the FK join serves from cells + live dim; no proof or a dim-side aggregate keeps the fact scan; same rows") {
+    import graft.queries.{MvPhases, StatsPhases}
+    val on = SparkEntry.queries("q270_mv_rollup_join")(spark, sf)
+    assert(scanTables(on) === Set(MvPhases.skTable(sf), "supplier"),
+      scanTables(on))
+    def text(s: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(s, sf)
+        .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+        .rollup(col("s_name"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"))
+    val off = CatalogRules.sessionWith(spark, Nil)
+    assert(scanTables(text(off)).contains("lineitem"))
+    assert(on.schema === text(off).schema)
+    assert(sortedRows(on) === sortedRows(text(off)))
+
+    // no uniqueness proof: the Expand join shape bails to the fact scan
+    MvPhases.ensureStoredSk(spark, sf)
+    val noProof = CatalogRules.sessionWith(spark, Nil)
+    CatalogRules.installRules(noProof,
+      Seq(MvRewriteRule(Seq(MvPhases.mvDefSk(noProof, sf)))))
+    assert(scanTables(text(noProof)).contains("lineitem"),
+      scanTables(text(noProof)))
+    // a dim-side aggregate is not foldable from fact partials: bail
+    val st = StatsPhases.collected(spark, sf)
+    val dimAgg = CatalogRules.sessionWith(spark, Nil)
+    CatalogRules.installRules(dimAgg,
+      Seq(MvRewriteRule(Seq(MvPhases.mvDefSk(dimAgg, sf)), st)))
+    val da = Tables.lineitem(dimAgg, sf)
+      .join(Tables.supplier(dimAgg, sf), col("l_suppkey") === col("s_suppkey"))
+      .rollup(col("s_name"))
+      .agg(sum(col("s_acctbal").cast("decimal(18,4)")).as("sum_bal"))
+    assert(scanTables(da).contains("lineitem"), scanTables(da))
+    // CUBE over (dim attr, base dim) — mixed slot kinds — still serves
+    // when the base column is a rollup dimension... the sk rollup's only
+    // dim is the join key itself, so grouping on it composes too
+    val mixed = Tables.lineitem(dimAgg, sf)
+      .join(Tables.supplier(dimAgg, sf), col("l_suppkey") === col("s_suppkey"))
+      .cube(col("s_name"), col("l_suppkey"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(scanTables(mixed) === Set(MvPhases.skTable(sf), "supplier"),
+      scanTables(mixed))
+    val mixedOff = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .cube(col("s_name"), col("l_suppkey"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(sortedRows(mixed) === sortedRows(mixedOff))
+  }
+
   test("q267 companion: TS fold == scratch; the conf face serves the expression-dim rollup") {
     import org.apache.spark.sql.functions.expr
     import graft.queries.MvPhases
