@@ -579,6 +579,24 @@ object Bench {
           }),
           "q264_eager_aggregation" -> ((s: SparkSession, d: String) =>
             SparkEntry.queries("q264_eager_aggregation")(s, d))),
+        // The eager AVG fold (q271): ruleoff twin on identical text —
+        // the pair's difference is the fk-grain decomposition of the
+        // deterministic-average idiom.
+        "q271_eager_avg" -> Seq(
+          "q271_ruleoff_rowgrain" -> ((s: SparkSession, d: String) => {
+            import org.apache.spark.sql.functions._
+            val off = graft.plans.CatalogRules.sessionWith(s, Nil,
+              "spark.sql.ansi.enabled" -> "false")
+            Tables.lineitem(off, d)
+              .join(Tables.supplier(off, d),
+                col("l_suppkey") === col("s_suppkey"))
+              .groupBy("s_name")
+              .agg(count(col("l_quantity")).as("cnt_qty"),
+                (sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+                  / count(col("l_quantity"))).as("avg_qty"))
+          }),
+          "q271_eager_avg" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q271_eager_avg")(s, d))),
         // MV rewrite family: the rollup build is the one-shot ingest
         // cost; the q249 line is what the SAME query text costs once
         // the rewrite answers it from the rollup; the ruleoff twin is

@@ -1,11 +1,11 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Coalesce, EqualTo, Expression, KnownNotNull, Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, Concat, EqualTo, Expression, If, IsNotNull, IsNull, KnownNotNull, Literal, NamedExpression, PredicateHelper, RaiseError}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType, StringType}
 
 /** Eager aggregation (Yan & Larson's group-by pushdown) — the q252
   * FK-rollup rewrite WITHOUT a stored artifact: an aggregate over
@@ -30,15 +30,19 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * key must be UNIQUE (each partial row matches at most one dim row,
   * so partials pass through the join unchanged) — proven only by an
   * [[CatalogRules.StatProvenance.Exact]] catalog entry whose recorded
-  * path (when present) matches the scanned dim. Fold-safety bounds the
-  * aggregate menu: COUNT folds as a sum of counts, MIN/MAX through
-  * themselves, SUM over INTEGRAL inputs exactly (64-bit addition is
-  * associative even under wraparound). SUM over double or DECIMAL is
-  * deliberately REFUSED: regrouping changes double addition order
-  * (bit-level divergence), and a DECIMAL partial that overflows its
-  * accumulation width would be silently SKIPPED by the outer sum's
-  * null-ignoring fold where the direct query returns null — a
-  * value-level divergence no type check catches.
+  * path matches the scanned dim. Fold-safety bounds the aggregate
+  * menu: COUNT folds as a sum of counts, MIN/MAX through themselves,
+  * SUM over INTEGRAL inputs exactly (64-bit addition is associative
+  * even under wraparound — non-ANSI only, where that argument holds),
+  * and SUM over DECIMAL exactly (decimal addition is associative) with
+  * the partial narrowed back to the input width under a LOUD
+  * raise_error guard — under non-ANSI eval an overflowed narrow would
+  * otherwise null the partial and the outer sum's null-ignoring fold
+  * would silently DROP it, a value-level divergence no type check
+  * catches; the guard turns it into a loud failure instead (the same
+  * contract as the MV layer's narrowExact). SUM over double stays
+  * REFUSED: regrouping changes double addition order (bit-level
+  * divergence no guard can detect).
   *
   * Evidence gate: fires only when the catalog says the fact exceeds
   * the key's ndv by [[minReduction]] (a fact already at key grain
@@ -201,6 +205,32 @@ final case class EagerAggregationRule(
           // throw-vs-result divergence — so the fold refuses there,
           // the rule's usual refuse-on-uncertainty posture.
           aggE.copy(aggregateFunction = Sum(partial(s, aggE)))
+        case s @ Sum(inner, _)
+            if inner.dataType.isInstanceOf[DecimalType] && !conf.ansiEnabled =>
+          // DECIMAL folds EXACTLY (decimal addition is associative),
+          // but the inner partial accumulates at Sum's widened type
+          // (precision+10); narrowing it back to the input width before
+          // the outer Sum keeps the result type identical to the direct
+          // aggregation. The narrow is guarded LOUDLY: an fk-grain
+          // partial that outgrows the input width raises with the value
+          // in the message — under non-ANSI eval the unguarded cast
+          // would null it and the outer Sum's null-ignoring fold would
+          // silently DROP that partial (a value divergence no type
+          // check sees); the house rule is that an optimizer can fail a
+          // query loudly, never change its rows. This is the engine's
+          // deterministic-average idiom sum(cast(x as decimal))/count(x)
+          // folding with no Average-specific machinery — the two calls
+          // swap independently inside the division (q271).
+          val p = partial(s, aggE)
+          val narrowed = Cast(p, inner.dataType)
+          val guarded = If(
+            And(IsNotNull(p), IsNull(narrowed)),
+            Cast(new RaiseError(Concat(Seq(
+              Literal("eager-aggregation partial sum overflows " +
+                s"${inner.dataType.sql}: "),
+              Cast(p, StringType)))), inner.dataType),
+            narrowed)
+          aggE.copy(aggregateFunction = Sum(guarded))
         case m @ Min(_) =>
           aggE.copy(aggregateFunction = Min(partial(m, aggE)))
         case m @ Max(_) =>

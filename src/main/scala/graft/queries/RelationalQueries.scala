@@ -2525,10 +2525,10 @@ object RelationalQueries {
         "live dim, and fold (COUNT as sum-of-counts with the 0-not-" +
         "null empty fold, SUM over INTEGRAL inputs — 64-bit addition " +
         "is associative even under wraparound — MIN/MAX through " +
-        "themselves). SUM over double/DECIMAL is REFUSED: regrouping " +
-        "reorders double addition, and an overflowed DECIMAL partial " +
-        "would be silently skipped by the outer fold's null-ignoring " +
-        "sum (spec-pinned). At 100 TB the fact's contribution to the " +
+        "themselves, DECIMAL sums through the loud-guarded narrow, " +
+        "q271). SUM over double is REFUSED: regrouping reorders " +
+        "float addition, a bit-level divergence no guard can detect " +
+        "(spec-pinned). At 100 TB the fact's contribution to the " +
         "join exchange drops from rows to ndv(fk) BEFORE any data " +
         "moves — Spark's own partial aggregation only kicks in ABOVE " +
         "the join. The SUM fold is a NON-ANSI feature by contract " +
@@ -2817,6 +2817,50 @@ object RelationalQueries {
           .agg(count(lit(1)).as("cnt"),
             sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
               .as("sum_qty"))
+      }
+    ),
+    Q(
+      "q271_eager_avg",
+      "The deterministic-average idiom through EAGER AGGREGATION — " +
+        "q256's fold for the no-stored-artifact path: " +
+        "sum(cast(x as decimal)) / count(x), the only average the " +
+        "repo's cross-engine exactness discipline permits, now " +
+        "decomposes to the fk grain with NO Average-specific " +
+        "machinery: the two calls swap independently inside the " +
+        "division — COUNT(col) as a sum of per-key non-null counts, " +
+        "the DECIMAL numerator as a sum of per-key partials narrowed " +
+        "back to the input width under a LOUD raise_error guard (an " +
+        "fk-grain partial that outgrows DECIMAL(18,4) would otherwise " +
+        "be nulled by the non-ANSI cast and silently DROPPED by the " +
+        "outer sum's null-ignoring fold — an optimizer may fail a " +
+        "query loudly, never change its rows; the same contract as " +
+        "the MV layer's narrowExact). Decimal addition is " +
+        "associative, so the fold is exact; native double Average " +
+        "still refuses (addition order). Same trust boundary and " +
+        "evidence gate as q264; CatalogRulesSpec extends the " +
+        "random-provenance safety property to this fold. At 100 TB " +
+        "every per-entity mean in a report joins ndv(fk) partials " +
+        "instead of exchanging the fact at row grain.",
+      Some("""
+         |SELECT s_name, COUNT(l_quantity) AS cnt_qty,
+         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+         |         / COUNT(l_quantity) AS avg_qty
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY 1
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.plans.{CatalogRules, EagerAggregationRule}
+        val st = StatsPhases.collected(spark, dir)
+        val child = CatalogRules.sessionWith(spark,
+          Seq(EagerAggregationRule(st)),
+          "spark.sql.ansi.enabled" -> "false")
+        Tables.lineitem(child, dir)
+          .join(Tables.supplier(child, dir),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(col("l_quantity")).as("cnt_qty"),
+            (sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+              / count(col("l_quantity"))).as("avg_qty"))
       }
     )
   )

@@ -490,12 +490,24 @@ class CatalogRulesSpec extends AnyFunSuite {
           Map("c_custkey" -> n(), "c_nationkey" -> n()), prov(),
           path("customer")),
         "nation" -> TableStat(n(), Map("n_nationkey" -> n()), prov(),
-          path("nation"))))
+          path("nation")),
+        // a randomly-(un)proven dim for the avg-shaped 2-table join,
+        // where the eager COUNT + guarded-DECIMAL folds CAN fire —
+        // sometimes on a true claim, sometimes on a lie, sometimes
+        // pathless (which the proof must refuse)
+        "supplier" -> TableStat(n(), Map("s_suppkey" -> n()), prov(),
+          path("supplier"))))
     }
     val expected = {
       val off = CatalogRules.sessionWith(spark, Nil,
         "spark.sql.autoBroadcastJoinThreshold" -> "-1")
       sortedRows(chain4(off))
+    }
+    val avgExpected = {
+      val off = CatalogRules.sessionWith(spark, Nil,
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.ansi.enabled" -> "false")
+      sortedRows(avgJoin(off))
     }
     (1 to 8).foreach { i =>
       val st = draw()
@@ -504,10 +516,24 @@ class CatalogRulesSpec extends AnyFunSuite {
           CatalogBroadcastRule(
             st.tables.map { case (t, s) => t -> s.rows },
             maxBroadcastRows = 1L + rng.nextInt(1000000))),
-        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.ansi.enabled" -> "false")
       assert(sortedRows(chain4(child)) === expected, s"draw $i with $st")
+      assert(sortedRows(avgJoin(child)) === avgExpected, s"draw $i with $st")
     }
   }
+
+  /** The q271 shape: the deterministic-average idiom over the 2-table
+    * join eager aggregation CAN fire on (when a draw happens to claim
+    * an Exact, correctly-pathed unique s_suppkey — truth not
+    * required: the fold menu is multiplicity-linear). */
+  private def avgJoin(s: org.apache.spark.sql.SparkSession): DataFrame =
+    Tables.lineitem(s, sf)
+      .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(col("l_quantity")).as("cnt_qty"),
+        (sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          / count(col("l_quantity"))).as("avg_qty"))
 
   private def chain4(s: org.apache.spark.sql.SparkSession): DataFrame =
     Tables.lineitem(s, sf)
@@ -573,19 +599,34 @@ class CatalogRulesSpec extends AnyFunSuite {
     val flatS = CatalogRules.sessionWith(spark, Seq(EagerAggregationRule(flat)),
       "spark.sql.ansi.enabled" -> "false")
     assert(!pushedBelowJoin(text(flatS)))
-    // unsafe sums refuse: double (addition order) and decimal (overflow
-    // partials silently skipped by the null-ignoring outer fold)
+    // double SUM refuses (regrouping reorders float addition — no
+    // guard can see a bit-level divergence)
     val proofS = CatalogRules.sessionWith(spark, Seq(EagerAggregationRule(st)),
       "spark.sql.ansi.enabled" -> "false")
     val dbl = Tables.lineitem(proofS, sf)
       .join(Tables.supplier(proofS, sf), col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name").agg(sum(col("l_quantity")).as("s"))
     assert(!pushedBelowJoin(dbl))
+    // DECIMAL folds exactly through the loud-guarded narrow (q271) —
+    // pushed, and the rows match the direct aggregation
     val dec = Tables.lineitem(proofS, sf)
       .join(Tables.supplier(proofS, sf), col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
       .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("s"))
-    assert(!pushedBelowJoin(dec))
+    assert(pushedBelowJoin(dec))
+    val decOff = Tables.lineitem(off, sf)
+      .join(Tables.supplier(off, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("s"))
+    assert(dec.schema === decOff.schema)
+    assert(sortedRows(dec) === sortedRows(decOff))
+    // q271: the full deterministic-average idiom pushes both calls
+    val q271 = SparkEntry.queries("q271_eager_avg")(spark, sf)
+    assert(pushedBelowJoin(q271), q271.queryExecution.optimizedPlan.toString)
+    val avgOff = CatalogRules.sessionWith(spark, Nil,
+      "spark.sql.ansi.enabled" -> "false")
+    assert(q271.schema === avgJoin(avgOff).schema)
+    assert(sortedRows(q271) === sortedRows(avgJoin(avgOff)))
     // a DIM-side aggregate refuses outright: the fk-grain join changes
     // its per-group multiplicity (each supplier row would count once
     // instead of once per lineitem row)
