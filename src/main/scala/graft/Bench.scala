@@ -533,7 +533,8 @@ object Bench {
         "q264_eager_aggregation" -> Seq(
           "q264_ruleoff_rowgrain" -> ((s: SparkSession, d: String) => {
             import org.apache.spark.sql.functions._
-            val off = graft.plans.CatalogRules.sessionWith(s, Nil)
+            val off = graft.plans.CatalogRules.sessionWith(s, Nil,
+              "spark.sql.ansi.enabled" -> "false")
             Tables.lineitem(off, d)
               .join(Tables.supplier(off, d),
                 col("l_suppkey") === col("s_suppkey"))
@@ -553,7 +554,8 @@ object Bench {
             import org.apache.spark.sql.functions._
             val off = graft.plans.CatalogRules.sessionWith(s, Nil,
               "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-              "spark.sql.adaptive.enabled" -> "false")
+              "spark.sql.adaptive.enabled" -> "false",
+              "spark.sql.ansi.enabled" -> "false")
             Tables.lineitem(off, d)
               .join(Tables.supplier(off, d),
                 col("l_suppkey") === col("s_suppkey"))
@@ -568,7 +570,8 @@ object Bench {
               Seq(graft.plans.EagerAggregationRule(
                 graft.queries.StatsPhases.collected(s, d))),
               "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-              "spark.sql.adaptive.enabled" -> "false")
+              "spark.sql.adaptive.enabled" -> "false",
+              "spark.sql.ansi.enabled" -> "false")
             Tables.lineitem(on, d)
               .join(Tables.supplier(on, d),
                 col("l_suppkey") === col("s_suppkey"))

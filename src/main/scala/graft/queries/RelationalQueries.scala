@@ -2922,20 +2922,29 @@ object StatsPhases {
     * estimates — which is what entitles MvRewriteRule's uniqueness
     * proof to trust it; each entry also records the table's root path
     * so the proof refuses a same-named table from another directory.
+    * Cached per dir after the first read (the production shape — a
+    * planner holds its catalog in memory, it does not re-read the
+    * ANALYZE table per query): rule-using bench/verify lines pay the
+    * read once per JVM, so a rule-on/rule-off pair's difference is the
+    * PLAN, not a repeated KB-scale table read.
     */
-  def collected(spark: SparkSession, dir: String): graft.plans.CatalogRules.CatalogStats = {
-    ensureStored(spark, dir)
-    val rows = spark.table(statsTable(dir)).collect()
-    graft.plans.CatalogRules.CatalogStats(
-      rows.groupBy(_.getString(0)).map { case (t, rs) =>
-        t -> graft.plans.CatalogRules.TableStat(
-          rs.head.getLong(2),
-          rs.map(r => r.getString(1) -> r.getLong(3)).toMap,
-          provenance = graft.plans.CatalogRules.StatProvenance.Exact,
-          path = Some(graft.plans.CatalogRules.normalizePath(
-            graft.Tables.path(dir, t))))
-      })
-  }
+  private val collectedCache = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.plans.CatalogRules.CatalogStats]()
+
+  def collected(spark: SparkSession, dir: String): graft.plans.CatalogRules.CatalogStats =
+    collectedCache.computeIfAbsent(dir, { _ =>
+      ensureStored(spark, dir)
+      val rows = spark.table(statsTable(dir)).collect()
+      graft.plans.CatalogRules.CatalogStats(
+        rows.groupBy(_.getString(0)).map { case (t, rs) =>
+          t -> graft.plans.CatalogRules.TableStat(
+            rs.head.getLong(2),
+            rs.map(r => r.getString(1) -> r.getLong(3)).toMap,
+            provenance = graft.plans.CatalogRules.StatProvenance.Exact,
+            path = Some(graft.plans.CatalogRules.normalizePath(
+              graft.Tables.path(dir, t))))
+        })
+    })
 
   /** The stored catalog rendered in ConfCatalogJoinOrderRule's conf
     * grammar — what the ANALYZE job PUBLISHES so sessions enable the

@@ -979,6 +979,79 @@ class CatalogRulesSpec extends AnyFunSuite {
     assert(sortedRows(on) === sortedRows(prog))
   }
 
+  test("ANALYZE -> publish round trip: the conf stack built from the published serializers plans IDENTICALLY to the in-session rules") {
+    import graft.queries.{HistPhases, McvPhases, MvPhases, StatsPhases}
+    MvPhases.ensureStored(spark, sf)
+    MvPhases.ensureStoredSk(spark, sf)
+    val st = StatsPhases.collected(spark, sf)
+    val est = ConjunctReorderRule.estimator(
+      HistPhases.collectedHists(spark, sf),
+      McvPhases.collectedMcvs(spark, sf))
+    val prog = CatalogRules.sessionWith(spark, Nil,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.ansi.enabled" -> "false")
+    CatalogRules.installRules(prog,
+      Seq(MvRewriteRule(
+          Seq(MvPhases.mvDef(prog, sf), MvPhases.mvDefSk(prog, sf)), st),
+        EagerAggregationRule(st), CatalogJoinOrderRule(st),
+        ConjunctReorderRule(est),
+        CatalogBroadcastRule(st.tables.map { case (t, s2) => t -> s2.rows })))
+    // the conf session is configured ONLY by the published strings —
+    // the exact payload an ANALYZE job would push to cluster config
+    val conf = CatalogRules.sessionWith(spark,
+      Seq(ConfMvRewriteRule, ConfEagerAggregationRule,
+        ConfCatalogJoinOrderRule, ConfConjunctReorderRule,
+        ConfCatalogBroadcastRule),
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.ansi.enabled" -> "false",
+      ConfMvRewriteRule.DefsConf ->
+        s"${MvPhases.mvDefConf(sf)}|${MvPhases.mvDefSkConf(sf)}",
+      ConfMvRewriteRule.ExactConf -> StatsPhases.confExact(spark, sf),
+      ConfCatalogJoinOrderRule.StatsConf ->
+        StatsPhases.confJoinOrder(spark, sf),
+      ConfConjunctReorderRule.HistsConf -> HistPhases.confString(spark, sf),
+      ConfConjunctReorderRule.McvsConf -> McvPhases.confString(spark, sf),
+      ConfCatalogBroadcastRule.RowsConf ->
+        StatsPhases.confBroadcastRows(spark, sf))
+    def planSig(df: DataFrame): String =
+      df.queryExecution.optimizedPlan.toString.replaceAll("#\\d+L?", "#x")
+    // three decision shapes: the FK-join MV rewrite (q252 text — needs
+    // the published EXACT catalog's path field to prove uniqueness),
+    // the eager avg fold (q271 text), the filtered-chain composition
+    // (q253 text)
+    def mvJoin(s: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(s, sf)
+        .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"))
+    def avg(s: org.apache.spark.sql.SparkSession) = avgJoin(s)
+    def chain(s: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(s, sf)
+        .filter(col("l_extendedprice") >= 1000.0 && col("l_quantity") >= 45.0)
+        .join(Tables.orders(s, sf), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, sf), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+            .as("sum_price"))
+    Seq[(String, org.apache.spark.sql.SparkSession => DataFrame)](
+      ("mvJoin", mvJoin), ("avg", avg), ("chain", chain)).foreach {
+      case (name, q) =>
+        assert(planSig(q(conf)) === planSig(q(prog)), name)
+        assert(sortedRows(q(conf)) === sortedRows(q(prog)), name)
+    }
+    // and the conf MV-join plan really did lose the fact scan — the
+    // round trip carried the proof, not just the costs
+    val leaves = mvJoin(conf).queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.catalogTable.map(_.identifier.table)
+          .orElse(CatalogRules.tableOf(lr)).getOrElse("?")
+    }.toSet
+    assert(leaves === Set(MvPhases.skTable(sf), "supplier"), leaves)
+  }
+
   test("q263: IN-list costed as summed member fractions evaluates before the unselective range; rule-off keeps written order; same rows") {
     import org.apache.spark.sql.catalyst.expressions.In
     val on = SparkEntry.queries("q263_rule_conjunct_inlist")(spark, sf)
