@@ -215,7 +215,14 @@ object CatalogRules {
       selectivity: Option[org.apache.spark.sql.catalyst.expressions.Expression => Option[Double]] = None)
       : Seq[Rule[LogicalPlan]] =
     Seq(MvRewriteRule(mvs, stats), EagerAggregationRule(stats),
-      CatalogJoinOrderRule(stats)) ++
+      // selectivity feeds BOTH the conjunct ORDER and (default-on since
+      // r19) the join-order rule's effective base sizes — System-R's
+      // other half: a 3%-filtered fact should not be costed huge. The
+      // decision then tracks the actual numbers, so it can change with
+      // data scale; that scale-dependence is the feature (q262), and a
+      // deployment pinning plans across environments opts out by
+      // passing selectivity = None.
+      CatalogJoinOrderRule(stats, selectivity)) ++
       selectivity.map(ConjunctReorderRule(_)).toSeq :+
       CatalogBroadcastRule(stats.tables.map { case (t, s) => t -> s.rows })
 }
@@ -474,9 +481,9 @@ final case class CatalogJoinOrderRule(
     * estimator prices IsNotNull at 0 because it is the cheapest test
     * to EVALUATE, but as a SELECTIVITY a null guard passes ~all rows).
     * Without an estimator this is exactly the catalog count — the
-    * blind q241 behavior, which [[CatalogRules.standardRules]] keeps
-    * so settled decision pins stay scale-stable; filter-aware ordering
-    * is the opt-in face (q262). */
+    * blind q241 behavior ([[CatalogRules.standardRules]] passes its
+    * selectivity estimator through since r19 — filter-aware ordering
+    * default-on; callers wanting scale-stable plan pins pass None). */
   private def effRows(base: LogicalPlan, catalogRows: Long): BigInt = {
     val sel = selectivity match {
       case None => 1.0

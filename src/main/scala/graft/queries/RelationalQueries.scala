@@ -2057,8 +2057,12 @@ object RelationalQueries {
         "order): the text filters lineitem unselective-first, joins " +
         "the 3-chain in the worst order, and aggregates. In one " +
         "fixpoint pass the conjunct rule flips the filter (quantity " +
-        "test first), the join-order rule re-associates so " +
-        "orders><customer materializes first, and the broadcast rule " +
+        "test first), the FILTER-AWARE join-order rule (standardRules " +
+        "passes its selectivity estimator through by default since " +
+        "r19) keeps the ~12%-filtered fact's join first — at the " +
+        "fixture scale the discounted fact is smaller than the " +
+        "orders><customer pair, so aware ordering beats the blind " +
+        "dims-first choice — and the broadcast rule " +
         "hints the surviving joins' cataloged sides; the MV rules " +
         "correctly stand down (the filter touches measures). " +
         "CatalogRulesSpec pins all three effects on the one plan plus " +
@@ -2445,8 +2449,9 @@ object RelationalQueries {
         "scales the 3%-filtered fact is smaller than the dim pair and " +
         "keeps the first join; where the filtered fact still exceeds " +
         "the dims, the dims still win. That scale-dependence IS the " +
-        "feature, and exactly why standardRules keeps the blind form " +
-        "for settled plan pins and this face is opt-in. " +
+        "feature — and since r19 standardRules passes its estimator " +
+        "through to the join-order rule by default (q253 composes it); " +
+        "this query remains the isolated demonstration. " +
         "CatalogRulesSpec pins the blind-vs-aware contrast on one " +
         "text+catalog; the oracle checks semantics either way.",
       Some("""

@@ -397,8 +397,14 @@ class CatalogRulesSpec extends AnyFunSuite {
   test("q253: the full standardRules stack fires all three effects on one plan; same rows as rule-off") {
     import org.apache.spark.sql.catalyst.expressions.IsNotNull
     val on = SparkEntry.queries("q253_rules_composed")(spark, sf)
-    // join-order effect: the dims join first
-    assert(firstJoinTables(on) === Set("orders", "customer"))
+    // join-order effect, FILTER-AWARE (standardRules passes the
+    // estimator through since r19) and scale-explicit: at this fixture
+    // the ~12%-pass quantity filter discounts lineitem to ~0.12 * n_li,
+    // which is SMALLER than the blind orders><customer seed (n_ord),
+    // so the aware rule correctly keeps the filtered fact's join first
+    // — the blind rule would have re-associated to the dims (q245's
+    // pin; q262 pins the blind-vs-aware contrast on one text).
+    assert(firstJoinTables(on) === Set("lineitem", "orders"))
     // broadcast effect: the rewritten inner join is hint-broadcast
     assert(physical(on).contains("BroadcastHashJoin"), physical(on))
     // conjunct effect: quantity test precedes the price test, null
