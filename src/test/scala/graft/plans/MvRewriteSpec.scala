@@ -444,6 +444,17 @@ class MvRewriteSpec extends AnyFunSuite {
         col("event_type"))
       .agg(count(lit(1)).as("cnt"))
     assert(scanTables(df) === Set(MvPhases.tsTable(sf)), scanTables(df))
+    // the exprdims BUCKET fields (src canonical + width) also ride the
+    // conf: an aligned time-range filter serves from cells with zero
+    // code installed (q269 by config)
+    val aligned = Tables.eventsTsNs(conf, sf)
+      .filter(col("ts") >= lit(473712L * MvPhases.HourNs))
+      .groupBy(
+        expr(graft.operators.Resample.floorDivSql("ts", MvPhases.HourNs))
+          .as("hour_idx"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(scanTables(aligned) === Set(MvPhases.tsTable(sf)),
+      scanTables(aligned))
   }
 
   test("grouping sets compose with expression dims: hourly ROLLUP subtotals serve from the TS rollup's cells") {
