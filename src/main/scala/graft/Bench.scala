@@ -600,6 +600,23 @@ object Bench {
           }),
           "q271_eager_avg" -> ((s: SparkSession, d: String) =>
             SparkEntry.queries("q271_eager_avg")(s, d))),
+        // Mixed-grouping eager aggregation (q272): ruleoff twin on
+        // identical text — the pair's difference is the
+        // (fk x fact-group)-grain decomposition.
+        "q272_eager_mixed_grouping" -> Seq(
+          "q272_ruleoff_rowgrain" -> ((s: SparkSession, d: String) => {
+            import org.apache.spark.sql.functions._
+            val off = graft.plans.CatalogRules.sessionWith(s, Nil,
+              "spark.sql.ansi.enabled" -> "false")
+            Tables.lineitem(off, d)
+              .join(Tables.supplier(off, d),
+                col("l_suppkey") === col("s_suppkey"))
+              .groupBy("l_returnflag", "s_name")
+              .agg(count(lit(1)).as("cnt"),
+                sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+          }),
+          "q272_eager_mixed_grouping" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q272_eager_mixed_grouping")(s, d))),
         // MV rewrite family: the rollup build is the one-shot ingest
         // cost; the q249 line is what the SAME query text costs once
         // the rewrite answers it from the rollup; the ruleoff twin is

@@ -9,10 +9,12 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType,
 
 /** Eager aggregation (Yan & Larson's group-by pushdown) — the q252
   * FK-rollup rewrite WITHOUT a stored artifact: an aggregate over
-  * `fact JOIN dim` whose grouping keys live on the dim side and whose
-  * aggregate inputs live on the fact side is rewritten to aggregate
-  * the fact to the JOIN-KEY grain FIRST, then join the (ndv-sized)
-  * partials to the dim and fold:
+  * `fact JOIN dim` whose aggregate inputs live on the fact side (and
+  * whose grouping keys live on either side — dim keys pass through
+  * the rejoin verbatim, fact keys join the inner grouping) is
+  * rewritten to aggregate the fact to the (join key x fact-group)
+  * grain FIRST, then join the (ndv-sized) partials to the dim and
+  * fold:
   *
   * {{{
   * Aggregate(s_name, sum(qty), Join(lineitem, supplier, fk = pk))
@@ -131,16 +133,32 @@ final case class EagerAggregationRule(
     }
     val (fks, dks) = (keys.map(_._1), keys.map(_._2))
     val dimOut = dim.outputSet
-    if (!ge.forall { case a: AttributeReference => dimOut.contains(a); case _ => false })
-      return None
+    // Grouping keys may live on EITHER side (the full Yan-Larson
+    // shape): dim-side keys pass through the rejoin verbatim;
+    // fact-side keys join the inner aggregate's grouping — the fact is
+    // then exchanged at (fk x fact-group) grain, still never row grain.
+    val factGe: Seq[AttributeReference] = ge.map {
+      case a: AttributeReference if dimOut.contains(a) => null
+      case a: AttributeReference if fact.outputSet.contains(a) => a
+      case _ => return None
+    }.filter(_ != null)
+    val factGeSet =
+      org.apache.spark.sql.catalyst.expressions.AttributeSet(factGe)
 
-    // Evidence gate: the fact must shrink by minReduction at fk grain
-    // (the composite key's counted ndv — per-column ndvs cannot be
-    // combined soundly, so a composite without its entry stands down).
+    // Evidence gate: the fact must shrink by minReduction at the
+    // INNER-AGGREGATE grain — the (possibly composite) join key PLUS
+    // any fact-side grouping keys, as one counted ndv entry
+    // (per-column ndvs cannot be combined soundly, so a composite
+    // without its entry stands down).
     val factTable = CatalogRules.tableOf(fact).getOrElse(return None)
     val fStat = stats.tables.get(factTable).getOrElse(return None)
+    val innerKeyCols =
+      (fks ++ factGe).map(_.exprId).distinct.map { id =>
+        (fks ++ factGe).find(_.exprId == id).get
+      }
     val fkNdv = fStat.ndv
-      .get(CatalogRules.compositeKey(fks.map(_.name))).getOrElse(return None)
+      .get(CatalogRules.compositeKey(innerKeyCols.map(_.name).distinct))
+      .getOrElse(return None)
     if (fkNdv <= 0 || fStat.rows / fkNdv < minReduction) return None
 
     // Uniqueness proof on the dim key — Exact provenance + path, the
@@ -239,14 +257,15 @@ final case class EagerAggregationRule(
       }
     }
     val newAe: Seq[NamedExpression] = ae.map {
-      case a: AttributeReference if dimOut.contains(a) => a
-      case al @ Alias(a: AttributeReference, _) if dimOut.contains(a) => al
+      case a: AttributeReference if dimOut.contains(a) || factGeSet.contains(a) => a
+      case al @ Alias(a: AttributeReference, _)
+          if dimOut.contains(a) || factGeSet.contains(a) => al
       case al: Alias =>
         val swapped = al.child.transform {
           case aggE: AggregateExpression => swap(aggE)
         }
         if (!ok) return None
-        val allowed = dimOut ++
+        val allowed = dimOut ++ factGeSet ++
           org.apache.spark.sql.catalyst.expressions.AttributeSet(
             partials.map(_.toAttribute))
         if (!swapped.references.subsetOf(allowed)) return None
@@ -261,7 +280,8 @@ final case class EagerAggregationRule(
       if (n.dataType != o.dataType) return None }
 
     val inner = Aggregate(
-      fks, (fks: Seq[NamedExpression]) ++ partials.toSeq, fact, None)
+      innerKeyCols, (innerKeyCols: Seq[NamedExpression]) ++ partials.toSeq,
+      fact, None)
     val rejoined = Join(inner, dim, Inner,
       Some(keys.map { case (f, d) => EqualTo(f, d): Expression }
         .reduceLeft(org.apache.spark.sql.catalyst.expressions.And(_, _))),

@@ -2867,6 +2867,43 @@ object RelationalQueries {
             (sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
               / count(col("l_quantity"))).as("avg_qty"))
       }
+    ),
+    Q(
+      "q272_eager_mixed_grouping",
+      "Eager aggregation with grouping keys on BOTH sides — the full " +
+        "Yan-Larson shape: the text groups lineitem JOIN supplier by " +
+        "(l_returnflag, s_name); dim-side keys pass through the " +
+        "rejoin verbatim while fact-side keys join the INNER " +
+        "aggregate's grouping, so the fact is exchanged at the " +
+        "(l_suppkey x l_returnflag) grain — still never row grain. " +
+        "The evidence gate prices exactly that grain: the counted " +
+        "COMPOSITE ndv entry for the join key PLUS the fact grouping " +
+        "keys (rows/ndv >= 4, per-column ndvs never combined), and " +
+        "the uniqueness proof is the q252 trust boundary verbatim. " +
+        "At 100 TB this is the report-by-(entity, category) query — " +
+        "grouping columns riding the fact do not forfeit the " +
+        "exchanged-volume win. CatalogRulesSpec pins the pushed " +
+        "inner grouping, the missing-composite-entry stand-down, and " +
+        "rule-off row equality.",
+      Some("""
+         |SELECT l_returnflag, s_name, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY 1, 2
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.plans.{CatalogRules, EagerAggregationRule}
+        val st = StatsPhases.collected(spark, dir)
+        val child = CatalogRules.sessionWith(spark,
+          Seq(EagerAggregationRule(st)),
+          "spark.sql.ansi.enabled" -> "false")
+        Tables.lineitem(child, dir)
+          .join(Tables.supplier(child, dir),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("l_returnflag", "s_name")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+      }
     )
   )
 }
@@ -2895,7 +2932,11 @@ object StatsPhases {
     Seq(("orders", "o_custkey"), ("customer", "c_custkey"),
       ("supplier", "s_suppkey"), ("lineitem", "l_suppkey"),
       ("lineitem", graft.plans.CatalogRules.compositeKey(
-        Seq("l_orderkey", "l_linenumber"))))
+        Seq("l_orderkey", "l_linenumber"))),
+      // the (fk x fact-group) grain q272's mixed-grouping eager
+      // aggregation gates on
+      ("lineitem", graft.plans.CatalogRules.compositeKey(
+        Seq("l_suppkey", "l_returnflag"))))
 
   def buildStored(spark: SparkSession, dir: String): Unit = {
     val pairs = (RelationalQueries.JoinCardSpecs

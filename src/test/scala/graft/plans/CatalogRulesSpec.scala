@@ -763,6 +763,50 @@ class CatalogRulesSpec extends AnyFunSuite {
     assert(!fired(text(noComp)))
   }
 
+  test("q272: mixed grouping keys — fact-side keys join the inner grouping; missing the (fk x group) composite entry stands down; same rows") {
+    import graft.queries.StatsPhases
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val on = SparkEntry.queries("q272_eager_mixed_grouping")(spark, sf)
+    // the inner aggregate sits below the join and groups by BOTH the
+    // join key and the fact-side grouping column
+    val innerAgg = on.queryExecution.optimizedPlan.collectFirst {
+      case Join(l, _, _, _, _) => l.collectFirst {
+        case a: Aggregate
+            if CatalogRules.tableOf(a.child).contains("lineitem") => a
+      }
+    }.flatten
+    assert(innerAgg.isDefined, on.queryExecution.optimizedPlan.toString)
+    val innerKeys = innerAgg.get.groupingExpressions
+      .collect { case a: org.apache.spark.sql.catalyst.expressions
+          .AttributeReference => a.name }.toSet
+    assert(innerKeys === Set("l_suppkey", "l_returnflag"), innerKeys)
+
+    def text(s: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(s, sf)
+        .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_returnflag", "s_name")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+    val off = CatalogRules.sessionWith(spark, Nil)
+    assert(on.schema === text(off).schema)
+    assert(sortedRows(on) === sortedRows(text(off)))
+
+    // without the counted (l_returnflag+l_suppkey) entry the gate has
+    // no evidence at the inner grain — stand down (per-column ndvs are
+    // never combined)
+    val st = StatsPhases.collected(spark, sf)
+    val grainKey = CatalogRules.compositeKey(Seq("l_suppkey", "l_returnflag"))
+    val noGrain = CatalogRules.CatalogStats(st.tables.updated("lineitem",
+      st.tables("lineitem").copy(
+        ndv = st.tables("lineitem").ndv - grainKey)))
+    val blind = CatalogRules.sessionWith(spark,
+      Seq(EagerAggregationRule(noGrain)), "spark.sql.ansi.enabled" -> "false")
+    val blindAgg = text(blind).queryExecution.optimizedPlan.collectFirst {
+      case Join(l, _, _, _, _) => l.collectFirst { case a: Aggregate => a }
+    }.flatten
+    assert(blindAgg.isEmpty)
+  }
+
   test("eager aggregation's SUM fold stands down under ANSI mode: regrouped partials can throw on an intermediate overflow where the direct sum would not") {
     import graft.queries.StatsPhases
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
