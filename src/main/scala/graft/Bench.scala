@@ -617,6 +617,23 @@ object Bench {
           }),
           "q272_eager_mixed_grouping" -> ((s: SparkSession, d: String) =>
             SparkEntry.queries("q272_eager_mixed_grouping")(s, d))),
+        // Grouping sets without a stored artifact (q273): the ruleoff
+        // twin's Expand multiplies every fact row per set; the rule
+        // line multiplies (fk x returnflag)-grain partials.
+        "q273_eager_rollup" -> Seq(
+          "q273_ruleoff_rowgrain" -> ((s: SparkSession, d: String) => {
+            import org.apache.spark.sql.functions._
+            val off = graft.plans.CatalogRules.sessionWith(s, Nil,
+              "spark.sql.ansi.enabled" -> "false")
+            Tables.lineitem(off, d)
+              .join(Tables.supplier(off, d),
+                col("l_suppkey") === col("s_suppkey"))
+              .rollup(col("l_returnflag"), col("s_name"))
+              .agg(count(lit(1)).as("cnt"),
+                sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+          }),
+          "q273_eager_rollup" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q273_eager_rollup")(s, d))),
         // MV rewrite family: the rollup build is the one-shot ingest
         // cost; the q249 line is what the SAME query text costs once
         // the rewrite answers it from the rollup; the ruleoff twin is

@@ -1,9 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Coalesce, Concat, EqualTo, Expression, If, IsNotNull, IsNull, KnownNotNull, Literal, NamedExpression, PredicateHelper, RaiseError}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, Cast, Coalesce, Concat, EqualTo, Expression, If, IsNotNull, IsNull, KnownNotNull, Literal, NamedExpression, PredicateHelper, RaiseError}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType, StringType}
 
@@ -21,6 +21,13 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType,
   *   =>  Aggregate(s_name, sum(partial),
   *         Join(Aggregate(fk, sum(qty) AS partial, lineitem), supplier))
   * }}}
+  *
+  * GROUPING SETS compose (q273): `Aggregate(Expand(Join(fact, dim)))`
+  * pushes the same partials below the join and the Expand multiplies
+  * (partial, dim) rows per set instead of fact rows — sound for the
+  * same two reasons as the stored-rollup Expand navigation: partials
+  * re-aggregate per set, and each partial row matches at most one dim
+  * row.
   *
   * At 100 TB this is the difference between EXCHANGING the fact at row
   * grain (the join shuffles or probes every row, and Spark's own
@@ -47,12 +54,13 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType,
   * divergence no guard can detect).
   *
   * Evidence gate: fires only when the catalog says the fact exceeds
-  * the key's ndv by [[minReduction]] (a fact already at key grain
-  * gains nothing and pays an extra aggregate). Bails — like every rule
-  * in this layer — on hints, non-inner joins, non-equi conditions,
-  * unrecognized scans, DISTINCT/FILTER clauses, or any expression it
-  * cannot prove foldable. Idempotent: the rewritten join's fact side
-  * is an Aggregate, which is not a recognizable base scan.
+  * the inner-aggregate grain's counted ndv by [[minReduction]] (a fact
+  * already at key grain gains nothing and pays an extra aggregate).
+  * Bails — like every rule in this layer — on hints, non-inner joins,
+  * non-equi conditions, unrecognized scans, DISTINCT/FILTER clauses,
+  * or any expression it cannot prove foldable. Idempotent: the
+  * rewritten join's fact side is an Aggregate, which is not a
+  * recognizable base scan.
   */
 /** The config-only deployment form of [[EagerAggregationRule]]: builds
   * its catalog from the confs the other rules already publish — the
@@ -81,7 +89,10 @@ final case class EagerAggregationRule(
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case agg @ Aggregate(ge, ae, child, None) =>
-      rewrite(ge, ae, child).getOrElse(agg)
+      (stripPrune(child) match {
+        case ex: Expand => rewriteExpand(ge, ae, ex)
+        case _ => rewrite(ge, ae, child)
+      }).getOrElse(agg)
   }
 
   private def stripPrune(p: LogicalPlan): LogicalPlan = p match {
@@ -94,95 +105,84 @@ final case class EagerAggregationRule(
     Set[org.apache.spark.sql.types.DataType](
       ByteType, ShortType, IntegerType, LongType)
 
-  private def rewrite(
-      ge: Seq[Expression],
-      ae: Seq[NamedExpression],
-      child: LogicalPlan): Option[LogicalPlan] = {
-    if (ge.exists(!_.deterministic) || ae.exists(!_.deterministic)) return None
-    val join = stripPrune(child) match {
-      case j @ Join(_, _, Inner, Some(c), JoinHint(None, None))
-          if splitConjunctivePredicates(c)
-            .forall(_.isInstanceOf[EqualTo]) => j
-      case _ => return None
-    }
-    // Attribute pairs of the — possibly composite — equi condition.
-    val condPairs = splitConjunctivePredicates(join.condition.get).map {
+  /** An eligible join (inner, hint-free, all-equality condition) split
+    * into (fact, dim, fact->dim key pairs): the fact side is where the
+    * aggregate inputs live — both sides must later be recognizable
+    * base scans, the fact for the gate and idempotence, the dim for
+    * the proof. A composite key is one multi-part key, gated and
+    * proven as a TUPLE. */
+  private def eligibleJoin(p: LogicalPlan): Option[Join] = p match {
+    case j @ Join(_, _, Inner, Some(c), JoinHint(None, None))
+        if splitConjunctivePredicates(c).forall(_.isInstanceOf[EqualTo]) =>
+      Some(j)
+    case _ => None
+  }
+
+  private def decompose(join: Join, aggRefs: AttributeSet)
+      : Option[(LogicalPlan, LogicalPlan,
+          Seq[(AttributeReference, AttributeReference)])] = {
+    val pairs = splitConjunctivePredicates(join.condition.get).map {
       case EqualTo(x: AttributeReference, y: AttributeReference) => (x, y)
       case _ => return None
     }
-
-    // The fact side is where the aggregate inputs live; grouping keys
-    // must live on the other (dim) side. Both sides must be
-    // recognizable base scans — the fact for the evidence gate and
-    // idempotence, the dim for the uniqueness proof.
-    val aggRefs = ae.flatMap(_.collect {
-      case a: AggregateExpression => a.references
-    }).foldLeft(org.apache.spark.sql.catalyst.expressions.AttributeSet.empty)(_ ++ _)
-    if (aggRefs.isEmpty) return None // nothing to push; Distinct et al.
     val (fact, dim) =
       if (aggRefs.subsetOf(join.left.outputSet)) (join.left, join.right)
       else if (aggRefs.subsetOf(join.right.outputSet)) (join.right, join.left)
       else return None
-    // Orient every equality fact -> dim; a composite key is one
-    // multi-part key, gated and proven as a TUPLE below.
-    val keys: Seq[(AttributeReference, AttributeReference)] = condPairs.map {
-      case (x, y) =>
-        if (fact.outputSet.contains(x) && dim.outputSet.contains(y)) (x, y)
-        else if (fact.outputSet.contains(y) && dim.outputSet.contains(x)) (y, x)
-        else return None
+    val keys = pairs.map { case (x, y) =>
+      if (fact.outputSet.contains(x) && dim.outputSet.contains(y)) (x, y)
+      else if (fact.outputSet.contains(y) && dim.outputSet.contains(x)) (y, x)
+      else return None
     }
-    val (fks, dks) = (keys.map(_._1), keys.map(_._2))
-    val dimOut = dim.outputSet
-    // Grouping keys may live on EITHER side (the full Yan-Larson
-    // shape): dim-side keys pass through the rejoin verbatim;
-    // fact-side keys join the inner aggregate's grouping — the fact is
-    // then exchanged at (fk x fact-group) grain, still never row grain.
-    val factGe: Seq[AttributeReference] = ge.map {
-      case a: AttributeReference if dimOut.contains(a) => null
-      case a: AttributeReference if fact.outputSet.contains(a) => a
-      case _ => return None
-    }.filter(_ != null)
-    val factGeSet =
-      org.apache.spark.sql.catalyst.expressions.AttributeSet(factGe)
+    Some((fact, dim, keys))
+  }
 
-    // Evidence gate: the fact must shrink by minReduction at the
-    // INNER-AGGREGATE grain — the (possibly composite) join key PLUS
-    // any fact-side grouping keys, as one counted ndv entry
-    // (per-column ndvs cannot be combined soundly, so a composite
-    // without its entry stands down).
-    val factTable = CatalogRules.tableOf(fact).getOrElse(return None)
-    val fStat = stats.tables.get(factTable).getOrElse(return None)
-    val innerKeyCols =
-      (fks ++ factGe).map(_.exprId).distinct.map { id =>
-        (fks ++ factGe).find(_.exprId == id).get
-      }
+  /** Evidence gate at the INNER-AGGREGATE grain — the (possibly
+    * composite) join key plus any fact-side grouping keys, as ONE
+    * counted ndv entry (per-column ndvs cannot be combined soundly, so
+    * a grain without its entry stands down) — then the uniqueness
+    * proof on the dim key: Exact provenance + counted tuple + recorded
+    * path, the q252 trust boundary verbatim (a pathless Exact stat
+    * could alias a same-named dim from another directory). */
+  private def gated(
+      fact: LogicalPlan,
+      dim: LogicalPlan,
+      innerKeyCols: Seq[AttributeReference],
+      dks: Seq[AttributeReference]): Boolean = {
+    val factTable = CatalogRules.tableOf(fact).getOrElse(return false)
+    val fStat = stats.tables.get(factTable).getOrElse(return false)
     val fkNdv = fStat.ndv
       .get(CatalogRules.compositeKey(innerKeyCols.map(_.name).distinct))
-      .getOrElse(return None)
-    if (fkNdv <= 0 || fStat.rows / fkNdv < minReduction) return None
-
-    // Uniqueness proof on the dim key — Exact provenance + path, the
-    // q252 trust boundary verbatim.
-    val dimTable = CatalogRules.tableOf(dim).getOrElse(return None)
-    val provenUnique = stats.tables.get(dimTable) match {
+      .getOrElse(return false)
+    if (fkNdv <= 0 || fStat.rows / fkNdv < minReduction) return false
+    val dimTable = CatalogRules.tableOf(dim).getOrElse(return false)
+    stats.tables.get(dimTable) match {
       case Some(ts) =>
         ts.provenance == CatalogRules.StatProvenance.Exact &&
           ts.ndv.get(CatalogRules.compositeKey(dks.map(_.name)))
             .contains(ts.rows) &&
-          // path REQUIRED (the q252 policy): a pathless Exact stat could
-          // alias a same-named dim from another directory — a proof must
-          // name WHICH table it counted.
           ts.path.exists(p => CatalogRules.scanPath(dim).contains(p))
       case None => false
     }
-    if (!provenUnique) return None
+  }
 
-    // Collect the fold plan per aggregate call: (partial alias over the
-    // fact, outer replacement builder from the partial's attribute).
+  private def dedupById(
+      as: Seq[AttributeReference]): Seq[AttributeReference] =
+    as.map(_.exprId).distinct.map(id => as.find(_.exprId == id).get)
+
+  /** Per-rewrite fold state: the partial aliases pushed over the fact
+    * and the outer-side call swaps (the bounded fold menu — see the
+    * class doc for each entry's associativity/loud-guard argument). */
+  private final class Folds(fact: LogicalPlan) {
     val partials = scala.collection.mutable.ArrayBuffer.empty[Alias]
-    val partialIds = scala.collection.mutable.Set
+    private val partialIds = scala.collection.mutable.Set
       .empty[org.apache.spark.sql.catalyst.expressions.ExprId]
-    def partial(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction,
+    var ok = true
+
+    def partialAttrs: Seq[Attribute] = partials.toSeq.map(_.toAttribute)
+
+    private def partial(
+        f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction,
         template: AggregateExpression): AttributeReference = {
       val al = Alias(template.copy(aggregateFunction = f),
         s"__ea_p${partials.size}")()
@@ -190,7 +190,7 @@ final case class EagerAggregationRule(
       partialIds += al.exprId
       al.toAttribute.asInstanceOf[AttributeReference]
     }
-    var ok = true
+
     def swap(aggE: AggregateExpression): Expression = {
       // transform recurses into replacements: a call already folded
       // onto partial attributes is OURS — leave it alone. Anything
@@ -215,8 +215,6 @@ final case class EagerAggregationRule(
             if integral.contains(inner.dataType) && !conf.ansiEnabled =>
           // integral only: 64-bit addition is associative (even under
           // wraparound), so partial-then-total == direct, bit for bit.
-          // double regroups change addition order; decimal partials
-          // can overflow-to-null and be SKIPPED by the outer fold.
           // Under ANSI the wraparound argument is void — regrouped
           // partial sums can THROW on an intermediate Long overflow
           // where the direct aggregation would not (or vice versa), a
@@ -256,23 +254,55 @@ final case class EagerAggregationRule(
         case _ => ok = false; aggE
       }
     }
+  }
+
+  private def aggRefsOf(ae: Seq[NamedExpression]): AttributeSet =
+    ae.flatMap(_.collect {
+      case a: AggregateExpression => a.references
+    }).foldLeft(AttributeSet.empty)(_ ++ _)
+
+  private def rewrite(
+      ge: Seq[Expression],
+      ae: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] = {
+    if (ge.exists(!_.deterministic) || ae.exists(!_.deterministic)) return None
+    val join = eligibleJoin(stripPrune(child)).getOrElse(return None)
+    val aggRefs = aggRefsOf(ae)
+    if (aggRefs.isEmpty) return None // nothing to push; Distinct et al.
+    val (fact, dim, keys) = decompose(join, aggRefs).getOrElse(return None)
+    val (fks, dks) = (keys.map(_._1), keys.map(_._2))
+    val dimOut = dim.outputSet
+    // Grouping keys may live on EITHER side (the full Yan-Larson
+    // shape): dim-side keys pass through the rejoin verbatim;
+    // fact-side keys join the inner aggregate's grouping — the fact is
+    // then exchanged at (fk x fact-group) grain, still never row grain.
+    val factGe: Seq[AttributeReference] = ge.map {
+      case a: AttributeReference if dimOut.contains(a) => null
+      case a: AttributeReference if fact.outputSet.contains(a) => a
+      case _ => return None
+    }.filter(_ != null)
+    val factGeSet = AttributeSet(factGe)
+    val innerKeyCols = dedupById(fks ++ factGe)
+    if (!gated(fact, dim, innerKeyCols, dks)) return None
+
+    val folds = new Folds(fact)
     val newAe: Seq[NamedExpression] = ae.map {
-      case a: AttributeReference if dimOut.contains(a) || factGeSet.contains(a) => a
+      case a: AttributeReference
+          if dimOut.contains(a) || factGeSet.contains(a) => a
       case al @ Alias(a: AttributeReference, _)
           if dimOut.contains(a) || factGeSet.contains(a) => al
       case al: Alias =>
         val swapped = al.child.transform {
-          case aggE: AggregateExpression => swap(aggE)
+          case aggE: AggregateExpression => folds.swap(aggE)
         }
-        if (!ok) return None
-        val allowed = dimOut ++ factGeSet ++
-          org.apache.spark.sql.catalyst.expressions.AttributeSet(
-            partials.map(_.toAttribute))
+        if (!folds.ok) return None
+        val allowed =
+          dimOut ++ factGeSet ++ AttributeSet(folds.partialAttrs)
         if (!swapped.references.subsetOf(allowed)) return None
         Alias(swapped, al.name)(exprId = al.exprId)
       case _ => return None
     }
-    if (!ok || partials.isEmpty) return None
+    if (!folds.ok || folds.partials.isEmpty) return None
     // Type identity is structural here (long sums stay long, counts
     // fold to the same non-null long, min/max keep their type), but
     // assert it anyway — a silent type drift is never acceptable.
@@ -280,12 +310,118 @@ final case class EagerAggregationRule(
       if (n.dataType != o.dataType) return None }
 
     val inner = Aggregate(
-      innerKeyCols, (innerKeyCols: Seq[NamedExpression]) ++ partials.toSeq,
+      innerKeyCols, (innerKeyCols: Seq[NamedExpression]) ++ folds.partials,
       fact, None)
     val rejoined = Join(inner, dim, Inner,
       Some(keys.map { case (f, d) => EqualTo(f, d): Expression }
-        .reduceLeft(org.apache.spark.sql.catalyst.expressions.And(_, _))),
+        .reduceLeft(And(_, _))),
       JoinHint.NONE)
     Some(Aggregate(ge, newAe, rejoined, None))
+  }
+
+  /** GROUPING SETS without a stored artifact (q273): the Expand's
+    * pass-through slots carry fact columns under their source exprIds,
+    * so the partials push below the join exactly as in the flat shape;
+    * the rebuilt Expand multiplies (partial, dim) rows per set, its
+    * pass-through section swapped from raw fact measures to the needed
+    * partial columns. Expanded (fresh) slots hold dim-side attributes
+    * (verbatim through the rejoin) or fact-side grouping attributes
+    * (joined into the inner grouping — the inner emits them under the
+    * same exprIds, so the per-set nulling literals need no surgery).
+    */
+  private def rewriteExpand(
+      ge: Seq[Expression],
+      ae: Seq[NamedExpression],
+      expand: Expand): Option[LogicalPlan] = {
+    if (ge.exists(!_.deterministic) || ae.exists(!_.deterministic)) return None
+    val join = eligibleJoin(stripPrune(expand.child)).getOrElse(return None)
+    val aggRefs = aggRefsOf(ae)
+    if (aggRefs.isEmpty) return None
+    val (fact, dim, keys) = decompose(join, aggRefs).getOrElse(return None)
+    val (fks, dks) = (keys.map(_._1), keys.map(_._2))
+    val dimOut = dim.outputSet
+
+    // Classify each Expand slot (the stored-rollup Expand machinery's
+    // shape contract): pass-through slots keep one exprId across every
+    // set; fresh slots mix ONE attribute with null/int literals.
+    val out = expand.output
+    val projs = expand.projections
+    if (projs.isEmpty || projs.exists(_.length != out.length)) return None
+    val isPassThrough: Seq[Boolean] = out.indices.map { i =>
+      out(i).isInstanceOf[AttributeReference] && projs.forall { p =>
+        p(i) match {
+          case a: AttributeReference => a.exprId == out(i).exprId
+          case _ => false
+        }
+      }
+    }
+    val freshSlots = out.indices.filterNot(isPassThrough)
+    val factSlotDims =
+      scala.collection.mutable.ArrayBuffer.empty[AttributeReference]
+    freshSlots.foreach { i =>
+      val attrs = projs.map(_(i)).collect { case a: AttributeReference => a }
+      if (attrs.map(_.exprId).distinct.length > 1) return None
+      attrs.headOption.foreach { a =>
+        if (dimOut.contains(a)) () // rides the rejoin verbatim
+        else if (fact.outputSet.contains(a)) factSlotDims += a
+        else return None
+      }
+      projs.map(_(i)).foreach {
+        case _: AttributeReference => ()
+        case _: Literal => () // null per set, or the gid
+        case _ => return None
+      }
+    }
+    val freshOut = AttributeSet(freshSlots.map(out))
+    // Grouping must ride the fresh expanded attributes only.
+    ge.foreach {
+      case a: AttributeReference if freshOut.contains(a) => ()
+      case _ => return None
+    }
+
+    val innerKeyCols = dedupById(fks ++ factSlotDims.toSeq)
+    if (!gated(fact, dim, innerKeyCols, dks)) return None
+
+    val folds = new Folds(fact)
+    val newAe: Seq[NamedExpression] = ae.map {
+      case a: AttributeReference if freshOut.contains(a) => a
+      case al @ Alias(a: AttributeReference, _) if freshOut.contains(a) => al
+      case al: Alias =>
+        val swapped = al.child.transform {
+          case aggE: AggregateExpression => folds.swap(aggE)
+        }
+        if (!folds.ok) return None
+        val allowed =
+          freshOut ++ dimOut ++ AttributeSet(folds.partialAttrs)
+        if (!swapped.references.subsetOf(allowed)) return None
+        Alias(swapped, al.name)(exprId = al.exprId)
+      case _ => return None
+    }
+    if (!folds.ok || folds.partials.isEmpty) return None
+    newAe.zip(ae).foreach { case (n, o) =>
+      if (n.dataType != o.dataType) return None }
+
+    val inner = Aggregate(
+      innerKeyCols, (innerKeyCols: Seq[NamedExpression]) ++ folds.partials,
+      fact, None)
+    val rejoined = Join(inner, dim, Inner,
+      Some(keys.map { case (f, d) => EqualTo(f, d): Expression }
+        .reduceLeft(And(_, _))),
+      JoinHint.NONE)
+    // Pass-through slots become the needed partial (and any referenced
+    // dim) columns; fresh slots keep their original attr/literal mix —
+    // every attribute they name is in the rejoined output (inner emits
+    // the fact grouping keys verbatim, the dim subtree its own attrs).
+    val needed: Seq[Attribute] = {
+      val refs = AttributeSet(newAe.flatMap(_.references)) -- freshOut
+      (folds.partialAttrs ++ dim.output).filter(refs.contains)
+    }
+    if (needed.isEmpty) return None
+    val newOutput: Seq[Attribute] = needed ++ freshSlots.map(out)
+    val newProjections: Seq[Seq[Expression]] = projs.map { p =>
+      (needed: Seq[Expression]) ++ freshSlots.map(p(_))
+    }
+    Some(Aggregate(ge, newAe,
+      Expand(newProjections, newOutput, rejoined), None))
   }
 }

@@ -2904,6 +2904,50 @@ object RelationalQueries {
           .agg(count(lit(1)).as("cnt"),
             sum(col("l_quantity").cast("bigint")).as("sum_qty"))
       }
+    ),
+    Q(
+      "q273_eager_rollup",
+      "Eager aggregation under GROUPING SETS — q270's Expand " +
+        "navigation with NO stored artifact: the text runs " +
+        "ROLLUP(l_returnflag, s_name) over lineitem JOIN supplier; " +
+        "the rule pushes the fact partials below the join at the " +
+        "(l_suppkey x l_returnflag) grain and the rebuilt Expand " +
+        "multiplies (partial, dim) rows per grouping set instead of " +
+        "fact rows — its pass-through section swaps from raw " +
+        "measures to partial columns, expanded slots keep their " +
+        "attr/null mix verbatim (the inner aggregate emits the " +
+        "fact-side grouping key under the same exprId). Sound for " +
+        "the same two composed reasons as the stored-rollup Expand " +
+        "shape: partials re-aggregate per set, and the proven-unique " +
+        "dim key (Exact + counted + path) passes them through the " +
+        "join unchanged. The evidence gate prices the inner grain's " +
+        "counted composite ndv. At 100 TB an N-set report over a " +
+        "joined fact drops from N fact scans' worth of Expand work " +
+        "to N copies of ndv-sized partials — with zero ingest-side " +
+        "artifacts to maintain. Oracle runs the identical ROLLUP in " +
+        "DuckDB; CatalogRulesSpec pins the pushed shape and rule-off " +
+        "equality.",
+      Some("""
+         |SELECT l_returnflag, s_name, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY ROLLUP (l_returnflag, s_name)
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.plans.{CatalogRules, EagerAggregationRule}
+        val st = StatsPhases.collected(spark, dir)
+        val child = CatalogRules.sessionWith(spark,
+          Seq(EagerAggregationRule(st)),
+          "spark.sql.ansi.enabled" -> "false")
+        Tables.lineitem(child, dir)
+          .join(Tables.supplier(child, dir),
+            col("l_suppkey") === col("s_suppkey"))
+          // col(...) not String overloads: Dataset.col's dataset-id
+          // metadata trips DetectAmbiguousSelfJoin under the Expand
+          .rollup(col("l_returnflag"), col("s_name"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+      }
     )
   )
 }

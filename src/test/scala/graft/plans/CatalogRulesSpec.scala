@@ -807,6 +807,57 @@ class CatalogRulesSpec extends AnyFunSuite {
     assert(blindAgg.isEmpty)
   }
 
+  test("q273: grouping sets push fact partials below the join — the Expand multiplies partials, not fact rows; no proof keeps the fact-grain Expand; same rows") {
+    import graft.queries.StatsPhases
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand => LExpand, Join => LJoin}
+    def pushedUnderExpand(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case e: LExpand if e.child.collectFirst {
+          case LJoin(l, _, _, _, _) => l.collectFirst {
+            case a: Aggregate
+                if CatalogRules.tableOf(a.child).contains("lineitem") => a
+          }
+        }.flatten.isDefined => true
+      }.getOrElse(false)
+    val on = SparkEntry.queries("q273_eager_rollup")(spark, sf)
+    assert(pushedUnderExpand(on), on.queryExecution.optimizedPlan.toString)
+
+    def text(s: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(s, sf)
+        .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+        .rollup(col("l_returnflag"), col("s_name"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+    val off = CatalogRules.sessionWith(spark, Nil,
+      "spark.sql.ansi.enabled" -> "false")
+    assert(!pushedUnderExpand(text(off)))
+    assert(on.schema === text(off).schema)
+    assert(sortedRows(on) === sortedRows(text(off)))
+
+    // no uniqueness proof: the Expand shape stands down like the flat one
+    val noProof = CatalogRules.sessionWith(spark,
+      Seq(EagerAggregationRule(CatalogRules.CatalogStats(Map.empty))),
+      "spark.sql.ansi.enabled" -> "false")
+    assert(!pushedUnderExpand(text(noProof)))
+    // missing the inner-grain composite entry: stand down
+    val st = StatsPhases.collected(spark, sf)
+    val grainKey = CatalogRules.compositeKey(Seq("l_suppkey", "l_returnflag"))
+    val noGrain = CatalogRules.CatalogStats(st.tables.updated("lineitem",
+      st.tables("lineitem").copy(
+        ndv = st.tables("lineitem").ndv - grainKey)))
+    val blind = CatalogRules.sessionWith(spark,
+      Seq(EagerAggregationRule(noGrain)), "spark.sql.ansi.enabled" -> "false")
+    assert(!pushedUnderExpand(text(blind)))
+    // a dim-side aggregate under the Expand refuses outright
+    val proofS = CatalogRules.sessionWith(spark,
+      Seq(EagerAggregationRule(st)), "spark.sql.ansi.enabled" -> "false")
+    val dimAgg = Tables.lineitem(proofS, sf)
+      .join(Tables.supplier(proofS, sf), col("l_suppkey") === col("s_suppkey"))
+      .rollup(col("l_returnflag"), col("s_name"))
+      .agg(sum(col("s_acctbal").cast("bigint")).as("s"))
+    assert(!pushedUnderExpand(dimAgg))
+  }
+
   test("eager aggregation's SUM fold stands down under ANSI mode: regrouped partials can throw on an intermediate overflow where the direct sum would not") {
     import graft.queries.StatsPhases
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
