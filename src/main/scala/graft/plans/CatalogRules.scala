@@ -340,9 +340,12 @@ object ConfCatalogJoinOrderRule extends Rule[LogicalPlan] {
   /** Opt-in (default false): discount each base's catalog count by the
     * estimated selectivity of the filters above its scan, built from
     * the conjunct rule's published histogram/MCV confs — the q262
-    * filter-aware ordering, by config. Opt-in because it can change
-    * the chosen order with the data scale (that is its point), which a
-    * deployment pinning plans across environments may not want. */
+    * filter-aware ordering, by config. Deliberately opt-in on the CONF
+    * face even though the programmatic standardRules stack passes its
+    * estimator through by default (r19): a conf-deployed catalog pins
+    * plans across environments, and scale-dependent ordering (the
+    * feature) is exactly what such a deployment may not want — the
+    * deployer flips ONE conf to get it. */
   val UseSelectivityConf = "spark.graft.joinorder.useSelectivity"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {

@@ -1137,8 +1137,22 @@ class CatalogRulesSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("cnt"),
           sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
             .as("sum_price"))
+    // and the composite-key chain (q268 text) — the published
+    // join-order stats carry the counted composite entries
+    def composite(s: org.apache.spark.sql.SparkSession) = {
+      val a = Tables.lineitem(s, sf)
+      val b = Tables.lineitem(s, sf)
+      a.join(b, a("l_orderkey") === b("l_orderkey") &&
+          a("l_linenumber") === b("l_linenumber"))
+        .join(Tables.orders(s, sf), a("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, sf), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          sum(b("l_quantity").cast("bigint")).as("sum_qty"))
+    }
     Seq[(String, org.apache.spark.sql.SparkSession => DataFrame)](
-      ("mvJoin", mvJoin), ("avg", avg), ("chain", chain)).foreach {
+      ("mvJoin", mvJoin), ("avg", avg), ("chain", chain),
+      ("composite", composite)).foreach {
       case (name, q) =>
         assert(planSig(q(conf)) === planSig(q(prog)), name)
         assert(sortedRows(q(conf)) === sortedRows(q(prog)), name)

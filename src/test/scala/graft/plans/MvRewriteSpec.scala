@@ -479,6 +479,31 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(scanTables(off) === Set("events"))
     assert(on.schema === off.schema)
     assert(sortedRows(on) === sortedRows(off))
+
+    // ...and a bucket-ALIGNED range filter composes with the grouping
+    // sets (q269's class-3 mapping runs under the Expand too): the
+    // dashboard "subtotals over the last N hours" stays a cells read
+    def ranged(s: org.apache.spark.sql.SparkSession) =
+      Tables.eventsTsNs(s, sf)
+        .filter(col("ts") >= lit(473712L * MvPhases.HourNs))
+        .rollup(
+          expr(graft.operators.Resample.floorDivSql("ts", MvPhases.HourNs))
+            .as("hour_idx"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+    val rangedOn = ranged(child)
+    assert(scanTables(rangedOn) === Set(MvPhases.tsTable(sf)),
+      scanTables(rangedOn))
+    assert(sortedRows(rangedOn)
+      === sortedRows(ranged(CatalogRules.sessionWith(spark, Nil))))
+    // misaligned: part of a bucket, the Expand shape bails too
+    val misaligned = Tables.eventsTsNs(child, sf)
+      .filter(col("ts") >= lit(473712L * MvPhases.HourNs + 1))
+      .rollup(
+        expr(graft.operators.Resample.floorDivSql("ts", MvPhases.HourNs))
+          .as("hour_idx"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(scanTables(misaligned) === Set("events"), scanTables(misaligned))
   }
 
   test("shadow hole closed: a computed projection that takes a dim's NAME never matches the dim") {
