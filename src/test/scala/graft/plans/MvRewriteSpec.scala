@@ -420,6 +420,66 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(sortedRows(mixed) === sortedRows(mixedOff))
   }
 
+  test("bucket alignment is exact on NEGATIVE timestamps: pre-1970 aligned boundaries serve from cells and match rule-off in every form; misaligned bail") {
+    import org.apache.spark.sql.functions.expr
+    // Synthetic event stream straddling the epoch with ragged in-bucket
+    // offsets — the fixture's 2024 data never exercises floorDiv's
+    // negative-operand behavior, which is exactly where an alignment
+    // proof written with `/` instead of floor semantics would break.
+    val w = 3600000000000L
+    val dir = java.nio.file.Files.createTempDirectory("negts").toString
+    spark.range(-40, 40).selectExpr(
+        "CAST(id AS BIGINT) * CAST(3600000000000 AS BIGINT) " +
+          "+ pmod(id, 7) * CAST(123456789 AS BIGINT) AS ts",
+        "CAST(pmod(id, 3) AS STRING) AS event_type")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def raw(s: org.apache.spark.sql.SparkSession) =
+      s.read.parquet(s"$dir/events.parquet")
+    val bucket = expr(graft.operators.Resample.floorDivSql("ts", w))
+    raw(spark).groupBy(bucket.as("hour_idx"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/rollup.parquet")
+    // canonicals derived through the SAME machinery the rewrite
+    // matches with (a leaf source canonicalizes to its bare name)
+    val probe = raw(spark).groupBy(bucket.as("hour_idx"))
+      .agg(count(lit(1)).as("c"))
+    val canon = MvRewriteRule.groupingCanonicals(
+      probe.queryExecution.optimizedPlan).values.head
+    def mv(s: org.apache.spark.sql.SparkSession) = MvDef(
+      baseTable = "events",
+      dims = Map("event_type" -> "event_type"),
+      measures = Seq(MvMeasure("count", "", None, "cnt")),
+      mvPlan = s.read.parquet(s"$dir/rollup.parquet")
+        .queryExecution.analyzed,
+      basePath = Some(CatalogRules.normalizePath(s"$dir/events.parquet")),
+      exprDims = Seq(MvExprDim(canon, "hour_idx",
+        bucket = Some(MvBucket("ts", w)))))
+    val child = CatalogRules.sessionWith(spark, Nil)
+    CatalogRules.installRules(child, Seq(MvRewriteRule(Seq(mv(child)))))
+    val off = CatalogRules.sessionWith(spark, Nil)
+    def report(s: org.apache.spark.sql.SparkSession,
+        f: org.apache.spark.sql.Column) =
+      raw(s).filter(f).groupBy(bucket.as("hour_idx"))
+        .agg(count(lit(1)).as("cnt"))
+    // NEGATIVE aligned boundaries, every comparison form and both
+    // literal orientations
+    Seq(-13L, -1L, 0L, 17L).foreach { k =>
+      val forms = Seq(
+        col("ts") >= k * w, col("ts") < k * w,
+        col("ts") > (k * w - 1), col("ts") <= (k * w - 1),
+        lit(k * w) <= col("ts"), lit(k * w) > col("ts"))
+      forms.foreach { f =>
+        val on = report(child, f)
+        assert(scanTables(on) === Set("rollup"), s"k=$k $f ${scanTables(on)}")
+        assert(sortedRows(on) === sortedRows(report(off, f)), s"k=$k $f")
+      }
+      // misaligned by one ns in either direction: part of a bucket, bail
+      Seq(col("ts") >= k * w + 1, col("ts") < k * w - 1).foreach { f =>
+        assert(scanTables(report(child, f)) === Set("events"), s"k=$k $f")
+      }
+    }
+  }
+
   test("q267 companion: TS fold == scratch; the conf face serves the expression-dim rollup") {
     import org.apache.spark.sql.functions.expr
     import graft.queries.MvPhases
