@@ -707,6 +707,28 @@ class CatalogRulesSpec extends AnyFunSuite {
       firstJoinTables(text(blind)))
   }
 
+  test("composite keys are orientation-insensitive: swapped conjunct order and swapped equality sides meet the same catalog entry and reorder identically") {
+    assert(CatalogRules.compositeKey(Seq("b", "a"))
+      === CatalogRules.compositeKey(Seq("a", "b")))
+    import graft.queries.StatsPhases
+    val st = StatsPhases.collected(spark, sf)
+    val child = CatalogRules.sessionWith(spark,
+      Seq(CatalogJoinOrderRule(st)),
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    // q268's chain with the composite condition written BACKWARDS —
+    // conjuncts swapped AND each equality's sides flipped
+    val a = Tables.lineitem(child, sf)
+    val b = Tables.lineitem(child, sf)
+    val df = a.join(b, b("l_linenumber") === a("l_linenumber") &&
+        b("l_orderkey") === a("l_orderkey"))
+      .join(Tables.orders(child, sf), a("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(child, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+    assert(firstJoinTables(df) === Set("orders", "customer"),
+      firstJoinTables(df))
+  }
+
   test("composite eager aggregation: fires on a counted composite-unique dim, refuses without the composite entry; same rows") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     // A dim whose UNIQUENESS only holds on the column PAIR — the
