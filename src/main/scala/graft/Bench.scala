@@ -582,24 +582,13 @@ object Bench {
           }),
           "q264_eager_aggregation" -> ((s: SparkSession, d: String) =>
             SparkEntry.queries("q264_eager_aggregation")(s, d))),
-        // The eager AVG fold (q271): ruleoff twin on identical text —
-        // the pair's difference is the fk-grain decomposition of the
-        // deterministic-average idiom.
-        "q271_eager_avg" -> Seq(
-          "q271_ruleoff_rowgrain" -> ((s: SparkSession, d: String) => {
-            import org.apache.spark.sql.functions._
-            val off = graft.plans.CatalogRules.sessionWith(s, Nil,
-              "spark.sql.ansi.enabled" -> "false")
-            Tables.lineitem(off, d)
-              .join(Tables.supplier(off, d),
-                col("l_suppkey") === col("s_suppkey"))
-              .groupBy("s_name")
-              .agg(count(col("l_quantity")).as("cnt_qty"),
-                (sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
-                  / count(col("l_quantity"))).as("avg_qty"))
-          }),
-          "q271_eager_avg" -> ((s: SparkSession, d: String) =>
-            SparkEntry.queries("q271_eager_avg")(s, d))),
+        // The eager AVG fold (q271): DEMOTED to plan-pin-only (r19
+        // verdict item 5) — the broadcast-regime pair sat at parity
+        // across three full runs (the avoided exchange is tiny at
+        // sf0.1), so the ruleoff twin is dropped rather than paying a
+        // bench line for a tie. The fold's win shape is the q264 SMJ
+        // pair's (same decomposition, measured there); its correctness
+        // and fired-shape stay pinned in CatalogRulesSpec.
         // Mixed-grouping eager aggregation (q272): ruleoff twin on
         // identical text — the pair's difference is the
         // (fk x fact-group)-grain decomposition.
@@ -634,6 +623,64 @@ object Bench {
           }),
           "q273_eager_rollup" -> ((s: SparkSession, d: String) =>
             SparkEntry.queries("q273_eager_rollup")(s, d))),
+        // Dim-CHAIN eager aggregation (q274): measured in the SHUFFLE
+        // regime only (threshold=-1, AQE off — the q264/r19 lesson:
+        // broadcast-regime pairs sit at parity and a tie is not worth
+        // two bench lines). The rowgrain side sort-merge-exchanges the
+        // fact TWICE (once per chain join); the eager side exchanges
+        // ndv(l_suppkey) partials below the whole chain.
+        "q274_eager_chain" -> Seq(
+          "q274_smj_rowgrain" -> ((s: SparkSession, d: String) => {
+            import org.apache.spark.sql.functions._
+            val off = graft.plans.CatalogRules.sessionWith(s, Nil,
+              "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+              "spark.sql.adaptive.enabled" -> "false",
+              "spark.sql.ansi.enabled" -> "false")
+            Tables.lineitem(off, d)
+              .join(Tables.supplier(off, d),
+                col("l_suppkey") === col("s_suppkey"))
+              .join(Tables.nation(off, d),
+                col("s_nationkey") === col("n_nationkey"))
+              .groupBy("n_name")
+              .agg(count(lit(1)).as("cnt"),
+                sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+                sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                  .as("sum_price"))
+          }),
+          "q274_smj_eager" -> ((s: SparkSession, d: String) => {
+            import org.apache.spark.sql.functions._
+            val on = graft.plans.CatalogRules.sessionWith(s,
+              Seq(graft.plans.EagerAggregationRule(
+                graft.queries.StatsPhases.collected(s, d))),
+              "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+              "spark.sql.adaptive.enabled" -> "false",
+              "spark.sql.ansi.enabled" -> "false")
+            Tables.lineitem(on, d)
+              .join(Tables.supplier(on, d),
+                col("l_suppkey") === col("s_suppkey"))
+              .join(Tables.nation(on, d),
+                col("s_nationkey") === col("n_nationkey"))
+              .groupBy("n_name")
+              .agg(count(lit(1)).as("cnt"),
+                sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+                sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                  .as("sum_price"))
+          }),
+          "q274_eager_chain" -> ((s: SparkSession, d: String) =>
+            SparkEntry.queries("q274_eager_chain")(s, d))),
+        // Computed-grouping eager aggregation (q277): plan-pin-only,
+        // by MEASUREMENT — both the sf0.1 SMJ pair and a 16x widened
+        // SMJ pair were timed during r20 and the eager side LOSES
+        // ~15% at both scales: events rows are ~24 exchanged bytes,
+        // so at local memcpy bandwidth the exchanged-volume saving
+        // (even 213x at the wide grain) never repays the extra
+        // aggregate stage. The win requires network/spill-priced
+        // exchange — out of a single-host bench's reach — so no pair
+        // line is carried (r19 verdict item 5's demotion arm); the
+        // fired shape, gate, and same-rows stay pinned in
+        // CatalogRulesSpec, and the exchanged-volume story is carried
+        // by the q264/q274 pairs whose fact rows are wide enough to
+        // show it.
         // MV rewrite family: the rollup build is the one-shot ingest
         // cost; the q249 line is what the SAME query text costs once
         // the rewrite answers it from the rollup; the ruleoff twin is
@@ -661,14 +708,45 @@ object Bench {
           }),
           "q266_mv_time_bucket" -> ((s: SparkSession, d: String) =>
             SparkEntry.queries("q266_mv_time_bucket")(s, d))),
-        // Aligned time-range report (q269): the ruleoff twin pays the
-        // event scan + filter; the rule line reads the cells that
-        // survive the remapped bucket predicate.
+        // Aligned time-range report (q269): measured on the 16x WIDE
+        // events fixture (r19 verdict item 5 — at sf0.1 the avoided
+        // scan was so small the pair sat at parity; replication keeps
+        // the cells hour x type sized while the scan grows 16x, so the
+        // pair finally shows the cells-vs-scan margin as a number).
+        // The build line is the one-shot instrument cost; q269w_scan16
+        // pays the wide scan + filter; q269w_cells answers the SAME
+        // text from the wide rollup's cells.
         "q269_mv_bucket_aligned_filter" -> Seq(
-          "q269_ruleoff_events" -> ((s: SparkSession, d: String) => {
+          "wide_events_build" -> ((s: SparkSession, d: String) => {
+            graft.queries.WidePhases.ensureBuilt(s, d)
+            graft.queries.MvPhases.ensureStoredTsWide(s, d)
+            graft.queries.WidePhases.stats(s, d)
+            s.emptyDataFrame
+          }),
+          "q269w_scan16" -> ((s: SparkSession, d: String) => {
             import org.apache.spark.sql.functions._
+            val wd = graft.queries.WidePhases.ensureBuilt(s, d)
             val off = graft.plans.CatalogRules.sessionWith(s, Nil)
-            Tables.eventsTsNs(off, d)
+            Tables.eventsTsNs(off, wd)
+              .filter(col("ts") >=
+                lit(473712L * graft.queries.MvPhases.HourNs))
+              .groupBy(
+                expr(graft.operators.Resample.floorDivSql(
+                  "ts", graft.queries.MvPhases.HourNs)).as("hour_idx"),
+                col("event_type"))
+              .agg(count(lit(1)).as("cnt"),
+                sum(col("value").cast("decimal(18,4)")).cast("double")
+                  .as("sum_value"))
+          }),
+          "q269w_cells" -> ((s: SparkSession, d: String) => {
+            import org.apache.spark.sql.functions._
+            val wd = graft.queries.WidePhases.ensureBuilt(s, d)
+            graft.queries.MvPhases.ensureStoredTsWide(s, d)
+            val child = graft.plans.CatalogRules.sessionWith(s, Nil)
+            graft.plans.CatalogRules.installRules(child,
+              Seq(graft.plans.MvRewriteRule(
+                Seq(graft.queries.MvPhases.mvDefTsWide(child, d)))))
+            Tables.eventsTsNs(child, wd)
               .filter(col("ts") >=
                 lit(473712L * graft.queries.MvPhases.HourNs))
               .groupBy(
@@ -769,7 +847,27 @@ object Bench {
       Set("q178_scaled16_rebuild", "q173_scaled16_rebuild",
         "q174_setsim_exact", "q175_containment_join",
         "q226_uncapped_mine_full")
-    val healthStart = healthProbe()
+    // Probe admission gate (r19 verdict item 7): refuse to START
+    // measuring on a host already stolen — the r16-r18 start-probe
+    // envelope tops out near 0.28 s here, and r19's driver artifact
+    // (13 flags, all session noise) opened on a 0.26 s probe that
+    // degraded to 0.30 s. Past ~2x the envelope ceiling the bench
+    // self-reruns the probe after a pause (observed steal episodes are
+    // transient); after 5 tries it proceeds anyway and RECORDS the hot
+    // start in the artifact — a driver round must produce a record,
+    // and the adjudication fields then carry the evidence.
+    val ProbeCeiling = 0.55
+    var healthStart = healthProbe()
+    var probeRetries = 0
+    while (healthStart > ProbeCeiling && probeRetries < 5) {
+      System.err.println(
+        f"[bench] start probe ${healthStart}%.3f s exceeds the " +
+          f"$ProbeCeiling%.2f s ceiling (~2x the r16-r18 envelope) — " +
+          "host busy; backing off 30 s before re-probing")
+      Thread.sleep(30000L)
+      probeRetries += 1
+      healthStart = healthProbe()
+    }
     val firstPass = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy(_._1).flatMap { case (name, fn) =>
@@ -796,6 +894,7 @@ object Bench {
       "q64_bucketed_build",
       "q79_ivf_build", "q85_kmeans_train", "q156_ivf_base_build",
       "q228_ivf_compact", "q226_sig_mine_full", "q226_uncapped_mine_full",
+      "wide_events_build",
       "q157_decontam_v1_build", "q160_hll_stored_build",
       "q162_cm_stored_build", "q163_hdr_stored_build",
       "q164_kmv_stored_build", "q166_zbase_write",
@@ -1023,7 +1122,7 @@ object Bench {
     val healthEnd = healthProbe()
     val thirdPassJson = thirdPass.map("\"" + _ + "\"").mkString("[", ",", "]")
     val healthJson =
-      s""","health_probe_start_sec":${fmt(healthStart)},"health_probe_end_sec":${fmt(healthEnd)},"third_pass":$thirdPassJson"""
+      s""","health_probe_start_sec":${fmt(healthStart)},"health_probe_end_sec":${fmt(healthEnd)},"probe_retries":$probeRetries,"probe_hot_start":${healthStart > ProbeCeiling},"third_pass":$thirdPassJson"""
     val floorJson = bestFloorReset.toSeq.sortBy(_._1).map {
       case (k, (round, reason)) =>
         "\"" + k + "\":{\"round\":" + round + ",\"reason\":\"" + reason + "\"}"

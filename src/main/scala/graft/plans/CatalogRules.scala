@@ -184,6 +184,24 @@ object CatalogRules {
   def compositeKey(cols: Seq[String]): String =
     if (cols.lengthCompare(1) == 0) cols.head else cols.sorted.mkString("+")
 
+  /** The catalog key for a COMPUTED grain component — `GROUP BY
+    * floorDiv(ts, w)`-style expressions the eager-aggregation gate
+    * must price (q277): a short hex digest of the expression's
+    * leaf-resolved [[MvRewriteRule.canonicalKey]] canonical, prefixed
+    * so it can never collide with a real column name. Digesting keeps
+    * the key free of every conf-grammar separator (a canonical is a
+    * SQL rendering full of them) and composable through
+    * [[compositeKey]]'s `+` join; the collector derives the SAME
+    * canonical from a probe plan built with the query text
+    * (groupingCanonicals — the q266 no-drift device), so the ANALYZE
+    * entry and the rewrite-time lookup cannot diverge. */
+  def exprKey(canonical: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    "expr$" + md.digest(canonical.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+  }
+
   /** The full decision layer in its COMPOSITION order — the order is a
     * contract, not a style choice: rewrites that change plan SHAPE must
     * run before rules that pin STRATEGY, because the hint-setting rule

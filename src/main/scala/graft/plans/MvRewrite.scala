@@ -69,6 +69,19 @@ final case class MvRewriteRule(
     *
     * Tried only after the attribute-dims path declines (a plan with no
     * computed projections never reaches here with different behavior).
+    * Composes with the FK-join device (q275): the walked-to leaf may
+    * be `base JOIN dim` on a rollup-carried plain-dim key proven
+    * unique (Exact + counted tuple + recorded path — the q252 trust
+    * boundary verbatim), the base side defs-walked on its own (the
+    * loader's computed normalization lives below the join); partials
+    * pass through the join unchanged for the single-join reason, so an
+    * hourly-report-by-entity reads (bucket x fk) cells joined to the
+    * live dim — the fact scan is gone and dim attributes stay
+    * un-denormalized. Also matches declared ALTERNATE spellings of a
+    * bucket dimension (q276, [[MvAltDim]]): `date_trunc('hour', …)` is
+    * a bijection of the floorDiv hour bucket, so the same cells serve
+    * it with the grouping value rebuilt per cell.
+    *
     * Bails on: any filter whose RESOLVED form touches a non-plain-dim
     * column (a raw-timestamp predicate does not commute with bucket
     * grain unless bucket-aligned, which this rule does not prove), any
@@ -80,7 +93,7 @@ final case class MvRewriteRule(
       ae: Seq[NamedExpression],
       child: LogicalPlan,
       mv: MvDef): Option[LogicalPlan] = {
-    import org.apache.spark.sql.catalyst.expressions.ExprId
+    import org.apache.spark.sql.catalyst.expressions.{AttributeSet, ExprId}
     if (mv.exprDims.isEmpty) return None
     if (ge.exists(!_.deterministic) || ae.exists(!_.deterministic)) return None
     val mvOut = mv.mvPlan.output
@@ -88,15 +101,75 @@ final case class MvRewriteRule(
     if (!mv.dims.values.forall(mvAttr(_).isDefined)) return None
     if (!mv.exprDims.forall(d => mvAttr(d.mvCol).isDefined)) return None
 
-    val (filters, leaf, defs) = MvRewriteRule.collectDefs(child, Nil, Map.empty)
-    if (!MvRewriteRule.baseMatches(mv, leaf)) return None
+    // Defs-aware walk to the leaf; the leaf is the raw base relation
+    // (flat shape) or — q275, the computed shape COMPOSED with the
+    // q252/q270 join device — base JOIN dim on a rollup-carried key
+    // proven unique, where the base side gets its OWN defs walk (the
+    // loader's computed normalization lives below the join).
+    val (filters0, leaf0, defs0) =
+      MvRewriteRule.collectDefs(child, Nil, Map.empty)
+    val (leaf, factFilters, defs, dimOpt) = leaf0 match {
+      case scan if MvRewriteRule.baseMatches(mv, scan) =>
+        (scan, Nil: Seq[Expression], defs0, None: Option[DimSide])
+      case Join(l, r, Inner, Some(c), JoinHint(None, None))
+          if splitConjunctivePredicates(c).forall(_.isInstanceOf[EqualTo]) =>
+        val (lf, ls, ld) = MvRewriteRule.collectDefs(l, Nil, Map.empty)
+        val (rf, rs, rd) = MvRewriteRule.collectDefs(r, Nil, Map.empty)
+        val lBase = MvRewriteRule.baseMatches(mv, ls)
+        val rBase = MvRewriteRule.baseMatches(mv, rs)
+        if (lBase == rBase) return None
+        val (bSide, bFilters, bScan, bDefs, dSide, dScan) =
+          if (lBase) (l, lf, ls, ld, r, rs) else (r, rf, rs, rd, l, ls)
+        val dimTable = CatalogRules.tableOf(dScan).getOrElse(return None)
+        val merged = defs0 ++ bDefs
+        // Each equality oriented base -> dim; the base key must RESOLVE
+        // to a verbatim leaf column the rollup stores as a plain dim (a
+        // computed join key has no cell column to join on).
+        val keys = splitConjunctivePredicates(c).map {
+          case EqualTo(x: AttributeReference, y: AttributeReference) =>
+            val (bk, dk) =
+              if (bSide.outputSet.contains(x) && dSide.outputSet.contains(y))
+                (x, y)
+              else if (bSide.outputSet.contains(y) &&
+                  dSide.outputSet.contains(x)) (y, x)
+              else return None
+            MvRewriteRule.resolve(bk, merged) match {
+              case b: AttributeReference if bScan.outputSet.contains(b) =>
+                if (!mv.dims.contains(b.name)) return None
+                (b.name, dk)
+              case _ => return None
+            }
+          case _ => return None
+        }
+        // the q252 trust boundary verbatim: Exact provenance, the
+        // (possibly composite) dim key counted unique, recorded path
+        val dimNdvKey = CatalogRules.compositeKey(keys.map(_._2.name))
+        val provenUnique = stats.tables.get(dimTable) match {
+          case Some(ts) =>
+            ts.provenance == CatalogRules.StatProvenance.Exact &&
+              ts.ndv.get(dimNdvKey).contains(ts.rows) &&
+              ts.path.exists(p => CatalogRules.scanPath(dScan).contains(p))
+          case None => false
+        }
+        if (!provenUnique) return None
+        (bScan, bFilters, merged, Some(DimSide(dSide, keys)))
+      case _ => return None
+    }
     val leafOut = leaf.outputSet
+    val dimOut = dimOpt.map(_.plan.outputSet).getOrElse(AttributeSet.empty)
+    val allowed = mv.mvPlan.outputSet ++ dimOut
     def res(e: Expression): Expression = MvRewriteRule.resolve(e, defs)
 
-    // Grouping attrs -> rollup dim columns: plain leaf dims by name,
-    // computed ones by canonical match against the declared exprDims.
-    val dimMap = scala.collection.mutable.Map.empty[ExprId, Attribute]
+    // Grouping attrs -> expressions over the rollup (or the verbatim
+    // dim subtree): dim-side attrs pass through the rejoin; plain leaf
+    // dims remap by name; computed expressions match a declared
+    // exprDim canonical — or one of its declared ALTERNATE spellings
+    // (q276), whose value is rebuilt per cell from the bucket column
+    // (type-checked: the rebuilt expression must restore the query's
+    // exact grouping type).
+    val dimMap = scala.collection.mutable.Map.empty[ExprId, Expression]
     ge.foreach {
+      case a: AttributeReference if dimOut.contains(a) => // verbatim
       case a: AttributeReference =>
         res(a) match {
           case b: AttributeReference
@@ -106,37 +179,83 @@ final case class MvRewriteRule(
             val canon = MvRewriteRule.canonicalKey(computed)
             mv.exprDims.find(_.canonical == canon) match {
               case Some(d) => dimMap(a.exprId) = mvAttr(d.mvCol).get
-              case None => return None
+              case None =>
+                val alt = mv.exprDims.iterator.flatMap(d =>
+                  d.alts.collect {
+                    case al if al.canonical == canon =>
+                      MvAltRebuild.expr(al.rebuild, mvAttr(d.mvCol).get
+                        .asInstanceOf[Attribute])
+                  }).nextOption()
+                alt.filter(_.dataType == computed.dataType) match {
+                  case Some(e) => dimMap(a.exprId) = e
+                  case None => return None
+                }
             }
         }
       case _ => return None
     }
 
-    // Filters: each resolved conjunct must map provably — plain dims,
-    // expression-dim comparisons, or bucket-ALIGNED source ranges (the
+    // Filters: fact-side conjuncts (below the join, or everything in
+    // the flat shape) must map provably — plain dims, expression-dim
+    // comparisons, or bucket-ALIGNED source ranges (the
     // mapComputedFilter classes) — after dropping the optimizer's
-    // inferred null guards where a sibling comparison implies them;
-    // anything else bails the whole query.
-    val mvFilters = dropImpliedNullGuards(filters.map(res)).map { f =>
+    // inferred null guards where a sibling comparison implies them.
+    // Above-join conjuncts may also mix dim-side columns, kept
+    // verbatim with base references remapped as plain dims. Anything
+    // else bails the whole query.
+    def mapOne(f: Expression): Option[Expression] =
+      if (dimOut.isEmpty || !f.references.exists(dimOut.contains))
+        mapComputedFilter(f, mv, mvAttr, leafOut)
+      else if (!f.deterministic) None
+      else if (!f.references.forall(a => dimOut.contains(a) ||
+          (leafOut.contains(a) && mv.dims.contains(a.name)))) None
+      else Some(f.transform {
+        case a: AttributeReference if !dimOut.contains(a) =>
+          mvAttr(mv.dims(a.name)).get
+      })
+    val mvAboveFilters = dropImpliedNullGuards(filters0.map(res))
+      .map(f => mapOne(f).getOrElse(return None))
+    val mvFactFilters = dropImpliedNullGuards(factFilters.map(res)).map { f =>
       mapComputedFilter(f, mv, mvAttr, leafOut).getOrElse(return None)
     }
 
-    // Aggregate list: dim attrs re-emitted under their original ids,
-    // calls swapped measure-for-partial on their RESOLVED form — with
-    // the guard that a matched source column is a VERBATIM leaf column
-    // (a computed alias sharing a base column's name must never match
-    // its measure).
+    // Aggregate list: dim-side attrs verbatim, grouping attrs
+    // re-emitted under their original ids, calls swapped
+    // measure-for-partial on their RESOLVED form — with the guard that
+    // a matched source column is a VERBATIM leaf column (a computed
+    // alias sharing a base column's name must never match its
+    // measure). A dim-side-referencing aggregate reaches swapAggregate
+    // and is refused there (no partial can fold it).
     val newAe: Seq[NamedExpression] = ae.map {
+      case a: AttributeReference if dimOut.contains(a) => a
       case a: AttributeReference if dimMap.contains(a.exprId) =>
         Alias(dimMap(a.exprId), a.name)(exprId = a.exprId)
+      case al @ Alias(a: AttributeReference, _) if dimOut.contains(a) => al
       case al @ Alias(a: AttributeReference, name) if dimMap.contains(a.exprId) =>
         Alias(dimMap(a.exprId), name)(exprId = al.exprId)
       case al: Alias =>
         var ok = true
-        val resolved = res(al.child)
+        // Scalars over GROUPING dimensions survive project-collapse
+        // (e.g. the unix_micros edge cast folded into the aggregate
+        // list): pre-map dimMap'd attributes onto their rollup
+        // expressions BEFORE resolution, so only genuinely-unmapped
+        // references reach the leaf checks below. NEVER inside an
+        // aggregate call: count(<grouping attr>) pre-mapped to an mv
+        // expression would dodge the swap guard and silently aggregate
+        // CELLS instead of rows — agg inputs stay raw, resolve to leaf
+        // form, and either match a stored measure or refuse.
+        def preMap(e: Expression): Expression = e match {
+          case aggE: AggregateExpression => aggE
+          case a: AttributeReference if dimMap.contains(a.exprId) =>
+            dimMap(a.exprId)
+          case other => other.mapChildren(preMap)
+        }
+        val resolved = res(preMap(al.child))
         if (resolved.collectFirst {
-            case a: AttributeReference if !leafOut.contains(a) => a
-          }.isDefined) return None // something neither leaf nor inlined
+            case a: AttributeReference
+                if !leafOut.contains(a) && !dimOut.contains(a) &&
+                  !mv.mvPlan.outputSet.contains(a) => a
+          }.isDefined) return None // something neither leaf/dim nor inlined
         val swapped = resolved.transform {
           case aggE: AggregateExpression
               if aggE.references.isEmpty ||
@@ -147,17 +266,30 @@ final case class MvRewriteRule(
             }
         }
         if (!ok) return None
-        if (!swapped.references.subsetOf(mv.mvPlan.outputSet)) return None
+        if (!swapped.references.subsetOf(allowed)) return None
         Alias(swapped, al.name)(exprId = al.exprId)
       case _ => return None
     }
     val newGe: Seq[Expression] = ge.map {
+      case a: AttributeReference if dimOut.contains(a) => a
       case a: AttributeReference => dimMap(a.exprId)
     }
     val mvBase =
-      if (mvFilters.isEmpty) mv.mvPlan
-      else Filter(mvFilters.reduceLeft(And(_, _)), mv.mvPlan)
-    Some(Aggregate(newGe, newAe, mvBase, None))
+      if (mvFactFilters.isEmpty) mv.mvPlan
+      else Filter(mvFactFilters.reduceLeft(And(_, _)), mv.mvPlan)
+    val joined = dimOpt match {
+      case None => mvBase
+      case Some(d) =>
+        Join(mvBase, d.plan, Inner,
+          Some(d.keys.map { case (bkName, dk) =>
+            EqualTo(mvAttr(mv.dims(bkName)).get, dk): Expression
+          }.reduceLeft(And(_, _))),
+          JoinHint.NONE)
+    }
+    val newChild =
+      if (mvAboveFilters.isEmpty) joined
+      else Filter(mvAboveFilters.reduceLeft(And(_, _)), joined)
+    Some(Aggregate(newGe, newAe, newChild, None))
   }
 
   /** Attributes reachable from `e` through an unbroken chain of
@@ -833,7 +965,7 @@ object MvRewriteRule {
     * over the same leaf columns canonicalize equal, which is exactly
     * the (syntactic, like every production MV matcher) equivalence the
     * expression-dimension match needs. */
-  private[plans] def canonicalKey(e: Expression): String =
+  def canonicalKey(e: Expression): String =
     e.transform {
       case a: AttributeReference =>
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(a.name)
@@ -897,15 +1029,23 @@ object ConfMvRewriteRule extends Rule[LogicalPlan] {
   /** Resolved-defs cache: parsing the conf string is cheap, but
     * resolving every rollup's READ PLAN (tableExists + analysis + file
     * listing) per optimizer invocation is not — and fixed-point batches
-    * invoke a rule several times per query. Keyed by (session, spec,
-    * each named table's catalog createTime): a changed conf, a new
-    * session, or a dropped-and-recreated rollup (saveAsTable stamps a
-    * fresh createTime) all miss and re-resolve — keeping the loud
-    * failure on first resolution — while steady-state planning reuses
-    * the resolved plans. Bounded: cleared wholesale past a small size
-    * (stale versions of one key otherwise accumulate forever). */
-  private val defsCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Seq[(String, Long)]), Seq[MvDef]]()
+    * invoke a rule several times per query. Keyed by the SESSION
+    * OBJECT through a weak identity map (r19 ADVICE: an
+    * identityHashCode string can collide with a GC'd session and serve
+    * MvDefs resolved against the dead one), then by (spec, each named
+    * table's catalog createTime + storage-location mtime): a changed
+    * conf, a new session, a dropped-and-recreated rollup (saveAsTable
+    * stamps a fresh createTime), or an in-place INSERT OVERWRITE (same
+    * createTime, new directory mtime — the stale-file-listing case)
+    * all miss and re-resolve — keeping the loud failure on first
+    * resolution — while steady-state planning reuses the resolved
+    * plans. Bounded per session: cleared wholesale past a small size
+    * (stale versions of one key otherwise accumulate forever); dead
+    * sessions drop with their weak key. */
+  private val defsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[
+        (String, Seq[(String, Long, Long)]), Seq[MvDef]]]())
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val spec = conf.getConfString(DefsConf, "")
@@ -938,11 +1078,30 @@ object ConfMvRewriteRule extends Rule[LogicalPlan] {
         throw new IllegalArgumentException(
           s"$DefsConf names rollup table '$t' which does not exist " +
             "in the session catalog")
-      t -> session.sessionState.catalog.getTableMetadata(ident).createTime
+      val meta = session.sessionState.catalog.getTableMetadata(ident)
+      // The storage dir's mtime folds the DATA version into the stamp:
+      // an INSERT OVERWRITE replaces files without touching createTime,
+      // and a resolved read plan captures a file listing. One
+      // getFileStatus per table per invocation — metadata-priced.
+      val locMtime = meta.storage.locationUri.map { uri =>
+        val p = new org.apache.hadoop.fs.Path(uri)
+        try p.getFileSystem(session.sessionState.newHadoopConf())
+          .getFileStatus(p).getModificationTime
+        catch { case _: java.io.FileNotFoundException => 0L }
+      }.getOrElse(0L)
+      (t, meta.createTime, locMtime)
     }
-    if (defsCache.size > 64) defsCache.clear()
-    defsCache.computeIfAbsent(
-      (System.identityHashCode(session).toString, spec, versions),
+    val perSession = defsCache.synchronized {
+      var m = defsCache.get(session)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[
+          (String, Seq[(String, Long, Long)]), Seq[MvDef]]()
+        defsCache.put(session, m)
+      }
+      m
+    }
+    if (perSession.size > 64) perSession.clear()
+    perSession.computeIfAbsent((spec, versions),
       _ => parseDefs(spec, session))
   }
 
@@ -988,14 +1147,14 @@ object ConfMvRewriteRule extends Rule[LogicalPlan] {
       // (MvRewriteRule.groupingCanonicals on a probe plan) full of the
       // grammar's own separators, so they travel encoded; base64's
       // alphabet contains no `:`/`~`/`;`, keeping the parse exact.
+      def dec(b64: String): String =
+        try new String(
+          java.util.Base64.getDecoder.decode(b64.trim), "UTF-8")
+        catch { case _: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"$DefsConf exprdims canonical must be base64 — got '$b64'")
+        }
       val exprDims = kv.get("exprdims").toSeq.flatMap { spec =>
-        def dec(b64: String): String =
-          try new String(
-            java.util.Base64.getDecoder.decode(b64.trim), "UTF-8")
-          catch { case _: IllegalArgumentException =>
-            throw new IllegalArgumentException(
-              s"$DefsConf exprdims canonical must be base64 — got '$b64'")
-          }
         spec.split("~").iterator.map(_.trim).filter(_.nonEmpty).map { p =>
           p.split(":") match {
             case Array(b64, mvCol) =>
@@ -1008,6 +1167,34 @@ object ConfMvRewriteRule extends Rule[LogicalPlan] {
                 s"base64(canonical):mvCol[:base64(src):width] — got '$p'")
           }
         }.toSeq
+      }
+      // ALTERNATE spellings (q276) ride as
+      // mvCol:base64(canonical):tsus:<usPerBucket> entries joined by
+      // `~` under `exprdimalts=`, attached to the declared exprdim
+      // with that mvCol — an alt naming an undeclared column is a
+      // malformed conf and fails loudly, like every graft conf.
+      val exprDimsWithAlts = kv.get("exprdimalts") match {
+        case None => exprDims
+        case Some(spec) =>
+          val alts = spec.split("~").iterator.map(_.trim)
+            .filter(_.nonEmpty).map { p =>
+              p.split(":") match {
+                case Array(mvCol, b64, "tsus", us) =>
+                  mvCol.trim -> MvAltDim(dec(b64),
+                    MvAltRebuild.TsFromBucket(us.trim.toLong))
+                case _ => throw new IllegalArgumentException(
+                  s"$DefsConf exprdimalts entries must be " +
+                    s"mvCol:base64(canonical):tsus:<usPerBucket> — got '$p'")
+              }
+            }.toSeq
+          alts.foldLeft(exprDims) { case (dims, (mvCol, alt)) =>
+            if (!dims.exists(_.mvCol == mvCol))
+              throw new IllegalArgumentException(
+                s"$DefsConf exprdimalts names mvCol '$mvCol' with no " +
+                  "declared exprdim")
+            dims.map(d =>
+              if (d.mvCol == mvCol) d.copy(alts = d.alts :+ alt) else d)
+          }
       }
       val table = req("table")
       if (!session.catalog.tableExists(table))
@@ -1022,7 +1209,7 @@ object ConfMvRewriteRule extends Rule[LogicalPlan] {
           org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases(
             session.table(table).queryExecution.analyzed),
         basePath = kv.get("basePath"),
-        exprDims = exprDims)
+        exprDims = exprDimsWithAlts)
     }.toSeq
 
   /** `table:rows[:path=/abs/root]:col=ndv[,col=ndv…]`, `;`-separated.
@@ -1094,7 +1281,42 @@ final case class MvDef(
   * stored column (derive both from one probe, as MvPhases does).
   */
 final case class MvExprDim(
-    canonical: String, mvCol: String, bucket: Option[MvBucket] = None)
+    canonical: String, mvCol: String, bucket: Option[MvBucket] = None,
+    alts: Seq[MvAltDim] = Nil)
+
+/** A DERIVED alternate spelling of an expression dimension (q276): a
+  * grouping expression whose canonical equals [[canonical]] groups by
+  * a BIJECTION of the stored bucket column — the same cells answer it,
+  * with the output value rebuilt per cell via [[rebuild]]. The
+  * canonical is derived from a probe plan built with the alternate
+  * query text (MvPhases — the same no-drift device as the primary
+  * canonical), and the declarer promises the bijection: e.g.
+  * `date_trunc('hour', timestamp_micros(ts div 1000))` equals
+  * `timestamp_micros(floorDiv(ts, HourNs) * 3600e6)` exactly when `ts`
+  * is µs-aligned int64 ns — which the loader contract guarantees
+  * (normalizeTsNs always produces micros*1000; `div` and floorDiv
+  * agree on exact divisions). A spelling with a DIFFERENT width
+  * (date_trunc('minute', …)) canonicalizes differently, matches no
+  * declared alt, and correctly keeps the fact scan. */
+final case class MvAltDim(canonical: String, rebuild: MvAltRebuild)
+
+/** How to recover an alternate spelling's grouping VALUE from the
+  * stored bucket column — a closed enum (not a function) so alt
+  * declarations stay conf-serializable. */
+sealed trait MvAltRebuild
+object MvAltRebuild {
+  /** The value is the TIMESTAMP at the bucket's start:
+    * `timestamp_micros(bucket * usPerBucket)` — the date_trunc /
+    * window-start family over a floorDiv ns bucket. */
+  final case class TsFromBucket(usPerBucket: Long) extends MvAltRebuild
+
+  def expr(r: MvAltRebuild, bucketCol: Attribute): Expression = r match {
+    case TsFromBucket(us) =>
+      org.apache.spark.sql.catalyst.expressions.MicrosToTimestamp(
+        org.apache.spark.sql.catalyst.expressions.Multiply(
+          bucketCol, Literal(us)))
+  }
+}
 
 /** The floorDiv decomposition of a bucket expression dimension:
   * `bucket = floorDiv(source, width)` where `srcCanonical` is the

@@ -906,6 +906,186 @@ class CatalogRulesSpec extends AnyFunSuite {
     assert(fired(text(ansiOff)))
   }
 
+  test("q274: eager aggregation peels a proven-unique dim CHAIN — the fact partial sits below BOTH joins; ONE unproven dim stands the whole rewrite down; same rows") {
+    import graft.queries.StatsPhases
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    // Every Join node whose subtree holds the pushed lineitem partial:
+    // 2 in the chain shape (the partial is below both rejoins), 0 when
+    // the rule stands down.
+    def joinsAbovePartial(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.collectFirst {
+          case a: Aggregate
+              if CatalogRules.tableOf(a.child).contains("lineitem") => a
+        }.isDefined => j
+      }.length
+    val on = SparkEntry.queries("q274_eager_chain")(spark, sf)
+    assert(joinsAbovePartial(on) === 2,
+      on.queryExecution.optimizedPlan.toString)
+    def text(s: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(s, sf)
+        .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.nation(s, sf), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+            .as("sum_price"))
+    val off = CatalogRules.sessionWith(spark, Nil,
+      "spark.sql.ansi.enabled" -> "false")
+    val offDf = text(off)
+    assert(joinsAbovePartial(offDf) === 0)
+    assert(on.schema === offDf.schema)
+    assert(sortedRows(on) === sortedRows(offDf))
+    // the proof composes STEP-wise: drop nation's entry and the whole
+    // chain stands down — a half-proven chain must not half-fire
+    val st = StatsPhases.collected(spark, sf)
+    val noNation = CatalogRules.CatalogStats(st.tables - "nation")
+    val half = CatalogRules.sessionWith(spark,
+      Seq(EagerAggregationRule(noNation)), "spark.sql.ansi.enabled" -> "false")
+    assert(joinsAbovePartial(text(half)) === 0)
+  }
+
+  test("q277: a computed fact-side grouping key pushes into the inner aggregate's grouping; no counted grain entry, no rewrite; same rows") {
+    import graft.queries.{MvPhases, StatsPhases}
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    // The pushed shape: an aggregate over the events base BELOW the
+    // join whose grouping includes a NON-attribute expression (the
+    // week bucket, evaluated at the inner grain).
+    def fired(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case j: Join if j.collectFirst {
+          case a: Aggregate
+              if CatalogRules.tableOf(a.child).contains("events") &&
+                a.groupingExpressions.exists(
+                  !_.isInstanceOf[AttributeReference]) => a
+        }.isDefined => true
+      }.getOrElse(false)
+    val on = SparkEntry.queries("q277_eager_computed_key")(spark, sf)
+    assert(fired(on), on.queryExecution.optimizedPlan.toString)
+    def text(s: org.apache.spark.sql.SparkSession) =
+      Tables.eventsTsNs(s, sf)
+        .join(Tables.customer(s, sf), col("user_id") === col("c_custkey"))
+        .groupBy(
+          expr(graft.operators.Resample.floorDivSql("ts", MvPhases.WeekNs))
+            .as("week_idx"),
+          col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("sum_value"))
+    val off = CatalogRules.sessionWith(spark, Nil,
+      "spark.sql.ansi.enabled" -> "false")
+    val offDf = text(off)
+    assert(!fired(offDf))
+    assert(on.schema === offDf.schema)
+    assert(sortedRows(on) === sortedRows(offDf))
+    // the gate prices the COMPUTED grain through its own counted
+    // entry (exprKey over the probe-derived canonical); without it the
+    // rewrite stands down — per-column ndvs are never combined
+    val st = StatsPhases.collected(spark, sf)
+    val wk = StatsPhases.weekGrainKey(spark, sf)
+    assert(st.tables("events").ndv.contains(wk),
+      "collector must store the computed grain under the exprKey name")
+    val noGrain = CatalogRules.CatalogStats(st.tables.updated("events",
+      st.tables("events").copy(ndv = st.tables("events").ndv - wk)))
+    val bare = CatalogRules.sessionWith(spark,
+      Seq(EagerAggregationRule(noGrain)), "spark.sql.ansi.enabled" -> "false")
+    assert(!fired(text(bare)))
+  }
+
+  test("the decimal SUM fold's deployment switch: spark.graft.eageragg.decimalfold=false refuses decimal sums while COUNT/MIN/integral keep folding") {
+    import graft.queries.StatsPhases
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    def fired(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case j: Join if j.collectFirst {
+          case a: Aggregate
+              if CatalogRules.tableOf(a.child).contains("lineitem") => a
+        }.isDefined => true
+      }.getOrElse(false)
+    val st = StatsPhases.collected(spark, sf)
+    val s = CatalogRules.sessionWith(spark, Seq(EagerAggregationRule(st)),
+      "spark.sql.ansi.enabled" -> "false",
+      EagerAggregationRule.DecimalFoldConf -> "false")
+    val dec = Tables.lineitem(s, sf)
+      .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("s"))
+    assert(!fired(dec),
+      "decimal sums must stand down under the deployment switch — the " +
+        "only fold whose loud guard can fail a query the direct plan " +
+        "completes")
+    val rest = Tables.lineitem(s, sf)
+      .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"))
+    assert(fired(rest), "the switch must not disable the rest of the menu")
+  }
+
+  test("the decimal fold's companion count raises LOUDLY on partial-ACCUMULATOR overflow (null sum over a positive count), and still passes a legitimately-null all-null group") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+    // decimal(38,0) input: Sum's accumulator caps at the SAME width
+    // (min(38+10, 38)), so two near-max values overflow the partial
+    // itself — the silent-null path the companion count disambiguates
+    // from an all-null group (ADVICE r19: the fold was inconsistent
+    // with narrowExact's accumulator-overflow branch).
+    val dir = java.nio.file.Files.createTempDirectory("eaovf").toString
+    val big = new java.math.BigDecimal(
+      "89999999999999999999999999999999999999") // ~9e37, fits decimal(38,0)
+    val factSchema = StructType(Seq(
+      StructField("k", LongType), StructField("v", DecimalType(38, 0))))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(
+        Row(1L, big), Row(1L, big),
+        Row(2L, null), Row(2L, null))), factSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/eafact.parquet")
+    val dimSchema = StructType(Seq(
+      StructField("k2", LongType), StructField("name", StringType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(
+        Row(1L, "x"), Row(2L, "y"))), dimSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/eadim.parquet")
+    val stats = CatalogRules.CatalogStats(Map(
+      "eafact" -> CatalogRules.TableStat(4, Map("k" -> 2)),
+      "eadim" -> CatalogRules.TableStat(2, Map("k2" -> 2),
+        provenance = CatalogRules.StatProvenance.Exact,
+        path = Some(CatalogRules.normalizePath(s"$dir/eadim.parquet")))))
+    val s = CatalogRules.sessionWith(spark,
+      Seq(EagerAggregationRule(stats, minReduction = 2)),
+      "spark.sql.ansi.enabled" -> "false")
+    def fired(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case j: Join if j.collectFirst {
+          case a: Aggregate
+              if CatalogRules.tableOf(a.child).contains("eafact") => a
+        }.isDefined => true
+      }.getOrElse(false)
+    def q(filterKey: Option[Long]) = {
+      val base = s.read.parquet(s"$dir/eafact.parquet")
+      filterKey.map(k => base.filter(col("k") === k)).getOrElse(base)
+        .join(s.read.parquet(s"$dir/eadim.parquet"),
+          col("k") === col("k2"))
+        .groupBy("name").agg(sum(col("v")).as("s"))
+    }
+    val overflowing = q(None)
+    assert(fired(overflowing), overflowing.queryExecution.optimizedPlan.toString)
+    val e = intercept[Exception] { overflowing.collect() }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+    assert(msgs(e).contains("accumulator"),
+      s"expected the loud accumulator-overflow guard, got: ${msgs(e)}")
+    // all-null group: null sum over count 0 is LEGITIMATE — passes
+    // through as null, no raise (the disambiguation working)
+    val allNull = q(Some(2L))
+    assert(fired(allNull))
+    assert(sortedRows(allNull) === Seq(Row("y", null).toString))
+  }
+
   test("trust boundary, probed adversarially: a FALSE declared constraint is trusted (fires), yet the re-aggregating fold menu is multiplicity-linear — rows survive even that") {
     import graft.queries.StatsPhases
     // A dim whose key is genuinely NON-unique: supplier unioned with

@@ -899,6 +899,116 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(!(a eq c), "a dropped-and-recreated rollup must re-resolve")
   }
 
+  test("q275: expression dims compose with the FK-join shape — the hourly-by-entity report reads (hour x user) cells + the live dim, fact scan gone; no proof, no rewrite; same rows") {
+    import org.apache.spark.sql.functions.expr
+    val on = SparkEntry.queries("q275_mv_computed_join")(spark, sf)
+    assert(scanTables(on) === Set(MvPhases.tsuTable(sf), "customer"),
+      scanTables(on))
+    def text(s: org.apache.spark.sql.SparkSession) =
+      Tables.eventsTsNs(s, sf)
+        .join(Tables.customer(s, sf), col("user_id") === col("c_custkey"))
+        .groupBy(
+          expr(graft.operators.Resample.floorDivSql("ts", MvPhases.HourNs))
+            .as("hour_idx"),
+          col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("sum_value"))
+    val off = CatalogRules.sessionWith(spark, Nil)
+    val offDf = text(off)
+    assert(scanTables(offDf) === Set("events", "customer"))
+    assert(on.schema === offDf.schema)
+    assert(sortedRows(on) === sortedRows(offDf))
+    // the uniqueness proof composes with the computed path: without
+    // the c_custkey Exact entry the join shape stands down
+    MvPhases.ensureStoredTsU(spark, sf)
+    val noProof = CatalogRules.sessionWith(spark, Nil)
+    CatalogRules.installRules(noProof,
+      Seq(MvRewriteRule(Seq(MvPhases.mvDefTsU(noProof, sf)))))
+    assert(scanTables(text(noProof)) === Set("events", "customer"))
+  }
+
+  test("q276: a date_trunc('hour') spelling serves from the floorDiv hour rollup through the declared ALT canonical; a different width keeps the event scan; same rows") {
+    import org.apache.spark.sql.functions.{date_trunc, expr, timestamp_micros, unix_micros}
+    val on = SparkEntry.queries("q276_mv_date_trunc")(spark, sf)
+    assert(scanTables(on) === Set(MvPhases.tsTable(sf)), scanTables(on))
+    def text(s: org.apache.spark.sql.SparkSession, unit: String) =
+      Tables.eventsTsNs(s, sf)
+        .groupBy(
+          date_trunc(unit, timestamp_micros(expr("ts div 1000")))
+            .as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("sum_value"))
+        .select(unix_micros(col("hour_start")).as("hour_us"),
+          col("event_type"), col("cnt"), col("sum_value"))
+    val off = CatalogRules.sessionWith(spark, Nil)
+    val offDf = text(off, "hour")
+    assert(scanTables(offDf) === Set("events"))
+    assert(on.schema === offDf.schema)
+    assert(sortedRows(on) === sortedRows(offDf))
+    // a DIFFERENT truncation width canonicalizes differently, matches
+    // no declared alt, and correctly keeps the fact scan — hour cells
+    // cannot answer a minute report
+    MvPhases.ensureStoredTs(spark, sf)
+    val child = CatalogRules.sessionWith(spark, Nil)
+    CatalogRules.installRules(child,
+      Seq(MvRewriteRule(Seq(MvPhases.mvDefTs(child, sf)))))
+    assert(scanTables(text(child, "minute")) === Set("events"))
+    // conf face: the alt rides the published grammar (exprdimalts)
+    val conf = CatalogRules.sessionWith(spark, Seq(ConfMvRewriteRule),
+      ConfMvRewriteRule.DefsConf -> MvPhases.mvDefTsConf(spark, sf))
+    val viaConf = text(conf, "hour")
+    assert(scanTables(viaConf) === Set(MvPhases.tsTable(sf)),
+      scanTables(viaConf))
+    assert(sortedRows(viaConf) === sortedRows(offDf))
+    // an aggregate OVER the bucket expression refuses outright: no
+    // stored measure folds count(<bucket>), and the grouping-scalar
+    // pre-map must never reach inside an aggregate call (it would
+    // silently count CELLS instead of rows)
+    val aggOverBucket = Tables.eventsTsNs(child, sf)
+      .groupBy(col("event_type"))
+      .agg(count(date_trunc("hour", timestamp_micros(expr("ts div 1000"))))
+        .as("cnt_h"))
+    assert(scanTables(aggOverBucket) === Set("events"),
+      scanTables(aggOverBucket))
+  }
+
+  test("the wide-fixture MV def serves the WIDE events dir from cells and REFUSES the original dir (basePath pins which events it summarizes)") {
+    import graft.queries.WidePhases
+    val wd = WidePhases.ensureBuilt(spark, sf)
+    MvPhases.ensureStoredTsWide(spark, sf)
+    val child = CatalogRules.sessionWith(spark, Nil)
+    CatalogRules.installRules(child,
+      Seq(MvRewriteRule(Seq(MvPhases.mvDefTsWide(child, sf)))))
+    def text(s: org.apache.spark.sql.SparkSession, dir: String) =
+      Tables.eventsTsNs(s, dir)
+        .filter(col("ts") >= lit(473712L * MvPhases.HourNs))
+        .groupBy(
+          expr(graft.operators.Resample.floorDivSql("ts", MvPhases.HourNs))
+            .as("hour_idx"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("sum_value"))
+    // the wide dir is served from the wide rollup's cells (the q269w
+    // bench pair's rule side — this pin is what makes its 2x+ margin a
+    // REWRITE win, not a different query)
+    val served = text(child, wd)
+    assert(scanTables(served) === Set(MvPhases.tsTableWide(sf)),
+      scanTables(served))
+    // ...and the ORIGINAL dir still scans events: a def over the wide
+    // copy must never answer another directory's same-named table,
+    // even though the leaf-form wide `ts` also canonicalizes
+    // differently than the normalizing loader's
+    val narrow = text(child, sf)
+    assert(scanTables(narrow).contains("events"), scanTables(narrow))
+    // served == scratch over the wide fixture, row for row
+    val off = CatalogRules.sessionWith(spark, Nil)
+    assert(sortedRows(served) === sortedRows(text(off, wd)))
+  }
+
   test("min/max fold and the count fold is non-null-typed") {
     val child = mvSession()
     val df = Tables.lineitem(child, sf)
