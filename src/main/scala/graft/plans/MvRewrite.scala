@@ -183,10 +183,17 @@ final case class MvRewriteRule(
                 val alt = mv.exprDims.iterator.flatMap(d =>
                   d.alts.collect {
                     case al if al.canonical == canon =>
-                      MvAltRebuild.expr(al.rebuild, mvAttr(d.mvCol).get
-                        .asInstanceOf[Attribute])
+                      MvAltRebuild.expr(al.rebuild, mvAttr(d.mvCol).get)
                   }).nextOption()
-                alt.filter(_.dataType == computed.dataType) match {
+                // nullability-normalized on both sides: the rebuilt
+                // value's field nullability follows the stored
+                // column's, which may differ benignly from the query
+                // expression's inferred one (a struct's knownnullable
+                // wrappers etc.); names and types must still match
+                // exactly
+                alt.filter(e =>
+                  MvRewriteRule.nullNormalized(e.dataType) ==
+                    MvRewriteRule.nullNormalized(computed.dataType)) match {
                   case Some(e) => dimMap(a.exprId) = e
                   case None => return None
                 }
@@ -416,6 +423,21 @@ final case class MvRewriteRule(
         longLit(l).flatMap(succ).flatMap(ge(e, _))
       case LessThanOrEqual(l: Literal, e) =>   // v <= src  <=>  src >= v
         longLit(l).flatMap(ge(e, _))
+      // class 4: a null guard on the bucket's SOURCE — or a declared
+      // total equivalent (MvAltDim.guards: the isnotnull conjuncts
+      // Spark's TimeWindow injects) — maps to a null guard on the
+      // bucket column: the bucket chain is null-intolerant and total
+      // over its source, so the two reject exactly the same rows (and
+      // the cells' null-bucket cell, which aggregates exactly the
+      // null-source rows).
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(e) =>
+        val canon = MvRewriteRule.canonicalKey(e)
+        mv.exprDims.iterator.flatMap { d =>
+          d.bucket.filter(b => b.srcCanonical == canon ||
+              d.alts.exists(_.guards.contains(canon)))
+            .flatMap(_ => mvAttr(d.mvCol))
+        }.nextOption().map(
+          org.apache.spark.sql.catalyst.expressions.IsNotNull(_))
       case _ => None
     }
   }
@@ -971,6 +993,38 @@ object MvRewriteRule {
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(a.name)
     }.sql
 
+  /** The type with every nullability flag forced true, recursively —
+    * for alt-spelling type checks, where field NAMES and types must
+    * match exactly but inferred nullability may differ benignly
+    * between a query expression and a cell rebuild. */
+  private[plans] def nullNormalized(
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = nullNormalized(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        a.copy(elementType = nullNormalized(a.elementType), containsNull = true)
+      case m: MapType => m.copy(keyType = nullNormalized(m.keyType),
+        valueType = nullNormalized(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  /** The leaf-resolved canonicals of every IsNotNull conjunct under
+    * the plan's first Aggregate — how MvPhases derives an alternate
+    * spelling's declared guard set ([[MvAltDim.guards]]) from the SAME
+    * probe plan its canonical comes from, so the declared guards and
+    * the ones the optimizer actually injects cannot drift. */
+  def filterGuardCanonicals(plan: LogicalPlan): Seq[String] =
+    plan.collectFirst { case a: Aggregate =>
+      val (filters, _, defs) = collectDefs(a.child, Nil, Map.empty)
+      filters.collect {
+        case org.apache.spark.sql.catalyst.expressions.IsNotNull(e) =>
+          canonicalKey(resolve(e, defs))
+      }
+    }.getOrElse(Nil).distinct
+
   /** The canonical keys of a probe plan's computed grouping dimensions,
     * leaf-resolved — how MvPhases derives an MvExprDim's canonical from
     * the SAME machinery the rewrite matches with, so the two cannot
@@ -1168,23 +1222,35 @@ object ConfMvRewriteRule extends Rule[LogicalPlan] {
           }
         }.toSeq
       }
-      // ALTERNATE spellings (q276) ride as
-      // mvCol:base64(canonical):tsus:<usPerBucket> entries joined by
-      // `~` under `exprdimalts=`, attached to the declared exprdim
-      // with that mvCol — an alt naming an undeclared column is a
-      // malformed conf and fails loudly, like every graft conf.
+      // ALTERNATE spellings (q276/q279) ride as
+      // mvCol:base64(canonical):<kind>:<usPerBucket>[:base64(guard)…]
+      // entries joined by `~` under `exprdimalts=` (kind `tsus` =
+      // date_trunc value, `winus` = tumbling-window struct; trailing
+      // segments are the declared null-guard canonicals), attached to
+      // the declared exprdim with that mvCol — an alt naming an
+      // undeclared column or an unknown kind is a malformed conf and
+      // fails loudly, like every graft conf.
       val exprDimsWithAlts = kv.get("exprdimalts") match {
         case None => exprDims
         case Some(spec) =>
           val alts = spec.split("~").iterator.map(_.trim)
             .filter(_.nonEmpty).map { p =>
               p.split(":") match {
-                case Array(mvCol, b64, "tsus", us) =>
-                  mvCol.trim -> MvAltDim(dec(b64),
-                    MvAltRebuild.TsFromBucket(us.trim.toLong))
+                case Array(mvCol, b64, kind, us, guardB64s @ _*) =>
+                  val rebuild = kind.trim match {
+                    case "tsus" => MvAltRebuild.TsFromBucket(us.trim.toLong)
+                    case "winus" =>
+                      MvAltRebuild.WindowFromBucket(us.trim.toLong)
+                    case other => throw new IllegalArgumentException(
+                      s"$DefsConf exprdimalts kind must be tsus|winus — " +
+                        s"got '$other'")
+                  }
+                  mvCol.trim -> MvAltDim(dec(b64), rebuild,
+                    guardB64s.map(dec).toSeq)
                 case _ => throw new IllegalArgumentException(
                   s"$DefsConf exprdimalts entries must be " +
-                    s"mvCol:base64(canonical):tsus:<usPerBucket> — got '$p'")
+                    "mvCol:base64(canonical):<tsus|winus>:<usPerBucket>" +
+                    s"[:base64(guard)…] — got '$p'")
               }
             }.toSeq
           alts.foldLeft(exprDims) { case (dims, (mvCol, alt)) =>
@@ -1298,7 +1364,19 @@ final case class MvExprDim(
   * agree on exact divisions). A spelling with a DIFFERENT width
   * (date_trunc('minute', …)) canonicalizes differently, matches no
   * declared alt, and correctly keeps the fact scan. */
-final case class MvAltDim(canonical: String, rebuild: MvAltRebuild)
+final case class MvAltDim(
+    canonical: String,
+    rebuild: MvAltRebuild,
+    /** Canonicals of IsNotNull OPERANDS that are equivalent to a null
+      * guard on the bucket itself — Spark's TimeWindow injects
+      * `isnotnull(<time column>)` below the aggregate, and the bucket
+      * chain is null-intolerant and TOTAL over its source (non-null in
+      * ⟹ non-null out), so each such guard maps to
+      * `isnotnull(<bucket column>)` on the cells. Probe-derived like
+      * every canonical here (the declarer reads them off the alternate
+      * query's own plan), so the declared set and the injected set
+      * cannot drift. */
+    guards: Seq[String] = Nil)
 
 /** How to recover an alternate spelling's grouping VALUE from the
   * stored bucket column — a closed enum (not a function) so alt
@@ -1306,15 +1384,29 @@ final case class MvAltDim(canonical: String, rebuild: MvAltRebuild)
 sealed trait MvAltRebuild
 object MvAltRebuild {
   /** The value is the TIMESTAMP at the bucket's start:
-    * `timestamp_micros(bucket * usPerBucket)` — the date_trunc /
-    * window-start family over a floorDiv ns bucket. */
+    * `timestamp_micros(bucket * usPerBucket)` — the date_trunc
+    * spelling of a floorDiv ns bucket. */
   final case class TsFromBucket(usPerBucket: Long) extends MvAltRebuild
 
-  def expr(r: MvAltRebuild, bucketCol: Attribute): Expression = r match {
-    case TsFromBucket(us) =>
-      org.apache.spark.sql.catalyst.expressions.MicrosToTimestamp(
-        org.apache.spark.sql.catalyst.expressions.Multiply(
-          bucketCol, Literal(us)))
+  /** The value is the TUMBLING-WINDOW struct over the bucket:
+    * `named_struct('start', timestamp_micros(bucket * us),
+    * 'end', timestamp_micros((bucket + 1) * us))` — the
+    * `window(col, '1 hour')` spelling (window width == bucket width,
+    * no slide, no offset — the declarer derives the alt from a probe
+    * with exactly that geometry). */
+  final case class WindowFromBucket(usPerBucket: Long) extends MvAltRebuild
+
+  def expr(r: MvAltRebuild, bucketCol: Attribute): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, CreateNamedStruct, MicrosToTimestamp, Multiply}
+    def startUs(us: Long) = MicrosToTimestamp(Multiply(bucketCol, Literal(us)))
+    r match {
+      case TsFromBucket(us) => startUs(us)
+      case WindowFromBucket(us) =>
+        CreateNamedStruct(Seq(
+          Literal("start"), startUs(us),
+          Literal("end"), MicrosToTimestamp(Multiply(
+            Add(bucketCol, Literal(1L)), Literal(us)))))
+    }
   }
 }
 

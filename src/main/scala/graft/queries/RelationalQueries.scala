@@ -2998,6 +2998,94 @@ object RelationalQueries {
       }
     ),
     Q(
+      "q278_eager_chain_rollup",
+      "Eager aggregation: GROUPING SETS over a proven dim CHAIN — " +
+        "the q273 Expand navigation and the q274 chain peel are one " +
+        "mechanism, so they compose for free: ROLLUP(n_name) over " +
+        "lineitem >< supplier >< nation pushes the fact partials " +
+        "below BOTH joins (the chain decompose runs under the " +
+        "Expand), and the rebuilt Expand multiplies " +
+        "(partial, supplier, nation) rows per grouping set instead " +
+        "of fact rows. Sound by the composed proofs: partials " +
+        "re-aggregate per set, and every chain step's proven-unique " +
+        "key passes them through its rejoin unchanged. At 100 TB an " +
+        "N-set subtotal report over a snowflake otherwise pays N " +
+        "fact scans' worth of Expand work through the whole chain. " +
+        "Oracle runs the identical ROLLUP in DuckDB; " +
+        "CatalogRulesSpec pins the below-both-joins Expand shape.",
+      Some("""
+         |SELECT n_name, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY ROLLUP (n_name)
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.plans.{CatalogRules, EagerAggregationRule}
+        val st = StatsPhases.collected(spark, dir)
+        val child = CatalogRules.sessionWith(spark,
+          Seq(EagerAggregationRule(st)),
+          "spark.sql.ansi.enabled" -> "false")
+        Tables.lineitem(child, dir)
+          .join(Tables.supplier(child, dir),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.nation(child, dir),
+            col("s_nationkey") === col("n_nationkey"))
+          // col(...) not String overloads: Dataset.col's dataset-id
+          // metadata trips DetectAmbiguousSelfJoin under the Expand
+          .rollup(col("n_name"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+      }
+    ),
+    Q(
+      "q279_mv_window_spelling",
+      "The WINDOW-START spelling of the hour bucket — " +
+        "window(<event time>, '1 hour'), the Structured-Streaming-" +
+        "adjacent way users write tumbling reports — served from the " +
+        "SAME floorDiv hour rollup (the third spelling after floorDiv " +
+        "and date_trunc). Spark's TimeWindow rule expands the call " +
+        "into a struct-typed computed grouping plus INJECTED " +
+        "isnotnull guards on the event time; the def declares both " +
+        "from one probe plan (MvAltDim canonical + guards, " +
+        "MvRewriteRule.filterGuardCanonicals): the struct rebuilds " +
+        "per cell as (timestamp_micros(hour_idx*3600e6), " +
+        "timestamp_micros((hour_idx+1)*3600e6)) — a bijection of the " +
+        "stored bucket under the tumbling no-slide geometry — and " +
+        "each guard maps to isnotnull(hour_idx), sound because the " +
+        "bucket chain is null-intolerant and total over its source " +
+        "(the cells' null-bucket cell aggregates exactly the " +
+        "null-source rows the guard rejects). Output projects " +
+        "unix_micros(window.start) per the no-raw-timestamp " +
+        "convention. Oracle recomputes the window start as " +
+        "(epoch_us // 3.6e9) * 3.6e9 over non-null events.",
+      Some("""
+         |SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+         |       event_type, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         |FROM events
+         |WHERE ts IS NOT NULL
+         |GROUP BY 1, 2
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.plans.{CatalogRules, MvRewriteRule}
+        MvPhases.ensureStoredTs(spark, dir)
+        val child = CatalogRules.sessionWith(spark, Nil)
+        CatalogRules.installRules(child,
+          Seq(MvRewriteRule(Seq(MvPhases.mvDefTs(child, dir)))))
+        Tables.eventsTsNs(child, dir)
+          .groupBy(
+            window(timestamp_micros(expr("ts div 1000")), "1 hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,4)")).cast("double")
+              .as("sum_value"))
+          .select(unix_micros(col("window.start")).as("hour_us"),
+            col("event_type"), col("cnt"), col("sum_value"))
+      }
+    ),
+    Q(
       "q275_mv_computed_join",
       "EXPRESSION dims through the FK-JOIN MV shape — the q266 " +
         "defs-walk COMPOSED with the q252/q270 join decomposition, " +
@@ -3975,14 +4063,47 @@ object MvPhases {
       }
     })
 
+  /** The window('1 hour') SPELLING's canonical AND the null-guard
+    * canonicals Spark's TimeWindow rule injects below it (q279) — both
+    * read off ONE probe plan built with the alternate query text, so
+    * the declared alt (canonical + guards) and what the optimizer
+    * actually produces cannot drift. The declared bijection:
+    * `window(timestamp_micros(ts div 1000), '1 hour')` equals
+    * `struct(timestamp_micros(hour_idx * HourUs),
+    * timestamp_micros((hour_idx + 1) * HourUs))` on the loader
+    * contract (µs-aligned ns, UTC sessions, tumbling geometry with no
+    * slide/offset), and the injected isnotnull guards reject exactly
+    * the null-source rows the cells' null-bucket cell aggregates. */
+  private val winCanonCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[String])]()
+
+  private def tsWindowHour(
+      session: SparkSession, dir: String): (String, Seq[String]) =
+    winCanonCache.computeIfAbsent(dir, { _ =>
+      val probe = Tables.eventsTsNs(session, dir)
+        .groupBy(window(timestamp_micros(expr("ts div 1000")), "1 hour"))
+        .agg(count(lit(1)).as("c"))
+      val plan = probe.queryExecution.optimizedPlan
+      val canon = graft.plans.MvRewriteRule.groupingCanonicals(plan)
+        .values.toSeq match {
+        case Seq(one) => one
+        case other => sys.error(
+          "window probe lost its computed grouping dimension — the " +
+            s"expression-dim seam changed shape (got $other)")
+      }
+      (canon, graft.plans.MvRewriteRule.filterGuardCanonicals(plan))
+    })
+
   /** [[mvDefTs]] in the conf grammar — the published form: the bucket
     * expression's canonical (and its source's, for the aligned-range
-    * serving; and the date_trunc alternate's, for the q276 spelling)
-    * travels base64-encoded (a SQL rendering full of the grammar's
+    * serving; the date_trunc alternate's, for the q276 spelling; and
+    * the window alternate's with its guard set, for q279) travels
+    * base64-encoded (a SQL rendering full of the grammar's
     * separators). */
   def mvDefTsConf(session: SparkSession, dir: String): String = {
     def b64(s: String): String =
       java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    val (winCanon, winGuards) = tsWindowHour(session, dir)
     s"table=${tsTable(dir)};base=events" +
       s";basePath=${graft.plans.CatalogRules.normalizePath(
         graft.Tables.path(dir, "events"))}" +
@@ -3991,6 +4112,8 @@ object MvPhases {
       s"${b64(tsSrcCanonical(session, dir))}:$HourNs" +
       s";exprdimalts=hour_idx:" +
       s"${b64(tsTruncHourCanonical(session, dir))}:tsus:$HourUs" +
+      s"~hour_idx:${b64(winCanon)}:winus:$HourUs" +
+      winGuards.map(g => s":${b64(g)}").mkString +
       ";measures=count:::cnt~sum:value:decimal(18,4):sum_value"
   }
 
@@ -4011,9 +4134,17 @@ object MvPhases {
         tsBucketCanonical(session, dir), "hour_idx",
         bucket = Some(graft.plans.MvBucket(
           tsSrcCanonical(session, dir), HourNs)),
-        alts = Seq(graft.plans.MvAltDim(
-          tsTruncHourCanonical(session, dir),
-          graft.plans.MvAltRebuild.TsFromBucket(HourUs))))))
+        alts = {
+          val (winCanon, winGuards) = tsWindowHour(session, dir)
+          Seq(
+            graft.plans.MvAltDim(
+              tsTruncHourCanonical(session, dir),
+              graft.plans.MvAltRebuild.TsFromBucket(HourUs)),
+            graft.plans.MvAltDim(
+              winCanon,
+              graft.plans.MvAltRebuild.WindowFromBucket(HourUs),
+              guards = winGuards))
+        })))
 
   /** The (hour x ENTITY) rollup behind q275 — the q266 expression-dim
     * machinery carrying the JOIN KEY as a plain dimension, so the
@@ -4041,6 +4172,22 @@ object MvPhases {
       built.add(tsuTable(dir))
     }
   }
+
+  /** Fold an arrival batch into the (hour x user) rollup — q275's
+    * artifact gets the same freshness story as every stored serving
+    * artifact (the foldTs/refreshBatch discipline): count and the
+    * DECIMAL sum are additive per (hour_idx, user_id) cell, so folded
+    * EQUALS from-scratch row for row and the serving rewrite keeps
+    * answering under ingest at arrival-batch cost. Same exactly-once
+    * contract as every additive fold: a replayed batch double-counts. */
+  def foldTsU(
+      stored: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    stored.unionByName(partialsTsU(batch))
+      .groupBy("hour_idx", "user_id")
+      .agg(
+        sum(col("cnt")).as("cnt"),
+        narrowExact(col("sum_value"), "sum_value"))
 
   def mvDefTsU(session: SparkSession, dir: String): graft.plans.MvDef =
     graft.plans.MvDef(

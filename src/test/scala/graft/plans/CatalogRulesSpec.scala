@@ -944,6 +944,95 @@ class CatalogRulesSpec extends AnyFunSuite {
     val half = CatalogRules.sessionWith(spark,
       Seq(EagerAggregationRule(noNation)), "spark.sql.ansi.enabled" -> "false")
     assert(joinsAbovePartial(text(half)) === 0)
+    // grouping keys on an INNER dim compose with the chain (the q272
+    // mixed shape): s_name rides supplier's rejoin verbatim while the
+    // fact still exchanges at l_suppkey grain below both joins
+    val onS = CatalogRules.sessionWith(spark, Seq(EagerAggregationRule(st)),
+      "spark.sql.ansi.enabled" -> "false")
+    val mixed = Tables.lineitem(onS, sf)
+      .join(Tables.supplier(onS, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(onS, sf), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "s_name")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+    assert(joinsAbovePartial(mixed) === 2,
+      mixed.queryExecution.optimizedPlan.toString)
+    val mixedOff = Tables.lineitem(off, sf)
+      .join(Tables.supplier(off, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(off, sf), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "s_name")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+    assert(sortedRows(mixed) === sortedRows(mixedOff))
+  }
+
+  test("q278: grouping sets compose with the dim chain — the Expand multiplies chain-joined partials, pushed below both joins; conf face fires both new gates from the published grammars") {
+    import graft.queries.{MvPhases, StatsPhases}
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Join}
+    def joinsAbovePartial(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.collectFirst {
+          case a: Aggregate
+              if CatalogRules.tableOf(a.child).contains("lineitem") => a
+        }.isDefined => j
+      }.length
+    val on = SparkEntry.queries("q278_eager_chain_rollup")(spark, sf)
+    assert(joinsAbovePartial(on) === 2,
+      on.queryExecution.optimizedPlan.toString)
+    // the Expand sits ABOVE the rejoined chain (it multiplies
+    // partials per set, never fact rows)
+    assert(on.queryExecution.optimizedPlan.collectFirst {
+      case e: Expand if e.collectFirst { case _: Join => () }.isDefined => e
+    }.isDefined)
+    val off = CatalogRules.sessionWith(spark, Nil,
+      "spark.sql.ansi.enabled" -> "false")
+    val offDf = Tables.lineitem(off, sf)
+      .join(Tables.supplier(off, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(off, sf), col("s_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+    assert(on.schema === offDf.schema)
+    assert(sortedRows(on) === sortedRows(offDf))
+
+    // conf face: the CHAIN and the COMPUTED grain both fire from the
+    // PUBLISHED grammars — the join-order stats string carries the
+    // exprKey composite entry unescaped, the exactstats string carries
+    // every dim's path, so a config-only deployment gets q274/q277/q278
+    // with zero code installed
+    val confS = CatalogRules.sessionWith(spark,
+      Seq(ConfEagerAggregationRule),
+      "spark.sql.ansi.enabled" -> "false",
+      ConfCatalogJoinOrderRule.StatsConf -> StatsPhases.confJoinOrder(spark, sf),
+      ConfMvRewriteRule.ExactConf -> StatsPhases.confExact(spark, sf))
+    val chainConf = Tables.lineitem(confS, sf)
+      .join(Tables.supplier(confS, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(confS, sf), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+    assert(joinsAbovePartial(chainConf) === 2,
+      chainConf.queryExecution.optimizedPlan.toString)
+    val computedConf = Tables.eventsTsNs(confS, sf)
+      .join(Tables.customer(confS, sf), col("user_id") === col("c_custkey"))
+      .groupBy(
+        expr(graft.operators.Resample.floorDivSql("ts", MvPhases.WeekNs))
+          .as("week_idx"),
+        col("c_mktsegment"))
+      // count(1) alone has no references to orient the fact side — the
+      // rule needs at least one referencing aggregate (by design)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("bigint")).as("sum_value"))
+    val computedFired = computedConf.queryExecution.optimizedPlan.collectFirst {
+      case j: Join if j.collectFirst {
+        case a: Aggregate
+            if CatalogRules.tableOf(a.child).contains("events") &&
+              a.groupingExpressions.exists(
+                !_.isInstanceOf[AttributeReference]) => a
+      }.isDefined => true
+    }.getOrElse(false)
+    assert(computedFired, computedConf.queryExecution.optimizedPlan.toString)
   }
 
   test("q277: a computed fact-side grouping key pushes into the inner aggregate's grouping; no counted grain entry, no rewrite; same rows") {

@@ -926,6 +926,15 @@ class MvRewriteSpec extends AnyFunSuite {
     CatalogRules.installRules(noProof,
       Seq(MvRewriteRule(Seq(MvPhases.mvDefTsU(noProof, sf)))))
     assert(scanTables(text(noProof)) === Set("events", "customer"))
+    // freshness face: an arrival batch folds cell-wise == from-scratch
+    val ev = Tables.eventsTsNs(spark, sf)
+    val folded = MvPhases.foldTsU(
+      MvPhases.partialsTsU(ev.filter(col("event_id") % 2 === 0)),
+      ev.filter(col("event_id") % 2 === 1))
+    val scratch = MvPhases.partialsTsU(ev)
+    assert(folded.schema.map(f => (f.name, f.dataType))
+      === scratch.schema.map(f => (f.name, f.dataType)))
+    assert(sortedRows(folded) === sortedRows(scratch))
   }
 
   test("q276: a date_trunc('hour') spelling serves from the floorDiv hour rollup through the declared ALT canonical; a different width keeps the event scan; same rows") {
@@ -973,6 +982,48 @@ class MvRewriteSpec extends AnyFunSuite {
         .as("cnt_h"))
     assert(scanTables(aggOverBucket) === Set("events"),
       scanTables(aggOverBucket))
+  }
+
+  test("q279: the window('1 hour') spelling serves from the hour rollup — struct rebuilt per cell, TimeWindow's injected null guards mapped to the bucket; a sliding window keeps the event scan; same rows") {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros, unix_micros, window}
+    val on = SparkEntry.queries("q279_mv_window_spelling")(spark, sf)
+    assert(scanTables(on) === Set(MvPhases.tsTable(sf)), scanTables(on))
+    def text(s: org.apache.spark.sql.SparkSession) =
+      Tables.eventsTsNs(s, sf)
+        .groupBy(
+          window(timestamp_micros(expr("ts div 1000")), "1 hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("sum_value"))
+        .select(unix_micros(col("window.start")).as("hour_us"),
+          col("event_type"), col("cnt"), col("sum_value"))
+    val off = CatalogRules.sessionWith(spark, Nil)
+    val offDf = text(off)
+    assert(scanTables(offDf) === Set("events"))
+    assert(on.schema === offDf.schema)
+    assert(sortedRows(on) === sortedRows(offDf))
+    // a SLIDING window (1h every 30min) is NOT a bijection of the hour
+    // bucket — each event lands in two windows; nothing is declared
+    // for that shape and the event scan correctly survives
+    MvPhases.ensureStoredTs(spark, sf)
+    val child = CatalogRules.sessionWith(spark, Nil)
+    CatalogRules.installRules(child,
+      Seq(MvRewriteRule(Seq(MvPhases.mvDefTs(child, sf)))))
+    val sliding = Tables.eventsTsNs(child, sf)
+      .groupBy(
+        window(timestamp_micros(expr("ts div 1000")), "1 hour", "30 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(scanTables(sliding) === Set("events"), scanTables(sliding))
+    // conf face: the winus alt + its guard set ride the published
+    // grammar
+    val conf = CatalogRules.sessionWith(spark, Seq(ConfMvRewriteRule),
+      ConfMvRewriteRule.DefsConf -> MvPhases.mvDefTsConf(spark, sf))
+    val viaConf = text(conf)
+    assert(scanTables(viaConf) === Set(MvPhases.tsTable(sf)),
+      scanTables(viaConf))
+    assert(sortedRows(viaConf) === sortedRows(offDf))
   }
 
   test("the wide-fixture MV def serves the WIDE events dir from cells and REFUSES the original dir (basePath pins which events it summarizes)") {
