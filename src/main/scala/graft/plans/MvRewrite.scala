@@ -462,6 +462,16 @@ final case class MvRewriteRule(
   private case class DimSide(plan: LogicalPlan,
       keys: Seq[(String, AttributeReference)])
 
+  /** One peeled dim of a CHAINED join-shaped match (q280): its
+    * (reused-verbatim) plan and key pairs oriented (chain side ->
+    * dim), where the chain-side key is either a rollup dimension NAME
+    * (Left — remapped onto the mv column in the rebuilt condition) or
+    * an INNER dim's attribute (Right — kept verbatim: a snowflake
+    * step keys off an earlier dim's column, which never needs to be a
+    * rollup dimension). */
+  private case class ChainDim(plan: LogicalPlan,
+      keys: Seq[(Either[String, AttributeReference], AttributeReference)])
+
   private def rewrite(
       agg: Aggregate,
       ge: Seq[Expression],
@@ -503,36 +513,24 @@ final case class MvRewriteRule(
     // records the dim table's path, the scanned dim must live there —
     // a same-named dim from another directory proves nothing about
     // THIS plan's rows (MvRewriteSpec pins both refusals).
-    val (baseFilters, aboveFilters, dimOpt) = leaf match {
-      case scan if baseMatches(scan) =>
-        (topFilters, Nil: Seq[Expression], None)
-      case Join(l, r, Inner, Some(c), JoinHint(None, None))
-          if splitConjunctivePredicates(c).forall(_.isInstanceOf[EqualTo]) =>
-        val (lf, ls) = collectScan(l, Nil).get
-        val (rf, rs) = collectScan(r, Nil).get
-        val lBase = baseMatches(ls)
-        val rBase = baseMatches(rs)
-        if (lBase == rBase) return None // both or neither: not this shape
-        val (bSide, bFilters, dSide, dScan) =
-          if (lBase) (l, lf, r, rs) else (r, rf, l, ls)
-        val dimTable = CatalogRules.tableOf(dScan).getOrElse(return None)
-        // Each equality oriented base -> dim; a COMPOSITE condition
-        // (`AND` of equalities) is one multi-part key, proven unique as
-        // a TUPLE below — any single part may repeat.
-        val keys = splitConjunctivePredicates(c).map {
-          case EqualTo(x: AttributeReference, y: AttributeReference) =>
-            if (bSide.outputSet.contains(x) && dSide.outputSet.contains(y)) (x, y)
-            else if (bSide.outputSet.contains(y) && dSide.outputSet.contains(x)) (y, x)
-            else return None
-          case _ => return None
-        }
-        if (!keys.forall { case (bk, _) => mv.dims.contains(bk.name) })
-          return None
-        val dimNdvKey = CatalogRules.compositeKey(keys.map(_._2.name))
-        val provenUnique = stats.tables.get(dimTable) match {
+    // Peel the join CHAIN (q280 — base JOIN dim1 JOIN dim2 …, each dim
+    // proven unique, one unproven dim stands the whole rewrite down):
+    // at each level one side continues toward the rollup's base scan
+    // and the other is that step's dim, whose key on the chain side is
+    // either a rollup dimension (the FK the cells carry) or an INNER
+    // dim's column (a snowflake arm, riding that dim's rejoin
+    // verbatim). Partials pass through EVERY step unchanged for the
+    // single-join reason, applied per step. Returns (filters under the
+    // base scan, filters at the join levels, steps inner-to-outer).
+    def provenUniqueDim(
+        dScan: LogicalPlan,
+        dks: Seq[AttributeReference]): Boolean =
+      CatalogRules.tableOf(dScan) match {
+        case Some(dimTable) => stats.tables.get(dimTable) match {
           case Some(ts) =>
             ts.provenance == CatalogRules.StatProvenance.Exact &&
-              ts.ndv.get(dimNdvKey).contains(ts.rows) &&
+              ts.ndv.get(CatalogRules.compositeKey(dks.map(_.name)))
+                .contains(ts.rows) &&
               // path REQUIRED, not merely consistent-when-present: table
               // identity here is a parquet basename, so a PATHLESS Exact
               // stat collected over a/supplier.parquet would prove
@@ -541,13 +539,68 @@ final case class MvRewriteRule(
               ts.path.exists(p => CatalogRules.scanPath(dScan).contains(p))
           case None => false
         }
-        if (!provenUnique) return None
-        (bFilters, topFilters,
-          Some(DimSide(dSide, keys.map { case (bk, dk) => bk.name -> dk })))
+        case None => false
+      }
+    def peel(plan: LogicalPlan, depth: Int)
+        : Option[(Seq[Expression], Seq[Expression], List[ChainDim])] = {
+      if (depth > 8) return None
+      val (fs, scan) = collectScan(plan, Nil).get
+      scan match {
+        case s if baseMatches(s) => Some((fs, Nil, Nil))
+        case Join(l, r, Inner, Some(c), JoinHint(None, None))
+            if splitConjunctivePredicates(c)
+              .forall(_.isInstanceOf[EqualTo]) =>
+          def attempt(chainSide: LogicalPlan, dimSide: LogicalPlan)
+              : Option[(Seq[Expression], Seq[Expression], List[ChainDim])] = {
+            val (_, dScan) = collectScan(dimSide, Nil).get
+            // a dim that IS the rollup's base table is the ambiguous
+            // self-join shape — refuse, as the single-join form always
+            // has (lBase == rBase bail)
+            if (baseMatches(dScan)) return None
+            peel(chainSide, depth + 1).flatMap { case (bf, mid, inner) =>
+              val innerDimOut = inner.map(_.plan.outputSet)
+                .foldLeft(org.apache.spark.sql.catalyst.expressions
+                  .AttributeSet.empty)(_ ++ _)
+              // Each equality oriented chain -> dim; a COMPOSITE
+              // condition is one multi-part key, proven unique as a
+              // TUPLE — any single part may repeat.
+              val keys = splitConjunctivePredicates(c).map {
+                case EqualTo(x: AttributeReference, y: AttributeReference) =>
+                  val (ck, dk) =
+                    if (chainSide.outputSet.contains(x) &&
+                        dimSide.outputSet.contains(y)) (x, y)
+                    else if (chainSide.outputSet.contains(y) &&
+                        dimSide.outputSet.contains(x)) (y, x)
+                    else return None
+                  if (innerDimOut.contains(ck)) (Right(ck), dk)
+                  else if (mv.dims.contains(ck.name))
+                    (Left(ck.name), dk)
+                  else return None
+                case _ => return None
+              }
+              if (!provenUniqueDim(dScan, keys.map(_._2))) None
+              else Some((bf, mid ++ fs,
+                inner :+ ChainDim(dimSide, keys.map {
+                  case (ck, dk) => (ck, dk)
+                })))
+            }
+          }
+          attempt(l, r).orElse(attempt(r, l))
+        case _ => None
+      }
+    }
+    val (baseFilters, aboveFilters, steps) = leaf match {
+      case scan if baseMatches(scan) =>
+        (topFilters, Nil: Seq[Expression], Nil: List[ChainDim])
+      case j: Join =>
+        val (bf, mid, st) = peel(j, 0).getOrElse(return None)
+        if (st.isEmpty) return None
+        (bf, mid ++ topFilters, st)
       case _ => return None
     }
-    val dimOut = dimOpt.map(_.plan.outputSet)
-      .getOrElse(org.apache.spark.sql.catalyst.expressions.AttributeSet.empty)
+    val dimOut = steps.map(_.plan.outputSet)
+      .foldLeft(
+        org.apache.spark.sql.catalyst.expressions.AttributeSet.empty)(_ ++ _)
     val allowed = mv.mvPlan.outputSet ++ dimOut
     def isBaseDim(a: Attribute): Boolean =
       !dimOut.contains(a) && mv.dims.contains(a.name)
@@ -619,15 +672,21 @@ final case class MvRewriteRule(
     val mvBase =
       if (mvBaseFilters.isEmpty) mv.mvPlan
       else Filter(mvBaseFilters.reduceLeft(And(_, _)), mv.mvPlan)
-    val joined = dimOpt match {
-      case None => mvBase
-      case Some(d) =>
-        Join(mvBase, d.plan, Inner,
-          Some(d.keys.map { case (bkName, dk) =>
+    // Rebuild the chain over the rollup, innermost dim first: rollup-
+    // dimension keys remap onto the mv columns; snowflake keys (an
+    // inner dim's column) ride verbatim — that dim's subtree is already
+    // below this join in the fold.
+    val joined = steps.foldLeft(mvBase: LogicalPlan) { (acc, d) =>
+      Join(acc, d.plan, Inner,
+        Some(d.keys.map {
+          case (Left(bkName), dk) =>
             org.apache.spark.sql.catalyst.expressions.EqualTo(
               mvAttr(mv.dims(bkName)).get, dk): Expression
-          }.reduceLeft(And(_, _))),
-          JoinHint.NONE)
+          case (Right(innerAttr), dk) =>
+            org.apache.spark.sql.catalyst.expressions.EqualTo(
+              innerAttr, dk): Expression
+        }.reduceLeft(And(_, _))),
+        JoinHint.NONE)
     }
     val newChild =
       if (mvAboveFilters.isEmpty) joined

@@ -3040,6 +3040,49 @@ object RelationalQueries {
       }
     ),
     Q(
+      "q280_mv_chain",
+      "Aggregate navigation through a DIM CHAIN — the q252 FK-join " +
+        "shape peeled recursively (the MV-layer twin of q274's eager " +
+        "chain): the snowflake report lineitem >< supplier >< nation " +
+        "grouped by n_name serves from the stored (l_suppkey) rollup " +
+        "joined to BOTH live dims — the fact scan is gone " +
+        "(spec-pinned). Each step carries its own q252 proof (Exact " +
+        "+ counted tuple + recorded path; one unproven dim stands " +
+        "the whole chain down), and a snowflake step's key " +
+        "(s_nationkey, an inner dim's column) rides that dim's " +
+        "rejoin verbatim — it never needs to be a rollup dimension, " +
+        "so ONE fk-grain artifact serves every report up the " +
+        "dimension hierarchy. At 100 TB this is the geography/org " +
+        "drill-up: cells x tiny dims, never the fact, and the dims " +
+        "stay live (a nation rename never invalidates the rollup). " +
+        "Oracle recomputes the chain from base tables in DuckDB.",
+      Some("""
+         |SELECT n_name, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY 1
+         |""".stripMargin.trim),
+      (spark, dir) => {
+        import graft.plans.{CatalogRules, MvRewriteRule}
+        MvPhases.ensureStoredSk(spark, dir)
+        val st = StatsPhases.collected(spark, dir)
+        val child = CatalogRules.sessionWith(spark, Nil)
+        CatalogRules.installRules(child,
+          Seq(MvRewriteRule(Seq(MvPhases.mvDefSk(child, dir)), st)))
+        Tables.lineitem(child, dir)
+          .join(Tables.supplier(child, dir),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.nation(child, dir),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+              .as("sum_qty"))
+      }
+    ),
+    Q(
       "q279_mv_window_spelling",
       "The WINDOW-START spelling of the hour bucket — " +
         "window(<event time>, '1 hour'), the Structured-Streaming-" +

@@ -984,6 +984,35 @@ class MvRewriteSpec extends AnyFunSuite {
       scanTables(aggOverBucket))
   }
 
+  test("q280: aggregate navigation peels a DIM CHAIN — the snowflake report reads cells + both live dims, fact scan gone; one unproven dim stands the whole chain down; same rows") {
+    import graft.queries.StatsPhases
+    val on = SparkEntry.queries("q280_mv_chain")(spark, sf)
+    assert(scanTables(on) ===
+      Set(MvPhases.skTable(sf), "supplier", "nation"), scanTables(on))
+    def text(s: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(s, sf)
+        .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.nation(s, sf), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"))
+    val off = CatalogRules.sessionWith(spark, Nil)
+    val offDf = text(off)
+    assert(scanTables(offDf) === Set("lineitem", "supplier", "nation"))
+    assert(on.schema === offDf.schema)
+    assert(sortedRows(on) === sortedRows(offDf))
+    // one unproven dim (nation's entry dropped) stands the WHOLE chain
+    // down — a half-proven chain must not half-fire
+    MvPhases.ensureStoredSk(spark, sf)
+    val st = StatsPhases.collected(spark, sf)
+    val noNation = CatalogRules.CatalogStats(st.tables - "nation")
+    val half = CatalogRules.sessionWith(spark, Nil)
+    CatalogRules.installRules(half,
+      Seq(MvRewriteRule(Seq(MvPhases.mvDefSk(half, sf)), noNation)))
+    assert(scanTables(text(half)) === Set("lineitem", "supplier", "nation"))
+  }
+
   test("q279: the window('1 hour') spelling serves from the hour rollup — struct rebuilt per cell, TimeWindow's injected null guards mapped to the bucket; a sliding window keeps the event scan; same rows") {
     import org.apache.spark.sql.functions.{expr, timestamp_micros, unix_micros, window}
     val on = SparkEntry.queries("q279_mv_window_spelling")(spark, sf)
