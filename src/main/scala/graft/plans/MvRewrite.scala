@@ -108,55 +108,23 @@ final case class MvRewriteRule(
     // loader's computed normalization lives below the join).
     val (filters0, leaf0, defs0) =
       MvRewriteRule.collectDefs(child, Nil, Map.empty)
-    val (leaf, factFilters, defs, dimOpt) = leaf0 match {
+    val (leaf, factFilters, midFilters, defs, steps) = leaf0 match {
       case scan if MvRewriteRule.baseMatches(mv, scan) =>
-        (scan, Nil: Seq[Expression], defs0, None: Option[DimSide])
-      case Join(l, r, Inner, Some(c), JoinHint(None, None))
-          if splitConjunctivePredicates(c).forall(_.isInstanceOf[EqualTo]) =>
-        val (lf, ls, ld) = MvRewriteRule.collectDefs(l, Nil, Map.empty)
-        val (rf, rs, rd) = MvRewriteRule.collectDefs(r, Nil, Map.empty)
-        val lBase = MvRewriteRule.baseMatches(mv, ls)
-        val rBase = MvRewriteRule.baseMatches(mv, rs)
-        if (lBase == rBase) return None
-        val (bSide, bFilters, bScan, bDefs, dSide, dScan) =
-          if (lBase) (l, lf, ls, ld, r, rs) else (r, rf, rs, rd, l, ls)
-        val dimTable = CatalogRules.tableOf(dScan).getOrElse(return None)
-        val merged = defs0 ++ bDefs
-        // Each equality oriented base -> dim; the base key must RESOLVE
-        // to a verbatim leaf column the rollup stores as a plain dim (a
-        // computed join key has no cell column to join on).
-        val keys = splitConjunctivePredicates(c).map {
-          case EqualTo(x: AttributeReference, y: AttributeReference) =>
-            val (bk, dk) =
-              if (bSide.outputSet.contains(x) && dSide.outputSet.contains(y))
-                (x, y)
-              else if (bSide.outputSet.contains(y) &&
-                  dSide.outputSet.contains(x)) (y, x)
-              else return None
-            MvRewriteRule.resolve(bk, merged) match {
-              case b: AttributeReference if bScan.outputSet.contains(b) =>
-                if (!mv.dims.contains(b.name)) return None
-                (b.name, dk)
-              case _ => return None
-            }
-          case _ => return None
-        }
-        // the q252 trust boundary verbatim: Exact provenance, the
-        // (possibly composite) dim key counted unique, recorded path
-        val dimNdvKey = CatalogRules.compositeKey(keys.map(_._2.name))
-        val provenUnique = stats.tables.get(dimTable) match {
-          case Some(ts) =>
-            ts.provenance == CatalogRules.StatProvenance.Exact &&
-              ts.ndv.get(dimNdvKey).contains(ts.rows) &&
-              ts.path.exists(p => CatalogRules.scanPath(dScan).contains(p))
-          case None => false
-        }
-        if (!provenUnique) return None
-        (bScan, bFilters, merged, Some(DimSide(dSide, keys)))
+        (scan, Nil: Seq[Expression], Nil: Seq[Expression], defs0,
+          Nil: List[ChainDim])
+      case j: Join =>
+        // the proven CHAIN (q280), defs-walked: the loader's computed
+        // normalization lives below the join, so chain keys resolve to
+        // leaf form before the rollup-dimension check
+        val (bScan, bf, mid, st, bDefs) =
+          peelChain(j, mv, 0, defsWalk = true).getOrElse(return None)
+        if (st.isEmpty) return None
+        (bScan, bf, mid, defs0 ++ bDefs, st)
       case _ => return None
     }
     val leafOut = leaf.outputSet
-    val dimOut = dimOpt.map(_.plan.outputSet).getOrElse(AttributeSet.empty)
+    val dimOut = steps.map(_.plan.outputSet)
+      .foldLeft(AttributeSet.empty)(_ ++ _)
     val allowed = mv.mvPlan.outputSet ++ dimOut
     def res(e: Expression): Expression = MvRewriteRule.resolve(e, defs)
 
@@ -220,8 +188,9 @@ final case class MvRewriteRule(
         case a: AttributeReference if !dimOut.contains(a) =>
           mvAttr(mv.dims(a.name)).get
       })
-    val mvAboveFilters = dropImpliedNullGuards(filters0.map(res))
-      .map(f => mapOne(f).getOrElse(return None))
+    val mvAboveFilters =
+      dropImpliedNullGuards((filters0 ++ midFilters).map(res))
+        .map(f => mapOne(f).getOrElse(return None))
     val mvFactFilters = dropImpliedNullGuards(factFilters.map(res)).map { f =>
       mapComputedFilter(f, mv, mvAttr, leafOut).getOrElse(return None)
     }
@@ -284,15 +253,7 @@ final case class MvRewriteRule(
     val mvBase =
       if (mvFactFilters.isEmpty) mv.mvPlan
       else Filter(mvFactFilters.reduceLeft(And(_, _)), mv.mvPlan)
-    val joined = dimOpt match {
-      case None => mvBase
-      case Some(d) =>
-        Join(mvBase, d.plan, Inner,
-          Some(d.keys.map { case (bkName, dk) =>
-            EqualTo(mvAttr(mv.dims(bkName)).get, dk): Expression
-          }.reduceLeft(And(_, _))),
-          JoinHint.NONE)
-    }
+    val joined = rejoinChain(mvBase, steps, mv, mvAttr)
     val newChild =
       if (mvAboveFilters.isEmpty) joined
       else Filter(mvAboveFilters.reduceLeft(And(_, _)), joined)
@@ -456,12 +417,6 @@ final case class MvRewriteRule(
       case leaf => Some((filters, leaf))
     }
 
-  /** The dim side of a join-shaped match: its (reused-verbatim) plan
-    * and the (base column name -> dim-key attribute) pairs of the —
-    * possibly composite — join key the rollup carries. */
-  private case class DimSide(plan: LogicalPlan,
-      keys: Seq[(String, AttributeReference)])
-
   /** One peeled dim of a CHAINED join-shaped match (q280): its
     * (reused-verbatim) plan and key pairs oriented (chain side ->
     * dim), where the chain-side key is either a rollup dimension NAME
@@ -471,6 +426,133 @@ final case class MvRewriteRule(
     * rollup dimension). */
   private case class ChainDim(plan: LogicalPlan,
       keys: Seq[(Either[String, AttributeReference], AttributeReference)])
+
+  /** The q252 uniqueness proof for one dim scan: Exact provenance, the
+    * (possibly composite) key counted unique as a TUPLE, and the
+    * recorded path matching the scan — a pathless Exact stat could
+    * alias a same-named dim from another directory. */
+  private def provenUniqueDim(
+      dScan: LogicalPlan,
+      dks: Seq[AttributeReference]): Boolean =
+    CatalogRules.tableOf(dScan) match {
+      case Some(dimTable) => stats.tables.get(dimTable) match {
+        case Some(ts) =>
+          ts.provenance == CatalogRules.StatProvenance.Exact &&
+            ts.ndv.get(CatalogRules.compositeKey(dks.map(_.name)))
+              .contains(ts.rows) &&
+            ts.path.exists(p => CatalogRules.scanPath(dScan).contains(p))
+        case None => false
+      }
+      case None => false
+    }
+
+  /** Peel a join CHAIN toward `mv`'s base scan (q280 — shared by the
+    * flat, Expand, and COMPUTED shapes): at each level one side
+    * continues toward the base and the other is that step's dim, whose
+    * chain-side key is a rollup dimension (Left) or an inner dim's
+    * column (Right — the snowflake arm). Every step carries its own
+    * [[provenUniqueDim]] proof; one unproven dim fails the whole peel.
+    * A dim that itself base-matches refuses (the ambiguous self-join
+    * shape). `defsWalk` selects the side walk: attr-only (the flat
+    * shapes) or defs-collecting (the computed shape, whose loader
+    * normalization lives below the join — a chain key then RESOLVES
+    * through the collected defs to its leaf column before the
+    * rollup-dimension check). Returns (base scan, filters under the
+    * base, filters at the join levels, steps inner-to-outer, the
+    * chain side's accumulated defs). */
+  private def peelChain(
+      plan: LogicalPlan,
+      mv: MvDef,
+      depth: Int,
+      defsWalk: Boolean = false)
+      : Option[(LogicalPlan, Seq[Expression], Seq[Expression],
+          List[ChainDim],
+          Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression])] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeSet
+    if (depth > 8) return None
+    val (fs, scan, levelDefs) =
+      if (defsWalk) MvRewriteRule.collectDefs(plan, Nil, Map.empty)
+      else {
+        val (f, s) = collectScan(plan, Nil).get
+        (f, s, Map.empty[
+          org.apache.spark.sql.catalyst.expressions.ExprId, Expression])
+      }
+    scan match {
+      case s if MvRewriteRule.baseMatches(mv, s) =>
+        Some((s, fs, Nil, Nil, levelDefs))
+      case Join(l, r, Inner, Some(c), JoinHint(None, None))
+          if splitConjunctivePredicates(c).forall(_.isInstanceOf[EqualTo]) =>
+        def attempt(chainSide: LogicalPlan, dimSide: LogicalPlan)
+            : Option[(LogicalPlan, Seq[Expression], Seq[Expression],
+                List[ChainDim],
+                Map[org.apache.spark.sql.catalyst.expressions.ExprId,
+                  Expression])] = {
+          val dScan =
+            if (defsWalk) MvRewriteRule.collectDefs(dimSide, Nil, Map.empty)._2
+            else collectScan(dimSide, Nil).get._2
+          if (MvRewriteRule.baseMatches(mv, dScan)) return None
+          peelChain(chainSide, mv, depth + 1, defsWalk).flatMap {
+            case (bScan, bf, mid, inner, innerDefs) =>
+              val allDefs = levelDefs ++ innerDefs
+              val innerDimOut = inner.map(_.plan.outputSet)
+                .foldLeft(AttributeSet.empty)(_ ++ _)
+              val keys = splitConjunctivePredicates(c).map {
+                case EqualTo(x: AttributeReference, y: AttributeReference) =>
+                  val oriented =
+                    if (chainSide.outputSet.contains(x) &&
+                        dimSide.outputSet.contains(y)) Some((x, y))
+                    else if (chainSide.outputSet.contains(y) &&
+                        dimSide.outputSet.contains(x)) Some((y, x))
+                    else None
+                  oriented.flatMap { case (ck, dk) =>
+                    if (innerDimOut.contains(ck))
+                      Some((Right(ck): Either[String, AttributeReference], dk))
+                    else MvRewriteRule.resolve(ck, allDefs) match {
+                      case b: AttributeReference
+                          if bScan.outputSet.contains(b) &&
+                            mv.dims.contains(b.name) =>
+                        Some((Left(b.name)
+                          : Either[String, AttributeReference], dk))
+                      case _ => None
+                    }
+                  }
+                case _ => None
+              }
+              if (keys.exists(_.isEmpty)) None
+              else {
+                val ks = keys.map(_.get)
+                if (!provenUniqueDim(dScan, ks.map(_._2))) None
+                else Some((bScan, bf, mid ++ fs,
+                  inner :+ ChainDim(dimSide, ks), allDefs))
+              }
+          }
+        }
+        attempt(l, r).orElse(attempt(r, l))
+      case _ => None
+    }
+  }
+
+  /** Rebuild the peeled chain over the rollup, innermost dim first:
+    * rollup-dimension keys remap onto the mv columns; snowflake keys
+    * ride verbatim (their dim's subtree is already below in the
+    * fold). */
+  private def rejoinChain(
+      base: LogicalPlan,
+      steps: Seq[ChainDim],
+      mv: MvDef,
+      mvAttr: String => Option[Attribute]): LogicalPlan =
+    steps.foldLeft(base) { (acc, d) =>
+      Join(acc, d.plan, Inner,
+        Some(d.keys.map {
+          case (Left(bkName), dk) =>
+            org.apache.spark.sql.catalyst.expressions.EqualTo(
+              mvAttr(mv.dims(bkName)).get, dk): Expression
+          case (Right(innerAttr), dk) =>
+            org.apache.spark.sql.catalyst.expressions.EqualTo(
+              innerAttr, dk): Expression
+        }.reduceLeft(And(_, _))),
+        JoinHint.NONE)
+    }
 
   private def rewrite(
       agg: Aggregate,
@@ -515,85 +597,13 @@ final case class MvRewriteRule(
     // THIS plan's rows (MvRewriteSpec pins both refusals).
     // Peel the join CHAIN (q280 — base JOIN dim1 JOIN dim2 …, each dim
     // proven unique, one unproven dim stands the whole rewrite down):
-    // at each level one side continues toward the rollup's base scan
-    // and the other is that step's dim, whose key on the chain side is
-    // either a rollup dimension (the FK the cells carry) or an INNER
-    // dim's column (a snowflake arm, riding that dim's rejoin
-    // verbatim). Partials pass through EVERY step unchanged for the
-    // single-join reason, applied per step. Returns (filters under the
-    // base scan, filters at the join levels, steps inner-to-outer).
-    def provenUniqueDim(
-        dScan: LogicalPlan,
-        dks: Seq[AttributeReference]): Boolean =
-      CatalogRules.tableOf(dScan) match {
-        case Some(dimTable) => stats.tables.get(dimTable) match {
-          case Some(ts) =>
-            ts.provenance == CatalogRules.StatProvenance.Exact &&
-              ts.ndv.get(CatalogRules.compositeKey(dks.map(_.name)))
-                .contains(ts.rows) &&
-              // path REQUIRED, not merely consistent-when-present: table
-              // identity here is a parquet basename, so a PATHLESS Exact
-              // stat collected over a/supplier.parquet would prove
-              // uniqueness for b/supplier.parquet's scan — the stat must
-              // say WHICH table it counted before a proof may fire.
-              ts.path.exists(p => CatalogRules.scanPath(dScan).contains(p))
-          case None => false
-        }
-        case None => false
-      }
-    def peel(plan: LogicalPlan, depth: Int)
-        : Option[(Seq[Expression], Seq[Expression], List[ChainDim])] = {
-      if (depth > 8) return None
-      val (fs, scan) = collectScan(plan, Nil).get
-      scan match {
-        case s if baseMatches(s) => Some((fs, Nil, Nil))
-        case Join(l, r, Inner, Some(c), JoinHint(None, None))
-            if splitConjunctivePredicates(c)
-              .forall(_.isInstanceOf[EqualTo]) =>
-          def attempt(chainSide: LogicalPlan, dimSide: LogicalPlan)
-              : Option[(Seq[Expression], Seq[Expression], List[ChainDim])] = {
-            val (_, dScan) = collectScan(dimSide, Nil).get
-            // a dim that IS the rollup's base table is the ambiguous
-            // self-join shape — refuse, as the single-join form always
-            // has (lBase == rBase bail)
-            if (baseMatches(dScan)) return None
-            peel(chainSide, depth + 1).flatMap { case (bf, mid, inner) =>
-              val innerDimOut = inner.map(_.plan.outputSet)
-                .foldLeft(org.apache.spark.sql.catalyst.expressions
-                  .AttributeSet.empty)(_ ++ _)
-              // Each equality oriented chain -> dim; a COMPOSITE
-              // condition is one multi-part key, proven unique as a
-              // TUPLE — any single part may repeat.
-              val keys = splitConjunctivePredicates(c).map {
-                case EqualTo(x: AttributeReference, y: AttributeReference) =>
-                  val (ck, dk) =
-                    if (chainSide.outputSet.contains(x) &&
-                        dimSide.outputSet.contains(y)) (x, y)
-                    else if (chainSide.outputSet.contains(y) &&
-                        dimSide.outputSet.contains(x)) (y, x)
-                    else return None
-                  if (innerDimOut.contains(ck)) (Right(ck), dk)
-                  else if (mv.dims.contains(ck.name))
-                    (Left(ck.name), dk)
-                  else return None
-                case _ => return None
-              }
-              if (!provenUniqueDim(dScan, keys.map(_._2))) None
-              else Some((bf, mid ++ fs,
-                inner :+ ChainDim(dimSide, keys.map {
-                  case (ck, dk) => (ck, dk)
-                })))
-            }
-          }
-          attempt(l, r).orElse(attempt(r, l))
-        case _ => None
-      }
-    }
+    // partials pass through EVERY step unchanged for the single-join
+    // reason, applied per step ([[peelChain]]).
     val (baseFilters, aboveFilters, steps) = leaf match {
       case scan if baseMatches(scan) =>
         (topFilters, Nil: Seq[Expression], Nil: List[ChainDim])
       case j: Join =>
-        val (bf, mid, st) = peel(j, 0).getOrElse(return None)
+        val (_, bf, mid, st, _) = peelChain(j, mv, 0).getOrElse(return None)
         if (st.isEmpty) return None
         (bf, mid ++ topFilters, st)
       case _ => return None
@@ -672,22 +682,7 @@ final case class MvRewriteRule(
     val mvBase =
       if (mvBaseFilters.isEmpty) mv.mvPlan
       else Filter(mvBaseFilters.reduceLeft(And(_, _)), mv.mvPlan)
-    // Rebuild the chain over the rollup, innermost dim first: rollup-
-    // dimension keys remap onto the mv columns; snowflake keys (an
-    // inner dim's column) ride verbatim — that dim's subtree is already
-    // below this join in the fold.
-    val joined = steps.foldLeft(mvBase: LogicalPlan) { (acc, d) =>
-      Join(acc, d.plan, Inner,
-        Some(d.keys.map {
-          case (Left(bkName), dk) =>
-            org.apache.spark.sql.catalyst.expressions.EqualTo(
-              mvAttr(mv.dims(bkName)).get, dk): Expression
-          case (Right(innerAttr), dk) =>
-            org.apache.spark.sql.catalyst.expressions.EqualTo(
-              innerAttr, dk): Expression
-        }.reduceLeft(And(_, _))),
-        JoinHint.NONE)
-    }
+    val joined = rejoinChain(mvBase, steps, mv, mvAttr)
     val newChild =
       if (mvAboveFilters.isEmpty) joined
       else Filter(mvAboveFilters.reduceLeft(And(_, _)), joined)
@@ -745,45 +740,24 @@ final case class MvRewriteRule(
     val (filters, leaf0, defs) =
       MvRewriteRule.collectDefs(expand.child, Nil, Map.empty)
     def res(e: Expression): Expression = MvRewriteRule.resolve(e, defs)
-    val (leaf, factFilters, dimOpt) = leaf0 match {
+    // The join shape under the Expand peels the same proven CHAIN as
+    // the flat shape (q280): each step's q252 proof (Exact + counted —
+    // possibly composite — key + path), snowflake keys verbatim,
+    // mid-chain filters joining the above-filter pool.
+    val (leaf, factFilters, midFilters, steps) = leaf0 match {
       case scan if MvRewriteRule.baseMatches(mv, scan) =>
-        (scan, Nil: Seq[Expression], None: Option[DimSide])
-      case Join(l, r, Inner, Some(c), JoinHint(None, None))
-          if splitConjunctivePredicates(c).forall(_.isInstanceOf[EqualTo]) =>
-        val (lf, ls) = collectScan(l, Nil).get
-        val (rf, rs) = collectScan(r, Nil).get
-        val lBase = MvRewriteRule.baseMatches(mv, ls)
-        val rBase = MvRewriteRule.baseMatches(mv, rs)
-        if (lBase == rBase) return None
-        val (bSide, bFilters, bScan, dSide, dScan) =
-          if (lBase) (l, lf, ls, r, rs) else (r, rf, rs, l, ls)
-        val dimTable = CatalogRules.tableOf(dScan).getOrElse(return None)
-        val keys = splitConjunctivePredicates(c).map {
-          case EqualTo(x: AttributeReference, y: AttributeReference) =>
-            if (bSide.outputSet.contains(x) && dSide.outputSet.contains(y)) (x, y)
-            else if (bSide.outputSet.contains(y) && dSide.outputSet.contains(x)) (y, x)
-            else return None
-          case _ => return None
-        }
-        if (!keys.forall { case (bk, _) => mv.dims.contains(bk.name) })
-          return None
-        // the q252 trust boundary verbatim: Exact provenance, the
-        // (possibly composite) dim key counted unique, recorded path
-        val dimNdvKey = CatalogRules.compositeKey(keys.map(_._2.name))
-        val provenUnique = stats.tables.get(dimTable) match {
-          case Some(ts) =>
-            ts.provenance == CatalogRules.StatProvenance.Exact &&
-              ts.ndv.get(dimNdvKey).contains(ts.rows) &&
-              ts.path.exists(p => CatalogRules.scanPath(dScan).contains(p))
-          case None => false
-        }
-        if (!provenUnique) return None
-        (bScan, bFilters,
-          Some(DimSide(dSide, keys.map { case (bk, dk) => bk.name -> dk })))
+        (scan, Nil: Seq[Expression], Nil: Seq[Expression],
+          Nil: List[ChainDim])
+      case j: Join =>
+        val (bScan, bf, mid, st, _) =
+          peelChain(j, mv, 0).getOrElse(return None)
+        if (st.isEmpty) return None
+        (bScan, bf, mid, st)
       case _ => return None
     }
     val leafOut = leaf.outputSet
-    val dimOut = dimOpt.map(_.plan.outputSet).getOrElse(AttributeSet.empty)
+    val dimOut = steps.map(_.plan.outputSet)
+      .foldLeft(AttributeSet.empty)(_ ++ _)
 
     // Filters above the join (or all filters, flat shape): provable
     // classes only (mapComputedFilter); a conjunct mixing in dim-side
@@ -802,8 +776,9 @@ final case class MvRewriteRule(
         case a: AttributeReference if !dimOut.contains(a) =>
           mvAttr(mv.dims(a.name)).get
       })
-    val mvAboveFilters = dropImpliedNullGuards(filters.map(res))
-      .map(f => mapOne(f).getOrElse(return None))
+    val mvAboveFilters =
+      dropImpliedNullGuards((filters ++ midFilters).map(res))
+        .map(f => mapOne(f).getOrElse(return None))
     val mvFilters = dropImpliedNullGuards(factFilters).map { f =>
       mapComputedFilter(f, mv, mvAttr, leafOut).getOrElse(return None)
     }
@@ -826,7 +801,7 @@ final case class MvRewriteRule(
     // computed expression matching a declared MvExprDim canonical —
     // either way it maps to one rollup column, recorded per slot.
     val freshSlots = out.indices.filterNot(isPassThrough)
-    val slotDim = scala.collection.mutable.Map.empty[Int, Attribute]
+    val slotDim = scala.collection.mutable.Map.empty[Int, Expression]
     freshSlots.foreach { i =>
       val dims = projs.map(_(i)).collect { case a: AttributeReference => a }
       if (dims.map(_.exprId).distinct.length > 1) return None
@@ -840,7 +815,22 @@ final case class MvRewriteRule(
             val canon = MvRewriteRule.canonicalKey(computed)
             mv.exprDims.find(_.canonical == canon) match {
               case Some(d) => slotDim(i) = mvAttr(d.mvCol).get
-              case None => return None
+              case None =>
+                // a declared ALTERNATE spelling (q276/q279) works under
+                // the Expand exactly as in the flat shape: the slot's
+                // per-set value rebuilds from the bucket column (the
+                // nulling literals are typed and need no surgery)
+                val alt = mv.exprDims.iterator.flatMap(d =>
+                  d.alts.collect {
+                    case al if al.canonical == canon =>
+                      MvAltRebuild.expr(al.rebuild, mvAttr(d.mvCol).get)
+                  }).nextOption()
+                alt.filter(e =>
+                  MvRewriteRule.nullNormalized(e.dataType) ==
+                    MvRewriteRule.nullNormalized(computed.dataType)) match {
+                  case Some(e) => slotDim(i) = e
+                  case None => return None
+                }
             }
         }
       }
@@ -910,16 +900,7 @@ final case class MvRewriteRule(
     val mvBase =
       if (mvFilters.isEmpty) mv.mvPlan
       else Filter(mvFilters.reduceLeft(And(_, _)), mv.mvPlan)
-    val joined = dimOpt match {
-      case None => mvBase
-      case Some(d) =>
-        Join(mvBase, d.plan, Inner,
-          Some(d.keys.map { case (bkName, dk) =>
-            org.apache.spark.sql.catalyst.expressions.EqualTo(
-              mvAttr(mv.dims(bkName)).get, dk): Expression
-          }.reduceLeft(And(_, _))),
-          JoinHint.NONE)
-    }
+    val joined = rejoinChain(mvBase, steps, mv, mvAttr)
     val expandChild =
       if (mvAboveFilters.isEmpty) joined
       else Filter(mvAboveFilters.reduceLeft(And(_, _)), joined)

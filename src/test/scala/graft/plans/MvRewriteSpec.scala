@@ -935,6 +935,29 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(folded.schema.map(f => (f.name, f.dataType))
       === scratch.schema.map(f => (f.name, f.dataType)))
     assert(sortedRows(folded) === sortedRows(scratch))
+    // the computed shape peels a CHAIN too (events >< customer ><
+    // nation, hourly by nation): cells + BOTH live dims, fact gone
+    import graft.queries.StatsPhases
+    val st = StatsPhases.collected(spark, sf)
+    val chainS = CatalogRules.sessionWith(spark, Nil)
+    CatalogRules.installRules(chainS,
+      Seq(MvRewriteRule(Seq(MvPhases.mvDefTsU(chainS, sf)), st)))
+    def chainText(s: org.apache.spark.sql.SparkSession) =
+      Tables.eventsTsNs(s, sf)
+        .join(Tables.customer(s, sf), col("user_id") === col("c_custkey"))
+        .join(Tables.nation(s, sf), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(
+          expr(graft.operators.Resample.floorDivSql("ts", MvPhases.HourNs))
+            .as("hour_idx"),
+          col("n_name"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("sum_value"))
+    val chained = chainText(chainS)
+    assert(scanTables(chained) ===
+      Set(MvPhases.tsuTable(sf), "customer", "nation"), scanTables(chained))
+    val offS = CatalogRules.sessionWith(spark, Nil)
+    assert(sortedRows(chained) === sortedRows(chainText(offS)))
   }
 
   test("q276: a date_trunc('hour') spelling serves from the floorDiv hour rollup through the declared ALT canonical; a different width keeps the event scan; same rows") {
@@ -982,6 +1005,21 @@ class MvRewriteSpec extends AnyFunSuite {
         .as("cnt_h"))
     assert(scanTables(aggOverBucket) === Set("events"),
       scanTables(aggOverBucket))
+    // alternate spellings work under GROUPING SETS too: the Expand's
+    // per-set slot rebuilds the date_trunc value from the bucket
+    def rollupText(s: org.apache.spark.sql.SparkSession) =
+      Tables.eventsTsNs(s, sf)
+        .rollup(
+          date_trunc("hour", timestamp_micros(expr("ts div 1000")))
+            .as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_micros(col("hour_start")).as("hour_us"),
+          col("event_type"), col("cnt"))
+    val rolled = rollupText(child)
+    assert(scanTables(rolled) === Set(MvPhases.tsTable(sf)),
+      scanTables(rolled))
+    assert(sortedRows(rolled) === sortedRows(rollupText(off)))
   }
 
   test("q280: aggregate navigation peels a DIM CHAIN — the snowflake report reads cells + both live dims, fact scan gone; one unproven dim stands the whole chain down; same rows") {
@@ -1011,6 +1049,24 @@ class MvRewriteSpec extends AnyFunSuite {
     CatalogRules.installRules(half,
       Seq(MvRewriteRule(Seq(MvPhases.mvDefSk(half, sf)), noNation)))
     assert(scanTables(text(half)) === Set("lineitem", "supplier", "nation"))
+    // grouping sets compose with the chain (the Expand path shares the
+    // peel): ROLLUP subtotals over the snowflake serve from cells +
+    // both live dims
+    val proven = CatalogRules.sessionWith(spark, Nil)
+    CatalogRules.installRules(proven,
+      Seq(MvRewriteRule(Seq(MvPhases.mvDefSk(proven, sf)), st)))
+    def rollupText(s: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(s, sf)
+        .join(Tables.supplier(s, sf), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.nation(s, sf), col("s_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"))
+    val rolled = rollupText(proven)
+    assert(scanTables(rolled) ===
+      Set(MvPhases.skTable(sf), "supplier", "nation"), scanTables(rolled))
+    assert(sortedRows(rolled) === sortedRows(rollupText(off)))
   }
 
   test("q279: the window('1 hour') spelling serves from the hour rollup — struct rebuilt per cell, TimeWindow's injected null guards mapped to the bucket; a sliding window keeps the event scan; same rows") {
