@@ -44,6 +44,20 @@ object Components {
     * @param broadcastNodeLimit max node count for the broadcast-label
     *        strategy (node rows are two longs; the default ~1M keeps the
     *        broadcast tens of MB)
+    * @param driverEdgeLimit max UNDIRECTED edge count for the driver
+    *        union-find shortcut (r21 optimization): a graph whose whole
+    *        edge list is broadcast-scale — quotient graphs, label-space
+    *        merge graphs, bounded sub-corpus slices — pays the
+    *        distributed loop's per-round fixed cost (join + aggregate +
+    *        eager checkpoint + convergence count, times O(log d) rounds)
+    *        for data that fits in one task. Collecting it once and
+    *        union-finding on the driver is the same trust move the
+    *        broadcast path already makes every round (the full label map
+    *        transits the driver in each broadcast); the output is
+    *        bit-identical (comp = min member id, pure long arithmetic).
+    *        The default (1M edges = ~16 MB of longs) keeps corpus-scale
+    *        pair graphs on the distributed paths; 0 disables the
+    *        shortcut (the spec hook, like broadcastNodeLimit = 0).
     * @return (id, comp) — comp = smallest node id in the component
     */
   def connectedComponents(
@@ -52,7 +66,8 @@ object Components {
       bCol: String = "doc_b",
       maxIter: Int = 25,
       numPartitions: Option[Int] = None,
-      broadcastNodeLimit: Long = 1000000L): DataFrame = {
+      broadcastNodeLimit: Long = 1000000L,
+      driverEdgeLimit: Long = 1000000L): DataFrame = {
     // numPartitions: per-iteration join cost is dominated by task overhead
     // when the graph is small relative to the session's shuffle partitions;
     // callers that know the graph is modest can shrink it (scale runs leave
@@ -76,6 +91,40 @@ object Components {
     // (largest) cached intermediate into a long-lived session; unpersist
     // on an already-dropped handle is a no-op, so both are always released
     try {
+      // Driver union-find shortcut (see driverEdgeLimit). The gate count
+      // is one job over the persisted symmetrized frame (2|E| directed
+      // rows); the collect takes one orientation (src <= dst keeps
+      // self-loop rows, which label-space merge graphs legitimately
+      // carry). Exactness: union-by-min-root + path compression gives
+      // find(v) = min member id — the same fixpoint the iterative loop
+      // converges to, over the same long ids.
+      if (driverEdgeLimit > 0 &&
+          edgesBase.count() <= 2L * driverEdgeLimit) {
+        val rows = edgesBase.filter(col("src") <= col("dst"))
+          .select(col("src"), col("dst")).collect()
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var root = x
+          while (parent.getOrElse(root, root) != root)
+            root = parent.getOrElse(root, root)
+          var cur = x
+          while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+          root
+        }
+        val nodes = scala.collection.mutable.LongMap.empty[Unit]
+        rows.foreach { r =>
+          val a = r.getLong(0); val b = r.getLong(1)
+          nodes(a) = (); nodes(b) = ()
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val out = nodes.keysIterator.map(id => (id, find(id))).toSeq
+        log.info(s"[components] driver union-find over ${rows.length} edges, " +
+          s"${out.size} nodes (<= driverEdgeLimit=$driverEdgeLimit)")
+        val session = pairs.sparkSession
+        import session.implicits._
+        return out.toDF("id", "comp")
+      }
       var labels = edgesBase.select(col("src").as("id")).distinct()
         .withColumn("comp", col("id"))
         .localCheckpoint(true)

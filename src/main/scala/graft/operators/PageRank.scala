@@ -36,12 +36,26 @@ object PageRank {
     * distinct edge endpoints; every node with an out-edge contributes,
     * and in a symmetric graph there are no dangling nodes. Output:
     * (id, rank) with rank the BIGINT fixed-point mass at `Scale`.
+    *
+    * @param driverEdgeLimit max edge count for the driver fixed-point
+    *        shortcut (r21 optimization, the [[Components]] device): the
+    *        update is EXACT integer arithmetic, so a local loop over a
+    *        collected broadcast-scale edge list is bit-identical to the
+    *        distributed rounds while skipping `iterations` x (join +
+    *        aggregate) stages of tiny tasks. Sub-corpus/derived graphs
+    *        take it; corpus-scale graphs exceed the limit and keep the
+    *        distributed shape. 0 disables (spec hook).
     */
   def ranks(
       edges: DataFrame,
       iterations: Int = 5,
-      numPartitions: Option[Int] = None): DataFrame = {
+      numPartitions: Option[Int] = None,
+      driverEdgeLimit: Long = 1000000L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    driverRanks(edges, iterations, driverEdgeLimit, global = true) match {
+      case Some(local) => return local
+      case None => ()
+    }
     val part = numPartitions.getOrElse(
       edges.sparkSession.sessionState.conf.numShufflePartitions)
     // Iteration count is FIXED (no convergence check), so no round needs
@@ -101,8 +115,13 @@ object PageRank {
   def localRanks(
       edges: DataFrame,
       iterations: Int = 5,
-      numPartitions: Option[Int] = None): DataFrame = {
+      numPartitions: Option[Int] = None,
+      driverEdgeLimit: Long = 1000000L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    driverRanks(edges, iterations, driverEdgeLimit, global = false) match {
+      case Some(local) => return local
+      case None => ()
+    }
     val part = numPartitions.getOrElse(
       edges.sparkSession.sessionState.conf.numShufflePartitions)
     // Same one-job lazy-round shape as [[ranks]] — see the comment there.
@@ -129,6 +148,63 @@ object PageRank {
     }
     intermediates.foreach(Checkpoints.release)
     ranks
+  }
+
+  /** Driver fixed-point shortcut shared by [[ranks]] (global = true:
+    * Scale div N initial mass + N-normalized teleport) and
+    * [[localRanks]] (global = false: Scale initial mass + constant
+    * teleport). Some(result) when the edge list fits `driverEdgeLimit`;
+    * None = caller runs the distributed loop. The arithmetic mirrors
+    * the distributed expressions operation for operation (`div` on
+    * non-negative longs == Scala `/`), and integer sums are
+    * order-independent, so the result is bit-identical — the same
+    * exactness argument the operator's cross-engine oracle contract
+    * already stands on. Edge MULTIPLICITY is preserved (no dedup):
+    * outdeg counts parallel edges and each contributes, exactly as the
+    * distributed join does.
+    */
+  private def driverRanks(
+      edges: DataFrame,
+      iterations: Int,
+      driverEdgeLimit: Long,
+      global: Boolean): Option[DataFrame] = {
+    if (driverEdgeLimit <= 0) return None
+    val src = edges.select(col("src"), col("dst"))
+    if (src.count() > driverEdgeLimit) return None
+    val rows = src.collect()
+    val outdeg = scala.collection.mutable.LongMap.empty[Long]
+    val nodes = scala.collection.mutable.LongMap.empty[Unit]
+    rows.foreach { r =>
+      val s = r.getLong(0); val d = r.getLong(1)
+      outdeg(s) = outdeg.getOrElse(s, 0L) + 1L
+      nodes(s) = (); nodes(d) = ()
+    }
+    val n = nodes.size.toLong
+    if (n == 0L) {
+      val session = edges.sparkSession
+      import session.implicits._
+      return Some(Seq.empty[(Long, Long)].toDF("id", "rank"))
+    }
+    val teleport =
+      if (global) (15L * (Scale / n)) / 100L else (15L * Scale) / 100L
+    val r0 = if (global) Scale / n else Scale
+    var rank = scala.collection.mutable.LongMap.empty[Long]
+    nodes.foreachKey(id => rank(id) = r0)
+    for (_ <- 1 to iterations) {
+      val sums = scala.collection.mutable.LongMap.empty[Long]
+      rows.foreach { r =>
+        val s = r.getLong(0); val d = r.getLong(1)
+        sums(d) = sums.getOrElse(d, 0L) + rank(s) / outdeg(s)
+      }
+      val next = scala.collection.mutable.LongMap.empty[Long]
+      nodes.foreachKey { id =>
+        next(id) = teleport + (85L * sums.getOrElse(id, 0L)) / 100L
+      }
+      rank = next
+    }
+    val session = edges.sparkSession
+    import session.implicits._
+    Some(rank.toSeq.toDF("id", "rank"))
   }
 
   /** One round's damped in-neighbor sums: (id, __s). contrib = rank div

@@ -135,22 +135,50 @@ object Triangles {
   // precisely what twin classes collapse.
   // ---------------------------------------------------------------------
 
-  /** Closed-neighborhood fingerprints: (doc_id, nb) with `nb` the md5 of
-    * the sorted member list of N[v] (self included). THE twin-identity
-    * key — equal fingerprints = structurally interchangeable vertices —
-    * and the stored state of the incremental fold
-    * ([[refreshFingerprints]]): a vertex's fingerprint changes ONLY when
-    * an incident edge arrives, so untouched rows carry over verbatim.
+  /** Closed-neighborhood fingerprints: (doc_id, nb) with `nb` a
+    * 128-bit-equivalent set hash of N[v] (self included). THE
+    * twin-identity key — equal fingerprints = structurally
+    * interchangeable vertices — and the stored state of the incremental
+    * fold ([[refreshFingerprints]]): a vertex's fingerprint changes ONLY
+    * when an incident edge arrives, so untouched rows carry over
+    * verbatim.
+    *
+    * FORMULATION (r21 optimization — guide §4, codegen over object
+    * aggregation): `nb = struct(|N[v]|, xor of xxhash64(n), xor of
+    * xxhash64(n, SEED2))` over the open neighborhood, with the self term
+    * folded in after the aggregate. XOR of per-member hashes is
+    * order-insensitive, so equal neighborhood SETS give equal structs;
+    * two independent 64-bit hashes plus the cardinality make a false
+    * class-merge a < 2^-100 event at any plausible |V|. Versus the
+    * earlier md5-of-sorted-member-CSV: the aggregation is a codegen'd
+    * fixed-width HashAggregate (three longs of state) instead of an
+    * ObjectHashAggregate building per-vertex sets, the shuffle carries
+    * |V|-sized partials instead of full adjacency sets, and the
+    * per-member cost is one hash instead of long->string + sort +
+    * concat + md5. The pre-agg stream is 2|E| rows (self rows gone —
+    * folded in post-agg), half the old 4|E|.
+    *
+    * CONTRACT (was already documented on [[twinClasses]]): `edges` is a
+    * DEDUPLICATED undirected edge list, one canonical (aCol < bCol) row
+    * per edge. XOR cancels duplicate members pairwise, so a duplicated
+    * edge now CHANGES the fingerprint instead of being absorbed — the
+    * duplicate-tolerant faces ([[refreshFingerprintsBatch]], whose edge
+    * table legitimately accumulates replayed rows) dedupe before
+    * calling in.
     */
+  private[graft] val FpSeed2 = 0x9e3779b97f4a7c15L
+
   def adjacencyFingerprints(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
     val e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
     val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      .unionAll(e.select(col("u"), col("u").as("v")))
-      .unionAll(e.select(col("v").as("u"), col("v").as("v")))
     und.groupBy(col("u").as("doc_id"))
-      .agg(md5(encode(
-        array_join(sort_array(collect_set(col("v"))).cast("array<string>"), ","),
-        "UTF-8")).as("nb"))
+      .agg(count(lit(1)).as("_deg"),
+        bit_xor(xxhash64(col("v"))).as("_x1"),
+        bit_xor(xxhash64(col("v"), lit(FpSeed2))).as("_x2"))
+      .select(col("doc_id"), struct(
+        (col("_deg") + lit(1L)).as("n"),
+        expr("_x1 ^ xxhash64(doc_id)").as("h1"),
+        expr(s"_x2 ^ xxhash64(doc_id, ${FpSeed2}L)").as("h2")).as("nb"))
   }
 
   /** Regroup fingerprints into classes: (doc_id, cls, s), label = min
@@ -212,11 +240,19 @@ object Triangles {
       touched.withColumnRenamed("id", aCol).withColumn("_ta", lit(1)))
     val tFlagB = broadcast(
       touched.withColumnRenamed("id", bCol).withColumn("_tb", lit(1)))
+    // The distinct() restores the duplicate tolerance the md5/collect_set
+    // formulation had implicitly (set semantics absorbed a replayed batch
+    // whose edges were already in the stored stream; the XOR fingerprint
+    // would cancel them pairwise instead). It deduplicates only the
+    // TOUCHED stream — delta-proportional by the fold's own argument —
+    // and untouched duplicates never matter (those rows carry over from
+    // storedFp verbatim).
     val touchedEdges = merged
       .join(tFlagA, Seq(aCol), "left")
       .join(tFlagB, Seq(bCol), "left")
       .filter(col("_ta").isNotNull || col("_tb").isNotNull)
       .select(col(aCol), col(bCol))
+      .distinct()
     val newFp = adjacencyFingerprints(touchedEdges, aCol, bCol)
       .join(broadcast(touched).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_semi")
     storedFp
@@ -226,8 +262,9 @@ object Triangles {
 
   /** Twin classes of the undirected graph: (doc_id, cls, s) where `cls`
     * is the class label (min member id — deterministic) and `s` the
-    * class size. One shuffle building sorted closed-adjacency lists
-    * (total volume 2|E| + |V| longs), one hash-keyed agg.
+    * class size. One shuffle whose map-side partial aggregation reduces
+    * the 2|E| hash stream to |V|-sized three-long partials, one
+    * node-sized regroup.
     */
   def twinClasses(edges: DataFrame, aCol: String, bCol: String): DataFrame =
     classesFromFingerprints(adjacencyFingerprints(edges, aCol, bCol))
@@ -270,8 +307,13 @@ object Triangles {
             spark.table(fpTable), spark.table(edgeTable), pinnedBatch, aCol, bCol)
         // First batch (or a crash before the very first fp write): build
         // from the FULL edge table, not just the batch — after the
-        // append above it holds everything ever delivered.
-        else adjacencyFingerprints(spark.table(edgeTable), aCol, bCol)
+        // append above it holds everything ever delivered. distinct():
+        // the accumulated table legitimately holds replayed duplicates,
+        // which the XOR fingerprint (unlike the old set semantics) must
+        // not see twice.
+        else adjacencyFingerprints(
+          spark.table(edgeTable).select(col(aCol), col(bCol)).distinct(),
+          aCol, bCol)
       val pinned = folded.localCheckpoint()
       try pinned.write.mode("overwrite").format("parquet").saveAsTable(fpTable)
       finally pinned.unpersist()

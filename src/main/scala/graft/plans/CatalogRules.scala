@@ -128,6 +128,33 @@ object CatalogRules {
     case _ => None
   }
 
+  /** The leaf file relation behind a scan pipeline — the node
+    * [[tableOf]]/[[scanPath]] name. Both walkers skip ANY Project,
+    * including aliasing ones, which is fine for naming but NOT for a
+    * uniqueness proof: a dim subtree like `SELECT n_regionkey AS
+    * n_nationkey FROM nation` would pass a name-keyed ndv check for a
+    * column that is not the one actually joined. Proof-grade callers
+    * pair the name with [[verbatimLeafOutput]] over the attributes they
+    * are about to trust. */
+  @scala.annotation.tailrec
+  def leafRelation(plan: LogicalPlan): Option[LogicalRelation] = plan match {
+    case p: Project => leafRelation(p.child)
+    case f: Filter => leafRelation(f.child)
+    case lr: LogicalRelation => Some(lr)
+    case _ => None
+  }
+
+  /** True iff every attribute is a VERBATIM output of the leaf relation
+    * behind `plan` (exprId membership — an alias introduced by a skipped
+    * Project has a different exprId and fails). The guard that closes
+    * the name-shadowing hole: a stats entry proves uniqueness of a leaf
+    * COLUMN, so the attribute the join actually keys on must BE that
+    * leaf column, not a same-named alias of another. */
+  def verbatimLeafOutput(
+      plan: LogicalPlan,
+      attrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]): Boolean =
+    leafRelation(plan).exists(lr => attrs.forall(lr.outputSet.contains))
+
   /** Normalize a loader-side `dir/table.parquet` string to the same
     * scheme-stripped form [[scanPath]] emits, so a collector can record
     * a comparable path without constructing a plan. */

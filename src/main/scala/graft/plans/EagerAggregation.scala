@@ -251,6 +251,11 @@ final case class EagerAggregationRule(
         case Some(dimTable) => stats.tables.get(dimTable) match {
           case Some(ts) =>
             ts.provenance == CatalogRules.StatProvenance.Exact &&
+              // Verbatim-leaf guard (r21): the counted-tuple proof names
+              // LEAF columns; an aliasing Project on the dim side (e.g.
+              // `n_regionkey AS n_nationkey`) must stand the chain down
+              // rather than borrow another column's uniqueness.
+              CatalogRules.verbatimLeafOutput(s.dim, dks) &&
               ts.ndv.get(CatalogRules.compositeKey(dks.map(_.name)))
                 .contains(ts.rows) &&
               ts.path.exists(p => CatalogRules.scanPath(s.dim).contains(p))

@@ -438,6 +438,13 @@ final case class MvRewriteRule(
       case Some(dimTable) => stats.tables.get(dimTable) match {
         case Some(ts) =>
           ts.provenance == CatalogRules.StatProvenance.Exact &&
+            // Verbatim-leaf guard (r21, the name-shadowing hole): the ndv
+            // entry proves uniqueness of the LEAF column named dk.name, so
+            // dk must BE that leaf output — an aliasing Project skipped by
+            // collectScan/collectDefs (e.g. `n_regionkey AS n_nationkey`)
+            // would otherwise pass the proof for a different, non-unique
+            // column and silently duplicate partials.
+            CatalogRules.verbatimLeafOutput(dScan, dks) &&
             ts.ndv.get(CatalogRules.compositeKey(dks.map(_.name)))
               .contains(ts.rows) &&
             ts.path.exists(p => CatalogRules.scanPath(dScan).contains(p))
@@ -1134,12 +1141,40 @@ object ConfMvRewriteRule extends Rule[LogicalPlan] {
     * all miss and re-resolve — keeping the loud failure on first
     * resolution — while steady-state planning reuses the resolved
     * plans. Bounded per session: cleared wholesale past a small size
-    * (stale versions of one key otherwise accumulate forever); dead
-    * sessions drop with their weak key. */
+    * (stale versions of one key otherwise accumulate forever). The
+    * weak key does NOT collect on its own — cached MvDefs hold
+    * resolved plans that reference the session — so the OUTER map is
+    * bounded too ([[MaxCachedSessions]]). */
   private val defsCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       java.util.concurrent.ConcurrentHashMap[
         (String, Seq[(String, Long, Long)]), Seq[MvDef]]]())
+
+  /** Outer-map session bound (r21, ADVICE): a cached MvDef holds a
+    * resolved LogicalRelation, which strongly references its
+    * SparkSession — so a WeakHashMap VALUE reaches back to its own weak
+    * KEY and the entry can never be collected. Rather than break the
+    * reference chain (SoftReference wrappers trade the leak for
+    * GC-pressure nondeterminism), bound the session count and clear
+    * WHOLESALE past it: re-resolution after a clear is the already-paid
+    * cache-miss path, and 16 concurrently-live sessions is far past
+    * anything the engine constructs. */
+  private val MaxCachedSessions = 16
+
+  /** Sub-second TTL memo of the per-table version stamp (r21, ADVICE):
+    * fixed-point batches invoke the rule several times per QUERY, and
+    * each stamp read is one getFileStatus per named table — pure local
+    * metadata here, but a round-trip RPC per rule invocation on remote
+    * filesystems. Within the TTL the stamp is reused, so steady-state
+    * planning pays at most ~one stat call per table per query; a
+    * concurrent INSERT OVERWRITE landing inside the 500 ms window is
+    * caught by the next query's re-stamp (the same freshness class as
+    * the file-listing caches Spark itself keeps). Values hold no
+    * session reference, so the weak key actually collects. */
+  private val StampTtlNs = 500L * 1000L * 1000L
+  private val stampMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      (Long, String, Seq[(String, Long, Long)])]())
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val spec = conf.getConfString(DefsConf, "")
@@ -1166,26 +1201,37 @@ object ConfMvRewriteRule extends Rule[LogicalPlan] {
   private[plans] def cachedDefs(
       spec: String,
       session: org.apache.spark.sql.SparkSession): Seq[MvDef] = {
-    val versions = tableNames(spec).map { t =>
-      val ident = session.sessionState.sqlParser.parseTableIdentifier(t)
-      if (!session.sessionState.catalog.tableExists(ident))
-        throw new IllegalArgumentException(
-          s"$DefsConf names rollup table '$t' which does not exist " +
-            "in the session catalog")
-      val meta = session.sessionState.catalog.getTableMetadata(ident)
-      // The storage dir's mtime folds the DATA version into the stamp:
-      // an INSERT OVERWRITE replaces files without touching createTime,
-      // and a resolved read plan captures a file listing. One
-      // getFileStatus per table per invocation — metadata-priced.
-      val locMtime = meta.storage.locationUri.map { uri =>
-        val p = new org.apache.hadoop.fs.Path(uri)
-        try p.getFileSystem(session.sessionState.newHadoopConf())
-          .getFileStatus(p).getModificationTime
-        catch { case _: java.io.FileNotFoundException => 0L }
-      }.getOrElse(0L)
-      (t, meta.createTime, locMtime)
+    val versions = {
+      val memoed = stampMemo.get(session)
+      if (memoed != null && memoed._2 == spec &&
+          System.nanoTime() - memoed._1 < StampTtlNs) memoed._3
+      else {
+        val fresh = tableNames(spec).map { t =>
+          val ident = session.sessionState.sqlParser.parseTableIdentifier(t)
+          if (!session.sessionState.catalog.tableExists(ident))
+            throw new IllegalArgumentException(
+              s"$DefsConf names rollup table '$t' which does not exist " +
+                "in the session catalog")
+          val meta = session.sessionState.catalog.getTableMetadata(ident)
+          // The storage dir's mtime folds the DATA version into the stamp:
+          // an INSERT OVERWRITE replaces files without touching createTime,
+          // and a resolved read plan captures a file listing. One
+          // getFileStatus per table per stamp refresh — metadata-priced,
+          // TTL-memoized above.
+          val locMtime = meta.storage.locationUri.map { uri =>
+            val p = new org.apache.hadoop.fs.Path(uri)
+            try p.getFileSystem(session.sessionState.newHadoopConf())
+              .getFileStatus(p).getModificationTime
+            catch { case _: java.io.FileNotFoundException => 0L }
+          }.getOrElse(0L)
+          (t, meta.createTime, locMtime)
+        }
+        stampMemo.put(session, (System.nanoTime(), spec, fresh))
+        fresh
+      }
     }
     val perSession = defsCache.synchronized {
+      if (defsCache.size() > MaxCachedSessions) defsCache.clear()
       var m = defsCache.get(session)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[

@@ -16,8 +16,11 @@ class ComponentsScaleCheck extends AnyFunSuite {
     val docs = Tables.documents(spark, SparkTestSession.sf0001)
     val sig = Dedup.minhashSignatures(docs, "text", "doc_id", 16)
     val pairs = Dedup.lshCandidatePairs(sig, "doc_id", 16, bands = 2)
+    // driverEdgeLimit = 0: this check exists to exercise the DISTRIBUTED
+    // paths against each other on a real LSH graph.
     def run(limit: Long) =
-      Components.connectedComponents(pairs, broadcastNodeLimit = limit)
+      Components.connectedComponents(
+          pairs, broadcastNodeLimit = limit, driverEdgeLimit = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val viaBroadcast = run(Long.MaxValue)
     val viaShuffle = run(0L)

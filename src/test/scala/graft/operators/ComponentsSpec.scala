@@ -83,11 +83,32 @@ class ComponentsSpec extends AnyFunSuite {
       (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L), (7L, 8L)
     ).toDF("doc_a", "doc_b")
-    val viaBroadcast = Components.connectedComponents(pairs)
+    // driverEdgeLimit = 0 disables the r21 driver shortcut so this test
+    // keeps exercising the two DISTRIBUTED strategies against each other.
+    val viaBroadcast = Components.connectedComponents(pairs, driverEdgeLimit = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val viaShuffle = Components.connectedComponents(pairs, broadcastNodeLimit = 0L)
+    val viaShuffle = Components.connectedComponents(
+        pairs, broadcastNodeLimit = 0L, driverEdgeLimit = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaShuffle == viaBroadcast)
     assert(viaShuffle(4L) == 1L && viaShuffle(8L) == 7L)
+  }
+
+  test("driver union-find shortcut == distributed loop, incl. self-loops and chains") {
+    val rnd = new scala.util.Random(23)
+    (0 until 6).foreach { trial =>
+      val n = 10 + rnd.nextInt(25)
+      val edges = (for {
+        a <- 0L until n
+        b <- a until n // a == b allowed: label-merge graphs carry self-loops
+        if rnd.nextDouble() < 0.12
+      } yield (a, b)) ++ (0L until 6L).map(i => (100L + i, 101L + i)) // a chain
+      val df = edges.toDF("doc_a", "doc_b")
+      val viaDriver = Components.connectedComponents(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaLoop = Components.connectedComponents(df, driverEdgeLimit = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaDriver == viaLoop, s"trial $trial: driver UF diverges")
+    }
   }
 }

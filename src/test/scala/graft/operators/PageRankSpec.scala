@@ -62,8 +62,11 @@ class PageRankSpec extends AnyFunSuite {
     // ends in a localCheckpoint, so the FINAL plan is a fixed shape over
     // a checkpointed RDD — 10 iterations must not produce a deeper tree
     // than 5 (without the checkpoints the tree would double).
+    // driverEdgeLimit = 0: this test pins the DISTRIBUTED loop's
+    // lineage discipline, so the r21 driver shortcut must not fire.
     def planNodes(iterations: Int): Int =
-      PageRank.ranks(star.toDF("src", "dst"), iterations, numPartitions = Some(2))
+      PageRank.ranks(star.toDF("src", "dst"), iterations,
+          numPartitions = Some(2), driverEdgeLimit = 0L)
         .queryExecution.optimizedPlan.collect { case p => p }.size
     val n5 = planNodes(5)
     val n10 = planNodes(10)
@@ -76,7 +79,8 @@ class PageRankSpec extends AnyFunSuite {
     // at a deliberately loose bound.
     def timeIt(iterations: Int): Double = {
       val t0 = System.nanoTime()
-      PageRank.ranks(star.toDF("src", "dst"), iterations, numPartitions = Some(2))
+      PageRank.ranks(star.toDF("src", "dst"), iterations,
+          numPartitions = Some(2), driverEdgeLimit = 0L)
         .collect()
       (System.nanoTime() - t0) / 1e9
     }
@@ -85,6 +89,23 @@ class PageRankSpec extends AnyFunSuite {
     val t10 = (1 to 3).map(_ => timeIt(10)).min
     assert(t10 <= 8.0 * math.max(t5, 0.3),
       s"10 iterations took ${t10}s vs ${t5}s for 5 — superlinear growth")
+  }
+
+  test("driver fixed-point shortcut == distributed loop, ranks and localRanks") {
+    val rnd = new scala.util.Random(29)
+    val pairs = (1 to 80).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val sym = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val df = sym.toDF("src", "dst")
+    def cmp(f: (org.apache.spark.sql.DataFrame, Long) => org.apache.spark.sql.DataFrame): Unit = {
+      val viaDriver = f(df, 1000000L).as[(Long, Long)].collect().toMap
+      val viaLoop = f(df, 0L).as[(Long, Long)].collect().toMap
+      assert(viaDriver == viaLoop, "driver fixed point diverges from the loop")
+    }
+    cmp((d, lim) => PageRank.ranks(d, iterations = 4, numPartitions = Some(2),
+      driverEdgeLimit = lim))
+    cmp((d, lim) => PageRank.localRanks(d, iterations = 4, numPartitions = Some(2),
+      driverEdgeLimit = lim))
   }
 
   test("iteration count matters: one round differs from five on an asymmetric graph") {

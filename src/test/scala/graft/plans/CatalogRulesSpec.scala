@@ -966,6 +966,51 @@ class CatalogRulesSpec extends AnyFunSuite {
     assert(sortedRows(mixed) === sortedRows(mixedOff))
   }
 
+  test("name-shadowing dim refuses (r21): an aliasing Project on the dim side stands eager aggregation down even when the alias NAME carries a unique-proven stat") {
+    import graft.queries.StatsPhases
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    def joinsAbovePartial(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.collectFirst {
+          case a: Aggregate
+              if CatalogRules.tableOf(a.child).contains("lineitem") => a
+        }.isDefined => j
+      }.length
+    val st = StatsPhases.collected(spark, sf)
+    val on = CatalogRules.sessionWith(spark, Seq(EagerAggregationRule(st)),
+      "spark.sql.ansi.enabled" -> "false")
+    // The dim subtree renames NON-unique s_nationkey to the NAME of the
+    // proven-unique key. tableOf/scanPath still recognize supplier and
+    // the name-keyed ndv entry says "unique" — only the verbatim-leaf
+    // guard can tell the joined attribute is a different column. Firing
+    // here would duplicate partials (~25 suppliers per nationkey).
+    def shadowText(s: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(s, sf)
+        .join(Tables.supplier(s, sf)
+            .select(col("s_nationkey").as("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+    assert(joinsAbovePartial(shadowText(on)) === 0,
+      shadowText(on).queryExecution.optimizedPlan.toString)
+    // same text against the REAL unique key still fires — the guard
+    // refuses aliases, not the proven shape
+    def verbatimText(s: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(s, sf)
+        .join(Tables.supplier(s, sf).select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+    assert(joinsAbovePartial(verbatimText(on)) === 1,
+      verbatimText(on).queryExecution.optimizedPlan.toString)
+    // rows: the stood-down shadow query equals a rule-free session's
+    val off = CatalogRules.sessionWith(spark, Nil,
+      "spark.sql.ansi.enabled" -> "false")
+    assert(sortedRows(shadowText(on)) === sortedRows(shadowText(off)))
+  }
+
   test("q278: grouping sets compose with the dim chain — the Expand multiplies chain-joined partials, pushed below both joins; conf face fires both new gates from the published grammars") {
     import graft.queries.{MvPhases, StatsPhases}
     import org.apache.spark.sql.catalyst.expressions.AttributeReference

@@ -893,8 +893,14 @@ class MvRewriteSpec extends AnyFunSuite {
     val a = ConfMvRewriteRule.cachedDefs(conf, spark)
     val b = ConfMvRewriteRule.cachedDefs(conf, spark)
     assert(a eq b, "repeat invocations must reuse the resolved defs")
-    Thread.sleep(5) // createTime stamps at ms resolution
     MvPhases.buildStored(spark, sf)
+    // r21: the version stamp is TTL-memoized (~500 ms) so fixed-point
+    // batches pay one stat call per table per query, not per rule
+    // invocation — a rebuild therefore invalidates at the NEXT stamp
+    // refresh, not instantly. Sleep past the TTL; the freshness
+    // contract is "next query re-resolves", the same class as Spark's
+    // own file-listing caches.
+    Thread.sleep(600)
     val c = ConfMvRewriteRule.cachedDefs(conf, spark)
     assert(!(a eq c), "a dropped-and-recreated rollup must re-resolve")
   }
@@ -1067,6 +1073,44 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(scanTables(rolled) ===
       Set(MvPhases.skTable(sf), "supplier", "nation"), scanTables(rolled))
     assert(sortedRows(rolled) === sortedRows(rollupText(off)))
+  }
+
+  test("name-shadowing dim refuses (r21): an aliasing Project on the dim side stands the MV join rewrite down even when the alias NAME carries a unique-proven stat") {
+    import graft.queries.StatsPhases
+    MvPhases.ensureStoredSk(spark, sf)
+    val st = StatsPhases.collected(spark, sf)
+    val on = CatalogRules.sessionWith(spark, Nil)
+    CatalogRules.installRules(on,
+      Seq(MvRewriteRule(Seq(MvPhases.mvDefSk(on, sf)), st)))
+    // supplier's NON-unique s_nationkey renamed to the proven-unique
+    // key's name: tableOf + the name-keyed ndv + path all pass; only
+    // the verbatim-leaf guard sees the alias. Firing would multiply
+    // cells per duplicate dim key.
+    def shadowText(s: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(s, sf)
+        .join(Tables.supplier(s, sf)
+            .select(col("s_nationkey").as("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"))
+    // stood down: the fact scan survives
+    assert(scanTables(shadowText(on)).contains("lineitem"),
+      scanTables(shadowText(on)))
+    // the verbatim spelling still serves from cells + the live dim
+    def verbatimText(s: org.apache.spark.sql.SparkSession) =
+      Tables.lineitem(s, sf)
+        .join(Tables.supplier(s, sf).select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"))
+    assert(scanTables(verbatimText(on)) ===
+      Set(MvPhases.skTable(sf), "supplier"), scanTables(verbatimText(on)))
+    val off = CatalogRules.sessionWith(spark, Nil)
+    assert(sortedRows(shadowText(on)) === sortedRows(shadowText(off)))
   }
 
   test("q279: the window('1 hour') spelling serves from the hour rollup — struct rebuilt per cell, TimeWindow's injected null guards mapped to the bucket; a sliding window keeps the event scan; same rows") {

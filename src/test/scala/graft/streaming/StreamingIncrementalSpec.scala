@@ -492,12 +492,13 @@ class StreamingIncrementalSpec extends AnyFunSuite {
         Triangles.refreshFingerprintsBatch(batch, fpT, edT, "doc_a", "doc_b")
       }
       .start()
-    def served() = spark.table(fpT).as[(Long, String)].collect().toMap
+    def served() = spark.table(fpT).collect()
+      .map(r => (r.getLong(0), r.get(1))).toMap
     try {
       q.processAllAvailable()
       val full = Triangles.adjacencyFingerprints(
           (b1 ++ b2).toDF("doc_a", "doc_b"), "doc_a", "doc_b")
-        .as[(Long, String)].collect().toMap
+        .collect().map(r => (r.getLong(0), r.get(1))).toMap
       assert(served() == full, "served fingerprints diverge from full recompute")
       // adjacency is a SET: replaying a batch re-derives identical
       // fingerprints (the edge table gains duplicate rows, storage-only)
