@@ -981,15 +981,16 @@ object Bench {
             .filter(_.getFileName.toString.matches(namePat)).toList
         } catch { case _: Throwable => Nil }
       val files = listFiles(".", "BENCH_r\\d+\\.json") ++
-        listFiles("bench_full", "r\\d+\\.json")
+        listFiles("bench_full", "r\\d+(_\\d+)?\\.json")
       // Same-scale guard: a prior round's numbers only merge when it ran
       // the same sf directory (the tag rides the file's recorded sf dir)
       // — an sf0.01 dev run must never pollute the sf0.1 best column.
       val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
       files
         .flatMap { p =>
-          // Matches both naming schemes: BENCH_r16.json and bench_full/r16.json.
-          val round = "r(\\d+)\\.json".r
+          // Matches all naming schemes: BENCH_r16.json, bench_full/r16.json,
+          // and the no-overwrite suffixed bench_full/r16_2.json.
+          val round = "r(\\d+)(?:_\\d+)?\\.json".r
             .findFirstMatchIn(p.getFileName.toString)
             .map(_.group(1).toInt).getOrElse(0)
           val raw = try java.nio.file.Files.readString(p) catch { case _: Throwable => "" }
@@ -1020,6 +1021,28 @@ object Bench {
         }
         .groupBy(_._2).map { case (k, vs) => k -> vs.map(_._3).min }
     }
+    // Single-timed spike self-heal (r21, measurement fix — declared in
+    // OPTIMIZATION_r21.md): a single-timed BUILD line whose one
+    // measurement exceeds 2x its cross-round floor gets ONE bounded
+    // in-run re-time (builds are idempotent; the r20 artifact carried a
+    // 15.8 s-vs-6.8-floor line with zero flags because single-timed
+    // lines are regression-exempt by protocol). Both the healed value
+    // and the line's membership in `single_retimed` land in the JSON,
+    // so the exemption stays auditable.
+    val singleRetimed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val healedResults: Seq[(String, Double)] = {
+      var budget = 8
+      results.map { case (k, v) =>
+        if (singleTimed(k) && v >= 0 && budget > 0 &&
+            priorBest.get(k).exists(b => b > 0 && v > 2.0 * b)) {
+          budget -= 1
+          singleRetimed += k
+          val t2 = firstPass.find(_._1 == k)
+            .map { case (_, fn, _) => timeOne(k, fn) }.getOrElse(-1.0)
+          k -> (if (t2 < 0) v else math.min(v, t2))
+        } else k -> v
+      }
+    }
     // Third-pass adjudication (r17 verdict item 2): a NON-build line
     // still >1.5x its cross-round floor after min-of-2 gets ONE more
     // in-run re-time, and the reported number is min-of-3. Bounded by
@@ -1033,7 +1056,7 @@ object Bench {
     val thirdPass = scala.collection.mutable.ArrayBuffer.empty[String]
     val finalResults: Seq[(String, Double)] = {
       var budget = 40
-      results.map { case (k, v) =>
+      healedResults.map { case (k, v) =>
         val floor = priorBest.get(k)
         if (v >= 0 && budget > 0 && !singleTimed(k) &&
             floor.exists(b => v > 1.5 * b && b < 2.0)) {
@@ -1136,8 +1159,10 @@ object Bench {
     val onlyTag = if (only.isDefined) "\"only\":true," else ""
     val singleTimedJson = finalResults.collect { case (k, _) if singleTimed(k) => k }
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val singleRetimedJson = singleRetimed
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{$onlyTag"round":$thisRound,"comparators_run":$comparatorsThisRound,"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"best":$fullBest,"regressed_vs_best":$regressedJson,"single_timed":$singleTimedJson,"best_floor_reset":$floorJson$zorderMetrics$healthJson,"sf":"$sfDir"}"""
+      s"""{$onlyTag"round":$thisRound,"comparators_run":$comparatorsThisRound,"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"best":$fullBest,"regressed_vs_best":$regressedJson,"single_timed":$singleTimedJson,"single_retimed":$singleRetimedJson,"best_floor_reset":$floorJson$zorderMetrics$healthJson,"sf":"$sfDir"}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
@@ -1154,8 +1179,19 @@ object Bench {
     if (only.isEmpty &&
         java.nio.file.Paths.get(sfDir).getFileName.toString == "sf0.1") {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench_full"))
+      // Never overwrite an existing snapshot (r20 verdict item 5: a
+      // re-run silently replaced the committed official record). Each
+      // invocation writes the first free r<N>[_k].json; the floor
+      // scanner above reads the suffixed names too, so every run's
+      // measurements feed the best column and a round's committed
+      // record survives later runs.
+      val target = Iterator.single(s"bench_full/r$thisRound.json")
+        .concat(Iterator.from(1).map(k => s"bench_full/r${thisRound}_$k.json"))
+        .find(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+        .get
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"bench_full/r$thisRound.json"), fullLine + "\n")
+        java.nio.file.Paths.get(target), fullLine + "\n")
+      System.err.println(s"[bench] full snapshot written to $target")
     }
     System.err.println(s"[bench] full per-query map: $fullLine")
     // The stdout line is the driver's artifact and its tail capture is
@@ -1175,7 +1211,7 @@ object Bench {
       .map { case (k, (round, _)) => "\"" + k + "\":" + round }
       .mkString("{", ",", "}")
     val singleTimedN = finalResults.count { case (k, _) => singleTimed(k) }
-    println(s"""{$onlyTag"round":$thisRound,"comparators_run":$comparatorsThisRound,"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"best":$slowestBest,"regressed_vs_best":$regressedJson,"single_timed_n":$singleTimedN,"best_floor_reset":$floorCompact$zorderMetrics$healthJson,"sf":"$sfDir"}""")
+    println(s"""{$onlyTag"round":$thisRound,"comparators_run":$comparatorsThisRound,"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"best":$slowestBest,"regressed_vs_best":$regressedJson,"single_timed_n":$singleTimedN,"single_retimed":$singleRetimedJson,"best_floor_reset":$floorCompact$zorderMetrics$healthJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

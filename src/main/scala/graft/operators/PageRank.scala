@@ -52,10 +52,17 @@ object PageRank {
       numPartitions: Option[Int] = None,
       driverEdgeLimit: Long = 1000000L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
-    driverRanks(edges, iterations, driverEdgeLimit, global = true) match {
-      case Some(local) => return local
-      case None => ()
-    }
+    // One persisted projection serves the strategy count, the driver
+    // collect, AND (on fall-through) the distributed loop's checkpoint
+    // source — a join-derived edge frame is computed exactly once
+    // either way (the r21 dupgraph_touched lesson: counting and
+    // collecting an unpersisted frame re-ran its semi-join derivation).
+    val cached = edges.select(col("src"), col("dst")).persist()
+    try {
+      driverRanks(cached, iterations, driverEdgeLimit, global = true) match {
+        case Some(local) => return local
+        case None => ()
+      }
     val part = numPartitions.getOrElse(
       edges.sparkSession.sessionState.conf.numShufflePartitions)
     // Iteration count is FIXED (no convergence check), so no round needs
@@ -70,8 +77,7 @@ object PageRank {
     // Compare Components.connectedComponents, where the per-round
     // convergence count forces eager rounds (released one behind).
     val intermediates = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(part, col("src")).localCheckpoint(false)
+    val e = cached.repartition(part, col("src")).localCheckpoint(false)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
@@ -95,6 +101,11 @@ object PageRank {
     }
     intermediates.foreach(Checkpoints.release)
     ranks
+    // The final round's EAGER checkpoint above has materialized the
+    // whole chain, so the cached projection is dead; the finally frees
+    // it on success and failure alike (and right after a driver-path
+    // return).
+    } finally cached.unpersist(blocking = false)
   }
 
   /** COMPONENT-LOCAL fixed-point ranks — the same damped update with the
@@ -118,16 +129,18 @@ object PageRank {
       numPartitions: Option[Int] = None,
       driverEdgeLimit: Long = 1000000L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
-    driverRanks(edges, iterations, driverEdgeLimit, global = false) match {
-      case Some(local) => return local
-      case None => ()
-    }
+    // Same persisted-projection discipline as [[ranks]].
+    val cached = edges.select(col("src"), col("dst")).persist()
+    try {
+      driverRanks(cached, iterations, driverEdgeLimit, global = false) match {
+        case Some(local) => return local
+        case None => ()
+      }
     val part = numPartitions.getOrElse(
       edges.sparkSession.sessionState.conf.numShufflePartitions)
     // Same one-job lazy-round shape as [[ranks]] — see the comment there.
     val intermediates = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(part, col("src")).localCheckpoint(false)
+    val e = cached.repartition(part, col("src")).localCheckpoint(false)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
@@ -148,6 +161,7 @@ object PageRank {
     }
     intermediates.foreach(Checkpoints.release)
     ranks
+    } finally cached.unpersist(blocking = false)
   }
 
   /** Driver fixed-point shortcut shared by [[ranks]] (global = true:
@@ -169,9 +183,14 @@ object PageRank {
       driverEdgeLimit: Long,
       global: Boolean): Option[DataFrame] = {
     if (driverEdgeLimit <= 0) return None
-    val src = edges.select(col("src"), col("dst"))
-    if (src.count() > driverEdgeLimit) return None
-    val rows = src.collect()
+    // The edge frame can be join-derived and expensive (the touched-
+    // subgraph rankers); the strategy count and the collect must not
+    // each recompute it. The caller hands us a PERSISTED frame and owns
+    // its release (distributed fall-through reuses the same cache).
+    val rows = {
+      if (edges.count() > driverEdgeLimit) return None
+      edges.collect()
+    }
     val outdeg = scala.collection.mutable.LongMap.empty[Long]
     val nodes = scala.collection.mutable.LongMap.empty[Unit]
     rows.foreach { r =>

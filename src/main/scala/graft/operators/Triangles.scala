@@ -335,6 +335,40 @@ object Triangles {
         greatest(col("ca"), col("cb")).as("qb"))
       .distinct()
 
+  /** Driver-local quotient arithmetic (r21 optimization — the
+    * [[Components]] driverEdgeLimit device applied to the collapsed
+    * products): the quotient frames handed between phase products are
+    * KB-scale BY THE COLLAPSE'S OWN ARGUMENT (that is why the products
+    * are affordable at all), yet each product ran ~10 tiny distributed
+    * stages over them (degree joins, wedge joins, per-class folds).
+    * When the caller supplies BOTH persisted phase frames and the
+    * quotient fits the limit, the per-CLASS numbers are computed
+    * locally in exact long arithmetic — identical values, the same
+    * formulas — and only the node-sized expansion join stays
+    * distributed (against a broadcast LocalRelation). Quotients past
+    * the limit keep the distributed stages. 0 disables (spec hook).
+    */
+  private[graft] val QuotientDriverLimit = 1000000L
+
+  /** Collected quotient state: class sizes and the undirected class
+    * adjacency, or None when the quotient exceeds the limit. */
+  private def collectQuotient(
+      classes: DataFrame, q: DataFrame)
+      : Option[(scala.collection.mutable.LongMap[Long],
+          scala.collection.mutable.LongMap[scala.collection.mutable.ArrayBuffer[Long]],
+          Array[(Long, Long)])] = {
+    if (q.count() > QuotientDriverLimit) return None
+    val qRows = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sizes = scala.collection.mutable.LongMap.empty[Long]
+    classes.collect().foreach(r => sizes(r.getLong(0)) = r.getLong(1))
+    val adj = scala.collection.mutable.LongMap
+      .empty[scala.collection.mutable.ArrayBuffer[Long]]
+    def add(x: Long, y: Long): Unit =
+      adj.getOrElseUpdate(x, scala.collection.mutable.ArrayBuffer.empty) += y
+    qRows.foreach { case (a, b) => add(a, b); add(b, a) }
+    Some((sizes, adj, qRows))
+  }
+
   /** [[vertexTriangleCounts]] by twin collapse — identical output,
     * never enumerates a triangle. Per class C with size s and
     * class-adjacency weight S = sum of adjacent class sizes:
@@ -347,12 +381,49 @@ object Triangles {
     *           + sum over quotient triangles (C, D, E) of s_D * s_E
     *                                      (one vertex in each class).
     * The quotient triangle stage reuses the oriented compact-forward
-    * above on the (tiny) quotient.
+    * above on the (tiny) quotient — or, when both phase frames are
+    * supplied and the quotient is broadcast-scale, the same arithmetic
+    * runs on the driver (see [[QuotientDriverLimit]]).
     */
   def vertexTriangleCountsCollapsed(
       edges: DataFrame, aCol: String, bCol: String,
       vclsOpt: Option[DataFrame] = None,
       qOpt: Option[DataFrame] = None): DataFrame = {
+    if (vclsOpt.isDefined && qOpt.isDefined) {
+      val vcls = vclsOpt.get
+      collectQuotient(vcls.select("cls", "s").distinct(), qOpt.get).foreach {
+        case (sizes, adj, _) =>
+          val perClass = sizes.iterator.map { case (c, s) =>
+            val nbrs = adj.getOrElse(c, scala.collection.mutable.ArrayBuffer.empty)
+            val sAdjV = nbrs.iterator.map(sizes).sum
+            val pairAdj = nbrs.iterator.map { d =>
+              val sd = sizes(d); (sd * (sd - 1L)) >> 1
+            }.sum
+            // quotient triangles at corner c: adjacent pairs (d, e)
+            // that are themselves quotient-adjacent; each unordered
+            // triangle credits its three corners once via d < e.
+            val nbrSet = nbrs.toSet
+            var triW = 0L
+            val sorted = nbrs.sorted
+            var i = 0
+            while (i < sorted.length) {
+              val d = sorted(i)
+              val dn = adj.getOrElse(d, scala.collection.mutable.ArrayBuffer.empty)
+              dn.foreach { e2 =>
+                if (e2 > d && nbrSet.contains(e2)) triW += sizes(d) * sizes(e2)
+              }
+              i += 1
+            }
+            c -> ((((s - 1L) * (s - 2L)) >> 1) + (s - 1L) * sAdjV +
+              pairAdj + triW)
+          }.filter(_._2 > 0L).toSeq
+          val session = vcls.sparkSession
+          import session.implicits._
+          return vcls.join(
+              broadcast(perClass.toDF("cls", "n_triangles")), Seq("cls"))
+            .select(col("doc_id"), col("n_triangles"))
+      }
+    }
     val e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
     val vcls = vclsOpt.getOrElse(twinClasses(edges, aCol, bCol))
     val classes = vcls.select("cls", "s").distinct()
@@ -561,6 +632,20 @@ object Triangles {
   def twinQuotientStats(edges: DataFrame, aCol: String, bCol: String,
       vclsOpt: Option[DataFrame] = None,
       qOpt: Option[DataFrame] = None): DataFrame = {
+    if (vclsOpt.isDefined && qOpt.isDefined) {
+      val vcls = vclsOpt.get
+      // Entirely quotient-level output — compute it locally when the
+      // phase frames are broadcast-scale (see QuotientDriverLimit).
+      collectQuotient(vcls.select("cls", "s").distinct(), qOpt.get).foreach {
+        case (sizes, adj, _) =>
+          val out = sizes.iterator.map { case (c, s) =>
+            (c, s, adj.get(c).map(_.length.toLong).getOrElse(0L))
+          }.toSeq
+          val session = vcls.sparkSession
+          import session.implicits._
+          return out.toDF("cls", "s", "q_deg")
+      }
+    }
     val e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
     val vcls = vclsOpt.getOrElse(twinClasses(edges, aCol, bCol))
     val classes = vcls.select("cls", "s").distinct()
@@ -596,6 +681,51 @@ object Triangles {
     // support-0 edges even at threshold 0 — would not; reject the
     // degenerate threshold rather than silently diverge.
     require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    if (vclsOpt.isDefined && qOpt.isDefined) {
+      val vcls = vclsOpt.get
+      // Survive conditions, common-neighbor weights, and the quotient
+      // components are all class arithmetic — run them locally when the
+      // phase frames are broadcast-scale (see QuotientDriverLimit);
+      // only the member expansion join stays distributed.
+      collectQuotient(vcls.select("cls", "s").distinct(), qOpt.get).foreach {
+        case (sizes, adj, qRows) =>
+          def sAdjOf(c: Long): Long =
+            adj.get(c).map(_.iterator.map(sizes).sum).getOrElse(0L)
+          val adjSets = adj.map { case (c, ns) => c -> ns.toSet }
+          val crossSurvive = qRows.filter { case (a, b) =>
+            val common = adjSets.getOrElse(a, Set.empty)
+              .intersect(adjSets.getOrElse(b, Set.empty))
+            val w = common.iterator.map(sizes).sum
+            sizes(a) - 1L + sizes(b) - 1L + w >= minSupport
+          }
+          val intraSurvive = sizes.iterator.collect {
+            case (c, s) if s >= 2L && s - 2L + sAdjOf(c) >= minSupport => c
+          }.toSet
+          // min-root union-find over the surviving cross edges — the
+          // same fixpoint Components computes (comp = min member id).
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x: Long): Long = {
+            var root = x
+            while (parent.getOrElse(root, root) != root)
+              root = parent.getOrElse(root, root)
+            var cur = x
+            while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+            root
+          }
+          val inCross = scala.collection.mutable.LongMap.empty[Unit]
+          crossSurvive.foreach { case (a, b) =>
+            inCross(a) = (); inCross(b) = ()
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+          }
+          val keep = inCross.keysIterator.map(c => (c, find(c))).toSeq ++
+            intraSurvive.iterator.filterNot(inCross.contains).map(c => (c, c))
+          val session = vcls.sparkSession
+          import session.implicits._
+          return vcls.join(broadcast(keep.toDF("cls", "comp")), Seq("cls"))
+            .select(col("doc_id"), col("comp").as("canonical_id"))
+      }
+    }
     val e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
     val vcls = vclsOpt.getOrElse(twinClasses(edges, aCol, bCol))
     val classes = vcls.select("cls", "s").distinct()

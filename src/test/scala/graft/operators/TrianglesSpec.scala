@@ -147,6 +147,40 @@ class TrianglesSpec extends AnyFunSuite {
     }
   }
 
+  test("driver-local quotient products (phase frames supplied) == distributed products") {
+    // The r21 local path engages ONLY when vclsOpt+qOpt are both given
+    // (the writeProducts/buildPeeled shape); pin it against the
+    // opt-less distributed derivation on random twin graphs.
+    val rnd = new scala.util.Random(31)
+    (0 until 6).foreach { trial =>
+      val edges = randomWithTwins(rnd)
+      val df = edges.toSeq.toDF("doc_a", "doc_b")
+      val vcls = Triangles.twinClasses(df, "doc_a", "doc_b").localCheckpoint()
+      val q = Triangles.quotientEdges(
+        df.select(col("doc_a").as("u"), col("doc_b").as("v")), vcls)
+        .localCheckpoint()
+      def cmp(name: String, local: org.apache.spark.sql.DataFrame,
+          dist: org.apache.spark.sql.DataFrame): Unit = {
+        val l = local.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+        val d = dist.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+        assert(l == d, s"trial $trial: $name local path diverges")
+      }
+      cmp("counts",
+        Triangles.vertexTriangleCountsCollapsed(
+          df, "doc_a", "doc_b", Some(vcls), Some(q)),
+        Triangles.vertexTriangleCountsCollapsed(df, "doc_a", "doc_b"))
+      cmp("truss canonicals",
+        Triangles.trussCanonicalsCollapsed(
+          df, "doc_a", "doc_b", minSupport = 1L, Some(vcls), Some(q)),
+        Triangles.trussCanonicalsCollapsed(df, "doc_a", "doc_b", minSupport = 1L))
+      cmp("stats",
+        Triangles.twinQuotientStats(df, "doc_a", "doc_b", Some(vcls), Some(q)),
+        Triangles.twinQuotientStats(df, "doc_a", "doc_b"))
+      graft.operators.Checkpoints.release(q)
+      graft.operators.Checkpoints.release(vcls)
+    }
+  }
+
   test("fingerprint fold == from-scratch fingerprints of the merged graph") {
     val rnd = new scala.util.Random(19)
     (0 until 6).foreach { trial =>
