@@ -819,8 +819,13 @@ object Bench {
           .flatMap(p => rx.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt))
           .toList
       } catch { case _: Throwable => Nil }
-    val thisRound: Int =
-      roundsIn(".", "BENCH_r(\\d+)\\.json").foldLeft(0)(math.max) + 1
+    // SPARK_GRAFT_ROUND overrides when set (r21 verdict item 5: the
+    // driver's post-record 8-core scaling run derived max+1 AFTER the
+    // driver had written BENCH_r21.json and filed itself as next round's
+    // snapshot; the cpu-suffixed snapshot naming below is the structural
+    // fix, the env knob the explicit one).
+    val thisRound: Int = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse(
+      roundsIn(".", "BENCH_r(\\d+)\\.json").foldLeft(0)(math.max) + 1)
     // Settled-comparator cadence (r16 verdict item 4): the scaled16
     // REBUILD comparators exist only to be beaten by the refresh/fold
     // lines — a margin proven in r15/r16 (fold 1.6 vs rebuild 2.6 s;
@@ -986,6 +991,14 @@ object Bench {
       // the same sf directory (the tag rides the file's recorded sf dir)
       // — an sf0.01 dev run must never pollute the sf0.1 best column.
       val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
+      // Same-cpu guard (r21 verdict item 5), the sf guard's twin: a
+      // scaling run at a different core count measures a different
+      // machine — its fixed-overhead lines can undercut any 32-core
+      // floor. Files RECORDING a cpus tag merge only when it matches
+      // this run's; files predating the tag are all 32-core history and
+      // merge only into 32-core runs. (Differently-cpu'd snapshots also
+      // get a _cpuN filename the r-pattern above never lists.)
+      val cpusRx = "\\\\?\"cpus\\\\?\":(\\d+)".r
       files
         .flatMap { p =>
           // Matches all naming schemes: BENCH_r16.json, bench_full/r16.json,
@@ -1008,10 +1021,24 @@ object Bench {
             }
             case i => raw.substring(0, i)
           }
-          // sf guard reads the FULL text: the "sf" field sits after the
-          // best map, so it lives in the part the cut removed.
-          if (raw.contains(sfTag))
-            rx.findAllMatchIn(txt).map(m => (round, m.group(1), m.group(2).toDouble))
+          // sf/cpu guards read the FULL text: both fields sit after the
+          // best map, so they live in the part the cut removed.
+          val cpuOk = cpusRx.findFirstMatchIn(raw)
+            .map(_.group(1)).getOrElse("32") == cpus
+          // Healed single-timed values are min(cold spike, warm in-run
+          // re-time) — the warm re-time can undercut representative cold
+          // cost, and a floor is forever (the one-directional ratchet
+          // the r21 advisor flagged). Drop that file's healed lines from
+          // the harvest; their floors come from untainted rounds.
+          val healedHere: Set[String] =
+            "\\\\?\"single_retimed\\\\?\":\\[([^\\]]*)\\]".r
+              .findFirstMatchIn(raw).map(_.group(1))
+              .map(s => "[A-Za-z0-9_]+".r.findAllIn(s).toSet)
+              .getOrElse(Set.empty)
+          if (raw.contains(sfTag) && cpuOk)
+            rx.findAllMatchIn(txt)
+              .map(m => (round, m.group(1), m.group(2).toDouble))
+              .filterNot { case (_, k, _) => healedHere(k) }
           else Iterator.empty
         }
         .filter(_._3 >= 0)
@@ -1030,6 +1057,12 @@ object Bench {
     // and the line's membership in `single_retimed` land in the JSON,
     // so the exemption stays auditable.
     val singleRetimed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Both measurements land in the artifact (r21 advisor): the original
+    // spike under single_retimed_orig, the min under queries — and the
+    // floor scanner above skips healed lines entirely, so a warm in-run
+    // re-time can never ratchet a cross-round floor downward.
+    val singleRetimedOrig =
+      scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val healedResults: Seq[(String, Double)] = {
       var budget = 8
       results.map { case (k, v) =>
@@ -1037,6 +1070,7 @@ object Bench {
             priorBest.get(k).exists(b => b > 0 && v > 2.0 * b)) {
           budget -= 1
           singleRetimed += k
+          singleRetimedOrig(k) = v
           val t2 = firstPass.find(_._1 == k)
             .map { case (_, fn, _) => timeOne(k, fn) }.getOrElse(-1.0)
           k -> (if (t2 < 0) v else math.min(v, t2))
@@ -1161,8 +1195,11 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val singleRetimedJson = singleRetimed
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val singleRetimedOrigJson = singleRetimedOrig
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{$onlyTag"round":$thisRound,"comparators_run":$comparatorsThisRound,"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"best":$fullBest,"regressed_vs_best":$regressedJson,"single_timed":$singleTimedJson,"single_retimed":$singleRetimedJson,"best_floor_reset":$floorJson$zorderMetrics$healthJson,"sf":"$sfDir"}"""
+      s"""{$onlyTag"round":$thisRound,"cpus":$cpus,"comparators_run":$comparatorsThisRound,"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"best":$fullBest,"regressed_vs_best":$regressedJson,"single_timed":$singleTimedJson,"single_retimed":$singleRetimedJson,"single_retimed_orig":$singleRetimedOrigJson,"best_floor_reset":$floorJson$zorderMetrics$healthJson,"sf":"$sfDir"}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
@@ -1185,8 +1222,14 @@ object Bench {
       // scanner above reads the suffixed names too, so every run's
       // measurements feed the best column and a round's committed
       // record survives later runs.
-      val target = Iterator.single(s"bench_full/r$thisRound.json")
-        .concat(Iterator.from(1).map(k => s"bench_full/r${thisRound}_$k.json"))
+      // Non-32-core runs (the driver's scaling pass) get a _cpuN name the
+      // floor scanner's r-pattern never lists — a scaling run can no
+      // longer impersonate a round's 32-core record (r21 verdict item 5:
+      // the driver's cpu-8 run filed itself as bench_full/r22.json).
+      val stem = if (cpus == "32") s"bench_full/r$thisRound"
+        else s"bench_full/r${thisRound}_cpu$cpus"
+      val target = Iterator.single(s"$stem.json")
+        .concat(Iterator.from(1).map(k => s"${stem}_$k.json"))
         .find(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
         .get
       java.nio.file.Files.writeString(
@@ -1211,7 +1254,7 @@ object Bench {
       .map { case (k, (round, _)) => "\"" + k + "\":" + round }
       .mkString("{", ",", "}")
     val singleTimedN = finalResults.count { case (k, _) => singleTimed(k) }
-    println(s"""{$onlyTag"round":$thisRound,"comparators_run":$comparatorsThisRound,"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"best":$slowestBest,"regressed_vs_best":$regressedJson,"single_timed_n":$singleTimedN,"single_retimed":$singleRetimedJson,"best_floor_reset":$floorCompact$zorderMetrics$healthJson,"sf":"$sfDir"}""")
+    println(s"""{$onlyTag"round":$thisRound,"cpus":$cpus,"comparators_run":$comparatorsThisRound,"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"best":$slowestBest,"regressed_vs_best":$regressedJson,"single_timed_n":$singleTimedN,"single_retimed":$singleRetimedJson,"single_retimed_orig":$singleRetimedOrigJson,"best_floor_reset":$floorCompact$zorderMetrics$healthJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -216,11 +216,23 @@ object Triangles {
     * shape, where a batch is minutes of crawl against a corpus of
     * everything and most classes sleep untouched.
     */
+  /** @param dedupTouched replay tolerance (default). The canonicalize +
+    *        distinct() below costs one exchange on the touched stream
+    *        per fold; a caller whose stored and delta streams are BY
+    *        CONSTRUCTION deduplicated, canonical (aCol < bCol) and
+    *        mutually disjoint — the mined-pair-table phase callers, the
+    *        r21 fold-line regression (verdict item 2) — passes false
+    *        and the per-fold path stays exchange-free on that stream.
+    *        The duplicate-tolerant streaming face
+    *        ([[refreshFingerprintsBatch]], whose edge table accumulates
+    *        replayed rows) keeps the default.
+    */
   def refreshFingerprints(
       storedFp: DataFrame,
       storedEdges: DataFrame,
       deltaEdges: DataFrame,
-      aCol: String, bCol: String): DataFrame = {
+      aCol: String, bCol: String,
+      dedupTouched: Boolean = true): DataFrame = {
     val touched = deltaEdges.select(col(aCol).as("id"))
       .unionAll(deltaEdges.select(col(bCol).as("id"))).distinct()
     // The two endpoint-side semi-joins each rescan the source edge
@@ -240,19 +252,28 @@ object Triangles {
       touched.withColumnRenamed("id", aCol).withColumn("_ta", lit(1)))
     val tFlagB = broadcast(
       touched.withColumnRenamed("id", bCol).withColumn("_tb", lit(1)))
-    // The distinct() restores the duplicate tolerance the md5/collect_set
-    // formulation had implicitly (set semantics absorbed a replayed batch
-    // whose edges were already in the stored stream; the XOR fingerprint
-    // would cancel them pairwise instead). It deduplicates only the
-    // TOUCHED stream — delta-proportional by the fold's own argument —
-    // and untouched duplicates never matter (those rows carry over from
-    // storedFp verbatim).
-    val touchedEdges = merged
+    // The canonicalize + distinct() restores the duplicate tolerance the
+    // md5/collect_set formulation had implicitly (set semantics absorbed
+    // a replayed batch whose edges were already in the stored stream;
+    // the XOR fingerprint would cancel them pairwise instead). The
+    // least/greatest projection absorbs opposite-ORIENTATION duplicates
+    // too ((b, a) delivered when (a, b) is stored — byte-unequal, so
+    // distinct() alone would let it through to cancel a neighbor; r21
+    // advisor): one cheap codegen'd projection on the touched stream.
+    // Both deduplicate only the TOUCHED stream — delta-proportional by
+    // the fold's own argument — and untouched duplicates never matter
+    // (those rows carry over from storedFp verbatim).
+    val touchedRaw = merged
       .join(tFlagA, Seq(aCol), "left")
       .join(tFlagB, Seq(bCol), "left")
       .filter(col("_ta").isNotNull || col("_tb").isNotNull)
-      .select(col(aCol), col(bCol))
-      .distinct()
+    val touchedEdges =
+      if (dedupTouched)
+        touchedRaw
+          .select(least(col(aCol), col(bCol)).as(aCol),
+            greatest(col(aCol), col(bCol)).as(bCol))
+          .distinct()
+      else touchedRaw.select(col(aCol), col(bCol))
     val newFp = adjacencyFingerprints(touchedEdges, aCol, bCol)
       .join(broadcast(touched).withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_semi")
     storedFp
@@ -273,14 +294,23 @@ object Triangles {
     * `writeStream.foreachBatch`: fold one edge micro-batch into a
     * SERVED fingerprint table and append the batch to the accumulated
     * edge table. Like [[HyperLogLog.refreshBatch]] this tolerates
-    * AT-LEAST-ONCE delivery, and for the same algebraic reason:
-    * adjacency is a SET (collect_set), so replayed edges re-derive the
-    * identical fingerprints — the served TWIN STRUCTURE is exact under
-    * replay even though the edge table accumulates duplicate rows
-    * (storage-only; compact by deduplicating whenever convenient). The
-    * localCheckpoint pins the fold before the overwrite drops its own
-    * source; per-batch cost is the arrival footprint + a node-sized
-    * carry-over, never an edge-stream re-hash.
+    * AT-LEAST-ONCE delivery: adjacency is USED as a set — the fold
+    * canonicalizes and distinct()s the touched edge stream, and the
+    * full-rebuild branch distinct()s the accumulated table — so
+    * replayed edges re-derive the identical fingerprints and the served
+    * TWIN STRUCTURE is exact under replay even though the edge table
+    * accumulates duplicate rows (storage-only; compact by deduplicating
+    * whenever convenient). The localCheckpoint pins the fold before the
+    * overwrite drops its own source; per-batch cost is the arrival
+    * footprint + a node-sized carry-over, never an edge-stream re-hash.
+    *
+    * MIGRATION (r21 fingerprint schema change): `fpTable`s persisted
+    * before the struct(n, h1, h2) fingerprint (the md5-string schema)
+    * cannot be folded into — the storedFp/newFp unionByName fails loudly
+    * on the type mismatch. Rebuild the fingerprint table from the edge
+    * table once (drop `fpTable`; the next batch's tableExists branch
+    * rebuilds from the FULL accumulated edge stream, which is exactly
+    * the crash-recovery path below).
     */
   def refreshFingerprintsBatch(
       batchEdges: DataFrame,
@@ -348,19 +378,33 @@ object Triangles {
     * distributed (against a broadcast LocalRelation). Quotients past
     * the limit keep the distributed stages. 0 disables (spec hook).
     */
-  private[graft] val QuotientDriverLimit = 1000000L
+  /** var, not val: the spec hook for forcing the distributed path
+    * (production code never writes it). 0 disables the driver path
+    * entirely — including the zero-quotient-edge case the class probe
+    * below guards. */
+  private[graft] var QuotientDriverLimit = 1000000L
 
   /** Collected quotient state: class sizes and the undirected class
-    * adjacency, or None when the quotient exceeds the limit. */
+    * adjacency, or None when EITHER frame exceeds the limit. Gating on
+    * quotient edges alone (pre-r22) was the wrong proxy for driver
+    * footprint on exactly the canonical dedup shape: a corpus of
+    * disjoint duplicate cliques collapses to ~one class per clique and
+    * ZERO quotient edges, so a billion-cluster graph passed the edge
+    * gate and collected a billion class rows (r21 verdict item 1). The
+    * class side gates via a limit+1 probe collect — no extra job: the
+    * probe IS the class collect this function needs when it passes. */
   private def collectQuotient(
       classes: DataFrame, q: DataFrame)
       : Option[(scala.collection.mutable.LongMap[Long],
           scala.collection.mutable.LongMap[scala.collection.mutable.ArrayBuffer[Long]],
           Array[(Long, Long)])] = {
     if (q.count() > QuotientDriverLimit) return None
+    val probe = (math.min(QuotientDriverLimit, Int.MaxValue - 1L) + 1L).toInt
+    val classRows = classes.limit(probe).collect()
+    if (classRows.length >= probe) return None
     val qRows = q.collect().map(r => (r.getLong(0), r.getLong(1)))
     val sizes = scala.collection.mutable.LongMap.empty[Long]
-    classes.collect().foreach(r => sizes(r.getLong(0)) = r.getLong(1))
+    classRows.foreach(r => sizes(r.getLong(0)) = r.getLong(1))
     val adj = scala.collection.mutable.LongMap
       .empty[scala.collection.mutable.ArrayBuffer[Long]]
     def add(x: Long, y: Long): Unit =

@@ -1697,11 +1697,13 @@ object DedupQueries {
       (spark, dir) => {
         import graft.operators.Triangles
         TwinFoldPhases.ensureStored(spark, dir)
+        // dedupTouched = false: stored and delta are mined-pair-table
+        // slices — deduplicated, canonical, disjoint by construction.
         val folded = Triangles.refreshFingerprints(
           spark.table(TwinFoldPhases.fpTable(dir)),
           TwinFoldPhases.evenPairs(spark, dir),
           TwinFoldPhases.deltaPairs(spark, dir),
-          "doc_a", "doc_b")
+          "doc_a", "doc_b", dedupTouched = false)
         Triangles.classesFromFingerprints(folded)
           .select(col("cls"), col("s")).distinct()
       }
@@ -3509,10 +3511,13 @@ object TwinFoldPhases {
   def boundedFold(spark: SparkSession, dir: String): DataFrame = {
     ensureStored(spark, dir)
     ensureBoundedDelta(spark, dir)
+    // dedupTouched = false: both streams are mined-pair-table slices —
+    // deduplicated, canonical, disjoint (delta carries an odd endpoint)
+    // — so the fold skips the per-fold touched-stream distinct exchange.
     Triangles.refreshFingerprints(
       spark.table(fpTable(dir)),
       evenPairs(spark, dir), spark.table(boundedDeltaTable(dir)),
-      "doc_a", "doc_b")
+      "doc_a", "doc_b", dedupTouched = false)
   }
 
   /** The from-scratch comparator on the SAME merged graph: one full
@@ -3560,11 +3565,20 @@ object TwinFoldPhases {
     */
   def buildScaled(spark: SparkSession, dir: String): Unit = synchronized {
     val even = evenPairs(spark, dir)
-    val scaled = (0 until ScaleCopies).map { k =>
-      val off = lit(k * ScaleOffset)
-      even.select((col("doc_a") + off).as("doc_a"),
-        (col("doc_b") + off).as("doc_b"))
-    }.reduce(_ unionByName _)
+    // ONE scan + an in-task Generate instead of a ScaleCopies-branch
+    // union (r21 verdict item 4): the union re-scanned the bucketed
+    // pair table per copy (16 scans of the same rows) and its write
+    // inherited one output file per branch scan task (~256 KB-scale
+    // files the downstream fingerprint scan then pays open cost on).
+    // The explode produces the identical row set from a single scan
+    // with ZERO exchanges: the bucketed pair scan is one task per
+    // bucket (16), each task generates its copies in place and writes
+    // one well-sized file (~|even|/16 x ScaleCopies rows).
+    val scaled = even
+      .select(explode(sequence(lit(0L), lit((ScaleCopies - 1).toLong))).as("__k"),
+        col("doc_a"), col("doc_b"))
+      .select((col("doc_a") + col("__k") * lit(ScaleOffset)).as("doc_a"),
+        (col("doc_b") + col("__k") * lit(ScaleOffset)).as("doc_b"))
     Bucketing.dropWithLocation(spark, scaledEvenTable(dir))
     scaled.write.format("parquet").saveAsTable(scaledEvenTable(dir))
     Bucketing.dropWithLocation(spark, scaledFpTable(dir))
@@ -3589,7 +3603,7 @@ object TwinFoldPhases {
       spark.table(scaledFpTable(dir)),
       spark.table(scaledEvenTable(dir)),
       spark.table(boundedDeltaTable(dir)),
-      "doc_a", "doc_b")
+      "doc_a", "doc_b", dedupTouched = false)
   }
 
   /** From-scratch comparator on the scaled merged graph. */
@@ -3631,7 +3645,7 @@ object TwinFoldPhases {
     val folded = Triangles.refreshFingerprints(
       spark.table(fpTable(dir)),
       evenPairs(spark, dir), deltaPairs(spark, dir),
-      "doc_a", "doc_b").localCheckpoint()
+      "doc_a", "doc_b", dedupTouched = false).localCheckpoint()
     try {
       Bucketing.dropWithLocation(spark, foldedTable(dir))
       folded.write.format("parquet").saveAsTable(foldedTable(dir))
