@@ -351,7 +351,14 @@ object Bench {
           "q173_scaled16_fold" -> ((s: SparkSession, d: String) =>
             graft.queries.TwinFoldPhases.scaledFold(s, d)),
           "q173_scaled16_rebuild" -> ((s: SparkSession, d: String) =>
-            graft.queries.TwinFoldPhases.scaledRebuild(s, d))),
+            graft.queries.TwinFoldPhases.scaledRebuild(s, d)),
+          // Core-scaling probe for the fingerprint exchange itself (r21
+          // verdict item 8): in-task-generated scaled edges, no file-
+          // split or write ceiling — the line whose 8-vs-32-core ratio
+          // carries the "3 longs per vertex" shuffle claim. min-of-2
+          // like every probe line.
+          "q173_scaledfp_hash" -> ((s: SparkSession, d: String) =>
+            graft.queries.TwinFoldPhases.scaledFingerprintHash(s, d))),
         // Truss peel: the fixed-point build is its own line (rounds of
         // re-collapse + quotient support), separate from the q167
         // single-cut family's build; the q176 line is the table probe.

@@ -568,17 +568,23 @@ object Dedup {
       case None => rawGrams
     }
     val counts = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
-    val a = grams.as("ga").join(counts.withColumnRenamed("n_grams", "na").as("ca"), idCol)
-    val g2 = grams.as("gb").join(counts.withColumnRenamed("n_grams", "nb").as("cb"), idCol)
-    val pairs = a
-      .select(col(idCol).as("doc_a"), col("g"), col("na"))
-      .join(
-        g2.select(col(idCol).as("doc_b"), col("g"), col("nb")),
-        Seq("g"))
+    // Per-doc set sizes attach AFTER the pair aggregation (r22, guide
+    // §2.3/§3): riding them through the g-keyed self-join put a counts
+    // subtree (one more full gram derivation each) under BOTH join
+    // sides and widened every joined row; the aggregated pair frame is
+    // doc-pair-sized and the counts frame doc-sized — two broadcast
+    // hash joins there cost no gram re-derivation and no exchange.
+    val pairs = grams
+      .select(col(idCol).as("doc_a"), col("g"))
+      .join(grams.select(col(idCol).as("doc_b"), col("g")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
+      .join(broadcast(counts.select(col(idCol).as("doc_a"), col("n_grams").as("na"))),
+        Seq("doc_a"))
+      .join(broadcast(counts.select(col(idCol).as("doc_b"), col("n_grams").as("nb"))),
+        Seq("doc_b"))
       .select(
         col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))

@@ -3606,6 +3606,32 @@ object TwinFoldPhases {
       "doc_a", "doc_b", dedupTouched = false)
   }
 
+  /** Core-scaling fixture for the twin-fingerprint EXCHANGE itself (r21
+    * verdict item 8): at sf0.1 every top bench line is fixed-overhead
+    * dominated and the 8-vs-32-core ratios sit near 1, so the round's
+    * headline §2 claim (the fingerprint shuffle ships three longs per
+    * vertex instead of adjacency volume) had no measured ratio behind
+    * it. This line is the claim's pure-compute form: the scaled edge
+    * stream is GENERATED in-task (one bucketed scan + repartition to
+    * 2x defaultParallelism — explicit count, so AQE never coalesces it
+    * to one task — + the copy explode), then
+    * [[Triangles.adjacencyFingerprints]] runs its map-side partial
+    * aggregation and 3-long-per-vertex exchange over ScaleCopies x the
+    * fixture's adjacency volume with NO file-split or write ceiling on
+    * parallelism. Work per run is core-count independent; an 8-core
+    * run should take ~4x the 32-core run if the operator scales.
+    */
+  def scaledFingerprintHash(spark: SparkSession, dir: String): DataFrame = {
+    val parts = spark.sparkContext.defaultParallelism * 2
+    val scaled = evenPairs(spark, dir)
+      .repartition(parts, col("doc_a"))
+      .select(explode(sequence(lit(0L), lit((ScaleCopies - 1).toLong))).as("__k"),
+        col("doc_a"), col("doc_b"))
+      .select((col("doc_a") + col("__k") * lit(ScaleOffset)).as("doc_a"),
+        (col("doc_b") + col("__k") * lit(ScaleOffset)).as("doc_b"))
+    Triangles.adjacencyFingerprints(scaled, "doc_a", "doc_b")
+  }
+
   /** From-scratch comparator on the scaled merged graph. */
   def scaledRebuild(spark: SparkSession, dir: String): DataFrame = {
     ensureScaled(spark, dir)

@@ -853,14 +853,14 @@ object RelationalQueries {
         "planner (broadcast thresholds, skew detection, partition " +
         "sizing) reads before touching a table; columns come from the " +
         "frame's own schema, so the operator profiles ANY table " +
-        "(Profile.tableProfile). ONE scan whatever the column count: " +
-        "all aggregates ride one partial+final pass and the per-column " +
-        "rows explode out of the single aggregate row (the q217 " +
-        "device). The exact-ndv face plans Spark's multi-distinct " +
-        "Expand — its documented cost, linear in column count; the " +
-        "corpus-scale face is tableProfileApprox (HLL ndv, no Expand, " +
-        "one narrow pass) whose per-column error ProfileSpec pins " +
-        "within the configured rsd against this exact face. Oracle: " +
+        "(Profile.tableProfile). Shape (r22): one trivial counts pass " +
+        "plus one COLUMN-PRUNED distinct sub-aggregate per column under " +
+        "a single union — columnar pruning makes the union's bytes the " +
+        "one-scan bytes, and it replaces the multi-distinct Expand " +
+        "(every row replicated once per column through a wide partial-" +
+        "agg key, measured 3.3x slower). The corpus-scale face is " +
+        "tableProfileApprox (HLL ndv, one narrow pass) whose per-column " +
+        "error ProfileSpec pins within the configured rsd. Oracle: " +
         "one UNION ALL branch per column, rendered from the same " +
         "column list.",
       Some(Seq(
@@ -3522,16 +3522,46 @@ object HistPhases {
   def histTable(dir: String): String = s"graft_histcat_${Q.scratchTag(dir)}"
 
   def buildStored(spark: SparkSession, dir: String): Unit = {
-    import graft.operators.Profile
+    import graft.operators.Checkpoints
     val li = Tables.lineitem(spark, dir)
-    val cat = HistColumns.map { c =>
-      Profile.equiWidthHistogram(li, c, RelationalQueries.HistBuckets)
-        .crossJoin(broadcast(Profile.columnBounds(li, c)))
-        .select(lit(c).as("colname"), col("bucket"), col("lo"), col("hi"),
-          col("n_rows"), col("__mn").as("mn"), col("__mx").as("mx"))
-    }.reduce(_ unionByName _)
-    graft.operators.Bucketing.dropWithLocation(spark, histTable(dir))
-    cat.write.format("parquet").saveAsTable(histTable(dir))
+    val buckets = RelationalQueries.HistBuckets
+    // r22 (guide §1.2): the per-column build paid THREE scan subtrees
+    // per column — the bounds pass inside equiWidthHistogram, the
+    // counted pass, and a second bounds derivation for the (mn, mx)
+    // columns — six lazy scans of the fact table for two columns.
+    // Fused: ONE bounds aggregate for every column (pinned; this is a
+    // phase build, so the checkpoint has a principled release right
+    // after the write) and ONE counted pass over the long-form
+    // (colname, value-as-double) explode. The bucket/lo/hi arithmetic
+    // is the identical IEEE expression chain per column, so the stored
+    // rows are value-for-value the per-column build's.
+    val bAggs = HistColumns.flatMap { c =>
+      Seq(min(col(c)).cast("double").as(s"__mn_$c"),
+        max(col(c)).cast("double").as(s"__mx_$c"))
+    }
+    val bounds = li.agg(bAggs.head, bAggs.tail: _*).localCheckpoint()
+    try {
+      val bRows = HistColumns.map(c => struct(lit(c).as("colname"),
+        col(s"__mn_$c").as("__mn"), col(s"__mx_$c").as("__mx")))
+      val boundsLong =
+        bounds.select(explode(array(bRows: _*)).as("b")).select("b.*")
+      val vRows = HistColumns.map(c => struct(
+        lit(c).as("colname"), col(c).cast("double").as("__v")))
+      val longForm = li.select(explode(array(vRows: _*)).as("p")).select("p.*")
+        .filter(col("__v").isNotNull)
+      val mn = col("__mn"); val mx = col("__mx")
+      val bucket = when(mx === mn, lit(0L)).otherwise(
+        least(lit(buckets - 1L), floor((col("__v") - mn) * buckets / (mx - mn))))
+      val cat = longForm.join(broadcast(boundsLong), Seq("colname"))
+        .groupBy(col("colname"), bucket.as("bucket"), mn, mx)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(col("colname"), col("bucket"),
+          (mn + col("bucket") * (mx - mn) / buckets).as("lo"),
+          (mn + (col("bucket") + 1) * (mx - mn) / buckets).as("hi"),
+          col("n_rows"), mn.as("mn"), mx.as("mx"))
+      graft.operators.Bucketing.dropWithLocation(spark, histTable(dir))
+      cat.write.format("parquet").saveAsTable(histTable(dir))
+    } finally Checkpoints.release(bounds)
     built.add(histTable(dir))
   }
 
@@ -3586,24 +3616,40 @@ object McvPhases {
   def mcvTable(dir: String): String = s"graft_mcvcat_${Q.scratchTag(dir)}"
 
   def buildStored(spark: SparkSession, dir: String): Unit = {
-    import graft.operators.Profile
+    import graft.operators.{Checkpoints, Profile}
     import org.apache.spark.sql.types.StringType
     val li = Tables.lineitem(spark, dir)
-    val cat = McvColumns.map { case (c, k) =>
-      // Values persist under the estimator's CANONICAL key form
-      // (ColumnMcv.key): numerics through double->string — the same
-      // rendering a probe literal takes — strings as themselves.
-      val vCanon =
-        if (li.schema(c).dataType == StringType) col("v").cast("string")
-        else col("v").cast("double").cast("string")
-      Profile.mcvList(li, c, k)
-        .crossJoin(broadcast(li.agg(
-          count(lit(1)).as("n"), countDistinct(col(c)).as("ndv"))))
-        .select(lit(c).as("colname"), vCanon.as("v"),
-          col("cnt"), col("n"), col("ndv"))
+    // r22 (guide §1.2): the (n, ndv) scalars ran one count + one
+    // distinct-groupBy pass PER COLUMN; one shared aggregate (per-column
+    // distinct sub-aggregates under a union — the column-pruned q230
+    // shape — crossed with the one row count) computes them all, pinned
+    // once for both per-column top-k branches to broadcast from. The
+    // top-k passes stay per column: each reads only its own column and
+    // its groupBy key type is the column's own (the canonical-string
+    // cast happens after counting, exactly as before).
+    val ndvs = McvColumns.map { case (c, _) =>
+      li.select(col(c)).distinct().agg(count(col(c)).as("ndv"))
+        .select(lit(c).as("colname"), col("ndv"))
     }.reduce(_ unionByName _)
-    graft.operators.Bucketing.dropWithLocation(spark, mcvTable(dir))
-    cat.write.format("parquet").saveAsTable(mcvTable(dir))
+    val scalars = ndvs.crossJoin(li.agg(count(lit(1)).as("n")))
+      .localCheckpoint()
+    try {
+      val cat = McvColumns.map { case (c, k) =>
+        // Values persist under the estimator's CANONICAL key form
+        // (ColumnMcv.key): numerics through double->string — the same
+        // rendering a probe literal takes — strings as themselves.
+        val vCanon =
+          if (li.schema(c).dataType == StringType) col("v").cast("string")
+          else col("v").cast("double").cast("string")
+        Profile.mcvList(li, c, k)
+          .crossJoin(broadcast(
+            scalars.filter(col("colname") === c).select("n", "ndv")))
+          .select(lit(c).as("colname"), vCanon.as("v"),
+            col("cnt"), col("n"), col("ndv"))
+      }.reduce(_ unionByName _)
+      graft.operators.Bucketing.dropWithLocation(spark, mcvTable(dir))
+      cat.write.format("parquet").saveAsTable(mcvTable(dir))
+    } finally Checkpoints.release(scalars)
     built.add(mcvTable(dir))
   }
 

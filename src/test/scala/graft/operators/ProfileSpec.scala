@@ -136,12 +136,25 @@ class ProfileSpec extends AnyFunSuite {
     assert(f == s)
   }
 
-  test("one scan feeds the whole profile; the exact face carries the documented Expand") {
+  test("exact face: no Expand, column-pruned ndv branches; approx face: one scan, no Expand") {
+    // r22 plan contract: the exact face's ndv branches each scan ONLY
+    // their own column (columnar pruning — the union's total bytes are
+    // the one-scan bytes) and the multi-distinct Expand (every row
+    // replicated once per profiled column through a wide partial-agg
+    // key, measured 3.3x slower on the bench table) is gone.
     val li = Tables.lineitem(spark, SparkTestSession.sf0001)
     val exactPlan = Profile.tableProfile(li)
       .queryExecution.executedPlan.toString
-    assert("Scan parquet".r.findAllIn(exactPlan).size == 1, exactPlan.take(800))
-    assert(exactPlan.contains("Expand"), exactPlan.take(800))
+    assert(!exactPlan.contains("Expand"), exactPlan.take(800))
+    // one counts scan + one pruned scan per column
+    assert("Scan parquet".r.findAllIn(exactPlan).size == li.columns.length + 1,
+      exactPlan.take(800))
+    // every ndv branch's scan reads a single column: no multi-column
+    // ReadSchema appears outside the counts pass (which needs them all)
+    // (>= length - 1: plan toString may truncate one long schema string)
+    val readSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(exactPlan).toSeq
+    assert(readSchemas.count(_.count(_ == ',') == 0) >= li.columns.length - 1,
+      readSchemas.mkString("\n"))
     val approxPlan = Profile.tableProfileApprox(li)
       .queryExecution.executedPlan.toString
     assert("Scan parquet".r.findAllIn(approxPlan).size == 1, approxPlan.take(800))
