@@ -43,7 +43,19 @@ object Bucketing {
 
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     dropWithLocation(df.sparkSession, table)
-    df.write
+    // Pre-shuffle onto the bucket hash (r22 — guide §6 "hash
+    // distribution before the write"): a V1 bucketed write otherwise
+    // emits one file per (input task x non-empty bucket) — a 32-task
+    // upstream fragments the table into up to 32 x buckets KB-scale
+    // files every later scan pays open cost on, while a single-task
+    // upstream (one small parquet input) serializes the whole
+    // sort+encode on one core. repartition(buckets, key) IS the bucket
+    // mapping (HashPartitioning = pmod(murmur3, n), exactly the
+    // function bucketBy applies), so each writer task holds exactly
+    // one whole bucket: `buckets` files total, `buckets`-way write
+    // parallelism, identical rows in identical buckets.
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
